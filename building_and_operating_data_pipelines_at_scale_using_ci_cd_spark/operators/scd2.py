@@ -1,0 +1,133 @@
+"""W5: SCD Type 2 merge (``spark.json:73`` scdType2Insert, ``spark.json:91``
+savemode scd2; exercised by the reference's ``scd2_daily_ranges`` task,
+``example-shareprice.py:150``).
+
+Semantics (slowly-changing dimension, type 2):
+  - target keeps full history: each business key has N versioned rows with
+    ``eff_start_ts`` / ``eff_end_ts`` / ``is_current``; exactly one current
+    row per key; intervals non-overlapping.
+  - merging an incoming snapshot:
+      * new key              → insert as current
+      * changed attributes   → close the old current row (end_ts = effective
+                               ts, is_current = false) and insert a new
+                               current version
+      * unchanged            → carry through untouched (idempotent re-runs)
+
+Implementation is a pure DataFrame program (no Delta dependency): one join
+of incoming against current rows on the business key + an xxhash64 change
+fingerprint, then a union of (history, closed, carried, inserted). At scale:
+
+  - the join shuffles on the business key; if the dimension's current slice
+    is small (typical), Catalyst/AQE broadcastifies it — we also pre-split
+    target into current/history so only the current slice joins at all.
+  - change detection via ``xxhash64`` over the compare columns avoids a
+    wide column-by-column comparison and handles NULLs consistently.
+  - the rewritten table is written once; history rows are carried through
+    unchanged (for file sinks this is the standard overwrite pattern; a
+    Delta MERGE would rewrite only matched files — noted as the upgrade
+    path when the delta package is present).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EFF_START = "eff_start_ts"
+EFF_END = "eff_end_ts"
+IS_CURRENT = "is_current"
+SCD2_META_COLS = [EFF_START, EFF_END, IS_CURRENT]
+
+#: open-ended "current" sentinel kept finite so sorting/serialization is sane
+_HIGH_TS = "9999-12-31 23:59:59"
+
+
+def _fingerprint(cols: list[str]):
+    """Order-stable change hash over the compare columns. NULL-safe: each
+    column is cast to string with a NULL sentinel before hashing."""
+    return F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in cols])
+
+
+def scd2_initial(incoming: DataFrame, effective_ts) -> DataFrame:
+    """First load: everything becomes the current version."""
+    return (
+        incoming.withColumn(EFF_START, F.lit(effective_ts).cast("timestamp"))
+        .withColumn(EFF_END, F.lit(_HIGH_TS).cast("timestamp"))
+        .withColumn(IS_CURRENT, F.lit(True))
+    )
+
+
+def scd2_merge(
+    target: DataFrame | None,
+    incoming: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+    effective_ts=None,
+) -> DataFrame:
+    """Merge an incoming snapshot into an SCD2 target; returns the full
+    rewritten table (history + closed + carried + inserted).
+
+    ``target`` rows must carry the SCD2 meta columns (as produced by this
+    function / ``scd2_initial``). ``compare_cols`` defaults to all non-key,
+    non-meta columns. ``effective_ts`` defaults to current_timestamp() —
+    pass an explicit value for reproducible pipelines.
+    """
+    eff = F.lit(effective_ts).cast("timestamp") if effective_ts is not None else F.current_timestamp()
+
+    if target is None or not target.columns:
+        return scd2_initial(incoming, effective_ts if effective_ts is not None else F.current_timestamp())
+
+    data_cols = [c for c in target.columns if c not in SCD2_META_COLS]
+    missing = set(data_cols) - set(incoming.columns)
+    if missing:
+        raise ValueError(f"incoming snapshot missing columns: {sorted(missing)}")
+    incoming = incoming.select(*data_cols)
+    compare = compare_cols or [c for c in data_cols if c not in keys]
+
+    fp = _fingerprint(compare)
+    # Only the current slice participates in the merge join; history is
+    # carried through without touching the shuffle.
+    history = target.filter(~F.col(IS_CURRENT))
+    current = target.filter(F.col(IS_CURRENT)).withColumn("__t_fp", fp)
+    inc = incoming.withColumn("__i_fp", fp)
+
+    joined = current.alias("t").join(
+        inc.select(*keys, "__i_fp").alias("i"), on=keys, how="full_outer"
+    )
+
+    # 1. current rows whose key vanished or whose attrs changed → close them
+    closed = (
+        joined.filter(F.col("__i_fp").isNotNull() & (F.col("__t_fp") != F.col("__i_fp")))
+        .select("t.*")
+        .withColumn(EFF_END, eff)
+        .withColumn(IS_CURRENT, F.lit(False))
+        .drop("__t_fp")
+    )
+    # 2. current rows with identical attrs (or keys absent from incoming,
+    #    which SCD2 treats as "no news": carry, don't delete) → unchanged
+    carried = (
+        joined.filter(F.col("__i_fp").isNull() | (F.col("__t_fp") == F.col("__i_fp")))
+        .filter(F.col("__t_fp").isNotNull())
+        .select("t.*")
+        .drop("__t_fp")
+    )
+    # 3. incoming rows that are new keys or changed versions → insert current
+    new_keys = joined.filter(F.col("__t_fp").isNull()).select(*[F.col(f"i.{k}").alias(k) for k in keys])
+    changed_keys = joined.filter(
+        F.col("__t_fp").isNotNull() & F.col("__i_fp").isNotNull() & (F.col("__t_fp") != F.col("__i_fp"))
+    ).select(*[F.col(f"i.{k}").alias(k) for k in keys])
+    to_insert = (
+        inc.join(new_keys.union(changed_keys), on=keys, how="left_semi")
+        .drop("__i_fp")
+        .withColumn(EFF_START, eff)
+        .withColumn(EFF_END, F.lit(_HIGH_TS).cast("timestamp"))
+        .withColumn(IS_CURRENT, F.lit(True))
+    )
+
+    out_cols = data_cols + SCD2_META_COLS
+    return (
+        history.select(*out_cols)
+        .unionByName(closed.select(*out_cols))
+        .unionByName(carried.select(*out_cols))
+        .unionByName(to_insert.select(*out_cols))
+    )

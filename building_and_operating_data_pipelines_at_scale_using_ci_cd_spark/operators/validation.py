@@ -1,0 +1,81 @@
+"""Validation operators (SURVEY.md §2.4, V1-V4).
+
+The dialect diverts invalid rows to an error lane instead of failing the
+job (``spark.json:41-52`` validations; ``spark.json:97-101`` error sink),
+with a percent threshold gate (``spark.json:7``).
+
+Scale notes:
+  - Both splits are single-pass expressions over the input — no self-join.
+    The dedup split is one window (`row_number` over the PK) = one shuffle
+    on the PK, the same shuffle a groupBy-dedup would pay, but it keeps
+    every column and gives deterministic survivor selection.
+  - We return (good, bad) as two lazily-derived DataFrames off one parent;
+    callers that need both should cache the parent, not each child.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: internal column used by the dedup window; never leaks to outputs
+_RN = "__pipelines_rn"
+
+
+def null_pk_split(df: DataFrame, primary_keys: list[str]) -> tuple[DataFrame, DataFrame]:
+    """V1 (spark.json:43-46): rows with NULL in any PK column are invalid.
+
+    Returns ``(valid, invalid)``. Pure filter — no shuffle; pushes down to
+    the scan for columnar sources.
+    """
+    if not primary_keys:
+        return df, df.limit(0)
+    bad_cond: Column = reduce(or_, [F.col(k).isNull() for k in primary_keys])
+    return df.filter(~bad_cond), df.filter(bad_cond)
+
+
+def dedup_split(
+    df: DataFrame,
+    primary_keys: list[str],
+    order_by_cols: list[str] | None = None,
+    descending: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """V2 (spark.json:47-51): keep one survivor per PK, chosen by
+    ``orderByCols`` (latest-first by default); the rest go to the error lane.
+
+    Returns ``(survivors, duplicates)``. One window = one hash-partition
+    shuffle on the PK. With no orderByCols the survivor is still
+    deterministic (ordered by all non-PK columns) so re-runs are idempotent.
+    """
+    if not primary_keys:
+        return df, df.limit(0)
+    if order_by_cols:
+        order = [F.col(c).desc() if descending else F.col(c).asc() for c in order_by_cols]
+    else:
+        order = [F.col(c).asc() for c in df.columns if c not in primary_keys] or [
+            F.lit(1).asc()
+        ]
+    w = Window.partitionBy(*primary_keys).orderBy(*order)
+    numbered = df.withColumn(_RN, F.row_number().over(w))
+    survivors = numbered.filter(F.col(_RN) == 1).drop(_RN)
+    duplicates = numbered.filter(F.col(_RN) > 1).drop(_RN)
+    return survivors, duplicates
+
+
+def count_within_threshold(
+    input_count: int, output_count: int, threshold: float
+) -> bool:
+    """V3+V4 (spark.json:66, :7): is |in - out| within ``threshold`` (a
+    fraction) of the input? Threshold semantics: bad/variant rows divided by
+    total input rows — documented choice, the reference never defines it."""
+    if input_count == 0:
+        return output_count == 0 or threshold >= 1.0
+    return abs(input_count - output_count) / input_count <= threshold
+
+
+def bad_fraction(total: int, bad: int) -> float:
+    """Error-lane share of input for the V4 gate."""
+    return 0.0 if total == 0 else bad / total

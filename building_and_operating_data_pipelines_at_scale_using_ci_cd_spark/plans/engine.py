@@ -1,0 +1,214 @@
+"""The Orchestrator: interprets one JSON job config as a 3-phase Spark job.
+
+PySpark-native re-implementation of the reference engine's entry point
+(``com.xyz.spark.etl.main.Orchestrator --config_json <path>``,
+``example-shareprice.py:78-88``) over the dialect in ``spark.json:1-108``.
+
+Execution model (SURVEY.md §3, entry point A):
+  1. apply per-job sparkConfig (spark.json:3-6)
+  2. duplicateRunCheck idempotency gate (spark.json:8)
+  3. pre-execution bash hooks + junk-char cleanse flag (spark.json:26-31)
+  4. phase_1: read primary + additional inputs, register temp views
+     (spark.json:13-38)
+  5. phase_2a: null-PK / duplicate validation splits with the error lane
+     and thresholdLimit gate (spark.json:41-52, :7)
+  6. phase_2b: ordered Spark SQL transformations, each registering its
+     outputDFName view (spark.json:54-65) — Catalyst owns optimization
+  7. count validation (spark.json:66)
+  8. phase_3: fan-out writes, SCD2, reconciliation, error sink, archival,
+     post hooks (spark.json:68-107)
+
+Scale notes: views are lazy; nothing is collected except validation counts
+(which the dialect requires). When both the good and bad lanes of a
+validation are consumed, the parent is cached once to avoid a double scan.
+"""
+
+from __future__ import annotations
+
+import subprocess
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import JobConfig
+from ..operators.cleansing import remove_junk_characters
+from ..operators.runledger import RunLedger, input_fingerprint
+from ..operators.validation import bad_fraction, count_within_threshold, dedup_split, null_pk_split
+from ..session import apply_job_confs
+from ..sinks.writers import archive_input, write_error_records, write_target
+
+
+class ThresholdExceeded(RuntimeError):
+    """V4: error-lane share (or count variance) beyond thresholdLimit."""
+
+
+class DuplicateRun(RuntimeError):
+    """V5: this exact input set was already processed."""
+
+
+@dataclass
+class JobResult:
+    job_name: str
+    views: dict[str, DataFrame] = field(default_factory=dict)
+    output_name: str | None = None
+    input_count: int = 0
+    bad_count: int = 0
+    write_results: list[dict] = field(default_factory=list)
+    skipped_duplicate_run: bool = False
+
+    @property
+    def output(self) -> DataFrame | None:
+        return self.views.get(self.output_name) if self.output_name else None
+
+
+class Orchestrator:
+    """Runs JobConfigs against a SparkSession."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    # -- public API --------------------------------------------------------
+
+    def run(self, config: JobConfig | dict[str, Any] | str) -> JobResult:
+        if isinstance(config, str):
+            config = JobConfig.from_json(config)
+        elif isinstance(config, dict):
+            config = JobConfig.from_dict(config)
+
+        apply_job_confs(self.spark, config.spark_config)
+        result = JobResult(job_name=config.name)
+
+        # V5 duplicate-run gate
+        ledger = None
+        fp = None
+        if config.duplicate_run_check and config.temp_path:
+            paths = [s.path for s in [config.primary_input, *config.additional_inputs] if s and s.path]
+            fp = input_fingerprint(paths)
+            ledger = RunLedger(config.temp_path)
+            if ledger.seen(config.name, fp):
+                result.skipped_duplicate_run = True
+                return result
+
+        self._run_scripts(config.pre_scripts)
+
+        views = self._phase1_ingest(config)
+        result.views.update(views)
+
+        good, bad_lanes = self._phase2_validate(config, views)
+        if good is not None:
+            result.input_count = good.count() if config.data_validation_required else 0
+
+        out_name = self._phase2_transform(config, result)
+        result.output_name = out_name
+
+        # error lane → quarantine sink + threshold gate
+        total_bad = 0
+        if bad_lanes and config.error_sink:
+            for reason, lane in bad_lanes:
+                total_bad += write_error_records(self.spark, lane, config.error_sink, reason)
+        elif bad_lanes:
+            for _, lane in bad_lanes:
+                total_bad += lane.count()
+        result.bad_count = total_bad
+        if config.data_validation_required and config.threshold_limit > 0:
+            total = result.input_count + total_bad
+            if bad_fraction(total, total_bad) > config.threshold_limit:
+                raise ThresholdExceeded(
+                    f"{total_bad}/{total} rows failed validation "
+                    f"(limit {config.threshold_limit:.0%})"
+                )
+
+        # V3 transformed-count validation
+        # Semantics (the reference never defines them, SURVEY.md §7.3d):
+        # |input - output| / input must be ≤ thresholdLimit; with a zero
+        # threshold the counts must match exactly. Opt-in per job.
+        if config.transformed_count_validation and out_name:
+            input_count = result.input_count or (
+                result.views[config.primary_input.dataframe_name].count()
+                if config.primary_input
+                else 0
+            )
+            out_count = result.views[out_name].count()
+            if not count_within_threshold(input_count, out_count, config.threshold_limit):
+                raise ThresholdExceeded(
+                    f"transformed count {out_count} vs input {input_count} "
+                    f"outside threshold {config.threshold_limit:.0%}"
+                )
+
+        # phase_3 loads
+        for target in config.targets:
+            df = result.views.get(target.dataframe_name)
+            if df is None:
+                raise KeyError(f"target references unknown view '{target.dataframe_name}'")
+            result.write_results.append(write_target(self.spark, df, target))
+
+        # archival + ledger + post hooks
+        if config.archive_input_file and config.primary_input and config.primary_input.path:
+            archive_input(
+                config.primary_input.path, config.archive_path, config.delete_source_after_archival
+            )
+        if ledger is not None and fp is not None:
+            ledger.record(config.name, fp)
+        self._run_scripts(config.post_scripts)
+        return result
+
+    # -- phases -------------------------------------------------------------
+
+    def _phase1_ingest(self, config: JobConfig) -> dict[str, DataFrame]:
+        from ..sources.readers import read_input
+
+        views: dict[str, DataFrame] = {}
+        specs = ([config.primary_input] if config.primary_input else []) + config.additional_inputs
+        for spec in specs:
+            df = read_input(self.spark, spec)
+            if config.junk_character_removal:
+                df = remove_junk_characters(df)
+            df.createOrReplaceTempView(spec.dataframe_name)
+            views[spec.dataframe_name] = df
+        return views
+
+    def _phase2_validate(
+        self, config: JobConfig, views: dict[str, DataFrame]
+    ) -> tuple[DataFrame | None, list[tuple[str, DataFrame]]]:
+        """Applies V1/V2 to the primary input view; good lane replaces the
+        view so transformations see only valid rows."""
+        if not config.data_validation_required or not config.primary_input:
+            return None, []
+        name = config.primary_input.dataframe_name
+        df = views[name]
+        v = config.validations
+        bad_lanes: list[tuple[str, DataFrame]] = []
+        # cache the parent once: both lanes of each split re-scan it
+        df = df.cache()
+        if v.null_value_validation and v.null_primary_keys:
+            df, bad = null_pk_split(df, v.null_primary_keys)
+            bad_lanes.append(("null_primary_key", bad))
+        if v.duplicate_record_validation and v.dup_primary_keys:
+            df, dups = dedup_split(df, v.dup_primary_keys, v.dup_order_by_cols)
+            bad_lanes.append(("duplicate_record", dups))
+        df.createOrReplaceTempView(name)
+        views[name] = df
+        return df, bad_lanes
+
+    def _phase2_transform(self, config: JobConfig, result: JobResult) -> str | None:
+        """Ordered SQL chain; each statement sees all prior views
+        (spark.json:54-65). Catalyst parses/optimizes each statement."""
+        if not config.data_transformation_required:
+            return config.primary_input.dataframe_name if config.primary_input else None
+        out_name = None
+        for t in config.transformations:
+            sql = t.resolve_sql()
+            df = self.spark.sql(sql)
+            df.createOrReplaceTempView(t.output_df_name)
+            result.views[t.output_df_name] = df
+            out_name = t.output_df_name
+        return out_name or (config.primary_input.dataframe_name if config.primary_input else None)
+
+    # -- hooks ---------------------------------------------------------------
+
+    @staticmethod
+    def _run_scripts(scripts: list[str]) -> None:
+        """O7: pre/post bash hooks (spark.json:28-30, :103-105)."""
+        for cmd in scripts:
+            subprocess.run(cmd, shell=True, check=True)

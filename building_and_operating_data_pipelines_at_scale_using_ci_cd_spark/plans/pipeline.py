@@ -1,0 +1,121 @@
+"""Multi-job pipeline runner (SURVEY.md §2.6, O1-O9).
+
+The reference orchestrates jobs as an Airflow DAG — dependency chain
+``start >> fetch >> calculate >> register >> scd2 >> terminate``
+(``example-shareprice.py:153``), 3 retries with delay
+(``example-shareprice.py:60-64``), always-run cleanup
+(``trigger_rule="all_done"``, ``example-shareprice.py:140``), inter-task
+values via XCom (``example-shareprice.py:79,134``), and a deploy.yaml
+manifest (``deploy.yaml:1-21``).
+
+Here: a topologically-ordered in-process runner over one SparkSession.
+Cluster provisioning (O5) is out of local scope — cluster shape maps to
+SparkSession confs applied by the caller.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from graphlib import TopologicalSorter
+from typing import Any, Callable
+
+from pyspark.sql import SparkSession
+
+from ..config import JobConfig
+from .engine import JobResult, Orchestrator
+
+
+@dataclass
+class PipelineTask:
+    name: str
+    config: JobConfig | dict | str | None = None
+    # escape hatch for non-job tasks (the reference's bash/cfn steps)
+    fn: Callable[[dict], Any] | None = None
+    depends_on: list[str] = field(default_factory=list)
+    retries: int = 0  # reference default 3 (deploy.yaml:19)
+    retry_delay_sec: float = 0.0  # reference 1 min (example-shareprice.py:64)
+    always_run: bool = False  # trigger_rule="all_done" semantics
+
+
+@dataclass
+class TaskOutcome:
+    name: str
+    state: str  # success|failed|skipped
+    attempts: int = 0
+    result: Any = None
+    error: str | None = None
+
+
+class Pipeline:
+    """Ordered multi-job execution with retries and always-run cleanup."""
+
+    def __init__(self, spark: SparkSession, tasks: list[PipelineTask]):
+        self.spark = spark
+        self.tasks = {t.name: t for t in tasks}
+        self.orchestrator = Orchestrator(spark)
+        #: O9 XCom equivalent: shared context dict tasks can read/write
+        self.context: dict[str, Any] = {}
+
+    def run(self) -> dict[str, TaskOutcome]:
+        order = list(
+            TopologicalSorter({t.name: set(t.depends_on) for t in self.tasks.values()}).static_order()
+        )
+        outcomes: dict[str, TaskOutcome] = {}
+        upstream_failed = False
+        for name in order:
+            task = self.tasks[name]
+            dep_failed = any(
+                outcomes.get(d) and outcomes[d].state != "success" for d in task.depends_on
+            )
+            if (dep_failed or upstream_failed) and not task.always_run:
+                outcomes[name] = TaskOutcome(name=name, state="skipped")
+                continue
+            outcomes[name] = self._run_one(task)
+            if outcomes[name].state == "failed":
+                upstream_failed = True
+        return outcomes
+
+    def _run_one(self, task: PipelineTask) -> TaskOutcome:
+        attempts = 0
+        last_err: Exception | None = None
+        while attempts <= task.retries:
+            attempts += 1
+            try:
+                if task.fn is not None:
+                    res: Any = task.fn(self.context)
+                else:
+                    res = self.orchestrator.run(task.config)
+                    if isinstance(res, JobResult):
+                        self.context[task.name] = res
+                return TaskOutcome(name=task.name, state="success", attempts=attempts, result=res)
+            except Exception as e:  # noqa: BLE001 - retry loop
+                last_err = e
+                if attempts <= task.retries and task.retry_delay_sec:
+                    time.sleep(task.retry_delay_sec)
+        return TaskOutcome(
+            name=task.name, state="failed", attempts=attempts, error=str(last_err)
+        )
+
+
+def from_manifest(spark: SparkSession, manifest: dict) -> Pipeline:
+    """Entry point C: a deploy.yaml-shaped manifest → Pipeline.
+
+    Recognized shape (dialect of ``deploy.yaml:1-21``)::
+
+        {"name": ..., "schedule": {...},          # recorded, not enforced
+         "tasks": [{"name": ..., "config": <path|dict>,
+                    "dependsOn": [...], "retries": 3}]}
+    """
+    tasks = [
+        PipelineTask(
+            name=t["name"],
+            config=t.get("config"),
+            depends_on=list(t.get("dependsOn") or []),
+            retries=int(t.get("retries", manifest.get("retries", 0))),
+            retry_delay_sec=float(t.get("retryDelaySec", 0)),
+            always_run=bool(t.get("alwaysRun", False)),
+        )
+        for t in manifest.get("tasks", [])
+    ]
+    return Pipeline(spark, tasks)

@@ -1,0 +1,171 @@
+"""phase_1 source readers (SURVEY.md §2.1, S1-S14).
+
+The reference supports ``dataSource: aws-s3|database|sftp|local`` and
+``fileFormat: csv|parquet|orc|json|xml|excel|text|deltalake``
+(``spark.json:15,19``), external schema mapping (``spark.json:21-22``),
+ingest-time projection (``spark.json:23``), and side inputs with whole-query
+pushdown to a source database (``spark.json:32-38``).
+
+Scale notes:
+  - Everything returns an untriggered DataFrame — the scan plan stays lazy
+    so Catalyst can push filters/prune columns into the parquet/orc reader.
+  - ``selectColumns`` is applied as an explicit ``select`` immediately after
+    the read: free for columnar formats (pruning would do it anyway), a real
+    win for csv/excel where it bounds the parsed width.
+  - JDBC ``tableQuery`` is passed as the ``query`` option so the source DB
+    executes it (pushdown), not Spark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+if TYPE_CHECKING:
+    from ..config import InputSpec
+
+#: formats Spark reads natively with ``spark.read.format(...)``
+_NATIVE_FORMATS = {"csv", "parquet", "orc", "json", "text"}
+
+
+def load_schema_mapping(metadata_path: str) -> StructType:
+    """S14: parse an external metadata file into a StructType.
+
+    The dialect's ``dataMapping + metadataPath`` (spark.json:21-22) drives
+    column naming/typing from a JSON schema file. We accept either Spark's
+    own ``StructType.jsonValue()`` shape or a simple
+    ``{"columns": [{"name": ..., "type": ...}, ...]}`` list.
+    """
+    with open(metadata_path) as f:
+        meta = json.load(f)
+    if isinstance(meta, dict) and "fields" in meta:
+        return StructType.fromJson(meta)
+    cols = meta["columns"] if isinstance(meta, dict) else meta
+    from pyspark.sql.types import _parse_datatype_string  # public-ish helper
+
+    fields = ", ".join(f"`{c['name']}` {c.get('type', 'string')}" for c in cols)
+    return _parse_datatype_string(fields)
+
+
+def _read_excel(spark: SparkSession, spec: "InputSpec") -> DataFrame:
+    """S7: no core Spark excel reader — bridge through pandas when openpyxl
+    is present, else raise a clear error. Excel inputs are inherently
+    single-machine-sized; the bridge is acceptable at any scale the format
+    itself supports."""
+    try:
+        import pandas as pd
+
+        pdf = pd.read_excel(spec.path, header=0 if spec.header else None)
+    except ImportError as e:  # pragma: no cover - openpyxl not in container
+        raise NotImplementedError(
+            "excel source requires openpyxl/xlrd; install one or convert to csv"
+        ) from e
+    pdf.columns = [str(c) for c in pdf.columns]
+    return spark.createDataFrame(pdf)
+
+
+def _read_xml(spark: SparkSession, spec: "InputSpec") -> DataFrame:
+    """S6: try the built-in xml source (Spark 4 ships one); fall back to a
+    clear error mentioning the rowTag requirement."""
+    row_tag = spec.options.get("rowTag", "row")
+    try:
+        return (
+            spark.read.format("xml").options(**spec.options).option("rowTag", row_tag).load(spec.path)
+        )
+    except Exception as e:
+        raise NotImplementedError(
+            f"xml source unavailable in this Spark build ({e}); "
+            "provide spark-xml or convert input"
+        ) from e
+
+
+def _read_sftp(spark: SparkSession, spec: "InputSpec") -> DataFrame:
+    """S11: no native connector — stage the remote file locally then read.
+    Gated behind paramiko; in this container it's a declared stub."""
+    try:
+        import paramiko  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "sftp source requires paramiko (not in this container); "
+            "stage files locally and use dataSource=local"
+        ) from e
+    raise NotImplementedError("sftp staging fetch not configured")  # pragma: no cover
+
+
+def _read_jdbc(spark: SparkSession, spec: "InputSpec") -> DataFrame:
+    """S10: database source. ``tableQuery`` pushes the whole SQL down to the
+    source DB (spark.json:36); ``tableName`` reads a table. Partitioned
+    reads (partitionColumn/numPartitions) flow through ``options``."""
+    if not spec.jdbc_url:
+        raise ValueError(f"database input '{spec.dataframe_name}' needs jdbcUrl")
+    reader = spark.read.format("jdbc").option("url", spec.jdbc_url)
+    for k, v in {**spec.jdbc_properties, **spec.options}.items():
+        reader = reader.option(k, v)
+    if spec.table_query:
+        q = spec.table_query
+        if q.strip().lower().endswith(".sql") and os.path.exists(q.strip()):
+            with open(q.strip()) as f:
+                q = f.read()
+        reader = reader.option("query", q)
+    else:
+        reader = reader.option("dbtable", spec.table_name)
+    return reader.load()
+
+
+def read_input(spark: SparkSession, spec: "InputSpec") -> DataFrame:
+    """Read one phase_1 input per its spec and return the (lazy) DataFrame.
+
+    Registration as a temp view (spark.json:16) happens in the engine so
+    this stays reusable outside the config path.
+    """
+    src = spec.data_source
+
+    if src == "database":
+        df = _read_jdbc(spark, spec)
+    elif src == "sftp":
+        df = _read_sftp(spark, spec)
+    else:
+        # aws-s3 and local are both just paths to Spark (s3a:// vs file://).
+        if not spec.path:
+            raise ValueError(f"input '{spec.dataframe_name}' has no path")
+        fmt = spec.file_format
+        if fmt in _NATIVE_FORMATS:
+            reader = spark.read.options(**spec.options)
+            if fmt == "csv":
+                reader = reader.option("header", str(spec.header).lower()).option(
+                    "inferSchema", spec.options.get("inferSchema", "true")
+                )
+            if spec.data_mapping and spec.metadata_path:
+                reader = reader.schema(load_schema_mapping(spec.metadata_path))
+            df = reader.format(fmt).load(spec.path)
+        elif fmt == "deltalake":
+            df = spark.read.options(**spec.options).format("delta").load(spec.path)
+        elif fmt == "xml":
+            df = _read_xml(spark, spec)
+        elif fmt == "excel":
+            df = _read_excel(spark, spec)
+        else:
+            raise ValueError(f"unsupported fileFormat: {fmt}")
+
+    # S14 post-read mapping for self-describing formats: rename/cast by
+    # position-or-name without re-reading.
+    if spec.data_mapping and spec.metadata_path and spec.file_format not in ("csv", "text"):
+        target = load_schema_mapping(spec.metadata_path)
+        if len(target.fields) == len(df.columns):
+            from pyspark.sql import functions as F
+
+            df = df.select(
+                *[
+                    F.col(old).cast(fld.dataType).alias(fld.name)
+                    for old, fld in zip(df.columns, target.fields)
+                ]
+            )
+
+    # P1: explicit ingest-time projection (spark.json:23).
+    if spec.select_columns:
+        df = df.select(*spec.select_columns)
+    return df
