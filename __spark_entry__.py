@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query through the config-dialect engine
+(the Orchestrator); ``queries()`` exposes one callable per implemented
+operator from SURVEY.md §2 (+ north-star training-data operators); and
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for each, with
+column names aliased identically on both sides.
+
+Determinism discipline (so value-hashes match):
+  - every float aggregate is ROUNDed on both sides (sums 2dp, ratios 4dp);
+  - every LIMIT query carries a total tiebreak order;
+  - every hash feeding LSH/dedup is md5-derived (portable across engines);
+  - dot products cast float32→double elementwise before multiplying, on
+    both sides, so accumulation is bit-identical.
 """
 
 from __future__ import annotations
@@ -12,27 +19,868 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.text import (
+    STOPWORDS,
+    lang_id,
+    quality_score,
+    doc_fingerprint,
+)
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.similarity import (
+    ann_topk_lsh,
+    topk_neighbors,
+    _hyperplane,
+)
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.dedup import (
+    near_dup_pairs,
+    simhash_fingerprints,
+)
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.asof import asof_join
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.scd2 import (
+    scd2_initial,
+    scd2_merge,
+)
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.validation import (
+    dedup_split,
+    null_pk_split,
+)
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.multimodal import (
+    attach_binary_payload,
+    decode_media,
+)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every synthetic table as a temp view (lazy — schema only)."""
+    for t in TABLES:
+        _table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.readers import (
+        read_parquet,
+    )
+
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+def _sql(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Shared SQL (identical text runs on Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+Q1_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+       ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+       COUNT(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+Q3_SHIPPING_PRIORITY = """
+SELECT o_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+Q5_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+Q6_FORECAST_REVENUE = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+Q10_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       ROUND(MAX(c_acctbal), 2) AS c_acctbal
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+TOP_ORDERS_PER_CUSTOMER = """
+SELECT c_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT c_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM customer JOIN orders ON o_custkey = c_custkey
+) t
+WHERE rn <= 3
+"""
+
+RUNNING_CUSTOMER_SPEND = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_spend
+FROM orders
+"""
+
+ORDERS_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+ORDERS_CUBE = """
+SELECT o_orderstatus, YEAR(o_orderdate) AS order_year,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE(o_orderstatus, YEAR(o_orderdate))
+"""
+
+CUSTOMERS_NO_ORDERS_ANTI = """
+SELECT n_name, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+"""
+
+PARTS_HEAVY_SEMI = """
+SELECT p_brand, COUNT(*) AS n_parts
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_partkey = p_partkey AND l_quantity >= 49)
+GROUP BY p_brand
+"""
+
+SET_OPS_SEGMENTS = """
+SELECT custkey, 'high_value_buyer' AS segment FROM (
+  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+) a
+UNION ALL
+SELECT custkey, 'dormant' AS segment FROM (
+  SELECT c_custkey AS custkey FROM customer
+  EXCEPT
+  SELECT o_custkey FROM orders
+) b
+"""
+
+CTE_NATION_REVENUE = """
+WITH order_rev AS (
+  SELECT o_orderkey, o_custkey,
+         SUM(l_extendedprice * (1 - l_discount)) AS rev
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey, o_custkey
+), cust_rev AS (
+  SELECT c_nationkey, SUM(rev) AS rev
+  FROM order_rev JOIN customer ON c_custkey = o_custkey
+  GROUP BY c_nationkey
+)
+SELECT n_name, ROUND(SUM(rev), 2) AS nation_revenue
+FROM cust_rev JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name
+"""
+
+CORRELATED_MAX_ORDER = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders o
+WHERE o_totalprice = (SELECT MAX(o2.o_totalprice)
+                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+
+STRING_FUNCS = """
+SELECT p_partkey,
+       UPPER(p_name)                                    AS name_upper,
+       SUBSTR(p_type, 1, 4)                             AS type_prefix,
+       CONCAT(p_brand, ':', p_type)                     AS brand_type,
+       LENGTH(p_name)                                   AS name_len,
+       REPLACE(p_name, ' ', '_')                        AS name_snake,
+       LPAD(CAST(p_size AS VARCHAR(8)), 4, '0')         AS size_padded,
+       TRIM(CONCAT('  ', p_brand, ' '))                 AS brand_trimmed
+FROM part
+"""
+
+CASE_COALESCE = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'high'
+            WHEN o_totalprice > 150000 THEN 'mid'
+            ELSE 'low' END                              AS price_band,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN')     AS status_label,
+       CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END
+                                                        AS is_urgent
+FROM orders
+"""
+
+RANGE_JOIN_SHIPMENTS = """
+SELECT o_orderkey, COUNT(*) AS n_lines_90d,
+       ROUND(SUM(l_extendedprice), 2) AS value_90d
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+             AND l_shipdate >= o_orderdate
+             AND l_shipdate <  o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderkey
+"""
+
+HOURLY_EVENTS = """
+SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY DATE_TRUNC('hour', ts), event_type
+"""
+
+SESSIONIZATION = """
+WITH seq AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sess AS (
+  SELECT user_id, event_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM seq
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS session_value,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+EVENT_TYPE_PIVOT = """
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
+       SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+         AS purchase_value
+FROM events
+GROUP BY user_id
+"""
+
+DUP_GROUPS_REPORT = """
+SELECT l_orderkey, l_linenumber, COUNT(*) AS n_copies
+FROM lineitem
+GROUP BY l_orderkey, l_linenumber
+HAVING COUNT(*) > 1
+"""
+
+EXACT_DEDUP_DOCS = """
+SELECT MD5(text) AS content_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY MD5(text)
+"""
+
+DISTINCT_COUNTS = """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(DISTINCT YEAR(o_orderdate)) AS n_years,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+NULL_PK_LANES = """
+SELECT lane, COUNT(*) AS n_rows FROM (
+  SELECT CASE WHEN NULLIF(l_suppkey % 10, 0) IS NULL THEN 'invalid' ELSE 'valid' END AS lane
+  FROM lineitem
+) t
+GROUP BY lane
+"""
+
+# -- engine-dialect-specific pairs ------------------------------------------
+
+DATE_FUNCS_SPARK = """
+SELECT o_orderkey,
+       YEAR(o_orderdate)  AS order_year,
+       MONTH(o_orderdate) AS order_month,
+       DATE_TRUNC('month', o_orderdate) AS month_start,
+       CAST(DATEDIFF(DATE '2002-01-01', o_orderdate) AS BIGINT) AS days_to_ref,
+       LAST_DAY(o_orderdate) AS month_end
+FROM orders
+"""
+DATE_FUNCS_DUCK = """
+SELECT o_orderkey,
+       YEAR(o_orderdate)  AS order_year,
+       MONTH(o_orderdate) AS order_month,
+       DATE_TRUNC('month', o_orderdate) AS month_start,
+       CAST(DATE_DIFF('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS BIGINT) AS days_to_ref,
+       CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS DATE) AS month_end
+FROM orders
+"""
+
+JSON_EVENTS_SPARK = """
+SELECT event_id, CAST(GET_JSON_OBJECT(props, '$.k') AS BIGINT) AS k_value
+FROM events
+"""
+JSON_EVENTS_DUCK = """
+SELECT event_id, CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_value
+FROM events
+"""
+
+TEXT_STATS_SPARK = """
+SELECT doc_id, lang,
+       LENGTH(text) AS n_chars_calc,
+       SIZE(SPLIT(text, ' ')) AS n_tokens,
+       SIZE(ARRAY_DISTINCT(SPLIT(text, ' '))) AS n_unique_tokens,
+       ROUND(LENGTH(REPLACE(text, ' ', '')) * 1.0 / SIZE(SPLIT(text, ' ')), 4) AS avg_token_len
+FROM documents
+"""
+TEXT_STATS_DUCK = """
+SELECT doc_id, lang,
+       LENGTH(text) AS n_chars_calc,
+       LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+       LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_unique_tokens,
+       ROUND(LENGTH(REPLACE(text, ' ', '')) * 1.0 / LEN(STRING_SPLIT(text, ' ')), 4) AS avg_token_len
+FROM documents
+"""
+
+TOKENIZE_REGEX_SPARK = """
+SELECT doc_id,
+       SIZE(SPLIT(TRIM(REGEXP_REPLACE(text, '(\\\\w+|[^\\\\w\\\\s])', ' $1 ')), '\\\\s+')) AS n_bpe_tokens
+FROM documents
+"""
+TOKENIZE_REGEX_DUCK = """
+SELECT doc_id,
+       LEN(REGEXP_EXTRACT_ALL(text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+FINGERPRINT_DUCK = """
+SELECT doc_id,
+       MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' ')) AS fingerprint
+FROM documents
+"""
+
+VECTOR_STATS_SPARK = """
+SELECT vec_id, label,
+       SIZE(embedding) AS dim,
+       ARRAY_POSITION(embedding, ARRAY_MAX(embedding)) AS argmax_pos,
+       ARRAY_POSITION(embedding, ARRAY_MIN(embedding)) AS argmin_pos
+FROM embeddings
+"""
+VECTOR_STATS_DUCK = """
+SELECT vec_id, label,
+       LEN(embedding) AS dim,
+       CAST(LIST_POSITION(embedding, LIST_MAX(embedding)) AS BIGINT) AS argmax_pos,
+       CAST(LIST_POSITION(embedding, LIST_MIN(embedding)) AS BIGINT) AS argmin_pos
+FROM embeddings
+"""
+
+# discrete percentiles (exact element selection — no interpolation
+# arithmetic, so no float rounding divergence between engines)
+PERCENTILES_SPARK = """
+SELECT l_returnflag,
+       PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+       PERCENTILE_DISC(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+       PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75
+FROM lineitem
+GROUP BY l_returnflag
+"""
+PERCENTILES_DUCK = """
+SELECT l_returnflag,
+       QUANTILE_DISC(l_extendedprice, 0.25) AS p25,
+       QUANTILE_DISC(l_extendedprice, 0.5)  AS p50,
+       QUANTILE_DISC(l_extendedprice, 0.75) AS p75
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Operator-backed queries (DataFrame API) + their generated oracles
+# ---------------------------------------------------------------------------
+
+_DEDUP_ORDER_COLS = [
+    "l_shipdate", "l_extendedprice", "l_quantity", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_partkey", "l_suppkey",
+]
+
+
+def _q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 dedup: survivor per (l_orderkey, l_linenumber), latest-first by a
+    total order over the remaining columns (deterministic)."""
+    li = _table(spark, sf_dir, "lineitem")
+    survivors, _ = dedup_split(li, ["l_orderkey", "l_linenumber"], _DEDUP_ORDER_COLS)
+    return survivors
+
+
+DEDUP_KEEP_LATEST_DUCK = f"""
+SELECT * FROM lineitem
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY l_orderkey, l_linenumber
+  ORDER BY {', '.join(c + ' DESC NULLS LAST' for c in _DEDUP_ORDER_COLS)}
+) = 1
+"""
+
+
+def _q_null_pk_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 null-PK split driven through the operator on a derived dirty key."""
+    li = _table(spark, sf_dir, "lineitem").withColumn(
+        "dirty_pk", F.expr("NULLIF(l_suppkey % 10, 0)")
+    )
+    valid, invalid = null_pk_split(li, ["dirty_pk"])
+    return (
+        valid.select(F.lit("valid").alias("lane"))
+        .union(invalid.select(F.lit("invalid").alias("lane")))
+        .groupBy("lane")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_SCD2_CUT = "1999-01-01 00:00:00"
+_SCD2_MERGE_TS = "2000-06-01 00:00:00"
+
+
+def _q_scd2_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 SCD2: initial load = per-part price extremes before 1999; merge
+    the full-history snapshot at a fixed effective ts."""
+    _views(spark, sf_dir)
+    initial = spark.sql(
+        f"""SELECT l_partkey AS partkey,
+                   MIN(l_extendedprice) AS low, MAX(l_extendedprice) AS high
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '{_SCD2_CUT}'
+            GROUP BY l_partkey"""
+    )
+    incoming = spark.sql(
+        """SELECT l_partkey AS partkey,
+                  MIN(l_extendedprice) AS low, MAX(l_extendedprice) AS high
+           FROM lineitem GROUP BY l_partkey"""
+    )
+    target = scd2_initial(initial, _SCD2_CUT)
+    return scd2_merge(target, incoming, keys=["partkey"], effective_ts=_SCD2_MERGE_TS)
+
+
+SCD2_PRICE_HISTORY_DUCK = f"""
+WITH initial AS (
+  SELECT l_partkey AS partkey, MIN(l_extendedprice) AS low, MAX(l_extendedprice) AS high
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '{_SCD2_CUT}' GROUP BY l_partkey
+), incoming AS (
+  SELECT l_partkey AS partkey, MIN(l_extendedprice) AS low, MAX(l_extendedprice) AS high
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT t.partkey, t.low, t.high,
+       TIMESTAMP '{_SCD2_CUT}' AS eff_start_ts,
+       TIMESTAMP '{_SCD2_MERGE_TS}' AS eff_end_ts,
+       FALSE AS is_current
+FROM initial t JOIN incoming i USING (partkey)
+WHERE i.low <> t.low OR i.high <> t.high
+UNION ALL
+SELECT t.partkey, t.low, t.high,
+       TIMESTAMP '{_SCD2_CUT}', TIMESTAMP '9999-12-31 23:59:59', TRUE
+FROM initial t LEFT JOIN incoming i USING (partkey)
+WHERE i.partkey IS NULL OR (i.low = t.low AND i.high = t.high)
+UNION ALL
+SELECT i.partkey, i.low, i.high,
+       TIMESTAMP '{_SCD2_MERGE_TS}', TIMESTAMP '9999-12-31 23:59:59', TRUE
+FROM incoming i LEFT JOIN initial t USING (partkey)
+WHERE t.partkey IS NULL OR i.low <> t.low OR i.high <> t.high
+"""
+
+
+def _q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event attributed to the user's most recent
+    purchase at-or-before it (union+window formulation)."""
+    ev = _table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    out = asof_join(
+        clicks, purchases, keys=["user_id"], left_ts="ts", right_ts="ts",
+        right_value_cols=["purchase_value"],
+    )
+    return out.select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("purchase_value"), 2).alias("last_purchase_value"),
+    )
+
+
+ASOF_PURCHASE_DUCK = """
+WITH purchases AS (
+  SELECT user_id, ts, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+), clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.user_id, c.event_id, c.ts,
+       ROUND(p.purchase_value, 2) AS last_purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate detection, verified by exact shingle
+    Jaccard ≥ 0.8 (16 hashes, 4 bands, 3-gram shingles)."""
+    docs = _table(spark, sf_dir, "documents")
+    return near_dup_pairs(docs, "doc_id", "text", threshold=0.8)
+
+
+_SHINGLES_DUCK = """
+  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+           GENERATE_SERIES(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - 2, 0)),
+           i -> ARRAY_TO_STRING((STRING_SPLIT(text,' '))[i:i+2], ' '))) AS shingles
+  FROM documents
+"""
+
+MINHASH_NEAR_DUPS_DUCK = f"""
+WITH sh AS ({_SHINGLES_DUCK}),
+shf AS (SELECT * FROM sh WHERE LEN(shingles) > 0),
+tok AS (SELECT doc_id, UNNEST(shingles) AS s FROM shf),
+mh AS (
+  SELECT tok.doc_id, g.i,
+         MIN(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(s, '#', CAST(g.i AS VARCHAR))), 1, 8)) AS BIGINT)) AS mv
+  FROM tok CROSS JOIN GENERATE_SERIES(0, 15) AS g(i)
+  GROUP BY tok.doc_id, g.i
+), bands AS (
+  SELECT doc_id, i // 4 AS band_idx,
+         MD5(STRING_AGG(CAST(mv AS VARCHAR), ',' ORDER BY i)) AS band_key
+  FROM mh GROUP BY doc_id, i // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(LEN(LIST_INTERSECT(x.shingles, y.shingles)) * 1.0
+             / LEN(LIST_DISTINCT(LIST_CONCAT(x.shingles, y.shingles))), 4) AS jaccard_sim
+FROM cand JOIN shf x ON x.doc_id = id_a JOIN shf y ON y.doc_id = id_b
+WHERE ROUND(LEN(LIST_INTERSECT(x.shingles, y.shingles)) * 1.0
+            / LEN(LIST_DISTINCT(LIST_CONCAT(x.shingles, y.shingles))), 4) >= 0.8
+"""
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs, "doc_id", "text")
+
+
+def _simhash_duck() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h & {1 << b}) <> 0 THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(32)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_DUCK}),
+ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh WHERE LEN(shingles) > 0),
+hs AS (SELECT doc_id, CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(s, '#0')), 1, 8)) AS BIGINT) AS h FROM ex)
+SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
+FROM hs GROUP BY doc_id
+"""
+
+
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+_SW_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+QUALITY_SCORES_DUCK = f"""
+SELECT doc_id,
+  ROUND((
+    LEAST(LEN(STRING_SPLIT(text,' ')) / 50.0, 1.0)
+    + LEAST((LEN(LIST_FILTER(STRING_SPLIT(LOWER(text),' '), t -> t IN ({_SW_EN})))
+             * 1.0 / LEN(STRING_SPLIT(LOWER(text),' '))) * 5, 1.0)
+    + GREATEST(1.0 - (LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\\s]', '', 'g'))
+                      * 1.0 / LENGTH(text)) * 5, 0.0)
+  ) / 3.0, 4) AS quality
+FROM documents
+"""
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("predicted_lang"))
+
+
+def _lang_id_duck() -> str:
+    score = {
+        lang: f"LEN(LIST_FILTER(STRING_SPLIT(LOWER(text),' '), t -> t IN ({', '.join(repr(w) for w in sw)})))"
+        for lang, sw in STOPWORDS.items()
+    }
+    best = f"GREATEST({', '.join(score.values())})"
+    whens = "\n".join(
+        f"WHEN {score[lang]} = {best} AND {best} > 0 THEN '{lang}'" for lang in STOPWORDS
+    )
+    return f"""
+SELECT doc_id, lang,
+       CASE {whens} ELSE 'und' END AS predicted_lang
+FROM documents
+"""
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def _q_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for probe vectors (vec_id % 50 = 0)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return topk_neighbors(queries_df, emb, "vec_id", "embedding", k=10)
+
+
+TOPK_NEIGHBORS_DUCK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         LIST_DOT_PRODUCT(qv, cv)
+           / (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) AS cos
+  FROM q JOIN c ON query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+       ROUND(cos, 2) AS cosine_sim
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+_ANN_PLANES = 6
+_ANN_DIM = 64
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (random-hyperplane buckets)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return ann_topk_lsh(queries_df, emb, "vec_id", "embedding", dim=_ANN_DIM, k=5,
+                        num_planes=_ANN_PLANES)
+
+
+def _ann_lsh_duck() -> str:
+    def plane_lit(p: int) -> str:
+        return "[" + ", ".join(str(v) for v in _hyperplane(_ANN_DIM, p)) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN LIST_DOT_PRODUCT(embedding::DOUBLE[], {plane_lit(p)}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_ANN_PLANES)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket}) AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b),
+scored AS (
+  SELECT query_id, neighbor_id,
+         LIST_DOT_PRODUCT(qv, cv)
+           / (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) AS cos
+  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+       ROUND(cos, 2) AS cosine_sim
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: Arrow-batched mapInPandas 'decode' over an
+    opaque payload column (deterministic byte stats)."""
+    docs = _table(spark, sf_dir, "documents")
+    decoded = decode_media(attach_binary_payload(docs, "text", "doc_id"))
+    return decoded.select("doc_id", "n_bytes", "first_byte", "last_byte")
+
+
+MULTIMODAL_DECODE_DUCK = """
+SELECT doc_id,
+       CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS INT) AS n_bytes,
+       CAST(ASCII(LEFT(text, 1)) AS INT)  AS first_byte,
+       CAST(ASCII(RIGHT(text, 1)) AS INT) AS last_byte
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1-style pricing summary executed through the
+    config-dialect engine (read → view → sqlQuery → named output view)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark import Orchestrator
+
+    config = {
+        "configs": {
+            "name": "flagship_pricing_summary",
+            "phase_1": {
+                "input_data": {
+                    "dataSource": "local",
+                    "dataFrameName": "lineitem",
+                    "path": "/root/testdata/sf0.001/lineitem.parquet",
+                    "fileProperties": {"fileFormat": "parquet"},
+                }
+            },
+        },
+        "phase_2": {
+            "data_transformation_required": "true",
+            "data_transformations": [
+                {
+                    "functionName": "pricing summary",
+                    "sqlQuery": Q1_PRICING_SUMMARY,
+                    "outputDFName": "pricing_summary",
+                }
+            ],
+        },
+        "phase_3": {},
+    }
+    return Orchestrator(spark).run(config).output
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core (SURVEY.md §2.3 Q1-Q15)
+        "q1_pricing_summary": _sql(Q1_PRICING_SUMMARY),
+        "q3_shipping_priority": _sql(Q3_SHIPPING_PRIORITY),
+        "q5_local_supplier_volume": _sql(Q5_LOCAL_SUPPLIER_VOLUME),
+        "q6_forecast_revenue": _sql(Q6_FORECAST_REVENUE),
+        "q10_returned_items": _sql(Q10_RETURNED_ITEMS),
+        "top_orders_per_customer": _sql(TOP_ORDERS_PER_CUSTOMER),
+        "running_customer_spend": _sql(RUNNING_CUSTOMER_SPEND),
+        "orders_rollup": _sql(ORDERS_ROLLUP),
+        "orders_cube": _sql(ORDERS_CUBE),
+        "customers_no_orders_anti": _sql(CUSTOMERS_NO_ORDERS_ANTI),
+        "parts_heavy_semi": _sql(PARTS_HEAVY_SEMI),
+        "set_ops_segments": _sql(SET_OPS_SEGMENTS),
+        "cte_nation_revenue": _sql(CTE_NATION_REVENUE),
+        "correlated_max_order": _sql(CORRELATED_MAX_ORDER),
+        "string_funcs": _sql(STRING_FUNCS),
+        "date_funcs": _sql(DATE_FUNCS_SPARK),
+        "case_coalesce": _sql(CASE_COALESCE),
+        "json_events": _sql(JSON_EVENTS_SPARK),
+        "range_join_shipments": _sql(RANGE_JOIN_SHIPMENTS),
+        "distinct_counts": _sql(DISTINCT_COUNTS),
+        "percentiles": _sql(PERCENTILES_SPARK),
+        # events / streaming-shaped (SURVEY.md §2.8 batch formulations)
+        "hourly_events": _sql(HOURLY_EVENTS),
+        "sessionization": _sql(SESSIONIZATION),
+        "event_type_pivot": _sql(EVENT_TYPE_PIVOT),
+        # validation operators (SURVEY.md §2.4)
+        "dup_groups_report": _sql(DUP_GROUPS_REPORT),
+        "dedup_keep_latest": _q_dedup_keep_latest,
+        "null_pk_lanes": _q_null_pk_valid,
+        # SCD2 + as-of (SURVEY.md §2.5 W5, §2.3 Q2)
+        "scd2_price_history": _q_scd2_price_history,
+        "asof_purchase_attribution": _q_asof_purchase,
+        # training-data operators (SURVEY.md §2.10)
+        "exact_dedup_docs": _sql(EXACT_DEDUP_DOCS),
+        "minhash_near_dups": _q_minhash_near_dups,
+        "simhash_fingerprints": _q_simhash,
+        "text_stats": _sql(TEXT_STATS_SPARK),
+        "tokenize_regex": _sql(TOKENIZE_REGEX_SPARK),
+        "quality_scores": _q_quality_scores,
+        "lang_id": _q_lang_id,
+        "doc_fingerprints": _q_fingerprints,
+        "topk_neighbors": _q_topk_neighbors,
+        "ann_lsh_topk": _q_ann_lsh,
+        "multimodal_decode": _q_multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": Q1_PRICING_SUMMARY,
+        "q3_shipping_priority": Q3_SHIPPING_PRIORITY,
+        "q5_local_supplier_volume": Q5_LOCAL_SUPPLIER_VOLUME,
+        "q6_forecast_revenue": Q6_FORECAST_REVENUE,
+        "q10_returned_items": Q10_RETURNED_ITEMS,
+        "top_orders_per_customer": TOP_ORDERS_PER_CUSTOMER,
+        "running_customer_spend": RUNNING_CUSTOMER_SPEND,
+        "orders_rollup": ORDERS_ROLLUP,
+        "orders_cube": ORDERS_CUBE.replace("YEAR(o_orderdate)", "YEAR(o_orderdate)"),
+        "customers_no_orders_anti": CUSTOMERS_NO_ORDERS_ANTI,
+        "parts_heavy_semi": PARTS_HEAVY_SEMI,
+        "set_ops_segments": SET_OPS_SEGMENTS,
+        "cte_nation_revenue": CTE_NATION_REVENUE,
+        "correlated_max_order": CORRELATED_MAX_ORDER,
+        "string_funcs": STRING_FUNCS,
+        "date_funcs": DATE_FUNCS_DUCK,
+        "case_coalesce": CASE_COALESCE,
+        "json_events": JSON_EVENTS_DUCK,
+        "range_join_shipments": RANGE_JOIN_SHIPMENTS,
+        "distinct_counts": DISTINCT_COUNTS,
+        "percentiles": PERCENTILES_DUCK,
+        "hourly_events": HOURLY_EVENTS,
+        "sessionization": SESSIONIZATION,
+        "event_type_pivot": EVENT_TYPE_PIVOT,
+        "dup_groups_report": DUP_GROUPS_REPORT,
+        "dedup_keep_latest": DEDUP_KEEP_LATEST_DUCK,
+        "null_pk_lanes": NULL_PK_LANES,
+        "scd2_price_history": SCD2_PRICE_HISTORY_DUCK,
+        "asof_purchase_attribution": ASOF_PURCHASE_DUCK,
+        "exact_dedup_docs": EXACT_DEDUP_DOCS,
+        "minhash_near_dups": MINHASH_NEAR_DUPS_DUCK,
+        "simhash_fingerprints": _simhash_duck(),
+        "text_stats": TEXT_STATS_DUCK,
+        "tokenize_regex": TOKENIZE_REGEX_DUCK,
+        "quality_scores": QUALITY_SCORES_DUCK,
+        "lang_id": _lang_id_duck(),
+        "doc_fingerprints": FINGERPRINT_DUCK,
+        "topk_neighbors": TOPK_NEIGHBORS_DUCK,
+        "ann_lsh_topk": _ann_lsh_duck(),
+        "multimodal_decode": MULTIMODAL_DECODE_DUCK,
+    }

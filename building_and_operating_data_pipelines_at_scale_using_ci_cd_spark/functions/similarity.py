@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (north-star, SURVEY.md §2.10).
+
+Two paths:
+  - brute-force cosine top-k — exact baseline. The query set is broadcast
+    (it's small by construction); the corpus streams through one stage, so
+    the plan is scan + broadcast-nested-loop + per-query top-k. Linear in
+    corpus size, embarrassingly parallel — fine at 100 TB when the query
+    set is bounded.
+  - LSH-bucketed ANN (random hyperplane signs → bucket key) — the scale
+    path when the query set is itself huge: both sides shuffle on the
+    bucket key, candidates only within buckets (IVF-style), then exact
+    rerank. Hyperplanes are derived from the portable md5 hash of
+    (dim, plane) so the index is deterministic and engine-portable.
+
+All dot products are built-in ``zip_with``/``aggregate`` expressions —
+JVM-side, no Python crossing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, element-cast before multiply so float32
+    inputs accumulate deterministically."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def topk_neighbors(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Columns out: query_id, neighbor_id, rank, cosine_sim. The query side
+    is broadcast explicitly — never let a small query table pick a shuffle
+    join. Ties broken by neighbor id for determinism."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    joined = F.broadcast(q).crossJoin(c)
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.withColumn("__cos", cosine(F.col("__qv"), F.col("__cv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("__cos"), 2).alias("cosine_sim"),
+        )
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from md5 — no RNG state, so
+    the same index is built on any engine, any cluster, any day."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:8], 16)
+        out.append(1.0 if h & 1 else -1.0)
+    return out
+
+
+def lsh_bucket_key(vec: Column, dim: int, num_planes: int = 8) -> Column:
+    """Random-hyperplane LSH: sign bits of ``num_planes`` projections,
+    packed into an int bucket key."""
+    key = None
+    for p in range(num_planes):
+        plane = _hyperplane(dim, p)
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        key = bit if key is None else key + bit
+    return key.cast("int")
+
+
+def ann_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    exact cosine rerank inside. Recall trades off with ``num_planes``
+    (fewer planes → bigger buckets → higher recall, more compute).
+
+    Both sides shuffle on the bucket key — a hash-partitioned equi-join,
+    not a cross join; this is what survives a 100× corpus scale-up."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        lsh_bucket_key(F.col(vec_col), dim, num_planes).alias("__bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        lsh_bucket_key(F.col(vec_col), dim, num_planes).alias("__bucket"),
+    )
+    joined = q.join(c, "__bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.withColumn("__cos", cosine(F.col("__qv"), F.col("__cv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round(F.col("__cos"), 2).alias("cosine_sim"))
+    )

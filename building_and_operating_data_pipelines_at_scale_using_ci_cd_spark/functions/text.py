@@ -1,0 +1,120 @@
+"""Text-analysis column functions (north-star surface, SURVEY.md §2.10).
+
+All pure Column expressions — JVM-side, inside whole-stage codegen, no
+Python crossing — so they run at 100 TB the same as any built-in. The
+reference exposes no UDF surface (spark.json offers only SQL strings,
+SURVEY.md §2.9); these register as composable expressions our config SQL
+and the DataFrame API both reach.
+
+Portable-hash discipline: every hash that feeds a dedup/LSH decision is
+derived from ``md5`` (bit-identical in any engine) rather than engine-
+specific hash functions, so results are reproducible across engines and
+across Spark versions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: small multi-language stopword table for the lang-id heuristic
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une"],
+    "es": ["el", "la", "los", "y", "es", "un", "una"],
+}
+
+#: default English-ish stopwords for quality scoring
+DEFAULT_STOPWORDS = STOPWORDS["en"]
+
+
+def tokens(text: Column, sep: str = " ") -> Column:
+    """Whitespace tokenizer."""
+    return F.split(text, sep)
+
+
+def regex_tokens(text: Column) -> Column:
+    """BPE-ish tokenizer: word pieces plus standalone punctuation."""
+    return F.split(F.trim(F.regexp_replace(text, r"(\w+|[^\w\s])", r" $1 ")), r"\s+")
+
+
+def token_count(text: Column, sep: str = " ") -> Column:
+    return F.size(tokens(text, sep))
+
+
+def shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
+    """Distinct n-gram (token-level) shingles; the unit of near-dup
+    detection. Empty when the doc has fewer than ``n`` tokens (guarded:
+    ``sequence(1,0)`` would count DOWN in Spark)."""
+    tk = tokens(text, sep)
+    idx = F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1))
+    return F.array_distinct(
+        F.when(
+            F.size(tk) >= n,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, n))),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def portable_hash(col: Column, seed: int = 0) -> Column:
+    """32-bit integer hash derived from md5 — identical in every engine
+    that has md5 (used so DuckDB oracles can mirror LSH exactly)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit(f"#{seed}"))), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or DEFAULT_STOPWORDS
+    tk = tokens(F.lower(text))
+    hits = F.size(F.filter(tk, lambda t: t.isin(*sw)))
+    return hits / F.size(tk)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Share of non-alphanumeric, non-space characters."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped) / F.length(text)
+
+
+def avg_token_len(text: Column) -> Column:
+    n = token_count(text)
+    return F.length(F.regexp_replace(text, r"\s", "")) / n
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality: favors mid-length docs with healthy
+    stopword share and low punctuation — the standard cheap pre-filter
+    for LLM training corpora. Deterministic and oracle-expressible."""
+    n_tok = token_count(text).cast("double")
+    length_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    sw_score = F.least(stopword_ratio(text) * 5, F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(1.0) - punct_ratio(text) * 5, F.lit(0.0))
+    return F.round((length_score + sw_score + punct_penalty) / 3.0, 4)
+
+
+def lang_id(text: Column) -> Column:
+    """N-gram/stopword language heuristic: score each language by its
+    stopword hit-rate, pick the argmax ('und' = undetermined when no
+    stopwords hit). Pure CASE/array expression — no Python."""
+    tk = tokens(F.lower(text))
+
+    def _hits(sw: list[str]) -> Column:
+        # single-arg lambda: a second (defaulted) parameter would make Spark
+        # pass the element index as the second Column
+        return F.size(F.filter(tk, lambda t: t.isin(*sw)))
+
+    scores = [(lang, _hits(sw)) for lang, sw in STOPWORDS.items()]
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    for lang, s in reversed(scores):  # earlier langs win ties
+        result = F.when((s == best_score) & (best_score > 0), F.lit(lang)).otherwise(result)
+    return result
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 over the sorted distinct token set —
+    invariant to token order/duplication, the cheap first pass before
+    shingle-level near-dup."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))

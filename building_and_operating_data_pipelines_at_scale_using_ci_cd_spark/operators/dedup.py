@@ -1,0 +1,197 @@
+"""Deduplication operator family (north-star surface, SURVEY.md §2.10).
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a document
+table. Everything is built-in-expression PySpark — no Python UDFs — and
+every hash is md5-derived (``functions.text.portable_hash``) so results
+are engine-portable and oracle-checkable.
+
+Scale design (the point of each shape):
+  - exact:    one groupBy on the content hash — one shuffle, map-side
+              partial agg, linear in corpus size.
+  - minhash:  signature is computed per-doc with array expressions (no
+              explode), then docs are joined only within LSH band buckets
+              — candidate generation is O(sum of bucket sizes squared),
+              not O(n²); the standard 100 TB near-dup shape.
+  - simhash:  per-doc 32-bit fingerprint via one explode + groupBy;
+              Hamming-close pairs found within identical-fingerprint
+              buckets (or banded prefixes for distance > 0).
+  - jaccard:  the exact verifier applied to candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import portable_hash, shingles
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content md5. Returns one row per
+    distinct content with the surviving (minimum) id and copy count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as a single array expression: for each of the
+    ``num_hashes`` seeded hash functions, the min over the shingle set.
+    No explode — the whole signature is one projection."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingle_col,
+                lambda s: F.conv(
+                    F.substring(
+                        F.md5(F.concat(s, F.lit("#"), i.cast("string"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+            )
+        ),
+    )
+
+
+def lsh_band_keys(sig_col: Column, num_hashes: int = 16, bands: int = 4) -> Column:
+    """Band the signature: ``bands`` keys, each the md5 of one contiguous
+    slice of the signature. Docs sharing any band key are candidates."""
+    rows = num_hashes // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sequence(b * rows + 1, (b + 1) * rows),
+                    lambda j: F.element_at(sig_col, j).cast("string"),
+                ),
+            )
+        ),
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash+LSH candidate generation: shingle → signature → band →
+    bucket self-join. Returns distinct (id_a, id_b) with id_a < id_b.
+
+    The self-join shuffles on the band key only; at scale, bucket skew is
+    bounded because identical-content floods share a band key — pair those
+    with :func:`exact_dedup_groups` first to collapse exact copies."""
+    sh = df.select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+    banded = sh.select(
+        "__id",
+        F.posexplode(lsh_band_keys(minhash_signature(F.col("__sh"), num_hashes), num_hashes, bands)).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two array columns (distinct-element semantics)."""
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_distinct(F.concat(a, b)))
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates verified by exact shingle
+    Jaccard ≥ threshold. Columns: id_a, id_b, jaccard_sim."""
+    cands = minhash_candidate_pairs(df, id_col, text_col, shingle_n, num_hashes, bands)
+    sh = df.select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+    out = (
+        cands.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
+        .withColumn("jaccard_sim", F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 4))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+    return out
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """32-bit SimHash per doc: explode shingles, majority-vote each bit of
+    the portable hash, reassemble. One shuffle (groupBy id)."""
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("__s"),
+    ).withColumn("__h", portable_hash(F.col("__s")))
+    bit_sums = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("__h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+            ).alias(f"__b{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"__b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return bit_sums.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Docs sharing an identical SimHash (Hamming distance 0 buckets) —
+    the O(n) grouping pass; wider Hamming radii re-join on bit-band keys."""
+    fps = simhash_fingerprints(df, id_col, text_col)
+    return (
+        fps.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
+) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs above threshold. Brute-force
+    formulation for the verifier; at scale, candidate pairs come from
+    :mod:`..functions.similarity`'s LSH bucketing first."""
+    from ..functions.similarity import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
+    )

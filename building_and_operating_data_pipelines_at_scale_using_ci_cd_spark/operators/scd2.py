@@ -86,39 +86,50 @@ def scd2_merge(
 
     fp = _fingerprint(compare)
     # Only the current slice participates in the merge join; history is
-    # carried through without touching the shuffle.
+    # carried through without touching the shuffle. The incoming side's
+    # join keys are renamed (not aliased) so repeated merges over shared
+    # lineage never hit Spark's self-join attribute ambiguity.
     history = target.filter(~F.col(IS_CURRENT))
     current = target.filter(F.col(IS_CURRENT)).withColumn("__t_fp", fp)
-    inc = incoming.withColumn("__i_fp", fp)
-
-    joined = current.alias("t").join(
-        inc.select(*keys, "__i_fp").alias("i"), on=keys, how="full_outer"
+    inc_side = incoming.select(
+        *[F.col(k).alias(f"__ik_{k}") for k in keys], fp.alias("__i_fp")
     )
+    from functools import reduce
+    from operator import and_
 
-    # 1. current rows whose key vanished or whose attrs changed → close them
+    cond = reduce(and_, [current[k].eqNullSafe(inc_side[f"__ik_{k}"]) for k in keys])
+    joined = current.join(inc_side, cond, "full_outer")
+
+    # 1. current rows whose attrs changed in the incoming snapshot → close
     closed = (
-        joined.filter(F.col("__i_fp").isNotNull() & (F.col("__t_fp") != F.col("__i_fp")))
-        .select("t.*")
+        joined.filter(
+            F.col("__t_fp").isNotNull()
+            & F.col("__i_fp").isNotNull()
+            & (F.col("__t_fp") != F.col("__i_fp"))
+        )
+        .select(*data_cols, EFF_START, IS_CURRENT)
         .withColumn(EFF_END, eff)
         .withColumn(IS_CURRENT, F.lit(False))
-        .drop("__t_fp")
     )
     # 2. current rows with identical attrs (or keys absent from incoming,
     #    which SCD2 treats as "no news": carry, don't delete) → unchanged
-    carried = (
-        joined.filter(F.col("__i_fp").isNull() | (F.col("__t_fp") == F.col("__i_fp")))
-        .filter(F.col("__t_fp").isNotNull())
-        .select("t.*")
-        .drop("__t_fp")
-    )
+    carried = joined.filter(
+        F.col("__t_fp").isNotNull()
+        & (F.col("__i_fp").isNull() | (F.col("__t_fp") == F.col("__i_fp")))
+    ).select(*data_cols, EFF_START, EFF_END, IS_CURRENT)
     # 3. incoming rows that are new keys or changed versions → insert current
-    new_keys = joined.filter(F.col("__t_fp").isNull()).select(*[F.col(f"i.{k}").alias(k) for k in keys])
-    changed_keys = joined.filter(
-        F.col("__t_fp").isNotNull() & F.col("__i_fp").isNotNull() & (F.col("__t_fp") != F.col("__i_fp"))
-    ).select(*[F.col(f"i.{k}").alias(k) for k in keys])
+    insert_keys = (
+        joined.filter(
+            F.col("__t_fp").isNull()
+            | (F.col("__i_fp").isNotNull() & (F.col("__t_fp") != F.col("__i_fp")))
+        )
+        .select(*[F.col(f"__ik_{k}").alias(f"__jk_{k}") for k in keys])
+        .distinct()
+    )
+    inc_full = incoming
+    jcond = reduce(and_, [inc_full[k].eqNullSafe(insert_keys[f"__jk_{k}"]) for k in keys])
     to_insert = (
-        inc.join(new_keys.union(changed_keys), on=keys, how="left_semi")
-        .drop("__i_fp")
+        inc_full.join(insert_keys, jcond, "left_semi")
         .withColumn(EFF_START, eff)
         .withColumn(EFF_END, F.lit(_HIGH_TS).cast("timestamp"))
         .withColumn(IS_CURRENT, F.lit(True))

@@ -32,6 +32,43 @@ if TYPE_CHECKING:
 _NATIVE_FORMATS = {"csv", "parquet", "orc", "json", "text"}
 
 
+def _parquet_nanos_cols(path: str) -> list[str]:
+    """Columns stored as TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects outright (PARQUET_TYPE_ILLEGAL). Footer-only check."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    f = path
+    if os.path.isdir(path):
+        cands = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if not cands:
+            return []
+        f = cands[0]
+    try:
+        return [fld.name for fld in pq.read_schema(f) if str(fld.type) == "timestamp[ns]"]
+    except Exception:
+        return []
+
+
+def read_parquet(spark: SparkSession, path: str, options: dict[str, str] | None = None) -> DataFrame:
+    """Parquet scan tolerant of TIMESTAMP(NANOS) columns: reads nanos as
+    long (``spark.sql.legacy.parquet.nanosAsLong``) and converts to a
+    microsecond timestamp with integer division — no double-precision loss
+    on epoch-nanos magnitudes."""
+    from pyspark.sql import functions as F
+
+    ns_cols = _parquet_nanos_cols(path)
+    reader = spark.read.options(**(options or {}))
+    if not ns_cols:
+        return reader.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = reader.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
 def load_schema_mapping(metadata_path: str) -> StructType:
     """S14: parse an external metadata file into a StructType.
 
@@ -133,7 +170,9 @@ def read_input(spark: SparkSession, spec: "InputSpec") -> DataFrame:
         if not spec.path:
             raise ValueError(f"input '{spec.dataframe_name}' has no path")
         fmt = spec.file_format
-        if fmt in _NATIVE_FORMATS:
+        if fmt == "parquet" and not (spec.data_mapping and spec.metadata_path):
+            df = read_parquet(spark, spec.path, spec.options)
+        elif fmt in _NATIVE_FORMATS:
             reader = spark.read.options(**spec.options)
             if fmt == "csv":
                 reader = reader.option("header", str(spec.header).lower()).option(

@@ -1,0 +1,99 @@
+"""Structured Streaming surface (SURVEY.md §2.8 — north-star extension).
+
+The reference is batch-on-cron with streaming-shaped degenerate features
+(incremental runs, duplicate-run checks, checkpoints — spark.json:8-12).
+This module is the idiomatic streaming home for that surface:
+
+  - watermarked tumbling / sliding / session window aggregations
+  - stateful streaming dedup within a watermark
+  - a foreachBatch sink that reuses the batch writers (so every phase_3
+    load mode — including SCD2 — works as a streaming sink)
+
+Scale notes: all operators here are built-in Structured Streaming state
+machines (RocksDB-backed state store on a real cluster); watermarks bound
+state size; the foreachBatch bridge keeps the write path identical to
+batch so sink semantics don't fork.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from ..config import TargetSpec
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str = "10 minutes") -> DataFrame:
+    """Late-data bound: rows later than ``delay`` behind the max event time
+    are dropped from stateful operators."""
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling_counts(
+    df: DataFrame, ts_col: str, window: str = "1 hour", keys: list[str] | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation."""
+    g = with_watermark(df, ts_col, delay).groupBy(
+        F.window(F.col(ts_col), window).alias("win"), *(keys or [])
+    )
+    return g.agg(F.count(F.lit(1)).alias("n_events")).select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *(keys or []),
+        "n_events",
+    )
+
+
+def sliding_counts(
+    df: DataFrame, ts_col: str, window: str = "1 hour", slide: str = "15 minutes",
+    keys: list[str] | None = None, delay: str = "10 minutes",
+) -> DataFrame:
+    g = with_watermark(df, ts_col, delay).groupBy(
+        F.window(F.col(ts_col), window, slide).alias("win"), *(keys or [])
+    )
+    return g.agg(F.count(F.lit(1)).alias("n_events")).select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *(keys or []),
+        "n_events",
+    )
+
+
+def session_aggregate(
+    df: DataFrame, ts_col: str, key: str, gap: str = "30 minutes",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Session-window aggregation (gap-based), the streaming twin of the
+    batch sessionization query."""
+    g = with_watermark(df, ts_col, delay).groupBy(
+        F.session_window(F.col(ts_col), gap).alias("win"), F.col(key)
+    )
+    return g.agg(F.count(F.lit(1)).alias("n_events")).select(
+        F.col("win.start").alias("session_start"),
+        F.col("win.end").alias("session_end"),
+        key,
+        "n_events",
+    )
+
+
+def streaming_dedup(
+    df: DataFrame, keys: list[str], ts_col: str, delay: str = "10 minutes"
+) -> DataFrame:
+    """Stateful exactly-once dedup: duplicates arriving within the
+    watermark horizon are dropped; state is bounded by the watermark."""
+    return with_watermark(df, ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def foreach_batch_writer(spec: "TargetSpec"):
+    """Bridge every batch load mode (including SCD2) into a streaming sink:
+    ``stream.writeStream.foreachBatch(foreach_batch_writer(spec))``."""
+    from ..sinks.writers import write_target
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        write_target(batch_df.sparkSession, batch_df, spec)
+
+    return _write

@@ -1,0 +1,102 @@
+"""Structured Streaming surface: windows, session windows, streaming dedup,
+foreachBatch sink reuse — driven with the rate/memory test sources."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.streaming.ops import (
+    session_aggregate,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+
+def _run_stream_once(df, name, mode="append"):
+    # append mode + watermark only emits CLOSED windows; aggregation tests
+    # use complete mode so still-open windows are visible too
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _events_stream(spark, tmp_path, rows):
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(rows, "user_id long, ts timestamp, v double").write.mode(
+        "overwrite"
+    ).parquet(src)
+    return spark.readStream.schema("user_id long, ts timestamp, v double").parquet(src)
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_tumbling_counts_stream(spark, tmp_path):
+    rows = [
+        (1, _ts("2024-01-01 10:05:00"), 1.0),
+        (1, _ts("2024-01-01 10:20:00"), 1.0),
+        (1, _ts("2024-01-01 11:05:00"), 1.0),
+    ]
+    stream = _events_stream(spark, tmp_path, rows)
+    agg = tumbling_counts(stream, "ts", "1 hour", keys=["user_id"])
+    _run_stream_once(agg, "tumbling_test", mode="complete")
+    got = {
+        str(r["window_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    assert got["2024-01-01 10:00:00"] == 2
+    assert got["2024-01-01 11:00:00"] == 1
+
+
+def test_session_window_stream(spark, tmp_path):
+    rows = [
+        (1, _ts("2024-01-01 10:00:00"), 1.0),
+        (1, _ts("2024-01-01 10:10:00"), 1.0),  # same session (< 30 min gap)
+        (1, _ts("2024-01-01 12:00:00"), 1.0),  # new session
+    ]
+    stream = _events_stream(spark, tmp_path, rows)
+    agg = session_aggregate(stream, "ts", "user_id", gap="30 minutes")
+    _run_stream_once(agg, "session_test", mode="complete")
+    rows_out = spark.sql("SELECT * FROM session_test").collect()
+    assert sorted(r["n_events"] for r in rows_out) == [1, 2]
+
+
+def test_streaming_dedup(spark, tmp_path):
+    rows = [
+        (1, _ts("2024-01-01 10:00:00"), 1.0),
+        (1, _ts("2024-01-01 10:00:30"), 2.0),  # dup key within watermark
+        (2, _ts("2024-01-01 10:01:00"), 3.0),
+    ]
+    stream = _events_stream(spark, tmp_path, rows)
+    deduped = streaming_dedup(stream, ["user_id"], "ts", delay="1 hour")
+    _run_stream_once(deduped, "dedup_test")
+    assert spark.sql("SELECT count(*) AS n FROM dedup_test").collect()[0]["n"] == 2
+
+
+def test_foreach_batch_reuses_batch_writer(spark, tmp_path):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.config import TargetSpec
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.streaming.ops import (
+        foreach_batch_writer,
+    )
+
+    rows = [(1, _ts("2024-01-01 10:00:00"), 1.0)]
+    stream = _events_stream(spark, tmp_path, rows)
+    out_path = str(tmp_path / "stream_out")
+    spec = TargetSpec(data_target="local", path=out_path, file_format="parquet", save_mode="append")
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_writer(spec))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out_path).count() == 1

@@ -1,0 +1,103 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark AND its oracle_sql() on DuckDB, compare row count + order-
+insensitive values (columns sorted by name). Usage:
+
+    python tools/compare_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+import __spark_entry__ as entry_mod
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark import get_session
+
+
+def norm(v):
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6f}".rstrip("0").rstrip(".") if v == v else "nan"
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.strftime("%Y-%m-%d") + " 00:00:00.000000"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, list):
+        return "[" + ",".join(str(norm(x)) for x in v) + "]"
+    return str(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_session(app_name="oracle-compare", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in entry_mod.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL {name}: SPARK ERROR {type(ex).__name__}: {str(ex)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only ({len(srows)} rows, no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL {name}: DUCKDB ERROR {type(ex).__name__}: {str(ex)[:300]}")
+            continue
+        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
+            failures.append(name)
+            print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(ocols)}")
+            continue
+        sc = canon(srows, [c.lower() for c in scols])
+        oc = canon(orows, [c.lower() for c in ocols])
+        if len(sc) != len(oc):
+            failures.append(name)
+            print(f"FAIL {name}: rowcount spark={len(sc)} duck={len(oc)}")
+            continue
+        if sc != oc:
+            failures.append(name)
+            diff = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
+            print(f"FAIL {name}: value mismatch; first diffs: {diff}")
+            continue
+        print(f"PASS {name} ({len(sc)} rows) [{time.time()-t0:.1f}s]")
+
+    print(f"\n{'='*60}\n{len(failures)} failures: {failures}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
