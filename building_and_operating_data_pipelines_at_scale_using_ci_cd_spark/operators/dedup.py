@@ -77,6 +77,45 @@ def lsh_band_keys(sig_col: Column, num_hashes: int = 16, bands: int = 4) -> Colu
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Small-file inputs arrive as one partition; the per-row hash work
+    downstream is CPU-bound, so spread rows across the cluster first.
+    (At 100 TB the scan is already wide and this repartition is a no-op
+    cost relative to the signature computation it parallelizes.)"""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
+def _shingle_df(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
+    return _spread(df).select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+
+
+def _candidates_from_shingles(
+    sh: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Band the signatures and self-join on (band_idx, band_key)."""
+    banded = sh.select(
+        "__id",
+        F.posexplode(
+            lsh_band_keys(minhash_signature(F.col("__sh"), num_hashes), num_hashes, bands)
+        ).alias("band_idx", "band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -91,27 +130,7 @@ def minhash_candidate_pairs(
     The self-join shuffles on the band key only; at scale, bucket skew is
     bounded because identical-content floods share a band key — pair those
     with :func:`exact_dedup_groups` first to collapse exact copies."""
-    sh = df.select(
-        F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh")
-    ).filter(F.size("__sh") > 0)
-    banded = sh.select(
-        "__id",
-        F.posexplode(lsh_band_keys(minhash_signature(F.col("__sh"), num_hashes), num_hashes, bands)).alias(
-            "band_idx", "band_key"
-        ),
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
-    )
+    return _candidates_from_shingles(_shingle_df(df, id_col, text_col, shingle_n), num_hashes, bands)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -129,11 +148,14 @@ def near_dup_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified by exact shingle
-    Jaccard ≥ threshold. Columns: id_a, id_b, jaccard_sim."""
-    cands = minhash_candidate_pairs(df, id_col, text_col, shingle_n, num_hashes, bands)
-    sh = df.select(
-        F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh")
-    )
+    Jaccard ≥ threshold. Columns: id_a, id_b, jaccard_sim.
+
+    The shingle table is computed once and cached: it feeds signature
+    generation AND both sides of the verification join — recomputing the
+    md5 signature work (num_hashes hashes per shingle) three times is the
+    dominant cost otherwise."""
+    sh = _shingle_df(df, id_col, text_col, shingle_n).persist()
+    cands = _candidates_from_shingles(sh, num_hashes, bands)
     out = (
         cands.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
         .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
@@ -149,7 +171,7 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """32-bit SimHash per doc: explode shingles, majority-vote each bit of
     the portable hash, reassemble. One shuffle (groupBy id)."""
-    exploded = df.select(
+    exploded = _spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("__s"),
     ).withColumn("__h", portable_hash(F.col("__s")))

@@ -1,0 +1,141 @@
+"""phase_1 source readers: formats, header, projection, schema mapping,
+SQL-from-file, gated optional deps (SURVEY.md §2.1)."""
+
+import json
+
+import pytest
+
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark import Orchestrator
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.config import InputSpec
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.readers import read_input
+
+
+def _spec(**kw):
+    return InputSpec(**{"data_source": "local", "dataframe_name": "t", **kw})
+
+
+@pytest.fixture(scope="module")
+def sample_df(spark):
+    return spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", 3.5)], "id int, name string, score double"
+    )
+
+
+def test_csv_header_and_projection(spark, sample_df, tmp_path):
+    p = str(tmp_path / "csv_in")
+    sample_df.write.option("header", "true").csv(p)
+    out = read_input(spark, _spec(path=p, file_format="csv", header=True, select_columns=["id", "name"]))
+    assert out.columns == ["id", "name"]
+    assert out.count() == 3
+
+
+def test_csv_schema_mapping(spark, sample_df, tmp_path):
+    p = str(tmp_path / "csv_map")
+    sample_df.write.option("header", "true").csv(p)
+    meta = tmp_path / "meta.json"
+    meta.write_text(json.dumps({"columns": [
+        {"name": "id", "type": "bigint"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": "decimal(10,2)"},
+    ]}))
+    spec = _spec(path=p, file_format="csv", data_mapping=True, metadata_path=str(meta),
+                 options={"inferSchema": "false"})
+    out = read_input(spark, spec)
+    assert dict(out.dtypes)["id"] == "bigint"
+    assert dict(out.dtypes)["score"] == "decimal(10,2)"
+
+
+def test_json_orc_text_roundtrip(spark, sample_df, tmp_path):
+    pj = str(tmp_path / "j")
+    po = str(tmp_path / "o")
+    sample_df.write.json(pj)
+    sample_df.write.orc(po)
+    assert read_input(spark, _spec(path=pj, file_format="json")).count() == 3
+    assert read_input(spark, _spec(path=po, file_format="orc")).count() == 3
+
+    pt = str(tmp_path / "t")
+    sample_df.selectExpr("name AS value").write.text(pt)
+    txt = read_input(spark, _spec(path=pt, file_format="text"))
+    assert txt.columns == ["value"] and txt.count() == 3
+
+
+def test_xml_source_native(spark, tmp_path):
+    """Spark 4 ships the xml data source natively (S6)."""
+    p = tmp_path / "data.xml"
+    p.write_text(
+        "<rows><row><id>1</id><name>a</name></row><row><id>2</id><name>b</name></row></rows>"
+    )
+    out = read_input(spark, _spec(path=str(p), file_format="xml", options={"rowTag": "row"}))
+    assert out.count() == 2 and set(out.columns) == {"id", "name"}
+
+
+def test_excel_gated(spark, tmp_path):
+    """S7: excel bridges through pandas; without openpyxl it must fail with
+    a clear NotImplementedError, not a stack-trace surprise."""
+    p = tmp_path / "x.xlsx"
+    p.write_bytes(b"not really an xlsx")
+    try:
+        import openpyxl  # noqa: F401
+
+        pytest.skip("openpyxl present; gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(Exception) as ei:
+        read_input(spark, _spec(path=str(p), file_format="excel"))
+    assert "excel" in str(ei.value).lower() or "openpyxl" in str(ei.value).lower()
+
+
+def test_sql_from_file(spark, sample_df, tmp_path):
+    """S12: sqlQuery may be a .sql file path (spark.json:57)."""
+    src = str(tmp_path / "src")
+    sample_df.write.parquet(src)
+    sql_file = tmp_path / "transform.sql"
+    sql_file.write_text("SELECT id, UPPER(name) AS name_upper FROM t WHERE score > 2")
+    cfg = {
+        "configs": {
+            "name": "sqlfile",
+            "phase_1": {"input_data": {"dataSource": "local", "dataFrameName": "t",
+                                       "path": src, "fileProperties": {"fileFormat": "parquet"}}},
+        },
+        "phase_2": {
+            "data_transformation_required": "true",
+            "data_transformations": [
+                {"functionName": "f", "sqlQuery": str(sql_file), "outputDFName": "out"}
+            ],
+        },
+        "phase_3": {},
+    }
+    res = Orchestrator(spark).run(cfg)
+    rows = {r["name_upper"] for r in res.output.collect()}
+    assert rows == {"BETA", "GAMMA"}
+
+
+def test_multi_input_and_junk_removal(spark, sample_df, tmp_path):
+    """S13 side inputs + P2 junk characters scrubbed on ingest."""
+    dirty = spark.createDataFrame([(1, "cl\x01ean\x7f")], "id int, label string")
+    p1, p2 = str(tmp_path / "main"), str(tmp_path / "side")
+    dirty.write.parquet(p1)
+    sample_df.write.parquet(p2)
+    cfg = {
+        "configs": {
+            "name": "multi",
+            "pre_execution_steps": {"junkCharacterRemoval": "true"},
+            "phase_1": {"input_data": {"dataSource": "local", "dataFrameName": "main",
+                                       "path": p1, "fileProperties": {"fileFormat": "parquet"}}},
+            "additional_input_read": [
+                {"dataSource": "local", "dataFrameName": "side", "path": p2,
+                 "fileProperties": {"fileFormat": "parquet"}}
+            ],
+        },
+        "phase_2": {
+            "data_transformation_required": "true",
+            "data_transformations": [
+                {"functionName": "join", "outputDFName": "out",
+                 "sqlQuery": "SELECT m.label, s.name FROM main m JOIN side s ON m.id = s.id"}
+            ],
+        },
+        "phase_3": {},
+    }
+    res = Orchestrator(spark).run(cfg)
+    row = res.output.collect()[0]
+    assert row["label"] == "clean"  # junk chars stripped before transform
