@@ -346,6 +346,31 @@ SELECT lane, COUNT(*) AS n_rows FROM (
 GROUP BY lane
 """
 
+WINDOW_ANALYTICS = """
+SELECT o_custkey, o_orderkey,
+       LAG(o_totalprice)  OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price,
+       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS spend_quartile,
+       RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+       DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS priority_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority), ())
+"""
+
+BROADCAST_HINT_JOIN = """
+SELECT /*+ BROADCAST(nation) */ n_name, COUNT(*) AS n_suppliers,
+       ROUND(SUM(s_acctbal), 2) AS total_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
 # -- engine-dialect-specific pairs ------------------------------------------
 
 DATE_FUNCS_SPARK = """
@@ -737,6 +762,92 @@ QUALIFY rank <= 5
 """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame pivot (explicit value list → no extra distinct pass)."""
+    ev = _table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .sum("value")
+    )
+    return out.select(
+        "user_id",
+        *[F.round(F.coalesce(F.col(t), F.lit(0.0)), 2).alias(f"v_{t}") for t in _EVENT_TYPES],
+    )
+
+
+PIVOT_EVENT_VALUES_DUCK = f"""
+SELECT user_id,
+       {', '.join(f"ROUND(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN value END), 0.0), 2) AS v_{t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY user_id
+"""
+
+
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above 0.4 (brute-force verifier)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+EMBEDDING_NEAR_DUPS_DUCK = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(LIST_DOT_PRODUCT(a.e, b.e)
+             / (SQRT(LIST_DOT_PRODUCT(a.e, a.e)) * SQRT(LIST_DOT_PRODUCT(b.e, b.e))), 4) AS cosine_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE LIST_DOT_PRODUCT(a.e, b.e)
+      / (SQRT(LIST_DOT_PRODUCT(a.e, a.e)) * SQRT(LIST_DOT_PRODUCT(b.e, b.e))) >= 0.4
+"""
+
+
+def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 approx aggregation: HLL distinct + approx percentile. Sketch
+    internals differ per engine → rows-only check (no oracle)."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               APPROX_COUNT_DISTINCT(l_partkey) AS approx_parts,
+               PERCENTILE_APPROX(l_extendedprice, 0.5) AS approx_median
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+def _q_udf_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 surface: Arrow-batched pandas UDFs callable from config SQL."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.register import (
+        register_sql_functions,
+    )
+
+    register_sql_functions(spark)
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT doc_id,
+               py_token_count(text) AS n_tokens,
+               ROUND(py_type_token_ratio(text), 4) AS type_token_ratio
+        FROM documents
+        """
+    )
+
+
+UDF_TEXT_METRICS_DUCK = """
+SELECT doc_id,
+       CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens,
+       ROUND(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) * 1.0
+             / LEN(STRING_SPLIT(text, ' ')), 4) AS type_token_ratio
+FROM documents
+"""
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing: Arrow-batched mapInPandas 'decode' over an
     opaque payload column (deterministic byte stats)."""
@@ -815,6 +926,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_shipments": _sql(RANGE_JOIN_SHIPMENTS),
         "distinct_counts": _sql(DISTINCT_COUNTS),
         "percentiles": _sql(PERCENTILES_SPARK),
+        "window_analytics": _sql(WINDOW_ANALYTICS),
+        "grouping_sets": _sql(GROUPING_SETS),
+        "broadcast_hint_join": _sql(BROADCAST_HINT_JOIN),
+        "approx_distinct": _q_approx_distinct,
         # events / streaming-shaped (SURVEY.md §2.8 batch formulations)
         "hourly_events": _sql(HOURLY_EVENTS),
         "sessionization": _sql(SESSIONIZATION),
@@ -838,6 +953,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_neighbors": _q_topk_neighbors,
         "ann_lsh_topk": _q_ann_lsh,
         "multimodal_decode": _q_multimodal_decode,
+        "pivot_event_values": _q_pivot_event_values,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "udf_text_metrics": _q_udf_text_metrics,
     }
 
 
@@ -864,6 +982,10 @@ def oracle_sql() -> dict[str, str]:
         "range_join_shipments": RANGE_JOIN_SHIPMENTS,
         "distinct_counts": DISTINCT_COUNTS,
         "percentiles": PERCENTILES_DUCK,
+        "window_analytics": WINDOW_ANALYTICS,
+        "grouping_sets": GROUPING_SETS,
+        "broadcast_hint_join": BROADCAST_HINT_JOIN,
+        # approx_distinct: sketch internals differ per engine → rows-only
         "hourly_events": HOURLY_EVENTS,
         "sessionization": SESSIONIZATION,
         "event_type_pivot": EVENT_TYPE_PIVOT,
@@ -883,4 +1005,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_neighbors": TOPK_NEIGHBORS_DUCK,
         "ann_lsh_topk": _ann_lsh_duck(),
         "multimodal_decode": MULTIMODAL_DECODE_DUCK,
+        "pivot_event_values": PIVOT_EVENT_VALUES_DUCK,
+        "embedding_near_dups": EMBEDDING_NEAR_DUPS_DUCK,
+        "udf_text_metrics": UDF_TEXT_METRICS_DUCK,
     }

@@ -1,0 +1,45 @@
+"""SQL-callable function registration (SURVEY.md §2.9).
+
+The reference's only extensibility is "write more SQL" (spark.json offers
+SQL strings + bash hooks; no UDF surface). We close that gap: the
+north-star text/similarity operators register as SQL-callable functions so
+config-dialect ``sqlQuery`` transformations can use them directly.
+
+Two tiers:
+  - expression-backed names are just documented SQL idioms (they compile
+    to built-in expressions — zero Python cost); see ``functions.text``.
+  - pandas UDFs (Arrow-batched) for logic that genuinely needs Python —
+    registered here. Row-at-a-time ``F.udf`` is deliberately absent: at
+    100 TB it is never the right tool.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, IntegerType
+
+
+@pandas_udf(IntegerType())
+def py_token_count(text: pd.Series) -> pd.Series:
+    """Whitespace token count (Arrow-batched)."""
+    return text.str.split(" ").map(len).astype("int32")
+
+
+@pandas_udf(DoubleType())
+def py_type_token_ratio(text: pd.Series) -> pd.Series:
+    """Lexical diversity: unique tokens / tokens."""
+
+    def ttr(s: str) -> float:
+        toks = s.split(" ")
+        return len(set(toks)) / len(toks) if toks else 0.0
+
+    return text.map(ttr)
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """Make the Python-tier functions callable from config SQL."""
+    spark.udf.register("py_token_count", py_token_count)
+    spark.udf.register("py_type_token_ratio", py_type_token_ratio)

@@ -67,6 +67,10 @@ class Orchestrator:
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
+        # §2.9: make the Python-tier functions available to config SQL
+        from ..functions.register import register_sql_functions
+
+        register_sql_functions(spark)
 
     # -- public API --------------------------------------------------------
 
@@ -77,6 +81,13 @@ class Orchestrator:
             config = JobConfig.from_dict(config)
 
         apply_job_confs(self.spark, config.spark_config)
+        if config.temp_path:
+            # W13 (spark.json:9): engine scratch / checkpoint location
+            import os as _os
+
+            self.spark.sparkContext.setCheckpointDir(
+                _os.path.join(config.temp_path, "checkpoints")
+            )
         result = JobResult(job_name=config.name)
 
         # V5 duplicate-run gate
