@@ -613,11 +613,14 @@ MINHASH_NEAR_DUPS_DUCK = f"""
 WITH sh AS ({_SHINGLES_DUCK}),
 shf AS (SELECT * FROM sh WHERE LEN(shingles) > 0),
 tok AS (SELECT doc_id, UNNEST(shingles) AS s FROM shf),
+hs AS (SELECT doc_id, CAST(CONCAT('0x', SUBSTR(MD5(s), 1, 8)) AS BIGINT) AS h FROM tok),
 mh AS (
-  SELECT tok.doc_id, g.i,
-         MIN(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(s, '#', CAST(g.i AS VARCHAR))), 1, 8)) AS BIGINT)) AS mv
-  FROM tok CROSS JOIN GENERATE_SERIES(0, 15) AS g(i)
-  GROUP BY tok.doc_id, g.i
+  -- universal affine family h_i(x) = ((2i+1)x + i*12582917) mod p, p prime > 2^32
+  -- (mirrors operators/dedup.py minhash_signature: ONE md5 per shingle)
+  SELECT hs.doc_id, g.i,
+         MIN(((2 * g.i + 1) * h + g.i * 12582917) % 4294967311) AS mv
+  FROM hs CROSS JOIN GENERATE_SERIES(0, 15) AS g(i)
+  GROUP BY hs.doc_id, g.i
 ), bands AS (
   SELECT doc_id, i // 4 AS band_idx,
          MD5(STRING_AGG(CAST(mv AS VARCHAR), ',' ORDER BY i)) AS band_key

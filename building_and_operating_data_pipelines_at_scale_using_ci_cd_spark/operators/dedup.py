@@ -38,22 +38,34 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+#: smallest prime > 2^32 — modulus of the universal-hash family below
+_MINHASH_P = 4294967311
+#: additive stride per hash function (any constant < _MINHASH_P works)
+_MINHASH_C = 12582917
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature as a single array expression: for each of the
-    ``num_hashes`` seeded hash functions, the min over the shingle set.
+    """MinHash signature as a single array expression: md5 each shingle
+    ONCE to a 32-bit integer, then derive the ``num_hashes`` functions
+    from it with a universal affine family ``h_i(x) = ((2i+1)·x + i·c)
+    mod p`` (p prime > 2^32). One md5 per shingle instead of one per
+    (shingle × hash) — 16× less hashing on the dominant path — and every
+    step is integer arithmetic an oracle engine reproduces exactly.
     No explode — the whole signature is one projection."""
+    hashed = F.transform(
+        shingle_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+    )
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
             F.transform(
-                shingle_col,
-                lambda s: F.conv(
-                    F.substring(
-                        F.md5(F.concat(s, F.lit("#"), i.cast("string"))), 1, 8
-                    ),
-                    16,
-                    10,
-                ).cast("bigint"),
+                hashed,
+                lambda h: F.pmod(
+                    (i * 2 + F.lit(1)).cast("bigint") * h
+                    + (i * F.lit(_MINHASH_C)).cast("bigint"),
+                    F.lit(_MINHASH_P),
+                ),
             )
         ),
     )
@@ -95,13 +107,17 @@ def _shingle_df(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> Da
 def _candidates_from_shingles(
     sh: DataFrame, num_hashes: int, bands: int
 ) -> DataFrame:
-    """Band the signatures and self-join on (band_idx, band_key)."""
+    """Band the signatures and self-join on (band_idx, band_key).
+
+    ``banded`` is persisted: it is both sides of the self-join, and
+    without the persist Spark recomputes the signature (the dominant
+    md5 cost) once per side."""
     banded = sh.select(
         "__id",
         F.posexplode(
             lsh_band_keys(minhash_signature(F.col("__sh"), num_hashes), num_hashes, bands)
         ).alias("band_idx", "band_key"),
-    )
+    ).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
