@@ -85,19 +85,22 @@ def scd2_merge(
     compare = compare_cols or [c for c in data_cols if c not in keys]
 
     fp = _fingerprint(compare)
-    # Only the current slice participates in the merge join; history is
-    # carried through without touching the shuffle. The incoming side's
-    # join keys are renamed (not aliased) so repeated merges over shared
-    # lineage never hit Spark's self-join attribute ambiguity.
+    # ONE join: only the current slice participates, history is carried
+    # through without touching the shuffle. The incoming side's columns are
+    # all renamed (not aliased) so repeated merges over shared lineage never
+    # hit Spark's self-join attribute ambiguity — and because the incoming
+    # data columns ride along through the join, the insert lane needs no
+    # second join back to `incoming`. All three lanes filter the same
+    # joined plan, so Catalyst reuses its exchanges across the union.
     history = target.filter(~F.col(IS_CURRENT))
     current = target.filter(F.col(IS_CURRENT)).withColumn("__t_fp", fp)
     inc_side = incoming.select(
-        *[F.col(k).alias(f"__ik_{k}") for k in keys], fp.alias("__i_fp")
+        fp.alias("__i_fp"), *[F.col(c).alias(f"__i_{c}") for c in data_cols]
     )
     from functools import reduce
     from operator import and_
 
-    cond = reduce(and_, [current[k].eqNullSafe(inc_side[f"__ik_{k}"]) for k in keys])
+    cond = reduce(and_, [current[k].eqNullSafe(inc_side[f"__i_{k}"]) for k in keys])
     joined = current.join(inc_side, cond, "full_outer")
 
     # 1. current rows whose attrs changed in the incoming snapshot → close
@@ -118,18 +121,12 @@ def scd2_merge(
         & (F.col("__i_fp").isNull() | (F.col("__t_fp") == F.col("__i_fp")))
     ).select(*data_cols, EFF_START, EFF_END, IS_CURRENT)
     # 3. incoming rows that are new keys or changed versions → insert current
-    insert_keys = (
-        joined.filter(
-            F.col("__t_fp").isNull()
-            | (F.col("__i_fp").isNotNull() & (F.col("__t_fp") != F.col("__i_fp")))
-        )
-        .select(*[F.col(f"__ik_{k}").alias(f"__jk_{k}") for k in keys])
-        .distinct()
-    )
-    inc_full = incoming
-    jcond = reduce(and_, [inc_full[k].eqNullSafe(insert_keys[f"__jk_{k}"]) for k in keys])
     to_insert = (
-        inc_full.join(insert_keys, jcond, "left_semi")
+        joined.filter(
+            F.col("__i_fp").isNotNull()
+            & (F.col("__t_fp").isNull() | (F.col("__t_fp") != F.col("__i_fp")))
+        )
+        .select(*[F.col(f"__i_{c}").alias(c) for c in data_cols])
         .withColumn(EFF_START, eff)
         .withColumn(EFF_END, F.lit(_HIGH_TS).cast("timestamp"))
         .withColumn(IS_CURRENT, F.lit(True))
