@@ -851,6 +851,55 @@ FROM documents
 """
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic seed centroids (8 lowest-id vectors), corpus
+    in one list each, queries (vec_id % 50 = 0) probe 2 lists, exact
+    rerank inside — the scale path next to brute-force topk_neighbors."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.similarity import (
+        ivf_topk,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(queries_df, emb, "vec_id", "embedding", k=5, n_centroids=8, n_probe=2)
+
+
+IVF_TOPK_DUCK = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (SELECT vec_id AS cid, e AS cv FROM v ORDER BY vec_id LIMIT 8),
+c_assign AS (
+  SELECT vec_id AS neighbor_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+             LIST_DOT_PRODUCT(v.e, c.cv)
+               / (SQRT(LIST_DOT_PRODUCT(v.e, v.e)) * SQRT(LIST_DOT_PRODUCT(c.cv, c.cv))) DESC,
+             c.cid ASC) AS rn
+    FROM v CROSS JOIN cents c) WHERE rn = 1
+),
+q_assign AS (
+  SELECT vec_id AS query_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+             LIST_DOT_PRODUCT(v.e, c.cv)
+               / (SQRT(LIST_DOT_PRODUCT(v.e, v.e)) * SQRT(LIST_DOT_PRODUCT(c.cv, c.cv))) DESC,
+             c.cid ASC) AS rn
+    FROM v CROSS JOIN cents c WHERE v.vec_id % 50 = 0) WHERE rn <= 2
+),
+scored AS (
+  SELECT q.query_id, ca.neighbor_id,
+         LIST_DOT_PRODUCT(q.e, ca.e)
+           / (SQRT(LIST_DOT_PRODUCT(q.e, q.e)) * SQRT(LIST_DOT_PRODUCT(ca.e, ca.e))) AS cos
+  FROM q_assign q JOIN c_assign ca USING (cid)
+  WHERE q.query_id <> ca.neighbor_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+       ROUND(cos, 2) AS cosine_sim
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing: Arrow-batched mapInPandas 'decode' over an
     opaque payload column (deterministic byte stats)."""
@@ -955,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_fingerprints,
         "topk_neighbors": _q_topk_neighbors,
         "ann_lsh_topk": _q_ann_lsh,
+        "ivf_topk": _q_ivf_topk,
         "multimodal_decode": _q_multimodal_decode,
         "pivot_event_values": _q_pivot_event_values,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -1007,6 +1057,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": FINGERPRINT_DUCK,
         "topk_neighbors": TOPK_NEIGHBORS_DUCK,
         "ann_lsh_topk": _ann_lsh_duck(),
+        "ivf_topk": IVF_TOPK_DUCK,
         "multimodal_decode": MULTIMODAL_DECODE_DUCK,
         "pivot_event_values": PIVOT_EVENT_VALUES_DUCK,
         "embedding_near_dups": EMBEDDING_NEAR_DUPS_DUCK,

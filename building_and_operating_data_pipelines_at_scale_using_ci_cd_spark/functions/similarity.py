@@ -104,6 +104,81 @@ def lsh_bucket_key(vec: Column, dim: int, num_planes: int = 8) -> Column:
     return key.cast("int")
 
 
+def ivf_probe_assignments(
+    df: DataFrame,
+    centroids: list[tuple],
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+    out_id: str,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids WITHOUT a
+    shuffle: the (small) centroid set is folded into the projection as a
+    literal array, so assignment is a pure map stage — argmax over an
+    array of (−sim, centroid_id) structs, sorted and sliced. At 100 TB
+    this is the difference between a free narrow pass and an
+    |corpus|×n_centroids exploded shuffle."""
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            (-cosine(F.col(vec_col), c["cv"])).alias("neg_sim"), c["cid"].alias("cid")
+        ),
+    )
+    probed = F.slice(F.array_sort(scored), 1, n_probe)
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).alias(f"__{out_id}_v"),
+        F.explode(F.transform(probed, lambda s: s["cid"])).alias("__list_id"),
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the corpus is partitioned
+    into ``n_centroids`` lists by nearest centroid; each query probes its
+    ``n_probe`` nearest lists and reranks exactly inside them.
+
+    Centroids are the ``n_centroids`` lowest-id corpus vectors — a
+    deterministic seeding that keeps the index reproducible on any engine
+    (the k-means refinement used at scale changes only the centroid
+    values, not this plan shape). Corpus vectors land in exactly one list;
+    the probe join is a hash equi-join on list id — the IVF analogue of
+    the LSH bucket join, with recall tunable via ``n_probe``.
+    """
+    cents = [
+        (r[0], r[1])
+        for r in corpus.select(id_col, vec_col).orderBy(F.col(id_col)).limit(n_centroids).collect()
+    ]
+    c_assign = ivf_probe_assignments(corpus, cents, id_col, vec_col, 1, "neighbor_id")
+    q_assign = ivf_probe_assignments(queries, cents, id_col, vec_col, n_probe, "query_id")
+    joined = q_assign.join(c_assign, "__list_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = joined.withColumn("__cos", cosine(F.col("__query_id_v"), F.col("__neighbor_id_v")))
+    w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round(F.col("__cos"), 2).alias("cosine_sim"))
+    )
+
+
 def ann_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,

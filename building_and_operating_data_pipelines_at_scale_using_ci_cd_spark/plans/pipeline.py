@@ -48,32 +48,48 @@ class TaskOutcome:
 
 
 class Pipeline:
-    """Ordered multi-job execution with retries and always-run cleanup."""
+    """DAG execution with retries, always-run cleanup, and bounded task
+    concurrency (reference: 4 parallel slots, ``deploy.yaml:11``,
+    ``example-shareprice.py:73``). Independent branches run in parallel
+    threads against the shared SparkSession — Spark's scheduler accepts
+    concurrent job submission; a failure skips only its downstream
+    (Airflow ``all_success`` semantics), not unrelated branches."""
 
-    def __init__(self, spark: SparkSession, tasks: list[PipelineTask]):
+    def __init__(self, spark: SparkSession, tasks: list[PipelineTask], concurrency: int = 4):
         self.spark = spark
         self.tasks = {t.name: t for t in tasks}
+        self.concurrency = max(1, concurrency)
         self.orchestrator = Orchestrator(spark)
         #: O9 XCom equivalent: shared context dict tasks can read/write
         self.context: dict[str, Any] = {}
 
     def run(self) -> dict[str, TaskOutcome]:
-        order = list(
-            TopologicalSorter({t.name: set(t.depends_on) for t in self.tasks.values()}).static_order()
-        )
+        from concurrent.futures import FIRST_COMPLETED, Future, ThreadPoolExecutor, wait
+
+        ts = TopologicalSorter({t.name: set(t.depends_on) for t in self.tasks.values()})
+        ts.prepare()
         outcomes: dict[str, TaskOutcome] = {}
-        upstream_failed = False
-        for name in order:
-            task = self.tasks[name]
-            dep_failed = any(
-                outcomes.get(d) and outcomes[d].state != "success" for d in task.depends_on
-            )
-            if (dep_failed or upstream_failed) and not task.always_run:
-                outcomes[name] = TaskOutcome(name=name, state="skipped")
-                continue
-            outcomes[name] = self._run_one(task)
-            if outcomes[name].state == "failed":
-                upstream_failed = True
+        running: dict[Future, str] = {}
+        with ThreadPoolExecutor(max_workers=self.concurrency) as pool:
+            while ts.is_active():
+                for name in ts.get_ready():
+                    task = self.tasks[name]
+                    dep_bad = any(
+                        d in outcomes and outcomes[d].state != "success"
+                        for d in task.depends_on
+                    )
+                    if dep_bad and not task.always_run:
+                        outcomes[name] = TaskOutcome(name=name, state="skipped")
+                        ts.done(name)
+                    else:
+                        running[pool.submit(self._run_one, task)] = name
+                if not running:
+                    continue  # ready set was all skips; new nodes just freed
+                finished, _ = wait(running, return_when=FIRST_COMPLETED)
+                for f in finished:
+                    n = running.pop(f)
+                    outcomes[n] = f.result()
+                    ts.done(n)
         return outcomes
 
     def _run_one(self, task: PipelineTask) -> TaskOutcome:
@@ -118,4 +134,4 @@ def from_manifest(spark: SparkSession, manifest: dict) -> Pipeline:
         )
         for t in manifest.get("tasks", [])
     ]
-    return Pipeline(spark, tasks)
+    return Pipeline(spark, tasks, concurrency=int(manifest.get("concurrency", 4)))

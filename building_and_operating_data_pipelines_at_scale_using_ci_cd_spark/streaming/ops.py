@@ -88,6 +88,74 @@ def streaming_dedup(
     return with_watermark(df, ts_col, delay).dropDuplicatesWithinWatermark(keys)
 
 
+def stateful_running_totals(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running event count / value sum / last-seen timestamp, maintained
+    across micro-batches. This is the extension point for stateful logic
+    Spark has no built-in for (running ML feature aggregates, complex
+    session machines); built-ins (window aggs, dedup) should NOT come
+    through here — they're cheaper as native state machines.
+
+    Scale notes: state is one tiny row per key in the state store
+    (RocksDB on a real cluster), updates arrive Arrow-batched per key
+    group, and the shuffle is the same single hash-partition-by-key any
+    streaming aggregation pays. Output mode: update (one emission per
+    key per batch it appears in).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    key_type = df.schema[key_col].dataType
+    out_schema = StructType(
+        [
+            StructField(key_col, key_type),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+            StructField("last_ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("last_ts_iso", StringType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        n, total, last_iso = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+            batch_max = pdf[ts_col].max()
+            if last_iso is None or str(batch_max) > last_iso:
+                last_iso = str(batch_max)
+        state.update((n, total, last_iso))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "last_ts": [pd.Timestamp(last_iso)],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def foreach_batch_writer(spec: "TargetSpec"):
     """Bridge every batch load mode (including SCD2) into a streaming sink:
     ``stream.writeStream.foreachBatch(foreach_batch_writer(spec))``."""

@@ -73,6 +73,55 @@ def test_failure_skips_downstream_but_runs_cleanup(spark):
     assert ran == ["teardown"]
 
 
+def test_failure_skips_only_downstream_branch(spark):
+    """Airflow all_success semantics: an unrelated branch still runs."""
+
+    def boom(ctx):
+        raise RuntimeError("boom")
+
+    p = Pipeline(
+        spark,
+        [
+            PipelineTask(name="bad", fn=boom),
+            PipelineTask(name="bad_child", fn=lambda ctx: "x", depends_on=["bad"]),
+            PipelineTask(name="other", fn=lambda ctx: "ok"),
+            PipelineTask(name="other_child", fn=lambda ctx: "ok2", depends_on=["other"]),
+        ],
+    )
+    outcomes = p.run()
+    assert outcomes["bad"].state == "failed"
+    assert outcomes["bad_child"].state == "skipped"
+    assert outcomes["other"].state == "success"
+    assert outcomes["other_child"].state == "success"
+
+
+def test_independent_tasks_run_concurrently(spark):
+    """Two tasks that each block until the other has started can only
+    both succeed when the runner overlaps them (concurrency ≥ 2)."""
+    import threading
+
+    started = {"x": threading.Event(), "y": threading.Event()}
+
+    def mk(me, other):
+        def fn(ctx):
+            started[me].set()
+            assert started[other].wait(30), f"{other} never started — tasks ran serially"
+            return me
+
+        return fn
+
+    p = Pipeline(
+        spark,
+        [
+            PipelineTask(name="x", fn=mk("x", "y")),
+            PipelineTask(name="y", fn=mk("y", "x")),
+        ],
+        concurrency=4,
+    )
+    outcomes = p.run()
+    assert all(o.state == "success" for o in outcomes.values())
+
+
 def test_from_manifest_shape(spark):
     manifest = {
         "name": "shareprice",

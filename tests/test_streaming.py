@@ -82,6 +82,40 @@ def test_streaming_dedup(spark, tmp_path):
     assert spark.sql("SELECT count(*) AS n FROM dedup_test").collect()[0]["n"] == 2
 
 
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state must carry across micro-batches —
+    two files processed one per trigger, totals accumulate."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.streaming.ops import (
+        stateful_running_totals,
+    )
+
+    src = str(tmp_path / "stateful_src")
+    schema = "user_id long, ts timestamp, v double"
+    batch1 = [(1, _ts("2024-01-01 10:00:00"), 1.0), (2, _ts("2024-01-01 10:01:00"), 5.0)]
+    batch2 = [(1, _ts("2024-01-01 10:30:00"), 2.5)]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    totals = stateful_running_totals(stream, "user_id", "ts", "v")
+    _run_stream_once(totals, "stateful_test", mode="update")
+
+    # update mode emits once per key per batch → keep the final emission
+    final = {
+        r["user_id"]: r
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, ROW_NUMBER() OVER "
+            "(PARTITION BY user_id ORDER BY n_events DESC) AS rn "
+            "FROM stateful_test) WHERE rn = 1"
+        ).collect()
+    }
+    assert final[1]["n_events"] == 2 and final[1]["total_value"] == 3.5
+    assert final[2]["n_events"] == 1 and final[2]["total_value"] == 5.0
+    assert str(final[1]["last_ts"]) == "2024-01-01 10:30:00"
+
+
 def test_foreach_batch_reuses_batch_writer(spark, tmp_path):
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.config import TargetSpec
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.streaming.ops import (
