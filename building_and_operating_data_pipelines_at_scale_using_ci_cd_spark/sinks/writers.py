@@ -39,15 +39,21 @@ def _fmt(fmt: str) -> str:
     return _FORMAT_ALIASES.get(fmt, fmt)
 
 
-def _single_file_rename(path: str, prefix: str | None, ext: str) -> None:
-    """W3: collapse the part-file to ``<prefix>.<ext>`` next to the others."""
+def _single_file_rename(path: str, prefix: str | None) -> None:
+    """W3: collapse the part-file to ``<prefix>.<ext>``, keeping the part
+    file's real extension chain (e.g. ``.csv.gz`` under compression — a
+    renamed file that drops the codec suffix reads back as garbage)."""
     parts = sorted(glob.glob(os.path.join(path, "part-*")))
     if not parts or not prefix:
         return
-    target = os.path.join(path, f"{prefix}.{ext}")
+    base = os.path.basename(parts[0])
+    ext = base.split(".", 1)[1] if "." in base else ""
+    target = os.path.join(path, f"{prefix}.{ext}" if ext else prefix)
     shutil.move(parts[0], target)
     for leftover in parts[1:]:  # shouldn't exist after coalesce(1)
         os.remove(leftover)
+    for crc in glob.glob(os.path.join(path, ".part-*.crc")):
+        os.remove(crc)  # checksums reference the pre-rename file names
 
 
 def _write_file(df: DataFrame, spec: "TargetSpec", mode: str) -> None:
@@ -66,8 +72,7 @@ def _write_file(df: DataFrame, spec: "TargetSpec", mode: str) -> None:
         return
     writer.format(fmt).save(spec.path)
     if spec.single_file:
-        ext = {"csv": "csv", "json": "json", "parquet": "parquet", "orc": "orc", "text": "txt"}.get(fmt, fmt)
-        _single_file_rename(spec.path, spec.output_file_name_prefix, ext)
+        _single_file_rename(spec.path, spec.output_file_name_prefix)
 
 
 def _write_jdbc(df: DataFrame, spec: "TargetSpec", mode: str) -> None:
