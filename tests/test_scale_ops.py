@@ -1,0 +1,69 @@
+"""Skew salting and bucketed co-located joins: results must match the
+plain formulations, and the bucketed join plan must be shuffle-free."""
+
+import io
+import contextlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.scale import (
+    bucketed_write,
+    salted_join,
+    skewed_keys,
+)
+
+
+@pytest.fixture
+def skewed_pair(spark):
+    # key 1 is pathologically hot (90% of rows)
+    left = spark.createDataFrame(
+        [(1, i) for i in range(900)] + [(k, 0) for k in range(2, 102)], "k int, v int"
+    )
+    right = spark.createDataFrame([(k, f"dim_{k}") for k in range(1, 50)], "k int, name string")
+    return left, right
+
+
+def test_skewed_keys_finds_hot_key(spark, skewed_pair):
+    left, _ = skewed_pair
+    top = skewed_keys(left, ["k"], top_n=1).collect()
+    assert top[0]["k"] == 1 and top[0]["n_rows"] == 900
+
+
+def test_salted_join_matches_plain_join(spark, skewed_pair):
+    left, right = skewed_pair
+    for how in ("inner", "left"):
+        plain = left.join(right, ["k"], how).orderBy("k", "v", "name").collect()
+        salted = salted_join(left, right, ["k"], how, salt=8).orderBy("k", "v", "name").collect()
+        assert salted == plain, how
+
+
+def test_salted_join_spreads_hot_key(spark, skewed_pair):
+    """The hot key's rows must land in >1 salt bucket pre-join."""
+    left, _ = skewed_pair
+    salted_l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(8)).cast("int")
+    )
+    n_buckets = salted_l.filter("k = 1").select("__salt").distinct().count()
+    assert n_buckets > 1
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force the issue
+    try:
+        a = spark.range(0, 10000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+        b = spark.range(0, 10000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+        bucketed_write(a, "bkt_a", ["k"], num_buckets=8)
+        bucketed_write(b, "bkt_b", ["k"], num_buckets=8)
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 10000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
