@@ -100,6 +100,8 @@ class Pipeline:
             try:
                 if task.fn is not None:
                     res: Any = task.fn(self.context)
+                elif task.config is None:
+                    res = None  # marker/cleanup task with no job: no-op success
                 else:
                     res = self.orchestrator.run(task.config)
                     if isinstance(res, JobResult):

@@ -46,7 +46,18 @@ def _parquet_nanos_cols(path: str) -> list[str]:
             return []
         f = cands[0]
     try:
-        return [fld.name for fld in pq.read_schema(f) if str(fld.type) == "timestamp[ns]"]
+        # Check the PARQUET schema, not the Arrow view of it: pyarrow
+        # surfaces Spark's INT96 timestamps as timestamp[ns] too, and those
+        # read natively — only true INT64/TIMESTAMP(NANOS) columns trip
+        # Spark's reader and need the nanos-as-long conversion.
+        md = pq.read_metadata(f).schema
+        cols = []
+        for i in range(len(md)):
+            col = md.column(i)
+            lt = str(col.logical_type)
+            if col.physical_type == "INT64" and "Timestamp" in lt and "nano" in lt:
+                cols.append(col.name)
+        return cols
     except Exception:
         return []
 

@@ -85,6 +85,23 @@ def test_excel_gated(spark, tmp_path):
     assert "excel" in str(ei.value).lower() or "openpyxl" in str(ei.value).lower()
 
 
+def test_spark_written_int96_timestamps_read_natively(spark, tmp_path):
+    """Spark's default parquet timestamp is INT96, which pyarrow surfaces
+    as timestamp[ns] — the nanos tolerance must NOT fire on it (it would
+    apply div-1000 to a proper timestamp and break the read)."""
+    import datetime
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.config import InputSpec
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.readers import read_input
+
+    path = str(tmp_path / "ts_int96")
+    ts = datetime.datetime(2024, 3, 1, 12, 30, 45)
+    spark.createDataFrame([(1, ts)], "id int, ts timestamp").write.parquet(path)
+    spec = InputSpec(data_source="local", dataframe_name="t", path=path, file_format="parquet")
+    row = read_input(spark, spec).collect()[0]
+    assert row["ts"] == ts
+
+
 def test_sql_from_file(spark, sample_df, tmp_path):
     """S12: sqlQuery may be a .sql file path (spark.json:57)."""
     src = str(tmp_path / "src")
