@@ -33,6 +33,7 @@ HEADLINE = [
     "scd2_price_history",
     "minhash_near_dups",
     "topk_neighbors",
+    "ivf_topk",
     "hourly_events",
 ]
 
