@@ -371,6 +371,74 @@ FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
 """
 
+Q4_ORDER_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+Q7_VOLUME_SHIPPING = """
+SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+Q12_PRIORITY_CLASSES = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+Q14_PROMO_REVENUE = """
+SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+       / SUM(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+Q18_LARGE_VOLUME_CUSTOMER = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       ROUND(SUM(l_quantity), 2) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+Q19_DISCOUNTED_REVENUE = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+"""
+
 # -- engine-dialect-specific pairs ------------------------------------------
 
 DATE_FUNCS_SPARK = """
@@ -982,6 +1050,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": _sql(GROUPING_SETS),
         "broadcast_hint_join": _sql(BROADCAST_HINT_JOIN),
         "approx_distinct": _q_approx_distinct,
+        "q4_order_priority": _sql(Q4_ORDER_PRIORITY),
+        "q7_volume_shipping": _sql(Q7_VOLUME_SHIPPING),
+        "q12_priority_classes": _sql(Q12_PRIORITY_CLASSES),
+        "q14_promo_revenue": _sql(Q14_PROMO_REVENUE),
+        "q18_large_volume_customer": _sql(Q18_LARGE_VOLUME_CUSTOMER),
+        "q19_discounted_revenue": _sql(Q19_DISCOUNTED_REVENUE),
         # events / streaming-shaped (SURVEY.md §2.8 batch formulations)
         "hourly_events": _sql(HOURLY_EVENTS),
         "sessionization": _sql(SESSIONIZATION),
@@ -1039,6 +1113,12 @@ def oracle_sql() -> dict[str, str]:
         "grouping_sets": GROUPING_SETS,
         "broadcast_hint_join": BROADCAST_HINT_JOIN,
         # approx_distinct: sketch internals differ per engine → rows-only
+        "q4_order_priority": Q4_ORDER_PRIORITY,
+        "q7_volume_shipping": Q7_VOLUME_SHIPPING,
+        "q12_priority_classes": Q12_PRIORITY_CLASSES,
+        "q14_promo_revenue": Q14_PROMO_REVENUE,
+        "q18_large_volume_customer": Q18_LARGE_VOLUME_CUSTOMER,
+        "q19_discounted_revenue": Q19_DISCOUNTED_REVENUE,
         "hourly_events": HOURLY_EVENTS,
         "sessionization": SESSIONIZATION,
         "event_type_pivot": EVENT_TYPE_PIVOT,
