@@ -1,0 +1,90 @@
+"""Property-based tests (SURVEY.md §5.4): SCD2 invariants and dedup
+survivor determinism under randomized inputs.
+
+Examples are kept small and few — each example runs real Spark jobs — but
+hypothesis still explores the interesting corners (dup keys, ties, empty
+deltas, value flapping) far better than hand-picked cases.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.scd2 import (
+    scd2_merge,
+)
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.validation import (
+    dedup_split,
+)
+
+#: (key, value) rows; tiny domains force key collisions and value ties
+_snapshot = st.lists(
+    st.tuples(st.integers(1, 4), st.integers(0, 3)), min_size=1, max_size=8
+).map(lambda rows: list({k: (k, v) for k, v in rows}.values()))  # unique keys
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_SETTINGS)
+@given(snap1=_snapshot, snap2=_snapshot)
+def test_scd2_invariants_hold_for_any_snapshot_pair(spark, snap1, snap2):
+    df1 = spark.createDataFrame(snap1, "k int, v int")
+    df2 = spark.createDataFrame(snap2, "k int, v int")
+    t1 = scd2_merge(None, df1, keys=["k"], effective_ts="2024-01-01 00:00:00")
+    t2 = scd2_merge(t1, df2, keys=["k"], effective_ts="2024-02-01 00:00:00")
+
+    rows = t2.collect()
+    # exactly one current row per key ever seen
+    seen_keys = {k for k, _ in snap1} | {k for k, _ in snap2}
+    current = [r for r in rows if r["is_current"]]
+    assert sorted(r["k"] for r in current) == sorted(seen_keys)
+    # current rows carry the latest value for keys present in snap2
+    latest = dict(snap2)
+    for r in current:
+        if r["k"] in latest:
+            assert r["v"] == latest[r["k"]]
+    # intervals per key: non-overlapping, closed rows end where successors start
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, versions in by_key.items():
+        versions.sort(key=lambda r: r["eff_start_ts"])
+        for a, b in zip(versions, versions[1:]):
+            assert a["eff_end_ts"] <= b["eff_start_ts"]
+        assert sum(r["is_current"] for r in versions) == 1
+
+    # idempotency: re-merging the same snapshot changes nothing
+    t3 = scd2_merge(t2, df2, keys=["k"], effective_ts="2024-03-01 00:00:00")
+    assert sorted(map(tuple, t3.collect())) == sorted(map(tuple, rows))
+
+
+#: rows with deliberate PK collisions and order-col ties
+_dup_rows = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 2), st.integers(0, 99)),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=_dup_rows)
+def test_dedup_survivor_deterministic_and_complete(spark, rows):
+    df = spark.createDataFrame(rows, "pk int, ord int, payload int")
+    good1, bad1 = dedup_split(df, ["pk"], ["ord", "payload"])
+    good2, bad2 = dedup_split(df, ["pk"], ["ord", "payload"])
+
+    g1 = sorted(map(tuple, good1.collect()))
+    assert g1 == sorted(map(tuple, good2.collect()))  # deterministic
+    # exactly one survivor per key; survivor is the max by (ord, payload)
+    expected = {}
+    for pk, o, p in rows:
+        if pk not in expected or (o, p) > expected[pk]:
+            expected[pk] = (o, p)
+    assert g1 == sorted((pk, o, p) for pk, (o, p) in expected.items())
+    # nothing lost: survivors + duplicates == input
+    assert len(g1) + bad1.count() == len(rows)
