@@ -116,6 +116,57 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert str(final[1]["last_ts"]) == "2024-01-01 10:30:00"
 
 
+def test_foreach_batch_scd2_sink(spark, tmp_path):
+    """The foreachBatch bridge must support every batch load mode — here
+    SCD2: two micro-batches of snapshots merge into a versioned history."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.config import TargetSpec
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.streaming.ops import (
+        foreach_batch_writer,
+    )
+
+    src = str(tmp_path / "scd2_stream_src")
+    schema = "k long, v string, snap_ts timestamp"
+    # batch 1: k=1 v=a; batch 2: k=1 changed to b, k=2 new
+    spark.createDataFrame([(1, "a", _ts("2024-01-01 00:00:00"))], schema).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(
+        [(1, "b", _ts("2024-01-02 00:00:00")), (2, "x", _ts("2024-01-02 00:00:00"))], schema
+    ).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "scd2_stream_target")
+    spec = TargetSpec(
+        data_target="local",
+        path=out,
+        file_format="parquet",
+        load_type="scdType2Insert",
+        scd2_keys=["k"],
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .drop("snap_ts")
+    )
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_writer(spec))
+        .option("checkpointLocation", str(tmp_path / "scd2_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    hist = spark.read.parquet(out).collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r["k"], []).append(r)
+    # k=1: one closed version (a) + one current (b); k=2: one current
+    assert sorted(r["v"] for r in by_key[1]) == ["a", "b"]
+    assert sum(r["is_current"] for r in by_key[1]) == 1
+    assert next(r["v"] for r in by_key[1] if r["is_current"]) == "b"
+    assert len(by_key[2]) == 1 and by_key[2][0]["is_current"]
+
+
 def test_foreach_batch_reuses_batch_writer(spark, tmp_path):
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.config import TargetSpec
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.streaming.ops import (
