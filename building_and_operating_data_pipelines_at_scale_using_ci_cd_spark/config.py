@@ -70,11 +70,15 @@ class InputSpec:
     # sftp inputs (staged fetch)
     sftp_host: str | None = None
     remote_path: str | None = None
+    #: streaming execution mode: read this input with readStream; the job
+    #: becomes an incremental, checkpointed Structured Streaming run
+    streaming: bool = False
 
     @classmethod
     def from_dict(cls, d: dict[str, Any], default_name: str = "input") -> "InputSpec":
         props = d.get("fileProperties", {}) or {}
         return cls(
+            streaming=as_bool(d.get("streaming", props.get("streaming"))),
             data_source=str(d.get("dataSource", "local")).lower(),
             dataframe_name=d.get("dataFrameName", default_name),
             path=d.get("path") or d.get("inputPath") or d.get("s3Location"),

@@ -134,7 +134,7 @@ class Orchestrator:
         # Semantics (the reference never defines them, SURVEY.md §7.3d):
         # |input - output| / input must be ≤ thresholdLimit; with a zero
         # threshold the counts must match exactly. Opt-in per job.
-        if config.transformed_count_validation and out_name:
+        if config.transformed_count_validation and out_name and not result.views[out_name].isStreaming:
             input_count = result.input_count or (
                 result.views[config.primary_input.dataframe_name].count()
                 if config.primary_input
@@ -152,7 +152,10 @@ class Orchestrator:
             df = result.views.get(target.dataframe_name)
             if df is None:
                 raise KeyError(f"target references unknown view '{target.dataframe_name}'")
-            result.write_results.append(write_target(self.spark, df, target))
+            if df.isStreaming:
+                self._streaming_load(config, target, df, result)
+            else:
+                result.write_results.append(write_target(self.spark, df, target))
 
         # archival + ledger + post hooks
         if config.archive_input_file and config.primary_input and config.primary_input.path:
@@ -163,6 +166,33 @@ class Orchestrator:
             ledger.record(config.name, fp)
         self._run_scripts(config.post_scripts)
         return result
+
+    def _streaming_load(self, config: JobConfig, target, df: DataFrame, result: JobResult) -> None:
+        """Streaming execution mode (``"streaming": "true"`` on the input):
+        the SQL chain ran against a streaming view, so the load is a
+        checkpointed ``foreachBatch`` write reusing the batch load modes.
+        ``Trigger.AvailableNow`` processes exactly the unseen input and
+        stops — the reference's incremental cron-batch posture
+        (spark.json:8-12) with exactly-once bookkeeping instead of a
+        fingerprint ledger. Requires ``s3TempPath`` for the checkpoint."""
+        from ..streaming.ops import foreach_batch_writer
+
+        if not config.temp_path:
+            raise ValueError("streaming jobs need s3TempPath for the checkpoint location")
+        import os as _os
+
+        ckpt = _os.path.join(
+            config.temp_path, "stream_ckpt", config.name, target.dataframe_name
+        )
+        q = (
+            df.writeStream.foreachBatch(foreach_batch_writer(target))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result.write_results.append({"path": target.path, "loadType": target.load_type,
+                                     "streaming": True, "checkpoint": ckpt})
 
     # -- phases -------------------------------------------------------------
 
@@ -188,6 +218,12 @@ class Orchestrator:
             return None, []
         name = config.primary_input.dataframe_name
         df = views[name]
+        if df.isStreaming:
+            raise NotImplementedError(
+                "count-based validations need bounded input; for streaming "
+                "jobs use streaming.ops (watermarked dedup) and keep "
+                "data_validation_required false"
+            )
         v = config.validations
         bad_lanes: list[tuple[str, DataFrame]] = []
         # cache the parent once: both lanes of each split re-scan it

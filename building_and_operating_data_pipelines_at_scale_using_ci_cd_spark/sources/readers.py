@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+from dataclasses import replace
 from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame, SparkSession
@@ -164,12 +165,42 @@ def _read_jdbc(spark: SparkSession, spec: "InputSpec") -> DataFrame:
     return reader.load()
 
 
+def read_stream_input(spark: SparkSession, spec: "InputSpec") -> DataFrame:
+    """Streaming twin of :func:`read_input` for file sources: the schema
+    comes from the external mapping when given, else from a footer/sample
+    inference batch read (readStream requires an explicit schema). The
+    checkpoint (managed by the engine) makes repeated runs incremental —
+    the streaming-native form of the dialect's duplicateRunCheck."""
+    if spec.data_source in ("database", "sftp"):
+        raise ValueError(f"streaming not supported for dataSource={spec.data_source}")
+    if not spec.path:
+        raise ValueError(f"streaming input '{spec.dataframe_name}' has no path")
+    fmt = spec.file_format
+    if fmt not in _NATIVE_FORMATS:
+        raise ValueError(f"streaming not supported for fileFormat={fmt}")
+    if spec.data_mapping and spec.metadata_path:
+        schema = load_schema_mapping(spec.metadata_path)
+    else:
+        schema = read_input(
+            spark, replace(spec, streaming=False)
+        ).schema  # footer/sample read only — no data scan
+    reader = spark.readStream.options(**spec.options).schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", str(spec.header).lower())
+    df = reader.format(fmt).load(spec.path)
+    if spec.select_columns:
+        df = df.select(*spec.select_columns)
+    return df
+
+
 def read_input(spark: SparkSession, spec: "InputSpec") -> DataFrame:
     """Read one phase_1 input per its spec and return the (lazy) DataFrame.
 
     Registration as a temp view (spark.json:16) happens in the engine so
     this stays reusable outside the config path.
     """
+    if spec.streaming:
+        return read_stream_input(spark, spec)
     src = spec.data_source
 
     if src == "database":

@@ -142,6 +142,64 @@ def test_archival_copies_input(spark, tmp_path, dirty_src):
     assert os.path.isdir(dirty_src)  # deleteSourceAfterArchival not set
 
 
+def test_streaming_config_job_is_incremental(spark, tmp_path):
+    """`"streaming": "true"` on the input runs the same JSON job as a
+    checkpointed Structured Streaming job: a re-run after new data arrives
+    processes ONLY the unseen files (the streaming-native form of
+    duplicateRunCheck), appending instead of reprocessing."""
+    src = str(tmp_path / "stream_in")
+    out = str(tmp_path / "stream_out")
+    spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double").write.mode(
+        "append"
+    ).parquet(src)
+
+    cfg = {
+        "configs": {
+            "name": "incr_job",
+            "s3TempPath": str(tmp_path / "scratch"),
+            "phase_1": {
+                "input_data": {
+                    "dataSource": "local",
+                    "dataFrameName": "src",
+                    "path": src,
+                    "streaming": "true",
+                    "fileProperties": {"fileFormat": "parquet"},
+                }
+            },
+        },
+        "phase_2": {
+            "data_transformations": [
+                {
+                    "functionName": "double_v",
+                    "sqlQuery": "SELECT k, v * 2 AS v2 FROM src",
+                    "outputDFName": "doubled",
+                }
+            ]
+        },
+        "phase_3": {
+            "target_record_insert": [
+                {
+                    "dataTarget": "local",
+                    "dataFrameName": "doubled",
+                    "loadType": "simpleInsert",
+                    "path": out,
+                    "outputDataProperties": {"fileFormat": "parquet"},
+                }
+            ]
+        },
+    }
+    orch = Orchestrator(spark)
+    r1 = orch.run(cfg)
+    assert r1.write_results[0]["streaming"]
+    assert spark.read.parquet(out).count() == 2
+
+    # second run with one new file: only the new row lands
+    spark.createDataFrame([(3, 30.0)], "k int, v double").write.mode("append").parquet(src)
+    orch.run(cfg)
+    rows = {r["k"]: r["v2"] for r in spark.read.parquet(out).collect()}
+    assert rows == {1: 20.0, 2: 40.0, 3: 60.0}  # no reprocessing of k=1,2
+
+
 def test_single_file_csv_with_prefix_and_compression(spark, tmp_path, dirty_src):
     out = str(tmp_path / "export")
     cfg = _base_config("export_job", dirty_src, out)
