@@ -142,6 +142,20 @@ def test_archival_copies_input(spark, tmp_path, dirty_src):
     assert os.path.isdir(dirty_src)  # deleteSourceAfterArchival not set
 
 
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_writer_format_roundtrip(spark, tmp_path, dirty_src, fmt):
+    """W1: every file-sink format writes and reads back the full row set."""
+    out = str(tmp_path / f"rt_{fmt}")
+    cfg = _base_config(f"rt_{fmt}", dirty_src, out)
+    cfg["phase_3"]["target_record_insert"][0]["outputDataProperties"] = {
+        "fileFormat": fmt,
+        "header": "true",
+    }
+    Orchestrator(spark).run(cfg)
+    reader = spark.read.option("header", "true").option("inferSchema", "true")
+    assert reader.format(fmt).load(out).count() == 6
+
+
 def test_streaming_config_job_is_incremental(spark, tmp_path):
     """`"streaming": "true"` on the input runs the same JSON job as a
     checkpointed Structured Streaming job: a re-run after new data arrives
