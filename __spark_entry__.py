@@ -707,6 +707,36 @@ WHERE ROUND(LEN(LIST_INTERSECT(x.shingles, y.shingles)) * 1.0
 """
 
 
+def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified near-dup pairs: every doc in
+    a pair → its cluster representative (min reachable id). Iterative
+    min-label propagation; oracle mirrors it with a recursive CTE."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, "doc_id", "text", threshold=0.8)
+    return near_dup_clusters(pairs)
+
+
+NEAR_DUP_CLUSTERS_DUCK = f"""
+WITH RECURSIVE pairs AS ({MINHASH_NEAR_DUPS_DUCK}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
+FROM reach GROUP BY src
+"""
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
     return simhash_fingerprints(docs, "doc_id", "text")
@@ -1070,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data operators (SURVEY.md §2.10)
         "exact_dedup_docs": _sql(EXACT_DEDUP_DOCS),
         "minhash_near_dups": _q_minhash_near_dups,
+        "near_dup_clusters": _q_near_dup_clusters,
         "simhash_fingerprints": _q_simhash,
         "text_stats": _sql(TEXT_STATS_SPARK),
         "tokenize_regex": _sql(TOKENIZE_REGEX_SPARK),
@@ -1129,6 +1160,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_purchase_attribution": ASOF_PURCHASE_DUCK,
         "exact_dedup_docs": EXACT_DEDUP_DOCS,
         "minhash_near_dups": MINHASH_NEAR_DUPS_DUCK,
+        "near_dup_clusters": NEAR_DUP_CLUSTERS_DUCK,
         "simhash_fingerprints": _simhash_duck(),
         "text_stats": TEXT_STATS_DUCK,
         "tokenize_regex": TOKENIZE_REGEX_DUCK,

@@ -182,6 +182,56 @@ def near_dup_pairs(
     return out
 
 
+def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc in a
+    pair maps to its cluster representative (the minimum id reachable) —
+    the survivor-selection step after candidate generation, so a corpus
+    keeps exactly one doc per duplicate cluster.
+
+    Iterative min-label propagation on DataFrames: each round joins the
+    current labels across the (symmetrized) edge set and keeps the
+    smaller label; converges in O(component diameter) rounds — near-dup
+    clusters are shallow (pairs chain through shared content), so this is
+    a handful of rounds even at corpus scale. Each round is one
+    hash-shuffle on the vertex id; ``localCheckpoint`` truncates the
+    growing lineage so round N doesn't replay rounds 1..N-1.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    while True:
+        # smallest label among a vertex's neighbors this round
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+                (F.col("nbr_label") < F.col("label")).alias("__changed"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("__changed")).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep"))
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32, shingle_n: int = 3
 ) -> DataFrame:

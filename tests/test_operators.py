@@ -101,6 +101,20 @@ def test_near_dup_pairs_finds_planted_dup(spark):
     assert all(r["jaccard_sim"] >= 0.5 for r in pairs)
 
 
+def test_near_dup_clusters_connected_components(spark):
+    """Chain 1-2-3-4 collapses to rep 1; isolated pair (8,9) to rep 8 —
+    even though 1-4 never appear as a direct pair."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (8, 9)], "id_a int, id_b int"
+    )
+    got = {r["doc_id"]: r["cluster_rep"] for r in near_dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}
+
+
 def test_simhash_identical_docs_same_fingerprint(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "z y x w v u t")],
