@@ -796,6 +796,41 @@ FROM documents
 """
 
 
+def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data filter a real corpus pipeline runs:
+    exact-dedup survivors ∩ predicted-English ∩ quality ≥ 0.5 — chaining
+    the dedup, lang-id, and quality operators in one plan."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.dedup import (
+        exact_dedup_groups,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    keep = exact_dedup_groups(docs, "text", "doc_id").select(F.col("keep_id").alias("doc_id"))
+    scored = docs.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_pred"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    return (
+        scored.join(keep, "doc_id")
+        .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+        .select("doc_id", "lang_pred", "quality")
+    )
+
+
+def _corpus_curation_duck() -> str:
+    return f"""
+WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5(text)),
+q AS ({QUALITY_SCORES_DUCK}),
+l AS ({_lang_id_duck()})
+SELECT q.doc_id, l.predicted_lang AS lang_pred, q.quality
+FROM q
+JOIN l ON q.doc_id = l.doc_id
+JOIN keep ON keep.doc_id = q.doc_id
+WHERE l.predicted_lang = 'en' AND q.quality >= 0.5
+"""
+
+
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
     return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
@@ -1106,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_regex": _sql(TOKENIZE_REGEX_SPARK),
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
+        "corpus_curation": _q_corpus_curation,
         "doc_fingerprints": _q_fingerprints,
         "topk_neighbors": _q_topk_neighbors,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1166,6 +1202,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenize_regex": TOKENIZE_REGEX_DUCK,
         "quality_scores": QUALITY_SCORES_DUCK,
         "lang_id": _lang_id_duck(),
+        "corpus_curation": _corpus_curation_duck(),
         "doc_fingerprints": FINGERPRINT_DUCK,
         "topk_neighbors": TOPK_NEIGHBORS_DUCK,
         "ann_lsh_topk": _ann_lsh_duck(),
