@@ -1,0 +1,76 @@
+"""Explain-plan audit: scan every entry query's physical plan for scale
+red flags.
+
+    python tools/plan_audit.py [sf_dir]
+
+Red flags:
+  - CartesianProduct            unbounded pair blowup
+  - BroadcastNestedLoopJoin     non-equi join fallback (expected ONLY for
+                                the documented brute-force similarity
+                                verifiers, which have LSH/IVF scale twins)
+  - BatchEvalPython             row-at-a-time Python UDF in the plan
+Also reported per query: sort-merge vs broadcast-hash join counts and
+exchange (shuffle) counts — watch for plans whose exchange count jumps
+after a change.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark import get_session
+
+#: brute-force verifier queries where a BNLJ is the documented intent
+BNLJ_ALLOWED = {"topk_neighbors", "embedding_near_dups"}
+
+FLAGS = {
+    "CARTESIAN": re.compile(r"CartesianProduct"),
+    "BNLJ": re.compile(r"BroadcastNestedLoopJoin"),
+    "ROW_PY_UDF": re.compile(r"BatchEvalPython"),
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_session(app_name="plan-audit", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    failures = []
+    for name, fn in entry_mod.queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
+        except Exception as exc:  # noqa: BLE001 - audit must see every query
+            print(f"{name:30s} ERROR {type(exc).__name__}: {str(exc)[:90]}")
+            failures.append(name)
+            continue
+        hits = [f for f, rx in FLAGS.items() if rx.search(plan)]
+        if "BNLJ" in hits and name in BNLJ_ALLOWED:
+            hits.remove("BNLJ")
+            hits.append("bnlj(documented)")
+        bad = [h for h in hits if h.isupper()]
+        if bad:
+            failures.append(name)
+        print(
+            f"{name:30s} smj={plan.count('SortMergeJoin')} "
+            f"bhj={plan.count('BroadcastHashJoin')} "
+            f"exch={plan.count('Exchange')} flags={hits or '-'}"
+        )
+
+    print("=" * 60)
+    print(f"{len(failures)} flagged: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
