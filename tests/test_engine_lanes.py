@@ -142,6 +142,34 @@ def test_archival_copies_input(spark, tmp_path, dirty_src):
     assert os.path.isdir(dirty_src)  # deleteSourceAfterArchival not set
 
 
+def test_unknown_target_view_raises_keyerror(spark, tmp_path, dirty_src):
+    cfg = _base_config("bad_view", dirty_src, str(tmp_path / "nowhere"))
+    cfg["phase_3"]["target_record_insert"][0]["dataFrameName"] = "no_such_view"
+    with pytest.raises(KeyError, match="no_such_view"):
+        Orchestrator(spark).run(cfg)
+
+
+def test_unsupported_format_raises(spark, tmp_path, dirty_src):
+    cfg = _base_config("bad_fmt", dirty_src, str(tmp_path / "nowhere2"))
+    cfg["configs"]["phase_1"]["input_data"]["fileProperties"] = {"fileFormat": "avro-nope"}
+    with pytest.raises(ValueError, match="fileFormat"):
+        Orchestrator(spark).run(cfg)
+
+
+def test_streaming_with_validation_raises(spark, tmp_path):
+    src = str(tmp_path / "sv_src")
+    spark.createDataFrame([(1, "a")], "k int, v string").write.parquet(src)
+    cfg = _base_config("sv_job", src, str(tmp_path / "sv_out"), s3TempPath=str(tmp_path / "t"))
+    cfg["configs"]["phase_1"]["input_data"]["streaming"] = "true"
+    cfg["phase_2"]["data_validation_required"] = "true"
+    cfg["phase_2"]["data_validations"] = {
+        "nullValueValidation": "true",
+        "nullValueCheck": {"primaryKeys": ["k"]},
+    }
+    with pytest.raises(NotImplementedError, match="bounded"):
+        Orchestrator(spark).run(cfg)
+
+
 @pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
 def test_writer_format_roundtrip(spark, tmp_path, dirty_src, fmt):
     """W1: every file-sink format writes and reads back the full row set."""
