@@ -945,22 +945,38 @@ FROM events GROUP BY user_id
 """
 
 
+_NEAR_DUP_PLANES = 4
+
+
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs above 0.4 (brute-force verifier)."""
+    """Embedding-cosine near-dup pairs above 0.4 via the default LSH
+    candidate path (4 hyperplane buckets) — the O(n²) brute-force shape is
+    opt-in only (``brute_force=True``)."""
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.dedup import (
         embedding_near_dup_pairs,
     )
 
     emb = _table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4,
+        num_planes=_NEAR_DUP_PLANES, dim=_ANN_DIM,
+    )
 
 
-EMBEDDING_NEAR_DUPS_DUCK = """
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+def _embedding_near_dups_duck() -> str:
+    def plane_lit(p: int) -> str:
+        return "[" + ", ".join(str(v) for v in _hyperplane(_ANN_DIM, p)) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN LIST_DOT_PRODUCT(embedding::DOUBLE[], {plane_lit(p)}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_NEAR_DUP_PLANES)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, ({bucket}) AS bucket FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(LIST_DOT_PRODUCT(a.e, b.e)
              / (SQRT(LIST_DOT_PRODUCT(a.e, a.e)) * SQRT(LIST_DOT_PRODUCT(b.e, b.e))), 4) AS cosine_sim
-FROM v a JOIN v b ON a.vec_id < b.vec_id
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE LIST_DOT_PRODUCT(a.e, b.e)
       / (SQRT(LIST_DOT_PRODUCT(a.e, a.e)) * SQRT(LIST_DOT_PRODUCT(b.e, b.e))) >= 0.4
 """
@@ -1244,6 +1260,6 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": IVF_TOPK_DUCK,
         "multimodal_decode": MULTIMODAL_DECODE_DUCK,
         "pivot_event_values": PIVOT_EVENT_VALUES_DUCK,
-        "embedding_near_dups": EMBEDDING_NEAR_DUPS_DUCK,
+        "embedding_near_dups": _embedding_near_dups_duck(),
         "udf_text_metrics": UDF_TEXT_METRICS_DUCK,
     }

@@ -35,7 +35,7 @@ def as_bool(v: Any, default: bool = False) -> bool:
     return str(v).strip().lower() in ("true", "1", "yes", "y")
 
 
-def as_percent(v: Any, default: float = 0.0) -> float:
+def as_percent(v: Any, default: float | None = 0.0) -> float | None:
     """Parse '30%' / '30' / 0.3 into a fraction in [0, 1]."""
     if v is None:
         return default
@@ -163,6 +163,7 @@ class TargetSpec:
     compression: str | None = None
     partition_by: list[str] = field(default_factory=list)
     reconciliation: bool = False
+    reconciliation_mode: str = "count"  # count|hash (value-level checksum)
     # SCD2 knobs (our engine's; reference exposes only loadType=scdType2Insert)
     scd2_keys: list[str] = field(default_factory=list)
     scd2_compare_cols: list[str] = field(default_factory=list)
@@ -189,6 +190,7 @@ class TargetSpec:
             compression=props.get("compression"),
             partition_by=list(props.get("partitionBy") or d.get("partitionBy") or []),
             reconciliation=as_bool(d.get("reconciliation")),
+            reconciliation_mode=str(d.get("reconciliationMode", "count")).lower(),
             scd2_keys=list(d.get("scd2Keys") or []),
             scd2_compare_cols=list(d.get("scd2CompareCols") or []),
             scd2_effective_col=d.get("scd2EffectiveCol"),
@@ -224,7 +226,10 @@ class JobConfig:
 
     name: str = "job"
     spark_config: dict[str, str] = field(default_factory=dict)
-    threshold_limit: float = 0.0  # fraction of rows allowed bad (spark.json:7)
+    #: fraction of rows allowed bad (spark.json:7). None = key absent =
+    #: gate off; an explicit "0%" means zero tolerance (any bad row fails)
+    #: — same semantics the V3 count validation gives 0.
+    threshold_limit: float | None = None
     duplicate_run_check: bool = False  # idempotency guard (spark.json:8)
     temp_path: str | None = None  # checkpoints/scratch (spark.json:9)
     archive_input_file: bool = False  # (spark.json:10-12)
@@ -273,7 +278,9 @@ class JobConfig:
         return cls(
             name=raw.get("name", configs.get("name", "job")),
             spark_config={k: str(v) for k, v in (configs.get("sparkConfig") or raw.get("sparkConfig") or {}).items()},
-            threshold_limit=as_percent(configs.get("thresholdLimit", raw.get("thresholdLimit"))),
+            threshold_limit=as_percent(
+                configs.get("thresholdLimit", raw.get("thresholdLimit")), default=None
+            ),
             duplicate_run_check=as_bool(configs.get("duplicateRunCheck", raw.get("duplicateRunCheck"))),
             temp_path=configs.get("s3TempPath") or raw.get("s3TempPath") or configs.get("tempPath"),
             archive_input_file=as_bool(configs.get("archiveInputFile")),

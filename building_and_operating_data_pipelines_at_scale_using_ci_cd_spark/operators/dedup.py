@@ -268,18 +268,54 @@ def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def embedding_near_dup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    num_planes: int = 4,
+    dim: int | None = None,
+    brute_force: bool = False,
 ) -> DataFrame:
-    """Embedding-cosine near-dup: all pairs above threshold. Brute-force
-    formulation for the verifier; at scale, candidate pairs come from
-    :mod:`..functions.similarity`'s LSH bucketing first."""
-    from ..functions.similarity import cosine
+    """Embedding-cosine near-dup pairs above ``threshold``.
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    Default path: candidates restricted to a random-hyperplane LSH bucket
+    (``num_planes`` sign bits), exact cosine only inside buckets — the
+    pair join is a hash equi-join on the bucket key, so the O(n²)
+    all-pairs shape is opt-in (``brute_force=True``, the exact verifier
+    for bounded samples), never reachable by accident on a full corpus.
+    High-cosine pairs land in one bucket with probability
+    (1 - θ/π)^num_planes, so fewer planes → higher recall, more compute.
+
+    ``dim`` (hyperplane dimensionality) is inferred from one row when not
+    given — a bounded single-row action."""
+    from ..functions.similarity import cosine, lsh_bucket_key
+
+    if brute_force:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        if dim is None:
+            first = df.select(vec_col).first()
+            if first is None:
+                return df.sparkSession.createDataFrame(
+                    [], "id_a long, id_b long, cosine_sim double"
+                )
+            dim = len(first[0])
+        bucketed = df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            lsh_bucket_key(F.col(vec_col), dim, num_planes).alias("__bucket"),
+        )
+        a = bucketed.select(
+            F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__bucket"
+        )
+        b = bucketed.select(
+            F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "__bucket"
+        )
+        joined = a.join(b, "__bucket").filter(F.col("id_a") < F.col("id_b"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", cosine(F.col("__va"), F.col("__vb")))
+        joined.withColumn("cosine_sim", cosine(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
     )

@@ -48,6 +48,24 @@ def _fingerprint(cols: list[str]):
     return F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in cols])
 
 
+def _dedup_incoming(incoming: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
+    """One deterministic survivor per business key (greatest row under a
+    total order over the non-key columns). No-op plan-wise when keys are
+    already unique; guards the merge's one-current-row invariant when the
+    snapshot arrives with duplicates (scdType2Insert targets don't pass
+    through the V2 validation split)."""
+    if not order_cols:
+        return incoming.dropDuplicates(keys)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc_nulls_last() for c in order_cols])
+    return (
+        incoming.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def scd2_initial(incoming: DataFrame, effective_ts) -> DataFrame:
     """First load: everything becomes the current version."""
     return (
@@ -71,17 +89,25 @@ def scd2_merge(
     function / ``scd2_initial``). ``compare_cols`` defaults to all non-key,
     non-meta columns. ``effective_ts`` defaults to current_timestamp() —
     pass an explicit value for reproducible pipelines.
+
+    The incoming snapshot is deduplicated per business key first (keeping
+    the greatest row under a total order over the non-key columns):
+    duplicate incoming keys would otherwise fan out the merge join and
+    produce several simultaneous "current" versions of one key, violating
+    the one-current-row invariant. The dedup window shuffles on the same
+    keys the merge join uses, so it adds no extra exchange at scale.
     """
     eff = F.lit(effective_ts).cast("timestamp") if effective_ts is not None else F.current_timestamp()
 
     if target is None or not target.columns:
+        incoming = _dedup_incoming(incoming, keys, [c for c in incoming.columns if c not in keys])
         return scd2_initial(incoming, effective_ts if effective_ts is not None else F.current_timestamp())
 
     data_cols = [c for c in target.columns if c not in SCD2_META_COLS]
     missing = set(data_cols) - set(incoming.columns)
     if missing:
         raise ValueError(f"incoming snapshot missing columns: {sorted(missing)}")
-    incoming = incoming.select(*data_cols)
+    incoming = _dedup_incoming(incoming.select(*data_cols), keys, [c for c in data_cols if c not in keys])
     compare = compare_cols or [c for c in data_cols if c not in keys]
 
     fp = _fingerprint(compare)

@@ -122,7 +122,11 @@ class Orchestrator:
             for _, lane in bad_lanes:
                 total_bad += lane.count()
         result.bad_count = total_bad
-        if config.data_validation_required and config.threshold_limit > 0:
+        # V4 gate: active whenever validation is on AND thresholdLimit was
+        # given. An explicit "0%" means zero tolerance (any bad row fails)
+        # — consistent with V3 below, where 0 means exact count match; a
+        # missing key disables the gate (bad rows only quarantine).
+        if config.data_validation_required and config.threshold_limit is not None:
             total = result.input_count + total_bad
             if bad_fraction(total, total_bad) > config.threshold_limit:
                 raise ThresholdExceeded(
@@ -141,10 +145,11 @@ class Orchestrator:
                 else 0
             )
             out_count = result.views[out_name].count()
-            if not count_within_threshold(input_count, out_count, config.threshold_limit):
+            limit = config.threshold_limit or 0.0
+            if not count_within_threshold(input_count, out_count, limit):
                 raise ThresholdExceeded(
                     f"transformed count {out_count} vs input {input_count} "
-                    f"outside threshold {config.threshold_limit:.0%}"
+                    f"outside threshold {limit:.0%}"
                 )
 
         # phase_3 loads

@@ -59,7 +59,6 @@ class Pipeline:
         self.spark = spark
         self.tasks = {t.name: t for t in tasks}
         self.concurrency = max(1, concurrency)
-        self.orchestrator = Orchestrator(spark)
         #: O9 XCom equivalent: shared context dict tasks can read/write
         self.context: dict[str, Any] = {}
 
@@ -103,7 +102,13 @@ class Pipeline:
                 elif task.config is None:
                     res = None  # marker/cleanup task with no job: no-op success
                 else:
-                    res = self.orchestrator.run(task.config)
+                    # Each job gets its own child session (shared
+                    # SparkContext, isolated temp-view catalog + SQLConf):
+                    # concurrent jobs that use the same dataFrameName /
+                    # outputDFName (e.g. the defaults 'input'/'output')
+                    # would otherwise clobber each other's views, and
+                    # per-job sparkConfig would leak across tasks.
+                    res = Orchestrator(self.spark.newSession()).run(task.config)
                     if isinstance(res, JobResult):
                         self.context[task.name] = res
                 return TaskOutcome(name=task.name, state="success", attempts=attempts, result=res)

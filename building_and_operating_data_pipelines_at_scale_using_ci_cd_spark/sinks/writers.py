@@ -34,6 +34,9 @@ if TYPE_CHECKING:
 
 _FORMAT_ALIASES = {"deltalake": "delta", "txt": "text"}
 
+#: xlsx hard sheet limit (1,048,576 rows) minus the header row
+_EXCEL_MAX_ROWS = 1_048_575
+
 
 def _fmt(fmt: str) -> str:
     return _FORMAT_ALIASES.get(fmt, fmt)
@@ -67,7 +70,16 @@ def _write_file(df: DataFrame, spec: "TargetSpec", mode: str) -> None:
     if spec.partition_by:
         writer = writer.partitionBy(*spec.partition_by)
     if fmt == "excel":
-        # no core writer — pandas bridge, inherently single-file
+        # no core writer — pandas bridge, inherently single-file. The
+        # collect is bounded so a config typo (pointing a big table at an
+        # excel sink) fails fast instead of OOMing the driver; the cap is
+        # the format's own sheet limit.
+        n = df.limit(_EXCEL_MAX_ROWS + 1).count()
+        if n > _EXCEL_MAX_ROWS:
+            raise ValueError(
+                f"excel sink '{spec.path}': input exceeds {_EXCEL_MAX_ROWS} "
+                "rows (xlsx sheet limit); use a distributed format"
+            )
         df.toPandas().to_excel(spec.path, index=False)
         return
     writer.format(fmt).save(spec.path)
@@ -88,18 +100,143 @@ def _write_jdbc(df: DataFrame, spec: "TargetSpec", mode: str) -> None:
     writer.save()
 
 
+def _delta_table(spark: SparkSession, path: str):
+    """Gated Delta handle: returns the DeltaTable at ``path`` or None when
+    delta-spark is absent / the path is not a Delta table."""
+    try:  # pragma: no cover - delta-spark not in this container
+        from delta.tables import DeltaTable
+
+        if DeltaTable.isDeltaTable(spark, path):
+            return DeltaTable.forPath(spark, path)
+    except ImportError:
+        pass
+    return None
+
+
+def _scd2_delta_merge(spark: SparkSession, dt, df: DataFrame, spec: "TargetSpec") -> None:
+    """SCD2 via Delta ``MERGE INTO`` (reference ``spark.json:19,73,91``):
+    rewrites only the files holding matched current rows instead of the
+    whole table — the at-scale upgrade over the file-sink rewrite below.
+
+    Standard two-lane staging: each incoming row appears once keyed (to
+    close a changed current row) and, when it changes an existing key,
+    once with a NULL merge key (to fall through to the insert clause)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.scd2 import EFF_END, EFF_START, IS_CURRENT, _HIGH_TS, _fingerprint
+
+    keys = spec.scd2_keys
+    eff = (
+        F.lit(spec.scd2_effective_col).cast("timestamp")
+        if spec.scd2_effective_col
+        else F.current_timestamp()
+    )
+    target_df = dt.toDF()
+    data_cols = [c for c in target_df.columns if c not in SCD2_META_COLS]
+    compare = spec.scd2_compare_cols or [c for c in data_cols if c not in keys]
+    fp = _fingerprint(compare)
+
+    incoming = df.select(*data_cols).withColumn("__fp", fp)
+    current = target_df.filter(F.col(IS_CURRENT)).withColumn("__fp", fp)
+    changed = incoming.alias("i").join(
+        current.alias("t"),
+        [incoming[k].eqNullSafe(current[k]) for k in keys],
+        "inner",
+    ).filter(F.col("i.__fp") != F.col("t.__fp")).select("i.*")
+
+    staged = incoming.select(
+        *[F.col(k).alias(f"__mk_{k}") for k in keys], "*"
+    ).unionByName(
+        changed.select(*[F.lit(None).alias(f"__mk_{k}") for k in keys], "*")
+    )
+    # plain '=' (not null-safe): the NULL-keyed staging lane must never
+    # match — it exists to fall through to the insert clause.
+    cond = " AND ".join(
+        f"t.{k} = s.__mk_{k}" for k in keys
+    ) + f" AND t.{IS_CURRENT} = true"
+    (
+        dt.alias("t")
+        .merge(staged.alias("s"), cond)
+        .whenMatchedUpdate(
+            condition=f"t.{IS_CURRENT} = true AND s.__fp <> {_fingerprint_sql(compare, 't')}",
+            set={EFF_END: eff, IS_CURRENT: F.lit(False)},
+        )
+        .whenNotMatchedInsert(
+            values={
+                **{c: F.col(f"s.{c}") for c in data_cols},
+                EFF_START: eff,
+                EFF_END: F.lit(_HIGH_TS).cast("timestamp"),
+                IS_CURRENT: F.lit(True),
+            }
+        )
+        .execute()
+    )
+
+
+def _fingerprint_sql(cols: list[str], alias: str) -> str:
+    """SQL text twin of ``operators.scd2._fingerprint`` for MERGE conditions."""
+    parts = ", ".join(f"coalesce(cast({alias}.{c} as string), '\\u0000NULL')" for c in cols)
+    return f"xxhash64({parts})"
+
+
+def _swap_dirs(spark: SparkSession, staging: str, final: str) -> None:
+    """Replace ``final`` with ``staging`` via Hadoop FS renames (works on
+    any supported filesystem, not just local): rename the old table aside,
+    rename staging in, then delete the old copy. A crash mid-swap leaves
+    either the old table in place or the old copy under ``__old`` —
+    recoverable by hand — never zero copies (the failure mode of
+    delete-then-move)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jstaging = jvm.org.apache.hadoop.fs.Path(staging)
+    jfinal = jvm.org.apache.hadoop.fs.Path(final)
+    fs = jfinal.getFileSystem(hconf)
+    aside = jvm.org.apache.hadoop.fs.Path(final.rstrip("/") + "__old")
+    if fs.exists(aside):
+        fs.delete(aside, True)
+    had_old = fs.exists(jfinal)
+    if had_old and not fs.rename(jfinal, aside):
+        raise IOError(f"could not move existing table aside: {final}")
+    if not fs.rename(jstaging, jfinal):
+        if had_old:
+            fs.rename(aside, jfinal)  # roll back
+        raise IOError(f"could not move staging into place: {staging} -> {final}")
+    if had_old:
+        fs.delete(aside, True)
+
+
 def _scd2_write(spark: SparkSession, df: DataFrame, spec: "TargetSpec") -> None:
-    """W5 as a load mode: merge incoming snapshot into the existing target
-    path, then atomically swap via a staging directory."""
+    """W5 as a load mode. With delta-spark present and a Delta target, the
+    merge is a Delta ``MERGE INTO`` (rewrites only matched files); the
+    file-sink fallback merges in Spark and swaps the rewritten table in
+    via Hadoop-FS renames."""
     fmt = _fmt(spec.file_format)
     keys = spec.scd2_keys
     if not keys:
         raise ValueError(f"scdType2Insert target '{spec.path}' needs scd2Keys")
+    if not spec.path:
+        raise ValueError("scdType2Insert needs a target path")
+
+    if fmt == "delta":
+        dt = _delta_table(spark, spec.path)
+        if dt is not None:  # pragma: no cover - delta-spark not in container
+            _scd2_delta_merge(spark, dt, df, spec)
+            return
+
     target = None
-    if spec.path and os.path.exists(spec.path):
+    if os.path.exists(spec.path):
         existing = spark.read.format(fmt).load(spec.path)
         if set(SCD2_META_COLS) <= set(existing.columns):
             target = existing
+        elif existing.columns:
+            # an existing non-SCD2 table here is almost certainly a config
+            # mistake (e.g. the path previously loaded via simpleInsert);
+            # silently replacing it with an initial load would destroy it.
+            raise ValueError(
+                f"scdType2Insert target '{spec.path}' exists but lacks the "
+                f"SCD2 meta columns {SCD2_META_COLS}; refusing to overwrite "
+                "a non-SCD2 table — point the target elsewhere or migrate it"
+            )
     merged = scd2_merge(
         target,
         df,
@@ -107,22 +244,36 @@ def _scd2_write(spark: SparkSession, df: DataFrame, spec: "TargetSpec") -> None:
         compare_cols=spec.scd2_compare_cols or None,
         effective_ts=spec.scd2_effective_col,
     )
-    if not spec.path:
-        raise ValueError("scdType2Insert needs a target path")
     staging = spec.path.rstrip("/") + "__staging"
     merged.write.mode("overwrite").format(fmt).save(staging)
-    if os.path.exists(spec.path):
-        shutil.rmtree(spec.path)
-    shutil.move(staging, spec.path)
+    _swap_dirs(spark, staging, spec.path)
 
 
 def write_target(spark: SparkSession, df: DataFrame, spec: "TargetSpec") -> dict:
     """Write one target_record_insert entry; returns a reconciliation
     record (V6, ``spark.json:80``) when requested."""
+    from ..operators.reconcile import reconcile_counts, reconcile_hash
+
     load = spec.load_type or "simpleInsert"
     mode = spec.save_mode or {"simpleInsert": "append", "truncateInsert": "overwrite"}.get(
         load, "overwrite"
     )
+    # V6 pre-count: an append onto a non-empty target must reconcile the
+    # count DELTA, not the absolute target count (which includes rows from
+    # previous loads and would fail a perfectly good append).
+    pre_existing = 0
+    if (
+        spec.reconciliation
+        and mode == "append"
+        and load != "scdType2Insert"
+        and spec.path
+        and os.path.exists(spec.path)
+    ):
+        try:
+            pre_existing = spark.read.format(_fmt(spec.file_format)).load(spec.path).count()
+        except Exception:
+            pre_existing = 0  # unreadable/empty dir: treat as fresh target
+
     if mode == "scd2" or load == "scdType2Insert":
         _scd2_write(spark, df, spec)
     elif spec.data_target == "database":
@@ -137,19 +288,26 @@ def write_target(spark: SparkSession, df: DataFrame, spec: "TargetSpec") -> dict
 
     result: dict = {"path": spec.path, "loadType": load}
     if spec.reconciliation:
-        # V6: source-vs-target count compare; cheap (metadata-only for
-        # parquet) and catches partial writes.
-        expected = df.count()
-        written = (
-            spark.read.format(_fmt(spec.file_format)).load(spec.path).count()
-            if spec.path
-            else expected
-        )
-        result["reconciliation"] = {
-            "expected": expected,
-            "written": written,
-            "ok": (expected == written) if load != "scdType2Insert" else written >= expected,
-        }
+        # V6 (spark.json:80): count check by default (metadata-only for
+        # parquet), value-level checksum when reconciliationMode=hash.
+        if not spec.path:
+            result["reconciliation"] = {"mode": "count", "ok": True, "expected": None}
+        elif spec.reconciliation_mode == "hash" and load != "scdType2Insert" and mode != "append":
+            written_df = spark.read.format(_fmt(spec.file_format)).load(spec.path)
+            result["reconciliation"] = reconcile_hash(df, written_df)
+        else:
+            expected = df.count()
+            written = spark.read.format(_fmt(spec.file_format)).load(spec.path).count()
+            if load == "scdType2Insert":
+                # merge output ≥ snapshot (history rows carried through)
+                result["reconciliation"] = {
+                    "mode": "count",
+                    "expected": expected,
+                    "written": written,
+                    "ok": written >= expected,
+                }
+            else:
+                result["reconciliation"] = reconcile_counts(expected, written, pre_existing)
     return result
 
 

@@ -132,17 +132,69 @@ def _read_xml(spark: SparkSession, spec: "InputSpec") -> DataFrame:
         ) from e
 
 
+def _sftp_download(sftp, remote_path: str, local_dir: str) -> str:
+    """Fetch a remote file or directory (one level) into ``local_dir``;
+    returns the staged local path. Separated from transport setup so tests
+    can exercise it with a fake client."""
+    import stat as _stat
+
+    base = os.path.basename(remote_path.rstrip("/")) or "sftp_input"
+    dest = os.path.join(local_dir, base)
+    attrs = sftp.stat(remote_path)
+    if _stat.S_ISDIR(attrs.st_mode):
+        os.makedirs(dest, exist_ok=True)
+        for entry in sftp.listdir(remote_path):
+            rp = remote_path.rstrip("/") + "/" + entry
+            if _stat.S_ISREG(sftp.stat(rp).st_mode):
+                sftp.get(rp, os.path.join(dest, entry))
+    else:
+        sftp.get(remote_path, dest)
+    return dest
+
+
 def _read_sftp(spark: SparkSession, spec: "InputSpec") -> DataFrame:
-    """S11: no native connector — stage the remote file locally then read.
-    Gated behind paramiko; in this container it's a declared stub."""
+    """S11 (``spark.json:15`` dataSource sftp): no native Spark connector —
+    stage the remote file(s) to a local temp dir over SFTP, then delegate
+    to the local reader so every fileFormat works unchanged. Gated behind
+    paramiko (the only missing dependency; the fetch itself is real).
+
+    Scale note: sftp is a single-stream protocol — it is inherently a
+    small-file ingestion edge (the reference uses it for vendor drops),
+    never the 100 TB path; staging through the driver's temp dir matches
+    that reality."""
     try:
-        import paramiko  # noqa: F401
+        import paramiko
     except ImportError as e:
         raise NotImplementedError(
             "sftp source requires paramiko (not in this container); "
             "stage files locally and use dataSource=local"
         ) from e
-    raise NotImplementedError("sftp staging fetch not configured")  # pragma: no cover
+    if not spec.sftp_host:
+        raise ValueError(f"sftp input '{spec.dataframe_name}' needs sftpServerName")
+    remote = spec.remote_path or spec.path
+    if not remote:
+        raise ValueError(f"sftp input '{spec.dataframe_name}' needs remoteDirPath")
+
+    import tempfile
+
+    opts = spec.options
+    transport = paramiko.Transport((spec.sftp_host, int(opts.get("port", 22))))
+    try:
+        connect_kwargs: dict = {"username": opts.get("username")}
+        if opts.get("keyPath"):
+            connect_kwargs["pkey"] = paramiko.RSAKey.from_private_key_file(opts["keyPath"])
+        else:
+            connect_kwargs["password"] = opts.get("password")
+        transport.connect(**connect_kwargs)
+        sftp = paramiko.SFTPClient.from_transport(transport)
+        try:
+            local = _sftp_download(sftp, remote, tempfile.mkdtemp(prefix="sftp_stage_"))
+        finally:
+            sftp.close()
+    finally:
+        transport.close()
+    staged = replace(spec, data_source="local", path=local, remote_path=None)
+    return read_input(spark, staged)
 
 
 def _read_jdbc(spark: SparkSession, spec: "InputSpec") -> DataFrame:
