@@ -34,8 +34,36 @@ HEADLINE = [
     "minhash_near_dups",
     "topk_neighbors",
     "ivf_topk",
+    "ann_lsh_topk",
+    "scd2_incremental",
     "hourly_events",
 ]
+
+
+def _scd2_incremental(spark, sf_dir):
+    """Bench-only: an INCREMENTAL SCD2 merge (existing history + a ~10%
+    changed snapshot) — the steady-state nightly shape, as opposed to
+    scd2_price_history which times initial + full-snapshot merge."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.scd2 import (
+        scd2_initial,
+        scd2_merge,
+    )
+
+    entry_mod._views(spark, sf_dir)
+    base = spark.sql(
+        """SELECT l_partkey AS partkey,
+                  MIN(l_extendedprice) AS low, MAX(l_extendedprice) AS high
+           FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-06-01 00:00:00'
+           GROUP BY l_partkey"""
+    )
+    delta = spark.sql(
+        """SELECT l_partkey AS partkey,
+                  MIN(l_extendedprice) AS low, MAX(l_extendedprice) AS high
+           FROM lineitem WHERE l_partkey % 10 = 0
+           GROUP BY l_partkey"""
+    )
+    target = scd2_initial(base, "1998-06-01 00:00:00")
+    return scd2_merge(target, delta, keys=["partkey"], effective_ts="2000-01-01 00:00:00")
 
 
 def main() -> None:
@@ -50,7 +78,8 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    qs = entry_mod.queries()
+    qs = dict(entry_mod.queries())
+    qs["scd2_incremental"] = _scd2_incremental
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = qs[name](spark, sf_dir)
