@@ -1,0 +1,143 @@
+"""Deterministic dataset splitting / sampling / packing (SURVEY.md §2.10
+north-star: the bookkeeping half of a training-data pipeline — after
+dedup/quality filtering, a corpus still needs reproducible train/val/test
+splits, stratified subsampling, and token-stream packing).
+
+Everything is keyed on the portable md5 hash of a stable id (via
+``functions.text.portable_hash`` discipline), NOT on ``rand()``:
+
+  - reproducible across runs, engines, partitionings, and cluster sizes —
+    re-running the pipeline tomorrow on 10× the executors yields the same
+    split for every surviving document;
+  - membership is a pure per-row projection: no shuffle, no sort, no
+    global state — each operator is a narrow map stage at any scale;
+  - an oracle engine (DuckDB) can reproduce assignments bit-for-bit.
+
+Packing is the one operator that needs an order (a window cumsum). A
+single global ORDER BY would serialize the corpus through one task, so
+packing shards first (md5 of the id mod ``n_shards``) and packs within
+shards — the standard way LLM pretraining pipelines parallelize sequence
+packing; ``n_shards`` bounds per-task state, and the window shuffles once
+on the shard key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: resolution of the md5-derived uniform in [0, 1)
+_BUCKETS = 1_000_000
+
+
+def uniform_from_id(id_col: Column, seed: int = 0) -> Column:
+    """Deterministic uniform in [0, 1) from an id: first 8 hex chars of
+    md5(id#seed) → 32-bit int → mod 1e6 / 1e6. Engine-portable (md5 +
+    integer arithmetic only)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(f"#{seed}"))), 1, 8), 16, 10
+    ).cast("bigint")
+    return (h % _BUCKETS) / F.lit(float(_BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (e.g. train/val/test) by its id
+    hash. Splits are disjoint, exhaustive, and stable: a row's assignment
+    never changes when other rows are added or removed — the property
+    random splits lack and training reproducibility needs.
+
+    ``weights`` need not sum to 1; they are normalized. Pure projection —
+    no shuffle."""
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    u = uniform_from_id(F.col(id_col), seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        branch = F.when(u < F.lit(acc), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(acc), F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float] | float,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum subsample: keep a row iff its id-hash
+    uniform falls under its stratum's fraction. With a dict, unlisted
+    strata default to 0 (dropped); with a scalar, every stratum keeps the
+    same share. No shuffle — membership is a per-row predicate, so this
+    composes with any downstream plan for free (contrast ``sampleBy``,
+    whose Bernoulli draw changes membership run to run)."""
+    u = uniform_from_id(F.col(id_col), seed)
+    if isinstance(fractions, dict):
+        frac = None
+        for k, v in fractions.items():
+            branch = F.when(F.col(strata_col) == k, F.lit(float(v)))
+            frac = branch if frac is None else frac.when(F.col(strata_col) == k, F.lit(float(v)))
+        frac = F.lit(0.0) if frac is None else frac.otherwise(F.lit(0.0))
+    else:
+        frac = F.lit(float(fractions))
+    return df.filter(u < frac)
+
+
+def pack_sequential(
+    df: DataFrame,
+    order_col: str,
+    size_col: str,
+    budget: int,
+    n_shards: int = 32,
+    seed: int = 0,
+) -> DataFrame:
+    """Sequence packing: concatenate documents (in a deterministic order)
+    into fixed-budget bins — the contiguous-stream chunking LLM
+    pretraining uses to fill context windows. A document belongs to the
+    bin where its stream offset starts, so every bin except a shard's
+    last holds ≥ budget units of contiguous stream.
+
+    Sharded for scale: rows are bucketed by md5(order_col) % n_shards and
+    packed within shards (one window shuffle on the shard key; per-task
+    state bounded by the largest shard, never the corpus). Output adds
+    ``shard``, ``bin_id`` (global: shard * 2^32 + local bin), and
+    ``bin_offset`` (the row's start position inside its bin).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(order_col).cast("string"), F.lit(f"#{seed}"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    sharded = df.withColumn("shard", (h % n_shards).cast("int"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_incl = F.sum(F.col(size_col).cast("bigint")).over(w)
+    cum_before = cum_incl - F.col(size_col).cast("bigint")
+    local_bin = F.floor(cum_before / F.lit(budget))
+    return (
+        sharded.withColumn("__cum_before", cum_before)
+        .withColumn(
+            "bin_id", (F.col("shard").cast("bigint") * F.lit(1 << 32) + local_bin).cast("bigint")
+        )
+        .withColumn(
+            "bin_offset", (F.col("__cum_before") - local_bin * F.lit(budget)).cast("bigint")
+        )
+        .drop("__cum_before")
+    )

@@ -1,0 +1,103 @@
+"""Deterministic split / stratified sample / sequence packing
+(pkg/operators/sampling.py): reproducibility, disjointness, per-stratum
+fractions, packing invariants, and the no-shuffle plan shapes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.sampling import (
+    hash_split,
+    pack_sequential,
+    stratified_sample,
+    uniform_from_id,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_hash_split_disjoint_exhaustive_stable(docs):
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = docs.count()
+    assert sum(counts.values()) == total  # exhaustive, one split per row
+    assert counts["train"] > counts.get("val", 0)
+    # stability under corpus change: removing rows never reassigns survivors
+    subset = hash_split(docs.filter("doc_id % 2 = 0"), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    full = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    for r in subset.select("doc_id", "split").collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_hash_split_seed_changes_assignment(docs):
+    a = hash_split(docs, "doc_id", {"x": 0.5, "y": 0.5}, seed=0)
+    b = hash_split(docs, "doc_id", {"x": 0.5, "y": 0.5}, seed=7)
+    joined = a.select("doc_id", F.col("split").alias("sa")).join(
+        b.select("doc_id", F.col("split").alias("sb")), "doc_id"
+    )
+    assert joined.filter("sa <> sb").count() > 0
+
+
+def test_hash_split_rejects_zero_weights(docs):
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"a": 0.0, "b": 0.0})
+
+
+def test_uniform_is_roughly_uniform(docs):
+    mean = docs.select(F.avg(uniform_from_id(F.col("doc_id"))).alias("m")).collect()[0]["m"]
+    assert 0.4 < mean < 0.6
+
+
+def test_stratified_sample_respects_fractions(docs):
+    out = stratified_sample(docs, "lang", {"en": 0.5, "de": 0.25}, "doc_id", seed=1)
+    base = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(got) <= {"en", "de"}  # unlisted strata dropped
+    if base.get("en", 0) >= 40:
+        assert 0.3 < got.get("en", 0) / base["en"] < 0.7
+    # deterministic: second run identical row set
+    again = stratified_sample(docs, "lang", {"en": 0.5, "de": 0.25}, "doc_id", seed=1)
+    assert out.select("doc_id").subtract(again.select("doc_id")).count() == 0
+    assert again.select("doc_id").subtract(out.select("doc_id")).count() == 0
+
+
+def test_stratified_sample_scalar_fraction(docs):
+    out = stratified_sample(docs, "lang", 0.2, "doc_id")
+    assert 0 < out.count() < docs.count()
+
+
+def test_split_and_sample_are_shuffle_free(docs):
+    for df in (
+        hash_split(docs, "doc_id", {"a": 0.5, "b": 0.5}),
+        stratified_sample(docs, "lang", 0.3, "doc_id"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # pure projection/filter
+
+
+def test_pack_sequential_invariants(docs):
+    budget = 5000
+    packed = pack_sequential(docs, "doc_id", "n_chars", budget=budget, n_shards=8)
+    rows = packed.select("doc_id", "shard", "bin_id", "bin_offset", "n_chars").collect()
+    assert len(rows) == docs.count()
+    # start offset always inside the bin
+    assert all(0 <= r["bin_offset"] < budget for r in rows)
+    # bins are contiguous per shard: local ids form 0..max with no gaps
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], set()).add(r["bin_id"] - (r["shard"] << 32))
+    for shard, bins in by_shard.items():
+        assert bins == set(range(len(bins))), f"shard {shard} has bin gaps"
+    # every bin except a shard's last covers at least `budget` of stream
+    stream = {}
+    for r in rows:
+        stream[r["shard"]] = stream.get(r["shard"], 0) + r["n_chars"]
+    for shard, bins in by_shard.items():
+        assert len(bins) == stream[shard] // budget + 1
+
+
+def test_pack_sequential_rejects_bad_budget(docs):
+    with pytest.raises(ValueError):
+        pack_sequential(docs, "doc_id", "n_chars", budget=0)
