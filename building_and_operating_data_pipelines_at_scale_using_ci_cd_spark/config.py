@@ -123,11 +123,17 @@ class ValidationSpec:
 @dataclass
 class TransformSpec:
     """One data_transformations entry (spark.json:54-65): a Spark SQL
-    statement (inline or a .sql file path) producing a new named view."""
+    statement (inline or a .sql file path) producing a new named view —
+    or, our extension, a registered operator (``operatorName`` +
+    ``operatorParams`` applied to ``inputDFName``) for the multi-step
+    DataFrame programs SQL can't express (near-dup, splits, packing)."""
 
     function_name: str = ""
     sql_query: str = ""
     output_df_name: str = "output"
+    operator_name: str = ""
+    operator_params: dict[str, Any] = field(default_factory=dict)
+    input_df_name: str = ""
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "TransformSpec":
@@ -135,6 +141,9 @@ class TransformSpec:
             function_name=d.get("functionName", ""),
             sql_query=d.get("sqlQuery", ""),
             output_df_name=d.get("outputDFName", "output"),
+            operator_name=d.get("operatorName", ""),
+            operator_params=dict(d.get("operatorParams") or {}),
+            input_df_name=d.get("inputDFName", ""),
         )
 
     def resolve_sql(self) -> str:

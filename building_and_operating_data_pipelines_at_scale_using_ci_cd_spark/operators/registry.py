@@ -1,0 +1,126 @@
+"""Config-dialect operator registry (§2.9 extensibility).
+
+The reference's only transformation surface is a SQL string
+(``spark.json:54-65``). SQL covers the relational core, but the
+training-data operators (MinHash near-dup, clustering, splits, packing,
+ANN) are multi-step DataFrame programs a SQL string can't express. This
+registry makes them config-callable as a peer of ``sqlQuery``::
+
+    {"operatorName": "minhash_near_dups",
+     "inputDFName": "documents",
+     "operatorParams": {"id_col": "doc_id", "text_col": "text"},
+     "outputDFName": "dups"}
+
+Each entry is ``name -> fn(df, **params) -> DataFrame``; the engine
+resolves ``inputDFName`` against the registered views, applies the
+operator, and registers the output view exactly like a SQL step — so SQL
+and operator steps chain freely in one job and Catalyst still owns the
+whole plan (operators build lazy DataFrames; nothing executes until the
+load phase).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    from .dedup import exact_dedup_groups
+
+    return exact_dedup_groups(df, text_col, id_col)
+
+
+def _dedup_survivors(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup that returns the surviving ROWS (not the group report):
+    the corpus after dropping duplicate content."""
+    from .dedup import exact_dedup_groups
+
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col)
+
+
+def _minhash_near_dups(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
+    from .dedup import near_dup_pairs
+
+    return near_dup_pairs(df, id_col, text_col, **kw)
+
+
+def _near_dup_clusters(df: DataFrame, **kw) -> DataFrame:
+    from .dedup import near_dup_clusters
+
+    return near_dup_clusters(df, **kw)
+
+
+def _simhash(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
+    from .dedup import simhash_fingerprints
+
+    return simhash_fingerprints(df, id_col, text_col, **kw)
+
+
+def _embedding_near_dups(df: DataFrame, id_col: str, vec_col: str, **kw) -> DataFrame:
+    from .dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(df, id_col, vec_col, **kw)
+
+
+def _text_enrich(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard curation columns: predicted language, quality
+    score, token count, fingerprint."""
+    from ..functions.text import doc_fingerprint, lang_id, quality_score, token_count
+
+    c = F.col(text_col)
+    return (
+        df.withColumn("predicted_lang", lang_id(c))
+        .withColumn("quality", quality_score(c))
+        .withColumn("n_tokens", token_count(c))
+        .withColumn("fingerprint", doc_fingerprint(c))
+    )
+
+
+def _hash_split(df: DataFrame, id_col: str, weights: dict, **kw) -> DataFrame:
+    from .sampling import hash_split
+
+    return hash_split(df, id_col, {k: float(v) for k, v in weights.items()}, **kw)
+
+
+def _stratified_sample(df: DataFrame, strata_col: str, fractions, id_col: str, **kw) -> DataFrame:
+    from .sampling import stratified_sample
+
+    if isinstance(fractions, dict):
+        fractions = {k: float(v) for k, v in fractions.items()}
+    else:
+        fractions = float(fractions)
+    return stratified_sample(df, strata_col, fractions, id_col, **kw)
+
+
+def _pack_sequential(df: DataFrame, order_col: str, size_col: str, budget, **kw) -> DataFrame:
+    from .sampling import pack_sequential
+
+    return pack_sequential(df, order_col, size_col, int(budget), **kw)
+
+
+OPERATORS: dict[str, Callable[..., DataFrame]] = {
+    "exactDedupGroups": _exact_dedup,
+    "exactDedupSurvivors": _dedup_survivors,
+    "minhashNearDups": _minhash_near_dups,
+    "nearDupClusters": _near_dup_clusters,
+    "simhashFingerprints": _simhash,
+    "embeddingNearDups": _embedding_near_dups,
+    "textEnrich": _text_enrich,
+    "hashSplit": _hash_split,
+    "stratifiedSample": _stratified_sample,
+    "packSequential": _pack_sequential,
+}
+
+
+def apply_operator(name: str, df: DataFrame, params: dict) -> DataFrame:
+    if name not in OPERATORS:
+        raise KeyError(
+            f"unknown operatorName '{name}'; available: {sorted(OPERATORS)}"
+        )
+    return OPERATORS[name](df, **params)

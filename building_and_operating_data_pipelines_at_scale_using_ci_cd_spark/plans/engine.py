@@ -244,14 +244,29 @@ class Orchestrator:
         return df, bad_lanes
 
     def _phase2_transform(self, config: JobConfig, result: JobResult) -> str | None:
-        """Ordered SQL chain; each statement sees all prior views
-        (spark.json:54-65). Catalyst parses/optimizes each statement."""
+        """Ordered transformation chain; each step sees all prior views
+        (spark.json:54-65). A step is either a SQL statement (Catalyst
+        parses/optimizes it) or a registered operator applied to
+        ``inputDFName`` — both register their output as the next view, so
+        they chain freely and the whole job stays one lazy plan."""
         if not config.data_transformation_required:
             return config.primary_input.dataframe_name if config.primary_input else None
         out_name = None
         for t in config.transformations:
-            sql = t.resolve_sql()
-            df = self.spark.sql(sql)
+            if t.operator_name:
+                from ..operators.registry import apply_operator
+
+                in_name = t.input_df_name or out_name or (
+                    config.primary_input.dataframe_name if config.primary_input else None
+                )
+                if in_name is None or in_name not in result.views:
+                    raise KeyError(
+                        f"operator '{t.operator_name}' references unknown "
+                        f"input view '{in_name}'"
+                    )
+                df = apply_operator(t.operator_name, result.views[in_name], t.operator_params)
+            else:
+                df = self.spark.sql(t.resolve_sql())
             df.createOrReplaceTempView(t.output_df_name)
             result.views[t.output_df_name] = df
             out_name = t.output_df_name
