@@ -1088,6 +1088,70 @@ SELECT doc_id,
 FROM documents
 """
 
+_FRAME_SIZE = 256
+_FRAME_EVERY = 4
+
+
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: payload → every 4th 256-byte chunk, one
+    OUTPUT ROW PER FRAME (the row-fan-out shape of video pipelines)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.multimodal import (
+        sample_frames,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    frames = sample_frames(
+        attach_binary_payload(docs, "text", "doc_id"),
+        frame_size=_FRAME_SIZE,
+        every=_FRAME_EVERY,
+    )
+    return frames.select("doc_id", "frame_idx", "frame_len")
+
+
+MULTIMODAL_FRAMES_DUCK = f"""
+WITH d AS (
+  SELECT doc_id, OCTET_LENGTH(CAST(text AS BLOB)) AS nb,
+         CAST(CEIL(OCTET_LENGTH(CAST(text AS BLOB)) / {_FRAME_SIZE}.0) AS BIGINT) AS n_chunks
+  FROM documents
+), f AS (
+  SELECT doc_id, nb, UNNEST(GENERATE_SERIES(0, n_chunks - 1, {_FRAME_EVERY})) AS c
+  FROM d WHERE n_chunks > 0
+)
+SELECT doc_id,
+       CAST(c // {_FRAME_EVERY} AS INT) AS frame_idx,
+       CAST(LEAST({_FRAME_SIZE}, nb - c * {_FRAME_SIZE}) AS INT) AS frame_len
+FROM f
+"""
+
+_RESIZE_OUT_DIM = 16
+
+
+def _q_embedding_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature resize: 64-dim embedding bucket-averaged to 16 dims via
+    built-in higher-order functions (JVM-side, no UDF)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.multimodal import (
+        resize_vector,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    resized = resize_vector(F.col("embedding"), _RESIZE_OUT_DIM)
+    return emb.select(
+        "vec_id",
+        # + 0.0 canonicalizes IEEE negative zero (engines round -0.00002
+        # to -0.0 vs 0.0 inconsistently)
+        F.transform(resized, lambda x: F.round(x, 4) + F.lit(0.0)).alias("resized"),
+    )
+
+
+EMBEDDING_RESIZE_DUCK = f"""
+SELECT vec_id,
+       LIST_TRANSFORM(
+         GENERATE_SERIES(0, {_RESIZE_OUT_DIM - 1}),
+         b -> ROUND(LIST_SUM((embedding::DOUBLE[])[b * 4 + 1 : b * 4 + 4]) / 4.0, 4) + 0.0
+       ) AS resized
+FROM embeddings
+"""
+
 
 # -- deterministic split / sample / packing (training-data bookkeeping) ------
 
@@ -1246,6 +1310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": _q_dataset_split,
         "stratified_sample": _q_stratified_sample,
         "token_packing": _q_token_packing,
+        "multimodal_frames": _q_multimodal_frames,
+        "embedding_resize": _q_embedding_resize,
         # round-1 red, now hash-hardened — early for fresh evidence
         "scd2_price_history": _q_scd2_price_history,
         "sessionization": _sql(SESSIONIZATION),
@@ -1262,8 +1328,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_customer_spend": _sql(RUNNING_CUSTOMER_SPEND),
         "orders_rollup": _sql(ORDERS_ROLLUP),
         "orders_cube": _sql(ORDERS_CUBE),
-        "parts_heavy_semi": _sql(PARTS_HEAVY_SEMI),
-        "set_ops_segments": _sql(SET_OPS_SEGMENTS),
         "cte_nation_revenue": _sql(CTE_NATION_REVENUE),
         "date_funcs": _sql(DATE_FUNCS_SPARK),
         "range_join_shipments": _sql(RANGE_JOIN_SHIPMENTS),
@@ -1294,6 +1358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_neighbors": _q_topk_neighbors,
         # tail: proven green in CORRECTNESS_r01 and textually unchanged
         # since — safe to sit past a 50-query driver cutoff
+        "parts_heavy_semi": _sql(PARTS_HEAVY_SEMI),
+        "set_ops_segments": _sql(SET_OPS_SEGMENTS),
         "correlated_max_order": _sql(CORRELATED_MAX_ORDER),
         "json_events": _sql(JSON_EVENTS_SPARK),
         "customers_no_orders_anti": _sql(CUSTOMERS_NO_ORDERS_ANTI),
@@ -1322,6 +1388,8 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _dataset_split_duck(),
         "stratified_sample": _stratified_sample_duck(),
         "token_packing": _token_packing_duck(),
+        "multimodal_frames": MULTIMODAL_FRAMES_DUCK,
+        "embedding_resize": EMBEDDING_RESIZE_DUCK,
         "customers_no_orders_anti": CUSTOMERS_NO_ORDERS_ANTI,
         "parts_heavy_semi": PARTS_HEAVY_SEMI,
         "set_ops_segments": SET_OPS_SEGMENTS,

@@ -94,18 +94,83 @@ def decode_media(df_with_payload: DataFrame) -> DataFrame:
     return df_with_payload.mapInPandas(decode_media_batch, DECODED_SCHEMA)
 
 
+#: schema of a sampled frame record — NOTE: one input row fans out to N
+#: frame rows, the shape a video pipeline actually produces
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+        StructField("frame_len", IntegerType()),
+    ]
+)
+
+
+def sample_frames(
+    df_with_payload: DataFrame, frame_size: int = 256, every: int = 4
+) -> DataFrame:
+    """Frame sampling plumbing: explode each payload into every
+    ``every``-th fixed-size chunk ("frame"). The kernel is a deterministic
+    fake — a real video pipeline replaces the chunker with ffmpeg frame
+    extraction — but the Spark shape is the real one: a mapInPandas that
+    yields MORE rows than it consumes, Arrow-batch bounded, so a 2-hour
+    video row becomes N frame rows without ever materializing them all in
+    one python list per partition."""
+    if frame_size <= 0 or every <= 0:
+        raise ValueError("frame_size and every must be positive")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, lens = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_chunks = (len(payload) + frame_size - 1) // frame_size
+                for rank, c in enumerate(range(0, n_chunks, every)):
+                    chunk = payload[c * frame_size : (c + 1) * frame_size]
+                    ids.append(doc_id)
+                    idxs.append(rank)
+                    frames.append(bytes(chunk))
+                    lens.append(len(chunk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": frames,
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                }
+            )
+
+    return df_with_payload.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def resize_vector(vec, out_dim: int):
+    """Feature "resize": bucket-average an array<float> down to a fixed
+    ``out_dim`` — the 1-D analogue of image downsampling, and the real
+    operation used to align heterogeneous feature widths before
+    similarity search. Pure built-in higher-order functions (transform /
+    slice / aggregate) — JVM-side, no Python crossing, unlike the decode
+    kernels above which genuinely need a codec."""
+    if out_dim <= 0:
+        raise ValueError("out_dim must be positive")
+    n = F.size(vec)
+    # bucket b ∈ [0, out_dim): mean of elements [floor(b·n/out), floor((b+1)·n/out))
+    def bucket_mean(b):
+        start = F.floor(b * n / out_dim).cast("int")
+        end = F.floor((b + F.lit(1)) * n / out_dim).cast("int")
+        width = F.greatest(end - start, F.lit(1))
+        sl = F.slice(vec, start + 1, width)
+        return F.aggregate(
+            sl, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        ) / width.cast("double")
+
+    return F.transform(F.sequence(F.lit(0), F.lit(out_dim - 1)), bucket_mean)
+
+
 def image_resize_stub(*_args, **_kwargs):
-    """Placeholder for the image-resize kernel: requires PIL/opencv,
-    neither present in this container."""
+    """Placeholder for the pixel-level image-resize kernel: requires
+    PIL/opencv, neither present in this container. The vector-space
+    analogue (:func:`resize_vector`) and the batch plumbing
+    (:func:`decode_media`) are real."""
     raise NotImplementedError(
         "image decode/resize requires an imaging library (PIL/opencv); "
-        "wire it into decode_media_batch's body — the Spark plumbing is ready"
-    )
-
-
-def frame_sample_stub(*_args, **_kwargs):
-    """Placeholder for video frame sampling (needs ffmpeg bindings)."""
-    raise NotImplementedError(
-        "video frame sampling requires ffmpeg bindings; "
         "wire it into decode_media_batch's body — the Spark plumbing is ready"
     )
