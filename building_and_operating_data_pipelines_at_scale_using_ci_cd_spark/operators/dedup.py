@@ -92,9 +92,12 @@ def lsh_band_keys(sig_col: Column, num_hashes: int = 16, bands: int = 4) -> Colu
 def _spread(df: DataFrame) -> DataFrame:
     """Small-file inputs arrive as one partition; the per-row hash work
     downstream is CPU-bound, so spread rows across the cluster first.
-    (At 100 TB the scan is already wide and this repartition is a no-op
-    cost relative to the signature computation it parallelizes.)"""
+    CONDITIONAL: when the scan is already at least as wide as the
+    cluster (the 100 TB case), this is a no-op — an unconditional
+    repartition would add a full shuffle of the corpus for nothing."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
     return df.repartition(target)
 
 

@@ -28,7 +28,9 @@ import __spark_entry__ as entry_mod
 from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark import get_session
 
 #: brute-force verifier queries where a BNLJ is the documented intent
-BNLJ_ALLOWED = {"topk_neighbors", "embedding_near_dups"}
+#: (embedding_near_dups left this set in round 2: it now routes through
+#: LSH buckets by default, so a BNLJ there is a regression again)
+BNLJ_ALLOWED = {"topk_neighbors"}
 
 FLAGS = {
     "CARTESIAN": re.compile(r"CartesianProduct"),
@@ -61,10 +63,16 @@ def main() -> int:
         bad = [h for h in hits if h.isupper()]
         if bad:
             failures.append(name)
+        # pushdown visibility: scans whose PushedFilters list is non-empty /
+        # total parquet scans. Informational (projection-only queries push
+        # nothing), but a filtered query showing 0/N deserves a look.
+        scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+        pushed = len(re.findall(r"PushedFilters: \[(?!\])", plan))
         print(
             f"{name:30s} smj={plan.count('SortMergeJoin')} "
             f"bhj={plan.count('BroadcastHashJoin')} "
-            f"exch={plan.count('Exchange')} flags={hits or '-'}"
+            f"exch={plan.count('Exchange')} pushed={pushed}/{scans} "
+            f"flags={hits or '-'}"
         )
 
     print("=" * 60)
