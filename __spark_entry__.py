@@ -855,6 +855,46 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: per doc, the count and a
+    digest of the selected min-hash set (k=5 char grams, window w=4)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.dedup import (
+        winnow_fingerprint_sets,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    sel = winnow_fingerprint_sets(docs, "doc_id", "text")
+    fp = F.col("fingerprints")
+    return sel.select(
+        "doc_id",
+        F.size(fp).alias("n_fingerprints"),
+        F.md5(F.concat_ws(",", F.transform(fp, lambda x: x.cast("string")))).alias("fp_digest"),
+    )
+
+
+WINNOW_DUCK = """
+WITH g AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(
+           GENERATE_SERIES(1, GREATEST(LENGTH(text) - 4, 0)),
+           i -> CAST(CONCAT('0x', SUBSTR(MD5(SUBSTRING(text, i, 5)), 1, 8)) AS BIGINT)
+         ) AS hs
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CASE WHEN LEN(hs) >= 4
+              THEN LIST_SORT(LIST_DISTINCT(LIST_TRANSFORM(
+                     GENERATE_SERIES(1, LEN(hs) - 3), j -> LIST_MIN(hs[j:j+3]))))
+              ELSE []::BIGINT[] END AS sel
+  FROM g
+)
+SELECT doc_id,
+       CAST(LEN(sel) AS INT) AS n_fingerprints,
+       MD5(ARRAY_TO_STRING(sel, ',')) AS fp_digest
+FROM m
+"""
+
+
 def _q_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-10 for probe vectors (vec_id % 50 = 0)."""
     emb = _table(spark, sf_dir, "embeddings")
@@ -1153,6 +1193,82 @@ FROM embeddings
 """
 
 
+# -- streaming (SURVEY.md §2.8): same answer as the batch oracle -------------
+
+
+def _q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event rollup computed by Structured Streaming (availableNow
+    → memory sink, complete mode) instead of a batch scan — proving the
+    streaming engine produces the exact batch answer. The tumbling
+    ``F.window`` aligns to epoch hours, so it equals DATE_TRUNC('hour')."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    # events.ts is TIMESTAMP(NANOS): stream it as long and convert, the
+    # streaming twin of sources.readers.read_parquet's nanos handling.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    # the file stream source wants a directory: stream the sf dir filtered
+    # down to the events table (testdata tables are single files)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("__v"),
+        )
+    )
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("win.start").alias("hour_start"),
+        "event_type",
+        "n_events",
+        F.round(F.col("__v").cast("double") / 10000.0, 2).alias("total_value"),
+    )
+
+
+STREAMING_HOURLY_DUCK = """
+SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 2)
+         AS total_value
+FROM events
+GROUP BY DATE_TRUNC('hour', ts), event_type
+"""
+
+
 # -- deterministic split / sample / packing (training-data bookkeeping) ------
 
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -1312,6 +1428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_packing": _q_token_packing,
         "multimodal_frames": _q_multimodal_frames,
         "embedding_resize": _q_embedding_resize,
+        "streaming_hourly_events": _q_streaming_hourly,
+        "winnow_fingerprints": _q_winnow,
         # round-1 red, now hash-hardened — early for fresh evidence
         "scd2_price_history": _q_scd2_price_history,
         "sessionization": _sql(SESSIONIZATION),
@@ -1390,6 +1508,8 @@ def oracle_sql() -> dict[str, str]:
         "token_packing": _token_packing_duck(),
         "multimodal_frames": MULTIMODAL_FRAMES_DUCK,
         "embedding_resize": EMBEDDING_RESIZE_DUCK,
+        "streaming_hourly_events": STREAMING_HOURLY_DUCK,
+        "winnow_fingerprints": WINNOW_DUCK,
         "customers_no_orders_anti": CUSTOMERS_NO_ORDERS_ANTI,
         "parts_heavy_semi": PARTS_HEAVY_SEMI,
         "set_ops_segments": SET_OPS_SEGMENTS,

@@ -113,6 +113,43 @@ def lang_id(text: Column) -> Column:
     return result
 
 
+def gram_hashes(text: Column, k: int = 5) -> Column:
+    """md5-derived 32-bit hash of every char ``k``-gram (empty array when
+    the doc is shorter than ``k`` — guarded: a descending ``sequence``
+    would otherwise count down)."""
+    n = F.length(text)
+    gram_idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    hashed = F.transform(
+        gram_idx,
+        lambda i: F.conv(F.substring(F.md5(F.substring(text, i, k)), 1, 8), 16, 10).cast(
+            "bigint"
+        ),
+    )
+    return F.when(n >= F.lit(k), hashed).otherwise(F.array().cast("array<bigint>"))
+
+
+def winnow_select(hashes: Column, w: int = 4) -> Column:
+    """Winnowing selection (the rolling-hash document fingerprinting of
+    MOSS, Schleimer et al. 2003): slide a window of ``w`` consecutive
+    gram hashes, keep each window's minimum. Documents sharing any run of
+    ≥ k+w-1 chars are guaranteed to share a selected fingerprint, at ~1/w
+    the storage of all grams.
+
+    PERFORMANCE CONTRACT: ``hashes`` must be a MATERIALIZED column (an
+    attribute produced by a previous select), not the ``gram_hashes``
+    expression inline — Spark does not hoist loop-invariant
+    subexpressions out of higher-order-function lambdas, so slicing an
+    inline expression re-evaluates every gram hash per window: O(n²) md5
+    per document (measured 25× slower at 500 docs). Use
+    :func:`operators.dedup.winnow_fingerprint_sets` which stages it
+    correctly."""
+    win_idx = F.sequence(F.lit(1), F.size(hashes) - F.lit(w - 1))
+    mins = F.transform(win_idx, lambda j: F.array_min(F.slice(hashes, j, w)))
+    return F.when(
+        F.size(hashes) >= F.lit(w), F.array_sort(F.array_distinct(mins))
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 over the sorted distinct token set —
     invariant to token order/duplication, the cheap first pass before

@@ -235,6 +235,29 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") 
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep"))
 
 
+def winnow_fingerprint_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints per document: columns
+    (id_col, fingerprints array<bigint>). Two projections with a barrier
+    in between so the gram-hash array is materialized ONCE per row before
+    the window-min pass slices it — inlining it would re-evaluate all
+    gram hashes per window (O(n²) md5 per doc; see
+    ``functions.text.winnow_select``). The barrier is a dropped
+    non-deterministic column, which blocks Catalyst's CollapseProject
+    without adding a shuffle — still a narrow map-only plan at any scale."""
+    from ..functions.text import gram_hashes, winnow_select
+
+    staged = df.select(
+        F.col(id_col),
+        gram_hashes(F.col(text_col), k).alias("__hs"),
+        F.rand().alias("__barrier"),
+    )
+    return staged.select(
+        id_col, winnow_select(F.col("__hs"), w).alias("fingerprints")
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32, shingle_n: int = 3
 ) -> DataFrame:

@@ -122,3 +122,28 @@ def test_simhash_identical_docs_same_fingerprint(spark):
     )
     fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(df, "doc_id", "text").collect()}
     assert fps[1] == fps[2] != fps[3]
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: docs sharing a run of >= k+w-1 chars share a
+    selected fingerprint; docs shorter than k select nothing."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.dedup import (
+        winnow_fingerprint_sets,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, "AAAA " + shared + " BBBB"),
+            (2, "CCCC " + shared + " DDDD"),
+            (3, "completely different words here entirely"),
+            (4, "tiny"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: set(r["fingerprints"]) for r in winnow_fingerprint_sets(df, "doc_id", "text").collect()}
+    assert out[1] & out[2]  # shared run -> shared fingerprint
+    assert not out[4]  # shorter than k+w-1 -> empty
+    # determinism
+    again = {r["doc_id"]: set(r["fingerprints"]) for r in winnow_fingerprint_sets(df, "doc_id", "text").collect()}
+    assert out == again
