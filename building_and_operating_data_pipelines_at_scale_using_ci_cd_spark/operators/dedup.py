@@ -44,23 +44,31 @@ _MINHASH_P = 4294967311
 _MINHASH_C = 12582917
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature as a single array expression: md5 each shingle
-    ONCE to a 32-bit integer, then derive the ``num_hashes`` functions
-    from it with a universal affine family ``h_i(x) = ((2i+1)·x + i·c)
-    mod p`` (p prime > 2^32). One md5 per shingle instead of one per
-    (shingle × hash) — 16× less hashing on the dominant path — and every
-    step is integer arithmetic an oracle engine reproduces exactly.
-    No explode — the whole signature is one projection."""
-    hashed = F.transform(
+def shingle_hashes(shingle_col: Column) -> Column:
+    """md5 each shingle ONCE to a 32-bit integer — the only
+    cryptographic-hash pass of the MinHash pipeline."""
+    return F.transform(
         shingle_col,
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
     )
+
+
+def minhash_from_hashes(hashed_col: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature from pre-hashed shingles via a universal affine
+    family ``h_i(x) = ((2i+1)·x + i·c) mod p`` (p prime > 2^32) — pure
+    integer arithmetic an oracle engine reproduces exactly.
+
+    PERFORMANCE CONTRACT: ``hashed_col`` must be a MATERIALIZED column
+    (attribute), not the ``shingle_hashes`` expression inline. Spark does
+    not hoist loop-invariant subexpressions out of higher-order-function
+    lambdas, so an inline expression would be re-evaluated once per hash
+    function — num_hashes× the md5 work (the exact cost this design
+    exists to avoid). Stage it like ``_candidates_from_shingles`` does."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
             F.transform(
-                hashed,
+                hashed_col,
                 lambda h: F.pmod(
                     (i * 2 + F.lit(1)).cast("bigint") * h
                     + (i * F.lit(_MINHASH_C)).cast("bigint"),
@@ -69,6 +77,15 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
             )
         ),
     )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
+    """Single-expression form of shingle→signature (kept for API
+    compatibility). Prefer the staged two-projection form
+    (:func:`shingle_hashes` materialized, then
+    :func:`minhash_from_hashes`) on any hot path — see the performance
+    contract on :func:`minhash_from_hashes`."""
+    return minhash_from_hashes(shingle_hashes(shingle_col), num_hashes)
 
 
 def lsh_band_keys(sig_col: Column, num_hashes: int = 16, bands: int = 4) -> Column:
@@ -112,14 +129,31 @@ def _candidates_from_shingles(
 ) -> DataFrame:
     """Band the signatures and self-join on (band_idx, band_key).
 
+    Staged as materialize-hashes → materialize-signature → band, with
+    non-deterministic barrier columns blocking CollapseProject: each
+    stage's array is computed once per row and the next stage slices an
+    ATTRIBUTE. Collapsed into one projection, the signature lambda would
+    re-evaluate the md5 pass per hash function and the band lambda the
+    signature per band (num_hashes× + bands× that stage's work — 1.6× on
+    the whole pipeline at sf0.1, where verification shares the cost).
+    Both stages stay narrow map-only plans.
+
     ``banded`` is persisted: it is both sides of the self-join, and
     without the persist Spark recomputes the signature (the dominant
     md5 cost) once per side."""
-    banded = sh.select(
+    hashed = sh.select(
+        "__id", shingle_hashes(F.col("__sh")).alias("__hashed"), F.rand().alias("__b1")
+    )
+    sig = hashed.select(
         "__id",
-        F.posexplode(
-            lsh_band_keys(minhash_signature(F.col("__sh"), num_hashes), num_hashes, bands)
-        ).alias("band_idx", "band_key"),
+        minhash_from_hashes(F.col("__hashed"), num_hashes).alias("__sig"),
+        F.rand().alias("__b2"),
+    )
+    banded = sig.select(
+        "__id",
+        F.posexplode(lsh_band_keys(F.col("__sig"), num_hashes, bands)).alias(
+            "band_idx", "band_key"
+        ),
     ).persist()
     a = banded.alias("a")
     b = banded.alias("b")
