@@ -43,11 +43,15 @@ def token_count(text: Column, sep: str = " ") -> Column:
     return F.size(tokens(text, sep))
 
 
-def shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
-    """Distinct n-gram (token-level) shingles; the unit of near-dup
+def shingles_from_tokens(tk: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingles from a token array; the unit of near-dup
     detection. Empty when the doc has fewer than ``n`` tokens (guarded:
-    ``sequence(1,0)`` would count DOWN in Spark)."""
-    tk = tokens(text, sep)
+    ``sequence(1,0)`` would count DOWN in Spark).
+
+    PERFORMANCE CONTRACT: on hot paths pass a MATERIALIZED token column —
+    the transform lambda slices ``tk`` per shingle index, and Spark does
+    not hoist loop-invariant expressions out of lambdas, so an inline
+    ``split()`` here is re-tokenized once per shingle (O(tokens²))."""
     idx = F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1))
     return F.array_distinct(
         F.when(
@@ -55,6 +59,13 @@ def shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, n))),
         ).otherwise(F.array().cast("array<string>"))
     )
+
+
+def shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
+    """Single-expression text→shingles (API compatibility); prefer
+    staging ``tokens()`` into its own projection first on hot paths —
+    see :func:`shingles_from_tokens`."""
+    return shingles_from_tokens(tokens(text, sep), n)
 
 
 def portable_hash(col: Column, seed: int = 0) -> Column:

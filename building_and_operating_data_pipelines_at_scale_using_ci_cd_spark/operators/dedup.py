@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import portable_hash, shingles
+from ..functions.text import portable_hash
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -119,8 +119,19 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def _shingle_df(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
-    return _spread(df).select(
-        F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh")
+    """Tokenize in one projection, shingle in the next (barrier between):
+    the shingle lambda slices the token array per index, so an inline
+    split() would re-tokenize the doc once per shingle (see
+    functions.text.shingles_from_tokens)."""
+    from ..functions.text import shingles_from_tokens, tokens
+
+    tk = _spread(df).select(
+        F.col(id_col).alias("__id"),
+        tokens(F.col(text_col)).alias("__tk"),
+        F.rand().alias("__b0"),
+    )
+    return tk.select(
+        "__id", shingles_from_tokens(F.col("__tk"), shingle_n).alias("__sh")
     ).filter(F.size("__sh") > 0)
 
 
@@ -296,10 +307,10 @@ def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32, shingle_n: int = 3
 ) -> DataFrame:
     """32-bit SimHash per doc: explode shingles, majority-vote each bit of
-    the portable hash, reassemble. One shuffle (groupBy id)."""
-    exploded = _spread(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("__s"),
+    the portable hash, reassemble. One shuffle (groupBy id); shingling is
+    staged through the tokenized projection like the MinHash path."""
+    exploded = _shingle_df(df, id_col, text_col, shingle_n).select(
+        F.col("__id").alias("doc_id"), F.explode(F.col("__sh")).alias("__s")
     ).withColumn("__h", portable_hash(F.col("__s")))
     bit_sums = exploded.groupBy("doc_id").agg(
         *[
