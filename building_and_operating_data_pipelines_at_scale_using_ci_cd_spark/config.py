@@ -171,6 +171,9 @@ class TargetSpec:
     header: bool = True
     compression: str | None = None
     partition_by: list[str] = field(default_factory=list)
+    #: sort rows within output files so columnar min/max stats are
+    #: selective (data skipping on later scans)
+    sort_by: list[str] = field(default_factory=list)
     reconciliation: bool = False
     reconciliation_mode: str = "count"  # count|hash (value-level checksum)
     # SCD2 knobs (our engine's; reference exposes only loadType=scdType2Insert)
@@ -198,6 +201,7 @@ class TargetSpec:
             header=as_bool(props.get("header"), True),
             compression=props.get("compression"),
             partition_by=list(props.get("partitionBy") or d.get("partitionBy") or []),
+            sort_by=list(props.get("sortBy") or d.get("sortBy") or []),
             reconciliation=as_bool(d.get("reconciliation")),
             reconciliation_mode=str(d.get("reconciliationMode", "count")).lower(),
             scd2_keys=list(d.get("scd2Keys") or []),

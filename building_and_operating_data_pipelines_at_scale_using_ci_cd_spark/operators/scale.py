@@ -64,6 +64,42 @@ def salted_join(
     return out.drop("__salt")
 
 
+def compact_files(
+    spark, path: str, fmt: str = "parquet", target_mb: int = 128, sort_by: list[str] | None = None
+) -> int:
+    """Small-files compaction: rewrite a table directory into files of
+    roughly ``target_mb`` each (sized from the current on-disk bytes),
+    optionally range-sorted on ``sort_by`` so parquet min/max row-group
+    stats become selective (data skipping for later scans). Returns the
+    output file count.
+
+    The standard maintenance pass for streaming/append sinks whose
+    micro-batches leave thousands of tiny files — at scale, file-listing
+    and per-file open costs dominate reads long before data size does.
+    Writes through a staging dir + the same crash-safe rename swap the
+    SCD2 sink uses."""
+    import os as _os
+
+    from ..sinks.writers import _swap_dirs
+
+    size_bytes = 0
+    for root, _dirs, files in _os.walk(path):
+        size_bytes += sum(_os.path.getsize(_os.path.join(root, f)) for f in files)
+    n_files = max(1, round(size_bytes / (target_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(path)
+    if sort_by:
+        out = df.repartitionByRange(n_files, *[F.col(c) for c in sort_by]).sortWithinPartitions(
+            *sort_by
+        )
+    else:
+        out = df.repartition(n_files)
+    staging = path.rstrip("/") + "__compact"
+    out.write.mode("overwrite").format(fmt).save(staging)
+    _swap_dirs(spark, staging, path)
+    written = spark.read.format(fmt).load(path)
+    return written.rdd.getNumPartitions()
+
+
 def bucketed_write(
     df: DataFrame, table: str, keys: list[str], num_buckets: int = 32, sort: bool = True
 ) -> None:

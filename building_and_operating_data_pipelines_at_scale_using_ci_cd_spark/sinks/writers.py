@@ -62,6 +62,11 @@ def _single_file_rename(path: str, prefix: str | None) -> None:
 def _write_file(df: DataFrame, spec: "TargetSpec", mode: str) -> None:
     fmt = _fmt(spec.file_format)
     out = df.coalesce(1) if spec.single_file else df
+    if spec.sort_by:
+        # W-posture: clustering rows inside files makes columnar min/max
+        # row-group stats selective, so later filtered scans skip data.
+        # After the coalesce, so a single-file export sorts globally.
+        out = out.sortWithinPartitions(*spec.sort_by)
     writer = out.write.mode(mode)
     if fmt == "csv":
         writer = writer.option("header", str(spec.header).lower())

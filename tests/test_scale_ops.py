@@ -67,3 +67,49 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    import glob
+    import os
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.scale import (
+        compact_files,
+    )
+
+    path = str(tmp_path / "fragmented")
+    # simulate a streaming sink's tiny-file debris: 40 appends
+    for i in range(40):
+        spark.range(i * 10, (i + 1) * 10).toDF("id").coalesce(1).write.mode("append").parquet(path)
+    n_before = len(glob.glob(os.path.join(path, "part-*")))
+    assert n_before >= 40
+    compact_files(spark, path, target_mb=128, sort_by=["id"])
+    n_after = len(glob.glob(os.path.join(path, "part-*")))
+    assert n_after < 5
+    out = spark.read.parquet(path)
+    assert out.count() == 400
+    assert out.agg({"id": "max"}).collect()[0][0] == 399
+    assert not os.path.exists(path + "__compact")
+
+
+def test_sort_by_clusters_output_files(spark, tmp_path):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.config import TargetSpec
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sinks.writers import (
+        write_target,
+    )
+
+    path = str(tmp_path / "sorted_out")
+    df = spark.range(1000).toDF("id").withColumn("k", (990 - F.col("id") % 991))
+    spec = TargetSpec(
+        data_target="local", dataframe_name="out", load_type="truncateInsert",
+        path=path, file_format="parquet", save_mode="overwrite",
+        sort_by=["k"], single_file=True,
+    )
+    write_target(spark, df, spec)
+    import pyarrow.parquet as pq
+    import glob
+
+    f = glob.glob(path + "/*.parquet")[0]
+    md = pq.ParquetFile(f)
+    ks = md.read(columns=["k"]).column("k").to_pylist()
+    assert ks == sorted(ks)
