@@ -174,6 +174,10 @@ class TargetSpec:
     #: sort rows within output files so columnar min/max stats are
     #: selective (data skipping on later scans)
     sort_by: list[str] = field(default_factory=list)
+    #: bucket spec for dataTarget=catalog: repeated big⋈big joins on the
+    #: bucket key become shuffle-free (see operators/scale.py)
+    bucket_by: list[str] = field(default_factory=list)
+    num_buckets: int = 32
     reconciliation: bool = False
     reconciliation_mode: str = "count"  # count|hash (value-level checksum)
     # SCD2 knobs (our engine's; reference exposes only loadType=scdType2Insert)
@@ -202,6 +206,8 @@ class TargetSpec:
             compression=props.get("compression"),
             partition_by=list(props.get("partitionBy") or d.get("partitionBy") or []),
             sort_by=list(props.get("sortBy") or d.get("sortBy") or []),
+            bucket_by=list(props.get("bucketBy") or d.get("bucketBy") or []),
+            num_buckets=int(props.get("numBuckets", d.get("numBuckets", 32))),
             reconciliation=as_bool(d.get("reconciliation")),
             reconciliation_mode=str(d.get("reconciliationMode", "count")).lower(),
             scd2_keys=list(d.get("scd2Keys") or []),

@@ -92,6 +92,21 @@ def _write_file(df: DataFrame, spec: "TargetSpec", mode: str) -> None:
         _single_file_rename(spec.path, spec.output_file_name_prefix)
 
 
+def _write_catalog(df: DataFrame, spec: "TargetSpec", mode: str) -> None:
+    """dataTarget=catalog: persist to the session catalog, optionally
+    bucketed (+ bucket-sorted) on a join key — two tables bucketed alike
+    join with no shuffle and no sort, the amortize-one-shuffle answer for
+    repeated large⋈large joins (see ``operators/scale.py``)."""
+    if not spec.table_name:
+        raise ValueError("catalog target needs tableName")
+    writer = df.write.mode(mode)
+    if spec.bucket_by:
+        writer = writer.bucketBy(spec.num_buckets, *spec.bucket_by).sortBy(
+            *(spec.sort_by or spec.bucket_by)
+        )
+    writer.format(_fmt(spec.file_format)).saveAsTable(spec.table_name)
+
+
 def _write_jdbc(df: DataFrame, spec: "TargetSpec", mode: str) -> None:
     """W8 database sink; truncateInsert maps to overwrite+truncate so the
     DDL survives (``spark.json:73``)."""
@@ -281,6 +296,8 @@ def write_target(spark: SparkSession, df: DataFrame, spec: "TargetSpec") -> dict
 
     if mode == "scd2" or load == "scdType2Insert":
         _scd2_write(spark, df, spec)
+    elif spec.data_target == "catalog":
+        _write_catalog(df, spec, mode)
     elif spec.data_target == "database":
         _write_jdbc(df, spec, mode)
     elif spec.data_target == "sftp":
@@ -295,7 +312,11 @@ def write_target(spark: SparkSession, df: DataFrame, spec: "TargetSpec") -> dict
     if spec.reconciliation:
         # V6 (spark.json:80): count check by default (metadata-only for
         # parquet), value-level checksum when reconciliationMode=hash.
-        if not spec.path:
+        if spec.data_target == "catalog" and spec.table_name:
+            expected = df.count()
+            written = spark.table(spec.table_name).count()
+            result["reconciliation"] = reconcile_counts(expected, written)
+        elif not spec.path:
             result["reconciliation"] = {"mode": "count", "ok": True, "expected": None}
         elif spec.reconciliation_mode == "hash" and load != "scdType2Insert" and mode != "append":
             written_df = spark.read.format(_fmt(spec.file_format)).load(spec.path)

@@ -335,3 +335,63 @@ def test_embedding_near_dups_default_is_equijoin(spark, sf_dir):
         emb.limit(50), "vec_id", "embedding", threshold=0.4, brute_force=True
     )
     assert brute.count() >= 0  # opt-in path still works on bounded samples
+
+
+def test_catalog_target_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """dataTarget=catalog + bucketBy: two tables bucketed alike on the
+    join key join without an Exchange."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.plans.engine import (
+        Orchestrator,
+    )
+
+    def cfg(name, table, sql):
+        return {
+            "configs": {
+                "name": name,
+                "phase_1": {
+                    "input_data": {
+                        "dataSource": "local", "dataFrameName": "orders",
+                        "path": f"{sf_dir}/orders.parquet",
+                        "fileProperties": {"fileFormat": "parquet"},
+                    }
+                },
+            },
+            "phase_2": {
+                "data_transformations": [
+                    {"functionName": "t", "sqlQuery": sql, "outputDFName": "out"}
+                ]
+            },
+            "phase_3": {
+                "target_record_insert": [
+                    {"dataTarget": "catalog", "dataFrameName": "out",
+                     "tableName": table, "loadType": "truncateInsert",
+                     "reconciliation": "true",
+                     "outputDataProperties": {"fileFormat": "parquet",
+                                              "savemode": "overwrite",
+                                              "bucketBy": ["o_custkey"],
+                                              "numBuckets": 8}}
+                ]
+            },
+        }
+
+    r1 = Orchestrator(spark).run(
+        cfg("bk1", "bk_orders_a", "SELECT o_custkey, o_totalprice FROM orders")
+    )
+    r2 = Orchestrator(spark).run(
+        cfg("bk2", "bk_orders_b", "SELECT o_custkey, o_orderdate FROM orders")
+    )
+    assert r1.write_results[0]["reconciliation"]["ok"]
+    assert r2.write_results[0]["reconciliation"]["ok"]
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = (
+            spark.table("bk_orders_a").join(spark.table("bk_orders_b"), "o_custkey")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bk_orders_a")
+        spark.sql("DROP TABLE IF EXISTS bk_orders_b")
+    assert "Exchange" not in plan
