@@ -37,6 +37,9 @@ HEADLINE = [
     "ann_lsh_topk",
     "scd2_incremental",
     "hourly_events",
+    "corpus_curation",
+    "token_packing",
+    "winnow_fingerprints",
 ]
 
 

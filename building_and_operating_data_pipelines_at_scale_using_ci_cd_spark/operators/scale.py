@@ -71,7 +71,7 @@ def compact_files(
     roughly ``target_mb`` each (sized from the current on-disk bytes),
     optionally range-sorted on ``sort_by`` so parquet min/max row-group
     stats become selective (data skipping for later scans). Returns the
-    output file count.
+    compacted table's scan partition count (≈ file count).
 
     The standard maintenance pass for streaming/append sinks whose
     micro-batches leave thousands of tiny files — at scale, file-listing
