@@ -54,6 +54,14 @@ def get_session(
         builder = builder.master(master)
     elif "SPARK_GRAFT_CPUS" in os.environ:
         builder = builder.master(f"local[{os.environ['SPARK_GRAFT_CPUS']}]")
+    if master is None or master.startswith("local"):
+        # local[N] is a single JVM: "driver" memory IS all working memory,
+        # and Spark's 1g default starves broadcast builds / shuffles on a
+        # big machine. Only effective at JVM launch; on a real cluster the
+        # submit-time --driver-memory wins because we never set master.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
 
     confs = dict(DEFAULT_CONFS)
     if shuffle_partitions is not None:

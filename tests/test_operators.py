@@ -147,3 +147,27 @@ def test_winnow_fingerprints_guarantee(spark):
     # determinism
     again = {r["doc_id"]: set(r["fingerprints"]) for r in winnow_fingerprint_sets(df, "doc_id", "text").collect()}
     assert out == again
+
+
+def test_near_dup_collapse_exact_equals_direct(spark, sf_dir):
+    """collapse_exact must produce EXACTLY the direct pipeline's pairs on
+    a duplicate-heavy corpus (intra-group cliques + expanded rep pairs)."""
+    from pyspark.sql import functions as F
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.dedup import (
+        near_dup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    dup1 = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    dup2 = docs.withColumn("doc_id", F.col("doc_id") + 200000)
+    corpus = docs.unionByName(dup1).unionByName(dup2)  # every doc x3
+
+    direct = near_dup_pairs(corpus, "doc_id", "text", collapse_exact=False)
+    collapsed = near_dup_pairs(corpus, "doc_id", "text", collapse_exact=True)
+    d = sorted(map(tuple, direct.collect()))
+    c = sorted(map(tuple, collapsed.collect()))
+    assert len(d) == len(c)
+    assert d == c
+    # sanity: triplicate corpus makes every doc an exact-dup clique of 3
+    assert len(c) >= 60 * 3
