@@ -53,12 +53,25 @@ def topk_neighbors(
     Columns out: query_id, neighbor_id, rank, cosine_sim. The query side
     is broadcast explicitly — never let a small query table pick a shuffle
     join. Ties broken by neighbor id for determinism."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    # norms are materialized once per row BEFORE the pair join: scoring a
+    # pair then costs one dot product, not three (cosine() inline would
+    # recompute both side's norms per candidate pair).
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
     joined = F.broadcast(q).crossJoin(c)
     if exclude_self:
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = joined.withColumn("__cos", cosine(F.col("__qv"), F.col("__cv")))
+    scored = joined.withColumn(
+        "__cos", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -117,26 +130,49 @@ def ivf_probe_assignments(
     literal array, so assignment is a pure map stage — argmax over an
     array of (−sim, centroid_id) structs, sorted and sliced. At 100 TB
     this is the difference between a free narrow pass and an
-    |corpus|×n_centroids exploded shuffle."""
+    |corpus|×n_centroids exploded shuffle.
+
+    Norm discipline: each centroid's norm is computed driver-side and
+    baked in as a literal, and the row vector's norm is materialized once
+    (behind a projection barrier — Spark re-evaluates lambda-body
+    expressions per element, see operators/dedup.py) so scoring against
+    n_centroids costs n_centroids dots, not 3·n_centroids. The norm rides
+    along for the rerank join, which then pays one dot per candidate."""
+    import math
+
+    def _norm(vec) -> float:
+        return math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
+
     cent_arr = F.array(
         *[
             F.struct(
                 F.lit(int(cid)).alias("cid"),
                 F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+                F.lit(_norm(vec)).alias("cn"),
             )
             for cid, vec in centroids
         ]
     )
+    staged = df.select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).alias(f"__{out_id}_v"),
+        l2_norm(F.col(vec_col)).alias(f"__{out_id}_n"),
+        F.rand().alias("__barrier"),
+    )
+    vec = F.col(f"__{out_id}_v")
+    norm = F.col(f"__{out_id}_n")
     scored = F.transform(
         cent_arr,
         lambda c: F.struct(
-            (-cosine(F.col(vec_col), c["cv"])).alias("neg_sim"), c["cid"].alias("cid")
+            (-(dot(vec, c["cv"]) / (norm * c["cn"]))).alias("neg_sim"),
+            c["cid"].alias("cid"),
         ),
     )
     probed = F.slice(F.array_sort(scored), 1, n_probe)
-    return df.select(
-        F.col(id_col).alias(out_id),
-        F.col(vec_col).alias(f"__{out_id}_v"),
+    return staged.select(
+        out_id,
+        f"__{out_id}_v",
+        f"__{out_id}_n",
         F.explode(F.transform(probed, lambda s: s["cid"])).alias("__list_id"),
     )
 
@@ -170,7 +206,11 @@ def ivf_topk(
     joined = q_assign.join(c_assign, "__list_id").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    scored = joined.withColumn("__cos", cosine(F.col("__query_id_v"), F.col("__neighbor_id_v")))
+    scored = joined.withColumn(
+        "__cos",
+        dot(F.col("__query_id_v"), F.col("__neighbor_id_v"))
+        / (F.col("__query_id_n") * F.col("__neighbor_id_n")),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -197,15 +237,20 @@ def ann_topk_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
         lsh_bucket_key(F.col(vec_col), dim, num_planes).alias("__bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
         lsh_bucket_key(F.col(vec_col), dim, num_planes).alias("__bucket"),
     )
     joined = q.join(c, "__bucket").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = joined.withColumn("__cos", cosine(F.col("__qv"), F.col("__cv")))
+    # one dot per pair — norms were computed once per row above
+    scored = joined.withColumn(
+        "__cos", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

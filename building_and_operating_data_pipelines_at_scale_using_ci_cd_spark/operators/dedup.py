@@ -436,11 +436,17 @@ def embedding_near_dup_pairs(
 
     ``dim`` (hyperplane dimensionality) is inferred from one row when not
     given — a bounded single-row action."""
-    from ..functions.similarity import cosine, lsh_bucket_key
+    from ..functions.similarity import dot, l2_norm, lsh_bucket_key
 
     if brute_force:
-        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        a = df.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+            l2_norm(F.col(vec_col)).alias("__na"),
+        )
+        b = df.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+            l2_norm(F.col(vec_col)).alias("__nb"),
+        )
         joined = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         if dim is None:
@@ -453,17 +459,24 @@ def embedding_near_dup_pairs(
         bucketed = df.select(
             F.col(id_col).alias("__id"),
             F.col(vec_col).alias("__v"),
+            l2_norm(F.col(vec_col)).alias("__n"),
             lsh_bucket_key(F.col(vec_col), dim, num_planes).alias("__bucket"),
         )
         a = bucketed.select(
-            F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__bucket"
+            F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"), "__bucket",
         )
         b = bucketed.select(
-            F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "__bucket"
+            F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+            F.col("__n").alias("__nb"), "__bucket",
         )
         joined = a.join(b, "__bucket").filter(F.col("id_a") < F.col("id_b"))
+    # norms were materialized once per row above: one dot per pair
     return (
-        joined.withColumn("cosine_sim", cosine(F.col("__va"), F.col("__vb")))
+        joined.withColumn(
+            "cosine_sim",
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
     )
