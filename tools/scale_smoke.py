@@ -1,0 +1,120 @@
+"""10× scale-up smoke: build a synthetic ~sf1 corpus by unioning sf0.1
+ten times with shifted ids (which also makes every document 10×
+duplicated — the adversarial duplicate-flood case for near-dup), then run
+the heavy operators end-to-end and print wall times.
+
+    python tools/scale_smoke.py [sf_dir] [n_copies]
+
+This is the "would it survive a 10× scale-up" check the correctness gate
+can't give: it caught a driver-broadcast OOM of the near-dup candidate
+set and the O(copy-pairs) verification cost (both fixed — see
+operators/dedup.py near_dup_pairs collapse_exact).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark import get_session
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.readers import (
+    read_parquet,
+)
+
+import __spark_entry__ as em
+
+
+def _replicate(df, id_cols: list[str], n: int):
+    out = None
+    for i in range(n):
+        d = df
+        for c in id_cols:
+            d = d.withColumn(c, F.col(c) + F.lit(i * 10_000_000))
+        out = d if out is None else out.unionByName(d)
+    return out.repartition(32).persist()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_session(app_name="scale-smoke", master="local[16]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed(name, fn):
+        t0 = time.time()
+        rows = fn()
+        print(f"{name:28s} {time.time() - t0:7.1f}s  {rows} rows")
+
+    docs = _replicate(read_parquet(spark, f"{sf_dir}/documents.parquet"), ["doc_id"], n)
+    print(f"documents ×{n}: {docs.count()}")
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.dedup import (
+        near_dup_pairs,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.sampling import (
+        hash_split,
+        pack_sequential,
+    )
+
+    timed("near_dup_pairs", lambda: near_dup_pairs(docs, "doc_id", "text").count())
+    timed(
+        "pack_sequential",
+        lambda: pack_sequential(docs, "doc_id", "n_chars", budget=5000, n_shards=32).count(),
+    )
+    timed(
+        "hash_split",
+        lambda: hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).count(),
+    )
+
+    ev = _replicate(
+        read_parquet(spark, f"{sf_dir}/events.parquet"), ["user_id", "event_id"], n
+    )
+    print(f"events ×{n}: {ev.count()}")
+    ev.createOrReplaceTempView("events")
+    timed("sessionization", lambda: spark.sql(em.SESSIONIZATION).count())
+    timed("event_type_pivot", lambda: spark.sql(em.EVENT_TYPE_PIVOT).count())
+
+    emb = _replicate(read_parquet(spark, f"{sf_dir}/embeddings.parquet"), ["vec_id"], n)
+    print(f"embeddings ×{n}: {emb.count()}")
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.similarity import (
+        ann_topk_lsh,
+        ivf_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    timed("ann_topk_lsh", lambda: ann_topk_lsh(q, emb, "vec_id", "embedding", dim=64, k=5).count())
+    timed(
+        "ivf_topk",
+        lambda: ivf_topk(q, emb, "vec_id", "embedding", k=5, n_centroids=16, n_probe=2).count(),
+    )
+
+    li = _replicate(read_parquet(spark, f"{sf_dir}/lineitem.parquet"), ["l_partkey"], n)
+    print(f"lineitem ×{n}: {li.count()}")
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.scd2 import (
+        scd2_initial,
+        scd2_merge,
+    )
+
+    base = li.filter("l_shipdate < '1998-06-01'").groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("low"), F.max("l_extendedprice").alias("high")
+    )
+    delta = li.filter("l_partkey % 10 = 0").groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("low"), F.max("l_extendedprice").alias("high")
+    )
+    timed(
+        "scd2_merge (incremental)",
+        lambda: scd2_merge(
+            scd2_initial(base, "1998-06-01 00:00:00"),
+            delta,
+            keys=["l_partkey"],
+            effective_ts="2000-01-01 00:00:00",
+        ).count(),
+    )
+
+
+if __name__ == "__main__":
+    main()
