@@ -17,6 +17,7 @@ from __future__ import annotations
 import datetime
 import decimal
 import math
+import os
 import sys
 import time
 
@@ -82,7 +83,14 @@ def main():
         args.remove("--strict")
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
-    spark = get_session(app_name="oracle-compare", master="local[8]", shuffle_partitions=8)
+    # parallelism is env-tunable so the suite can be shaken under
+    # different partitionings — double-sum accumulation order changes
+    # with partition count, and a hash that only matches at one
+    # parallelism is not robust
+    cpus = int(os.environ.get("ORACLE_COMPARE_CPUS", "8"))
+    spark = get_session(
+        app_name="oracle-compare", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
     con = duckdb.connect()
     for t in entry_mod.TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
