@@ -775,6 +775,47 @@ FROM hs GROUP BY doc_id
 """
 
 
+_SIMHASH_RADIUS = 2
+_SIMHASH_BITS = 32
+
+
+def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pairs within Hamming distance 2 via pigeonhole banding
+    (radius+1 bands → equi-join candidates, one XOR popcount verify)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "doc_id", "text", radius=_SIMHASH_RADIUS)
+
+
+def _simhash_near_pairs_duck() -> str:
+    n_bands = _SIMHASH_RADIUS + 1
+    width = _SIMHASH_BITS // n_bands
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_idx, "
+        f"(simhash >> {b * width}) & "
+        f"{(1 << (_SIMHASH_BITS - b * width if b == n_bands - 1 else width)) - 1} AS band_val "
+        "FROM fp"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH fp AS ({_simhash_duck()}),
+bands AS (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(BIT_COUNT(XOR(ha, hb)) AS INT) AS hamming_dist
+FROM cand
+WHERE BIT_COUNT(XOR(ha, hb)) <= {_SIMHASH_RADIUS}
+"""
+
+
 def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
     return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
@@ -1430,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_resize": _q_embedding_resize,
         "streaming_hourly_events": _q_streaming_hourly,
         "winnow_fingerprints": _q_winnow,
+        "simhash_near_pairs": _q_simhash_near_pairs,
         # round-1 red, now hash-hardened — early for fresh evidence
         "scd2_price_history": _q_scd2_price_history,
         "sessionization": _sql(SESSIONIZATION),
@@ -1510,6 +1552,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_resize": EMBEDDING_RESIZE_DUCK,
         "streaming_hourly_events": STREAMING_HOURLY_DUCK,
         "winnow_fingerprints": WINNOW_DUCK,
+        "simhash_near_pairs": _simhash_near_pairs_duck(),
         "customers_no_orders_anti": CUSTOMERS_NO_ORDERS_ANTI,
         "parts_heavy_semi": PARTS_HEAVY_SEMI,
         "set_ops_segments": SET_OPS_SEGMENTS,

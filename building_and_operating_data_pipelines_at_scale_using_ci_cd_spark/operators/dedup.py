@@ -404,6 +404,75 @@ def simhash_fingerprints(
     return bit_sums.select("doc_id", fp.cast("bigint").alias("simhash"))
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    radius: int = 2,
+    bits: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """SimHash pairs within Hamming distance ``radius`` — the wider-radius
+    companion to :func:`simhash_dup_groups`.
+
+    Pigeonhole banding: split the ``bits``-bit fingerprint into
+    ``radius + 1`` contiguous bands; any two fingerprints within
+    ``radius`` differing bits agree EXACTLY on at least one band, so
+    candidates come from equi-joins on (band_idx, band_value) — never an
+    all-pairs scan — and are verified with one ``bit_count(a XOR b)``.
+    Columns: id_a, id_b, hamming_dist."""
+    if radius < 0 or radius >= bits:
+        raise ValueError("radius must be in [0, bits)")
+    fps = simhash_fingerprints(df, id_col, text_col, bits=bits, shingle_n=shingle_n)
+    n_bands = radius + 1
+    width = bits // n_bands
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        # band b = bits [b*width, ...) — the last band takes
+                        # the remainder so every bit is covered
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(
+                            F.lit((1 << (bits - b * width if b == n_bands - 1 else width)) - 1)
+                        )
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("__ha"),
+            F.col("b.simhash").alias("__hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming_dist",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("int"),
+        )
+        .filter(F.col("hamming_dist") <= radius)
+        .select("id_a", "id_b", "hamming_dist")
+    )
+
+
 def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Docs sharing an identical SimHash (Hamming distance 0 buckets) —
     the O(n) grouping pass; wider Hamming radii re-join on bit-band keys."""

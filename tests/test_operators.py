@@ -171,3 +171,29 @@ def test_near_dup_collapse_exact_equals_direct(spark, sf_dir):
     assert d == c
     # sanity: triplicate corpus makes every doc an exact-dup clique of 3
     assert len(c) >= 60 * 3
+
+
+def test_simhash_near_pairs_banding(spark):
+    """Pigeonhole banding: identical docs pair at distance 0, near-identical
+    within the radius, unrelated docs absent; plan is an equi-join (no
+    cartesian)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # identical -> distance 0
+            (3, base + " tomorrow"),  # near-identical
+            (4, "totally unrelated content about databases and airplanes wow"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["hamming_dist"] for r in simhash_near_pairs(df, "doc_id", "text", radius=2).collect()}
+    assert out[(1, 2)] == 0
+    assert all(d <= 2 for d in out.values())
+    assert (1, 4) not in out and (2, 4) not in out
+    plan = simhash_near_pairs(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
