@@ -177,6 +177,44 @@ def ivf_probe_assignments(
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    cents: list[tuple],
+    id_col: str,
+    vec_col: str,
+    iters: int = 2,
+) -> list[tuple]:
+    """Lloyd iterations over the IVF centroid set: assign every corpus
+    vector to its nearest centroid (the same literal-array map stage the
+    index uses — no shuffle beyond the groupBy), average each cluster
+    elementwise, collect the ``n_centroids`` new centroids. Driver
+    traffic per iteration is n_centroids rows — bounded regardless of
+    corpus size — and the result is deterministic given the seeds, so
+    the refined index is still reproducible run-to-run.
+
+    Refinement tightens the lists (better recall at the same n_probe);
+    it never changes the query-time plan shape."""
+    dim = len(cents[0][1])
+    for _ in range(max(0, iters)):
+        assigned = ivf_probe_assignments(corpus, cents, id_col, vec_col, 1, "m")
+        means = (
+            assigned.groupBy("__list_id")
+            .agg(
+                *[
+                    F.avg(F.element_at(F.col("__m_v"), i + 1).cast("double")).alias(f"__d{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new_cents = {
+            int(r["__list_id"]): [float(r[f"__d{i}"]) for i in range(dim)] for r in means
+        }
+        # empty clusters keep their previous centroid
+        cents = [(cid, new_cents.get(int(cid), list(vec))) for cid, vec in cents]
+    return cents
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -185,22 +223,26 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 8,
     n_probe: int = 2,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the corpus is partitioned
     into ``n_centroids`` lists by nearest centroid; each query probes its
     ``n_probe`` nearest lists and reranks exactly inside them.
 
-    Centroids are the ``n_centroids`` lowest-id corpus vectors — a
+    Centroids seed from the ``n_centroids`` lowest-id corpus vectors — a
     deterministic seeding that keeps the index reproducible on any engine
-    (the k-means refinement used at scale changes only the centroid
-    values, not this plan shape). Corpus vectors land in exactly one list;
-    the probe join is a hash equi-join on list id — the IVF analogue of
-    the LSH bucket join, with recall tunable via ``n_probe``.
+    — and ``kmeans_iters`` Lloyd iterations (:func:`kmeans_refine`)
+    optionally tighten them; refinement changes only the centroid VALUES,
+    never the plan shape. Corpus vectors land in exactly one list; the
+    probe join is a hash equi-join on list id — the IVF analogue of the
+    LSH bucket join, with recall tunable via ``n_probe``.
     """
     cents = [
         (r[0], r[1])
         for r in corpus.select(id_col, vec_col).orderBy(F.col(id_col)).limit(n_centroids).collect()
     ]
+    if kmeans_iters > 0:
+        cents = kmeans_refine(corpus, cents, id_col, vec_col, kmeans_iters)
     c_assign = ivf_probe_assignments(corpus, cents, id_col, vec_col, 1, "neighbor_id")
     q_assign = ivf_probe_assignments(queries, cents, id_col, vec_col, n_probe, "query_id")
     joined = q_assign.join(c_assign, "__list_id").filter(

@@ -113,3 +113,39 @@ def test_sort_by_clusters_output_files(spark, tmp_path):
     md = pq.ParquetFile(f)
     ks = md.read(columns=["k"]).column("k").to_pylist()
     assert ks == sorted(ks)
+
+
+def test_ivf_kmeans_refinement_improves_recall(spark, sf_dir):
+    """Lloyd-refined centroids must not hurt recall vs the exact top-k,
+    and must be deterministic run-to-run."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.similarity import (
+        ivf_topk,
+        topk_neighbors,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_neighbors(q, emb, "vec_id", "embedding", k=5).collect()
+    }
+
+    def recall(iters):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                q, emb, "vec_id", "embedding", k=5, n_centroids=8, n_probe=2,
+                kmeans_iters=iters,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0 - 0.05  # refinement must not meaningfully hurt
+    assert 0 < r2 <= 1.0
+    # determinism of the refined index
+    a = sorted(map(tuple, ivf_topk(q, emb, "vec_id", "embedding", k=5,
+                                   kmeans_iters=2).collect()))
+    b = sorted(map(tuple, ivf_topk(q, emb, "vec_id", "embedding", k=5,
+                                   kmeans_iters=2).collect()))
+    assert a == b
