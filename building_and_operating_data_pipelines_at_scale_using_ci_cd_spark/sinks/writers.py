@@ -275,6 +275,14 @@ def write_target(spark: SparkSession, df: DataFrame, spec: "TargetSpec") -> dict
     from ..operators.reconcile import reconcile_counts, reconcile_hash
 
     load = spec.load_type or "simpleInsert"
+    # validate early: a typo'd loadType (wrong case, misspelling) must not
+    # silently fall through to a plain overwrite — for scdType2Insert that
+    # would replace a versioned history table with a bare snapshot.
+    known = {"simpleInsert", "truncateInsert", "scdType2Insert"}
+    if load not in known:
+        match = next((k for k in known if k.lower() == load.lower()), None)
+        hint = f"; did you mean '{match}'?" if match else ""
+        raise ValueError(f"unknown loadType '{load}' (expected one of {sorted(known)}){hint}")
     mode = spec.save_mode or {"simpleInsert": "append", "truncateInsert": "overwrite"}.get(
         load, "overwrite"
     )

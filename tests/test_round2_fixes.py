@@ -395,3 +395,14 @@ def test_catalog_target_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bk_orders_a")
         spark.sql("DROP TABLE IF EXISTS bk_orders_b")
     assert "Exchange" not in plan
+
+
+def test_typoed_load_type_raises_with_hint(spark, tmp_path):
+    df = spark.range(3).toDF("id")
+    spec = TargetSpec(
+        data_target="local", dataframe_name="out", load_type="scdtype2insert",
+        path=str(tmp_path / "typo_out"), file_format="parquet", scd2_keys=["id"],
+    )
+    with pytest.raises(ValueError, match="did you mean 'scdType2Insert'"):
+        write_target(spark, df, spec)
+    assert not os.path.exists(str(tmp_path / "typo_out"))
