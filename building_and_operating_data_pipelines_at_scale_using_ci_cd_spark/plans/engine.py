@@ -165,7 +165,10 @@ class Orchestrator:
         # archival + ledger + post hooks
         if config.archive_input_file and config.primary_input and config.primary_input.path:
             archive_input(
-                config.primary_input.path, config.archive_path, config.delete_source_after_archival
+                config.primary_input.path,
+                config.archive_path,
+                config.delete_source_after_archival,
+                spark=self.spark,
             )
         if ledger is not None and fp is not None:
             ledger.record(config.name, fp)

@@ -362,12 +362,30 @@ def write_error_records(
     return n
 
 
-def archive_input(path: str, archive_path: str, delete_source: bool) -> None:
+def archive_input(
+    path: str, archive_path: str, delete_source: bool, spark: SparkSession | None = None
+) -> None:
     """W12 (``spark.json:10-12``): copy processed input to the archive,
-    optionally removing the source. Local-FS implementation; on a cluster
-    this is a Hadoop FS rename."""
+    optionally removing the source. With a session, the copy goes through
+    Hadoop ``FileUtil`` so any supported filesystem works (s3a://, hdfs://,
+    file://) — the same discipline as the SCD2 swap; without one it falls
+    back to local shutil."""
+    dest = archive_path.rstrip("/") + "/" + os.path.basename(path.rstrip("/"))
+    if spark is not None:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        jsrc = jvm.org.apache.hadoop.fs.Path(path)
+        jdst = jvm.org.apache.hadoop.fs.Path(dest)
+        src_fs = jsrc.getFileSystem(hconf)
+        dst_fs = jdst.getFileSystem(hconf)
+        dst_fs.mkdirs(jvm.org.apache.hadoop.fs.Path(archive_path))
+        ok = jvm.org.apache.hadoop.fs.FileUtil.copy(
+            src_fs, jsrc, dst_fs, jdst, bool(delete_source), True, hconf
+        )
+        if not ok:
+            raise IOError(f"archival copy failed: {path} -> {dest}")
+        return
     os.makedirs(archive_path, exist_ok=True)
-    dest = os.path.join(archive_path, os.path.basename(path.rstrip("/")))
     if os.path.isdir(path):
         shutil.copytree(path, dest, dirs_exist_ok=True)
     else:

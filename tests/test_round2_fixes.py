@@ -406,3 +406,16 @@ def test_typoed_load_type_raises_with_hint(spark, tmp_path):
     with pytest.raises(ValueError, match="did you mean 'scdType2Insert'"):
         write_target(spark, df, spec)
     assert not os.path.exists(str(tmp_path / "typo_out"))
+
+
+def test_archival_hadoop_path_with_delete(spark, tmp_path):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sinks.writers import (
+        archive_input,
+    )
+
+    src = tmp_path / "drop.csv"
+    src.write_text("a,b\n1,2\n")
+    archive = str(tmp_path / "archive")
+    archive_input(str(src), archive, delete_source=True, spark=spark)
+    assert (tmp_path / "archive" / "drop.csv").exists()
+    assert not src.exists()
