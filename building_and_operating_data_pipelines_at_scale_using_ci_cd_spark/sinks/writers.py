@@ -42,6 +42,15 @@ def _fmt(fmt: str) -> str:
     return _FORMAT_ALIASES.get(fmt, fmt)
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through Hadoop FS — ``os.path.exists`` silently
+    answers False for s3a://, hdfs://, … paths, which elsewhere would
+    misread a populated object-store table as absent."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()).exists(jpath)
+
+
 def _single_file_rename(path: str, prefix: str | None) -> None:
     """W3: collapse the part-file to ``<prefix>.<ext>``, keeping the part
     file's real extension chain (e.g. ``.csv.gz`` under compression — a
@@ -244,7 +253,7 @@ def _scd2_write(spark: SparkSession, df: DataFrame, spec: "TargetSpec") -> None:
             return
 
     target = None
-    if os.path.exists(spec.path):
+    if _fs_exists(spark, spec.path):
         existing = spark.read.format(fmt).load(spec.path)
         if set(SCD2_META_COLS) <= set(existing.columns):
             target = existing
@@ -295,7 +304,7 @@ def write_target(spark: SparkSession, df: DataFrame, spec: "TargetSpec") -> dict
         and mode == "append"
         and load != "scdType2Insert"
         and spec.path
-        and os.path.exists(spec.path)
+        and _fs_exists(spark, spec.path)
     ):
         try:
             pre_existing = spark.read.format(_fmt(spec.file_format)).load(spec.path).count()
