@@ -95,8 +95,8 @@ class Orchestrator:
         fp = None
         if config.duplicate_run_check and config.temp_path:
             paths = [s.path for s in [config.primary_input, *config.additional_inputs] if s and s.path]
-            fp = input_fingerprint(paths)
-            ledger = RunLedger(config.temp_path)
+            fp = input_fingerprint(paths, spark=self.spark)
+            ledger = RunLedger(config.temp_path, spark=self.spark)
             if ledger.seen(config.name, fp):
                 result.skipped_duplicate_run = True
                 return result
