@@ -105,6 +105,26 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            if strict:
+                # Precondition (round-2 red embedding_resize): the driver's
+                # pandas canonicalizer crashes on list-typed cells, so NO
+                # entry query may emit an array/map/struct column —
+                # serialize complex values to strings or explode to rows.
+                from pyspark.sql.types import ArrayType, MapType, StructType
+
+                complex_cols = [
+                    f.name
+                    for f in sdf.schema.fields
+                    if isinstance(f.dataType, (ArrayType, MapType, StructType))
+                ]
+                if complex_cols:
+                    failures.append(name)
+                    print(
+                        f"FAIL {name}: complex-typed output columns "
+                        f"{complex_cols} — driver canon cannot hash these; "
+                        "serialize to string or explode to rows"
+                    )
+                    continue
             srows = sdf.toPandas() if strict else sdf.collect()
         except Exception as ex:
             failures.append(name)
