@@ -696,18 +696,29 @@ _SHINGLES_DUCK = """
   FROM documents
 """
 
-MINHASH_NEAR_DUPS_DUCK = f"""
-WITH sh AS ({_SHINGLES_DUCK}),
-shf AS (SELECT * FROM sh WHERE LEN(shingles) > 0),
-tok AS (SELECT doc_id, UNNEST(shingles) AS s FROM shf),
-hs AS (SELECT doc_id, CAST(CONCAT('0x', SUBSTR(MD5(s), 1, 8)) AS BIGINT) AS h FROM tok),
+MINHASH_NEAR_DUPS_DUCK = """
+-- mirrors operators/dedup.py _hashed_shingle_df + minhash_from_hashes:
+-- md5 per TOKEN folded polynomially (acc*1000003 + h mod 4294967311) into
+-- hashed shingles, then the universal affine family per hash function
+WITH tk AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+),
+shf AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(
+           GENERATE_SERIES(1, LEN(t) - 2),
+           i -> ((CAST(CONCAT('0x', SUBSTR(MD5(t[i]), 1, 8)) AS BIGINT) * 1000003
+                  + CAST(CONCAT('0x', SUBSTR(MD5(t[i+1]), 1, 8)) AS BIGINT)) % 4294967311 * 1000003
+                  + CAST(CONCAT('0x', SUBSTR(MD5(t[i+2]), 1, 8)) AS BIGINT)) % 4294967311
+         )) AS hs
+  FROM tk WHERE LEN(t) >= 3
+),
+hsx AS (SELECT doc_id, UNNEST(hs) AS h FROM shf),
 mh AS (
-  -- universal affine family h_i(x) = ((2i+1)x + i*12582917) mod p, p prime > 2^32
-  -- (mirrors operators/dedup.py minhash_signature: ONE md5 per shingle)
-  SELECT hs.doc_id, g.i,
+  SELECT hsx.doc_id, g.i,
          MIN(((2 * g.i + 1) * h + g.i * 12582917) % 4294967311) AS mv
-  FROM hs CROSS JOIN GENERATE_SERIES(0, 15) AS g(i)
-  GROUP BY hs.doc_id, g.i
+  FROM hsx CROSS JOIN GENERATE_SERIES(0, 15) AS g(i)
+  GROUP BY hsx.doc_id, g.i
 ), bands AS (
   SELECT doc_id, i // 4 AS band_idx,
          MD5(STRING_AGG(CAST(mv AS VARCHAR), ',' ORDER BY i)) AS band_key
@@ -718,11 +729,11 @@ mh AS (
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b,
-       ROUND(CAST(LEN(LIST_INTERSECT(x.shingles, y.shingles)) AS DOUBLE)
-             / LEN(LIST_DISTINCT(LIST_CONCAT(x.shingles, y.shingles))), 4) AS jaccard_sim
+       ROUND(CAST(LEN(LIST_INTERSECT(x.hs, y.hs)) AS DOUBLE)
+             / LEN(LIST_DISTINCT(LIST_CONCAT(x.hs, y.hs))), 4) AS jaccard_sim
 FROM cand JOIN shf x ON x.doc_id = id_a JOIN shf y ON y.doc_id = id_b
-WHERE ROUND(CAST(LEN(LIST_INTERSECT(x.shingles, y.shingles)) AS DOUBLE)
-            / LEN(LIST_DISTINCT(LIST_CONCAT(x.shingles, y.shingles))), 4) >= 0.8
+WHERE ROUND(CAST(LEN(LIST_INTERSECT(x.hs, y.hs)) AS DOUBLE)
+            / LEN(LIST_DISTINCT(LIST_CONCAT(x.hs, y.hs))), 4) >= 0.8
 """
 
 

@@ -188,6 +188,9 @@ class TargetSpec:
     jdbc_properties: dict[str, str] = field(default_factory=dict)
     sftp_host: str | None = None
     remote_path: str | None = None
+    #: transport options (port/username/password/keyPath/hostKeyPath for
+    #: sftp targets), mirroring InputSpec.options
+    options: dict[str, str] = field(default_factory=dict)
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "TargetSpec":
@@ -217,6 +220,7 @@ class TargetSpec:
             jdbc_properties={k: str(v) for k, v in (d.get("jdbcProperties") or {}).items()},
             sftp_host=d.get("sftpServerName"),
             remote_path=d.get("remoteDirPath"),
+            options={k: str(v) for k, v in (d.get("options") or {}).items()},
         )
 
 

@@ -135,29 +135,94 @@ def _shingle_df(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> Da
     ).filter(F.size("__sh") > 0)
 
 
+#: polynomial-combine multiplier for hashed shingles (any prime well below
+#: _MINHASH_P/2^32 keeps acc*A + h inside int64: 4.3e9 · 1e6 ≈ 2^52)
+_SHINGLE_A = 1000003
+
+
+def _hashed_shingle_df(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """Distinct HASHED n-gram shingles: md5 each token once to a 32-bit
+    int, then fold each n-window polynomially — ``acc·A + h mod p`` —
+    into one bigint per shingle.
+
+    This is the minhash hot path's replacement for string shingles:
+    Spark's higher-order functions are CodegenFallback (interpreted), so
+    per-shingle string building (concat_ws over a slice, then a separate
+    md5 pass) dominated the whole pipeline (~1.0s of a 2.0s sf0.1 run).
+    Hashing per TOKEN and combining with integer arithmetic does the same
+    number of md5s over shorter strings, builds no intermediate strings,
+    persists 8-byte elements instead of ~20-char strings, and lets the
+    verification Jaccard intersect bigint arrays. Set semantics are
+    unchanged (md5 collisions aside, distinct hashed shingles ==
+    distinct string shingles). Three projections with barriers: tokens →
+    token hashes → folded shingles (the lambda slices the PREVIOUS
+    stage's attribute; inline it and Spark re-evaluates the whole token
+    md5 pass per shingle — the [[spark-hof-lambda-reeval]] trap)."""
+    from ..functions.text import tokens
+
+    # the ≥n-tokens filter sits on the RAW text column, BEFORE the hash
+    # projections: a trailing filter on size(__sh) gets predicate-pushed
+    # below the projects with the aliases INLINED, re-evaluating the whole
+    # token-md5 pipeline once per row inside the filter (measured 14×)
+    eligible = _spread(df).filter(
+        F.size(F.split(F.col(text_col), " ")) >= shingle_n
+    )
+    tk = eligible.select(
+        F.col(id_col).alias("__id"),
+        tokens(F.col(text_col)).alias("__tk"),
+        F.rand().alias("__b0"),
+    )
+    tkh = tk.select(
+        "__id",
+        F.transform(
+            F.col("__tk"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+        ).alias("__tkh"),
+        F.rand().alias("__b0h"),
+    )
+    th = F.col("__tkh")
+
+    # fold unrolled in Python (shingle_n is a plan-time constant): a nested
+    # F.aggregate-inside-F.transform is interpreted per shingle per element
+    # and measured 5× slower than flat element_at chains
+    def _fold(i):
+        acc = F.element_at(th, i)
+        for j in range(1, shingle_n):
+            acc = F.pmod(
+                acc * _SHINGLE_A + F.element_at(th, i + F.lit(j)),
+                F.lit(_MINHASH_P),
+            )
+        return acc
+
+    folded = F.transform(
+        F.sequence(F.lit(1), F.size(th) - F.lit(shingle_n - 1)), _fold
+    )
+    return tkh.select(
+        "__id", F.array_distinct(folded).alias("__sh")
+    )
+
+
 def _candidates_from_shingles(
     sh: DataFrame, num_hashes: int, bands: int
 ) -> DataFrame:
-    """Band the signatures and self-join on (band_idx, band_key).
+    """Band the signatures and self-join on (band_idx, band_key). Expects
+    ``__sh`` as the HASHED shingle array from :func:`_hashed_shingle_df`
+    (bigints — no md5 stage left here).
 
-    Staged as materialize-hashes → materialize-signature → band, with
-    non-deterministic barrier columns blocking CollapseProject: each
-    stage's array is computed once per row and the next stage slices an
-    ATTRIBUTE. Collapsed into one projection, the signature lambda would
-    re-evaluate the md5 pass per hash function and the band lambda the
-    signature per band (num_hashes× + bands× that stage's work — 1.6× on
-    the whole pipeline at sf0.1, where verification shares the cost).
-    Both stages stay narrow map-only plans.
+    Staged as materialize-signature → band, with non-deterministic
+    barrier columns blocking CollapseProject: each stage's array is
+    computed once per row and the next stage slices an ATTRIBUTE.
+    Collapsed into one projection, the band lambda would re-evaluate the
+    signature per band (bands× that stage's work). Both stages stay
+    narrow map-only plans.
 
     ``banded`` is persisted: it is both sides of the self-join, and
-    without the persist Spark recomputes the signature (the dominant
-    md5 cost) once per side."""
-    hashed = sh.select(
-        "__id", shingle_hashes(F.col("__sh")).alias("__hashed"), F.rand().alias("__b1")
-    )
-    sig = hashed.select(
+    without the persist Spark recomputes the signature once per side."""
+    sig = sh.select(
         "__id",
-        minhash_from_hashes(F.col("__hashed"), num_hashes).alias("__sig"),
+        minhash_from_hashes(F.col("__sh"), num_hashes).alias("__sig"),
         F.rand().alias("__b2"),
     )
     banded = sig.select(
@@ -194,7 +259,9 @@ def minhash_candidate_pairs(
     The self-join shuffles on the band key only; at scale, bucket skew is
     bounded because identical-content floods share a band key — pair those
     with :func:`exact_dedup_groups` first to collapse exact copies."""
-    return _candidates_from_shingles(_shingle_df(df, id_col, text_col, shingle_n), num_hashes, bands)
+    return _candidates_from_shingles(
+        _hashed_shingle_df(df, id_col, text_col, shingle_n), num_hashes, bands
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -210,22 +277,30 @@ def _near_dup_pairs_core(
     shingle_n: int,
     num_hashes: int,
     bands: int,
+    merge_hint: bool = True,
 ) -> DataFrame:
     """LSH candidates verified by exact shingle Jaccard ≥ threshold over
     the given rows. Columns: id_a, id_b, jaccard_sim.
 
     The shingle table is computed once and cached: it feeds signature
     generation AND both sides of the verification join — recomputing the
-    md5 signature work (num_hashes hashes per shingle) three times is the
-    dominant cost otherwise."""
-    sh = _shingle_df(df, id_col, text_col, shingle_n).persist()
+    md5 hashing work three times is the dominant cost otherwise. The
+    Jaccard runs over HASHED shingle sets (bigint arrays): same value as
+    string-shingle Jaccard (md5 collisions aside), much cheaper to
+    shuffle and intersect."""
+    sh = _hashed_shingle_df(df, id_col, text_col, shingle_n).persist()
     cands = _candidates_from_shingles(sh, num_hashes, bands)
     # merge hint: the candidate set's size is unknown to Catalyst (it sits
-    # behind a distinct), and on duplicate-heavy corpora it can be huge —
+    # behind a distinct), and on a duplicate-heavy corpus it can be huge —
     # a misestimated broadcast build dies driver-side (observed at a 10×
     # corpus), while sort-merge shuffles on the id and spills gracefully.
+    # On a corpus the duplication probe found clean, the candidate set is
+    # ~linear in the row count, so the caller drops the hint and lets AQE
+    # pick the strategy from OBSERVED shuffle sizes (~25% faster locally).
+    if merge_hint:
+        cands = cands.hint("merge")
     out = (
-        cands.hint("merge")
+        cands
         .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
         .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
         .withColumn("jaccard_sim", F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 4))
@@ -233,6 +308,13 @@ def _near_dup_pairs_core(
         .select("id_a", "id_b", "jaccard_sim")
     )
     return out
+
+
+#: distinct-content ratio below which the collapse pre-pass pays for
+#: itself: at ≥10% exact duplication the per-copy verification work the
+#: collapse removes exceeds its 3 bookkeeping joins (measured: 11× win at
+#: a 10×-duplicated corpus vs ~3× overhead on a duplicate-free one).
+_COLLAPSE_DISTINCT_RATIO = 0.9
 
 
 def near_dup_pairs(
@@ -243,13 +325,13 @@ def near_dup_pairs(
     shingle_n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
-    collapse_exact: bool = True,
+    collapse_exact: bool | str = "auto",
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified by exact shingle
     Jaccard ≥ threshold. Columns: id_a, id_b, jaccard_sim.
 
-    With ``collapse_exact`` (default), byte-identical documents collapse
-    to one representative per content hash BEFORE shingling: the
+    With ``collapse_exact``, byte-identical documents collapse to one
+    representative per content hash BEFORE shingling: the
     shingle/minhash/verify work runs once per distinct content, and the
     full pair set is recovered algebraically afterwards — identical docs
     pair at jaccard 1.0 (intra-group cliques), and every verified
@@ -259,12 +341,30 @@ def near_dup_pairs(
     duplicate-flooded corpus — the normal state of a web-scale crawl —
     pays verification per distinct content instead of per copy pair
     (measured 11× at a 10×-duplicated corpus, 162s → 14s for the same
-    250,600 pairs; the gap grows with the duplication factor).
-    ``collapse_exact=False`` keeps the direct path for corpora known
-    duplicate-free."""
+    250,600 pairs; the gap grows with the duplication factor). On a
+    clean corpus the pre-pass is pure overhead (3 extra joins), so the
+    default ``"auto"`` probes the duplication rate first with one cheap
+    map-side-partial aggregate (approx_count_distinct of the content
+    hash — a single-row action, constant driver memory) and collapses
+    only when exact duplication exceeds ~10%. Pass True/False to skip
+    the probe when the corpus's duplication profile is known."""
+    if collapse_exact == "auto":
+        # xxhash64, not md5: the probe only estimates a ratio, so a fast
+        # non-cryptographic hash is enough — and at 100 TB this pass is a
+        # pure map-side-partial scan, no shuffle
+        ratio = (
+            df.agg(
+                (
+                    F.approx_count_distinct(F.xxhash64(F.col(text_col)))
+                    / F.count(F.lit(1))
+                ).alias("r")
+            ).collect()[0]["r"]
+        )
+        collapse_exact = ratio is not None and ratio < _COLLAPSE_DISTINCT_RATIO
     if not collapse_exact:
         return _near_dup_pairs_core(
-            df, id_col, text_col, threshold, shingle_n, num_hashes, bands
+            df, id_col, text_col, threshold, shingle_n, num_hashes, bands,
+            merge_hint=False,
         )
     members = df.select(
         F.col(id_col).alias("__mid"), F.md5(F.col(text_col)).alias("__chash")

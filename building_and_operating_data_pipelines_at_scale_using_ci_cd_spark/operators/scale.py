@@ -78,13 +78,15 @@ def compact_files(
     and per-file open costs dominate reads long before data size does.
     Writes through a staging dir + the same crash-safe rename swap the
     SCD2 sink uses."""
-    import os as _os
-
     from ..sinks.writers import _swap_dirs
 
-    size_bytes = 0
-    for root, _dirs, files in _os.walk(path):
-        size_bytes += sum(_os.path.getsize(_os.path.join(root, f)) for f in files)
+    # size through Hadoop FS, not os.walk: on s3a://hdfs:// paths a local
+    # walk sees nothing, n_files collapses to 1, and the whole table gets
+    # funneled through a single output partition — the exact object-store
+    # targets compaction exists for
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    size_bytes = fs.getContentSummary(jpath).getLength()
     n_files = max(1, round(size_bytes / (target_mb * 1024 * 1024)))
     df = spark.read.format(fmt).load(path)
     if sort_by:

@@ -51,21 +51,48 @@ def _fs_exists(spark: SparkSession, path: str) -> bool:
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()).exists(jpath)
 
 
-def _single_file_rename(path: str, prefix: str | None) -> None:
+def _single_file_rename(spark: SparkSession, path: str, prefix: str | None) -> None:
     """W3: collapse the part-file to ``<prefix>.<ext>``, keeping the part
     file's real extension chain (e.g. ``.csv.gz`` under compression — a
-    renamed file that drops the codec suffix reads back as garbage)."""
-    parts = sorted(glob.glob(os.path.join(path, "part-*")))
-    if not parts or not prefix:
+    renamed file that drops the codec suffix reads back as garbage).
+
+    Hadoop-FS ``globStatus``/``rename``, same discipline as ``_swap_dirs``:
+    the previous glob/shutil version worked only on the local filesystem
+    and SILENTLY skipped the rename on s3a://hdfs:// targets. Finding no
+    part file is now an error, not a no-op."""
+    if not prefix:
         return
-    base = os.path.basename(parts[0])
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path
+    fs = jpath(path).getFileSystem(hconf)
+    parts = sorted(
+        (st.getPath() for st in fs.globStatus(jpath(path.rstrip("/") + "/part-*"))),
+        key=lambda p: p.getName(),
+    )
+    if not parts:
+        raise IOError(
+            f"singleFile rename: no part-* file under {path!r} — "
+            "the write produced nothing or the path glob is wrong"
+        )
+    base = parts[0].getName()
     ext = base.split(".", 1)[1] if "." in base else ""
-    target = os.path.join(path, f"{prefix}.{ext}" if ext else prefix)
-    shutil.move(parts[0], target)
+    target = jpath(path.rstrip("/") + "/" + (f"{prefix}.{ext}" if ext else prefix))
+    if not fs.rename(parts[0], target):
+        raise IOError(f"singleFile rename failed: {parts[0]} -> {target}")
     for leftover in parts[1:]:  # shouldn't exist after coalesce(1)
-        os.remove(leftover)
-    for crc in glob.glob(os.path.join(path, ".part-*.crc")):
-        os.remove(crc)  # checksums reference the pre-rename file names
+        fs.delete(leftover, False)
+    # drop checksum sidecars (still valid after the rename — Checksum-
+    # FileSystem renames them alongside — but noise in an export dir).
+    # They are hidden from the checksum FS's own listings, so go through
+    # the raw FS; object-store FSes have no raw layer and no sidecars.
+    try:
+        raw = fs.getRawFileSystem()
+    except Exception:
+        raw = None
+    if raw is not None:
+        for crc in raw.globStatus(jpath(path.rstrip("/") + "/.*.crc")):
+            raw.delete(crc.getPath(), False)
 
 
 def _write_file(df: DataFrame, spec: "TargetSpec", mode: str) -> None:
@@ -84,21 +111,24 @@ def _write_file(df: DataFrame, spec: "TargetSpec", mode: str) -> None:
     if spec.partition_by:
         writer = writer.partitionBy(*spec.partition_by)
     if fmt == "excel":
-        # no core writer — pandas bridge, inherently single-file. The
-        # collect is bounded so a config typo (pointing a big table at an
-        # excel sink) fails fast instead of OOMing the driver; the cap is
-        # the format's own sheet limit.
-        n = df.limit(_EXCEL_MAX_ROWS + 1).count()
-        if n > _EXCEL_MAX_ROWS:
+        # no core writer — pandas bridge, inherently single-file. ONE
+        # bounded collect (limit N+1 → pandas → len check) so a config typo
+        # (pointing a big table at an excel sink) fails fast instead of
+        # OOMing the driver, and a nondeterministic upstream can't pass a
+        # separate count probe yet exceed the cap at collect time. sortBy
+        # becomes a GLOBAL orderBy — one sheet, one order.
+        src = df.orderBy(*spec.sort_by) if spec.sort_by else df
+        pdf = src.limit(_EXCEL_MAX_ROWS + 1).toPandas()
+        if len(pdf) > _EXCEL_MAX_ROWS:
             raise ValueError(
                 f"excel sink '{spec.path}': input exceeds {_EXCEL_MAX_ROWS} "
                 "rows (xlsx sheet limit); use a distributed format"
             )
-        df.toPandas().to_excel(spec.path, index=False)
+        pdf.to_excel(spec.path, index=False)
         return
     writer.format(fmt).save(spec.path)
     if spec.single_file:
-        _single_file_rename(spec.path, spec.output_file_name_prefix)
+        _single_file_rename(df.sparkSession, spec.path, spec.output_file_name_prefix)
 
 
 def _write_catalog(df: DataFrame, spec: "TargetSpec", mode: str) -> None:
@@ -129,6 +159,47 @@ def _write_jdbc(df: DataFrame, spec: "TargetSpec", mode: str) -> None:
     writer.save()
 
 
+def _write_sftp(spark: SparkSession, df: DataFrame, spec: "TargetSpec", mode: str) -> None:
+    """W9 (``spark.json:85-86`` dataTarget sftp): mirror of the S11 staged
+    fetch — write to a local temp dir through the normal file writer (so
+    every format / compression / singleFile-prefix combination works
+    unchanged), then ``put`` the produced files to ``remoteDirPath`` over
+    the shared paramiko transport. Gated exactly like the source."""
+    try:
+        import paramiko  # noqa: F401 — gate only; transport built in ..sftp
+    except ImportError as e:
+        raise NotImplementedError(
+            "sftp sink requires paramiko (not in this container); "
+            "write locally and push out-of-band"
+        ) from e
+    if not spec.sftp_host:
+        raise ValueError(f"sftp target '{spec.dataframe_name}' needs sftpServerName")
+    remote = spec.remote_path or spec.path
+    if not remote:
+        raise ValueError(f"sftp target '{spec.dataframe_name}' needs remoteDirPath")
+
+    import dataclasses
+    import tempfile
+
+    from ..sftp import connect, upload
+
+    stage = tempfile.mkdtemp(prefix="sftp_out_")
+    local_path = os.path.join(stage, "payload")
+    staged_spec = dataclasses.replace(
+        spec, data_target="local", path=local_path, remote_path=None
+    )
+    _write_file(df, staged_spec, mode)
+    if not os.path.isdir(local_path):  # excel writes a single file directly
+        local_path = local_path if os.path.exists(local_path) else stage
+    transport, sftp = connect(spec.sftp_host, spec.options)
+    try:
+        upload(sftp, local_path, remote)
+    finally:
+        sftp.close()
+        transport.close()
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 def _delta_table(spark: SparkSession, path: str):
     """Gated Delta handle: returns the DeltaTable at ``path`` or None when
     delta-spark is absent / the path is not a Delta table."""
@@ -152,7 +223,7 @@ def _scd2_delta_merge(spark: SparkSession, dt, df: DataFrame, spec: "TargetSpec"
     once with a NULL merge key (to fall through to the insert clause)."""
     from pyspark.sql import functions as F
 
-    from ..operators.scd2 import EFF_END, EFF_START, IS_CURRENT, _HIGH_TS, _fingerprint
+    from ..operators.scd2 import EFF_END, EFF_START, IS_CURRENT, _HIGH_TS
 
     keys = spec.scd2_keys
     eff = (
@@ -160,23 +231,8 @@ def _scd2_delta_merge(spark: SparkSession, dt, df: DataFrame, spec: "TargetSpec"
         if spec.scd2_effective_col
         else F.current_timestamp()
     )
-    target_df = dt.toDF()
-    data_cols = [c for c in target_df.columns if c not in SCD2_META_COLS]
-    compare = spec.scd2_compare_cols or [c for c in data_cols if c not in keys]
-    fp = _fingerprint(compare)
-
-    incoming = df.select(*data_cols).withColumn("__fp", fp)
-    current = target_df.filter(F.col(IS_CURRENT)).withColumn("__fp", fp)
-    changed = incoming.alias("i").join(
-        current.alias("t"),
-        [incoming[k].eqNullSafe(current[k]) for k in keys],
-        "inner",
-    ).filter(F.col("i.__fp") != F.col("t.__fp")).select("i.*")
-
-    staged = incoming.select(
-        *[F.col(k).alias(f"__mk_{k}") for k in keys], "*"
-    ).unionByName(
-        changed.select(*[F.lit(None).alias(f"__mk_{k}") for k in keys], "*")
+    staged, data_cols, compare = _scd2_merge_staging(
+        dt.toDF(), df, keys, spec.scd2_compare_cols
     )
     # plain '=' (not null-safe): the NULL-keyed staging lane must never
     # match — it exists to fall through to the insert clause.
@@ -200,6 +256,52 @@ def _scd2_delta_merge(spark: SparkSession, dt, df: DataFrame, spec: "TargetSpec"
         )
         .execute()
     )
+
+
+def _scd2_merge_staging(
+    target_df: DataFrame,
+    incoming_df: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None,
+):
+    """The two-lane staged DataFrame feeding the Delta MERGE — factored out
+    of the (delta-gated) merge call so its lane logic is testable without
+    delta-spark. Returns ``(staged, data_cols, compare)``.
+
+    Lanes, per incoming row (deduplicated one-per-key first — duplicate
+    incoming keys would otherwise abort the MERGE with multiple-source-
+    rows-matched):
+      - KEYED (``__mk_<k>`` = key): matches its current target row, firing
+        whenMatchedUpdate to close it when the fingerprint changed;
+      - NULL-KEY (``__mk_<k>`` = NULL, ONLY for rows whose fingerprint
+        differs from their matched current row): never matches, falling
+        through to whenNotMatchedInsert with the row's new version. A
+        brand-new key needs no NULL-key row — its KEYED row already
+        matches nothing and inserts (a second lane would double-insert)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.scd2 import IS_CURRENT, _dedup_incoming, _fingerprint
+
+    data_cols = [c for c in target_df.columns if c not in SCD2_META_COLS]
+    compare = compare_cols or [c for c in data_cols if c not in keys]
+    fp = _fingerprint(compare)
+
+    incoming = _dedup_incoming(
+        incoming_df.select(*data_cols), keys, [c for c in data_cols if c not in keys]
+    ).withColumn("__fp", fp)
+    current = target_df.filter(F.col(IS_CURRENT)).withColumn("__fp", fp)
+    changed = incoming.alias("i").join(
+        current.alias("t"),
+        [incoming[k].eqNullSafe(current[k]) for k in keys],
+        "inner",
+    ).filter(F.col("i.__fp") != F.col("t.__fp")).select("i.*")
+
+    staged = incoming.select(
+        *[F.col(k).alias(f"__mk_{k}") for k in keys], "*"
+    ).unionByName(
+        changed.select(*[F.lit(None).alias(f"__mk_{k}") for k in keys], "*")
+    )
+    return staged, data_cols, compare
 
 
 def _fingerprint_sql(cols: list[str], alias: str) -> str:
@@ -299,17 +401,18 @@ def write_target(spark: SparkSession, df: DataFrame, spec: "TargetSpec") -> dict
     # count DELTA, not the absolute target count (which includes rows from
     # previous loads and would fail a perfectly good append).
     pre_existing = 0
-    if (
-        spec.reconciliation
-        and mode == "append"
-        and load != "scdType2Insert"
-        and spec.path
-        and _fs_exists(spark, spec.path)
-    ):
-        try:
-            pre_existing = spark.read.format(_fmt(spec.file_format)).load(spec.path).count()
-        except Exception:
-            pre_existing = 0  # unreadable/empty dir: treat as fresh target
+    if spec.reconciliation and mode == "append" and load != "scdType2Insert":
+        if spec.data_target == "catalog" and spec.table_name:
+            # a second append onto a catalog table must reconcile the count
+            # DELTA too — comparing expected=df.count() against the FULL
+            # table total would fail every append after the first
+            if spark.catalog.tableExists(spec.table_name):
+                pre_existing = spark.table(spec.table_name).count()
+        elif spec.path and _fs_exists(spark, spec.path):
+            try:
+                pre_existing = spark.read.format(_fmt(spec.file_format)).load(spec.path).count()
+            except Exception:
+                pre_existing = 0  # unreadable/empty dir: treat as fresh target
 
     if mode == "scd2" or load == "scdType2Insert":
         _scd2_write(spark, df, spec)
@@ -318,10 +421,7 @@ def write_target(spark: SparkSession, df: DataFrame, spec: "TargetSpec") -> dict
     elif spec.data_target == "database":
         _write_jdbc(df, spec, mode)
     elif spec.data_target == "sftp":
-        raise NotImplementedError(
-            "sftp sink requires paramiko (not in this container); "
-            "write locally and push out-of-band"
-        )
+        _write_sftp(spark, df, spec, mode)
     else:
         _write_file(df, spec, mode)
 
@@ -332,7 +432,7 @@ def write_target(spark: SparkSession, df: DataFrame, spec: "TargetSpec") -> dict
         if spec.data_target == "catalog" and spec.table_name:
             expected = df.count()
             written = spark.table(spec.table_name).count()
-            result["reconciliation"] = reconcile_counts(expected, written)
+            result["reconciliation"] = reconcile_counts(expected, written, pre_existing)
         elif not spec.path:
             result["reconciliation"] = {"mode": "count", "ok": True, "expected": None}
         elif spec.reconciliation_mode == "hash" and load != "scdType2Insert" and mode != "append":

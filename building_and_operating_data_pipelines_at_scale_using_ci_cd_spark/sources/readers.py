@@ -133,23 +133,11 @@ def _read_xml(spark: SparkSession, spec: "InputSpec") -> DataFrame:
 
 
 def _sftp_download(sftp, remote_path: str, local_dir: str) -> str:
-    """Fetch a remote file or directory (one level) into ``local_dir``;
-    returns the staged local path. Separated from transport setup so tests
-    can exercise it with a fake client."""
-    import stat as _stat
+    """Back-compat alias — the staged fetch lives in the shared
+    :mod:`..sftp` module now (the W9 sink shares it)."""
+    from ..sftp import download
 
-    base = os.path.basename(remote_path.rstrip("/")) or "sftp_input"
-    dest = os.path.join(local_dir, base)
-    attrs = sftp.stat(remote_path)
-    if _stat.S_ISDIR(attrs.st_mode):
-        os.makedirs(dest, exist_ok=True)
-        for entry in sftp.listdir(remote_path):
-            rp = remote_path.rstrip("/") + "/" + entry
-            if _stat.S_ISREG(sftp.stat(rp).st_mode):
-                sftp.get(rp, os.path.join(dest, entry))
-    else:
-        sftp.get(remote_path, dest)
-    return dest
+    return download(sftp, remote_path, local_dir)
 
 
 def _read_sftp(spark: SparkSession, spec: "InputSpec") -> DataFrame:
@@ -163,7 +151,7 @@ def _read_sftp(spark: SparkSession, spec: "InputSpec") -> DataFrame:
     never the 100 TB path; staging through the driver's temp dir matches
     that reality."""
     try:
-        import paramiko
+        import paramiko  # noqa: F401 — gate only; transport built in ..sftp
     except ImportError as e:
         raise NotImplementedError(
             "sftp source requires paramiko (not in this container); "
@@ -177,21 +165,13 @@ def _read_sftp(spark: SparkSession, spec: "InputSpec") -> DataFrame:
 
     import tempfile
 
-    opts = spec.options
-    transport = paramiko.Transport((spec.sftp_host, int(opts.get("port", 22))))
+    from ..sftp import connect, download
+
+    transport, sftp = connect(spec.sftp_host, spec.options)
     try:
-        connect_kwargs: dict = {"username": opts.get("username")}
-        if opts.get("keyPath"):
-            connect_kwargs["pkey"] = paramiko.RSAKey.from_private_key_file(opts["keyPath"])
-        else:
-            connect_kwargs["password"] = opts.get("password")
-        transport.connect(**connect_kwargs)
-        sftp = paramiko.SFTPClient.from_transport(transport)
-        try:
-            local = _sftp_download(sftp, remote, tempfile.mkdtemp(prefix="sftp_stage_"))
-        finally:
-            sftp.close()
+        local = download(sftp, remote, tempfile.mkdtemp(prefix="sftp_stage_"))
     finally:
+        sftp.close()
         transport.close()
     staged = replace(spec, data_source="local", path=local, remote_path=None)
     return read_input(spark, staged)

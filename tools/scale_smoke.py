@@ -60,7 +60,28 @@ def main() -> None:
         pack_sequential,
     )
 
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.dedup import (
+        simhash_near_pairs,
+        winnow_fingerprint_sets,
+    )
+
     timed("near_dup_pairs", lambda: near_dup_pairs(docs, "doc_id", "text").count())
+    timed(
+        "near_dup_pairs (direct)",
+        lambda: near_dup_pairs(docs, "doc_id", "text", collapse_exact=False).count(),
+    )
+    timed(
+        # sum(size(...)) not count(): count() lets Spark drop the map-only
+        # projection entirely and measures nothing
+        "winnow_fingerprints",
+        lambda: winnow_fingerprint_sets(docs, "doc_id", "text")
+        .agg(F.sum(F.size("fingerprints")))
+        .collect(),
+    )
+    timed(
+        "simhash_near_pairs",
+        lambda: simhash_near_pairs(docs, "doc_id", "text", radius=2).count(),
+    )
     timed(
         "pack_sequential",
         lambda: pack_sequential(docs, "doc_id", "n_chars", budget=5000, n_shards=32).count(),
