@@ -947,6 +947,89 @@ FROM m
 """
 
 
+def _q_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-gram near-dup (MOSS): winnowing-fingerprint candidates
+    verified by exact char-5-gram Jaccard ≥ 0.5 (k=5, w=4)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.dedup import (
+        winnow_near_dup_pairs,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    return winnow_near_dup_pairs(docs, "doc_id", "text", k=5, w=4, threshold=0.5)
+
+
+WINNOW_NEAR_DUPS_DUCK = """
+WITH g AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(
+           GENERATE_SERIES(1, GREATEST(LENGTH(text) - 4, 0)),
+           i -> CAST(CONCAT('0x', SUBSTR(MD5(SUBSTRING(text, i, 5)), 1, 8)) AS BIGINT)
+         ) AS hs
+  FROM documents
+), m AS (
+  SELECT doc_id, LIST_DISTINCT(hs) AS gset,
+         CASE WHEN LEN(hs) >= 4
+              THEN LIST_DISTINCT(LIST_TRANSFORM(
+                     GENERATE_SERIES(1, LEN(hs) - 3), j -> LIST_MIN(hs[j:j+3])))
+              ELSE []::BIGINT[] END AS sel
+  FROM g
+), ex AS (
+  SELECT doc_id, UNNEST(sel) AS f FROM m
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(LEN(LIST_INTERSECT(x.gset, y.gset)) AS DOUBLE)
+             / LEN(LIST_DISTINCT(LIST_CONCAT(x.gset, y.gset))), 4) AS jaccard_sim
+FROM cand JOIN m x ON x.doc_id = id_a JOIN m y ON y.doc_id = id_b
+WHERE ROUND(CAST(LEN(LIST_INTERSECT(x.gset, y.gset)) AS DOUBLE)
+            / LEN(LIST_DISTINCT(LIST_CONCAT(x.gset, y.gset))), 4) >= 0.5
+"""
+
+
+# TPC-H-shaped additions over the available columns (no o_comment /
+# c_phone / partsupp in the synthetic tables, so q13/q22 use the classic
+# plan shapes with the columns that exist)
+
+Q13_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) cc
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+Q15_TOP_SUPPLIER = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+Q22_SALES_OPPORTUNITY = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 def _q_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-10 for probe vectors (vec_id % 50 = 0)."""
     emb = _table(spark, sf_dir, "embeddings")
@@ -1519,6 +1602,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_resize": _q_embedding_resize,
         "approx_distinct": _q_approx_distinct,
         "minhash_near_dups": _q_minhash_near_dups,
+        "winnow_near_dups": _q_winnow_near_dups,
+        "q13_customer_distribution": _sql(Q13_CUSTOMER_DISTRIBUTION),
+        "q15_top_supplier": _sql(Q15_TOP_SUPPLIER),
+        "q22_sales_opportunity": _sql(Q22_SALES_OPPORTUNITY),
         # -- (3) single r02 exposure -------------------------------------
         "ann_lsh_topk": _q_ann_lsh,
         "ivf_topk": _q_ivf_topk,
@@ -1608,6 +1695,10 @@ def oracle_sql() -> dict[str, str]:
         "grouping_sets": GROUPING_SETS,
         "broadcast_hint_join": BROADCAST_HINT_JOIN,
         "approx_distinct": APPROX_DISTINCT_DUCK,
+        "winnow_near_dups": WINNOW_NEAR_DUPS_DUCK,
+        "q13_customer_distribution": Q13_CUSTOMER_DISTRIBUTION,
+        "q15_top_supplier": Q15_TOP_SUPPLIER,
+        "q22_sales_opportunity": Q22_SALES_OPPORTUNITY,
         "q4_order_priority": Q4_ORDER_PRIORITY,
         "q7_volume_shipping": Q7_VOLUME_SHIPPING,
         "q12_priority_classes": Q12_PRIORITY_CLASSES,

@@ -480,6 +480,64 @@ def winnow_fingerprint_sets(
     )
 
 
+def winnow_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Char-gram near-dup detection, the MOSS shape (Schleimer et al.
+    2003): winnowing fingerprints generate candidates — two docs sharing
+    any run of ≥ k+w-1 characters are GUARANTEED to share a selected
+    fingerprint — verified by exact char-k-gram Jaccard over the distinct
+    gram-hash sets. Columns: id_a, id_b, jaccard_sim.
+
+    The character-level companion to the token-level :func:`near_dup_pairs`
+    (MinHash): robust to tokenization differences (whitespace mangling,
+    concatenated words) where token shingles break.
+
+    Scale: fingerprints are ~1/w of grams, candidates come from an
+    equi-join on the fingerprint VALUE (never all-pairs), and the exact
+    Jaccard touches candidates only. Same skew caveat as the band join:
+    exact-duplicate floods share every fingerprint — collapse them with
+    :func:`exact_dedup_groups` first on crawl-grade corpora."""
+    from ..functions.text import gram_hashes, winnow_select
+
+    g = _spread(df).select(
+        F.col(id_col).alias("__id"),
+        gram_hashes(F.col(text_col), k).alias("__gh"),
+        F.rand().alias("__b0"),
+    )
+    gd = g.select(
+        "__id",
+        F.array_distinct(F.col("__gh")).alias("__gset"),
+        winnow_select(F.col("__gh"), w).alias("__fp"),
+    ).persist()
+    ex = gd.select("__id", F.explode("__fp").alias("__f"))
+    cands = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.__f") == F.col("b.__f")) & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cands.join(
+            gd.select(F.col("__id").alias("id_a"), F.col("__gset").alias("__ga")), "id_a"
+        )
+        .join(
+            gd.select(F.col("__id").alias("id_b"), F.col("__gset").alias("__gb")), "id_b"
+        )
+        .withColumn("jaccard_sim", F.round(jaccard(F.col("__ga"), F.col("__gb")), 4))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32, shingle_n: int = 3
 ) -> DataFrame:

@@ -62,6 +62,12 @@ def _simhash(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
     return simhash_fingerprints(df, id_col, text_col, **kw)
 
 
+def _winnow_near_dups(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
+    from .dedup import winnow_near_dup_pairs
+
+    return winnow_near_dup_pairs(df, id_col, text_col, **kw)
+
+
 def _embedding_near_dups(df: DataFrame, id_col: str, vec_col: str, **kw) -> DataFrame:
     from .dedup import embedding_near_dup_pairs
 
@@ -110,6 +116,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "minhashNearDups": _minhash_near_dups,
     "nearDupClusters": _near_dup_clusters,
     "simhashFingerprints": _simhash,
+    "winnowNearDups": _winnow_near_dups,
     "embeddingNearDups": _embedding_near_dups,
     "textEnrich": _text_enrich,
     "hashSplit": _hash_split,

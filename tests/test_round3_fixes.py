@@ -267,6 +267,45 @@ def test_delta_staging_dedups_duplicate_incoming_keys(spark):
 
 
 # ---------------------------------------------------------------------------
+# winnow-candidate near-dup (char-gram Jaccard, MOSS shape)
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_near_dup_pairs_finds_shared_runs(spark):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.dedup import (
+        winnow_near_dup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tail"),  # long shared run -> near-dup
+            (3, "completely different content with nothing shared here at all"),
+        ],
+        "doc_id int, text string",
+    )
+    pairs = winnow_near_dup_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard_sim"] > 0.8
+
+
+def test_winnow_near_dups_config_step(spark):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.registry import (
+        apply_operator,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "shared shared shared shared text"), (2, "shared shared shared shared text")],
+        "doc_id int, text string",
+    )
+    out = apply_operator(
+        "winnowNearDups", df, {"id_col": "doc_id", "text_col": "text"}
+    )
+    assert out.count() == 1
+
+
+# ---------------------------------------------------------------------------
 # compact_files sizes through Hadoop FS
 # ---------------------------------------------------------------------------
 
