@@ -1433,6 +1433,95 @@ GROUP BY DATE_TRUNC('hour', ts), event_type
 """
 
 
+def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization computed by Structured Streaming's native
+    ``session_window`` state machine (availableNow → memory sink) — proved
+    equal to the batch LAG/cumsum formulation: Spark merges events whose
+    30-minute windows overlap, which is exactly the batch rule "new
+    session when ts > prev + gap". Bounds are emitted as MIN/MAX(ts) so
+    both engines describe sessions in event time, not window time."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = stream.groupBy(
+        F.session_window(F.col("ts"), "30 minutes").alias("win"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("__v"),
+        F.min("ts").alias("__start"),
+        F.max("ts").alias("__end"),
+    )
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        "n_events",
+        F.round(F.col("__v").cast("double") / 10000.0, 2).alias("session_value"),
+        F.date_trunc("millisecond", F.col("__start")).alias("session_start"),
+        F.date_trunc("millisecond", F.col("__end")).alias("session_end"),
+    )
+
+
+STREAMING_SESSIONS_DUCK = """
+WITH seq AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new,
+         event_id
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM seq
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 2)
+         AS session_value,
+       DATE_TRUNC('millisecond', MIN(ts)) AS session_start,
+       DATE_TRUNC('millisecond', MAX(ts)) AS session_end
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
 # -- deterministic split / sample / packing (training-data bookkeeping) ------
 
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -1606,6 +1695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_customer_distribution": _sql(Q13_CUSTOMER_DISTRIBUTION),
         "q15_top_supplier": _sql(Q15_TOP_SUPPLIER),
         "q22_sales_opportunity": _sql(Q22_SALES_OPPORTUNITY),
+        "streaming_sessionization": _q_streaming_sessions,
         # -- (3) single r02 exposure -------------------------------------
         "ann_lsh_topk": _q_ann_lsh,
         "ivf_topk": _q_ivf_topk,
@@ -1699,6 +1789,7 @@ def oracle_sql() -> dict[str, str]:
         "q13_customer_distribution": Q13_CUSTOMER_DISTRIBUTION,
         "q15_top_supplier": Q15_TOP_SUPPLIER,
         "q22_sales_opportunity": Q22_SALES_OPPORTUNITY,
+        "streaming_sessionization": STREAMING_SESSIONS_DUCK,
         "q4_order_priority": Q4_ORDER_PRIORITY,
         "q7_volume_shipping": Q7_VOLUME_SHIPPING,
         "q12_priority_classes": Q12_PRIORITY_CLASSES,
