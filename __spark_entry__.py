@@ -975,9 +975,15 @@ WITH g AS (
   FROM g
 ), ex AS (
   SELECT doc_id, UNNEST(sel) AS f FROM m
+), rare AS (
+  -- MOSS common-fingerprint filter (max_doc_freq = 20): boilerplate
+  -- buckets add O(n^2) candidates and no signal
+  SELECT f FROM ex GROUP BY f HAVING COUNT(*) <= 20
+), exr AS (
+  SELECT ex.doc_id, ex.f FROM ex JOIN rare USING (f)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+  FROM exr a JOIN exr b ON a.f = b.f AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b,
        ROUND(CAST(LEN(LIST_INTERSECT(x.gset, y.gset)) AS DOUBLE)

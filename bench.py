@@ -40,6 +40,11 @@ HEADLINE = [
     "corpus_curation",
     "token_packing",
     "winnow_fingerprints",
+    # round 3: char-gram near-dup (winnow candidates + Jaccard verify) and
+    # the two heaviest new subquery shapes
+    "winnow_near_dups",
+    "q13_customer_distribution",
+    "q22_sales_opportunity",
 ]
 
 

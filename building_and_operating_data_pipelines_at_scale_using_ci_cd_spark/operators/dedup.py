@@ -487,22 +487,32 @@ def winnow_near_dup_pairs(
     k: int = 5,
     w: int = 4,
     threshold: float = 0.5,
+    max_doc_freq: int = 20,
 ) -> DataFrame:
     """Char-gram near-dup detection, the MOSS shape (Schleimer et al.
     2003): winnowing fingerprints generate candidates — two docs sharing
-    any run of ≥ k+w-1 characters are GUARANTEED to share a selected
-    fingerprint — verified by exact char-k-gram Jaccard over the distinct
-    gram-hash sets. Columns: id_a, id_b, jaccard_sim.
+    any run of ≥ k+w-1 characters share a selected fingerprint — verified
+    by exact char-k-gram Jaccard over the distinct gram-hash sets.
+    Columns: id_a, id_b, jaccard_sim.
 
     The character-level companion to the token-level :func:`near_dup_pairs`
     (MinHash): robust to tokenization differences (whitespace mangling,
     concatenated words) where token shingles break.
 
-    Scale: fingerprints are ~1/w of grams, candidates come from an
-    equi-join on the fingerprint VALUE (never all-pairs), and the exact
-    Jaccard touches candidates only. Same skew caveat as the band join:
-    exact-duplicate floods share every fingerprint — collapse them with
-    :func:`exact_dedup_groups` first on crawl-grade corpora."""
+    ``max_doc_freq`` drops fingerprints shared by more than that many
+    docs before the candidate join — MOSS's own common-fingerprint
+    filter. Boilerplate runs (headers, license text, stock phrases) put
+    thousands of docs in one bucket: the bucket contributes O(n²)
+    candidate pairs and zero discriminative signal (measured at sf0.1:
+    1002 distinct fingerprints over 5000 docs, worst bucket 3891 docs —
+    295M candidate pairs without the filter, 5.6k with it). Docs whose
+    ONLY shared runs are that common are treated as not near-dups.
+
+    Scale: fingerprints are ~1/w of grams, the doc-frequency pass is one
+    groupBy on the fingerprint, candidates come from an equi-join on the
+    fingerprint VALUE (never all-pairs, and bucket size is bounded by
+    ``max_doc_freq`` by construction), and the exact Jaccard touches
+    candidates only."""
     from ..functions.text import gram_hashes, winnow_select
 
     g = _spread(df).select(
@@ -516,10 +526,17 @@ def winnow_near_dup_pairs(
         winnow_select(F.col("__gh"), w).alias("__fp"),
     ).persist()
     ex = gd.select("__id", F.explode("__fp").alias("__f"))
+    rare = (
+        ex.groupBy("__f")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_doc_freq)
+        .select("__f")
+    )
+    exr = ex.join(rare, "__f")
     cands = (
-        ex.alias("a")
+        exr.alias("a")
         .join(
-            ex.alias("b"),
+            exr.alias("b"),
             (F.col("a.__f") == F.col("b.__f")) & (F.col("a.__id") < F.col("b.__id")),
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
