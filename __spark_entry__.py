@@ -1501,6 +1501,85 @@ def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-user running event count / value sum / last-seen ts, maintained in
+    the state store across micro-batches. Run availableNow, the FINAL
+    state per user must equal the batch per-user totals — which gives this
+    "genuinely non-SQL-expressible" operator a real oracle anyway. Values
+    accumulate as ×10000 integers (exact in doubles) so the state sum is
+    order-independent and hash-comparable."""
+    import tempfile
+    import uuid
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.streaming.ops import (
+        stateful_running_totals,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withColumn("value", F.round(F.col("value") * 10000).cast("double"))
+    )
+    totals = stateful_running_totals(stream, "user_id", "ts", "value")
+    name = f"stream_totals_{uuid.uuid4().hex[:8]}"
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per key per micro-batch it appears in;
+    # the FINAL emission (greatest n_events) is the end-of-stream state
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("total_value") / 10000.0, 2).alias("total_value"),
+            F.date_trunc("millisecond", F.col("last_ts")).alias("last_ts"),
+        )
+    )
+
+
+STREAMING_TOTALS_DUCK = """
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 2)
+         AS total_value,
+       DATE_TRUNC('millisecond', MAX(ts)) AS last_ts
+FROM events
+GROUP BY user_id
+"""
+
+
 STREAMING_SESSIONS_DUCK = """
 WITH seq AS (
   SELECT user_id, ts, value,
@@ -1702,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": _sql(Q15_TOP_SUPPLIER),
         "q22_sales_opportunity": _sql(Q22_SALES_OPPORTUNITY),
         "streaming_sessionization": _q_streaming_sessions,
+        "streaming_running_totals": _q_streaming_running_totals,
         # -- (3) single r02 exposure -------------------------------------
         "ann_lsh_topk": _q_ann_lsh,
         "ivf_topk": _q_ivf_topk,
@@ -1796,6 +1876,7 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": Q15_TOP_SUPPLIER,
         "q22_sales_opportunity": Q22_SALES_OPPORTUNITY,
         "streaming_sessionization": STREAMING_SESSIONS_DUCK,
+        "streaming_running_totals": STREAMING_TOTALS_DUCK,
         "q4_order_priority": Q4_ORDER_PRIORITY,
         "q7_volume_shipping": Q7_VOLUME_SHIPPING,
         "q12_priority_classes": Q12_PRIORITY_CLASSES,
