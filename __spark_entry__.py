@@ -1035,6 +1035,143 @@ GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
 
+# q2 shape: there is no partsupp table, so observed per-(part, supplier)
+# unit prices from lineitem stand in for ps_supplycost; the correlated
+# MIN subquery and the 4-way dimension join are the point of the query.
+Q2_MIN_COST_SUPPLIER = """
+WITH costs AS (
+  SELECT l_partkey, l_suppkey,
+         ROUND(SUM(l_extendedprice) / SUM(l_quantity), 4) AS unit_cost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT c.l_partkey, c.unit_cost, s.s_acctbal, s.s_name, n.n_name
+  FROM costs c
+  JOIN supplier s ON s.s_suppkey = c.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  JOIN region r   ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_type,
+       e.unit_cost AS min_cost
+FROM eu e JOIN part p ON p.p_partkey = e.l_partkey
+WHERE p.p_size <= 15
+  AND e.unit_cost = (SELECT MIN(e2.unit_cost) FROM eu e2
+                     WHERE e2.l_partkey = e.l_partkey)
+ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+LIMIT 100
+"""
+
+# q8 shape: one nation's share of a region's yearly import volume.
+Q8_MARKET_SHARE = """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / SUM(volume), 4) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+    AND p_type = 'ECONOMY'
+) allnations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+# q9 shape: profit by supplier nation and order year for a part family
+# (no ps_supplycost, so profit = discounted revenue).
+Q9_PRODUCT_PROFIT = """
+SELECT nation, o_year,
+       -- half-up to cents in exact integer math: ROUND(double, 2) ties
+       -- (x.945) resolve differently on Spark (shortest-decimal-string
+       -- HALF_UP) vs DuckDB (raw binary value), so never round the double
+       CAST(FLOOR((SUM(CAST(ROUND(volume * 10000) AS BIGINT)) + 50)
+                  / 100.0) AS DOUBLE) / 100.0 AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%gear%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+# q11 shape: parts whose traded value within one region exceeds a
+# fraction of the regional total (scalar-subquery threshold over a CTE).
+Q11_IMPORTANT_PARTS = """
+WITH val AS (
+  SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS part_value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, ROUND(part_value, 2) AS part_value
+FROM val
+WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM val)
+ORDER BY part_value DESC, p_partkey
+"""
+
+# q16 shape: distinct-supplier counts per part attribute bucket
+# (lineitem is the part-supplier relationship; no comment exclusions).
+Q16_PARTS_SUPPLIER_CNT = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+# q17 classic: yearly revenue lost if small-quantity orders vanish;
+# the correlated per-part AVG subquery is the point.
+Q17_SMALL_QTY_REVENUE = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+# q21 shape: suppliers who were the sole late shipper on a multi-supplier
+# finished order — no l_receiptdate/l_commitdate in the synthetic table,
+# so "late" is shipment >90 days after order date; the double correlated
+# EXISTS / NOT EXISTS with a non-equality predicate is the point.
+Q21_WAITING_SUPPLIER = """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM l l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE l1.late = 1
+  AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4', 'NATION_5')
+  AND EXISTS (SELECT 1 FROM l l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.late = 1)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
 
 def _q_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-10 for probe vectors (vec_id % 50 = 0)."""
@@ -1780,6 +1917,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_customer_distribution": _sql(Q13_CUSTOMER_DISTRIBUTION),
         "q15_top_supplier": _sql(Q15_TOP_SUPPLIER),
         "q22_sales_opportunity": _sql(Q22_SALES_OPPORTUNITY),
+        "q2_min_cost_supplier": _sql(Q2_MIN_COST_SUPPLIER),
+        "q8_market_share": _sql(Q8_MARKET_SHARE),
+        "q9_product_profit": _sql(Q9_PRODUCT_PROFIT),
+        "q11_important_parts": _sql(Q11_IMPORTANT_PARTS),
+        "q16_parts_supplier_cnt": _sql(Q16_PARTS_SUPPLIER_CNT),
+        "q17_small_qty_revenue": _sql(Q17_SMALL_QTY_REVENUE),
+        "q21_waiting_supplier": _sql(Q21_WAITING_SUPPLIER),
         "streaming_sessionization": _q_streaming_sessions,
         "streaming_running_totals": _q_streaming_running_totals,
         # -- (3) single r02 exposure -------------------------------------
@@ -1875,6 +2019,13 @@ def oracle_sql() -> dict[str, str]:
         "q13_customer_distribution": Q13_CUSTOMER_DISTRIBUTION,
         "q15_top_supplier": Q15_TOP_SUPPLIER,
         "q22_sales_opportunity": Q22_SALES_OPPORTUNITY,
+        "q2_min_cost_supplier": Q2_MIN_COST_SUPPLIER,
+        "q8_market_share": Q8_MARKET_SHARE,
+        "q9_product_profit": Q9_PRODUCT_PROFIT,
+        "q11_important_parts": Q11_IMPORTANT_PARTS,
+        "q16_parts_supplier_cnt": Q16_PARTS_SUPPLIER_CNT,
+        "q17_small_qty_revenue": Q17_SMALL_QTY_REVENUE,
+        "q21_waiting_supplier": Q21_WAITING_SUPPLIER,
         "streaming_sessionization": STREAMING_SESSIONS_DUCK,
         "streaming_running_totals": STREAMING_TOTALS_DUCK,
         "q4_order_priority": Q4_ORDER_PRIORITY,
