@@ -1173,6 +1173,95 @@ ORDER BY numwait DESC, s_name
 """
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (doc_id % 10 != 0) sharing
+    any distinct 8-token-gram with the held-out eval slice (doc_id % 10
+    = 0) — the n-gram-collision leakage check every training pipeline
+    runs before the corpus ships."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.corpus import (
+        contaminated_docs,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    return contaminated_docs(corpus, eval_df, "doc_id", "text", n=8, min_overlap=1)
+
+
+_DECON_GRAMS = """
+WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, UNNEST(list_distinct(
+    CASE WHEN len(toks) >= {n}
+         THEN list_transform(range(1, len(toks) - {n} + 2),
+                             i -> array_to_string(toks[i:i+{n}-1], ' '))
+         ELSE []::VARCHAR[] END)) AS gram
+  FROM tok)
+"""
+
+DECONTAMINATE_DUCK = _DECON_GRAMS.format(n=8) + """
+, eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+cg AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0)
+SELECT cg.doc_id, COUNT(DISTINCT cg.gram) AS n_overlap
+FROM cg JOIN eg USING (gram)
+GROUP BY cg.doc_id
+"""
+
+
+def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate profile: 5-token-grams shared by ≥2 distinct docs."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.corpus import (
+        frequent_ngrams,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    return frequent_ngrams(docs, "doc_id", "text", n=5, min_doc_freq=2)
+
+
+BOILERPLATE_DUCK = _DECON_GRAMS.format(n=5) + """
+SELECT gram, COUNT(DISTINCT doc_id) AS doc_freq
+FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+#: deterministic synthetic PII suffix (the corpus itself is clean, so the
+#: query manufactures the shapes it must scrub)
+_PII_SUFFIX_SQL = (
+    "' contact user' || doc_id || '@example.com ph 555-123-4567 "
+    "ip 10.0.0.' || (doc_id % 256) || ' ssn 123-45-6789'"
+)
+
+
+def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents with deterministic synthetic PII
+    appended (email, phone, IPv4, SSN), scrubbed by
+    functions.text.redact_pii — chained JVM regexp_replace."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.text import (
+        redact_pii,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    with_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ph 555-123-4567 ip 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(" ssn 123-45-6789"),
+    )
+    return docs.select("doc_id", redact_pii(with_pii).alias("redacted"))
+
+
+def _pii_redaction_duck() -> str:
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.text import (
+        PII_PATTERNS,
+    )
+
+    expr = f"text || {_PII_SUFFIX_SQL}"
+    for pattern, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pattern}', '{token}', 'g')"
+    return f"SELECT doc_id, {expr} AS redacted FROM documents"
+
+
 def _q_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-10 for probe vectors (vec_id % 50 = 0)."""
     emb = _table(spark, sf_dir, "embeddings")
@@ -1926,6 +2015,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_supplier": _sql(Q21_WAITING_SUPPLIER),
         "streaming_sessionization": _q_streaming_sessions,
         "streaming_running_totals": _q_streaming_running_totals,
+        "decontaminate": _q_decontaminate,
+        "boilerplate_ngrams": _q_boilerplate,
+        "pii_redaction": _q_pii_redaction,
         # -- (3) single r02 exposure -------------------------------------
         "ann_lsh_topk": _q_ann_lsh,
         "ivf_topk": _q_ivf_topk,
@@ -2028,6 +2120,9 @@ def oracle_sql() -> dict[str, str]:
         "q21_waiting_supplier": Q21_WAITING_SUPPLIER,
         "streaming_sessionization": STREAMING_SESSIONS_DUCK,
         "streaming_running_totals": STREAMING_TOTALS_DUCK,
+        "decontaminate": DECONTAMINATE_DUCK,
+        "boilerplate_ngrams": BOILERPLATE_DUCK,
+        "pii_redaction": _pii_redaction_duck(),
         "q4_order_priority": Q4_ORDER_PRIORITY,
         "q7_volume_shipping": Q7_VOLUME_SHIPPING,
         "q12_priority_classes": Q12_PRIORITY_CLASSES,

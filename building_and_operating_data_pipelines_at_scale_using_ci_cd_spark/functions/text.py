@@ -161,6 +161,29 @@ def winnow_select(hashes: Column, w: int = 4) -> Column:
     ).otherwise(F.array().cast("array<bigint>"))
 
 
+#: PII patterns restricted to syntax valid in BOTH Java regex (Spark) and
+#: RE2 (DuckDB/Go) — no backrefs, no lookaround — so oracles can mirror
+#: the redaction exactly and the same config SQL runs anywhere.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub common PII shapes (emails, NANP phones, IPv4s, SSNs) to
+    bracketed placeholder tokens — the standard pre-training redaction
+    pass. Chained regexp_replace: pure JVM expressions, codegen'd, no
+    Python in the hot path. Order matters: emails first so their digit
+    runs can't be half-eaten by the phone/SSN patterns."""
+    out = text
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 over the sorted distinct token set —
     invariant to token order/duplication, the cheap first pass before

@@ -110,6 +110,44 @@ def _pack_sequential(df: DataFrame, order_col: str, size_col: str, budget, **kw)
     return pack_sequential(df, order_col, size_col, int(budget), **kw)
 
 
+def _pii_redact(df: DataFrame, text_col: str = "text", output_col: str | None = None) -> DataFrame:
+    """Scrub PII shapes in ``text_col``; in place unless ``output_col``."""
+    from ..functions.text import redact_pii
+
+    return df.withColumn(output_col or text_col, redact_pii(F.col(text_col)))
+
+
+def _frequent_ngrams(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
+    from .corpus import frequent_ngrams
+
+    if "n" in kw:
+        kw["n"] = int(kw["n"])
+    if "min_doc_freq" in kw:
+        kw["min_doc_freq"] = int(kw["min_doc_freq"])
+    return frequent_ngrams(df, id_col, text_col, **kw)
+
+
+def _decontaminate(
+    df: DataFrame, id_col: str, text_col: str, eval_predicate: str, **kw
+) -> DataFrame:
+    """Config shape for decontamination: ONE input view split by a SQL
+    predicate — rows matching ``eval_predicate`` are the held-out eval
+    set, the rest the corpus to scrub."""
+    from .corpus import contaminated_docs
+
+    if "n" in kw:
+        kw["n"] = int(kw["n"])
+    if "min_overlap" in kw:
+        kw["min_overlap"] = int(kw["min_overlap"])
+    return contaminated_docs(
+        df.filter(f"NOT ({eval_predicate})"),
+        df.filter(eval_predicate),
+        id_col,
+        text_col,
+        **kw,
+    )
+
+
 OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "exactDedupGroups": _exact_dedup,
     "exactDedupSurvivors": _dedup_survivors,
@@ -122,6 +160,9 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "hashSplit": _hash_split,
     "stratifiedSample": _stratified_sample,
     "packSequential": _pack_sequential,
+    "piiRedact": _pii_redact,
+    "frequentNgrams": _frequent_ngrams,
+    "decontaminate": _decontaminate,
 }
 
 
