@@ -1262,6 +1262,201 @@ def _pii_redaction_duck() -> str:
     return f"SELECT doc_id, {expr} AS redacted FROM documents"
 
 
+def _q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc repetition metrics over token 2-grams."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.corpus import (
+        repetition_profile,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    return repetition_profile(docs, "doc_id", "text", n=2)
+
+
+REPETITION_PROFILE_DUCK = """
+WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, UNNEST(
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(range(1, len(toks)),
+                             i -> array_to_string(toks[i:i+1], ' '))
+         ELSE []::VARCHAR[] END) AS gram
+  FROM tok),
+pg AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram),
+pd AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS total_grams,
+              COUNT(*) AS distinct_grams, MAX(cnt) AS top_cnt
+       FROM pg GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(total_grams, 0) AS total_grams,
+       COALESCE(distinct_grams, 0) AS distinct_grams,
+       CASE WHEN total_grams IS NOT NULL
+            THEN 1.0 - distinct_grams / total_grams ELSE 0.0 END AS dup_gram_frac,
+       CASE WHEN total_grams IS NOT NULL
+            THEN top_cnt / total_grams ELSE 0.0 END AS top_gram_frac
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
+def _q_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus filter ledger: per-rule violation counts + corpus fraction
+    for the C4/Gopher-style document filters."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.text import (
+        filter_reasons,
+    )
+
+    _views(spark, sf_dir)
+    docs = _table(spark, sf_dir, "documents")
+    (
+        docs.select(F.explode(filter_reasons(F.col("text"))).alias("reason"))
+        .groupBy("reason")
+        .agg(F.count("*").alias("n_docs"))
+        .createOrReplaceTempView("filter_reason_counts")
+    )
+    # scalar subquery (planned as a one-shot ReusedSubquery, not a join)
+    # rather than crossJoin(broadcast(count)) — same result, no BNLJ
+    return spark.sql(
+        """SELECT reason, n_docs,
+                  n_docs / (SELECT COUNT(*) FROM documents) AS frac
+           FROM filter_reason_counts"""
+    )
+
+
+#: mirrors functions.text.filter_rules threshold-for-threshold
+FILTER_AUDIT_DUCK = """
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> t IN ('the','a','of','and','to','in','is','it')))
+           / len(string_split(lower(text), ' ')) AS sw_ratio,
+         len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+           / len(text) AS punct_ratio,
+         len(regexp_replace(text, '\\s', '', 'g'))
+           / len(string_split(text, ' ')) AS avg_tok_len,
+         1.0 - len(list_distinct(string_split(lower(text), ' ')))
+           / len(string_split(text, ' ')) AS tok_rep
+  FROM documents),
+r AS (
+  SELECT doc_id, UNNEST(list_filter([
+    CASE WHEN n_tok < 30 THEN 'too_few_tokens' END,
+    CASE WHEN n_tok > 5000 THEN 'too_many_tokens' END,
+    CASE WHEN sw_ratio < 0.05 THEN 'low_stopword_ratio' END,
+    CASE WHEN punct_ratio > 0.10 THEN 'high_punct_ratio' END,
+    CASE WHEN avg_tok_len < 2.0 THEN 'short_avg_token' END,
+    CASE WHEN avg_tok_len > 12.0 THEN 'long_avg_token' END,
+    CASE WHEN tok_rep > 0.6 THEN 'high_token_repetition' END
+  ], x -> x IS NOT NULL)) AS reason
+  FROM m)
+SELECT reason, COUNT(*) AS n_docs,
+       COUNT(*) / (SELECT COUNT(*) FROM documents) AS frac
+FROM r GROUP BY reason
+"""
+
+#: deterministic decomposed-unicode suffix (NFC-composable): cafe+combining
+#: acute, u+combining diaeresis, A+combining ring
+_NFC_SUFFIX = " cafe\u0301 u\u0308ber A\u030angstro\u0308m"
+
+
+def _q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (Arrow-batched pandas UDF — Spark has no
+    built-in) over documents with a deterministic decomposed suffix;
+    emits the normalized text plus the codepoints saved by composition."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.register import (
+        py_nfc_normalize,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(_NFC_SUFFIX)).alias("raw")
+    )
+    return staged.select(
+        "doc_id",
+        py_nfc_normalize(F.col("raw")).alias("normalized"),
+        F.length("raw").alias("raw_len"),
+    ).select(
+        "doc_id",
+        "normalized",
+        (F.col("raw_len") - F.length("normalized")).alias("composed_chars"),
+    )
+
+
+NFC_NORMALIZE_DUCK = """
+WITH raw AS (
+  SELECT doc_id,
+         text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber A'
+              || chr(778) || 'ngstro' || chr(776) || 'm' AS r
+  FROM documents)
+SELECT doc_id, nfc_normalize(r) AS normalized,
+       length(r) - length(nfc_normalize(r)) AS composed_chars
+FROM raw
+"""
+
+
+def _q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain frequency over documents with deterministic
+    synthetic URLs appended — host via the JVM parse_url expression,
+    domain = host minus its first label."""
+    docs = _table(spark, sf_dir, "documents")
+    with_url = F.concat(
+        F.col("text"),
+        F.lit(" see https://sub"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".site"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=corpus"),
+    )
+    url = F.regexp_extract(with_url, r"https?://[^ ]+", 0)
+    host = F.parse_url(url, F.lit("HOST"))
+    domain = F.regexp_extract(host, r"^[^.]*\.(.*)$", 1)
+    return (
+        docs.select(domain.alias("domain"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+URL_DOMAINS_DUCK = """
+WITH u AS (
+  SELECT regexp_extract(
+           text || ' see https://sub' || (doc_id % 7) || '.site'
+                || (doc_id % 20) || '.example.com/p/' || doc_id || '?ref=corpus',
+           'https?://([^/ ]+)', 1) AS host
+  FROM documents)
+SELECT regexp_extract(host, '^[^.]*\\.(.*)$', 1) AS domain, COUNT(*) AS n_docs
+FROM u GROUP BY domain
+"""
+
+
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global span dedup: 3-token non-overlapping chunks, first
+    corpus-wide occurrence (by id, pos) survives, docs reassembled."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.corpus import (
+        remove_duplicate_spans,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, "doc_id", "text", span_tokens=3)
+
+
+SPAN_DEDUP_DUCK = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ch AS (
+  SELECT doc_id, UNNEST(list_transform(
+    range(0, CAST(ceil(len(toks) / 3.0) AS BIGINT)),
+    i -> {'pos': i, 'chunk': array_to_string(toks[i*3+1:i*3+3], ' ')}),
+    recursive := true)
+  FROM tok),
+kept AS (
+  SELECT doc_id, pos, chunk FROM ch
+  QUALIFY row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) = 1),
+reb AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS text
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(reb.text, '') AS text
+FROM documents d LEFT JOIN reb USING (doc_id)
+"""
+
+
 def _q_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-10 for probe vectors (vec_id % 50 = 0)."""
     emb = _table(spark, sf_dir, "embeddings")
@@ -2018,7 +2213,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "boilerplate_ngrams": _q_boilerplate,
         "pii_redaction": _q_pii_redaction,
-        # -- (3) single r02 exposure -------------------------------------
+        "repetition_profile": _q_repetition_profile,
+        "filter_audit": _q_filter_audit,
+        "nfc_normalize": _q_nfc_normalize,
+        "url_domains": _q_url_domains,
+        "span_dedup": _q_span_dedup,
+        # -- (3) single r02 exposure (keys past the 50-cap here get their
+        # second exposure in round 4 — never-checked keys outrank them) ---
         "ann_lsh_topk": _q_ann_lsh,
         "ivf_topk": _q_ivf_topk,
         "multimodal_decode": _q_multimodal_decode,
@@ -2123,6 +2324,11 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": DECONTAMINATE_DUCK,
         "boilerplate_ngrams": BOILERPLATE_DUCK,
         "pii_redaction": _pii_redaction_duck(),
+        "repetition_profile": REPETITION_PROFILE_DUCK,
+        "filter_audit": FILTER_AUDIT_DUCK,
+        "nfc_normalize": NFC_NORMALIZE_DUCK,
+        "url_domains": URL_DOMAINS_DUCK,
+        "span_dedup": SPAN_DEDUP_DUCK,
         "q4_order_priority": Q4_ORDER_PRIORITY,
         "q7_volume_shipping": Q7_VOLUME_SHIPPING,
         "q12_priority_classes": Q12_PRIORITY_CLASSES,

@@ -45,6 +45,11 @@ HEADLINE = [
     "winnow_near_dups",
     "q13_customer_distribution",
     "q22_sales_opportunity",
+    # round 3: corpus curation — eval-gram broadcast join and full-corpus
+    # n-gram doc-frequency shuffle
+    "decontaminate",
+    "boilerplate_ngrams",
+    "pii_redaction",
 ]
 
 

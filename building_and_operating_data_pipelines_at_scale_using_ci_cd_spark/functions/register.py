@@ -15,11 +15,13 @@ Two tiers:
 
 from __future__ import annotations
 
+import unicodedata
+
 import pandas as pd
 
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, IntegerType
+from pyspark.sql.types import DoubleType, IntegerType, StringType
 
 
 @pandas_udf(IntegerType())
@@ -39,7 +41,20 @@ def py_type_token_ratio(text: pd.Series) -> pd.Series:
     return text.map(ttr)
 
 
+@pandas_udf(StringType())
+def py_nfc_normalize(text: pd.Series) -> pd.Series:
+    """Unicode NFC normalization (Arrow-batched) — canonical-composes
+    decomposed sequences (e + U+0301 -> é) so byte-level dedup hashes
+    agree across differently-encoded sources. Spark has no built-in
+    unicode-normalize expression, so this is the honest Pandas-UDF tier;
+    DuckDB oracles mirror it with ``nfc_normalize``."""
+    return text.map(
+        lambda s: unicodedata.normalize("NFC", s) if s is not None else None
+    )
+
+
 def register_sql_functions(spark: SparkSession) -> None:
     """Make the Python-tier functions callable from config SQL."""
     spark.udf.register("py_token_count", py_token_count)
     spark.udf.register("py_type_token_ratio", py_type_token_ratio)
+    spark.udf.register("py_nfc_normalize", py_nfc_normalize)

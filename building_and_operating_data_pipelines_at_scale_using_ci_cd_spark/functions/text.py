@@ -184,6 +184,40 @@ def redact_pii(text: Column) -> Column:
     return out
 
 
+def filter_rules(text: Column) -> list[tuple[str, Column]]:
+    """The C4/Gopher-style corpus filter rules as (name, violated?)
+    pairs — the standard cheap document filters every training pipeline
+    applies before dedup. All pure Column expressions (codegen'd), all
+    mirrorable in an ANSI-SQL oracle.
+
+    Thresholds follow the published heuristics (Gopher §A1.1 word counts
+    / mean word length / symbol ratios; C4 stopword requirement), scaled
+    to whitespace tokens."""
+    n_tok = token_count(text).cast("double")
+    return [
+        ("too_few_tokens", n_tok < 30),
+        ("too_many_tokens", n_tok > 5000),
+        ("low_stopword_ratio", stopword_ratio(text) < 0.05),
+        ("high_punct_ratio", punct_ratio(text) > 0.10),
+        ("short_avg_token", avg_token_len(text) < 2.0),
+        ("long_avg_token", avg_token_len(text) > 12.0),
+        (
+            "high_token_repetition",
+            F.lit(1.0) - F.size(F.array_distinct(tokens(F.lower(text)))) / n_tok > 0.6,
+        ),
+    ]
+
+
+def filter_reasons(text: Column) -> Column:
+    """Array of tripped rule names (empty = document passes all filters).
+    ``F.filter`` over a literal-built array keeps the whole rule ledger
+    one codegen'd expression."""
+    tagged = F.array(
+        *[F.when(cond, F.lit(name)) for name, cond in filter_rules(text)]
+    )
+    return F.filter(tagged, lambda x: x.isNotNull())
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 over the sorted distinct token set —
     invariant to token order/duplication, the cheap first pass before

@@ -72,6 +72,125 @@ def contaminated_docs(
     )
 
 
+def repetition_profile(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 2
+) -> DataFrame:
+    """Per-document repetition metrics over token ``n``-grams (the
+    Gopher-style repetition filters): total vs distinct gram counts, the
+    duplicate-gram fraction, and the share of the single most frequent
+    gram. Docs shorter than ``n`` tokens report zero grams and 0.0
+    fractions.
+
+    Returns (id_col, total_grams, distinct_grams, dup_gram_frac,
+    top_gram_frac). Shape: one explode + groupBy(id, gram) + groupBy(id)
+    — both aggregations partial-agg (map-side combine) and shuffle on
+    id-derived keys, never corpus-wide state.
+    """
+    tk = df.select(
+        F.col(id_col).alias("__id"),
+        tokens(F.lower(F.col(text_col))).alias("__tk"),
+        F.rand().alias("__b0"),  # barrier: stop CollapseProject merging
+    )
+    # ALL grams (not distinct — repetition is the point)
+    idx = F.sequence(F.lit(1), F.size(F.col("__tk")) - F.lit(n - 1))
+    grams = tk.select(
+        "__id",
+        F.explode(
+            F.when(
+                F.size(F.col("__tk")) >= n,
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("__tk"), i, n))),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("__id", "gram").agg(F.count("*").alias("cnt"))
+    per_doc = per_gram.groupBy("__id").agg(
+        F.sum("cnt").alias("total_grams"),
+        F.count("*").alias("distinct_grams"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    # left join back so sub-n-token docs still get a (zeroed) row
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("total_grams", F.lit(0)).alias("total_grams"),
+            F.coalesce("distinct_grams", F.lit(0)).alias("distinct_grams"),
+            F.when(
+                F.col("total_grams").isNotNull(),
+                F.lit(1.0) - F.col("distinct_grams") / F.col("total_grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_gram_frac"),
+            F.when(
+                F.col("total_grams").isNotNull(), F.col("top_cnt") / F.col("total_grams")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_gram_frac"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, *, span_tokens: int = 3
+) -> DataFrame:
+    """C4-style global span dedup: split every document into consecutive
+    non-overlapping ``span_tokens``-token chunks, keep only the FIRST
+    occurrence of each chunk corpus-wide (ordered by id, then position),
+    and reassemble the surviving chunks in document order.
+
+    Returns (id_col, text_col) — documents reduced to never-seen-before
+    spans; docs whose every span was already seen come back empty-string.
+
+    Shape: explode → one window shuffle partitioned BY CHUNK (first-
+    occurrence choice is per-chunk state, bounded by occurrence count,
+    never corpus-wide) → one groupBy(id) reassembly. ``collect_list`` +
+    ``array_sort`` per doc is bounded by document length.
+    """
+    from pyspark.sql.window import Window
+
+    tk = df.select(
+        F.col(id_col).alias("__id"),
+        tokens(F.col(text_col)).alias("__tk"),
+        F.rand().alias("__b0"),  # barrier: stop CollapseProject merging
+    )
+    n_chunks = F.ceil(F.size(F.col("__tk")) / F.lit(span_tokens)).cast("int")
+    chunk_arr = F.when(
+        n_chunks >= 1,  # guard: sequence(0, -1) would count DOWN
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - F.lit(1)),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("__tk"), i * span_tokens + 1, span_tokens)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunks = tk.select("__id", F.posexplode(chunk_arr).alias("pos", "chunk"))
+    first = Window.partitionBy("chunk").orderBy("__id", "pos")
+    kept = (
+        chunks.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias(text_col)
+    )
+    # docs whose every span was seen before still get an (empty) row
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        )
+    )
+
+
 def frequent_ngrams(
     df: DataFrame,
     id_col: str,

@@ -148,6 +148,39 @@ def _decontaminate(
     )
 
 
+def _repetition_profile(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
+    from .corpus import repetition_profile
+
+    if "n" in kw:
+        kw["n"] = int(kw["n"])
+    return repetition_profile(df, id_col, text_col, **kw)
+
+
+def _remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
+    from .corpus import remove_duplicate_spans
+
+    if "span_tokens" in kw:
+        kw["span_tokens"] = int(kw["span_tokens"])
+    return remove_duplicate_spans(df, id_col, text_col, **kw)
+
+
+def _nfc_normalize(df: DataFrame, text_col: str = "text", output_col: str | None = None) -> DataFrame:
+    from ..functions.register import py_nfc_normalize
+
+    return df.withColumn(output_col or text_col, py_nfc_normalize(F.col(text_col)))
+
+
+def _filter_with_reasons(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the C4/Gopher filter ledger: ``filter_reasons`` (comma-joined
+    string so downstream sinks stay complex-type-free) + ``keep``."""
+    from ..functions.text import filter_reasons
+
+    reasons = filter_reasons(F.col(text_col))
+    return df.withColumn("keep", F.size(reasons) == 0).withColumn(
+        "filter_reasons", F.concat_ws(",", reasons)
+    )
+
+
 OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "exactDedupGroups": _exact_dedup,
     "exactDedupSurvivors": _dedup_survivors,
@@ -163,6 +196,10 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "piiRedact": _pii_redact,
     "frequentNgrams": _frequent_ngrams,
     "decontaminate": _decontaminate,
+    "repetitionProfile": _repetition_profile,
+    "removeDuplicateSpans": _remove_duplicate_spans,
+    "nfcNormalize": _nfc_normalize,
+    "filterWithReasons": _filter_with_reasons,
 }
 
 

@@ -161,3 +161,104 @@ def test_registry_frequent_ngrams(spark, docs):
         "brown fox jumps",
         "fox jumps over",
     }
+
+
+def test_repetition_profile_counts(spark):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.corpus import (
+        repetition_profile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b a b"),  # bigrams: ab ba ab ba ab
+            Row(doc_id=2, text="w x y z"),      # all distinct
+            Row(doc_id=3, text="solo"),          # < n tokens
+        ]
+    )
+    rows = {r["doc_id"]: r for r in repetition_profile(df, "doc_id", "text", n=2).collect()}
+    r1 = rows[1]
+    assert r1["total_grams"] == 5 and r1["distinct_grams"] == 2
+    assert r1["dup_gram_frac"] == 1.0 - 2 / 5
+    assert r1["top_gram_frac"] == 3 / 5  # "a b" occurs 3x
+    r2 = rows[2]
+    assert r2["dup_gram_frac"] == 0.0 and r2["top_gram_frac"] == 1 / 3
+    r3 = rows[3]
+    assert r3["total_grams"] == 0 and r3["dup_gram_frac"] == 0.0
+
+
+def test_remove_duplicate_spans_first_occurrence_wins(spark):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.corpus import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f"),       # chunks: "a b c", "d e f"
+            Row(doc_id=2, text="a b c x y z"),       # "a b c" dup -> dropped
+            Row(doc_id=3, text="a b c d e f"),       # fully duplicate -> empty
+        ]
+    )
+    out = {r["doc_id"]: r["text"] for r in
+           remove_duplicate_spans(df, "doc_id", "text", span_tokens=3).collect()}
+    assert out[1] == "a b c d e f"
+    assert out[2] == "x y z"
+    assert out[3] == ""
+
+
+def test_remove_duplicate_spans_within_doc(spark):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.corpus import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=1, text="p q r p q r tail")])
+    out = remove_duplicate_spans(df, "doc_id", "text", span_tokens=3).head()["text"]
+    assert out == "p q r tail"  # second "p q r" chunk dropped, short tail kept
+
+
+def test_filter_reasons_rules_trip(spark):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.text import (
+        filter_reasons,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="tiny doc"),  # too_few_tokens + more
+            Row(doc_id=2, text=" ".join(
+                ["the", "of", "and", "to", "in", "is"]
+                + [f"word{i}" for i in range(30)])),  # healthy: 36 distinct
+        ]
+    )
+    out = {r["doc_id"]: r["r"] for r in
+           df.select("doc_id", filter_reasons(F.col("text")).alias("r")).collect()}
+    assert "too_few_tokens" in out[1]
+    assert out[2] == []
+
+
+def test_nfc_normalize_composes(spark):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.register import (
+        py_nfc_normalize,
+    )
+
+    df = spark.createDataFrame([Row(s="café plain")])
+    out = df.select(py_nfc_normalize(F.col("s")).alias("n")).head()["n"]
+    assert out == "café plain"
+    assert len(out) == len("café plain") - 1
+
+
+def test_registry_span_and_repetition_and_nfc(spark, docs):
+    rep = apply_operator(
+        "repetitionProfile", docs, {"id_col": "doc_id", "text_col": "text", "n": "2"}
+    )
+    assert rep.count() == docs.count()
+    spans = apply_operator(
+        "removeDuplicateSpans", docs,
+        {"id_col": "doc_id", "text_col": "text", "span_tokens": "3"},
+    )
+    assert spans.count() == docs.count()
+    nfc = apply_operator("nfcNormalize", docs, {"text_col": "text"})
+    assert nfc.count() == docs.count()
+    flt = apply_operator("filterWithReasons", docs, {"text_col": "text"})
+    assert {"keep", "filter_reasons"} <= set(flt.columns)
+    # docs fixture texts are < 30 tokens: every row trips too_few_tokens
+    assert flt.filter(F.col("keep")).count() == 0
+    assert all("too_few_tokens" in r["filter_reasons"] for r in flt.collect())
