@@ -1860,6 +1860,121 @@ GROUP BY DATE_TRUNC('hour', ts), event_type
 """
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (TIMESTAMP(NANOS) read as
+    long and truncated to micros, mirroring sources.readers.read_parquet)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def _run_stream(df: DataFrame, prefix: str, mode: str) -> DataFrame:
+    """availableNow → memory sink; returns the materialized result table."""
+    import tempfile
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup (dropDuplicatesWithinWatermark
+    state machine) on (user_id, event_type) — projected to the key set so
+    the result is deterministic (which duplicate survives depends on
+    arrival order; the key set does not). Proved equal to batch DISTINCT."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.streaming.ops import (
+        streaming_dedup,
+    )
+
+    stream = _events_stream(spark, sf_dir)
+    dd = streaming_dedup(stream, ["user_id", "event_type"], "ts").select(
+        "user_id", "event_type"
+    )
+    return _run_stream(dd, "stream_dedup", "append")
+
+
+STREAMING_DEDUP_DUCK = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def _q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: every (purchase, click) pair by the
+    same user with the click within 30 minutes BEFORE the purchase —
+    watermarked on both sides with event-time join bounds, so buffered
+    state is dropped as the watermark advances. Proved equal to the batch
+    range join."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.streaming.ops import (
+        interval_join,
+    )
+
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+        )
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = interval_join(
+        purchases.withColumnRenamed("user_id", "key_user"),
+        clicks.withColumnRenamed("c_user", "key_user"),
+        "key_user",
+        "p_ts",
+        "c_ts",
+        lookback="30 minutes",
+    ).select(F.col("key_user").alias("user_id"), "purchase_id", "click_id")
+    return _run_stream(joined, "stream_ij", "append")
+
+
+STREAMING_INTERVAL_JOIN_DUCK = """
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+FROM events p
+JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts <= p.ts
+"""
+
+
 def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization computed by Structured Streaming's native
     ``session_window`` state machine (availableNow → memory sink) — proved
@@ -2218,6 +2333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": _q_nfc_normalize,
         "url_domains": _q_url_domains,
         "span_dedup": _q_span_dedup,
+        "streaming_dedup": _q_streaming_dedup,
+        "streaming_interval_join": _q_streaming_interval_join,
         # -- (3) single r02 exposure (keys past the 50-cap here get their
         # second exposure in round 4 — never-checked keys outrank them) ---
         "ann_lsh_topk": _q_ann_lsh,
@@ -2329,6 +2446,8 @@ def oracle_sql() -> dict[str, str]:
         "nfc_normalize": NFC_NORMALIZE_DUCK,
         "url_domains": URL_DOMAINS_DUCK,
         "span_dedup": SPAN_DEDUP_DUCK,
+        "streaming_dedup": STREAMING_DEDUP_DUCK,
+        "streaming_interval_join": STREAMING_INTERVAL_JOIN_DUCK,
         "q4_order_priority": Q4_ORDER_PRIORITY,
         "q7_volume_shipping": Q7_VOLUME_SHIPPING,
         "q12_priority_classes": Q12_PRIORITY_CLASSES,

@@ -88,6 +88,35 @@ def streaming_dedup(
     return with_watermark(df, ts_col, delay).dropDuplicatesWithinWatermark(keys)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    *,
+    lookback: str = "30 minutes",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` where the right event happened
+    within ``lookback`` BEFORE the left event (click-before-purchase
+    attribution, the streaming twin of the batch range join).
+
+    Both sides are watermarked and the join condition carries the
+    event-time bounds — Structured Streaming needs both to know when
+    buffered state can be dropped; without them state grows forever.
+    """
+    l = with_watermark(left, left_ts, delay)
+    r = with_watermark(right, right_ts, delay)
+    return l.join(
+        r,
+        (l[key] == r[key])
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(right_ts) <= F.col(left_ts)),
+        "inner",
+    ).drop(r[key])
+
+
 def stateful_running_totals(
     df: DataFrame, key_col: str, ts_col: str, value_col: str
 ) -> DataFrame:

@@ -185,3 +185,41 @@ def test_foreach_batch_reuses_batch_writer(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out_path).count() == 1
+
+
+def test_interval_join_stream(spark, tmp_path):
+    """Stream-stream interval join: click within 30 min BEFORE purchase."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.streaming.ops import (
+        interval_join,
+    )
+
+    purchases = _events_stream(
+        spark,
+        tmp_path / "p",
+        [
+            (1, _ts("2024-01-01 10:30:00"), 100.0),
+            (2, _ts("2024-01-01 12:00:00"), 200.0),
+        ],
+    ).select("user_id", F.col("ts").alias("p_ts"), F.col("v").alias("amount"))
+    clicks = _events_stream(
+        spark,
+        tmp_path / "c",
+        [
+            (1, _ts("2024-01-01 10:10:00"), 0.0),  # within 30 min -> joins
+            (1, _ts("2024-01-01 09:00:00"), 0.0),  # too early -> dropped
+            (2, _ts("2024-01-01 12:01:00"), 0.0),  # after purchase -> dropped
+        ],
+    ).select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+
+    joined = interval_join(
+        purchases.withColumnRenamed("user_id", "key_user"),
+        clicks.withColumnRenamed("c_user", "key_user"),
+        "key_user",
+        "p_ts",
+        "c_ts",
+        lookback="30 minutes",
+    )
+    _run_stream_once(joined, "interval_join_test")
+    rows = spark.sql("SELECT * FROM interval_join_test").collect()
+    assert len(rows) == 1
+    assert rows[0]["key_user"] == 1 and str(rows[0]["c_ts"]) == "2024-01-01 10:10:00"

@@ -91,6 +91,41 @@ def main() -> None:
         lambda: hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).count(),
     )
 
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.corpus import (
+        contaminated_docs,
+        frequent_ngrams,
+        remove_duplicate_spans,
+        repetition_profile,
+    )
+
+    timed(
+        "decontaminate",
+        lambda: contaminated_docs(
+            docs.filter(F.col("doc_id") % 10 != 0),
+            docs.filter(F.col("doc_id") % 10 == 0),
+            "doc_id",
+            "text",
+            n=8,
+        ).count(),
+    )
+    timed(
+        "boilerplate_ngrams",
+        lambda: frequent_ngrams(docs, "doc_id", "text", n=5, min_doc_freq=2).count(),
+    )
+    timed(
+        # agg over text length (count() alone would let Spark skip the rebuild)
+        "span_dedup",
+        lambda: remove_duplicate_spans(docs, "doc_id", "text", span_tokens=3)
+        .agg(F.sum(F.length("text")))
+        .collect(),
+    )
+    timed(
+        "repetition_profile",
+        lambda: repetition_profile(docs, "doc_id", "text", n=2)
+        .agg(F.sum("total_grams"))
+        .collect(),
+    )
+
     ev = _replicate(
         read_parquet(spark, f"{sf_dir}/events.parquet"), ["user_id", "event_id"], n
     )
