@@ -50,6 +50,10 @@ HEADLINE = [
     "decontaminate",
     "boilerplate_ngrams",
     "pii_redaction",
+    # round 3: C4-style span dedup (chunk window + reassembly) and the
+    # Gopher repetition profile (two-stage partial agg)
+    "span_dedup",
+    "repetition_profile",
 ]
 
 
