@@ -88,3 +88,71 @@ def test_dedup_survivor_deterministic_and_complete(spark, rows):
     assert g1 == sorted((pk, o, p) for pk, (o, p) in expected.items())
     # nothing lost: survivors + duplicates == input
     assert len(g1) + bad1.count() == len(rows)
+
+
+#: space-separated lowercase token docs (the corpus operators' domain)
+_doc_text = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    min_size=1,
+    max_size=12,
+).map(" ".join)
+_corpus = st.lists(_doc_text, min_size=1, max_size=6).map(
+    lambda texts: [(i, t) for i, t in enumerate(texts)]
+)
+
+
+@settings(**_SETTINGS)
+@given(docs=_corpus)
+def test_span_dedup_idempotent_and_shrinking(spark, docs):
+    """remove_duplicate_spans is idempotent (a deduped corpus has no
+    duplicate spans left) and never grows a document."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.corpus import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    once = remove_duplicate_spans(df, "doc_id", "text", span_tokens=2)
+    twice = remove_duplicate_spans(once, "doc_id", "text", span_tokens=2)
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: r["text"] for r in twice.collect()}
+    assert a == b
+    orig = dict(docs)
+    assert all(len(a[i]) <= len(orig[i]) for i in orig)
+    # total surviving tokens never exceed the distinct-span token supply
+    assert a[0] == orig[0] if 0 in orig else True  # first doc always intact
+
+
+@settings(**_SETTINGS)
+@given(docs=_corpus)
+def test_repetition_profile_bounds(spark, docs):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.corpus import (
+        repetition_profile,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    for r in repetition_profile(df, "doc_id", "text", n=2).collect():
+        assert r["distinct_grams"] <= r["total_grams"]
+        assert 0.0 <= r["dup_gram_frac"] < 1.0 or r["total_grams"] == 0
+        assert 0.0 <= r["top_gram_frac"] <= 1.0
+        n_tok = len(dict(docs)[r["doc_id"]].split(" "))
+        assert r["total_grams"] == max(n_tok - 1, 0)
+
+
+@settings(**_SETTINGS)
+@given(docs=_corpus)
+def test_redact_and_nfc_idempotent(spark, docs):
+    """redact_pii and NFC normalization are idempotent — running either
+    twice equals running it once (required for safe pipeline re-runs)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.register import (
+        py_nfc_normalize,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.text import (
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id int, text string").withColumn(
+        "text", F.concat(F.col("text"), F.lit(" x@y.io 10.0.0.1 café"))
+    )
+    one = df.select(redact_pii(py_nfc_normalize(F.col("text"))).alias("t"))
+    two = one.select(redact_pii(py_nfc_normalize(F.col("t"))).alias("t"))
+    assert [r["t"] for r in one.collect()] == [r["t"] for r in two.collect()]
