@@ -1457,6 +1457,76 @@ FROM documents d LEFT JOIN reb USING (doc_id)
 """
 
 
+def _q_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink format parity: write nation through the engine's file
+    sink in csv/json/orc/xml, read each back through the engine's source
+    reader, and emit per-format row/checksum aggregates — if any format
+    loses or corrupts data, its row diverges from the parquet-side oracle.
+    """
+    import tempfile
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.config import (
+        InputSpec,
+        TargetSpec,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sinks.writers import (
+        write_target,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.readers import (
+        read_input,
+    )
+
+    nation = _table(spark, sf_dir, "nation")
+    base = tempfile.mkdtemp(prefix="fmt_rt_")
+    out: DataFrame | None = None
+    for fmt in ("csv", "json", "orc", "xml"):
+        opts = {"rowTag": "row", "rootTag": "rows"} if fmt == "xml" else {}
+        write_target(
+            spark,
+            nation,
+            TargetSpec.from_dict(
+                {
+                    "dataFrameName": "nation",
+                    "dataTarget": "file",
+                    "path": f"{base}/{fmt}",
+                    "loadType": "truncateInsert",
+                    "outputDataProperties": {"fileFormat": fmt},
+                    "options": opts,
+                }
+            ),
+        )
+        back = read_input(
+            spark,
+            InputSpec.from_dict(
+                {
+                    "dataSource": "local",
+                    "dataFrameName": f"nation_{fmt}",
+                    "path": f"{base}/{fmt}",
+                    "fileProperties": {"fileFormat": fmt},
+                    "options": opts,
+                }
+            ),
+        )
+        agg = back.agg(
+            F.lit(fmt).alias("fmt"),
+            F.count("*").alias("n_rows"),
+            F.sum("n_regionkey").cast("bigint").alias("sum_region"),
+            F.sum(F.length("n_name")).cast("bigint").alias("sum_name_chars"),
+        ).select("fmt", "n_rows", "sum_region", "sum_name_chars")
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+FORMATS_ROUNDTRIP_DUCK = """
+WITH m AS (SELECT COUNT(*) AS n_rows,
+                  CAST(SUM(n_regionkey) AS BIGINT) AS sum_region,
+                  CAST(SUM(length(n_name)) AS BIGINT) AS sum_name_chars
+           FROM nation)
+SELECT f.fmt, m.n_rows, m.sum_region, m.sum_name_chars
+FROM (VALUES ('csv'), ('json'), ('orc'), ('xml')) f(fmt) CROSS JOIN m
+"""
+
+
 def _q_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-10 for probe vectors (vec_id % 50 = 0)."""
     emb = _table(spark, sf_dir, "embeddings")
@@ -2335,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": _q_span_dedup,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_interval_join": _q_streaming_interval_join,
+        "formats_roundtrip": _q_formats_roundtrip,
         # -- (3) single r02 exposure (keys past the 50-cap here get their
         # second exposure in round 4 — never-checked keys outrank them) ---
         "ann_lsh_topk": _q_ann_lsh,
@@ -2448,6 +2519,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": SPAN_DEDUP_DUCK,
         "streaming_dedup": STREAMING_DEDUP_DUCK,
         "streaming_interval_join": STREAMING_INTERVAL_JOIN_DUCK,
+        "formats_roundtrip": FORMATS_ROUNDTRIP_DUCK,
         "q4_order_priority": Q4_ORDER_PRIORITY,
         "q7_volume_shipping": Q7_VOLUME_SHIPPING,
         "q12_priority_classes": Q12_PRIORITY_CLASSES,

@@ -104,6 +104,11 @@ def _write_file(df: DataFrame, spec: "TargetSpec", mode: str) -> None:
         # After the coalesce, so a single-file export sorts globally.
         out = out.sortWithinPartitions(*spec.sort_by)
     writer = out.write.mode(mode)
+    if spec.options:
+        # pass-through writer options (e.g. xml rowTag/rootTag, csv quote
+        # chars); unknown keys are ignored by the datasource, so sftp
+        # transport options riding in the same dict are harmless here
+        writer = writer.options(**spec.options)
     if fmt == "csv":
         writer = writer.option("header", str(spec.header).lower())
     if spec.compression:
