@@ -142,13 +142,15 @@ def remove_duplicate_spans(
     Returns (id_col, text_col) — documents reduced to never-seen-before
     spans; docs whose every span was already seen come back empty-string.
 
-    Shape: explode → one window shuffle partitioned BY CHUNK (first-
-    occurrence choice is per-chunk state, bounded by occurrence count,
-    never corpus-wide) → one groupBy(id) reassembly. ``collect_list`` +
-    ``array_sort`` per doc is bounded by document length.
+    Shape: explode → one ``groupBy(chunk).agg(min(struct(id, pos)))``
+    (the first-occurrence choice is an AGGREGATION, not a ranking, so
+    partial aggregation / map-side combine absorbs hyper-common
+    boilerplate chunks before the shuffle — a ``Window.partitionBy(
+    chunk)`` would instead serialize every occurrence of a boilerplate
+    chunk into one straggler task at crawl scale) → one groupBy(id)
+    reassembly. ``concat_ws`` over ``array_sort(collect_list(...))`` per
+    doc is bounded by document length.
     """
-    from pyspark.sql.window import Window
-
     tk = df.select(
         F.col(id_col).alias("__id"),
         tokens(F.col(text_col)).alias("__tk"),
@@ -165,12 +167,12 @@ def remove_duplicate_spans(
         ),
     ).otherwise(F.array().cast("array<string>"))
     chunks = tk.select("__id", F.posexplode(chunk_arr).alias("pos", "chunk"))
-    first = Window.partitionBy("chunk").orderBy("__id", "pos")
-    kept = (
-        chunks.withColumn("rn", F.row_number().over(first))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    # min(struct(id, pos)) == the (id, pos)-least occurrence: struct
+    # ordering is field-by-field, exactly orderBy(id, pos) rank 1 — and
+    # the winner row carries everything downstream needs, so no join.
+    kept = chunks.groupBy("chunk").agg(
+        F.min(F.struct("__id", "pos")).alias("__w")
+    ).select(F.col("__w.__id").alias("__id"), F.col("__w.pos").alias("pos"), "chunk")
     rebuilt = kept.groupBy("__id").agg(
         F.concat_ws(
             " ",

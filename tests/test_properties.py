@@ -101,11 +101,31 @@ _corpus = st.lists(_doc_text, min_size=1, max_size=6).map(
 )
 
 
+def _span_dedup_model(docs, span_tokens):
+    """Sequential model of C4 global span dedup: docs in id order, each
+    split into consecutive ``span_tokens``-token chunks; a chunk survives
+    iff its string was never seen before ANYWHERE — including earlier in
+    the same document (an intra-doc repeat is a duplicate of its own
+    first occurrence; hypothesis falsified the old 'first doc intact'
+    assertion with [(0, 'alpha alpha alpha alpha')])."""
+    seen, out = set(), {}
+    for doc_id, text in sorted(docs):
+        toks = text.split(" ")
+        kept = []
+        for i in range(0, len(toks), span_tokens):
+            chunk = " ".join(toks[i : i + span_tokens])
+            if chunk not in seen:
+                seen.add(chunk)
+                kept.append(chunk)
+        out[doc_id] = " ".join(kept)
+    return out
+
+
 @settings(**_SETTINGS)
 @given(docs=_corpus)
-def test_span_dedup_idempotent_and_shrinking(spark, docs):
-    """remove_duplicate_spans is idempotent (a deduped corpus has no
-    duplicate spans left) and never grows a document."""
+def test_span_dedup_matches_model_and_idempotent(spark, docs):
+    """remove_duplicate_spans equals the sequential first-occurrence
+    model exactly, is idempotent, and never grows a document."""
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.corpus import (
         remove_duplicate_spans,
     )
@@ -115,11 +135,31 @@ def test_span_dedup_idempotent_and_shrinking(spark, docs):
     twice = remove_duplicate_spans(once, "doc_id", "text", span_tokens=2)
     a = {r["doc_id"]: r["text"] for r in once.collect()}
     b = {r["doc_id"]: r["text"] for r in twice.collect()}
-    assert a == b
+    assert a == _span_dedup_model(docs, 2)  # exact first-occurrence law
+    assert a == b  # idempotent
     orig = dict(docs)
-    assert all(len(a[i]) <= len(orig[i]) for i in orig)
-    # total surviving tokens never exceed the distinct-span token supply
-    assert a[0] == orig[0] if 0 in orig else True  # first doc always intact
+    assert all(len(a[i]) <= len(orig[i]) for i in orig)  # never grows
+
+
+def test_span_dedup_intra_doc_repeat_semantics(spark):
+    """Pin the semantics hypothesis surfaced: a document's own repeated
+    span dedups against its first occurrence (C4 keeps only the first
+    corpus-wide occurrence — there is no same-document exemption)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.corpus import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "alpha alpha alpha alpha"), (1, "alpha alpha beta beta")],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(df, "doc_id", "text", span_tokens=2).collect()
+    }
+    # doc 0: chunks ['alpha alpha', 'alpha alpha'] → second is a dup of the first
+    # doc 1: 'alpha alpha' already seen in doc 0; 'beta beta' is new
+    assert out == {0: "alpha alpha", 1: "beta beta"}
 
 
 @settings(**_SETTINGS)
