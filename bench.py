@@ -5,12 +5,21 @@ JSON line: {"metric", "value", "unit", "queries", "sf"}.
 Each query is materialized through the built-in noop sink — full plan
 execution (scan → shuffle → agg/join/window) with zero serialization cost
 to the driver, so the timing measures the engine, not result transfer.
+
+Timing protocol (round 4 fix): one warm run (plan + JIT + file-listing
+cache), then THREE timed runs per query; the reported number is the
+MEDIAN. A single-shot timing let one GC pause / scheduler hiccup ship as
+a phantom regression (round 3 recorded sessionization at 2.96s when it
+actually ran ~1.2s). Any query >1.5x its previous-round median gets a
+warning on stderr so a real regression is visible before commit.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -83,6 +92,24 @@ def _scd2_incremental(spark, sf_dir):
     return scd2_merge(target, delta, keys=["partkey"], effective_ts="2000-01-01 00:00:00")
 
 
+def _previous_round_timings() -> dict[str, float]:
+    """Per-query medians from the most recent BENCH_r*.json, for the
+    >1.5x regression warning. Missing/unparseable files are fine: the
+    warning is advisory, never a bench failure."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    for path in reversed(paths):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+            queries = rec.get("parsed", rec).get("queries")
+            if isinstance(queries, dict) and queries:
+                return {k: float(v) for k, v in queries.items()}
+        except (OSError, ValueError, AttributeError):
+            continue
+    return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -97,14 +124,24 @@ def main() -> None:
 
     qs = dict(entry_mod.queries())
     qs["scd2_incremental"] = _scd2_incremental
+    prev = _previous_round_timings()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm: plan + JIT + cache file listing
-        t0 = time.time()
-        df2 = qs[name](spark, sf_dir)
-        df2.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            df2 = qs[name](spark, sf_dir)
+            df2.write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        if name in prev and prev[name] > 0 and timings[name] > 1.5 * prev[name]:
+            print(
+                f"WARNING: {name} median {timings[name]}s is >1.5x previous "
+                f"round ({prev[name]}s) — investigate before shipping",
+                file=sys.stderr,
+            )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -114,10 +151,30 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "recall": _ann_recall(qs, spark, sf_dir),
                 "sf": sf,
             }
         )
     )
+
+
+def _ann_recall(qs, spark, sf_dir) -> dict[str, float]:
+    """recall@5 of the approximate ANN paths vs the exact brute-force
+    answer (judge ask, round 3: both engines run the same approximate plan
+    so oracle-green proves determinism, not quality — this measures
+    quality). Result sets are bounded (n_queries x k rows), so the
+    collects are safe."""
+
+    def pairs(name: str, max_rank: int) -> set:
+        rows = qs[name](spark, sf_dir).collect()
+        return {(r["query_id"], r["neighbor_id"]) for r in rows if r["rank"] <= max_rank}
+
+    exact5 = pairs("topk_neighbors", 5)
+    out = {}
+    for name, key in (("ann_lsh_topk", "ann_lsh_recall_at_5"), ("ivf_topk", "ivf_recall_at_5")):
+        approx = pairs(name, 5)
+        out[key] = round(len(approx & exact5) / max(len(exact5), 1), 4)
+    return out
 
 
 if __name__ == "__main__":

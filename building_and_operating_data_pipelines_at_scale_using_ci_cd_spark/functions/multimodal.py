@@ -28,6 +28,7 @@ from pyspark.sql.types import (
     FloatType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -165,12 +166,221 @@ def resize_vector(vec, out_dim: int):
     return F.transform(F.sequence(F.lit(0), F.lit(out_dim - 1)), bucket_mean)
 
 
-def image_resize_stub(*_args, **_kwargs):
-    """Placeholder for the pixel-level image-resize kernel: requires
-    PIL/opencv, neither present in this container. The vector-space
-    analogue (:func:`resize_vector`) and the batch plumbing
-    (:func:`decode_media`) are real."""
-    raise NotImplementedError(
-        "image decode/resize requires an imaging library (PIL/opencv); "
-        "wire it into decode_media_batch's body — the Spark plumbing is ready"
+# ---------------------------------------------------------------------------
+# Real bytes→pixels kernels (round 5). PPM/PGM/BMP need zero codec deps —
+# the headers are pure struct parsing — so these formats decode for real;
+# compressed formats (JPEG/PNG/video) stay behind the honest gate below.
+# ---------------------------------------------------------------------------
+
+
+def parse_image(payload: bytes):
+    """Decode PPM (P6), PGM (P5), or uncompressed 24-bit BMP bytes into
+    ``(fmt, width, height, gray)`` where ``gray`` is a row-major list of
+    grayscale ints (0-255, ITU-R 601 luma for color inputs). Raises
+    ``ValueError`` on unsupported/corrupt payloads — callers choose
+    whether to gate or null-route."""
+    if payload[:2] in (b"P6", b"P5"):
+        return _parse_pnm(payload)
+    if payload[:2] == b"BM":
+        return _parse_bmp(payload)
+    raise ValueError(
+        "unsupported image format (magic %r): only PPM/PGM/BMP decode "
+        "without a codec library — see decode_compressed_gate" % payload[:2]
     )
+
+
+def _parse_pnm(payload: bytes):
+    """P6 (RGB) / P5 (gray) binary netpbm: ASCII header (magic, width,
+    height, maxval, with #-comments), then raw samples."""
+    pos = 2
+    fields = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval=255 netpbm supported")
+    if payload[:2] == b"P5":
+        n = width * height
+        raster = payload[pos : pos + n]
+        if len(raster) != n:
+            raise ValueError("truncated PGM raster")
+        return ("pgm", width, height, list(raster))
+    n = width * height * 3
+    raster = payload[pos : pos + n]
+    if len(raster) != n:
+        raise ValueError("truncated PPM raster")
+    gray = [
+        (299 * raster[i] + 587 * raster[i + 1] + 114 * raster[i + 2]) // 1000
+        for i in range(0, n, 3)
+    ]
+    return ("ppm", width, height, gray)
+
+
+def _parse_bmp(payload: bytes):
+    """Uncompressed 24bpp BMP (BITMAPINFOHEADER): little-endian header,
+    BGR pixel order, 4-byte-aligned rows, bottom-up raster."""
+    import struct
+
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24bpp BITMAPINFOHEADER BMP supported")
+    bottom_up = height > 0
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3
+    gray = [0] * (width * height)
+    for row in range(height):
+        src_row = (height - 1 - row) if bottom_up else row
+        base = data_off + src_row * row_stride
+        if base + width * 3 > len(payload):
+            raise ValueError("truncated BMP raster")
+        for x in range(width):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            gray[row * width + x] = (299 * r + 587 * g + 114 * b) // 1000
+    return ("bmp", width, height, gray)
+
+
+def downsample_gray(gray, width: int, height: int, out_w: int, out_h: int):
+    """Box-filter downsample a row-major grayscale raster to out_w×out_h —
+    each output pixel is the mean of its (possibly ragged) source box.
+    Pure python on one image; parallelism comes from Spark rows."""
+    out = [0] * (out_w * out_h)
+    for oy in range(out_h):
+        y0 = oy * height // out_h
+        y1 = max((oy + 1) * height // out_h, y0 + 1)
+        for ox in range(out_w):
+            x0 = ox * width // out_w
+            x1 = max((ox + 1) * width // out_w, x0 + 1)
+            acc = 0
+            for y in range(y0, y1):
+                row = y * width
+                for x in range(x0, x1):
+                    acc += gray[row + x]
+            out[oy * out_w + ox] = acc // ((y1 - y0) * (x1 - x0))
+    return out
+
+
+IMAGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("thumb", ArrayType(IntegerType())),
+        StructField("mean_luma", FloatType()),
+        StructField("decode_error", StringType()),
+    ]
+)
+
+
+def decode_image(df_with_payload: DataFrame, thumb: int = 8) -> DataFrame:
+    """REAL bytes→pixels decode over the payload column: PPM/PGM/BMP parse,
+    luma conversion, box-downsample to a ``thumb×thumb`` grayscale
+    thumbnail (the dHash/pHash input shape). Undecodable rows are
+    null-routed with the error message in ``decode_error`` — at 100 TB a
+    corrupt JPEG must not kill the stage. Same Arrow ``mapInPandas``
+    plumbing as :func:`decode_media`; peak memory one batch."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fmts, ws, hs, thumbs, lumas, errs = [], [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                ids.append(doc_id)
+                try:
+                    fmt, w, h, gray = parse_image(bytes(payload))
+                    fmts.append(fmt)
+                    ws.append(w)
+                    hs.append(h)
+                    thumbs.append(downsample_gray(gray, w, h, thumb, thumb))
+                    lumas.append(float(sum(gray)) / len(gray) if gray else 0.0)
+                    errs.append(None)
+                except ValueError as exc:
+                    fmts.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    thumbs.append(None)
+                    lumas.append(None)
+                    errs.append(str(exc))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "format": fmts,
+                    "width": pd.Series(ws, dtype="Int32"),
+                    "height": pd.Series(hs, dtype="Int32"),
+                    "thumb": thumbs,
+                    "mean_luma": pd.Series(lumas, dtype="float32"),
+                    "decode_error": errs,
+                }
+            )
+
+    return df_with_payload.mapInPandas(kernel, IMAGE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+
+def image_resize(df_with_payload: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Pixel-level image resize (box filter) for decodable formats: emits
+    the resized grayscale raster as packed bytes (P5-raster layout), the
+    shape a vision-preprocessing stage feeds to a model. Undecodable rows
+    are dropped here (use :func:`decode_image` first to audit them)."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("out_w and out_h must be positive")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pixels = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    _fmt, w, h, gray = parse_image(bytes(payload))
+                except ValueError:
+                    continue
+                ids.append(doc_id)
+                pixels.append(bytes(downsample_gray(gray, w, h, out_w, out_h)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series([out_w] * len(ids), dtype="int32"),
+                    "height": pd.Series([out_h] * len(ids), dtype="int32"),
+                    "pixels": pixels,
+                }
+            )
+
+    return df_with_payload.mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+def decode_compressed_gate(*_args, **_kwargs):
+    """Honest gate for compressed formats: JPEG/PNG/video decode requires
+    a codec library (PIL/opencv/ffmpeg), none present in this container.
+    PPM/PGM/BMP decode for real via :func:`decode_image` /
+    :func:`image_resize`; wire the codec into :func:`parse_image` when the
+    dependency lands — the Spark plumbing is already proven on real bytes."""
+    raise NotImplementedError(
+        "JPEG/PNG/video decode requires a codec library (PIL/opencv/ffmpeg); "
+        "PPM/PGM/BMP already decode for real — extend parse_image for the rest"
+    )
+
+
+#: backwards-compat alias (pre-round-5 name)
+image_resize_stub = decode_compressed_gate
