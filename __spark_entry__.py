@@ -16,6 +16,8 @@ Determinism discipline (so value-hashes match):
 
 from __future__ import annotations
 
+import tempfile
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1551,35 +1553,50 @@ QUALIFY rank <= 10
 """
 
 
-_ANN_PLANES = 6
 _ANN_DIM = 64
+#: round 5: multi-table LSH (4 planes x 4 tables). Per-plane collision
+#: p = 1 - theta/pi; recall ~= 1-(1-p^planes)^tables. The synthetic
+#: embeddings are uniformly random — LSH's WORST case: true top-5
+#: neighbors sit at cosine ~0.45 (theta~65deg, p~0.64), giving ~0.45
+#: expected recall here vs >0.9 on a real near-dup corpus (cos>0.9 ->
+#: p~0.86). bench.py's recall sidecar tracks the measured value per
+#: round; candidates/query stay ~4x below exhaustive at sf0.1.
+_ANN_PLANES = 4
+_ANN_TABLES = 4
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-5 (random-hyperplane buckets)."""
+    """LSH-bucketed approximate top-5 (random-hyperplane buckets,
+    multi-table: a pair is a candidate if it collides in ANY table)."""
     emb = _table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     return ann_topk_lsh(queries_df, emb, "vec_id", "embedding", dim=_ANN_DIM, k=5,
-                        num_planes=_ANN_PLANES)
+                        num_planes=_ANN_PLANES, num_tables=_ANN_TABLES)
 
 
 def _ann_lsh_duck() -> str:
     def plane_lit(p: int) -> str:
         return "[" + ", ".join(str(v) for v in _hyperplane(_ANN_DIM, p)) + "]"
 
-    bucket = " + ".join(
-        f"(CASE WHEN LIST_DOT_PRODUCT(embedding::DOUBLE[], {plane_lit(p)}) >= 0 THEN {1 << p} ELSE 0 END)"
-        for p in range(_ANN_PLANES)
+    def bucket(offset: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN LIST_DOT_PRODUCT(embedding::DOUBLE[], {plane_lit(p + offset)}) >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(_ANN_PLANES)
+        )
+
+    per_table = "\nUNION ALL\n".join(
+        f"SELECT vec_id, embedding::DOUBLE[] AS v, {t} AS tbl, ({bucket(t * _ANN_PLANES)}) AS bucket FROM embeddings"
+        for t in range(_ANN_TABLES)
     )
     return f"""
-WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket}) AS bucket FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id % 50 = 0),
-c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b),
+WITH b AS ({per_table}),
+q AS (SELECT vec_id AS query_id, v AS qv, tbl, bucket FROM b WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, tbl, bucket FROM b),
 scored AS (
-  SELECT query_id, neighbor_id,
+  SELECT DISTINCT query_id, neighbor_id,
          LIST_DOT_PRODUCT(qv, cv)
            / (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) AS cos
-  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+  FROM q JOIN c USING (tbl, bucket) WHERE query_id <> neighbor_id
 )
 SELECT query_id, neighbor_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
@@ -1862,38 +1879,7 @@ def _q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     → memory sink, complete mode) instead of a batch scan — proving the
     streaming engine produces the exact batch answer. The tumbling
     ``F.window`` aligns to epoch hours, so it equals DATE_TRUNC('hour')."""
-    import tempfile
-    import uuid
-
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    # events.ts is TIMESTAMP(NANOS): stream it as long and convert, the
-    # streaming twin of sources.readers.read_parquet's nanos handling.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = StructType(
-        [
-            StructField("event_id", LongType()),
-            StructField("ts", LongType()),
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
-        ]
-    )
-    # the file stream source wants a directory: stream the sf dir filtered
-    # down to the events table (testdata tables are single files)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
@@ -1931,33 +1917,46 @@ GROUP BY DATE_TRUNC('hour', ts), event_type
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table (TIMESTAMP(NANOS) read as
-    long and truncated to micros, mirroring sources.readers.read_parquet)."""
+    """File-source stream over the events table, tolerant of BOTH
+    timestamp encodings the driver has generated across rounds: plain
+    TIMESTAMP(MICROS) (read natively) and TIMESTAMP(NANOS) (read as long
+    + truncated to micros, mirroring sources.readers.read_parquet — a
+    hardcoded nanos assumption here silently collapsed every event into
+    two 1970 windows when the testdata flipped to micros)."""
     from pyspark.sql.types import (
         DoubleType,
         LongType,
         StringType,
         StructField,
         StructType,
+        TimestampType,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.readers import (
+        _parquet_nanos_cols,
+    )
+
+    nanos = "ts" in _parquet_nanos_cols(f"{sf_dir}/events.parquet")
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = StructType(
         [
             StructField("event_id", LongType()),
-            StructField("ts", LongType()),
+            StructField("ts", LongType() if nanos else TimestampType()),
             StructField("user_id", LongType()),
             StructField("event_type", StringType()),
             StructField("value", DoubleType()),
             StructField("props", StringType()),
         ]
     )
-    return (
+    stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
+    if nanos:
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
 
 
 def _run_stream(df: DataFrame, prefix: str, mode: str) -> DataFrame:
@@ -2052,34 +2051,7 @@ def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     30-minute windows overlap, which is exactly the batch rule "new
     session when ts > prev + gap". Bounds are emitted as MIN/MAX(ts) so
     both engines describe sessions in event time, not window time."""
-    import tempfile
-    import uuid
-
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = StructType(
-        [
-            StructField("event_id", LongType()),
-            StructField("ts", LongType()),
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = stream.groupBy(
         F.session_window(F.col("ts"), "30 minutes").alias("win"), "user_id"
     ).agg(
@@ -2115,37 +2087,14 @@ def _q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "genuinely non-SQL-expressible" operator a real oracle anyway. Values
     accumulate as ×10000 integers (exact in doubles) so the state sum is
     order-independent and hash-comparable."""
-    import tempfile
     import uuid
 
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.streaming.ops import (
         stateful_running_totals,
     )
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = StructType(
-        [
-            StructField("event_id", LongType()),
-            StructField("ts", LongType()),
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .withColumn("value", F.round(F.col("value") * 10000).cast("double"))
+    stream = _events_stream(spark, sf_dir).withColumn(
+        "value", F.round(F.col("value") * 10000).cast("double")
     )
     totals = stateful_running_totals(stream, "user_id", "ts", "value")
     name = f"stream_totals_{uuid.uuid4().hex[:8]}"
@@ -2350,6 +2299,214 @@ def entry(spark: SparkSession) -> DataFrame:
     return Orchestrator(spark).run(config).output
 
 
+
+# ---------------------------------------------------------------------------
+# Round 5: q20 shape, mixture sampling, LM scoring, semantic dedup, bloom
+# incremental dedup, BPE tokenization
+# ---------------------------------------------------------------------------
+
+# q20 shape: semi-join against a quantity-threshold aggregate subquery —
+# no partsupp table in the synthetic schema, so "excess availqty" becomes
+# "supplier ships >25% of a cold-part's total volume" (same nested
+# semi-join + correlated-threshold plan the classic query exercises).
+Q20_EXCESS_SUPPLIER = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+),
+part_total AS (
+  SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY l_partkey
+)
+SELECT s_name, ROUND(s_acctbal, 2) AS acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT sh.l_suppkey
+  FROM shipped sh
+  JOIN part ON p_partkey = sh.l_partkey
+  JOIN part_total pt ON pt.l_partkey = sh.l_partkey
+  WHERE p_name LIKE 'cold%' AND sh.qty > 0.25 * pt.total_qty
+)
+ORDER BY s_name
+"""
+
+#: target mixture for the domain-mix entry: 3 parts src0 : 2 src1 : 1 src2
+_MIX_WEIGHTS = {"src0": 3, "src1": 2, "src2": 1}
+_MIX_SEED = 7
+
+
+def _q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-ratio domain mixture sampling (the pretraining mixture-weights
+    step): all-integer rank selection per stratum, one window shuffle."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.sampling import (
+        domain_mix_sample,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    return domain_mix_sample(docs, "source", _MIX_WEIGHTS, "doc_id", seed=_MIX_SEED).select(
+        "doc_id", "source"
+    )
+
+
+def _domain_mix_duck() -> str:
+    vals = ", ".join(f"('{s}', {w})" for s, w in _MIX_WEIGHTS.items())
+    return f"""
+WITH w(source, wt) AS (SELECT * FROM (VALUES {vals}) t(source, wt)),
+d AS (
+  SELECT doc_id, doc.source AS source, wt, {_duck_uniform("doc_id", _MIX_SEED)} AS u
+  FROM documents doc JOIN w ON doc.source = w.source
+),
+k AS (SELECT MIN(CAST(FLOOR(CAST(cnt AS DOUBLE) / wt) AS BIGINT)) AS k
+      FROM (SELECT source, wt, COUNT(*) AS cnt FROM d GROUP BY source, wt)),
+ranked AS (SELECT doc_id, source, wt,
+                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+           FROM d)
+SELECT doc_id, source FROM ranked CROSS JOIN k WHERE rn <= wt * k.k
+"""
+
+
+def _q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring under the corpus's own unigram LM
+    (the dependency-free tier of a CCNet-style KenLM filter)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.text import (
+        unigram_cross_entropy,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    return unigram_cross_entropy(docs, "doc_id", "text")
+
+
+LM_CROSS_ENTROPY_DUCK = """
+WITH toks AS (
+  SELECT doc_id, t.tok AS tok
+  FROM documents, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS t(tok)
+),
+counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT SUM(c) AS n FROM counts)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(-LOG2(CAST(c AS DOUBLE) / n)), 4) AS cross_entropy
+FROM toks JOIN counts USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+_SEMDEDUP_CLUSTERS = 8
+_SEMDEDUP_THRESHOLD = 0.3
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster assignment via the IVF literal-centroid map stage,
+    within-cluster cosine pruning of lower-id-dominated vectors. The 0.3
+    threshold is tuned to the synthetic random embeddings (max pairwise
+    cosine ~0.48) so the drop path is actually exercised."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.dedup import (
+        semantic_dedup_keep,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return semantic_dedup_keep(
+        emb, "vec_id", "embedding",
+        n_clusters=_SEMDEDUP_CLUSTERS, threshold=_SEMDEDUP_THRESHOLD,
+    )
+
+
+SEMANTIC_DEDUP_DUCK = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (SELECT vec_id AS cid, e AS cv FROM v ORDER BY vec_id LIMIT {_SEMDEDUP_CLUSTERS}),
+assigned AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+             LIST_DOT_PRODUCT(v.e, c.cv)
+               / (SQRT(LIST_DOT_PRODUCT(v.e, v.e)) * SQRT(LIST_DOT_PRODUCT(c.cv, c.cv))) DESC,
+             c.cid ASC) AS rn
+    FROM v CROSS JOIN cents c) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE LIST_DOT_PRODUCT(a.e, b.e)
+          / (SQRT(LIST_DOT_PRODUCT(a.e, a.e)) * SQRT(LIST_DOT_PRODUCT(b.e, b.e))) > {_SEMDEDUP_THRESHOLD}
+)
+SELECT vec_id AS kept_id, CAST(cid AS INT) AS cluster_id
+FROM assigned WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
+def _q_bloom_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a "new crawl" (doc_id % 3 = 0) against the
+    historical corpus (the rest) via the Bloom pre-filter; keyed on the
+    40-char text prefix (the synthetic corpus has no full-text dups across
+    the split, but shares boilerplate prefixes — the realistic key). The
+    result equals the exact anti-join (no false negatives), which is the
+    oracle; the execution shape is filter-then-verify."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.dedup import (
+        bloom_incremental_new,
+    )
+
+    docs = _table(spark, sf_dir, "documents").withColumn(
+        "fp", F.substring(F.col("text"), 1, 40)
+    )
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    hist = docs.filter(F.col("doc_id") % 3 != 0)
+    return bloom_incremental_new(new, hist, "fp").select("doc_id", "n_chars")
+
+
+BLOOM_NEW_DOCS_DUCK = """
+SELECT doc_id, n_chars FROM documents n
+WHERE doc_id % 3 = 0 AND NOT EXISTS (
+  SELECT 1 FROM documents h
+  WHERE h.doc_id % 3 <> 0 AND SUBSTR(h.text, 1, 40) = SUBSTR(n.text, 1, 40))
+"""
+
+
+def _q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 24 BPE merges on the corpus (distributed pair counting over
+    the vocab table, one-row driver argmax per merge) and tokenize with
+    them. Genuinely non-SQL-expressible (iterative greedy merges), so no
+    oracle entry — the driver records the weaker rows-only check; the
+    unit tests pin the merge table and encodings on a hand-computable
+    corpus."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.bpe import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=24)
+    out = bpe_apply(docs, "doc_id", "text", merges)
+    # serialized projection (driver canon hashes scalars only — the
+    # embedding_resize precedent)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(F.slice(F.col("tokens"), 1, 5), " ").alias("head_tokens"),
+    )
+
+
+
+
+def _q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events stream joined to the customer
+    dimension (broadcast — the static side ships to every micro-batch
+    task, no stream-side shuffle, the canonical streaming dimension-join
+    shape). Stateless append; proved equal to the batch join."""
+    stream = _events_stream(spark, sf_dir)
+    dim = _table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    return _run_stream(enriched, "stream_enrich", "append")
+
+
+STREAMING_ENRICH_DUCK = """
+SELECT event_id, user_id, c_mktsegment
+FROM events JOIN customer ON user_id = c_custkey
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50 entries.
     # Rotation discipline (judge ask, round 2): no key may go more than one
@@ -2403,6 +2560,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_analytics": _sql(WINDOW_ANALYTICS),
         # -- (2) NEW in round 5 — first driver exposure (inserted here,
         #    inside the 50-cap; slots remaining: 50-39 = 11) ----------
+        "q20_excess_supplier": _sql(Q20_EXCESS_SUPPLIER),
+        "domain_mix": _q_domain_mix,
+        "lm_cross_entropy": _q_lm_cross_entropy,
+        "semantic_dedup": _q_semantic_dedup,
+        "bloom_new_docs": _q_bloom_new_docs,
+        "bpe_tokenize": _q_bpe_tokenize,
+        "streaming_enrich": _q_streaming_enrich,
+        "ann_lsh_topk": _q_ann_lsh,
         # -- (3) tail: r04-green, SQL unchanged since — safe past the
         #    cap for one round; they rotate back up in round 6 --------
         "corpus_curation": _q_corpus_curation,
@@ -2447,7 +2612,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "streaming_interval_join": _q_streaming_interval_join,
         "formats_roundtrip": _q_formats_roundtrip,
-        "ann_lsh_topk": _q_ann_lsh,
         "ivf_topk": _q_ivf_topk,
         "multimodal_decode": _q_multimodal_decode,
         "pivot_event_values": _q_pivot_event_values,
@@ -2460,6 +2624,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q20_excess_supplier": Q20_EXCESS_SUPPLIER,
+        "domain_mix": _domain_mix_duck(),
+        "lm_cross_entropy": LM_CROSS_ENTROPY_DUCK,
+        "semantic_dedup": SEMANTIC_DEDUP_DUCK,
+        "bloom_new_docs": BLOOM_NEW_DOCS_DUCK,
+        "streaming_enrich": STREAMING_ENRICH_DUCK,
         "q1_pricing_summary": Q1_PRICING_SUMMARY,
         "q3_shipping_priority": Q3_SHIPPING_PRIORITY,
         "q5_local_supplier_volume": Q5_LOCAL_SUPPLIER_VOLUME,

@@ -63,6 +63,17 @@ HEADLINE = [
     # Gopher repetition profile (two-stage partial agg)
     "span_dedup",
     "repetition_profile",
+    # round 5: semantic dedup (within-cluster pair join), bloom incremental
+    # dedup (filter-then-verify), unigram LM scoring (corpus-wide token
+    # join), exact-ratio mixture sampling, and the q20 semi-join shape.
+    # bpe_tokenize is deliberately NOT here: its cost is n_merges Spark
+    # jobs of scheduler overhead, which measures the driver loop, not the
+    # engine (scale_smoke times it instead).
+    "semantic_dedup",
+    "bloom_new_docs",
+    "lm_cross_entropy",
+    "domain_mix",
+    "q20_excess_supplier",
 ]
 
 

@@ -14,7 +14,7 @@ across Spark versions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: small multi-language stopword table for the lang-id heuristic
@@ -223,3 +223,47 @@ def doc_fingerprint(text: Column) -> Column:
     invariant to token order/duplication, the cheap first pass before
     shingle-level near-dup."""
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+
+
+def word_tokens(text: Column) -> Column:
+    """Lowercased alphanumeric word tokens — the shared tokenization of
+    the LM-scoring operators (pattern kept to [a-z0-9] runs so Spark's
+    and an oracle engine's regex dialects agree byte-for-byte)."""
+    return F.filter(
+        F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
+def unigram_cross_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram language
+    model: H(doc) = avg over tokens of −log2 p(token), p = corpus count /
+    corpus total. The classic cheap "perplexity filter" signal (CCNet
+    uses a KenLM 5-gram; the unigram model is the dependency-free tier —
+    the plan shape below is identical for any n) — low-probability-dense
+    documents (gibberish, rare-token spam) score high and get culled.
+
+    Shape at scale: one explode of the corpus into tokens, ONE groupBy
+    for the model (map-side partial agg; vocabulary, not corpus, sized),
+    the corpus total as a one-row broadcast (no driver collect), and one
+    token→count join — Zipf makes the count table heavily skewed toward a
+    few hot tokens, but the join's build side is the VOCABULARY, which
+    broadcasts at any corpus scale where it fits (AQE picks the shuffle
+    fallback when it doesn't). Returns (id, n_tokens, cross_entropy)."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_tokens(F.col(text_col))).alias("__tok"),
+    )
+    counts = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    total = counts.groupBy().agg(F.sum("__c").alias("__n"))
+    return (
+        toks.join(counts, "__tok")
+        .join(F.broadcast(total))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log2(F.col("__c").cast("double") / F.col("__n"))), 4
+            ).alias("cross_entropy"),
+        )
+        .select(F.col("__id").alias(id_col), "n_tokens", "cross_entropy")
+    )

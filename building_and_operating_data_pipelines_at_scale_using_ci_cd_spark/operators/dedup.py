@@ -724,3 +724,164 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
     )
+
+
+def semantic_dedup_keep(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster embeddings, then inside each cluster drop every vector that
+    has a LOWER-id neighbor above ``threshold`` cosine. Returns the kept
+    rows as ``(kept_id, cluster_id)``.
+
+    Scale shape: cluster assignment is the same literal-centroid map
+    stage the IVF index uses (``similarity.ivf_probe_assignments`` —
+    no shuffle), so the only shuffle is the within-cluster self-join on
+    the cluster key. Pairwise work is O(sum of cluster sizes squared),
+    never corpus², and ``n_clusters`` is the knob that bounds it — the
+    published recipe runs ~100k clusters at web scale. Centroids are
+    deterministic (the ``n_clusters`` lowest-id vectors, optionally
+    Lloyd-refined), so the result is reproducible and oracle-checkable.
+
+    Drop rule nuance: "has a lower-id near-neighbor" is evaluated against
+    ALL cluster members, including ones themselves dropped — i.e. chains
+    collapse to the single lowest id per chain, which is SemDeDup's
+    keep-one-representative semantics without an iterative
+    connected-components pass (that exact variant is
+    :func:`near_dup_clusters`)."""
+    from ..functions.similarity import dot, ivf_probe_assignments, kmeans_refine
+
+    cents = [
+        (int(r[0]), list(r[1]))
+        for r in df.select(id_col, vec_col).orderBy(id_col).limit(n_clusters).collect()
+    ]
+    if not cents:
+        return df.sparkSession.createDataFrame([], "kept_id long, cluster_id int")
+    if refine_iters > 0:
+        cents = kmeans_refine(df, cents, id_col, vec_col, iters=refine_iters)
+    assigned = ivf_probe_assignments(df, cents, id_col, vec_col, 1, "m").select(
+        F.col("m").alias("__id"),
+        F.col("__m_v").alias("__v"),
+        F.col("__m_n").alias("__n"),
+        F.col("__list_id").alias("cluster_id"),
+    )
+    a = assigned.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "cluster_id",
+    )
+    b = assigned.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "cluster_id",
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+            > F.lit(threshold)
+        )
+        .select(F.col("id_b").alias("__dropped"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, assigned["__id"] == dropped["__dropped"], "left_anti")
+        .select(F.col("__id").alias("kept_id"), "cluster_id")
+    )
+
+
+#: bloom positions per key (k) and default filter width in bits (m)
+_BLOOM_K = 4
+_BLOOM_M = 1 << 20
+
+
+def bloom_bit_positions(col: Column, k: int = _BLOOM_K, m: int = _BLOOM_M) -> Column:
+    """The k md5-derived bit positions of a key — pure integer arithmetic,
+    portable across engines (same discipline as ``portable_hash``)."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(col.cast("string"), F.lit(f"#b{i}"))), 1, 12),
+                    16,
+                    10,
+                ).cast("bigint")
+                % m
+            ).cast("int")
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_incremental_new(
+    new_df: DataFrame,
+    hist_df: DataFrame,
+    key_col: str,
+    k: int = _BLOOM_K,
+    m: int = _BLOOM_M,
+) -> DataFrame:
+    """Incremental dedup against a historical corpus via a Bloom
+    pre-filter: rows of ``new_df`` whose key is definitely absent from
+    ``hist_df`` pass WITHOUT joining the history; only bloom-positive
+    candidates (the tiny maybe-dup slice) pay the exact anti-join.
+    Result == the exact anti-join (Bloom filters have no false
+    negatives), so the oracle is plain NOT EXISTS — but the execution
+    shape is the incremental-crawl one: the 100 TB history is reduced to
+    an ``m``-bit filter built with one distinct-positions pass, and the
+    daily delta scans it map-side.
+
+    Driver traffic is bounded by ``m`` (a design parameter: distinct set
+    bit positions ≤ m, independent of corpus size), never by row count;
+    the filter ships to executors as one broadcast bitset. The history is
+    read twice but NEVER shuffled: the filter build is explode→distinct
+    over positions (map-side partial dedup into a ≤m-row space), and the
+    exact verify is a broadcast semi-join probing history with the small
+    candidate-key set. Sizing: false positive rate ≈ (1 − e^(−k·n/m))^k —
+    for n ≈ m/8 keys at k=4 that is ~0.2%, and every false positive costs
+    only one extra candidate row through the verify join."""
+    key_str = F.col(key_col).cast("string")
+    positions = (
+        hist_df.select(F.explode(bloom_bit_positions(key_str, k, m)).alias("pos"))
+        .distinct()
+        .collect()
+    )
+    bits = bytearray((m + 7) // 8)
+    for r in positions:
+        bits[r["pos"] >> 3] |= 1 << (r["pos"] & 7)
+    bc = new_df.sparkSession.sparkContext.broadcast(bytes(bits))
+
+    from pyspark.sql.types import BooleanType
+
+    def _probe_series(keys):
+        import hashlib
+
+        blob = bc.value
+
+        def probe(key) -> bool:
+            for i in range(k):
+                p = int(hashlib.md5(f"{key}#b{i}".encode()).hexdigest()[:12], 16) % m
+                if not (blob[p >> 3] >> (p & 7)) & 1:
+                    return False
+            return True
+
+        return keys.map(probe)
+
+    maybe_in_hist = F.pandas_udf(_probe_series, BooleanType())
+
+    flagged = new_df.withColumn("__maybe", maybe_in_hist(key_str))
+    clean = flagged.filter(~F.col("__maybe")).drop("__maybe")
+    candidates = flagged.filter(F.col("__maybe")).drop("__maybe")
+    cand_keys = candidates.select(key_str.alias("__key")).distinct()
+    # history keys actually present among candidates — broadcast-probe,
+    # map-side on the history scan, result bounded by the candidate count
+    hits = hist_df.select(key_str.alias("__key")).join(
+        F.broadcast(cand_keys), "__key", "left_semi"
+    ).distinct()
+    verified = candidates.join(
+        F.broadcast(hits), key_str == hits["__key"], "left_anti"
+    )
+    return clean.unionByName(verified)

@@ -181,6 +181,75 @@ def _filter_with_reasons(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _semantic_dedup(df: DataFrame, id_col: str, vec_col: str, **kw) -> DataFrame:
+    from .dedup import semantic_dedup_keep
+
+    if "n_clusters" in kw:
+        kw["n_clusters"] = int(kw["n_clusters"])
+    if "threshold" in kw:
+        kw["threshold"] = float(kw["threshold"])
+    return semantic_dedup_keep(df, id_col, vec_col, **kw)
+
+
+def _bloom_incremental(df: DataFrame, key_col: str, new_predicate: str, **kw) -> DataFrame:
+    """Config shape for incremental dedup: one input view split by a SQL
+    predicate — rows matching ``new_predicate`` are the new crawl, the
+    rest the historical corpus (the ``_decontaminate`` convention)."""
+    from .dedup import bloom_incremental_new
+
+    if "m" in kw:
+        kw["m"] = int(kw["m"])
+    if "k" in kw:
+        kw["k"] = int(kw["k"])
+    return bloom_incremental_new(
+        df.filter(new_predicate), df.filter(f"NOT ({new_predicate})"), key_col, **kw
+    )
+
+
+def _domain_mix(df: DataFrame, strata_col: str, weights: dict, id_col: str, **kw) -> DataFrame:
+    from .sampling import domain_mix_sample
+
+    return domain_mix_sample(
+        df, strata_col, {k: int(v) for k, v in weights.items()}, id_col, **kw
+    )
+
+
+def _lm_cross_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    from ..functions.text import unigram_cross_entropy
+
+    return unigram_cross_entropy(df, id_col, text_col)
+
+
+def _bpe_tokenize(df: DataFrame, id_col: str, text_col: str, n_merges=24) -> DataFrame:
+    """Composite train+apply: learn the merge table from the input view,
+    tokenize the same view with it (tokens serialized space-joined so the
+    output stays sink-friendly)."""
+    from ..functions.bpe import bpe_apply, bpe_train
+
+    merges = bpe_train(df, text_col, n_merges=int(n_merges))
+    out = bpe_apply(df, id_col, text_col, merges)
+    return out.select(id_col, "n_tokens", F.array_join("tokens", " ").alias("tokens"))
+
+
+def _session_aggregate(df: DataFrame, ts_col: str, key: str, **kw) -> DataFrame:
+    """Streaming-capable session windows (works on batch views too)."""
+    from ..streaming.ops import session_aggregate
+
+    return session_aggregate(df, ts_col, key, **kw)
+
+
+def _tumbling_counts(df: DataFrame, ts_col: str, **kw) -> DataFrame:
+    from ..streaming.ops import tumbling_counts
+
+    return tumbling_counts(df, ts_col, **kw)
+
+
+def _streaming_dedup_op(df: DataFrame, keys: list, ts_col: str, **kw) -> DataFrame:
+    from ..streaming.ops import streaming_dedup
+
+    return streaming_dedup(df, list(keys), ts_col, **kw)
+
+
 OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "exactDedupGroups": _exact_dedup,
     "exactDedupSurvivors": _dedup_survivors,
@@ -200,6 +269,14 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "removeDuplicateSpans": _remove_duplicate_spans,
     "nfcNormalize": _nfc_normalize,
     "filterWithReasons": _filter_with_reasons,
+    "semanticDedup": _semantic_dedup,
+    "bloomIncrementalDedup": _bloom_incremental,
+    "domainMixSample": _domain_mix,
+    "lmCrossEntropy": _lm_cross_entropy,
+    "bpeTokenize": _bpe_tokenize,
+    "sessionAggregate": _session_aggregate,
+    "tumblingCounts": _tumbling_counts,
+    "streamingDedup": _streaming_dedup_op,
 }
 
 

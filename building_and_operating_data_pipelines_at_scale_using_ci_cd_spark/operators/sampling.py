@@ -141,3 +141,50 @@ def pack_sequential(
         )
         .drop("__cum_before")
     )
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, int],
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Sample a corpus down to an EXACT target domain mixture — the
+    "mixture weights" step of LLM pretraining data assembly (e.g. 2 parts
+    web : 1 part code). ``weights`` are positive integers; the operator
+    takes the largest k with ``w_s·k ≤ count_s`` for every stratum and
+    keeps exactly ``w_s·k`` rows of stratum s, so the output follows the
+    requested ratio exactly and is as large as the scarcest domain allows.
+
+    All-integer math (no float keep-rates → no engine-boundary rounding):
+    per-stratum counts aggregate map-side; k arrives as a one-row
+    broadcast (never a driver collect); selection is "the w_s·k rows with
+    the smallest (md5-uniform, id)" — one window shuffle on the stratum
+    key, deterministic under insertion of other rows only in the usual
+    rank-sample sense (adding rows can displace boundary rows; use
+    :func:`stratified_sample` when per-row stability matters more than an
+    exact mixture). Unlisted strata are dropped."""
+    for s, w in weights.items():
+        if w <= 0:
+            raise ValueError(f"weight for stratum {s!r} must be positive")
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    weighted = df.filter(F.col(strata_col).isin(*weights)).withColumn(
+        "__w", wmap[F.col(strata_col)].cast("bigint")
+    )
+    k_df = (
+        weighted.groupBy(strata_col, "__w")
+        .count()
+        .select(F.floor(F.col("count") / F.col("__w")).alias("__k"))
+        .groupBy()
+        .agg(F.min("__k").alias("__k"))
+    )
+    w_rank = Window.partitionBy(strata_col).orderBy(
+        uniform_from_id(F.col(id_col), seed), F.col(id_col)
+    )
+    return (
+        weighted.withColumn("__rn", F.row_number().over(w_rank))
+        .join(F.broadcast(k_df))
+        .filter(F.col("__rn") <= F.col("__w") * F.col("__k"))
+        .drop("__w", "__rn", "__k")
+    )

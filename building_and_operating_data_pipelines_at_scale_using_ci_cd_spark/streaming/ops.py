@@ -26,10 +26,13 @@ if TYPE_CHECKING:
     from ..config import TargetSpec
 
 
-def with_watermark(df: DataFrame, ts_col: str, delay: str = "10 minutes") -> DataFrame:
+def with_watermark(df: DataFrame, ts_col: str, delay: str | None = "10 minutes") -> DataFrame:
     """Late-data bound: rows later than ``delay`` behind the max event time
-    are dropped from stateful operators."""
-    return df.withWatermark(ts_col, delay)
+    are dropped from stateful operators. ``delay=None`` means the input is
+    ALREADY watermarked upstream and must not be re-bounded — Spark
+    disallows redefining a watermark below a stateful operator, so chained
+    stateful ops (dedup → session window) set it once at the source."""
+    return df if delay is None else df.withWatermark(ts_col, delay)
 
 
 def tumbling_counts(

@@ -115,3 +115,46 @@ def test_registry_covers_training_ops(spark, sf_dir):
     pairs = apply_operator("minhashNearDups", docs, {"id_col": "doc_id", "text_col": "text"})
     clusters = apply_operator("nearDupClusters", pairs, {})
     assert clusters.columns == ["doc_id", "cluster_rep"]
+
+
+def test_registry_round5_ops_dispatch(spark, sf_dir):
+    assert {"semanticDedup", "bloomIncrementalDedup", "domainMixSample",
+            "lmCrossEntropy", "bpeTokenize", "sessionAggregate",
+            "tumblingCounts", "streamingDedup"} <= set(OPERATORS)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    kept = apply_operator(
+        "semanticDedup", emb,
+        {"id_col": "vec_id", "vec_col": "embedding", "n_clusters": "4", "threshold": "0.3"},
+    )
+    assert kept.columns == ["kept_id", "cluster_id"] and kept.count() > 0
+
+    mixed = apply_operator(
+        "domainMixSample", docs,
+        {"strata_col": "source", "weights": {"src0": "2", "src1": "1"}, "id_col": "doc_id"},
+    )
+    assert mixed.count() > 0
+
+    scored = apply_operator("lmCrossEntropy", docs, {"id_col": "doc_id", "text_col": "text"})
+    assert "cross_entropy" in scored.columns
+
+    uniq = apply_operator(
+        "bloomIncrementalDedup",
+        docs.selectExpr("doc_id", "substring(text, 1, 30) AS fp"),
+        {"key_col": "fp", "new_predicate": "doc_id % 3 = 0"},
+    )
+    assert uniq.count() > 0
+
+    toks = apply_operator(
+        "bpeTokenize", docs.limit(30), {"id_col": "doc_id", "text_col": "text", "n_merges": "4"}
+    )
+    row = toks.first()
+    assert row["n_tokens"] > 0 and isinstance(row["tokens"], str)
+
+    sessions = apply_operator(
+        "sessionAggregate",
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        {"ts_col": "ts", "key": "user_id", "gap": "30 minutes"},
+    )
+    assert {"session_start", "session_end", "n_events"} <= set(sessions.columns)

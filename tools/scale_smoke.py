@@ -134,6 +134,43 @@ def main() -> None:
     timed("sessionization", lambda: spark.sql(em.SESSIONIZATION).count())
     timed("event_type_pivot", lambda: spark.sql(em.EVENT_TYPE_PIVOT).count())
 
+    # round-5 corpus operators over the flooded docs
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.bpe import bpe_train
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.text import (
+        unigram_cross_entropy,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.dedup import (
+        bloom_incremental_new,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.sampling import (
+        domain_mix_sample,
+    )
+
+    timed(
+        "lm_cross_entropy",
+        lambda: unigram_cross_entropy(docs, "doc_id", "text")
+        .agg(F.sum("n_tokens"))
+        .collect(),
+    )
+    timed(
+        "domain_mix_sample",
+        lambda: domain_mix_sample(
+            docs, "source", {"src0": 3, "src1": 2, "src2": 1}, "doc_id"
+        ).count(),
+    )
+    fp_docs = docs.withColumn("fp", F.substring("text", 1, 40))
+    timed(
+        # the flood makes every new-side fp present in history: worst-case
+        # bloom (every row bloom-positive → all pay the verify join)
+        "bloom_incremental_new",
+        lambda: bloom_incremental_new(
+            fp_docs.filter(F.col("doc_id") % 3 == 0),
+            fp_docs.filter(F.col("doc_id") % 3 != 0),
+            "fp",
+        ).count(),
+    )
+    timed("bpe_train (8 merges)", lambda: len(bpe_train(docs, "text", n_merges=8)))
+
     emb = _replicate(read_parquet(spark, f"{sf_dir}/embeddings.parquet"), ["vec_id"], n)
     print(f"embeddings ×{n}: {emb.count()}")
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.similarity import (
@@ -146,6 +183,19 @@ def main() -> None:
     timed(
         "ivf_topk",
         lambda: ivf_topk(q, emb, "vec_id", "embedding", k=5, n_centroids=16, n_probe=2).count(),
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.dedup import (
+        semantic_dedup_keep,
+    )
+
+    timed(
+        # flood = every vector 10x duplicated at cosine 1.0 — the
+        # within-cluster pair count is the adversarial part; n_clusters is
+        # the knob that bounds it (documented SemDeDup posture)
+        "semantic_dedup (64 clusters)",
+        lambda: semantic_dedup_keep(
+            emb, "vec_id", "embedding", n_clusters=64, threshold=0.95
+        ).count(),
     )
 
     li = _replicate(read_parquet(spark, f"{sf_dir}/lineitem.parquet"), ["l_partkey"], n)
