@@ -2357,8 +2357,9 @@ d AS (
   SELECT doc_id, doc.source AS source, wt, {_duck_uniform("doc_id", _MIX_SEED)} AS u
   FROM documents doc JOIN w ON doc.source = w.source
 ),
-k AS (SELECT MIN(CAST(FLOOR(CAST(cnt AS DOUBLE) / wt) AS BIGINT)) AS k
-      FROM (SELECT source, wt, COUNT(*) AS cnt FROM d GROUP BY source, wt)),
+k AS (SELECT MIN(CAST(FLOOR(CAST(COALESCE(cnt, 0) AS DOUBLE) / w.wt) AS BIGINT)) AS k
+      FROM w LEFT JOIN (SELECT source, COUNT(*) AS cnt FROM d GROUP BY source) c
+      ON w.source = c.source),
 ranked AS (SELECT doc_id, source, wt,
                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
            FROM d)

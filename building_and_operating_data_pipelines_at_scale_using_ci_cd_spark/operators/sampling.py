@@ -172,10 +172,18 @@ def domain_mix_sample(
     weighted = df.filter(F.col(strata_col).isin(*weights)).withColumn(
         "__w", wmap[F.col(strata_col)].cast("bigint")
     )
+    # k must range over the REQUESTED strata, not the observed ones: a
+    # requested stratum with zero rows caps k at 0 (an exact w_s:...
+    # mixture is infeasible), which a groupBy over the data alone would
+    # silently miss (hypothesis found exactly that corpus)
+    w_df = df.sparkSession.createDataFrame(
+        [(s, int(w)) for s, w in weights.items()], f"`{strata_col}` string, `__w` bigint"
+    )
     k_df = (
-        weighted.groupBy(strata_col, "__w")
-        .count()
-        .select(F.floor(F.col("count") / F.col("__w")).alias("__k"))
+        w_df.join(weighted.groupBy(strata_col).count(), strata_col, "left")
+        .select(
+            F.floor(F.coalesce(F.col("count"), F.lit(0)) / F.col("__w")).alias("__k")
+        )
         .groupBy()
         .agg(F.min("__k").alias("__k"))
     )

@@ -196,3 +196,76 @@ def test_redact_and_nfc_idempotent(spark, docs):
     one = df.select(redact_pii(py_nfc_normalize(F.col("text"))).alias("t"))
     two = one.select(redact_pii(py_nfc_normalize(F.col("t"))).alias("t"))
     assert [r["t"] for r in one.collect()] == [r["t"] for r in two.collect()]
+
+
+# -- round 5: mixture sampling, bloom dedup, BPE -----------------------------
+
+_weights = st.dictionaries(
+    st.sampled_from(["s0", "s1", "s2"]), st.integers(1, 3), min_size=1, max_size=3
+)
+_docs_by_stratum = st.lists(
+    st.tuples(st.integers(0, 60), st.sampled_from(["s0", "s1", "s2"])),
+    min_size=1,
+    max_size=40,
+).map(lambda rows: list({i: (i, s) for i, s in rows}.values()))  # unique ids
+
+
+@settings(**_SETTINGS)
+@given(rows=_docs_by_stratum, weights=_weights)
+def test_domain_mix_ratio_exact_for_any_corpus(spark, rows, weights):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.sampling import (
+        domain_mix_sample,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = domain_mix_sample(df, "src", weights, "doc_id").collect()
+    per = {s: sum(1 for r in out if r["src"] == s) for s in weights}
+    have = {s: sum(1 for _, src in rows if src == s) for s in weights}
+    k = min(have[s] // w for s, w in weights.items())
+    # exact ratio at the largest feasible k, never exceeding availability
+    for s, w in weights.items():
+        assert per[s] == w * k
+    # determinism: same inputs → same ids
+    again = domain_mix_sample(df, "src", weights, "doc_id").collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+
+
+_keys = st.lists(st.text(alphabet="abcd", min_size=1, max_size=3), min_size=0, max_size=12)
+
+
+@settings(**_SETTINGS)
+@given(hist=_keys, new=_keys)
+def test_bloom_incremental_equals_anti_join_for_any_keys(spark, hist, new):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.dedup import (
+        bloom_incremental_new,
+    )
+
+    hist_df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(hist)], "id long, k string"
+    )
+    new_df = spark.createDataFrame(
+        [(1000 + i, k) for i, k in enumerate(new)], "id long, k string"
+    )
+    got = sorted(r["id"] for r in bloom_incremental_new(new_df, hist_df, "k").collect())
+    want = sorted(1000 + i for i, k in enumerate(new) if k not in set(hist))
+    assert got == want  # no false negatives, verify join kills false positives
+
+
+_words = st.lists(st.text(alphabet="ab", min_size=1, max_size=5), min_size=1, max_size=8)
+
+
+@settings(**_SETTINGS)
+@given(words=_words)
+def test_bpe_detokenization_invariant_for_any_corpus(spark, words):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.bpe import (
+        EOW,
+        bpe_apply,
+        bpe_train,
+    )
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = bpe_train(df, "text", n_merges=4)
+    row = bpe_apply(df, "doc_id", "text", merges).first()
+    assert "".join(row["tokens"]).replace(EOW, " ").split() == words
+    assert row["n_tokens"] == len(row["tokens"])
