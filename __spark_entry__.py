@@ -2508,6 +2508,54 @@ FROM events JOIN customer ON user_id = c_custkey
 """
 
 
+
+
+def _q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (the "hypertable rollup" pattern): per
+    (user, day) HLL sketches built once, then MERGED across days with
+    ``hll_union_agg`` — the shape that lets a 100 TB store keep daily
+    sketch partials and answer any coarser rollup without rescanning raw
+    events. Sketch bits differ per engine, so (approx_distinct precedent)
+    each engine asserts its own approximation CONTRACT against its own
+    exact answer and emits hash-comparable
+    error-bound booleans (relative 5% OR absolute 5 — small per-user
+    cardinalities make a pure relative bound flap on the oracle engine's
+    sketch)."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH daily AS (
+          SELECT user_id, DATE_TRUNC('day', ts) AS day,
+                 hll_sketch_agg(event_id) AS sk
+          FROM events GROUP BY user_id, DATE_TRUNC('day', ts)
+        ),
+        rolled AS (
+          SELECT user_id, hll_sketch_estimate(hll_union_agg(sk)) AS approx_events
+          FROM daily GROUP BY user_id
+        ),
+        exact AS (
+          SELECT user_id, COUNT(DISTINCT event_id) AS exact_events
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id, exact_events,
+               ABS(approx_events - exact_events)
+                 <= GREATEST(CAST(exact_events AS DOUBLE) * 0.05, 5.0)
+                 AS rollup_within_bound
+        FROM rolled JOIN exact USING (user_id)
+        """
+    )
+
+
+HLL_ROLLUP_DUCK = """
+SELECT user_id,
+       COUNT(DISTINCT event_id) AS exact_events,
+       ABS(APPROX_COUNT_DISTINCT(event_id) - COUNT(DISTINCT event_id))
+         <= GREATEST(CAST(COUNT(DISTINCT event_id) AS DOUBLE) * 0.05, 5.0)
+         AS rollup_within_bound
+FROM events GROUP BY user_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50 entries.
     # Rotation discipline (judge ask, round 2): no key may go more than one
@@ -2569,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": _q_bpe_tokenize,
         "streaming_enrich": _q_streaming_enrich,
         "ann_lsh_topk": _q_ann_lsh,
+        "hll_rollup": _q_hll_rollup,
         # -- (3) tail: r04-green, SQL unchanged since — safe past the
         #    cap for one round; they rotate back up in round 6 --------
         "corpus_curation": _q_corpus_curation,
@@ -2631,6 +2680,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": SEMANTIC_DEDUP_DUCK,
         "bloom_new_docs": BLOOM_NEW_DOCS_DUCK,
         "streaming_enrich": STREAMING_ENRICH_DUCK,
+        "hll_rollup": HLL_ROLLUP_DUCK,
         "q1_pricing_summary": Q1_PRICING_SUMMARY,
         "q3_shipping_priority": Q3_SHIPPING_PRIORITY,
         "q5_local_supplier_volume": Q5_LOCAL_SUPPLIER_VOLUME,

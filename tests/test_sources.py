@@ -156,3 +156,48 @@ def test_multi_input_and_junk_removal(spark, sample_df, tmp_path):
     res = Orchestrator(spark).run(cfg)
     row = res.output.collect()[0]
     assert row["label"] == "clean"  # junk chars stripped before transform
+
+
+def test_read_parquet_tolerates_both_timestamp_encodings(spark, tmp_path):
+    """Round-5 regression guard: the driver-generated fixtures flipped
+    from TIMESTAMP(NANOS) to TIMESTAMP(MICROS) between rounds and a
+    hardcoded nanos conversion silently produced 1970-era timestamps.
+    read_parquet (and the entry's _events_stream) must DETECT the
+    encoding from the parquet footer, whichever it is."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.readers import (
+        read_parquet,
+    )
+
+    ts = datetime.datetime(2024, 3, 1, 12, 30, 0)
+    for unit in ("us", "ns"):
+        path = str(tmp_path / f"t_{unit}.parquet")
+        table = pa.table(
+            {
+                "id": pa.array([1, 2], type=pa.int64()),
+                "ts": pa.array([ts, ts], type=pa.timestamp(unit)),
+            }
+        )
+        pq.write_table(table, path)
+        got = read_parquet(spark, path).orderBy("id").collect()
+        assert got[0]["ts"] == ts, (unit, got[0]["ts"])
+
+
+def test_events_stream_detects_timestamp_encoding(spark, sf_dir):
+    """The streaming reader must agree with the batch reader on event
+    time — a unit mix-up collapses the stream into epoch-1970 windows."""
+    import __spark_entry__ as em
+
+    batch_min = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").agg({"ts": "min"}).first()[0]
+    )
+    stream = em._events_stream(spark, sf_dir)
+    # drain one availableNow pass through a memory sink
+    out = em._run_stream(stream.select("event_id", "ts"), "enc_check", "append")
+    stream_min = out.agg({"ts": "min"}).first()[0]
+    assert stream_min == batch_min
+    assert stream_min.year >= 2020  # the 1970-collapse failure mode
