@@ -10,6 +10,8 @@ step — no hand-written driver code:
                benchmark decontamination report (eval slice = doc_id%10=0).
   3. split   — deterministic hash split (90/5/5) partitioned-by-split
                corpus + Gopher repetition report.
+  4. assemble — unigram-LM perplexity filter (drop the worst decile),
+               exact-ratio domain mixture, BPE tokenization (round 5).
 
     cd /root/repo && python examples/corpus_curation/run.py
 
@@ -55,6 +57,14 @@ def main():
     assert corpus.count() > 0 and set(
         r["split"] for r in corpus.select("split").distinct().collect()
     ) <= {"train", "val", "test"}
+
+    tokenized = spark.read.parquet(f"{DEMO}/tokenized")
+    mixture = {r["source"]: r["n_docs"] for r in spark.read.parquet(f"{DEMO}/mixture_report").collect()}
+    print(f"tokenized {tokenized.count()} docs; mixture: {mixture}")
+    assert tokenized.count() > 0 and tokenized.first()["n_tokens"] > 0
+    # exact 2:2:1:1 mixture at the largest feasible k
+    k = mixture.get("src2", 0)
+    assert k > 0 and mixture["src0"] == 2 * k and mixture["src3"] == k
 
 
 if __name__ == "__main__":

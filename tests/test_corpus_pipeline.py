@@ -38,6 +38,11 @@ def test_corpus_curation_pipeline(spark, sf_dir, tmp_path):
                 "config": _load_config("split.json", sf_dir, out),
                 "dependsOn": ["dedup"],
             },
+            {
+                "name": "assemble",
+                "config": _load_config("assemble.json", sf_dir, out),
+                "dependsOn": ["split"],
+            },
         ],
     }
     outcomes = from_manifest(spark, manifest).run()
@@ -59,3 +64,15 @@ def test_corpus_curation_pipeline(spark, sf_dir, tmp_path):
     assert any(d.startswith("split=") for d in os.listdir(f"{out}/corpus"))
     # redaction + curation preserved ids uniquely
     assert corpus.select("doc_id").distinct().count() == corpus.count()
+
+    # assemble stage: perplexity-filtered, exactly-mixed, BPE-tokenized
+    tokenized = spark.read.parquet(f"{out}/tokenized")
+    assert tokenized.count() > 0
+    row = tokenized.first()
+    assert row["n_tokens"] > 0 and isinstance(row["tokens"], str)
+    mixture = {
+        r["source"]: r["n_docs"]
+        for r in spark.read.parquet(f"{out}/mixture_report").collect()
+    }
+    k = mixture.get("src2", 0)
+    assert k > 0 and mixture.get("src0") == 2 * k and mixture.get("src3") == k
