@@ -231,6 +231,16 @@ def _bpe_tokenize(df: DataFrame, id_col: str, text_col: str, n_merges=24) -> Dat
     return out.select(id_col, "n_tokens", F.array_join("tokens", " ").alias("tokens"))
 
 
+def _classifier_score(df: DataFrame, text_col: str, weights: list, output_col: str = "keep_prob") -> DataFrame:
+    """Learned quality filter (apply path): sigmoid over surface features
+    with fixed literal weights — pure projection."""
+    from ..functions.classifier import logreg_score, text_feature_vector
+    from pyspark.sql import functions as F  # noqa: F811 (local alias)
+
+    prob = logreg_score(text_feature_vector(F.col(text_col)), [float(w) for w in weights])
+    return df.withColumn(output_col, prob)
+
+
 def _session_aggregate(df: DataFrame, ts_col: str, key: str, **kw) -> DataFrame:
     """Streaming-capable session windows (works on batch views too)."""
     from ..streaming.ops import session_aggregate
@@ -274,6 +284,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "domainMixSample": _domain_mix,
     "lmCrossEntropy": _lm_cross_entropy,
     "bpeTokenize": _bpe_tokenize,
+    "classifierScore": _classifier_score,
     "sessionAggregate": _session_aggregate,
     "tumblingCounts": _tumbling_counts,
     "streamingDedup": _streaming_dedup_op,

@@ -221,3 +221,51 @@ def test_ann_multi_table_no_duplicate_pairs(spark, tables):
         ranks.setdefault(r["query_id"], []).append(r["rank"])
     for qid, rs in ranks.items():
         assert sorted(rs) == list(range(1, len(rs) + 1))
+
+
+# -- logistic-regression classifier -----------------------------------------
+
+
+def test_logreg_learns_separable_data(spark):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.classifier import (
+        logreg_score,
+        logreg_train,
+    )
+
+    # y = 1 iff x1 > 0.5, perfectly separable on one feature
+    rows = [(float(i % 10) / 10.0,) for i in range(100)]
+    df = spark.createDataFrame(rows, "x1 double").selectExpr(
+        "array(1.0, x1) AS x", "CAST(x1 > 0.5 AS INT) AS y"
+    )
+    w = logreg_train(df, "x", "y", dim=2, iters=40, lr=4.0)
+    scored = df.withColumn("p", logreg_score(F.col("x"), w))
+    acc = scored.selectExpr("AVG(CAST((p > 0.5) = (y = 1) AS DOUBLE))").first()[0]
+    assert acc >= 0.95
+    assert w[1] > 0  # positive slope on the separating feature
+
+
+def test_logreg_score_is_projection_and_bounded(spark, tables):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.classifier import (
+        logreg_score,
+        text_feature_vector,
+    )
+
+    docs = spark.table("documents")
+    scored = docs.select(
+        logreg_score(text_feature_vector(F.col("text")), [0.1, -0.2, 0.3, 0.4, -0.5]).alias("p")
+    )
+    stats = scored.agg(F.min("p"), F.max("p")).first()
+    assert 0.0 < stats[0] and stats[1] < 1.0
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure narrow map stage
+
+
+def test_logreg_train_validates(spark, tables):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.classifier import (
+        logreg_train,
+    )
+
+    df = spark.table("documents").selectExpr("array(1.0) AS x", "1 AS y")
+    with pytest.raises(ValueError):
+        logreg_train(df, "x", "y", dim=1, iters=-1)
+    assert logreg_train(df, "x", "y", dim=1, iters=0) == [0.0]
