@@ -267,3 +267,60 @@ def unigram_cross_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFram
         )
         .select(F.col("__id").alias(id_col), "n_tokens", "cross_entropy")
     )
+
+
+def bigram_cross_entropy(
+    df: DataFrame, id_col: str, text_col: str, lam: float = 0.7
+) -> DataFrame:
+    """Per-document cross-entropy under an interpolated bigram LM trained
+    on the corpus itself: p(t|prev) = lam·count(prev,t)/count(prev) +
+    (1-lam)·count(t)/total — one rung below the KenLM 5-gram CCNet uses,
+    same plan shape at any n. Documents scoring high are dense in
+    improbable transitions (shuffled text, spam, boilerplate splices)
+    that a unigram model cannot see.
+
+    Shape at scale: bigrams are generated MAP-SIDE per row with
+    ``zip_with`` over adjacent slices (no window, no per-doc shuffle);
+    the model tables are (distinct-bigram)- and vocab-sized groupBys with
+    map-side partial agg; scoring joins each bigram occurrence to its
+    three counts. Zipf keeps the model tables far below corpus size; the
+    corpus total rides a one-row broadcast. Only documents with ≥2
+    tokens appear (a bigram needs a transition)."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    toks = df.select(
+        F.col(id_col).alias("__id"), word_tokens(F.col(text_col)).alias("__a")
+    ).filter(F.size("__a") >= 2)
+    bigrams = toks.select(
+        "__id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__a"), 1, F.size("__a") - 1),
+                F.slice(F.col("__a"), 2, F.size("__a") - 1),
+                lambda p, t: F.struct(p.alias("prev"), t.alias("tok")),
+            )
+        ).alias("__b"),
+    ).select("__id", F.col("__b.prev").alias("__prev"), F.col("__b.tok").alias("__tok"))
+    bi_counts = bigrams.groupBy("__prev", "__tok").agg(F.count(F.lit(1)).alias("__cbi"))
+    ctx_counts = bi_counts.groupBy("__prev").agg(F.sum("__cbi").alias("__cctx"))
+    uni_counts = (
+        df.select(F.explode(word_tokens(F.col(text_col))).alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__cuni"))
+    )
+    total = uni_counts.groupBy().agg(F.sum("__cuni").alias("__n"))
+    p = F.lit(lam) * F.col("__cbi").cast("double") / F.col("__cctx") + F.lit(
+        1.0 - lam
+    ) * F.col("__cuni").cast("double") / F.col("__n")
+    return (
+        bigrams.join(bi_counts, ["__prev", "__tok"])
+        .join(ctx_counts, "__prev")
+        .join(uni_counts, "__tok")
+        .join(F.broadcast(total))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log2(p)), 4).alias("bigram_cross_entropy"),
+        )
+        .select(F.col("__id").alias(id_col), "n_bigrams", "bigram_cross_entropy")
+    )

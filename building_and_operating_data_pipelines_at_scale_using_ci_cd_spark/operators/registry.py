@@ -220,6 +220,12 @@ def _lm_cross_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return unigram_cross_entropy(df, id_col, text_col)
 
 
+def _bigram_lm(df: DataFrame, id_col: str, text_col: str, lam=0.7) -> DataFrame:
+    from ..functions.text import bigram_cross_entropy
+
+    return bigram_cross_entropy(df, id_col, text_col, lam=float(lam))
+
+
 def _bpe_tokenize(df: DataFrame, id_col: str, text_col: str, n_merges=24) -> DataFrame:
     """Composite train+apply: learn the merge table from the input view,
     tokenize the same view with it (tokens serialized space-joined so the
@@ -283,6 +289,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "bloomIncrementalDedup": _bloom_incremental,
     "domainMixSample": _domain_mix,
     "lmCrossEntropy": _lm_cross_entropy,
+    "bigramLm": _bigram_lm,
     "bpeTokenize": _bpe_tokenize,
     "classifierScore": _classifier_score,
     "sessionAggregate": _session_aggregate,

@@ -269,3 +269,41 @@ def test_logreg_train_validates(spark, tables):
     with pytest.raises(ValueError):
         logreg_train(df, "x", "y", dim=1, iters=-1)
     assert logreg_train(df, "x", "y", dim=1, iters=0) == [0.0]
+
+
+def test_bigram_cross_entropy_hand_computed(spark):
+    import math
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.text import (
+        bigram_cross_entropy,
+    )
+
+    # corpus "a b a b" + "a a": bigrams (a,b)x2 (b,a)x1 (a,a)x1;
+    # ctx a=3 b=1; uni a=4 b=2, total 6
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a a")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_cross_entropy(df, "doc_id", "text", lam=0.5).collect()}
+    p_ab = 0.5 * 2 / 3 + 0.5 * 2 / 6
+    p_ba = 0.5 * 1 / 1 + 0.5 * 4 / 6
+    p_aa = 0.5 * 1 / 3 + 0.5 * 4 / 6
+    h1 = -(2 * math.log2(p_ab) + math.log2(p_ba)) / 3
+    h2 = -math.log2(p_aa)
+    assert out[1]["n_bigrams"] == 3 and out[1]["bigram_cross_entropy"] == round(h1, 4)
+    assert out[2]["n_bigrams"] == 1 and out[2]["bigram_cross_entropy"] == round(h2, 4)
+    # single-token and empty docs carry no transitions: excluded
+    df2 = spark.createDataFrame([(3, "solo"), (4, "")], "doc_id long, text string")
+    assert bigram_cross_entropy(df2, "doc_id", "text").count() == 0
+    with pytest.raises(ValueError):
+        bigram_cross_entropy(df, "doc_id", "text", lam=1.5)
+
+
+def test_semantic_dedup_refine_iters_keeps_invariants(spark, tables):
+    emb = spark.table("embeddings")
+    base = semantic_dedup_keep(emb, "vec_id", "embedding", n_clusters=4, threshold=0.3)
+    refined = semantic_dedup_keep(
+        emb, "vec_id", "embedding", n_clusters=4, threshold=0.3, refine_iters=1
+    )
+    n = emb.count()
+    assert 0 < refined.count() <= n and 0 < base.count() <= n
+    # kept ids are a subset of the corpus either way
+    ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert {r["kept_id"] for r in refined.collect()} <= ids
