@@ -74,6 +74,9 @@ HEADLINE = [
     "lm_cross_entropy",
     "domain_mix",
     "q20_excess_supplier",
+    # round 5 late: bigram model join chain + the learned-filter projection
+    "bigram_lm",
+    "classifier_score",
 ]
 
 
