@@ -1554,24 +1554,30 @@ QUALIFY rank <= 10
 
 
 _ANN_DIM = 64
-#: round 5: multi-table LSH (4 planes x 4 tables). Per-plane collision
-#: p = 1 - theta/pi; recall ~= 1-(1-p^planes)^tables. The synthetic
-#: embeddings are uniformly random — LSH's WORST case: true top-5
-#: neighbors sit at cosine ~0.45 (theta~65deg, p~0.64), giving ~0.45
-#: expected recall here vs >0.9 on a real near-dup corpus (cos>0.9 ->
-#: p~0.86). bench.py's recall sidecar tracks the measured value per
-#: round; candidates/query stay ~4x below exhaustive at sf0.1.
+#: round 6: multi-probe multi-table LSH (4 planes x 3 tables, each QUERY
+#: also probing all 4 Hamming-distance-1 buckets per table). Per-plane
+#: collision p = 1 - theta/pi; per-table hit with full H-1 probing is
+#: p^b + b.p^(b-1)(1-p); recall ~= 1-(1-hit)^tables ~= 0.86 at the
+#: measured p~0.60 of this uniform-random fixture (LSH's WORST case —
+#: real near-dup corpora sit at p~0.86). Probing fans out ONLY the
+#: query side; the corpus (the 100 TB side) still materializes exactly
+#: `tables` rows per vector. bench.py's recall sidecar tracks the
+#: measured value per round (r5: 0.425 without probes; r6: 0.875).
 _ANN_PLANES = 4
-_ANN_TABLES = 4
+_ANN_TABLES = 3
+_ANN_PROBES = 4
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (random-hyperplane buckets,
-    multi-table: a pair is a candidate if it collides in ANY table)."""
+    multi-table + multi-probe: a pair is a candidate if the corpus
+    vector's bucket falls in ANY of the query's probed buckets of ANY
+    table)."""
     emb = _table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     return ann_topk_lsh(queries_df, emb, "vec_id", "embedding", dim=_ANN_DIM, k=5,
-                        num_planes=_ANN_PLANES, num_tables=_ANN_TABLES)
+                        num_planes=_ANN_PLANES, num_tables=_ANN_TABLES,
+                        num_probes=_ANN_PROBES)
 
 
 def _ann_lsh_duck() -> str:
@@ -1588,9 +1594,16 @@ def _ann_lsh_duck() -> str:
         f"SELECT vec_id, embedding::DOUBLE[] AS v, {t} AS tbl, ({bucket(t * _ANN_PLANES)}) AS bucket FROM embeddings"
         for t in range(_ANN_TABLES)
     )
+    flips = ", ".join(f"({1 << i})" for i in range(_ANN_PROBES))
     return f"""
 WITH b AS ({per_table}),
-q AS (SELECT vec_id AS query_id, v AS qv, tbl, bucket FROM b WHERE vec_id % 50 = 0),
+qbase AS (SELECT vec_id AS query_id, v AS qv, tbl, bucket FROM b WHERE vec_id % 50 = 0),
+q AS (
+  SELECT query_id, qv, tbl, bucket FROM qbase
+  UNION ALL
+  SELECT query_id, qv, tbl, xor(bucket, f.flip) AS bucket
+  FROM qbase CROSS JOIN (VALUES {flips}) AS f(flip)
+),
 c AS (SELECT vec_id AS neighbor_id, v AS cv, tbl, bucket FROM b),
 scored AS (
   SELECT DISTINCT query_id, neighbor_id,

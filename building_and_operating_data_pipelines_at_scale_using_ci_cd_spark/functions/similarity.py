@@ -18,6 +18,8 @@ JVM-side, no Python crossing.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -101,22 +103,30 @@ def lsh_bucket_key(vec: Column, dim: int, num_planes: int = 8, plane_offset: int
     """Random-hyperplane LSH: sign bits of ``num_planes`` projections,
     packed into an int bucket key. ``plane_offset`` selects a disjoint
     plane family — how multi-table LSH derives independent tables from
-    the same deterministic md5 plane generator."""
-    key = None
-    for p in range(num_planes):
-        plane = _hyperplane(dim, p + plane_offset)
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(v) for v in plane]),
-                lambda x, w: x.cast("double") * w,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        key = bit if key is None else key + bit
-    return key.cast("int")
+    the same deterministic md5 plane generator.
+
+    The plane matrix ships as ONE 2-D array literal (``F.lit`` of a
+    nested list), not ``num_planes×dim`` individual literal nodes: with
+    12+ planes of dim 64 the per-float ``CreateArray(Literal…)`` tree
+    made Catalyst analysis alone cost ~1.7s per plan build — more than
+    the whole query's execution at bench scale. One Literal node keeps
+    the tree O(planes) instead of O(planes·dim)."""
+    planes = F.lit([_hyperplane(dim, p + plane_offset) for p in range(num_planes)])
+    weights = F.lit([float(1 << p) for p in range(num_planes)])
+    bits = F.zip_with(
+        planes,
+        weights,
+        lambda plane, w: F.when(
+            F.aggregate(
+                F.zip_with(vec, plane, lambda x, v: x.cast("double") * v),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            w,
+        ).otherwise(F.lit(0.0)),
+    )
+    return F.aggregate(bits, F.lit(0.0), lambda acc, x: acc + x).cast("int")
 
 
 def ivf_probe_assignments(
@@ -145,15 +155,18 @@ def ivf_probe_assignments(
     def _norm(vec) -> float:
         return math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
 
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
-                F.lit(_norm(vec)).alias("cn"),
-            )
-            for cid, vec in centroids
-        ]
+    # three parallel array literals (ONE Literal node each — see
+    # lsh_bucket_key for why per-float CreateArray trees are an analysis
+    # bottleneck), zipped into the struct array Catalyst-side
+    cid_lit = F.lit([int(cid) for cid, _ in centroids])
+    cv_lit = F.lit([[float(x) for x in vec] for _, vec in centroids])
+    cn_lit = F.lit([_norm(vec) for _, vec in centroids])
+    cent_arr = F.zip_with(
+        cid_lit,
+        F.zip_with(cv_lit, cn_lit, lambda cv, cn: F.struct(cv.alias("cv"), cn.alias("cn"))),
+        lambda cid, vn: F.struct(
+            cid.alias("cid"), vn["cv"].alias("cv"), vn["cn"].alias("cn")
+        ),
     )
     staged = df.select(
         F.col(id_col).alias(out_id),
@@ -263,6 +276,64 @@ def ivf_topk(
     )
 
 
+def _pair_dot_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series(dtype="float64")
+        ma = np.vstack(a.to_numpy()).astype(np.float64)
+        mb = np.vstack(b.to_numpy()).astype(np.float64)
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    return pair_dot
+
+
+def _pair_dot(a: Column, b: Column) -> Column:
+    """Row-wise Σ aᵢ·bᵢ, Arrow-batched (one einsum per batch). Same value
+    as :func:`dot` up to float summation order — use in candidate-rerank
+    hot paths where an interpreted per-element zip_with dominates."""
+    return _pair_dot_udf()(a, b)
+
+
+def _make_bucketize(dim: int, num_planes: int, num_tables: int):
+    """Arrow-batched bucket computation for :func:`ann_topk_lsh`: every
+    table's bucket key plus the l2 norm in ONE numpy matmul per batch.
+
+    Why a Pandas UDF here when the rule is "stay JVM-side": the
+    num_planes·num_tables hyperplane projections per vector are a dense
+    (batch×dim)@(dim×planes) matrix product. Expressed as Catalyst
+    higher-order functions that is planes separate interpreted
+    `aggregate(zip_with(...))` passes whose literal-heavy trees cost
+    more in ANALYSIS (~1.5s per plan build at 12 planes) than the whole
+    query's execution; expressed here it is one fused BLAS call per
+    Arrow batch. The exact-rerank dots stay JVM `zip_with` — only the
+    index build crosses, once per row. Buckets are bit-identical to the
+    interpreted :func:`lsh_bucket_key` (same md5 planes, float64 math;
+    verified in tests)."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [_hyperplane(dim, p) for p in range(num_planes * num_tables)], dtype=np.float64
+    )
+    weights = np.array([1 << p for p in range(num_planes)], dtype=np.int64)
+
+    @pandas_udf("struct<norm:double,bkts:array<int>>")
+    def bucketize(s: pd.Series) -> pd.DataFrame:
+        if len(s) == 0:
+            return pd.DataFrame({"norm": pd.Series(dtype="float64"), "bkts": []})
+        mat = np.vstack(s.to_numpy()).astype(np.float64)
+        proj = mat @ planes.T
+        bits = (proj >= 0).astype(np.int64).reshape(len(mat), num_tables, num_planes)
+        bkts = (bits * weights).sum(axis=2).astype(np.int32)
+        return pd.DataFrame(
+            {"norm": np.sqrt((mat * mat).sum(axis=1)), "bkts": list(bkts)}
+        )
+
+    return bucketize
+
+
 def ann_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -272,51 +343,82 @@ def ann_topk_lsh(
     k: int = 10,
     num_planes: int = 6,
     num_tables: int = 1,
+    num_probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket,
-    exact cosine rerank inside. Two knobs, the standard LSH trade:
+    exact cosine rerank inside. Three knobs, the standard LSH trade:
 
       - ``num_planes`` (bits per table): fewer planes → bigger buckets →
         higher recall per table, more compute;
       - ``num_tables`` (independent hash tables, disjoint plane seeds):
         a close pair is found if it collides in ANY table, so recall
-        amplifies as 1-(1-p^planes)^tables at tables× candidate cost —
-        the classic way to buy recall WITHOUT inflating bucket sizes
-        (bench.py tracks recall@5 against the exact answer each round).
+        amplifies as 1-(1-p^planes)^tables at tables× candidate cost;
+      - ``num_probes`` (multi-probe): each QUERY additionally probes the
+        buckets at Hamming distance 1 — bucket key XOR (1<<i) for the
+        first ``num_probes`` bit positions. Per-table hit probability
+        rises from p^b to p^b + num_probes·p^(b-1)(1-p) — the recall of
+        many tables at the index cost of few, because ONLY the query
+        side fans out. The corpus (the 100 TB side) still materializes
+        exactly ``num_tables`` rows per vector; probing all H-1 buckets
+        (``num_probes = num_planes``) makes probe ordering moot, which
+        is why this implementation skips query-directed margin sorting.
 
-    Both sides explode to one row per (table, bucket) and shuffle on that
-    composite key — hash-partitioned equi-joins, never a cross join; a
-    pair colliding in several tables is scored per collision and
-    de-duplicated before ranking (cheaper than re-joining vectors after
-    an id-level distinct). This is what survives a 100× corpus scale-up."""
+    Both sides shuffle on the composite (table, bucket) key — hash
+    equi-joins, never a cross join; a pair colliding in several
+    (table, probe) slots is scored per collision and de-duplicated
+    before ranking (the distinct shuffles 3 small columns — cheaper
+    than re-joining vectors after an id-level distinct). bench.py
+    tracks recall@5 against the exact answer each round."""
+    if not 0 <= num_probes <= num_planes:
+        raise ValueError(f"num_probes must be in [0, num_planes]; got {num_probes}")
+    bucketize = _make_bucketize(dim, num_planes, num_tables)
 
-    def keyed(df: DataFrame, out_id: str, vec_alias: str, norm_alias: str) -> DataFrame:
-        tables = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    lsh_bucket_key(
-                        F.col(vec_col), dim, num_planes, plane_offset=t * num_planes
-                    ).alias("bkt"),
-                )
-                for t in range(num_tables)
-            ]
-        )
-        return df.select(
+    def keyed(df: DataFrame, out_id: str, vec_alias: str, norm_alias: str, probes: int) -> DataFrame:
+        # All tables' bucket keys + the norm come from ONE Arrow-batched
+        # matmul (see _make_bucketize); the probe fan-out below is pure
+        # int XOR over the materialized bucket array — never a
+        # re-projection of the planes×dim hyperplane dots per probe row.
+        base = df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(vec_alias),
-            l2_norm(F.col(vec_col)).alias(norm_alias),
-            F.explode(tables).alias("__tb"),
+            bucketize(F.col(vec_col)).alias("__s"),
+        ).select(
+            out_id,
+            vec_alias,
+            F.col("__s.norm").alias(norm_alias),
+            F.col("__s.bkts").alias("__bkts"),
+        )
+        entries = F.flatten(
+            F.transform(
+                F.col("__bkts"),
+                lambda bkt, t: F.array(
+                    F.struct(t.cast("int").alias("tbl"), bkt.alias("bkt")),
+                    *[
+                        F.struct(
+                            t.cast("int").alias("tbl"),
+                            bkt.bitwiseXOR(F.lit(1 << i)).alias("bkt"),
+                        )
+                        for i in range(probes)
+                    ],
+                ),
+            )
+        )
+        return base.select(
+            out_id, vec_alias, norm_alias, F.explode(entries).alias("__tb")
         ).select(out_id, vec_alias, norm_alias, "__tb.tbl", "__tb.bkt")
 
-    q = keyed(queries, "query_id", "__qv", "__qn")
-    c = keyed(corpus, "neighbor_id", "__cv", "__cn")
+    q = keyed(queries, "query_id", "__qv", "__qn", num_probes)
+    c = keyed(corpus, "neighbor_id", "__cv", "__cn", 0)
     joined = q.join(c, ["tbl", "bkt"]).filter(F.col("query_id") != F.col("neighbor_id"))
-    # one dot per collision — norms were computed once per row above
+    # one dot per collision — norms were computed once per row above; the
+    # candidate dots are Arrow-batched for the same reason as the index
+    # build (one einsum per batch vs an interpreted zip_with per pair)
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))).alias("__cos"),
+        (
+            _pair_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+        ).alias("__cos"),
     ).distinct()
     w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
     return (

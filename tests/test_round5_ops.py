@@ -307,3 +307,77 @@ def test_semantic_dedup_refine_iters_keeps_invariants(spark, tables):
     # kept ids are a subset of the corpus either way
     ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
     assert {r["kept_id"] for r in refined.collect()} <= ids
+
+
+# -- multi-probe LSH (round 6) ----------------------------------------------
+
+
+def test_ann_multiprobe_recall_dominates_no_probe(spark, tables):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.similarity import (
+        ann_topk_lsh,
+        topk_neighbors,
+    )
+
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_neighbors(q, emb, "vec_id", "embedding", k=5).collect()
+    }
+
+    def recall(num_probes):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ann_topk_lsh(
+                q, emb, "vec_id", "embedding", dim=64, k=5,
+                num_planes=4, num_tables=2, num_probes=num_probes,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r0, r4 = recall(0), recall(4)
+    # probing adds buckets on the query side only: the candidate set can
+    # only grow, and exact rerank keeps recall monotone in num_probes
+    assert r4 >= r0
+    assert r4 > 0
+
+
+def test_ann_multiprobe_rejects_bad_probe_count(spark, tables):
+    import pytest as _pytest
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.similarity import (
+        ann_topk_lsh,
+    )
+
+    emb = spark.table("embeddings")
+    with _pytest.raises(ValueError):
+        ann_topk_lsh(emb, emb, "vec_id", "embedding", dim=64, num_planes=4, num_probes=5)
+
+
+def test_arrow_bucketize_matches_interpreted_lsh_bucket_key(spark, tables):
+    """The Arrow matmul index build must produce bit-identical buckets to
+    the interpreted Catalyst lsh_bucket_key path (same md5 planes, same
+    float64 math) — this is what keeps the DuckDB oracle valid."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.similarity import (
+        _make_bucketize,
+        lsh_bucket_key,
+    )
+
+    emb = spark.table("embeddings")
+    B, T = 4, 3
+    hof = {
+        r["vec_id"]: tuple(r[f"b{t}"] for t in range(T))
+        for r in emb.select(
+            "vec_id",
+            *[
+                lsh_bucket_key(F.col("embedding"), 64, B, plane_offset=t * B).alias(f"b{t}")
+                for t in range(T)
+            ],
+        ).collect()
+    }
+    bucketize = _make_bucketize(64, B, T)
+    arrow = {
+        r["vec_id"]: tuple(r["s"]["bkts"])
+        for r in emb.select("vec_id", bucketize(F.col("embedding")).alias("s")).collect()
+    }
+    assert hof == arrow
