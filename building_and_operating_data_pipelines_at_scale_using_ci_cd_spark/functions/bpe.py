@@ -60,6 +60,21 @@ def _merge_pair_kernel(a: str, b: str):
     return merge
 
 
+def _make_apply_merge(a: str, b: str):
+    """Fresh pandas UDF per merge iteration, with the pair bound at
+    factory-call time: the stacked per-iteration UDFs each close over
+    their OWN kernel, so correctness never depends on when the backend
+    pickles the function (a shared loop-local cell would apply only the
+    last merge to every stage under deferred serialization)."""
+    kernel = _merge_pair_kernel(a, b)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def apply_merge(col: pd.Series) -> pd.Series:
+        return col.map(kernel)
+
+    return apply_merge
+
+
 def bpe_train(
     df: DataFrame, text_col: str, n_merges: int = 32, checkpoint_every: int = 4
 ) -> list[tuple[str, str]]:
@@ -103,14 +118,9 @@ def bpe_train(
             break
         a, b = pair_counts[0]["__p"]["a"], pair_counts[0]["__p"]["b"]
         merges.append((a, b))
-
-        kernel = _merge_pair_kernel(a, b)
-
-        @F.pandas_udf(ArrayType(StringType()))
-        def apply_merge(col: pd.Series) -> pd.Series:
-            return col.map(kernel)
-
-        words = words.select(apply_merge(F.col("__syms")).alias("__syms"), "__cnt")
+        words = words.select(
+            _make_apply_merge(a, b)(F.col("__syms")).alias("__syms"), "__cnt"
+        )
         if (it + 1) % checkpoint_every == 0:
             words = words.localCheckpoint(eager=False)
     return merges
