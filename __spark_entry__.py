@@ -2654,12 +2654,12 @@ def _q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     features with literal weights — a narrow map stage, bit-deterministic
     and fully mirror-able in ANSI SQL."""
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.classifier import (
-        logreg_score,
-        text_feature_vector,
+        logreg_score_terms,
+        text_feature_terms,
     )
 
     docs = _table(spark, sf_dir, "documents")
-    prob = logreg_score(text_feature_vector(F.col("text")), _CLF_WEIGHTS)
+    prob = logreg_score_terms(text_feature_terms(F.col("text")), _CLF_WEIGHTS)
     return docs.select(
         "doc_id",
         F.round(prob, 4).alias("keep_prob"),

@@ -19,6 +19,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -106,13 +107,34 @@ def _scd2_incremental(spark, sf_dir):
     return scd2_merge(target, delta, keys=["partkey"], effective_ts="2000-01-01 00:00:00")
 
 
-def _previous_round_timings() -> dict[str, float]:
-    """Per-query medians from the most recent BENCH_r*.json, for the
-    >1.5x regression warning. Missing/unparseable files are fine: the
-    warning is advisory, never a bench failure."""
+def _current_round() -> int | None:
+    """The in-progress round number, parsed from VERDICT.md (verdict for
+    round N means we are building round N+1)."""
     here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "VERDICT.md")) as fh:
+            head = fh.read(200)
+        m = re.search(r"round\s+(\d+)", head)
+        return int(m.group(1)) + 1 if m else None
+    except OSError:
+        return None
+
+
+def _previous_round_timings() -> dict[str, float]:
+    """Per-query medians from the most recent PRIOR round's BENCH_r*.json,
+    for the >1.5x regression warning. Files from the current round are
+    excluded — once the driver records BENCH_r{N}.json, a later bench run
+    in the same round must still baseline against round N-1, or a slow
+    round would re-baseline itself and mute its own warning. Missing /
+    unparseable files are fine: the warning is advisory, never a bench
+    failure."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    cur = _current_round()
     paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
     for path in reversed(paths):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m and cur is not None and int(m.group(1)) >= cur:
+            continue
         try:
             with open(path) as fh:
                 rec = json.load(fh)
@@ -122,6 +144,29 @@ def _previous_round_timings() -> dict[str, float]:
         except (OSError, ValueError, AttributeError):
             continue
     return {}
+
+
+def _failed_tasks(sc) -> int:
+    """Cumulative failed-task count across all jobs so far (statusTracker
+    walk — pure Python API). Round-5 hygiene gap: a task-level executor
+    exception was retried, succeeded, and shipped invisibly in the bench
+    tail; now every query's record carries its failed-task delta and the
+    run total is in the JSON. Returns -1 if the API is unavailable so a
+    Spark-internals change can never break the bench itself."""
+    try:
+        st = sc.statusTracker()
+        total = 0
+        for jid in st.getJobIdsForGroup(None):
+            ji = st.getJobInfo(jid)
+            if ji is None:
+                continue
+            for sid in ji.stageIds:
+                si = st.getStageInfo(sid)
+                if si is not None:
+                    total += si.numFailedTasks
+        return total
+    except Exception:
+        return -1
 
 
 def main() -> None:
@@ -140,7 +185,10 @@ def main() -> None:
     qs["scd2_incremental"] = _scd2_incremental
     prev = _previous_round_timings()
     timings: dict[str, float] = {}
+    failed_by_query: dict[str, int] = {}
+    failed_before_all = _failed_tasks(spark.sparkContext)
     for name in HEADLINE:
+        failed_before = _failed_tasks(spark.sparkContext)
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm: plan + JIT + cache file listing
         samples = []
@@ -150,6 +198,14 @@ def main() -> None:
             df2.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
         timings[name] = round(statistics.median(samples), 3)
+        failed_after = _failed_tasks(spark.sparkContext)
+        if failed_after > max(failed_before, 0):
+            failed_by_query[name] = failed_after - max(failed_before, 0)
+            print(
+                f"WARNING: {name} had {failed_by_query[name]} failed (retried) "
+                "task(s) — timings include the retries",
+                file=sys.stderr,
+            )
         if name in prev and prev[name] > 0 and timings[name] > 1.5 * prev[name]:
             print(
                 f"WARNING: {name} median {timings[name]}s is >1.5x previous "
@@ -158,18 +214,37 @@ def main() -> None:
             )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "recall": _ann_recall(qs, spark, sf_dir),
-                "sf": sf,
-            }
-        )
-    )
+    failed_total = _failed_tasks(spark.sparkContext)
+    # fixed calibration query: its cross-round ratio separates uniform
+    # environment drift (every query slower by the same factor) from real
+    # per-query regressions — round 5 shipped a phantom uniform 1.35x
+    calib = "q1_pricing_summary"
+    calib_prev = prev.get(calib, 0.0)
+    record = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "recall": _ann_recall(qs, spark, sf_dir),
+        "failed_tasks": (
+            failed_total - failed_before_all
+            if failed_total >= 0 and failed_before_all >= 0
+            else -1
+        ),
+        "failed_tasks_by_query": failed_by_query,
+        "calibration": {
+            "query": calib,
+            "sec": timings.get(calib),
+            "prev_round_sec": calib_prev or None,
+            "drift_ratio": (
+                round(timings[calib] / calib_prev, 3)
+                if timings.get(calib) and calib_prev
+                else None
+            ),
+        },
+        "sf": sf,
+    }
+    print(json.dumps(record))
 
 
 def _ann_recall(qs, spark, sf_dir) -> dict[str, float]:

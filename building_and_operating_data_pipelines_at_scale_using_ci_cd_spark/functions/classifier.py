@@ -30,25 +30,46 @@ from pyspark.sql import functions as F
 from .text import avg_token_len, punct_ratio, stopword_ratio, token_count
 
 
-def text_feature_vector(text: Column) -> Column:
-    """Surface-feature vector for text-quality classification:
+def text_feature_terms(text: Column) -> list[Column]:
+    """Surface-feature expressions for text-quality classification:
     [bias, stopword_ratio, punct_ratio, capped token count, mean token
     length] — every term mirror-able in ANSI SQL for the oracle."""
-    return F.array(
+    return [
         F.lit(1.0),
         stopword_ratio(text),
         punct_ratio(text),
         F.least(token_count(text).cast("double") / F.lit(100.0), F.lit(1.0)),
         avg_token_len(text) / F.lit(10.0),
-    )
+    ]
+
+
+def text_feature_vector(text: Column) -> Column:
+    """:func:`text_feature_terms` packed as one array column (the stored
+    shape for training, where the gradient indexes a materialized x)."""
+    return F.array(*text_feature_terms(text))
 
 
 def logreg_score(features: Column, weights: list[float]) -> Column:
-    """sigmoid(w·x) with literal weights — a pure projection."""
+    """sigmoid(w·x) over a MATERIALIZED feature-array column."""
     z = None
     for i, w in enumerate(weights):
         term = F.element_at(features, i + 1).cast("double") * F.lit(float(w))
         z = term if z is None else z + term
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def logreg_score_terms(terms: list[Column], weights: list[float]) -> Column:
+    """sigmoid(w·x) directly over feature EXPRESSIONS — identical math
+    and accumulation order to :func:`logreg_score`, skipping the
+    array-pack + element_at indirection. Use this in scoring hot paths:
+    element_at over an array of computed expressions tickles a janino
+    whole-stage-codegen bug in Spark 4.1 ("isNull_NN is not an rvalue")
+    that silently drops the stage to interpreted eval (surfaced by the
+    round-6 bench failed-task/stderr hygiene pass)."""
+    z = None
+    for w, term in zip(weights, terms):
+        t = term.cast("double") * F.lit(float(w))
+        z = t if z is None else z + t
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 

@@ -230,13 +230,28 @@ def kmeans_refine(
     return cents
 
 
+def adaptive_index_size(df: DataFrame, floor: int = 8, cap: int = 65536) -> int:
+    """Scale-adaptive centroid/cluster count: ~√n, floored and capped.
+
+    A FIXED centroid count is the thing that breaks at 100×: 8 lists
+    over 8 join keys is fine at bench scale and pure skew at 100 TB.
+    √n keeps both the per-list size and the number of lists growing as
+    √n (the classic IVF balance: probe cost ∝ n_centroids + n/n_centroids
+    is minimized at √n). Costs one count() job — pass an explicit size
+    to skip it (the entry queries do, so their oracles stay static)."""
+    import math
+
+    n = df.count()
+    return max(floor, min(cap, int(math.isqrt(max(n, 0)))))
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 10,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     n_probe: int = 2,
     kmeans_iters: int = 0,
 ) -> DataFrame:
@@ -251,7 +266,14 @@ def ivf_topk(
     never the plan shape. Corpus vectors land in exactly one list; the
     probe join is a hash equi-join on list id — the IVF analogue of the
     LSH bucket join, with recall tunable via ``n_probe``.
+
+    ``n_centroids=None`` sizes the index to ~√(corpus) via
+    :func:`adaptive_index_size` — the default that survives a 100×
+    scale-up; pass an explicit count for reproducible-at-a-fixed-SF
+    results (oracle queries do).
     """
+    if n_centroids is None:
+        n_centroids = adaptive_index_size(corpus)
     cents = [
         (r[0], r[1])
         for r in corpus.select(id_col, vec_col).orderBy(F.col(id_col)).limit(n_centroids).collect()

@@ -730,7 +730,7 @@ def semantic_dedup_keep(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     threshold: float = 0.95,
     refine_iters: int = 0,
 ) -> DataFrame:
@@ -753,9 +753,21 @@ def semantic_dedup_keep(
     collapse to the single lowest id per chain, which is SemDeDup's
     keep-one-representative semantics without an iterative
     connected-components pass (that exact variant is
-    :func:`near_dup_clusters`)."""
-    from ..functions.similarity import dot, ivf_probe_assignments, kmeans_refine
+    :func:`near_dup_clusters`).
 
+    ``n_clusters=None`` sizes to ~√n (``similarity.adaptive_index_size``)
+    — the published web-scale recipe grows cluster count with corpus
+    size, and a fixed count is join-key skew at 100×. Explicit counts
+    remain for reproducible-at-a-fixed-SF oracle queries."""
+    from ..functions.similarity import (
+        adaptive_index_size,
+        dot,
+        ivf_probe_assignments,
+        kmeans_refine,
+    )
+
+    if n_clusters is None:
+        n_clusters = adaptive_index_size(df)
     cents = [
         (int(r[0]), list(r[1]))
         for r in df.select(id_col, vec_col).orderBy(id_col).limit(n_clusters).collect()

@@ -240,10 +240,10 @@ def _bpe_tokenize(df: DataFrame, id_col: str, text_col: str, n_merges=24) -> Dat
 def _classifier_score(df: DataFrame, text_col: str, weights: list, output_col: str = "keep_prob") -> DataFrame:
     """Learned quality filter (apply path): sigmoid over surface features
     with fixed literal weights — pure projection."""
-    from ..functions.classifier import logreg_score, text_feature_vector
+    from ..functions.classifier import logreg_score_terms, text_feature_terms
     from pyspark.sql import functions as F  # noqa: F811 (local alias)
 
-    prob = logreg_score(text_feature_vector(F.col(text_col)), [float(w) for w in weights])
+    prob = logreg_score_terms(text_feature_terms(F.col(text_col)), [float(w) for w in weights])
     return df.withColumn(output_col, prob)
 
 

@@ -179,22 +179,40 @@ def main() -> None:
     )
 
     q = emb.filter(F.col("vec_id") % 50 == 0)
-    timed("ann_topk_lsh", lambda: ann_topk_lsh(q, emb, "vec_id", "embedding", dim=64, k=5).count())
-    timed(
-        "ivf_topk",
-        lambda: ivf_topk(q, emb, "vec_id", "embedding", k=5, n_centroids=16, n_probe=2).count(),
+    # production knobs: multi-probe LSH (entry config) and ADAPTIVE IVF
+    # sizing (n_centroids=None -> ~sqrt(n)) — this smoke is the evidence
+    # that recall and runtime hold when the corpus grows 10x under the
+    # defaults a user gets without tuning
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.similarity import (
+        topk_neighbors,
     )
+
+    def _pairs(df, max_rank=5):
+        return {
+            (r["query_id"], r["neighbor_id"])
+            for r in df.collect()
+            if r["rank"] <= max_rank
+        }
+
+    exact = _pairs(topk_neighbors(q, emb, "vec_id", "embedding", k=5))
+    lsh_df = ann_topk_lsh(q, emb, "vec_id", "embedding", dim=64, k=5,
+                          num_planes=4, num_tables=3, num_probes=4)
+    timed("ann_topk_lsh (multi-probe)", lambda: lsh_df.count())
+    print(f"  ann_lsh recall@5 at x{n}: {len(_pairs(lsh_df) & exact) / max(len(exact), 1):.3f}")
+    ivf_df = ivf_topk(q, emb, "vec_id", "embedding", k=5, n_centroids=None, n_probe=8)
+    timed("ivf_topk (adaptive ~sqrt n)", lambda: ivf_df.count())
+    print(f"  ivf recall@5 at x{n}: {len(_pairs(ivf_df) & exact) / max(len(exact), 1):.3f}")
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.dedup import (
         semantic_dedup_keep,
     )
 
     timed(
         # flood = every vector 10x duplicated at cosine 1.0 — the
-        # within-cluster pair count is the adversarial part; n_clusters is
-        # the knob that bounds it (documented SemDeDup posture)
-        "semantic_dedup (64 clusters)",
+        # within-cluster pair count is the adversarial part; n_clusters
+        # is the knob that bounds it and now defaults to ~sqrt(n)
+        "semantic_dedup (adaptive)",
         lambda: semantic_dedup_keep(
-            emb, "vec_id", "embedding", n_clusters=64, threshold=0.95
+            emb, "vec_id", "embedding", n_clusters=None, threshold=0.95
         ).count(),
     )
 
