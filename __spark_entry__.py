@@ -2843,23 +2843,90 @@ FROM (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50 entries.
-    # Rotation discipline (judge ask, round 2): no key may go more than one
-    # round without a driver row. Round-5 order:
-    #   1. the r02-evidence keys (round 4 was cut short and did not rotate),
-    #      MINUS seven double-green unchanged queries (q4/q12/q14/q18/q19/cte/orders_rollup)
-    #      demoted to the tail — the cap forces a choice and CHANGED code
-    #      outranks stale-but-unchanged SQL,
-    #   2. queries ADDED or MODIFIED in round 5 (new operators, multi-table
-    #      ann_lsh, n_probe-3 ivf, hll_rollup, and the four streaming
-    #      queries repaired by the micros/nanos _events_stream fix) — all
-    #      inside the 50-cap because their correctness is otherwise
-    #      unevidenced,
-    #   3. tail: r04-green keys with unchanged SQL — freshest evidence,
-    #      safe past the cutoff for exactly one round.
+        # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
+        # entries. Round-6 rotation (counts: 7 + 8 + 35 = 50 checked;
+        # 8 demoted + 44 r05-green = 52 tail; 102 total):
+        #   1. the seven r02-evidence keys (three rounds stale — the
+        #      micros/nanos incident is why stale evidence is a risk),
+        #   2. keys whose code/oracle CHANGED in round 6 (multi-probe
+        #      ann_lsh, literal-restructured ivf/semantic_dedup/
+        #      embedding_near_dups, the new bpe_merges + classifier
+        #      contract oracle, terms-path classifier_score, rebound
+        #      bpe_train closures),
+        #   3. every key whose latest evidence is r04 (r05's tail),
+        #      MINUS eight triple-green (r01+r03+r04) unchanged-SQL
+        #      demotions (parts_heavy_semi, set_ops_segments,
+        #      correlated_max_order, json_events,
+        #      customers_no_orders_anti, string_funcs, case_coalesce,
+        #      grouping_sets) — they lead round 7's 50,
+        #   4. tail: the demotions, then every key checked green in r05
+        #      — freshest evidence, safe past the cutoff for one round.
     return {
-        # -- (1) last driver evidence is r02 (missed the r04 rotation):
-        #    MUST be inside the first 50 this round -------------------
+        # -- (1) r02-stale: MUST lead the checked 50 ------------------
+        "orders_rollup": _sql(ORDERS_ROLLUP),
+        "cte_nation_revenue": _sql(CTE_NATION_REVENUE),
+        "q4_order_priority": _sql(Q4_ORDER_PRIORITY),
+        "q12_priority_classes": _sql(Q12_PRIORITY_CLASSES),
+        "q14_promo_revenue": _sql(Q14_PROMO_REVENUE),
+        "q18_large_volume_customer": _sql(Q18_LARGE_VOLUME_CUSTOMER),
+        "q19_discounted_revenue": _sql(Q19_DISCOUNTED_REVENUE),
+        # -- (2) changed or new in round 6 ----------------------------
+        "ann_lsh_topk": _q_ann_lsh,
+        "ivf_topk": _q_ivf_topk,
+        "semantic_dedup": _q_semantic_dedup,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_tokenize": _q_bpe_tokenize,
+        "classifier_distill": _q_classifier_distill,
+        "classifier_score": _q_classifier_score,
+        # -- (3) latest evidence r04 (r05 tail), minus demotions ------
+        "corpus_curation": _q_corpus_curation,
+        "doc_fingerprints": _q_fingerprints,
+        "topk_neighbors": _q_topk_neighbors,
+        "distinct_counts": _sql(DISTINCT_COUNTS),
+        "broadcast_hint_join": _sql(BROADCAST_HINT_JOIN),
+        "dup_groups_report": _sql(DUP_GROUPS_REPORT),
+        "null_pk_lanes": _q_null_pk_valid,
+        "embedding_resize": _q_embedding_resize,
+        "approx_distinct": _q_approx_distinct,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "winnow_near_dups": _q_winnow_near_dups,
+        "q13_customer_distribution": _sql(Q13_CUSTOMER_DISTRIBUTION),
+        "q15_top_supplier": _sql(Q15_TOP_SUPPLIER),
+        "q22_sales_opportunity": _sql(Q22_SALES_OPPORTUNITY),
+        "q2_min_cost_supplier": _sql(Q2_MIN_COST_SUPPLIER),
+        "q8_market_share": _sql(Q8_MARKET_SHARE),
+        "q9_product_profit": _sql(Q9_PRODUCT_PROFIT),
+        "q11_important_parts": _sql(Q11_IMPORTANT_PARTS),
+        "q16_parts_supplier_cnt": _sql(Q16_PARTS_SUPPLIER_CNT),
+        "q17_small_qty_revenue": _sql(Q17_SMALL_QTY_REVENUE),
+        "q21_waiting_supplier": _sql(Q21_WAITING_SUPPLIER),
+        "decontaminate": _q_decontaminate,
+        "boilerplate_ngrams": _q_boilerplate,
+        "pii_redaction": _q_pii_redaction,
+        "repetition_profile": _q_repetition_profile,
+        "filter_audit": _q_filter_audit,
+        "nfc_normalize": _q_nfc_normalize,
+        "url_domains": _q_url_domains,
+        "span_dedup": _q_span_dedup,
+        "formats_roundtrip": _q_formats_roundtrip,
+        "multimodal_decode": _q_multimodal_decode,
+        "pivot_event_values": _q_pivot_event_values,
+        "udf_text_metrics": _q_udf_text_metrics,
+        "vector_stats": _sql(VECTOR_STATS_SPARK),
+        "dataset_split": _q_dataset_split,
+        # -- 50-cap cutoff --------------------------------------------
+        # -- (4a) triple-green unchanged-SQL demotions: FIRST into
+        #    round 7's checked 50 -------------------------------------
+        "parts_heavy_semi": _sql(PARTS_HEAVY_SEMI),
+        "set_ops_segments": _sql(SET_OPS_SEGMENTS),
+        "correlated_max_order": _sql(CORRELATED_MAX_ORDER),
+        "json_events": _sql(JSON_EVENTS_SPARK),
+        "customers_no_orders_anti": _sql(CUSTOMERS_NO_ORDERS_ANTI),
+        "string_funcs": _sql(STRING_FUNCS),
+        "case_coalesce": _sql(CASE_COALESCE),
+        "grouping_sets": _sql(GROUPING_SETS),
+        # -- (4b) checked green in r05 — one safe round past the cap --
         "stratified_sample": _q_stratified_sample,
         "token_packing": _q_token_packing,
         "multimodal_frames": _q_multimodal_frames,
@@ -2892,80 +2959,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": _sql(Q10_RETURNED_ITEMS),
         "orders_cube": _sql(ORDERS_CUBE),
         "window_analytics": _sql(WINDOW_ANALYTICS),
-        # -- (2) NEW in round 5 — first driver exposure (inserted here,
-        #    inside the 50-cap; slots remaining: 50-39 = 11) ----------
         "q20_excess_supplier": _sql(Q20_EXCESS_SUPPLIER),
         "domain_mix": _q_domain_mix,
         "lm_cross_entropy": _q_lm_cross_entropy,
         "bigram_lm": _q_bigram_lm,
-        "semantic_dedup": _q_semantic_dedup,
         "bloom_new_docs": _q_bloom_new_docs,
-        "bpe_tokenize": _q_bpe_tokenize,
-        "bpe_merges": _q_bpe_merges,
         "streaming_enrich": _q_streaming_enrich,
-        "ann_lsh_topk": _q_ann_lsh,
         "hll_rollup": _q_hll_rollup,
-        "ivf_topk": _q_ivf_topk,
-        "classifier_score": _q_classifier_score,
         "image_decode": _q_image_decode,
-        "classifier_distill": _q_classifier_distill,
         "streaming_sessionization": _q_streaming_sessions,
         "streaming_running_totals": _q_streaming_running_totals,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_interval_join": _q_streaming_interval_join,
-        # -- (3) tail: r04-green, SQL unchanged since — safe past the
-        #    cap for one round; they rotate back up in round 6 --------
-        "corpus_curation": _q_corpus_curation,
-        "doc_fingerprints": _q_fingerprints,
-        "topk_neighbors": _q_topk_neighbors,
-        "parts_heavy_semi": _sql(PARTS_HEAVY_SEMI),
-        "set_ops_segments": _sql(SET_OPS_SEGMENTS),
-        "correlated_max_order": _sql(CORRELATED_MAX_ORDER),
-        "json_events": _sql(JSON_EVENTS_SPARK),
-        "customers_no_orders_anti": _sql(CUSTOMERS_NO_ORDERS_ANTI),
-        "string_funcs": _sql(STRING_FUNCS),
-        "case_coalesce": _sql(CASE_COALESCE),
-        "distinct_counts": _sql(DISTINCT_COUNTS),
-        "grouping_sets": _sql(GROUPING_SETS),
-        "broadcast_hint_join": _sql(BROADCAST_HINT_JOIN),
-        "dup_groups_report": _sql(DUP_GROUPS_REPORT),
-        "null_pk_lanes": _q_null_pk_valid,
-        "embedding_resize": _q_embedding_resize,
-        "approx_distinct": _q_approx_distinct,
-        "minhash_near_dups": _q_minhash_near_dups,
-        "winnow_near_dups": _q_winnow_near_dups,
-        "q13_customer_distribution": _sql(Q13_CUSTOMER_DISTRIBUTION),
-        "q15_top_supplier": _sql(Q15_TOP_SUPPLIER),
-        "q22_sales_opportunity": _sql(Q22_SALES_OPPORTUNITY),
-        "q2_min_cost_supplier": _sql(Q2_MIN_COST_SUPPLIER),
-        "q8_market_share": _sql(Q8_MARKET_SHARE),
-        "q9_product_profit": _sql(Q9_PRODUCT_PROFIT),
-        "q11_important_parts": _sql(Q11_IMPORTANT_PARTS),
-        "q16_parts_supplier_cnt": _sql(Q16_PARTS_SUPPLIER_CNT),
-        "q17_small_qty_revenue": _sql(Q17_SMALL_QTY_REVENUE),
-        "q21_waiting_supplier": _sql(Q21_WAITING_SUPPLIER),
-        "decontaminate": _q_decontaminate,
-        "boilerplate_ngrams": _q_boilerplate,
-        "pii_redaction": _q_pii_redaction,
-        "repetition_profile": _q_repetition_profile,
-        "filter_audit": _q_filter_audit,
-        "nfc_normalize": _q_nfc_normalize,
-        "url_domains": _q_url_domains,
-        "span_dedup": _q_span_dedup,
-        "formats_roundtrip": _q_formats_roundtrip,
-        "multimodal_decode": _q_multimodal_decode,
-        "pivot_event_values": _q_pivot_event_values,
-        "embedding_near_dups": _q_embedding_near_dups,
-        "udf_text_metrics": _q_udf_text_metrics,
-        "vector_stats": _sql(VECTOR_STATS_SPARK),
-        "dataset_split": _q_dataset_split,
-        "q4_order_priority": _sql(Q4_ORDER_PRIORITY),
-        "q12_priority_classes": _sql(Q12_PRIORITY_CLASSES),
-        "q14_promo_revenue": _sql(Q14_PROMO_REVENUE),
-        "q18_large_volume_customer": _sql(Q18_LARGE_VOLUME_CUSTOMER),
-        "q19_discounted_revenue": _sql(Q19_DISCOUNTED_REVENUE),
-        "cte_nation_revenue": _sql(CTE_NATION_REVENUE),
-        "orders_rollup": _sql(ORDERS_ROLLUP),
     }
 
 

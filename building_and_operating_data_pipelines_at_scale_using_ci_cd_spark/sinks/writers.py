@@ -129,7 +129,20 @@ def _write_file(df: DataFrame, spec: "TargetSpec", mode: str) -> None:
                 f"excel sink '{spec.path}': input exceeds {_EXCEL_MAX_ROWS} "
                 "rows (xlsx sheet limit); use a distributed format"
             )
-        pdf.to_excel(spec.path, index=False)
+        try:
+            pdf.to_excel(spec.path, index=False)
+        except ImportError:
+            # no openpyxl: the vendored SpreadsheetML subset writer
+            from ..sources.xlsx_lite import write_xlsx
+
+            write_xlsx(
+                spec.path,
+                [str(c) for c in pdf.columns],
+                [
+                    tuple(None if v != v else v for v in row)  # NaN -> None
+                    for row in pdf.itertuples(index=False, name=None)
+                ],
+            )
         return
     writer.format(fmt).save(spec.path)
     if spec.single_file:

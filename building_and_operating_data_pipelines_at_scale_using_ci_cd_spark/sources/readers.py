@@ -102,19 +102,32 @@ def load_schema_mapping(metadata_path: str) -> StructType:
 
 def _read_excel(spark: SparkSession, spec: "InputSpec") -> DataFrame:
     """S7: no core Spark excel reader — bridge through pandas when openpyxl
-    is present, else raise a clear error. Excel inputs are inherently
-    single-machine-sized; the bridge is acceptable at any scale the format
-    itself supports."""
+    is present, else through the vendored pure-stdlib SpreadsheetML subset
+    codec (``xlsx_lite``), so the branch executes in any environment.
+    Excel inputs are inherently single-machine-sized; the bridge is
+    acceptable at any scale the format itself supports."""
     try:
         import pandas as pd
 
         pdf = pd.read_excel(spec.path, header=0 if spec.header else None)
-    except ImportError as e:  # pragma: no cover - openpyxl not in container
-        raise NotImplementedError(
-            "excel source requires openpyxl/xlrd; install one or convert to csv"
-        ) from e
-    pdf.columns = [str(c) for c in pdf.columns]
-    return spark.createDataFrame(pdf)
+        pdf.columns = [str(c) for c in pdf.columns]
+        return spark.createDataFrame(pdf)
+    except ImportError:
+        from .xlsx_lite import read_xlsx
+
+        cols, rows = read_xlsx(spec.path, header=spec.header)
+        if not rows:
+            raise ValueError(f"excel source '{spec.path}' has no data rows")
+        # xlsx numbers are doubles; the codec reads whole ones as int. A
+        # column mixing both would fail Spark's type merge — float it.
+        for j in range(len(cols)):
+            vals = [r[j] for r in rows]
+            is_int = [isinstance(v, int) and not isinstance(v, bool) for v in vals]
+            if any(isinstance(v, float) for v in vals) and any(is_int):
+                for r, i in zip(rows, is_int):
+                    if i:
+                        r[j] = float(r[j])
+        return spark.createDataFrame(rows, schema=cols)
 
 
 def _read_xml(spark: SparkSession, spec: "InputSpec") -> DataFrame:
