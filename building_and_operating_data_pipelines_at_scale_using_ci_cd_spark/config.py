@@ -284,6 +284,15 @@ class JobConfig:
             return raw.get(key) or configs.get(key) or {}
 
         p1, p2, p3 = section("phase_1"), section("phase_2"), section("phase_3")
+        if not p1 and not p2 and not p3:
+            # a typo'd config (wrong key names / flat layout) must not
+            # parse to an empty job that "succeeds" silently
+            raise ValueError(
+                "job config has no phase_1/phase_2/phase_3 sections — "
+                "nothing to run. Expected the spark.json dialect: phase_1 "
+                "under 'configs' (or top-level), phase_2/phase_3 top-level; "
+                f"got keys {sorted(raw.keys())}"
+            )
         pre = configs.get("pre_execution_steps") or raw.get("pre_execution_steps") or {}
         post = p3.get("PostExecutionSteps") or {}
 

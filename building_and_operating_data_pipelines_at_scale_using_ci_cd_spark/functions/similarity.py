@@ -138,57 +138,60 @@ def ivf_probe_assignments(
     out_id: str,
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroids WITHOUT a
-    shuffle: the (small) centroid set is folded into the projection as a
-    literal array, so assignment is a pure map stage — argmax over an
-    array of (−sim, centroid_id) structs, sorted and sliced. At 100 TB
-    this is the difference between a free narrow pass and an
-    |corpus|×n_centroids exploded shuffle.
+    shuffle: assignment is a pure map stage. At 100 TB this is the
+    difference between a free narrow pass and an |corpus|×n_centroids
+    exploded shuffle.
 
-    Norm discipline: each centroid's norm is computed driver-side and
-    baked in as a literal, and the row vector's norm is materialized once
-    (behind a projection barrier — Spark re-evaluates lambda-body
-    expressions per element, see operators/dedup.py) so scoring against
-    n_centroids costs n_centroids dots, not 3·n_centroids. The norm rides
-    along for the rerank join, which then pays one dot per candidate."""
+    Like the LSH index build (:func:`_make_bucketize`), the whole
+    centroid scoring is ONE Arrow-batched numpy matmul per batch — the
+    n_centroids interpreted ``aggregate(zip_with(...))`` passes it
+    replaces cost more in Catalyst analysis + per-element eval than the
+    query's execution once the centroid count grows (and with the
+    ~√n adaptive default, it grows). The row norm comes out of the same
+    matmul and rides along for the rerank join, which then pays one dot
+    per candidate. Ties (equal cosine) break toward the LOWER centroid
+    id, exactly like the previous (−sim, cid) struct sort."""
     import math
 
     def _norm(vec) -> float:
         return math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
 
-    # three parallel array literals (ONE Literal node each — see
-    # lsh_bucket_key for why per-float CreateArray trees are an analysis
-    # bottleneck), zipped into the struct array Catalyst-side
-    cid_lit = F.lit([int(cid) for cid, _ in centroids])
-    cv_lit = F.lit([[float(x) for x in vec] for _, vec in centroids])
-    cn_lit = F.lit([_norm(vec) for _, vec in centroids])
-    cent_arr = F.zip_with(
-        cid_lit,
-        F.zip_with(cv_lit, cn_lit, lambda cv, cn: F.struct(cv.alias("cv"), cn.alias("cn"))),
-        lambda cid, vn: F.struct(
-            cid.alias("cid"), vn["cv"].alias("cv"), vn["cn"].alias("cn")
-        ),
-    )
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.array([int(cid) for cid, _ in centroids], dtype=np.int64)
+    cmat = np.array([[float(x) for x in vec] for _, vec in centroids], dtype=np.float64)
+    cnorms = np.array([_norm(vec) for _, vec in centroids], dtype=np.float64)
+    # pre-sort centroid columns by cid so a STABLE argsort on -sim breaks
+    # ties toward the lower centroid id
+    order = np.argsort(cids, kind="stable")
+    cids_s, cmat_s, cnorms_s = cids[order], cmat[order], cnorms[order]
+    probe = min(n_probe, len(cids))
+
+    @pandas_udf("struct<norm:double,lists:array<int>>")
+    def assign(s: pd.Series) -> pd.DataFrame:
+        if len(s) == 0:
+            return pd.DataFrame({"norm": pd.Series(dtype="float64"), "lists": []})
+        mat = np.vstack(s.to_numpy()).astype(np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # zero norms divide to inf/nan exactly like the JVM path did;
+            # nan (-sim) sorts last in both engines
+            sim = (mat @ cmat_s.T) / (norms[:, None] * cnorms_s[None, :])
+        nearest = np.argsort(-sim, axis=1, kind="stable")[:, :probe]
+        return pd.DataFrame(
+            {"norm": norms, "lists": list(cids_s[nearest].astype(np.int32))}
+        )
+
     staged = df.select(
         F.col(id_col).alias(out_id),
         F.col(vec_col).alias(f"__{out_id}_v"),
-        l2_norm(F.col(vec_col)).alias(f"__{out_id}_n"),
-        F.rand().alias("__barrier"),
+        assign(F.col(vec_col)).alias("__s"),
     )
-    vec = F.col(f"__{out_id}_v")
-    norm = F.col(f"__{out_id}_n")
-    scored = F.transform(
-        cent_arr,
-        lambda c: F.struct(
-            (-(dot(vec, c["cv"]) / (norm * c["cn"]))).alias("neg_sim"),
-            c["cid"].alias("cid"),
-        ),
-    )
-    probed = F.slice(F.array_sort(scored), 1, n_probe)
     return staged.select(
         out_id,
         f"__{out_id}_v",
-        f"__{out_id}_n",
-        F.explode(F.transform(probed, lambda s: s["cid"])).alias("__list_id"),
+        F.col("__s.norm").alias(f"__{out_id}_n"),
+        F.explode("__s.lists").alias("__list_id"),
     )
 
 

@@ -191,6 +191,45 @@ def _semantic_dedup(df: DataFrame, id_col: str, vec_col: str, **kw) -> DataFrame
     return semantic_dedup_keep(df, id_col, vec_col, **kw)
 
 
+def _query_split(df: DataFrame, query_predicate: str | None):
+    """Shared convention for the similarity ops: one input view, queries
+    selected by a SQL predicate (None/absent = self-search, every row is
+    a query). Mirrors the ``_decontaminate`` split-by-predicate shape."""
+    return (df.filter(query_predicate), df) if query_predicate else (df, df)
+
+
+def _topk_neighbors(df: DataFrame, id_col: str, vec_col: str,
+                    query_predicate: str | None = None, **kw) -> DataFrame:
+    from ..functions.similarity import topk_neighbors
+
+    if "k" in kw:
+        kw["k"] = int(kw["k"])
+    q, c = _query_split(df, query_predicate)
+    return topk_neighbors(q, c, id_col, vec_col, **kw)
+
+
+def _ann_lsh_topk(df: DataFrame, id_col: str, vec_col: str, dim: int,
+                  query_predicate: str | None = None, **kw) -> DataFrame:
+    from ..functions.similarity import ann_topk_lsh
+
+    for key in ("k", "num_planes", "num_tables", "num_probes"):
+        if key in kw:
+            kw[key] = int(kw[key])
+    q, c = _query_split(df, query_predicate)
+    return ann_topk_lsh(q, c, id_col, vec_col, dim=int(dim), **kw)
+
+
+def _ivf_topk(df: DataFrame, id_col: str, vec_col: str,
+              query_predicate: str | None = None, **kw) -> DataFrame:
+    from ..functions.similarity import ivf_topk
+
+    for key in ("k", "n_centroids", "n_probe", "kmeans_iters"):
+        if key in kw and kw[key] is not None:
+            kw[key] = int(kw[key])
+    q, c = _query_split(df, query_predicate)
+    return ivf_topk(q, c, id_col, vec_col, **kw)
+
+
 def _bloom_incremental(df: DataFrame, key_col: str, new_predicate: str, **kw) -> DataFrame:
     """Config shape for incremental dedup: one input view split by a SQL
     predicate — rows matching ``new_predicate`` are the new crawl, the
@@ -286,6 +325,9 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "nfcNormalize": _nfc_normalize,
     "filterWithReasons": _filter_with_reasons,
     "semanticDedup": _semantic_dedup,
+    "topkNeighbors": _topk_neighbors,
+    "annLshTopk": _ann_lsh_topk,
+    "ivfTopk": _ivf_topk,
     "bloomIncrementalDedup": _bloom_incremental,
     "domainMixSample": _domain_mix,
     "lmCrossEntropy": _lm_cross_entropy,

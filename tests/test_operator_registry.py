@@ -158,3 +158,37 @@ def test_registry_round5_ops_dispatch(spark, sf_dir):
         {"ts_col": "ts", "key": "user_id", "gap": "30 minutes"},
     )
     assert {"session_start", "session_end", "n_events"} <= set(sessions.columns)
+
+
+def test_similarity_ops_config_callable(spark, tables):
+    """Round 6: the ANN/top-k family is reachable from JSON configs like
+    every other operator — one input view, queries picked by predicate."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.registry import (
+        apply_operator,
+    )
+
+    emb = spark.table("embeddings")
+    exact = apply_operator(
+        "topkNeighbors", emb,
+        {"id_col": "vec_id", "vec_col": "embedding",
+         "query_predicate": "vec_id % 100 = 0", "k": "3"},
+    )
+    rows = exact.collect()
+    assert rows and all(r["rank"] <= 3 for r in rows)
+
+    ann = apply_operator(
+        "annLshTopk", emb,
+        {"id_col": "vec_id", "vec_col": "embedding", "dim": "64",
+         "query_predicate": "vec_id % 100 = 0", "k": "3",
+         "num_planes": "4", "num_tables": "2", "num_probes": "4"},
+    )
+    ann_rows = ann.collect()
+    assert ann_rows and all(r["rank"] <= 3 for r in ann_rows)
+
+    ivf = apply_operator(
+        "ivfTopk", emb,
+        {"id_col": "vec_id", "vec_col": "embedding",
+         "query_predicate": "vec_id % 100 = 0", "k": "3",
+         "n_centroids": "8", "n_probe": "3"},
+    )
+    assert ivf.collect()

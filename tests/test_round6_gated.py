@@ -204,3 +204,38 @@ def test_jdbc_write_append_does_not_truncate():
     writers._write_jdbc(df, spec, mode="append")
     assert df.writer.saved_mode == "append"
     assert "truncate" not in df.writer.opts
+
+
+# -- config misshape guard ---------------------------------------------------
+
+
+def test_empty_phase_config_rejected():
+    """A config with none of the dialect's phase sections must raise, not
+    parse to an empty job that runs as a silent no-op (found by driving a
+    mis-keyed config through the Orchestrator in round 6)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.config import (
+        JobConfig,
+    )
+
+    with pytest.raises(ValueError, match="no phase_1/phase_2/phase_3"):
+        JobConfig.from_dict(
+            {"jobName": "oops", "inputs": [], "transformations": [], "targets": []}
+        )
+
+
+def test_phase_sections_still_accepted_in_either_placement():
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.config import (
+        JobConfig,
+    )
+
+    nested = JobConfig.from_dict(
+        {"configs": {"name": "n", "phase_1": {"input_data": {
+            "dataFrameName": "d", "path": "/tmp/x", 
+            "fileProperties": {"fileFormat": "parquet"}}}}}
+    )
+    assert nested.primary_input is not None
+    flat = JobConfig.from_dict(
+        {"phase_2": {"data_transformations": [
+            {"sqlQuery": "SELECT 1 AS x", "outputDFName": "o"}]}}
+    )
+    assert flat.transformations[0].output_df_name == "o"
