@@ -680,7 +680,7 @@ def embedding_near_dup_pairs(
 
     ``dim`` (hyperplane dimensionality) is inferred from one row when not
     given — a bounded single-row action."""
-    from ..functions.similarity import dot, l2_norm, lsh_bucket_key
+    from ..functions.similarity import _pair_dot, l2_norm, lsh_bucket_key
 
     if brute_force:
         a = df.select(
@@ -715,11 +715,12 @@ def embedding_near_dup_pairs(
             F.col("__n").alias("__nb"), "__bucket",
         )
         joined = a.join(b, "__bucket").filter(F.col("id_a") < F.col("id_b"))
-    # norms were materialized once per row above: one dot per pair
+    # norms were materialized once per row above: one dot per pair,
+    # Arrow-batched (one einsum per batch — see similarity._pair_dot)
     return (
         joined.withColumn(
             "cosine_sim",
-            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+            _pair_dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
         )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
@@ -760,8 +761,8 @@ def semantic_dedup_keep(
     size, and a fixed count is join-key skew at 100×. Explicit counts
     remain for reproducible-at-a-fixed-SF oracle queries."""
     from ..functions.similarity import (
+        _pair_dot,
         adaptive_index_size,
-        dot,
         ivf_probe_assignments,
         kmeans_refine,
     )
@@ -794,7 +795,7 @@ def semantic_dedup_keep(
         a.join(b, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+            _pair_dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
             > F.lit(threshold)
         )
         .select(F.col("id_b").alias("__dropped"))
