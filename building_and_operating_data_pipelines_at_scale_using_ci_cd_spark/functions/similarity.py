@@ -71,6 +71,11 @@ def topk_neighbors(
     joined = F.broadcast(q).crossJoin(c)
     if exclude_self:
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    # JVM dot on purpose: the BNLJ emits |q|·|corpus| pairs, and pushing
+    # them through Arrow means serializing BOTH vectors per pair to
+    # Python — measured 1.5x SLOWER than the interpreted zip_with here
+    # (the candidate-join paths use _pair_dot because their pair volume
+    # is bucket-bounded and already crosses a shuffle)
     scored = joined.withColumn(
         "__cos", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
     )
