@@ -191,6 +191,14 @@ def _semantic_dedup(df: DataFrame, id_col: str, vec_col: str, **kw) -> DataFrame
     return semantic_dedup_keep(df, id_col, vec_col, **kw)
 
 
+def _fuzzy_self_join(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
+    from .fuzzy import fuzzy_self_join
+
+    if "max_distance" in kw:
+        kw["max_distance"] = int(kw["max_distance"])
+    return fuzzy_self_join(df, id_col, text_col, **kw)
+
+
 def _query_split(df: DataFrame, query_predicate: str | None):
     """Shared convention for the similarity ops: one input view, queries
     selected by a SQL predicate (None/absent = self-search, every row is
@@ -326,6 +334,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "filterWithReasons": _filter_with_reasons,
     "semanticDedup": _semantic_dedup,
     "topkNeighbors": _topk_neighbors,
+    "fuzzySelfJoin": _fuzzy_self_join,
     "annLshTopk": _ann_lsh_topk,
     "ivfTopk": _ivf_topk,
     "bloomIncrementalDedup": _bloom_incremental,

@@ -311,7 +311,11 @@ def test_threshold_absent_disables_gate(spark, tmp_path, one_bad_src):
 
 
 def test_threshold_absent_parses_to_none():
-    cfg = JobConfig.from_dict({"configs": {"name": "x"}})
+    # minimal-but-valid config: phase-less dicts are rejected outright
+    # since round 6 (silent-no-op guard), so carry one empty-ish phase
+    cfg = JobConfig.from_dict(
+        {"configs": {"name": "x"}, "phase_2": {"data_transformations": []}}
+    )
     assert cfg.threshold_limit is None
 
 

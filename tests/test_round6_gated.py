@@ -239,3 +239,70 @@ def test_phase_sections_still_accepted_in_either_placement():
             {"sqlQuery": "SELECT 1 AS x", "outputDFName": "o"}]}}
     )
     assert flat.transformations[0].output_df_name == "o"
+
+
+# -- fuzzy join --------------------------------------------------------------
+
+
+def test_deletion_variant_blocking_is_complete_vs_brute_force(spark):
+    """Candidate completeness is the operator's whole contract: compare
+    against brute-force levenshtein on a set covering substitution,
+    insertion, deletion, transposition-as-2-edits, and no-match."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.fuzzy import (
+        fuzzy_self_join,
+    )
+
+    rows = [
+        (1, "kitten"), (2, "sitten"), (3, "kittens"), (4, "kitte"),
+        (5, "mitten"), (6, "banana"), (7, "bananna"), (8, "abcdef"),
+        (9, "ktiten"), (10, "kitten"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    for d in (1, 2):
+        got = {
+            (r["id_a"], r["id_b"], r["edit_distance"])
+            for r in fuzzy_self_join(df, "id", "name", max_distance=d).collect()
+        }
+        import itertools
+
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+            return dp[-1]
+
+        want = {
+            (ia, ib, lev(na, nb))
+            for (ia, na), (ib, nb) in itertools.combinations(rows, 2)
+            if lev(na, nb) <= d
+        }
+        assert got == want, f"d={d}: {got ^ want}"
+
+
+def test_fuzzy_join_two_sided_and_zero_distance(spark):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.fuzzy import (
+        fuzzy_join,
+    )
+
+    left = spark.createDataFrame([(1, "alpha"), (2, "beta")], "id long, name string")
+    right = spark.createDataFrame([(10, "alpha"), (11, "betta")], "id long, name string")
+    exact = fuzzy_join(left, right, "id", "name", "id", "name", max_distance=0).collect()
+    assert {(r["id_a"], r["id_b"]) for r in exact} == {(1, 10)}
+    d1 = fuzzy_join(left, right, "id", "name", "id", "name", max_distance=1).collect()
+    assert {(r["id_a"], r["id_b"]) for r in d1} == {(1, 10), (2, 11)}
+
+
+def test_fuzzy_self_join_config_callable(spark, tables):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.registry import (
+        apply_operator,
+    )
+
+    cust = spark.table("customer")
+    out = apply_operator(
+        "fuzzySelfJoin", cust,
+        {"id_col": "c_custkey", "text_col": "c_name", "max_distance": "1"},
+    )
+    rows = out.collect()
+    assert rows and all(r["edit_distance"] <= 1 and r["id_a"] < r["id_b"] for r in rows)
