@@ -2877,24 +2877,248 @@ FROM (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
 """
 
 
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (functions/indexing.py): one
+    explode, two map-side-partial aggs, doc count as a one-row broadcast,
+    per-document rank window. Ranks order by the score rounded to 9
+    decimals (then term) so a libm last-ulp difference cannot flip them
+    cross-engine."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.indexing import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(_table(spark, sf_dir, "documents"), "doc_id", "text", top_n=3)
+
+
+TFIDF_TOP_TERMS_DUCK = """
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS t(tok)
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         ROUND(tf * (LN((1.0 + n) / (1.0 + df)) + 1.0), 9) AS key
+  FROM tf JOIN dfc USING (term) CROSS JOIN nd
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, CAST(tf AS INT) AS tf,
+       CAST(df AS INT) AS df, ROUND(key, 4) AS tfidf
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY key DESC, term) AS rank
+      FROM scored)
+WHERE rank <= 3
+"""
+
+# the synthetic corpus draws from a ~31-word vocabulary, so "mid
+# frequency" is the whole band; max_df still BOUNDS per-term reducer
+# state (the scale contract) even when set permissively
+_INVIDX_MIN_DF, _INVIDX_MAX_DF, _INVIDX_POSTINGS = 2, 10_000, 10
+
+
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded inverted index (functions/indexing.py): document
+    frequency first (map-side partial agg), the [min_df, max_df] band
+    filters BEFORE any posting list is built, so per-term reducer state
+    is bounded by max_df at any corpus size."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.indexing import (
+        inverted_index,
+    )
+
+    idx = inverted_index(
+        _table(spark, sf_dir, "documents"), "doc_id", "text",
+        min_df=_INVIDX_MIN_DF, max_df=_INVIDX_MAX_DF, max_postings=_INVIDX_POSTINGS,
+    )
+    # driver canon hashes scalar columns only — serialize the posting list
+    return idx.select(
+        "term", "df", F.array_join(F.col("postings").cast("array<string>"), ",").alias("postings")
+    )
+
+
+INVERTED_INDEX_DUCK = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, t.tok AS term
+  FROM documents, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS t(tok)
+),
+dfc AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY term
+        HAVING df BETWEEN {_INVIDX_MIN_DF} AND {_INVIDX_MAX_DF})
+SELECT term, CAST(df AS INT) AS df,
+       ARRAY_TO_STRING((LIST(doc_id ORDER BY doc_id))[1:{_INVIDX_POSTINGS}], ',') AS postings
+FROM dt JOIN dfc USING (term)
+GROUP BY term, df
+"""
+
+_WSAMPLE_K = 100
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py): integer priority = hash48(id) // w, global
+    smallest-k via TakeOrdered. All-integer ranking key — reproducible
+    bit-for-bit in any engine (the ln/pow formulations are not, exactly
+    at the selection boundary). Weights upsample en 4×, de/fr 2×."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = (
+        F.when(F.col("lang") == "en", 4)
+        .when(F.col("lang").isin("de", "fr"), 2)
+        .otherwise(1)
+    )
+    out = weighted_priority_sample(docs, "doc_id", w, _WSAMPLE_K, seed=0)
+    return out.select(
+        "doc_id", "lang", F.col("__w").alias("w"), F.col("__priority").alias("priority")
+    )
+
+
+WEIGHTED_SAMPLE_DUCK = f"""
+WITH wdocs AS (
+  SELECT doc_id, lang,
+         CAST(CASE WHEN lang = 'en' THEN 4
+                   WHEN lang IN ('de', 'fr') THEN 2
+                   ELSE 1 END AS BIGINT) AS w,
+         CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR), '#0')), 1, 12)) AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id, lang, w, (h - h % w) // w AS priority
+FROM wdocs
+ORDER BY priority, doc_id
+LIMIT {_WSAMPLE_K}
+"""
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-trigram Jaccard near-dup join via prefix filtering
+    (operators/dedup.py ngram_jaccard_pairs): candidates from an
+    equi-join on the df-ranked PREFIX grams only (SSJoin lemma keeps it
+    complete) plus the integer length filter, verification intersects
+    per-document gram arrays, accept is integer cross-multiplication
+    (inter*5 >= 3*union — no float boundary). The oracle can therefore
+    be naive all-pairs: prefix filtering changes the plan, not the
+    answer. Trigrams, not bigrams: on this 31-word-vocabulary corpus
+    bigrams are uniformly hot (no rarity for the prefix to exploit —
+    measured 66s at sf0.1 vs ~2s with trigrams, same 256 pairs)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    return ngram_jaccard_pairs(
+        _table(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold_num=3, threshold_den=5,
+    )
+
+
+NGRAM_JACCARD_DUCK = """
+-- mirrors operators/dedup.py _hashed_shingle_df (md5 per token,
+-- polynomial fold — identical to the MinHash oracle) then ALL-PAIRS
+-- Jaccard: prefix filtering changes the plan, never the answer
+WITH tk AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+),
+shf AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(
+           GENERATE_SERIES(1, LEN(t) - 2),
+           i -> ((CAST(CONCAT('0x', SUBSTR(MD5(t[i]), 1, 8)) AS BIGINT) * 1000003
+                  + CAST(CONCAT('0x', SUBSTR(MD5(t[i+1]), 1, 8)) AS BIGINT)) % 4294967311 * 1000003
+                  + CAST(CONCAT('0x', SUBSTR(MD5(t[i+2]), 1, 8)) AS BIGINT)) % 4294967311
+         )) AS hs
+  FROM tk WHERE LEN(t) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, LEN(a.hs) AS sa, LEN(b.hs) AS sb,
+         LEN(LIST_INTERSECT(a.hs, b.hs)) AS inter
+  FROM shf a JOIN shf b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(inter AS INT) AS inter,
+       CAST(sa + sb - inter AS INT) AS union_sz,
+       ROUND(CAST(inter AS DOUBLE) / (sa + sb - inter), 4) AS jaccard_sim
+FROM pairs WHERE inter * 5 >= 3 * (sa + sb - inter)
+"""
+
+_KMEANS_K, _KMEANS_ITERS = 8, 2
+
+
+def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-only Lloyd's k-means (functions/clustering.py): assign
+    is an Arrow-batched map stage (one matmul per batch, NO shuffle),
+    update is one groupBy with k driver rows per iteration. Strict
+    value-hash oracle for an iterative float algorithm via the rounding
+    contract: sims rounded to 9dp before argmax, centroids to 6dp
+    between iterations — the oracle unrolls the same loop in SQL."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.clustering import (
+        kmeans_fit_predict,
+    )
+
+    return kmeans_fit_predict(
+        _table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        k=_KMEANS_K, iters=_KMEANS_ITERS,
+    )
+
+
+def _kmeans_duck(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+    """The k-means training loop UNROLLED in DuckDB SQL — one assign CTE
+    + one update CTE per iteration, empty clusters carrying the previous
+    centroid, identical rounding contract to the engine."""
+
+    def assign(src_c: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+             ROUND(LIST_DOT_PRODUCT(v.e, c.cv)
+               / (SQRT(LIST_DOT_PRODUCT(v.e, v.e)) * SQRT(LIST_DOT_PRODUCT(c.cv, c.cv))), 9) DESC,
+             c.cid) AS rn
+    FROM v CROSS JOIN {src_c} c) WHERE rn = 1
+)"""
+
+    def update(src_a: str, src_c: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT cid, LIST(m ORDER BY pos) AS cv FROM (
+    SELECT cid, pos, ROUND(AVG(val), 6) AS m FROM (
+      SELECT cid, UNNEST(e) AS val, GENERATE_SUBSCRIPTS(e, 1) AS pos FROM {src_a})
+    GROUP BY cid, pos) GROUP BY cid
+  UNION ALL
+  SELECT cid, cv FROM {src_c} WHERE cid NOT IN (SELECT DISTINCT cid FROM {src_a})
+)"""
+
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"""c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, e AS cv
+  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for i in range(iters):
+        parts.append(assign(f"c{i}", f"a{i + 1}"))
+        parts.append(update(f"a{i + 1}", f"c{i}", f"c{i + 1}"))
+    parts.append(assign(f"c{iters}", "afinal"))
+    return ",\n".join(parts) + "\nSELECT vec_id, CAST(cid AS INT) AS cluster FROM afinal"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-6 rotation (counts: 7 + 9 + 34 = 50 checked;
-        # 9 demoted + 44 r05-green = 53 tail; 103 total):
+        # entries. Round-6 rotation (counts: 7 + 14 + 29 = 50 checked;
+        # 5 + 9 demoted + 44 r05-green = 58 tail; 108 total):
         #   1. the seven r02-evidence keys (three rounds stale — the
         #      micros/nanos incident is why stale evidence is a risk),
-        #   2. keys whose code/oracle CHANGED in round 6 (multi-probe
-        #      ann_lsh, literal-restructured ivf/semantic_dedup/
-        #      embedding_near_dups, the new bpe_merges + classifier
-        #      contract oracle, terms-path classifier_score, rebound
-        #      bpe_train closures, and the new fuzzy_name_match),
-        #   3. every key whose latest evidence is r04 (r05's tail),
-        #      MINUS nine triple-green (r01+r03+r04) unchanged-SQL
-        #      demotions (parts_heavy_semi, set_ops_segments,
-        #      correlated_max_order, json_events,
-        #      customers_no_orders_anti, string_funcs, case_coalesce,
-        #      grouping_sets, broadcast_hint_join) — they lead round
-        #      7's 50,
+        #   2. keys whose code/oracle is NEW or CHANGED in round 6
+        #      (multi-probe ann_lsh, literal-restructured ivf/
+        #      semantic_dedup/embedding_near_dups, the new bpe_merges +
+        #      classifier contract oracle, terms-path classifier_score,
+        #      rebound bpe_train closures, and the five round-6-late
+        #      additions: tfidf_top_terms, inverted_index,
+        #      weighted_sample, ngram_jaccard_dups, kmeans_clusters,
+        #      plus fuzzy_name_match),
+        #   3. keys whose latest evidence is r04 (r05's tail), MINUS
+        #      nine triple-green (r01+r03+r04) unchanged-SQL demotions
+        #      (parts_heavy_semi, set_ops_segments, correlated_max_order,
+        #      json_events, customers_no_orders_anti, string_funcs,
+        #      case_coalesce, grouping_sets, broadcast_hint_join) and
+        #      MINUS five further r04-green demotions displaced by the
+        #      new operators (formats_roundtrip, multimodal_decode,
+        #      pivot_event_values, udf_text_metrics, vector_stats,
+        #      dataset_split stays) — ALL 14 demotions lead round 7's 50,
         #   4. tail: the demotions, then every key checked green in r05
         #      — freshest evidence, safe past the cutoff for one round.
     return {
@@ -2916,6 +3140,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_distill": _q_classifier_distill,
         "classifier_score": _q_classifier_score,
         "fuzzy_name_match": _q_fuzzy_name_match,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "inverted_index": _q_inverted_index,
+        "weighted_sample": _q_weighted_sample,
+        "ngram_jaccard_dups": _q_ngram_jaccard,
+        "kmeans_clusters": _q_kmeans_clusters,
         # -- (3) latest evidence r04 (r05 tail), minus demotions ------
         "corpus_curation": _q_corpus_curation,
         "doc_fingerprints": _q_fingerprints,
@@ -2945,15 +3174,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": _q_nfc_normalize,
         "url_domains": _q_url_domains,
         "span_dedup": _q_span_dedup,
+        "dataset_split": _q_dataset_split,
+        # -- 50-cap cutoff --------------------------------------------
+        # -- (4a) demotions: FIRST into round 7's checked 50 — the five
+        #    r04-green keys displaced by round 6's new operators, then
+        #    the nine triple-green unchanged-SQL demotions -------------
         "formats_roundtrip": _q_formats_roundtrip,
         "multimodal_decode": _q_multimodal_decode,
         "pivot_event_values": _q_pivot_event_values,
         "udf_text_metrics": _q_udf_text_metrics,
         "vector_stats": _sql(VECTOR_STATS_SPARK),
-        "dataset_split": _q_dataset_split,
-        # -- 50-cap cutoff --------------------------------------------
-        # -- (4a) triple-green unchanged-SQL demotions: FIRST into
-        #    round 7's checked 50 -------------------------------------
         "broadcast_hint_join": _sql(BROADCAST_HINT_JOIN),
         "parts_heavy_semi": _sql(PARTS_HEAVY_SEMI),
         "set_ops_segments": _sql(SET_OPS_SEGMENTS),
@@ -3013,6 +3243,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "tfidf_top_terms": TFIDF_TOP_TERMS_DUCK,
+        "inverted_index": INVERTED_INDEX_DUCK,
+        "weighted_sample": WEIGHTED_SAMPLE_DUCK,
+        "ngram_jaccard_dups": NGRAM_JACCARD_DUCK,
+        "kmeans_clusters": _kmeans_duck(),
         "bpe_merges": _bpe_merges_duck(),
         "fuzzy_name_match": FUZZY_NAME_MATCH_DUCK,
         "classifier_distill": _classifier_distill_duck(),

@@ -78,6 +78,12 @@ HEADLINE = [
     # round 5 late: bigram model join chain + the learned-filter projection
     "bigram_lm",
     "classifier_score",
+    # round 6: exact prefix-filtered Jaccard join (df-rank window +
+    # hashed-gram intersect), iterative k-means (Arrow assign + k-row
+    # update loop), and the TF-IDF two-agg + per-doc-window shape
+    "ngram_jaccard_dups",
+    "kmeans_clusters",
+    "tfidf_top_terms",
 ]
 
 

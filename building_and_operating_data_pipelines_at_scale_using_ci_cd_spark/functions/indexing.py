@@ -1,0 +1,121 @@
+"""Corpus indexing operators (SURVEY.md §2.10 extension): TF-IDF term
+scoring and a bounded inverted index — the retrieval-side bookkeeping a
+training-data pipeline needs next to dedup/quality filtering (keyword
+dedup audits, corpus search, per-domain vocabulary drift).
+
+Both operators share :func:`..functions.text.word_tokens` — the
+engine-portable tokenizer ([a-z0-9] runs) every text operator here uses,
+so an oracle engine reproduces the token stream byte-for-byte.
+
+Scale shape:
+  - TF-IDF: one explode, two map-side-partial aggregations (doc-term and
+    term), the doc count as a one-row broadcast, and a per-document
+    window (partitions are document-sized — never corpus-sized). The
+    document-frequency join's build side is the vocabulary, which Zipf
+    keeps far below corpus size (AQE falls back to shuffle join when it
+    outgrows the broadcast threshold).
+  - Inverted index: the naive plan (collect_list per term, slice after)
+    buffers a hot term's ENTIRE posting list in one reducer — a stopword
+    at 100 TB is a single-task OOM. So the index is df-bounded first:
+    pass 1 computes document frequency (map-side partial agg), the
+    mid-frequency band [min_df, max_df] filters BEFORE any list is
+    built, and only then does pass 2 collect postings — now bounded by
+    ``max_df`` rows per term by construction, not by luck.
+
+Cross-engine determinism: ranks order by the tfidf score ROUNDED to 9
+decimals (then term ascending). Raw float ordering would let a last-ulp
+libm difference between engines flip ranks of two near-equal scores; at
+9 decimals both engines see identical keys unless the true values
+actually differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import word_tokens
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 3,
+) -> DataFrame:
+    """Top ``top_n`` TF-IDF terms per document. idf uses the smoothed
+    form ln((1+N)/(1+df)) + 1 (the sklearn convention) so unseen-df
+    edge cases never divide by zero. Returns (id, rank, term, tf, df,
+    tfidf) with tfidf rounded to 4 decimals."""
+    if top_n <= 0:
+        raise ValueError("top_n must be positive")
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf rows are (doc, term)-distinct, so a count per term IS the
+    # document frequency — no second distinct pass over the corpus
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("__n"))
+    idf = F.log((F.lit(1.0) + F.col("__n")) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    scored = (
+        tf.join(dfc, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("__key", F.round(F.col("tf") * idf, 9))
+    )
+    w = Window.partitionBy("__id").orderBy(F.col("__key").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("df").cast("int").alias("df"),
+            F.round(F.col("__key"), 4).alias("tfidf"),
+        )
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 5,
+    max_df: int = 50,
+    max_postings: int = 10,
+) -> DataFrame:
+    """Mid-frequency inverted index: term → document frequency + the
+    first ``max_postings`` doc ids (ascending). Terms outside
+    [min_df, max_df] are excluded BEFORE postings are materialized, so
+    per-term reducer state is bounded by ``max_df`` at any corpus size
+    (see module docstring). Returns (term, df, postings)."""
+    if not 0 < min_df <= max_df:
+        raise ValueError("need 0 < min_df <= max_df")
+    doc_terms = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(word_tokens(F.col(text_col))).alias("term"),
+        )
+        .distinct()
+    )
+    dfc = (
+        doc_terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    )
+    # no broadcast hint: the filtered band is vocabulary-shaped, which a
+    # 100 TB corpus can still grow past any broadcast threshold — let
+    # AQE pick broadcast when the runtime size allows it
+    return (
+        doc_terms.join(dfc, "term")
+        .groupBy("term", "df")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("__id")), 1, max_postings).alias(
+                "postings"
+            )
+        )
+        .select("term", F.col("df").cast("int").alias("df"), "postings")
+    )

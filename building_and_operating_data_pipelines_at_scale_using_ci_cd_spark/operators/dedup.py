@@ -20,7 +20,7 @@ Scale design (the point of each shape):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import portable_hash
@@ -898,3 +898,108 @@ def bloom_incremental_new(
         F.broadcast(hits), key_str == hits["__key"], "left_anti"
     )
     return clean.unionByName(verified)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup join via prefix filtering — the
+    deterministic sibling of the MinHash path: same answer as all-pairs
+    Jaccard >= threshold, but candidates come from an equi-join on PREFIX
+    grams only (Chaudhuri/Bayardo SSJoin). Ranking grams by ascending
+    document frequency puts the RAREST grams in every prefix, so hot
+    stopword grams never generate candidates — the skew profile is the
+    opposite of a naive postings self-join.
+
+    Completeness: for Jaccard >= t, two docs must overlap in >= ceil(t*|A|)
+    grams, so the first |A| - ceil(t*|A|) + 1 grams of A (in ONE global
+    order) must contain a shared gram; likewise for B — joining prefix
+    grams of both sides misses nothing. The threshold is a rational
+    num/den and the accept predicate is integer cross-multiplication
+    (inter*den >= num*union): no float boundary anywhere.
+
+    Shape at scale: gram df is a map-side-partial agg; the prefix rank
+    window partitions per DOCUMENT (never corpus-sized); the candidate
+    join shuffles prefix grams only; verification joins each side's full
+    gram array (document-bounded) and intersects per pair.
+
+    Pick ``n`` large enough that grams are DISCRIMINATIVE: on a
+    31-word-vocabulary corpus, bigrams are all hot (every prefix gram
+    joins thousands of docs — measured 66s at sf0.1) while trigrams'
+    max df is 25 and the same query runs in ~2s. Prefix filtering
+    prunes by gram rarity; a gram space smaller than the corpus has no
+    rarity to exploit.
+
+    Grams are the HASHED shingles of :func:`_hashed_shingle_df` (md5
+    per token, polynomial fold to one bigint per gram) — the same
+    representation the MinHash path shuffles and intersects: 8-byte
+    elements instead of ~20-char strings everywhere downstream, and the
+    per-doc distinct gram ARRAY comes out of the shingle stage for
+    free, so verification needs no collect_list regroup. Set semantics
+    match string grams up to fold collisions — identically on both
+    engines, since the oracle folds the same way.
+
+    Returns (id_a, id_b, inter, union_sz, jaccard_sim) with id_a < id_b.
+    """
+    if not 0 < threshold_num <= threshold_den:
+        raise ValueError("threshold must be a fraction in (0, 1]")
+    sh = _hashed_shingle_df(df, id_col, text_col, n).persist()
+    gram_sets = sh.select("__id", F.col("__sh").alias("__gs"))
+    grams = sh.select(
+        "__id", F.size("__sh").alias("__sz"), F.explode("__sh").alias("__g")
+    )
+    gdf = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    # prefix length L = sz - ceil(t*sz) + 1, all-integer ceiling
+    ceil_t_sz = F.floor(
+        (F.lit(threshold_num) * F.col("__sz") + F.lit(threshold_den - 1))
+        / F.lit(threshold_den)
+    )
+    w = Window.partitionBy("__id").orderBy(F.col("__df").asc(), F.col("__g").asc())
+    prefix = (
+        grams.join(gdf, "__g")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__sz") - ceil_t_sz + F.lit(1))
+        .select("__id", "__g", "__sz")
+    )
+    # length filter (exact, standard): J >= t forces t|A| <= |B| <= |A|/t,
+    # in integer cross-multiplied form — prunes size-mismatched pairs
+    # before the distinct
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "__g")
+        .filter(
+            (F.col("a.__id") < F.col("b.__id"))
+            & (F.col("b.__sz") * F.lit(threshold_den) >= F.col("a.__sz") * F.lit(threshold_num))
+            & (F.col("a.__sz") * F.lit(threshold_den) >= F.col("b.__sz") * F.lit(threshold_num))
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            gram_sets.select(F.col("__id").alias("id_a"), F.col("__gs").alias("__ga")),
+            "id_a",
+        )
+        .join(
+            gram_sets.select(F.col("__id").alias("id_b"), F.col("__gs").alias("__gb")),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("__ga", "__gb")))
+        .withColumn("union_sz", F.size("__ga") + F.size("__gb") - F.col("inter"))
+        .filter(
+            F.col("inter") * F.lit(threshold_den)
+            >= F.lit(threshold_num) * F.col("union_sz")
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.col("inter").cast("int").alias("inter"),
+        F.col("union_sz").cast("int").alias("union_sz"),
+        F.round(F.col("inter") / F.col("union_sz"), 4).alias("jaccard_sim"),
+    )

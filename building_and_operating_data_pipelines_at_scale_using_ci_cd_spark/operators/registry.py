@@ -294,6 +294,41 @@ def _classifier_score(df: DataFrame, text_col: str, weights: list, output_col: s
     return df.withColumn(output_col, prob)
 
 
+def _tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, top_n=3) -> DataFrame:
+    from ..functions.indexing import tfidf_top_terms
+
+    return tfidf_top_terms(df, id_col, text_col, top_n=int(top_n))
+
+
+def _inverted_index(
+    df: DataFrame, id_col: str, text_col: str, min_df=5, max_df=50, max_postings=10
+) -> DataFrame:
+    from ..functions.indexing import inverted_index
+
+    return inverted_index(
+        df, id_col, text_col,
+        min_df=int(min_df), max_df=int(max_df), max_postings=int(max_postings),
+    )
+
+
+def _weighted_sample(df: DataFrame, id_col: str, weight_col: str, k, **kw) -> DataFrame:
+    from .sampling import weighted_priority_sample
+
+    return weighted_priority_sample(df, id_col, weight_col, int(k), **kw)
+
+
+def _ngram_jaccard(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
+    from .dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(df, id_col, text_col, **kw)
+
+
+def _kmeans(df: DataFrame, id_col: str, vec_col: str, k=8, iters=3) -> DataFrame:
+    from ..functions.clustering import kmeans_fit_predict
+
+    return kmeans_fit_predict(df, id_col, vec_col, k=int(k), iters=int(iters))
+
+
 def _session_aggregate(df: DataFrame, ts_col: str, key: str, **kw) -> DataFrame:
     """Streaming-capable session windows (works on batch views too)."""
     from ..streaming.ops import session_aggregate
@@ -343,6 +378,11 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "bigramLm": _bigram_lm,
     "bpeTokenize": _bpe_tokenize,
     "classifierScore": _classifier_score,
+    "tfidfTopTerms": _tfidf_top_terms,
+    "invertedIndex": _inverted_index,
+    "weightedSample": _weighted_sample,
+    "ngramJaccardPairs": _ngram_jaccard,
+    "kmeansClusters": _kmeans,
     "sessionAggregate": _session_aggregate,
     "tumblingCounts": _tumbling_counts,
     "streamingDedup": _streaming_dedup_op,

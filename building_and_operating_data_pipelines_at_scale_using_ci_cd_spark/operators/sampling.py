@@ -143,6 +143,52 @@ def pack_sequential(
     )
 
 
+def weighted_priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: keep the
+    ``k`` rows with the smallest ``priority = hash48(id) // w`` (then id
+    as tiebreak) — an integer-arithmetic variant of the A-Res /
+    Efraimidis–Spirakis priority-sampling family. A row with integer
+    weight ``w`` competes with priority ``h/w``, so doubling a row's
+    weight halves its expected priority and (asymptotically) doubles its
+    selection odds, while the WHOLE computation stays in 48-bit integer
+    math: no ``ln``/``pow`` in the ranking key means no libm
+    last-ulp divergence between engines — the sample is reproducible
+    bit-for-bit anywhere (the float formulations are not, exactly at the
+    selection boundary where it matters).
+
+    Shape at scale: priority is a pure per-row projection (no shuffle);
+    the global smallest-k is a TakeOrdered top-k (per-partition heaps +
+    one k-row reduce), never a full sort. Weights must be positive
+    integers. Output keeps the row plus ``__w`` and ``__priority``."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = w.cast("bigint")
+    # 48-bit hash: 12 hex chars of md5(id#seed). Exact in a BIGINT and,
+    # after the exactly-divisible subtraction below, exact in the DOUBLE
+    # division too (quotient <= 2^48 < 2^53).
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    # h // w without a DIV expression: (h - h % w) is exactly divisible,
+    # so the double division is exact and the cast truncates nothing
+    priority = ((h - h % w) / w).cast("bigint")
+    return (
+        df.withColumn("__w", w)
+        .withColumn("__priority", priority)
+        .orderBy(F.col("__priority").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def domain_mix_sample(
     df: DataFrame,
     strata_col: str,
