@@ -282,10 +282,13 @@ def bigram_cross_entropy(
     Shape at scale: bigrams are generated MAP-SIDE per row with
     ``zip_with`` over adjacent slices (no window, no per-doc shuffle);
     the model tables are (distinct-bigram)- and vocab-sized groupBys with
-    map-side partial agg; scoring joins each bigram occurrence to its
-    three counts. Zipf keeps the model tables far below corpus size; the
-    corpus total rides a one-row broadcast. Only documents with ≥2
-    tokens appear (a bigram needs a transition)."""
+    map-side partial agg. The three count tables are pre-joined into ONE
+    bigram-keyed model table first (model-sized joins), so the
+    corpus-sized bigram stream passes through a single scoring join
+    instead of three — at 100 TB that is two fewer corpus-wide
+    shuffle/broadcast passes. Zipf keeps the model far below corpus
+    size; the corpus total rides a one-row broadcast. Only documents
+    with ≥2 tokens appear (a bigram needs a transition)."""
     if not 0.0 <= lam <= 1.0:
         raise ValueError("lam must be in [0, 1]")
     toks = df.select(
@@ -312,10 +315,9 @@ def bigram_cross_entropy(
     p = F.lit(lam) * F.col("__cbi").cast("double") / F.col("__cctx") + F.lit(
         1.0 - lam
     ) * F.col("__cuni").cast("double") / F.col("__n")
+    model = bi_counts.join(ctx_counts, "__prev").join(uni_counts, "__tok")
     return (
-        bigrams.join(bi_counts, ["__prev", "__tok"])
-        .join(ctx_counts, "__prev")
-        .join(uni_counts, "__tok")
+        bigrams.join(model, ["__prev", "__tok"])
         .join(F.broadcast(total))
         .groupBy("__id")
         .agg(
