@@ -3096,29 +3096,80 @@ def _kmeans_duck(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
     return ",\n".join(parts) + "\nSELECT vec_id, CAST(cid AS INT) AS cluster FROM afinal"
 
 
+def _q_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality culling (operators/corpus.py
+    quality_quantile_cut): EXACT percentile aggregate → 1-row broadcast
+    threshold → per-row predicate. Threshold rounded to 6dp on both
+    engines so interpolation ulps cannot flip boundary membership. At
+    real corpus scale pass accuracy= to switch the aggregate to the
+    map-side-merging approx_percentile sketch (documented trade)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.corpus import (
+        quality_quantile_cut,
+    )
+
+    return quality_quantile_cut(
+        _table(spark, sf_dir, "documents"), "doc_id", "text", q=0.75
+    )
+
+
+QUALITY_QUANTILE_DUCK = f"""
+WITH q AS ({QUALITY_SCORES_DUCK}),
+thr AS (SELECT ROUND(QUANTILE_CONT(quality, 0.75), 6) AS t FROM q)
+SELECT doc_id, quality FROM q CROSS JOIN thr WHERE quality >= t
+"""
+
+# FULL OUTER snapshot reconciliation — the remaining join shape (inner/
+# semi/anti/theta/broadcast/range/as-of are covered elsewhere): diff two
+# order snapshots into added/removed/changed/unchanged lanes. Shared SQL
+# text runs verbatim on both engines.
+SNAPSHOT_DIFF = """
+WITH old_snap AS (
+  SELECT o_orderkey, o_totalprice AS price
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+),
+new_snap AS (
+  -- the "new" snapshot perturbs ~99% of overlapping prices via EXACT
+  -- double arithmetic (integer-valued addend): no rounding boundary, so
+  -- both engines see bit-identical prices (a *1.1 + ROUND(…,2) variant
+  -- systematically lands on .xx5 and splits on HALF_UP vs half-even)
+  SELECT o_orderkey, o_totalprice + CAST(o_orderkey % 100 AS DOUBLE) AS price
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN o.price <> n.price THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       o.price AS old_price, n.price AS new_price
+FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-6 rotation (counts: 7 + 14 + 29 = 50 checked;
-        # 5 + 9 demoted + 44 r05-green = 58 tail; 108 total):
+        # entries. Round-6 rotation (counts: 7 + 16 + 27 = 50 checked;
+        # 7 + 9 demoted + 44 r05-green = 60 tail; 110 total):
         #   1. the seven r02-evidence keys (three rounds stale — the
         #      micros/nanos incident is why stale evidence is a risk),
         #   2. keys whose code/oracle is NEW or CHANGED in round 6
         #      (multi-probe ann_lsh, literal-restructured ivf/
         #      semantic_dedup/embedding_near_dups, the new bpe_merges +
         #      classifier contract oracle, terms-path classifier_score,
-        #      rebound bpe_train closures, and the five round-6-late
+        #      rebound bpe_train closures, and the seven round-6-late
         #      additions: tfidf_top_terms, inverted_index,
         #      weighted_sample, ngram_jaccard_dups, kmeans_clusters,
-        #      plus fuzzy_name_match),
+        #      quality_quantile_filter, snapshot_diff — plus
+        #      fuzzy_name_match),
         #   3. keys whose latest evidence is r04 (r05's tail), MINUS
         #      nine triple-green (r01+r03+r04) unchanged-SQL demotions
         #      (parts_heavy_semi, set_ops_segments, correlated_max_order,
         #      json_events, customers_no_orders_anti, string_funcs,
         #      case_coalesce, grouping_sets, broadcast_hint_join) and
-        #      MINUS five further r04-green demotions displaced by the
-        #      new operators (formats_roundtrip, multimodal_decode,
-        #      pivot_event_values, udf_text_metrics, vector_stats,
-        #      dataset_split stays) — ALL 14 demotions lead round 7's 50,
+        #      MINUS seven further r04-green demotions displaced by the
+        #      new operators (url_domains, span_dedup, formats_roundtrip,
+        #      multimodal_decode, pivot_event_values, udf_text_metrics,
+        #      vector_stats; dataset_split stays) — ALL 16 demotions lead
+        #      round 7's 50,
         #   4. tail: the demotions, then every key checked green in r05
         #      — freshest evidence, safe past the cutoff for one round.
     return {
@@ -3145,6 +3196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "ngram_jaccard_dups": _q_ngram_jaccard,
         "kmeans_clusters": _q_kmeans_clusters,
+        "quality_quantile_filter": _q_quality_quantile,
+        "snapshot_diff": _sql(SNAPSHOT_DIFF),
         # -- (3) latest evidence r04 (r05 tail), minus demotions ------
         "corpus_curation": _q_corpus_curation,
         "doc_fingerprints": _q_fingerprints,
@@ -3172,13 +3225,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": _q_repetition_profile,
         "filter_audit": _q_filter_audit,
         "nfc_normalize": _q_nfc_normalize,
-        "url_domains": _q_url_domains,
-        "span_dedup": _q_span_dedup,
         "dataset_split": _q_dataset_split,
         # -- 50-cap cutoff --------------------------------------------
-        # -- (4a) demotions: FIRST into round 7's checked 50 — the five
+        # -- (4a) demotions: FIRST into round 7's checked 50 — the seven
         #    r04-green keys displaced by round 6's new operators, then
         #    the nine triple-green unchanged-SQL demotions -------------
+        "url_domains": _q_url_domains,
+        "span_dedup": _q_span_dedup,
         "formats_roundtrip": _q_formats_roundtrip,
         "multimodal_decode": _q_multimodal_decode,
         "pivot_event_values": _q_pivot_event_values,
@@ -3248,6 +3301,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": WEIGHTED_SAMPLE_DUCK,
         "ngram_jaccard_dups": NGRAM_JACCARD_DUCK,
         "kmeans_clusters": _kmeans_duck(),
+        "quality_quantile_filter": QUALITY_QUANTILE_DUCK,
+        "snapshot_diff": SNAPSHOT_DIFF,
         "bpe_merges": _bpe_merges_duck(),
         "fuzzy_name_match": FUZZY_NAME_MATCH_DUCK,
         "classifier_distill": _classifier_distill_duck(),

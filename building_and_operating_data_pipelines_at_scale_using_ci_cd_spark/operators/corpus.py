@@ -213,3 +213,50 @@ def frequent_ngrams(
         .agg(F.count_distinct("__id").alias("doc_freq"))
         .filter(F.col("doc_freq") >= min_doc_freq)
     )
+
+
+def quality_quantile_cut(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    q: float = 0.75,
+    accuracy: int | None = None,
+) -> DataFrame:
+    """Corpus-level quality-quantile culling — keep the documents whose
+    heuristic quality score reaches the corpus's own ``q``-quantile (the
+    FineWeb/CCNet move: thresholds are set relative to the corpus, not
+    as absolute constants, so the same config culls the same share of
+    any corpus).
+
+    Scale shape: the quantile is computed by ONE aggregate and attached
+    as a one-row broadcast (never a driver collect); membership is then
+    a per-row predicate. With ``accuracy=None`` the aggregate is Spark's
+    EXACT ``percentile`` — a single-reduce agg that buffers the value
+    multiset, fine to ~10^8 rows and what an oracle engine can
+    reproduce; pass an ``approx_percentile`` accuracy (e.g. 10000) at
+    real corpus scale, where the t-digest sketch merges map-side and the
+    threshold stops being exactly reproducible (documented trade).
+
+    Cross-engine contract: scores are already rounded (quality_score →
+    4dp) and the threshold is rounded to 6dp before the comparison, so
+    both engines compare identical bits — an interpolation last-ulp
+    difference cannot flip boundary membership.
+
+    Returns (id, quality) for the surviving documents."""
+    from ..functions.text import quality_score
+
+    if not 0.0 <= q <= 1.0:
+        raise ValueError("q must be in [0, 1]")
+    scored = df.select(
+        F.col(id_col), quality_score(F.col(text_col)).alias("quality")
+    )
+    if accuracy is None:
+        pct = F.expr(f"percentile(quality, {q!r})")
+    else:
+        pct = F.expr(f"approx_percentile(quality, {q!r}, {int(accuracy)})")
+    thr = scored.agg(F.round(pct, 6).alias("__thr"))
+    return (
+        scored.join(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("__thr"))
+        .select(id_col, "quality")
+    )

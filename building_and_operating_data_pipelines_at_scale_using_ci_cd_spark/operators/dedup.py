@@ -900,13 +900,13 @@ def bloom_incremental_new(
     return clean.unionByName(verified)
 
 
-def ngram_jaccard_pairs(
+def _ngram_jaccard_core(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n: int = 3,
-    threshold_num: int = 3,
-    threshold_den: int = 5,
+    n: int,
+    threshold_num: int,
+    threshold_den: int,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup join via prefix filtering — the
     deterministic sibling of the MinHash path: same answer as all-pairs
@@ -1003,3 +1003,88 @@ def ngram_jaccard_pairs(
         F.col("union_sz").cast("int").alias("union_sz"),
         F.round(F.col("inter") / F.col("union_sz"), 4).alias("jaccard_sim"),
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    collapse_exact: bool | str = "auto",
+) -> DataFrame:
+    """Public entry for the exact prefix-filtered n-gram Jaccard join
+    (see :func:`_ngram_jaccard_core` for the algorithm) with the same
+    exact-collapse pre-pass :func:`near_dup_pairs` uses: byte-identical
+    documents collapse to one representative per content hash, the
+    prefix/verify pipeline runs once per DISTINCT content, and the full
+    pair set is recovered algebraically — intra-group cliques pair at
+    jaccard 1.0 with inter = union = the group's gram count, and every
+    verified rep-pair expands to its groups' cross product carrying the
+    rep-pair's counts (copies have identical gram sets, so the counts
+    transfer exactly). A duplicate-flooded corpus pays verification per
+    distinct content instead of per copy pair (measured 44s → core-only
+    cost at a 10×-duplicated sf1; the true pair set there is copies²-
+    sized, so the naive path is output-bound). ``"auto"`` probes the
+    duplication ratio with one map-side approx_count_distinct pass,
+    exactly like near_dup_pairs."""
+    if collapse_exact == "auto":
+        ratio = (
+            df.agg(
+                (
+                    F.approx_count_distinct(F.xxhash64(F.col(text_col)))
+                    / F.count(F.lit(1))
+                ).alias("r")
+            ).collect()[0]["r"]
+        )
+        collapse_exact = ratio is not None and ratio < _COLLAPSE_DISTINCT_RATIO
+    if not collapse_exact:
+        return _ngram_jaccard_core(df, id_col, text_col, n, threshold_num, threshold_den)
+    members = df.select(
+        F.col(id_col).alias("__mid"), F.md5(F.col(text_col)).alias("__chash")
+    )
+    reps = members.groupBy("__chash").agg(F.min("__mid").alias("__rep"))
+    members = members.join(reps, "__chash").persist()
+    rep_ids = members.filter(F.col("__mid") == F.col("__rep")).select(
+        F.col("__mid").alias(id_col)
+    )
+    rep_docs = df.join(rep_ids, id_col, "semi")
+    rep_pairs = _ngram_jaccard_core(
+        rep_docs, id_col, text_col, n, threshold_num, threshold_den
+    )
+    # gram-set size per content group (from the rep; copies share it) —
+    # also the validity filter: contents too short to shingle never pair
+    rep_sizes = _hashed_shingle_df(rep_docs, id_col, text_col, n).select(
+        F.col("__id").alias("__rep"), F.size("__sh").alias("__sz")
+    )
+    sized = reps.join(rep_sizes, "__rep")  # (chash, rep, sz), shingleable only
+    a = members.join(sized, "__chash").select(
+        "__chash", F.col("__mid").alias("id_a"), "__sz"
+    )
+    b = members.select(F.col("__chash"), F.col("__mid").alias("id_b"))
+    intra = (
+        a.join(b, "__chash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("__sz").cast("int").alias("inter"),
+            F.col("__sz").cast("int").alias("union_sz"),
+            F.lit(1.0).alias("jaccard_sim"),
+        )
+    )
+    ma = members.select(F.col("__rep").alias("id_a"), F.col("__mid").alias("__ma"))
+    mb = members.select(F.col("__rep").alias("id_b"), F.col("__mid").alias("__mb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            "inter",
+            "union_sz",
+            "jaccard_sim",
+        )
+    )
+    return intra.unionByName(cross)

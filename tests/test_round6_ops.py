@@ -147,6 +147,22 @@ class TestNgramJaccard:
         with pytest.raises(ValueError):
             ngram_jaccard_pairs(docs, "doc_id", "text", threshold_num=0)
 
+    def test_collapse_path_equals_direct_path(self, spark, docs):
+        """The exact-collapse pre-pass must be answer-invariant: flood the
+        corpus with exact copies and compare collapse vs direct output,
+        including the inter/union counts."""
+        copies = docs
+        for i in (1, 2):
+            copies = copies.unionByName(
+                docs.select((docs.doc_id + 100 * i).alias("doc_id"), "text")
+            )
+        direct = sorted(map(tuple, ngram_jaccard_pairs(
+            copies, "doc_id", "text", collapse_exact=False).collect()))
+        collapsed = sorted(map(tuple, ngram_jaccard_pairs(
+            copies, "doc_id", "text", collapse_exact=True).collect()))
+        assert direct == collapsed
+        assert len(direct) > 0
+
 
 class TestKmeans:
     def test_partition_properties(self, spark, tables):

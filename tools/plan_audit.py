@@ -38,7 +38,7 @@ from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark import get
 #: exchange-count column jumping)
 BNLJ_ALLOWED = {
     "topk_neighbors", "domain_mix", "lm_cross_entropy", "bigram_lm",
-    "tfidf_top_terms",
+    "tfidf_top_terms", "quality_quantile_filter",
 }
 
 FLAGS = {

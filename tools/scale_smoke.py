@@ -171,6 +171,37 @@ def main() -> None:
     )
     timed("bpe_train (8 merges)", lambda: len(bpe_train(docs, "text", n_merges=8)))
 
+    # round-6 operators over the flooded docs
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.indexing import (
+        inverted_index,
+        tfidf_top_terms,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    timed("tfidf_top_terms", lambda: tfidf_top_terms(docs, "doc_id", "text").count())
+    timed(
+        "inverted_index",
+        lambda: inverted_index(docs, "doc_id", "text", min_df=2, max_df=100_000).count(),
+    )
+    timed(
+        # the flood is adversarial here: every doc gains n exact copies, so
+        # the true pair set grows as copies^2 per doc — candidate bucketing
+        # must absorb it without an all-pairs blowup
+        "ngram_jaccard_pairs",
+        lambda: ngram_jaccard_pairs(docs, "doc_id", "text").count(),
+    )
+    timed(
+        "weighted_sample",
+        lambda: weighted_priority_sample(
+            docs, "doc_id", F.when(F.col("lang") == "en", 4).otherwise(1), 1000
+        ).count(),
+    )
+
     emb = _replicate(read_parquet(spark, f"{sf_dir}/embeddings.parquet"), ["vec_id"], n)
     print(f"embeddings ×{n}: {emb.count()}")
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.similarity import (
@@ -214,6 +245,16 @@ def main() -> None:
         lambda: semantic_dedup_keep(
             emb, "vec_id", "embedding", n_clusters=None, threshold=0.95
         ).count(),
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.clustering import (
+        kmeans_fit_predict,
+    )
+
+    timed(
+        # per-iteration cost: one Arrow matmul map stage + a k-row driver
+        # update; the agg width is dim (64 avgs), independent of k
+        "kmeans (k=64, 2 iters)",
+        lambda: kmeans_fit_predict(emb, "vec_id", "embedding", k=64, iters=2).count(),
     )
 
     li = _replicate(read_parquet(spark, f"{sf_dir}/lineitem.parquet"), ["l_partkey"], n)
