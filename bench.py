@@ -84,6 +84,9 @@ HEADLINE = [
     "ngram_jaccard_dups",
     "kmeans_clusters",
     "tfidf_top_terms",
+    # round 6 late: full-outer reconciliation join + corpus-quantile cull
+    "snapshot_diff",
+    "quality_quantile_filter",
 ]
 
 

@@ -323,6 +323,15 @@ def _ngram_jaccard(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame
     return ngram_jaccard_pairs(df, id_col, text_col, **kw)
 
 
+def _quality_quantile(df: DataFrame, id_col: str, text_col: str, q=0.75, accuracy=None) -> DataFrame:
+    from .corpus import quality_quantile_cut
+
+    return quality_quantile_cut(
+        df, id_col, text_col, q=float(q),
+        accuracy=None if accuracy is None else int(accuracy),
+    )
+
+
 def _kmeans(df: DataFrame, id_col: str, vec_col: str, k=8, iters=3) -> DataFrame:
     from ..functions.clustering import kmeans_fit_predict
 
@@ -383,6 +392,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "weightedSample": _weighted_sample,
     "ngramJaccardPairs": _ngram_jaccard,
     "kmeansClusters": _kmeans,
+    "qualityQuantileCut": _quality_quantile,
     "sessionAggregate": _session_aggregate,
     "tumblingCounts": _tumbling_counts,
     "streamingDedup": _streaming_dedup_op,

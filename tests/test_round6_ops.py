@@ -218,3 +218,10 @@ class TestRegistryEntries:
             "kmeansClusters", tables["embeddings"],
             {"id_col": "vec_id", "vec_col": "embedding", "k": 4, "iters": 1},
         ).count() == tables["embeddings"].count()
+        qdf = apply_operator(
+            "qualityQuantileCut", tables["documents"],
+            {"id_col": "doc_id", "text_col": "text", "q": 0.5},
+        )
+        total = tables["documents"].count()
+        # >= because ties at the threshold all survive
+        assert total / 2 <= qdf.count() <= total
