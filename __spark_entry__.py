@@ -2512,10 +2512,11 @@ WHERE doc_id % 3 = 0 AND NOT EXISTS (
 def _q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train 24 BPE merges on the corpus (distributed pair counting over
     the vocab table, one-row driver argmax per merge) and tokenize with
-    them. Genuinely non-SQL-expressible (iterative greedy merges), so no
-    oracle entry — the driver records the weaker rows-only check; the
-    unit tests pin the merge table and encodings on a hand-computable
-    corpus."""
+    them. STRICT oracle since round 6 late: the unrolled DuckDB training
+    chain's final stage doubles as the word→tokens map (exhaustive
+    rank-order application ≡ greedy lowest-rank-first encode — see
+    _bpe_tokenize_duck), so the tokenization itself is now
+    driver-checked, not just the merge table."""
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.bpe import (
         bpe_apply,
         bpe_train,
@@ -2541,8 +2542,8 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle for the training loop (judge ask, round 5): the merge list on
     a fixed corpus is deterministic (ties break lexicographically), so
     DuckDB can reproduce it independently via an unrolled per-stage SQL
-    chain (see _bpe_merges_duck). bpe_tokenize stays rows-only, but its
-    only non-unit-tested input — this table — is now driver-checked."""
+    chain (see _bpe_merges_duck); since round 6 late the tokenization
+    itself is also strict (_bpe_tokenize_duck)."""
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.bpe import (
         bpe_train,
     )
@@ -2553,8 +2554,9 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "rank int, merge_left string, merge_right string")
 
 
-def _bpe_merges_duck() -> str:
-    """Unrolled BPE training in pure DuckDB SQL: symbols ride as a
+def _bpe_chain_ctes() -> str:
+    """The unrolled BPE training chain in pure DuckDB SQL, shared by the
+    bpe_merges and bpe_tokenize oracles: symbols ride as a
     chr(31)-delimited string per word; each stage's merge application is
     a list_reduce whose accumulator appends the right symbol WITHOUT a
     delimiter when the last token equals the stage's left symbol —
@@ -2562,7 +2564,9 @@ def _bpe_merges_duck() -> str:
     freshly merged token a||b can never equal a (b is non-empty), so a
     fresh merge can't cascade within the pass, exactly like the i+=2
     skip in bpe._merge_pair_kernel. MATERIALIZED CTEs stop DuckDB from
-    inlining the per-stage chain exponentially."""
+    inlining the per-stage chain exponentially. The word key ``w`` rides
+    through every stage so the FINAL stage doubles as the word→tokens
+    map the tokenize oracle needs."""
     d = "chr(31)"
     parts = [f"""
 words AS MATERIALIZED (
@@ -2572,7 +2576,7 @@ words AS MATERIALIZED (
   ) GROUP BY w
 ),
 s0 AS MATERIALIZED (
-  SELECT array_to_string(regexp_extract_all(w, '.'), {d}) || {d} || '</w>' AS s, cnt
+  SELECT w, array_to_string(regexp_extract_all(w, '.'), {d}) || {d} || '</w>' AS s, cnt
   FROM words
 )"""]
     for k in range(_BPE_N_MERGES):
@@ -2585,21 +2589,70 @@ p{k} AS MATERIALIZED (
 ),
 m{k} AS MATERIALIZED (SELECT a, b FROM p{k} WHERE n >= 2 ORDER BY n DESC, a, b LIMIT 1),
 s{k + 1} AS MATERIALIZED (
-  SELECT CASE WHEN m.a IS NULL THEN s.s
+  SELECT s.w AS w,
+         CASE WHEN m.a IS NULL THEN s.s
               ELSE list_reduce(string_split(s.s, {d}),
                    (acc, x) -> CASE WHEN (acc = m.a OR ends_with(acc, {d} || m.a)) AND x = m.b
                                THEN acc || x ELSE acc || {d} || x END)
          END AS s, s.cnt AS cnt
   FROM s{k} s LEFT JOIN m{k} m ON TRUE
 )""")
+    return "WITH " + ",".join(parts)
+
+
+def _bpe_merges_duck() -> str:
     unions = "\nUNION ALL\n".join(
         f"SELECT {k} AS rank, a AS merge_left, b AS merge_right FROM m{k}"
         for k in range(_BPE_N_MERGES)
     )
     return (
-        "WITH "
-        + ",".join(parts)
+        _bpe_chain_ctes()
         + f"\nSELECT CAST(rank AS INT) AS rank, merge_left, merge_right FROM ({unions}) ORDER BY rank"
+    )
+
+
+def _bpe_tokenize_duck() -> str:
+    """Tokenization oracle: the final training stage s{N} IS the
+    word→tokens map, because exhaustive rank-order merge application
+    equals the engine's greedy lowest-rank-first encode kernel — a pair
+    involving a merge-k output can only be LEARNED after merge k exists,
+    so its rank is > k and ascending-rank exhaustive application never
+    misses a lower-rank opportunity; within one rank both orders take
+    leftmost occurrences first. Documents re-tokenize positionally and
+    splice each word's token list in order."""
+    d = "chr(31)"
+    n = _BPE_N_MERGES
+    return (
+        _bpe_chain_ctes()
+        + f""",
+doc_words AS MATERIALIZED (
+  SELECT doc_id, u.i AS pos, ws[u.i] AS w
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ws
+        FROM documents) t,
+       unnest(generate_series(1, len(ws))) AS u(i)
+),
+word_toks AS MATERIALIZED (
+  SELECT w, string_split(s, {d}) AS wt FROM s{n}
+),
+flat AS (
+  SELECT dw.doc_id, dw.pos, j.j, wt[j.j] AS tok
+  FROM doc_words dw JOIN word_toks USING (w),
+       unnest(generate_series(1, len(wt))) AS j(j)
+),
+ranked AS (
+  SELECT doc_id, tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos, j) AS rn
+  FROM flat
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n,
+         STRING_AGG(tok, ' ' ORDER BY rn) FILTER (rn <= 5) AS head
+  FROM ranked GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS INT) AS n_tokens,
+       COALESCE(a.head, '') AS head_tokens
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
     )
 
 
@@ -3304,6 +3357,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_quantile_filter": QUALITY_QUANTILE_DUCK,
         "snapshot_diff": SNAPSHOT_DIFF,
         "bpe_merges": _bpe_merges_duck(),
+        "bpe_tokenize": _bpe_tokenize_duck(),
         "fuzzy_name_match": FUZZY_NAME_MATCH_DUCK,
         "classifier_distill": _classifier_distill_duck(),
         "q20_excess_supplier": Q20_EXCESS_SUPPLIER,
