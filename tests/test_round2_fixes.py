@@ -62,6 +62,14 @@ class _FakeSFTPClient:
 
         shutil.copy2(os.path.join(self.root, remote.lstrip("/")), local)
 
+    def put(self, local, remote):
+        import shutil
+
+        shutil.copy2(local, os.path.join(self.root, remote.lstrip("/")))
+
+    def mkdir(self, path):
+        os.mkdir(os.path.join(self.root, path.lstrip("/")))
+
     def close(self):
         pass
 

@@ -306,3 +306,41 @@ def test_fuzzy_self_join_config_callable(spark, tables):
     )
     rows = out.collect()
     assert rows and all(r["edit_distance"] <= 1 and r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_sftp_sink_uploads_staged_files(spark, tmp_path, monkeypatch):
+    """W9 executes end-to-end through the fake transport: write_target
+    stages through the normal file writer, uploads the produced csv to
+    the 'remote', and the remote copy reads back byte-faithful."""
+    import csv as csvmod
+    import sys
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.config import (
+        TargetSpec,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sinks.writers import (
+        write_target,
+    )
+    from tests.test_round2_fixes import _fake_paramiko
+
+    connects = []
+    monkeypatch.setitem(sys.modules, "paramiko", _fake_paramiko(str(tmp_path), connects))
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id int, v string")
+    spec = TargetSpec(
+        data_target="sftp",
+        dataframe_name="outbox",
+        sftp_host="vendor.example.com",
+        remote_path="/outbox/run1",
+        file_format="csv",
+        single_file=True,
+        output_file_name_prefix="export",
+        options={"port": "2022", "username": "u", "password": "p"},
+    )
+    write_target(spark, df, spec)
+    assert connects[0] == ("vendor.example.com", 2022)
+    remote_dir = tmp_path / "outbox" / "run1"
+    files = [p for p in remote_dir.iterdir() if p.name.startswith("export")]
+    assert len(files) == 1 and files[0].suffix == ".csv"
+    with open(files[0]) as f:
+        rows = list(csvmod.DictReader(f))
+    assert sorted(int(r["id"]) for r in rows) == [1, 2, 3]
