@@ -344,3 +344,78 @@ def test_sftp_sink_uploads_staged_files(spark, tmp_path, monkeypatch):
     with open(files[0]) as f:
         rows = list(csvmod.DictReader(f))
     assert sorted(int(r["id"]) for r in rows) == [1, 2, 3]
+
+
+def test_scd2_delta_merge_contract_double(spark):
+    """S9/W5 Delta branch executes against a DeltaTable double: pins the
+    exact MERGE contract — join condition, matched-update gating on the
+    fingerprint, insert values — without delta-spark in the container
+    (the JDBC contract-double precedent)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.config import (
+        TargetSpec,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.scd2 import (
+        EFF_END,
+        EFF_START,
+        IS_CURRENT,
+        scd2_initial,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sinks.writers import (
+        _scd2_delta_merge,
+    )
+
+    target = scd2_initial(
+        spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"),
+        effective_ts="2024-01-01 00:00:00",
+    )
+    incoming = spark.createDataFrame([(1, 11), (3, 30)], "k int, v int")
+
+    class FakeDeltaTable:
+        def __init__(self, df):
+            self._df = df
+            self.calls = {}
+
+        def toDF(self):
+            return self._df
+
+        def alias(self, a):
+            self.calls["alias"] = a
+            return self
+
+        def merge(self, staged, cond):
+            self.calls["merge"] = (staged, cond)
+            return self
+
+        def whenMatchedUpdate(self, condition, set):
+            self.calls["matched"] = (condition, set)
+            return self
+
+        def whenNotMatchedInsert(self, values):
+            self.calls["insert"] = values
+            return self
+
+        def execute(self):
+            self.calls["executed"] = True
+
+    dt = FakeDeltaTable(target)
+    spec = TargetSpec(
+        data_target="local", load_type="scdType2Insert",
+        scd2_keys=["k"], scd2_effective_col="2024-02-01 00:00:00",
+    )
+    _scd2_delta_merge(spark, dt, incoming, spec)
+
+    assert dt.calls["executed"] is True
+    staged, cond = dt.calls["merge"]
+    assert cond == f"t.k = s.__mk_k AND t.{IS_CURRENT} = true"
+    # two-lane staging: key 1 changed -> KEYED + NULL-key lanes; key 3 is
+    # brand-new -> KEYED lane only (a second lane would double-insert)
+    lanes = sorted(
+        (r["k"], r["__mk_k"] is None) for r in staged.collect()
+    )
+    assert lanes == [(1, False), (1, True), (3, False)]
+    matched_cond, matched_set = dt.calls["matched"]
+    assert f"t.{IS_CURRENT} = true" in matched_cond and "__fp" in matched_cond
+    assert set(matched_set) == {EFF_END, IS_CURRENT}
+    insert_values = dt.calls["insert"]
+    assert {EFF_START, EFF_END, IS_CURRENT} <= set(insert_values)
+    assert "k" in insert_values and "v" in insert_values
