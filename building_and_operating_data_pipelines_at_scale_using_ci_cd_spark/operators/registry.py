@@ -317,10 +317,17 @@ def _weighted_sample(df: DataFrame, id_col: str, weight_col: str, k, **kw) -> Da
     return weighted_priority_sample(df, id_col, weight_col, int(k), **kw)
 
 
-def _ngram_jaccard(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
+def _ngram_jaccard(
+    df: DataFrame, id_col: str, text_col: str,
+    n=3, threshold_num=3, threshold_den=5, **kw,
+) -> DataFrame:
     from .dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(df, id_col, text_col, **kw)
+    return ngram_jaccard_pairs(
+        df, id_col, text_col,
+        n=int(n), threshold_num=int(threshold_num), threshold_den=int(threshold_den),
+        **kw,
+    )
 
 
 def _quality_quantile(df: DataFrame, id_col: str, text_col: str, q=0.75, accuracy=None) -> DataFrame:
