@@ -8,21 +8,23 @@ engine-portable tokenizer ([a-z0-9] runs) every text operator here uses,
 so an oracle engine reproduces the token stream byte-for-byte.
 
 Scale shape:
-  - TF-IDF: ONE corpus explode + one (doc,term) aggregation; document
-    frequency rides a count window over that aggregated table (term
-    partitions are df-sized), the doc count is a one-row broadcast, and
-    ranking is a per-document window. A groupBy+join formulation of df
-    re-runs the whole explode subtree — Catalyst does not reuse the
-    exchange across the two consumers (measured: 3 corpus scans).
+  - TF-IDF: ONE corpus explode into a PERSISTED (doc,term) aggregate
+    that feeds both consumers — Catalyst does not reuse the exchange
+    when an aggregate feeds a per-term groupBy AND a join back to
+    itself, so the un-persisted formulation re-ran the whole explode
+    subtree (measured: 3 corpus scans). Document frequency is then a
+    map-side-partial groupBy joined back (AQE broadcasts the
+    vocabulary-sized side). NOT a count window over the term: a
+    stopword's window partition is n_docs rows in ONE task — the
+    straggler the broadcast join exists to avoid.
   - Inverted index: the naive plan (collect_list per term, slice after)
     buffers a hot term's ENTIRE posting list in one reducer — a stopword
     at 100 TB is a single-task OOM. So the index is df-bounded first:
-    document frequency attaches as a count window over the distinct
-    (doc, term) table, the mid-frequency band [min_df, max_df] filters
-    BEFORE any list is built, and only then are postings collected —
-    bounded by ``max_df`` rows per term by construction, not by luck;
-    the final groupBy reuses the window's term partitioning (no extra
-    shuffle).
+    document frequency from a map-side-partial groupBy over the persisted
+    distinct (doc, term) table, the mid-frequency band [min_df, max_df]
+    filters BEFORE any list is built, and only then are postings
+    collected — bounded by ``max_df`` rows per term by construction,
+    not by luck.
 
 Cross-engine determinism: ranks order by the tfidf score ROUNDED to 9
 decimals (then term ascending). Raw float ordering would let a last-ulp
@@ -55,16 +57,17 @@ def tfidf_top_terms(
         F.col(id_col).alias("__id"),
         F.explode(word_tokens(F.col(text_col))).alias("term"),
     )
-    tf = toks.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # tf rows are (doc, term)-distinct, so a COUNT WINDOW per term over tf
-    # IS the document frequency — attached in place, so the corpus is
-    # exploded and aggregated exactly once (a separate groupBy + join
-    # re-ran the whole explode subtree: Catalyst does not reuse the
-    # exchange across the two consumers — measured 3 corpus scans)
+    # persisted: tf feeds BOTH the df aggregation and the scoring join —
+    # without it the whole explode subtree runs once per consumer (see
+    # module docstring)
+    tf = toks.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    # tf rows are (doc, term)-distinct, so a count per term IS the
+    # document frequency — map-side partial agg, vocabulary-sized output
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count_distinct(F.col(id_col)).alias("__n"))
     idf = F.log((F.lit(1.0) + F.col("__n")) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
     scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        tf.join(dfc, "term")
         .join(F.broadcast(n_docs))
         .withColumn("__key", F.round(F.col("tf") * idf, 9))
     )
@@ -98,23 +101,27 @@ def inverted_index(
     (see module docstring). Returns (term, df, postings)."""
     if not 0 < min_df <= max_df:
         raise ValueError("need 0 < min_df <= max_df")
+    # persisted: doc_terms feeds BOTH the df aggregation and the postings
+    # join — without it the explode+distinct subtree runs per consumer
     doc_terms = (
         df.select(
             F.col(id_col).alias("__id"),
             F.explode(word_tokens(F.col(text_col))).alias("term"),
         )
         .distinct()
+        .persist()
     )
-    # df as a COUNT WINDOW per term, attached in place: the corpus is
-    # exploded/distinct'd exactly once (a groupBy+join formulation re-ran
-    # the whole subtree — Catalyst does not reuse the exchange across two
-    # consumers), and the final groupBy reuses the window's term
-    # partitioning, so the band filter costs no extra shuffle
-    banded = doc_terms.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-    ).filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    dfc = (
+        doc_terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    )
+    # no broadcast hint: the filtered band is vocabulary-shaped, which a
+    # 100 TB corpus can still grow past any broadcast threshold — let
+    # AQE pick broadcast when the runtime size allows it
     return (
-        banded.groupBy("term", "df")
+        doc_terms.join(dfc, "term")
+        .groupBy("term", "df")
         .agg(
             F.slice(F.array_sort(F.collect_list("__id")), 1, max_postings).alias(
                 "postings"
