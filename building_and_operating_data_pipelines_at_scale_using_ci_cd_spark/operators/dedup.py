@@ -598,7 +598,10 @@ def simhash_near_pairs(
     Columns: id_a, id_b, hamming_dist."""
     if radius < 0 or radius >= bits:
         raise ValueError("radius must be in [0, bits)")
-    fps = simhash_fingerprints(df, id_col, text_col, bits=bits, shingle_n=shingle_n)
+    # persisted: the fingerprint table feeds BOTH sides of the band
+    # self-join — un-persisted, the whole explode+groupBy fingerprint
+    # computation runs once per side (measured 4 explodes, now 2)
+    fps = simhash_fingerprints(df, id_col, text_col, bits=bits, shingle_n=shingle_n).persist()
     n_bands = radius + 1
     width = bits // n_bands
     bands = fps.select(
