@@ -9,7 +9,11 @@ refines IVF lists with the same loop):
     batch against the (k × dim) centroid matrix; no shuffle, no explode.
   - UPDATE is one groupBy(cluster) with per-dimension averages (map-side
     partial agg); driver traffic per iteration is exactly k rows — a
-    design parameter, never a function of corpus size.
+    design parameter, never a function of corpus size. The aggregate is
+    ``dim`` expressions wide — fine through the embedding sizes here
+    (64) and typical (≤2k); for very high-dim vectors switch the update
+    to posexplode → groupBy(cluster, pos) to trade Catalyst expression
+    width for an (n·dim)-row shuffle.
   - iterations are a fixed count, so the job graph is static.
 
 Cross-engine determinism (what makes a strict value-hash oracle possible
@@ -74,13 +78,22 @@ def kmeans_fit_predict(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 8,
+    k: int | None = 8,
     iters: int = 3,
 ) -> DataFrame:
     """Lloyd's k-means with deterministic seeding: initial centroids are
     the ``k`` lowest-id vectors (reproducible, no RNG), then ``iters``
     rounds of assign → mean-update. Returns one row per input vector:
-    (id, cluster) with cluster relabeled 0..k-1 by ascending seed id."""
+    (id, cluster) with cluster relabeled 0..k-1 by ascending seed id.
+
+    ``k=None`` sizes adaptively (~√n via
+    :func:`..functions.similarity.adaptive_index_size` — the same
+    scale-with-the-corpus default IVF and SemDeDup use); entry queries
+    pass explicit k so their oracles stay static."""
+    if k is None:
+        from .similarity import adaptive_index_size
+
+        k = adaptive_index_size(df)
     if k <= 0 or iters < 0:
         raise ValueError("need k > 0 and iters >= 0")
     dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()

@@ -342,7 +342,10 @@ def _quality_quantile(df: DataFrame, id_col: str, text_col: str, q=0.75, accurac
 def _kmeans(df: DataFrame, id_col: str, vec_col: str, k=8, iters=3) -> DataFrame:
     from ..functions.clustering import kmeans_fit_predict
 
-    return kmeans_fit_predict(df, id_col, vec_col, k=int(k), iters=int(iters))
+    adaptive = k is None or str(k).lower() in ("", "none", "auto")
+    return kmeans_fit_predict(
+        df, id_col, vec_col, k=None if adaptive else int(k), iters=int(iters)
+    )
 
 
 def _session_aggregate(df: DataFrame, ts_col: str, key: str, **kw) -> DataFrame:
