@@ -3198,31 +3198,85 @@ FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
 """
 
 
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+]
+
+
+def _q_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (operators/validation.py profile_columns — the
+    deequ/Glue-data-quality staple): row/null/exact-distinct counts +
+    min/max per column, ALL from one wide aggregate (one pass over the
+    table regardless of column count), unpivoted to report rows."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.validation import (
+        profile_columns,
+    )
+
+    return profile_columns(_table(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+def _profile_report_duck() -> str:
+    parts = [
+        f"""SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM orders"""
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+# z-score outliers: group-relative anomaly flagging with AGGREGATE
+# stddev/mean attached via a window — the remaining window-function
+# family (stddev_samp/avg over a partition) the entry set lacked.
+# Threshold 1.6σ: synthetic totalprice is near-uniform (max |z| 1.77 at
+# every sf — a uniform NEVER has 3σ tails, |z| ≤ √3), so 1.6 flags the
+# real distribution tails. The z predicate cross-multiplies so no
+# division meets a near-zero sigma.
+ZSCORE_OUTLIERS = """
+WITH stats AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         AVG(o_totalprice)         OVER (PARTITION BY o_orderpriority) AS mu,
+         STDDEV_SAMP(o_totalprice) OVER (PARTITION BY o_orderpriority) AS sigma,
+         COUNT(*)                  OVER (PARTITION BY o_orderpriority) AS n_group
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority,
+       ROUND(o_totalprice, 2) AS totalprice,
+       ROUND((o_totalprice - mu) / sigma, 4) AS zscore
+FROM stats
+WHERE n_group >= 30 AND ABS(o_totalprice - mu) > 1.6 * sigma
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-6 rotation (counts: 7 + 16 + 27 = 50 checked;
-        # 7 + 9 demoted + 44 r05-green = 60 tail; 110 total):
+        # entries. Round-6 rotation (counts: 7 + 18 + 25 = 50 checked;
+        # 9 + 9 demoted + 44 r05-green = 62 tail; 112 total):
         #   1. the seven r02-evidence keys (three rounds stale — the
         #      micros/nanos incident is why stale evidence is a risk),
         #   2. keys whose code/oracle is NEW or CHANGED in round 6
         #      (multi-probe ann_lsh, literal-restructured ivf/
         #      semantic_dedup/embedding_near_dups, the new bpe_merges +
         #      classifier contract oracle, terms-path classifier_score,
-        #      rebound bpe_train closures, and the seven round-6-late
+        #      rebound bpe_train closures, and the nine round-6-late
         #      additions: tfidf_top_terms, inverted_index,
         #      weighted_sample, ngram_jaccard_dups, kmeans_clusters,
-        #      quality_quantile_filter, snapshot_diff — plus
-        #      fuzzy_name_match),
+        #      quality_quantile_filter, snapshot_diff, profile_report,
+        #      zscore_outliers — plus fuzzy_name_match),
         #   3. keys whose latest evidence is r04 (r05's tail), MINUS
         #      nine triple-green (r01+r03+r04) unchanged-SQL demotions
         #      (parts_heavy_semi, set_ops_segments, correlated_max_order,
         #      json_events, customers_no_orders_anti, string_funcs,
         #      case_coalesce, grouping_sets, broadcast_hint_join) and
-        #      MINUS seven further r04-green demotions displaced by the
-        #      new operators (url_domains, span_dedup, formats_roundtrip,
-        #      multimodal_decode, pivot_event_values, udf_text_metrics,
-        #      vector_stats; dataset_split stays) — ALL 16 demotions lead
-        #      round 7's 50,
+        #      MINUS nine further r04-green demotions displaced by the
+        #      new operators (filter_audit, nfc_normalize, url_domains,
+        #      span_dedup, formats_roundtrip, multimodal_decode,
+        #      pivot_event_values, udf_text_metrics, vector_stats;
+        #      dataset_split stays) — ALL 18 demotions lead round 7's 50,
         #   4. tail: the demotions, then every key checked green in r05
         #      — freshest evidence, safe past the cutoff for one round.
     return {
@@ -3251,6 +3305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "quality_quantile_filter": _q_quality_quantile,
         "snapshot_diff": _sql(SNAPSHOT_DIFF),
+        "profile_report": _q_profile_report,
+        "zscore_outliers": _sql(ZSCORE_OUTLIERS),
         # -- (3) latest evidence r04 (r05 tail), minus demotions ------
         "corpus_curation": _q_corpus_curation,
         "doc_fingerprints": _q_fingerprints,
@@ -3276,13 +3332,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": _q_boilerplate,
         "pii_redaction": _q_pii_redaction,
         "repetition_profile": _q_repetition_profile,
-        "filter_audit": _q_filter_audit,
-        "nfc_normalize": _q_nfc_normalize,
         "dataset_split": _q_dataset_split,
         # -- 50-cap cutoff --------------------------------------------
-        # -- (4a) demotions: FIRST into round 7's checked 50 — the seven
+        # -- (4a) demotions: FIRST into round 7's checked 50 — the nine
         #    r04-green keys displaced by round 6's new operators, then
         #    the nine triple-green unchanged-SQL demotions -------------
+        "filter_audit": _q_filter_audit,
+        "nfc_normalize": _q_nfc_normalize,
         "url_domains": _q_url_domains,
         "span_dedup": _q_span_dedup,
         "formats_roundtrip": _q_formats_roundtrip,
@@ -3356,6 +3412,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_duck(),
         "quality_quantile_filter": QUALITY_QUANTILE_DUCK,
         "snapshot_diff": SNAPSHOT_DIFF,
+        "profile_report": _profile_report_duck(),
+        "zscore_outliers": ZSCORE_OUTLIERS,
         "bpe_merges": _bpe_merges_duck(),
         "bpe_tokenize": _bpe_tokenize_duck(),
         "fuzzy_name_match": FUZZY_NAME_MATCH_DUCK,

@@ -330,6 +330,12 @@ def _ngram_jaccard(
     )
 
 
+def _profile_columns(df: DataFrame, columns=None) -> DataFrame:
+    from .validation import profile_columns
+
+    return profile_columns(df, list(columns) if columns else None)
+
+
 def _quality_quantile(df: DataFrame, id_col: str, text_col: str, q=0.75, accuracy=None) -> DataFrame:
     from .corpus import quality_quantile_cut
 
@@ -403,6 +409,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "ngramJaccardPairs": _ngram_jaccard,
     "kmeansClusters": _kmeans,
     "qualityQuantileCut": _quality_quantile,
+    "profileColumns": _profile_columns,
     "sessionAggregate": _session_aggregate,
     "tumblingCounts": _tumbling_counts,
     "streamingDedup": _streaming_dedup_op,

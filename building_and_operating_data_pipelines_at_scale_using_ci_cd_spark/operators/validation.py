@@ -79,3 +79,47 @@ def count_within_threshold(
 def bad_fraction(total: int, bad: int) -> float:
     """Error-lane share of input for the V4 gate."""
     return 0.0 if total == 0 else bad / total
+
+
+def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Column profiling (the deequ/Glue-data-quality staple): one row per
+    column with row count, null count, exact distinct count, and
+    min/max rendered as strings — the validation-family report a
+    pipeline owner reads before trusting a new feed.
+
+    Shape at scale: ALL statistics come from ONE aggregate job — a
+    single wide agg row (4 expressions per column, map-side partial
+    everywhere; the count_distincts expand internally but remain one
+    shuffle round) — then a literal-driven unpivot of that 1-row result
+    into the report rows. No per-column scans, no driver-side loops:
+    profiling an N-column 100 TB table costs one pass regardless of N.
+
+    min/max stringify via the column's natural CAST so the report schema
+    is column-type-agnostic (timestamps render ISO, numerics decimal)."""
+    from pyspark.sql import functions as F
+
+    cols = columns or df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    reports = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__n").cast("bigint").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{c}")).cast("bigint").alias("n_nulls"),
+            F.col(f"__nd_{c}").cast("bigint").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_value"),
+            F.col(f"__max_{c}").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*reports)).alias("r")).select("r.*")

@@ -225,3 +225,45 @@ class TestRegistryEntries:
         total = tables["documents"].count()
         # >= because ties at the threshold all survive
         assert total / 2 <= qdf.count() <= total
+
+
+class TestProfileColumns:
+    def test_one_pass_stats(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.validation import (
+            profile_columns,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, None, 2.5), (3, "a", None), (None, "b", 2.5)],
+            "id bigint, name string, score double",
+        )
+        rows = {r["col_name"]: r for r in profile_columns(df).collect()}
+        assert set(rows) == {"id", "name", "score"}
+        assert all(r["n_rows"] == 4 for r in rows.values())
+        assert rows["id"]["n_nulls"] == 1 and rows["id"]["n_distinct"] == 3
+        assert rows["name"]["n_nulls"] == 1 and rows["name"]["n_distinct"] == 2
+        assert rows["score"]["min_value"] == "1.5" and rows["score"]["max_value"] == "2.5"
+        # the whole report must come from ONE aggregate job — a single
+        # wide agg then an unpivot; no per-column scan
+        plan = profile_columns(df)._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("LogicalRDD") == 1
+
+    def test_subset_and_unknown_column(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.validation import (
+            profile_columns,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "id bigint, v string")
+        assert profile_columns(df, ["id"]).count() == 1
+        with pytest.raises(ValueError):
+            profile_columns(df, ["nope"])
+
+    def test_config_callable(self, spark, tables):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.registry import (
+            apply_operator,
+        )
+
+        out = apply_operator(
+            "profileColumns", tables["orders"], {"columns": ["o_orderkey", "o_totalprice"]}
+        )
+        assert out.count() == 2
