@@ -3252,10 +3252,60 @@ WHERE n_group >= 30 AND ABS(o_totalprice - mu) > 1.6 * sigma
 """
 
 
+def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (functions/similarity.py
+    quantize_vector — the 4×-smaller storage form): pure JVM
+    higher-order functions, per-vector scale + int codes. The codes
+    reproduce exactly cross-engine (same double divisions, same
+    half-away rounding); a reconstruction-error bound rides along as a
+    hard contract (max |x - q·scale| ≤ scale/2 + ulp slack)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.similarity import (
+        dequantize_vector,
+        quantize_vector,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    qed = emb.select(
+        "vec_id",
+        F.col("embedding").alias("__v"),
+        quantize_vector(F.col("embedding")).alias("__qt"),
+    )
+    err = F.array_max(
+        F.zip_with(
+            F.transform(F.col("__v"), lambda x: x.cast("double")),
+            dequantize_vector(F.col("__qt")),
+            lambda a, b: F.abs(a - b),
+        )
+    )
+    return qed.select(
+        "vec_id",
+        F.round(F.col("__qt.scale"), 6).alias("scale"),
+        F.array_join(F.col("__qt.q").cast("array<string>"), ",").alias("codes"),
+        (err <= F.col("__qt.scale") * F.lit(0.5000001)).alias("err_within_half_step"),
+    )
+
+
+EMBEDDING_QUANTIZE_DUCK = """
+WITH v AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+s AS (SELECT vec_id, e,
+             GREATEST(LIST_MAX(LIST_TRANSFORM(e, x -> ABS(x))) / 127.0, 1e-30) AS scale
+      FROM v),
+q AS (SELECT vec_id, e, scale,
+             LIST_TRANSFORM(e, x -> CAST(ROUND(x / scale) AS INT)) AS codes
+      FROM s)
+SELECT vec_id, ROUND(scale, 6) AS scale,
+       ARRAY_TO_STRING(codes, ',') AS codes,
+       LIST_MAX(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(e)),
+                               i -> ABS(e[i] - codes[i] * scale))) <= scale * 0.5000001
+         AS err_within_half_step
+FROM q
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-6 rotation (counts: 7 + 18 + 25 = 50 checked;
-        # 9 + 9 demoted + 44 r05-green = 62 tail; 112 total):
+        # entries. Round-6 rotation (counts: 7 + 19 + 24 = 50 checked;
+        # 10 + 9 demoted + 44 r05-green = 63 tail; 113 total):
         #   1. the seven r02-evidence keys (three rounds stale — the
         #      micros/nanos incident is why stale evidence is a risk),
         #   2. keys whose code/oracle is NEW or CHANGED in round 6
@@ -3266,17 +3316,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      additions: tfidf_top_terms, inverted_index,
         #      weighted_sample, ngram_jaccard_dups, kmeans_clusters,
         #      quality_quantile_filter, snapshot_diff, profile_report,
-        #      zscore_outliers — plus fuzzy_name_match),
+        #      zscore_outliers, embedding_quantize — plus
+        #      fuzzy_name_match),
         #   3. keys whose latest evidence is r04 (r05's tail), MINUS
         #      nine triple-green (r01+r03+r04) unchanged-SQL demotions
         #      (parts_heavy_semi, set_ops_segments, correlated_max_order,
         #      json_events, customers_no_orders_anti, string_funcs,
         #      case_coalesce, grouping_sets, broadcast_hint_join) and
-        #      MINUS nine further r04-green demotions displaced by the
-        #      new operators (filter_audit, nfc_normalize, url_domains,
-        #      span_dedup, formats_roundtrip, multimodal_decode,
-        #      pivot_event_values, udf_text_metrics, vector_stats;
-        #      dataset_split stays) — ALL 18 demotions lead round 7's 50,
+        #      MINUS ten further r04-green demotions displaced by the
+        #      new operators (repetition_profile, filter_audit,
+        #      nfc_normalize, url_domains, span_dedup, formats_roundtrip,
+        #      multimodal_decode, pivot_event_values, udf_text_metrics,
+        #      vector_stats; dataset_split stays) — ALL 19 demotions lead
+        #      round 7's 50,
         #   4. tail: the demotions, then every key checked green in r05
         #      — freshest evidence, safe past the cutoff for one round.
     return {
@@ -3307,6 +3359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _sql(SNAPSHOT_DIFF),
         "profile_report": _q_profile_report,
         "zscore_outliers": _sql(ZSCORE_OUTLIERS),
+        "embedding_quantize": _q_embedding_quantize,
         # -- (3) latest evidence r04 (r05 tail), minus demotions ------
         "corpus_curation": _q_corpus_curation,
         "doc_fingerprints": _q_fingerprints,
@@ -3331,12 +3384,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "boilerplate_ngrams": _q_boilerplate,
         "pii_redaction": _q_pii_redaction,
-        "repetition_profile": _q_repetition_profile,
         "dataset_split": _q_dataset_split,
         # -- 50-cap cutoff --------------------------------------------
-        # -- (4a) demotions: FIRST into round 7's checked 50 — the nine
+        # -- (4a) demotions: FIRST into round 7's checked 50 — the ten
         #    r04-green keys displaced by round 6's new operators, then
         #    the nine triple-green unchanged-SQL demotions -------------
+        "repetition_profile": _q_repetition_profile,
         "filter_audit": _q_filter_audit,
         "nfc_normalize": _q_nfc_normalize,
         "url_domains": _q_url_domains,
@@ -3414,6 +3467,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": SNAPSHOT_DIFF,
         "profile_report": _profile_report_duck(),
         "zscore_outliers": ZSCORE_OUTLIERS,
+        "embedding_quantize": EMBEDDING_QUANTIZE_DUCK,
         "bpe_merges": _bpe_merges_duck(),
         "bpe_tokenize": _bpe_tokenize_duck(),
         "fuzzy_name_match": FUZZY_NAME_MATCH_DUCK,

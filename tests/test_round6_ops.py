@@ -267,3 +267,39 @@ class TestProfileColumns:
             "profileColumns", tables["orders"], {"columns": ["o_orderkey", "o_totalprice"]}
         )
         assert out.count() == 2
+
+
+class TestQuantize:
+    def test_roundtrip_error_bounded(self, spark, tables):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.similarity import (
+            dequantize_vector,
+            quantize_vector,
+        )
+
+        emb = tables["embeddings"]
+        q = emb.select(
+            "vec_id", "embedding", quantize_vector(F.col("embedding")).alias("qt")
+        )
+        checked = q.select(
+            F.array_max(
+                F.zip_with(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    dequantize_vector(F.col("qt")),
+                    lambda a, b: F.abs(a - b),
+                )
+            ).alias("err"),
+            F.col("qt.scale").alias("scale"),
+            F.array_max(F.transform("qt.q", lambda v: F.abs(v))).alias("maxcode"),
+        ).collect()
+        for r in checked:
+            assert r["err"] <= r["scale"] * 0.5000001  # half-step reconstruction
+            assert r["maxcode"] <= 127  # int8 range
+
+    def test_zero_vector_quantizes_to_zeros(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.similarity import (
+            quantize_vector,
+        )
+
+        df = spark.createDataFrame([(1, [0.0] * 4)], "vec_id bigint, embedding array<float>")
+        r = df.select(quantize_vector(F.col("embedding")).alias("qt")).first()
+        assert list(r["qt"]["q"]) == [0, 0, 0, 0]
