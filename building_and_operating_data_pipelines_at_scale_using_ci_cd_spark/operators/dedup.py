@@ -910,6 +910,7 @@ def _ngram_jaccard_core(
     n: int,
     threshold_num: int,
     threshold_den: int,
+    prefix_order: str = "df",
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup join via prefix filtering — the
     deterministic sibling of the MinHash path: same answer as all-pairs
@@ -951,6 +952,8 @@ def _ngram_jaccard_core(
     """
     if not 0 < threshold_num <= threshold_den:
         raise ValueError("threshold must be a fraction in (0, 1]")
+    if prefix_order not in ("df", "hash"):
+        raise ValueError("prefix_order must be 'df' or 'hash'")
     sh = _hashed_shingle_df(df, id_col, text_col, n).persist()
     gram_sets = sh.select("__id", F.col("__sh").alias("__gs"))
     grams = sh.select(
@@ -962,13 +965,37 @@ def _ngram_jaccard_core(
         (F.lit(threshold_num) * F.col("__sz") + F.lit(threshold_den - 1))
         / F.lit(threshold_den)
     )
-    w = Window.partitionBy("__id").orderBy(F.col("__df").asc(), F.col("__g").asc())
-    prefix = (
-        grams.join(gdf, "__g")
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= F.col("__sz") - ceil_t_sz + F.lit(1))
-        .select("__id", "__g", "__sz")
-    )
+    # Prefix order is ANY global total order (completeness holds for all;
+    # see docstring). "df" ranks by ascending document frequency — hot
+    # grams never reach a prefix, the Zipf-safe default — at the cost of
+    # the df aggregate + join + per-doc rank window. "hash" slices the
+    # L smallest gram HASHES straight off the per-doc array: a pure
+    # map-side projection (two fewer shuffles, no df table — measured
+    # ~30% faster at sf0.1), correct but with no hot-gram exclusion, so
+    # reserve it for corpora known to lack stopword-hot grams.
+    if prefix_order == "hash":
+        prefix = sh.select(
+            "__id",
+            F.size("__sh").alias("__sz"),
+            F.explode(
+                F.slice(
+                    F.array_sort("__sh"),
+                    1,
+                    (F.size("__sh")
+                     - F.floor((F.lit(threshold_num) * F.size("__sh")
+                                + F.lit(threshold_den - 1)) / F.lit(threshold_den))
+                     + F.lit(1)).cast("int"),
+                )
+            ).alias("__g"),
+        )
+    else:
+        w = Window.partitionBy("__id").orderBy(F.col("__df").asc(), F.col("__g").asc())
+        prefix = (
+            grams.join(gdf, "__g")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= F.col("__sz") - ceil_t_sz + F.lit(1))
+            .select("__id", "__g", "__sz")
+        )
     # length filter (exact, standard): J >= t forces t|A| <= |B| <= |A|/t,
     # in integer cross-multiplied form — prunes size-mismatched pairs
     # before the distinct
@@ -1016,6 +1043,7 @@ def ngram_jaccard_pairs(
     threshold_num: int = 3,
     threshold_den: int = 5,
     collapse_exact: bool | str = "auto",
+    prefix_order: str = "df",
 ) -> DataFrame:
     """Public entry for the exact prefix-filtered n-gram Jaccard join
     (see :func:`_ngram_jaccard_core` for the algorithm) with the same
@@ -1043,7 +1071,9 @@ def ngram_jaccard_pairs(
         )
         collapse_exact = ratio is not None and ratio < _COLLAPSE_DISTINCT_RATIO
     if not collapse_exact:
-        return _ngram_jaccard_core(df, id_col, text_col, n, threshold_num, threshold_den)
+        return _ngram_jaccard_core(
+            df, id_col, text_col, n, threshold_num, threshold_den, prefix_order
+        )
     members = df.select(
         F.col(id_col).alias("__mid"), F.md5(F.col(text_col)).alias("__chash")
     )
@@ -1054,7 +1084,7 @@ def ngram_jaccard_pairs(
     )
     rep_docs = df.join(rep_ids, id_col, "semi")
     rep_pairs = _ngram_jaccard_core(
-        rep_docs, id_col, text_col, n, threshold_num, threshold_den
+        rep_docs, id_col, text_col, n, threshold_num, threshold_den, prefix_order
     )
     # gram-set size per content group (from the rep; copies share it) —
     # also the validity filter: contents too short to shingle never pair

@@ -303,3 +303,26 @@ class TestQuantize:
         df = spark.createDataFrame([(1, [0.0] * 4)], "vec_id bigint, embedding array<float>")
         r = df.select(quantize_vector(F.col("embedding")).alias("qt")).first()
         assert list(r["qt"]["q"]) == [0, 0, 0, 0]
+
+
+def test_ngram_jaccard_hash_order_same_answer(spark):
+    """prefix_order='hash' (map-side prefix slice) must return exactly the
+    df-order answer — completeness holds for ANY global gram order."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g x"),
+        (3, "a b c d e f g h"),
+        (4, "p q r s t u v w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = sorted(map(tuple, ngram_jaccard_pairs(
+        df, "doc_id", "text", collapse_exact=False, prefix_order="df").collect()))
+    b = sorted(map(tuple, ngram_jaccard_pairs(
+        df, "doc_id", "text", collapse_exact=False, prefix_order="hash").collect()))
+    assert a == b and len(a) >= 1
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(df, "doc_id", "text", prefix_order="nope")
