@@ -87,6 +87,9 @@ HEADLINE = [
     # round 6 late: full-outer reconciliation join + corpus-quantile cull
     "snapshot_diff",
     "quality_quantile_filter",
+    # round 6 late: one-pass wide-agg profiling + aggregate-window outliers
+    "profile_report",
+    "zscore_outliers",
 ]
 
 

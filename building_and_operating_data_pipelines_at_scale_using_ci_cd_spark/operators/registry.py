@@ -336,6 +336,21 @@ def _profile_columns(df: DataFrame, columns=None) -> DataFrame:
     return profile_columns(df, list(columns) if columns else None)
 
 
+def _quantize_embeddings(df: DataFrame, id_col: str, vec_col: str, bits=8) -> DataFrame:
+    """Config step: id + per-vector scale + comma-joined int codes (the
+    sink-friendly flattening of quantize_vector's struct)."""
+    from pyspark.sql import functions as F  # noqa: F811 (local alias)
+
+    from ..functions.similarity import quantize_vector
+
+    qt = quantize_vector(F.col(vec_col), bits=int(bits))
+    return df.select(
+        id_col,
+        qt["scale"].alias("scale"),
+        F.array_join(qt["q"].cast("array<string>"), ",").alias("codes"),
+    )
+
+
 def _quality_quantile(df: DataFrame, id_col: str, text_col: str, q=0.75, accuracy=None) -> DataFrame:
     from .corpus import quality_quantile_cut
 
@@ -410,6 +425,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "kmeansClusters": _kmeans,
     "qualityQuantileCut": _quality_quantile,
     "profileColumns": _profile_columns,
+    "quantizeEmbeddings": _quantize_embeddings,
     "sessionAggregate": _session_aggregate,
     "tumblingCounts": _tumbling_counts,
     "streamingDedup": _streaming_dedup_op,
