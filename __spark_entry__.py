@@ -3302,10 +3302,121 @@ FROM q
 """
 
 
+_CMS_DEPTH = 4
+_CMS_WIDTH = 64
+
+
+def _q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point frequencies (functions/sketches.py): the
+    sketch is materialized as a (row, bucket, cnt) DataFrame from
+    portable md5 hashing, so unlike Spark's engine-private
+    ``count_min_sketch`` blob the DuckDB oracle rebuilds the EXACT same
+    counters and the estimates strict-hash-match. width=64 vs ~150+
+    users forces real collisions: estimates genuinely over-count and the
+    classic ``est >= true`` guarantee rides along as a hard boolean."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    events = _table(spark, sf_dir, "events")
+    sketch = cms_build(events, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    est = cms_estimate(sketch, events, "user_id", _CMS_DEPTH, _CMS_WIDTH)
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("overcount_ok"),
+    )
+
+
+def _cms_user_counts_duck() -> str:
+    d, w = _CMS_DEPTH, _CMS_WIDTH
+    rows = ",".join(f"({r})" for r in range(d))
+    bucket = (
+        "CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST({item} AS VARCHAR), '#cms', "
+        "CAST({r} AS VARCHAR))), 1, 8)) AS BIGINT) % {w}"
+    )
+    return f"""
+WITH depth_rows AS (SELECT * FROM (VALUES {rows}) t(r)),
+counters AS (
+  SELECT r, {bucket.format(item='user_id', r='r', w=w)} AS bucket, COUNT(*) AS cnt
+  FROM events CROSS JOIN depth_rows
+  GROUP BY 1, 2
+),
+exact AS (SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY 1),
+est AS (
+  SELECT e.user_id, MIN(COALESCE(c.cnt, 0)) AS cms_est
+  FROM exact e CROSS JOIN depth_rows dr
+  LEFT JOIN counters c
+    ON c.r = dr.r
+   AND c.bucket = {bucket.format(item='e.user_id', r='dr.r', w=w)}
+  GROUP BY 1
+)
+SELECT e.user_id, e.exact_cnt, s.cms_est, s.cms_est >= e.exact_cnt AS overcount_ok
+FROM exact e JOIN est s USING (user_id)
+"""
+
+
+_Z_BITS = 12
+
+
+def _zorder_sql(dialect: str) -> str:
+    """One generator, two dialects: the bit-interleave terms and integer
+    scaling are the same arithmetic; only integer-division (`div` vs
+    `//`) and shift spellings differ. Operands are non-negative so
+    truncating (Spark div) and floor (DuckDB //) division agree."""
+    mx = (1 << _Z_BITS) - 1
+    terms = []
+    for b in range(_Z_BITS):
+        for j, c in enumerate(("xs", "ys")):
+            if dialect == "spark":
+                terms.append(f"shiftleft(shiftright({c}, {b}) & 1, {2 * b + j})")
+            else:
+                terms.append(f"((({c} >> {b}) & 1) << {2 * b + j})")
+    interleave = " + ".join(terms)
+    div = "div" if dialect == "spark" else "//"
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS x,
+         CAST(FLOOR(o_totalprice) AS BIGINT) AS y
+  FROM orders
+),
+ext AS (
+  SELECT MIN(x) AS xmn, MAX(x) AS xmx, MIN(y) AS ymn, MAX(y) AS ymx FROM base
+),
+scaled AS (
+  SELECT o_orderkey,
+         ((x - xmn) * {mx}) {div} (CASE WHEN xmx > xmn THEN xmx - xmn ELSE 1 END) AS xs,
+         ((y - ymn) * {mx}) {div} (CASE WHEN ymx > ymn THEN ymx - ymn ELSE 1 END) AS ys
+  FROM base CROSS JOIN ext
+),
+z AS (SELECT o_orderkey, {interleave} AS zval FROM scaled)
+SELECT o_orderkey, zval,
+       NTILE(16) OVER (ORDER BY zval, o_orderkey) AS zbucket
+FROM z
+"""
+
+
+def _q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (o_custkey, o_totalprice) —
+    the multi-dimensional layout that makes parquet min/max stats
+    selective on BOTH columns at once (operators/scale.py zorder_value /
+    zorder_layout). This entry is the determinism CONTRACT: all-integer
+    scaling + bit interleave + NTILE over a total order, reproduced
+    bit-for-bit by the oracle. The PRODUCTION path is zorder_layout's
+    repartitionByRange (sampled boundaries — layout may jitter between
+    runs, answers never do); the NTILE global sort here is the price of
+    a deterministic bucket id, paid only in the oracle harness."""
+    _views(spark, sf_dir)
+    return spark.sql(_zorder_sql("spark"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-6 rotation (counts: 7 + 19 + 24 = 50 checked;
-        # 10 + 9 demoted + 44 r05-green = 63 tail; 113 total):
+        # entries. Round-6 rotation (counts: 7 + 21 + 22 = 50 checked;
+        # 12 + 9 demoted + 44 r05-green = 65 tail; 115 total):
         #   1. the seven r02-evidence keys (three rounds stale — the
         #      micros/nanos incident is why stale evidence is a risk),
         #   2. keys whose code/oracle is NEW or CHANGED in round 6
@@ -3316,19 +3427,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      additions: tfidf_top_terms, inverted_index,
         #      weighted_sample, ngram_jaccard_dups, kmeans_clusters,
         #      quality_quantile_filter, snapshot_diff, profile_report,
-        #      zscore_outliers, embedding_quantize — plus
-        #      fuzzy_name_match),
+        #      zscore_outliers, embedding_quantize, cms_user_counts,
+        #      zorder_cluster — plus fuzzy_name_match),
         #   3. keys whose latest evidence is r04 (r05's tail), MINUS
         #      nine triple-green (r01+r03+r04) unchanged-SQL demotions
         #      (parts_heavy_semi, set_ops_segments, correlated_max_order,
         #      json_events, customers_no_orders_anti, string_funcs,
         #      case_coalesce, grouping_sets, broadcast_hint_join) and
-        #      MINUS ten further r04-green demotions displaced by the
+        #      MINUS twelve further r04-green demotions displaced by the
         #      new operators (repetition_profile, filter_audit,
         #      nfc_normalize, url_domains, span_dedup, formats_roundtrip,
         #      multimodal_decode, pivot_event_values, udf_text_metrics,
-        #      vector_stats; dataset_split stays) — ALL 19 demotions lead
-        #      round 7's 50,
+        #      vector_stats, decontaminate, pii_redaction; dataset_split
+        #      stays) — ALL 21 demotions lead round 7's 50,
         #   4. tail: the demotions, then every key checked green in r05
         #      — freshest evidence, safe past the cutoff for one round.
     return {
@@ -3360,6 +3471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_report": _q_profile_report,
         "zscore_outliers": _sql(ZSCORE_OUTLIERS),
         "embedding_quantize": _q_embedding_quantize,
+        "cms_user_counts": _q_cms_user_counts,
+        "zorder_cluster": _q_zorder_cluster,
         # -- (3) latest evidence r04 (r05 tail), minus demotions ------
         "corpus_curation": _q_corpus_curation,
         "doc_fingerprints": _q_fingerprints,
@@ -3381,14 +3494,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_supplier_cnt": _sql(Q16_PARTS_SUPPLIER_CNT),
         "q17_small_qty_revenue": _sql(Q17_SMALL_QTY_REVENUE),
         "q21_waiting_supplier": _sql(Q21_WAITING_SUPPLIER),
-        "decontaminate": _q_decontaminate,
         "boilerplate_ngrams": _q_boilerplate,
-        "pii_redaction": _q_pii_redaction,
         "dataset_split": _q_dataset_split,
         # -- 50-cap cutoff --------------------------------------------
-        # -- (4a) demotions: FIRST into round 7's checked 50 — the ten
-        #    r04-green keys displaced by round 6's new operators, then
-        #    the nine triple-green unchanged-SQL demotions -------------
+        # -- (4a) demotions: FIRST into round 7's checked 50 — the
+        #    twelve r04-green keys displaced by round 6's new operators,
+        #    then the nine triple-green unchanged-SQL demotions --------
+        "decontaminate": _q_decontaminate,
+        "pii_redaction": _q_pii_redaction,
         "repetition_profile": _q_repetition_profile,
         "filter_audit": _q_filter_audit,
         "nfc_normalize": _q_nfc_normalize,
@@ -3468,6 +3581,8 @@ def oracle_sql() -> dict[str, str]:
         "profile_report": _profile_report_duck(),
         "zscore_outliers": ZSCORE_OUTLIERS,
         "embedding_quantize": EMBEDDING_QUANTIZE_DUCK,
+        "cms_user_counts": _cms_user_counts_duck(),
+        "zorder_cluster": _zorder_sql("duck"),
         "bpe_merges": _bpe_merges_duck(),
         "bpe_tokenize": _bpe_tokenize_duck(),
         "fuzzy_name_match": FUZZY_NAME_MATCH_DUCK,

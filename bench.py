@@ -90,6 +90,10 @@ HEADLINE = [
     # round 6 late: one-pass wide-agg profiling + aggregate-window outliers
     "profile_report",
     "zscore_outliers",
+    # round 6 late: bounded-state sketch agg (depth*width counters, map-side
+    # partials) + the Morton-key global-ntile determinism contract
+    "cms_user_counts",
+    "zorder_cluster",
 ]
 
 

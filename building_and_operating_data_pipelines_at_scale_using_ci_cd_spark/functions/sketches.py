@@ -1,0 +1,129 @@
+"""Mergeable frequency sketches as DataFrames (count-min).
+
+Spark ships sketch AGGREGATES (``hll_sketch_agg`` — already used by the
+HLL rollup entry — and ``count_min_sketch``), but the binary blob
+``count_min_sketch`` returns is engine-private: no SQL function probes
+it for an estimate, and no other engine can reproduce its bits, so it
+can't carry a strict cross-engine oracle. This module materializes the
+count-min sketch AS A DATAFRAME of ``(depth_row, bucket, cnt)``
+counters built from portable md5 hashing instead:
+
+  - bit-identical in any engine with md5 (a DuckDB oracle rebuilds the
+    exact sketch, so estimates are strict value-hash-checkable — no
+    error-bound-boolean fallback needed);
+  - mergeable by construction: partial sketches union + sum into the
+    whole-corpus sketch (``cms_merge``), the same partial-maintenance
+    shape the HLL rollup uses — keep per-day partials at 100 TB and
+    answer any coarser window without rescanning raw events;
+  - bounded state: ``depth x width`` counter rows regardless of input
+    cardinality, with Spark's map-side partial aggregation collapsing
+    each input partition to at most that many rows before the shuffle.
+
+Classic CMS guarantees hold row-wise (counters only over-count):
+``estimate >= true`` always, and ``estimate <= true + eps*N`` with
+probability ``1 - (1/2)^depth`` for ``width = ceil(e/eps)``.
+
+Reference parity note: the reference repo (aws-samples
+building-and-operating-data-pipelines-at-scale-using-ci-cd) exposes no
+sketch surface — this is a north-star extension operator (SURVEY
+§2.10), peer of the HLL rollup.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cms_bucket", "cms_build", "cms_merge", "cms_estimate", "cms_frequency"]
+
+
+def cms_bucket(item: Column, row: Column, width: int) -> Column:
+    """Counter index for ``item`` under depth-row ``row``: the portable
+    md5 32-bit hash (``functions.text.portable_hash`` family, seeded by
+    the row index) reduced mod ``width``. Pure Column expression —
+    reproducible bit-for-bit by any engine with md5."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(item.cast("string"), F.lit("#cms"), row.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % F.lit(width)).alias("bucket")
+
+
+def cms_build(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build the sketch: ``(row, bucket, cnt)`` with one counter row per
+    (depth-row, bucket) pair — at most ``depth * width`` rows total.
+
+    The explode is ``depth`` integer rows per input row (cheap,
+    map-side), and the groupBy's partial aggregation means each input
+    partition ships at most ``depth * width`` pre-summed rows into the
+    single bounded-size shuffle — the plan is insensitive to input
+    cardinality, which is the entire point of a sketch at 100 TB."""
+    row = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    w = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
+    exploded = df.select(row, F.col(item_col).alias("__item"), w.alias("__w"))
+    return (
+        exploded.select("row", cms_bucket(F.col("__item"), F.col("row"), width), "__w")
+        .groupBy("row", "bucket")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge partial sketches (same depth/width) by counter-wise sum —
+    CMS addition is commutative, so partials built per shard / per day /
+    per micro-batch combine in any order into exactly the sketch of the
+    unioned input (asserted exactly in tests/test_sketches.py)."""
+    unioned = reduce(DataFrame.unionByName, sketches)
+    return unioned.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, item_col: str, depth: int, width: int
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[item_col]``: hash each
+    probe into its ``depth`` counters, join the sketch on (row, bucket),
+    and take the row-wise MIN — the classic CMS estimator. The join's
+    build side is the sketch itself (≤ depth×width rows), so Spark
+    broadcasts it and the probe side never shuffles."""
+    probed = probes.select(F.col(item_col).alias("__probe")).distinct()
+    exploded = probed.select(
+        "__probe", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    )
+    keyed = exploded.select(
+        "__probe", "row", cms_bucket(F.col("__probe"), F.col("row"), width)
+    )
+    est = (
+        keyed.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("__probe")
+        # a probe item absent from the stream can land on never-touched
+        # counters: missing counter = 0, hence coalesce before the min
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+    return est.withColumnRenamed("__probe", item_col)
+
+
+def cms_frequency(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """One-call convenience (and the ``cmsFrequency`` config step):
+    sketch ``df[item_col]`` then estimate every distinct item observed,
+    returning ``(item, cms_est)``. For the split build/probe form (e.g.
+    probing yesterday's sketch with today's keys) use
+    :func:`cms_build` + :func:`cms_estimate` directly."""
+    sketch = cms_build(df, item_col, depth=depth, width=width, weight_col=weight_col)
+    return cms_estimate(sketch, df, item_col, depth=depth, width=width)

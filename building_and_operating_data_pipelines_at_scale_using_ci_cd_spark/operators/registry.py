@@ -388,6 +388,20 @@ def _streaming_dedup_op(df: DataFrame, keys: list, ts_col: str, **kw) -> DataFra
     return streaming_dedup(df, list(keys), ts_col, **kw)
 
 
+def _cms_frequency(df: DataFrame, item_col: str, **kw) -> DataFrame:
+    from ..functions.sketches import cms_frequency
+
+    kw = {k: int(v) if k in ("depth", "width") else v for k, v in kw.items()}
+    return cms_frequency(df, item_col, **kw)
+
+
+def _zorder_layout(df: DataFrame, cols: list, **kw) -> DataFrame:
+    from .scale import zorder_layout
+
+    kw = {k: int(v) if k in ("bits", "num_partitions") else v for k, v in kw.items()}
+    return zorder_layout(df, list(cols), **kw)
+
+
 OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "exactDedupGroups": _exact_dedup,
     "exactDedupSurvivors": _dedup_survivors,
@@ -426,6 +440,8 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "qualityQuantileCut": _quality_quantile,
     "profileColumns": _profile_columns,
     "quantizeEmbeddings": _quantize_embeddings,
+    "cmsFrequency": _cms_frequency,
+    "zorderLayout": _zorder_layout,
     "sessionAggregate": _session_aggregate,
     "tumblingCounts": _tumbling_counts,
     "streamingDedup": _streaming_dedup_op,

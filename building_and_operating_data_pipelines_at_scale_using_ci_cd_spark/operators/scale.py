@@ -18,7 +18,10 @@ the two cases AQE can't:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -100,6 +103,77 @@ def compact_files(
     _swap_dirs(spark, staging, path)
     written = spark.read.format(fmt).load(path)
     return written.rdd.getNumPartitions()
+
+
+def zorder_value(cols: list[Column], bits: int = 16) -> Column:
+    """Morton/Z value: interleave the low ``bits`` bits of each column
+    (already scaled to non-negative integers) into one bigint, so rows
+    close in EVERY dimension are close in the single sort order. Sorting
+    a table by this key makes parquet row-group min/max stats selective
+    on ALL participating columns at once — the multi-dimensional
+    clustering trick (Delta ``OPTIMIZE ZORDER BY``) that single-column
+    sorting can't give you.
+
+    Pure bit arithmetic (``shiftright & 1 << position`` terms summed),
+    so the value is bit-identical in any engine — the ``zorder_cluster``
+    entry's DuckDB oracle recomputes it exactly. ``len(cols) * bits``
+    must stay < 63 to fit a bigint."""
+    n = len(cols)
+    if n * bits >= 63:
+        raise ValueError(f"{n} cols x {bits} bits overflows a signed bigint")
+    terms = []
+    for j, c in enumerate(cols):
+        cb = c.cast("bigint")
+        for b in range(bits):
+            terms.append(
+                F.shiftleft(F.shiftright(cb, b).bitwiseAND(F.lit(1)), b * n + j)
+            )
+    return reduce(add, terms)
+
+
+def zorder_scale(c: Column, cmin: int, cmax: int, bits: int = 16) -> Column:
+    """Min-max scale an integer column onto ``[0, 2^bits)`` with ALL-
+    INTEGER arithmetic — the float formulation (``(v-min)/(max-min) *
+    (2^bits-1)``) rounds differently across engines exactly at bucket
+    boundaries (the weighted-sample lesson, operators/sampling.py). The
+    ``(a - a%b)/b`` form keeps the quotient exact: a - a%b is divisible
+    by b, and the intermediate product must stay < 2^53 (fine for any
+    key that fits ``bits`` scaling in the first place; guard upstream
+    for astronomical domains)."""
+    a = (c.cast("bigint") - F.lit(cmin)) * F.lit((1 << bits) - 1)
+    b = F.lit(max(1, cmax - cmin)).cast("bigint")
+    return ((a - a % b) / b).cast("bigint")
+
+
+def zorder_layout(
+    df: DataFrame, cols: list[str], bits: int = 12, num_partitions: int = 32
+) -> DataFrame:
+    """Production Z-order layout pass: scale each clustering column by
+    its observed min/max (ONE 1-row driver aggregate — a design-bounded
+    scalar, same allowance as the IVF centroid collect), compute the
+    Morton key, range-partition on it and sort within partitions. Write
+    the result and every output file covers a compact Z range — scans
+    filtering on ANY clustered column prune most files via parquet
+    min/max (asserted by tests/test_scale_ops.py: partition Z ranges are
+    pairwise disjoint).
+
+    Range boundaries come from Spark's reservoir sampling — layout, not
+    answers, so run-to-run boundary jitter is harmless; the
+    DETERMINISTIC contract for oracles is the ``zorder_cluster`` entry's
+    NTILE form instead."""
+    stats = df.agg(
+        *[F.min(c).cast("bigint").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("bigint").alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    scaled = [
+        zorder_scale(F.col(c), stats[f"mn_{c}"], stats[f"mx_{c}"], bits) for c in cols
+    ]
+    with_z = df.withColumn("__z", zorder_value(scaled, bits))
+    return (
+        with_z.repartitionByRange(num_partitions, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
 
 
 def bucketed_write(

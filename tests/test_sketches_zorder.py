@@ -1,0 +1,140 @@
+"""Count-min sketch (functions/sketches.py) and Z-order layout
+(operators/scale.py): CMS guarantees + exact mergeability; Morton key
+bit math + disjoint partition ranges after the layout pass."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.sketches import (
+    cms_build,
+    cms_estimate,
+    cms_frequency,
+    cms_merge,
+)
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.scale import (
+    zorder_layout,
+    zorder_scale,
+    zorder_value,
+)
+
+
+@pytest.fixture
+def items(spark):
+    # zipf-ish: item i appears 200//(i+1) times — a few heavy hitters
+    rows = [(f"item_{i}",) for i in range(40) for _ in range(200 // (i + 1))]
+    return spark.createDataFrame(rows, "item string")
+
+
+def _est_map(df):
+    return {r["item"]: r["cms_est"] for r in df.collect()}
+
+
+def test_cms_never_undercounts(spark, items):
+    exact = {r["item"]: r["n"] for r in items.groupBy("item").agg(F.count("*").alias("n")).collect()}
+    est = _est_map(cms_frequency(items, "item", depth=4, width=32))
+    assert set(est) == set(exact)
+    for k, v in exact.items():
+        assert est[k] >= v, k
+
+
+def test_cms_exact_when_wide(spark, items):
+    # width >> cardinality and depth 4: the odds that some item collides
+    # in ALL rows are negligible, and this fixture is fixed — est == true
+    exact = {r["item"]: r["n"] for r in items.groupBy("item").agg(F.count("*").alias("n")).collect()}
+    est = _est_map(cms_frequency(items, "item", depth=4, width=4096))
+    assert est == exact
+
+
+def test_cms_sketch_state_is_bounded(spark, items):
+    sk = cms_build(items, "item", depth=3, width=16)
+    assert sk.count() <= 3 * 16
+    # every depth row preserves the total stream count
+    per_row = sk.groupBy("row").agg(F.sum("cnt").alias("total")).collect()
+    n = items.count()
+    assert {r["total"] for r in per_row} == {n}
+
+
+def test_cms_merge_equals_whole_sketch(spark, items):
+    # partial sketches over disjoint shards merge into EXACTLY the
+    # whole-stream sketch — the per-day-partials maintenance pattern
+    # (shards split deterministically: limit() picks different rows on
+    # re-evaluation and CMS counters would drift between the two plans)
+    shard = F.ascii(F.substring("item", 6, 1)) % 2
+    a = items.filter(shard == 0)
+    b = items.filter(shard == 1)
+    merged = cms_merge(
+        cms_build(a, "item", depth=4, width=32),
+        cms_build(b, "item", depth=4, width=32),
+    )
+    whole = cms_build(items, "item", depth=4, width=32)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_cms_probe_of_absent_item_is_zero_or_collision(spark, items):
+    sk = cms_build(items, "item", depth=4, width=4096)
+    probes = spark.createDataFrame([("never_seen",)], "item string")
+    est = _est_map(cms_estimate(sk, probes, "item", depth=4, width=4096))
+    assert est["never_seen"] == 0  # wide sketch: all 4 counters untouched
+
+
+def test_zorder_value_interleaves_bits(spark):
+    df = spark.createDataFrame([(3, 0), (0, 3), (3, 3), (2, 1)], "x int, y int")
+    out = df.select(
+        "x", "y", zorder_value([F.col("x"), F.col("y")], bits=2).alias("z")
+    ).collect()
+    got = {(r["x"], r["y"]): r["z"] for r in out}
+    # x occupies even bit positions, y odd: z = interleave(y,x)
+    assert got[(3, 0)] == 0b0101
+    assert got[(0, 3)] == 0b1010
+    assert got[(3, 3)] == 0b1111
+    assert got[(2, 1)] == 0b0110  # x=10 -> bits 0,2 = 0,1; y=01 -> bits 1,3 = 1,0
+    with pytest.raises(ValueError):
+        zorder_value([F.col("x"), F.col("y")], bits=32)
+
+
+def test_zorder_scale_endpoints_and_integrality(spark):
+    df = spark.createDataFrame([(10,), (55,), (100,)], "v int")
+    out = df.select(zorder_scale(F.col("v"), 10, 100, bits=4).alias("s")).collect()
+    vals = [r["s"] for r in out]
+    assert vals[0] == 0 and vals[2] == 15  # min -> 0, max -> 2^bits - 1
+    assert all(0 <= v <= 15 for v in vals)
+
+
+def test_zorder_layout_partitions_are_disjoint_z_ranges(spark):
+    rows = [(i % 97, (i * 31) % 89) for i in range(2000)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    laid = zorder_layout(df, ["a", "b"], bits=8, num_partitions=8)
+    # recompute z per row with the same scaling and check that the
+    # partition-id -> z-range mapping is non-overlapping (this is what
+    # makes parquet min/max stats selective after the write)
+    z = zorder_value(
+        [zorder_scale(F.col("a"), 0, 96, 8), zorder_scale(F.col("b"), 0, 88, 8)], 8
+    )
+    spans = (
+        laid.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__z", z)
+        .groupBy("__pid")
+        .agg(F.min("__z").alias("lo"), F.max("__z").alias("hi"))
+        .collect()
+    )
+    spans = sorted([(r["lo"], r["hi"]) for r in spans])
+    assert len(spans) > 1  # actually split
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next
+    # layout is a reshuffle, never a filter
+    assert laid.count() == 2000
+
+
+def test_registry_steps(spark, items):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.registry import (
+        apply_operator,
+    )
+
+    est = apply_operator("cmsFrequency", items, {"item_col": "item", "depth": "4", "width": "64"})
+    assert est.columns == ["item", "cms_est"]
+    df = spark.createDataFrame([(i, i * 7 % 50) for i in range(100)], "a int, b int")
+    laid = apply_operator(
+        "zorderLayout", df, {"cols": ["a", "b"], "bits": "6", "num_partitions": "4"}
+    )
+    assert laid.count() == 100

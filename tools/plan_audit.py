@@ -32,13 +32,14 @@ from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark import get
 #: LSH buckets by default, so a BNLJ there is a regression again), plus
 #: queries whose BNLJ is a ONE-ROW scalar broadcast (domain_mix joins the
 #: global k, lm_cross_entropy and bigram_lm the corpus token total,
-#: tfidf_top_terms the corpus doc count — all O(n) passes over a 1-row
-#: build side, the no-driver-collect way to attach a scalar; an unbounded
-#: BNLJ appearing in these plans would still be caught by the
-#: exchange-count column jumping)
+#: tfidf_top_terms the corpus doc count, zorder_cluster the four-value
+#: min/max extent row — all O(n) passes over a 1-row build side, the
+#: no-driver-collect way to attach a scalar; an unbounded BNLJ appearing
+#: in these plans would still be caught by the exchange-count column
+#: jumping)
 BNLJ_ALLOWED = {
     "topk_neighbors", "domain_mix", "lm_cross_entropy", "bigram_lm",
-    "tfidf_top_terms", "quality_quantile_filter",
+    "tfidf_top_terms", "quality_quantile_filter", "zorder_cluster",
 }
 
 FLAGS = {
