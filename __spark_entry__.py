@@ -3359,6 +3359,128 @@ FROM exact e JOIN est s USING (user_id)
 """
 
 
+_PQ_M = 16  # subspaces (64-dim -> 16 x 4-dim)
+_PQ_K = 16  # codes per subspace -> 16 bytes/vector, 16x smaller than f32
+_PQ_ITERS = 1
+_PQ_SHORTLIST = 50
+
+
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (functions/similarity.py pq_topk): the
+    corpus is stored as m=16 4-bit-ish codes (16 bytes vs 256 — the
+    memory-bound 100 TB path), queries score candidates with m ARRAY
+    LOOKUPS each (ADC) instead of a 64-dim dot, and only the ADC
+    top-50 shortlist pays an exact rerank. recall@5 = 0.94 at sf0.1
+    (bench sidecar). Strict oracle: codebook training (per-subspace
+    Lloyd under the kmeans rounding contract), encoding, ADC tables,
+    shortlist and rerank are ALL unrolled into DuckDB CTEs."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.similarity import (
+        pq_topk,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return pq_topk(
+        queries_df, emb, "vec_id", "embedding",
+        k=5, m=_PQ_M, k_codes=_PQ_K, iters=_PQ_ITERS, shortlist=_PQ_SHORTLIST,
+    )
+
+
+def _pq_topk_duck(
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    iters: int = _PQ_ITERS,
+    shortlist: int = _PQ_SHORTLIST,
+    dim: int = 64,
+) -> str:
+    """The full PQ pipeline unrolled in DuckDB: per-subspace Lloyd
+    training (same assign/update CTE pair as _kmeans_duck, on sliced
+    vectors), per-vector code assignment, per-query ADC lookup tables
+    (ROUND 9dp like the engine's F.round), est = dd0+dd1+… summed in
+    fixed subspace order (bit-identical to the engine's left-assoc
+    lookup chain), shortlist by (est DESC, id), exact-cosine rerank."""
+    d = dim // m
+
+    def assign(src_v: str, src_c: str, out: str) -> str:
+        return f"""{out} AS MATERIALIZED (
+  SELECT vec_id, e, cid FROM (
+    SELECT t.vec_id, t.e, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+             ROUND(LIST_DOT_PRODUCT(t.e, c.cv)
+               / (SQRT(LIST_DOT_PRODUCT(t.e, t.e)) * SQRT(LIST_DOT_PRODUCT(c.cv, c.cv))), 9) DESC,
+             c.cid) AS rn
+    FROM {src_v} t CROSS JOIN {src_c} c) WHERE rn = 1)"""
+
+    def update(src_a: str, src_c: str, out: str) -> str:
+        return f"""{out} AS MATERIALIZED (
+  SELECT cid, LIST(mm ORDER BY pos) AS cv FROM (
+    SELECT cid, pos, ROUND(AVG(val), 6) AS mm FROM (
+      SELECT cid, UNNEST(e) AS val, GENERATE_SUBSCRIPTS(e, 1) AS pos FROM {src_a})
+    GROUP BY cid, pos) GROUP BY cid
+  UNION ALL
+  SELECT cid, cv FROM {src_c} WHERE cid NOT IN (SELECT DISTINCT cid FROM {src_a}))"""
+
+    parts = ["v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"]
+    for s in range(m):
+        lo, hi = s * d + 1, (s + 1) * d
+        parts.append(f"v{s} AS MATERIALIZED (SELECT vec_id, e[{lo}:{hi}] AS e FROM v)")
+        parts.append(
+            f"""s{s}c0 AS MATERIALIZED (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, e AS cv
+  FROM (SELECT vec_id, e FROM v{s} ORDER BY vec_id LIMIT {k}))"""
+        )
+        cur = f"s{s}c0"
+        for i in range(iters):
+            parts.append(assign(f"v{s}", cur, f"s{s}a{i + 1}"))
+            parts.append(update(f"s{s}a{i + 1}", cur, f"s{s}c{i + 1}"))
+            cur = f"s{s}c{i + 1}"
+        parts.append(assign(f"v{s}", cur, f"s{s}code"))
+        parts.append(
+            f"""dt{s} AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.cid,
+         ROUND(LIST_DOT_PRODUCT(q.e[{lo}:{hi}], c.cv), 9) AS dd
+  FROM v q CROSS JOIN {cur} c WHERE q.vec_id % 50 = 0)"""
+        )
+    code_joins = "\n  ".join(
+        f"JOIN s{s}code ON s{s}code.vec_id = s0code.vec_id" for s in range(1, m)
+    )
+    dt_joins = "\n  ".join(
+        f"JOIN dt{s} ON dt{s}.cid = s{s}code.cid AND dt{s}.query_id = dt0.query_id"
+        for s in range(1, m)
+    )
+    est_sum = " + ".join(f"dt{s}.dd" for s in range(m))
+    parts.append(
+        f"""est AS MATERIALIZED (
+  SELECT dt0.query_id, s0code.vec_id AS neighbor_id, {est_sum} AS est
+  FROM s0code
+  {code_joins}
+  JOIN dt0 ON dt0.cid = s0code.cid
+  {dt_joins}
+  WHERE dt0.query_id <> s0code.vec_id)"""
+    )
+    parts.append(
+        f"""short AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY est DESC, neighbor_id) AS srn
+    FROM est) WHERE srn <= {shortlist})"""
+    )
+    return (
+        "WITH " + ",\n".join(parts) + """
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+       ROUND(cos, 2) AS cosine_sim
+FROM (
+  SELECT s.query_id, s.neighbor_id,
+         LIST_DOT_PRODUCT(q.e, n.e)
+           / (SQRT(LIST_DOT_PRODUCT(q.e, q.e)) * SQRT(LIST_DOT_PRODUCT(n.e, n.e))) AS cos
+  FROM short s
+  JOIN v q ON q.vec_id = s.query_id
+  JOIN v n ON n.vec_id = s.neighbor_id)
+QUALIFY rank <= 5
+"""
+    )
+
+
 _Z_BITS = 12
 
 
@@ -3415,8 +3537,8 @@ def _q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-6 rotation (counts: 7 + 21 + 22 = 50 checked;
-        # 12 + 9 demoted + 44 r05-green = 65 tail; 115 total):
+        # entries. Round-6 rotation (counts: 7 + 22 + 21 = 50 checked;
+        # 13 + 9 demoted + 44 r05-green = 66 tail; 116 total):
         #   1. the seven r02-evidence keys (three rounds stale — the
         #      micros/nanos incident is why stale evidence is a risk),
         #   2. keys whose code/oracle is NEW or CHANGED in round 6
@@ -3428,18 +3550,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      weighted_sample, ngram_jaccard_dups, kmeans_clusters,
         #      quality_quantile_filter, snapshot_diff, profile_report,
         #      zscore_outliers, embedding_quantize, cms_user_counts,
-        #      zorder_cluster — plus fuzzy_name_match),
+        #      zorder_cluster, pq_topk — plus fuzzy_name_match),
         #   3. keys whose latest evidence is r04 (r05's tail), MINUS
         #      nine triple-green (r01+r03+r04) unchanged-SQL demotions
         #      (parts_heavy_semi, set_ops_segments, correlated_max_order,
         #      json_events, customers_no_orders_anti, string_funcs,
         #      case_coalesce, grouping_sets, broadcast_hint_join) and
-        #      MINUS twelve further r04-green demotions displaced by the
-        #      new operators (repetition_profile, filter_audit,
+        #      MINUS thirteen further r04-green demotions displaced by
+        #      the new operators (repetition_profile, filter_audit,
         #      nfc_normalize, url_domains, span_dedup, formats_roundtrip,
         #      multimodal_decode, pivot_event_values, udf_text_metrics,
-        #      vector_stats, decontaminate, pii_redaction; dataset_split
-        #      stays) — ALL 21 demotions lead round 7's 50,
+        #      vector_stats, decontaminate, pii_redaction,
+        #      boilerplate_ngrams; dataset_split stays) — ALL 22
+        #      demotions lead round 7's 50,
         #   4. tail: the demotions, then every key checked green in r05
         #      — freshest evidence, safe past the cutoff for one round.
     return {
@@ -3473,6 +3596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": _q_embedding_quantize,
         "cms_user_counts": _q_cms_user_counts,
         "zorder_cluster": _q_zorder_cluster,
+        "pq_topk": _q_pq_topk,
         # -- (3) latest evidence r04 (r05 tail), minus demotions ------
         "corpus_curation": _q_corpus_curation,
         "doc_fingerprints": _q_fingerprints,
@@ -3494,14 +3618,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_supplier_cnt": _sql(Q16_PARTS_SUPPLIER_CNT),
         "q17_small_qty_revenue": _sql(Q17_SMALL_QTY_REVENUE),
         "q21_waiting_supplier": _sql(Q21_WAITING_SUPPLIER),
-        "boilerplate_ngrams": _q_boilerplate,
         "dataset_split": _q_dataset_split,
         # -- 50-cap cutoff --------------------------------------------
         # -- (4a) demotions: FIRST into round 7's checked 50 — the
-        #    twelve r04-green keys displaced by round 6's new operators,
-        #    then the nine triple-green unchanged-SQL demotions --------
+        #    thirteen r04-green keys displaced by round 6's new
+        #    operators, then the nine triple-green unchanged-SQL
+        #    demotions ------------------------------------------------
         "decontaminate": _q_decontaminate,
         "pii_redaction": _q_pii_redaction,
+        "boilerplate_ngrams": _q_boilerplate,
         "repetition_profile": _q_repetition_profile,
         "filter_audit": _q_filter_audit,
         "nfc_normalize": _q_nfc_normalize,
@@ -3583,6 +3708,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": EMBEDDING_QUANTIZE_DUCK,
         "cms_user_counts": _cms_user_counts_duck(),
         "zorder_cluster": _zorder_sql("duck"),
+        "pq_topk": _pq_topk_duck(),
         "bpe_merges": _bpe_merges_duck(),
         "bpe_tokenize": _bpe_tokenize_duck(),
         "fuzzy_name_match": FUZZY_NAME_MATCH_DUCK,

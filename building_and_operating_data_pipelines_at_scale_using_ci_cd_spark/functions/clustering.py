@@ -74,26 +74,18 @@ def _assign_clusters(
     )
 
 
-def kmeans_fit_predict(
+def lloyd_centroids(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int | None = 8,
-    iters: int = 3,
-) -> DataFrame:
-    """Lloyd's k-means with deterministic seeding: initial centroids are
-    the ``k`` lowest-id vectors (reproducible, no RNG), then ``iters``
-    rounds of assign → mean-update. Returns one row per input vector:
-    (id, cluster) with cluster relabeled 0..k-1 by ascending seed id.
-
-    ``k=None`` sizes adaptively (~√n via
-    :func:`..functions.similarity.adaptive_index_size` — the same
-    scale-with-the-corpus default IVF and SemDeDup use); entry queries
-    pass explicit k so their oracles stay static."""
-    if k is None:
-        from .similarity import adaptive_index_size
-
-        k = adaptive_index_size(df)
+    k: int,
+    iters: int,
+) -> list[tuple[int, list[float]]]:
+    """The Lloyd training loop alone: deterministic lowest-id seeds
+    relabeled 0..k-1, then ``iters`` assign → mean-update rounds under
+    the module's rounding contract. Returns the trained centroid list —
+    the piece product-quantization codebook training
+    (``similarity.pq_topk``) shares with :func:`kmeans_fit_predict`."""
     if k <= 0 or iters < 0:
         raise ValueError("need k > 0 and iters >= 0")
     dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -127,5 +119,29 @@ def kmeans_fit_predict(
         )
         new = {int(r["cluster"]): [float(r[f"d{i}"]) for i in range(dim)] for r in means}
         cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
+def kmeans_fit_predict(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int | None = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Lloyd's k-means with deterministic seeding: initial centroids are
+    the ``k`` lowest-id vectors (reproducible, no RNG), then ``iters``
+    rounds of assign → mean-update. Returns one row per input vector:
+    (id, cluster) with cluster relabeled 0..k-1 by ascending seed id.
+
+    ``k=None`` sizes adaptively (~√n via
+    :func:`..functions.similarity.adaptive_index_size` — the same
+    scale-with-the-corpus default IVF and SemDeDup use); entry queries
+    pass explicit k so their oracles stay static."""
+    if k is None:
+        from .similarity import adaptive_index_size
+
+        k = adaptive_index_size(df)
+    cents = lloyd_centroids(df, id_col, vec_col, k, iters)
     final = _assign_clusters(df, cents, id_col, vec_col)
     return final.select(F.col("__id").alias(id_col), "cluster")

@@ -388,6 +388,17 @@ def _streaming_dedup_op(df: DataFrame, keys: list, ts_col: str, **kw) -> DataFra
     return streaming_dedup(df, list(keys), ts_col, **kw)
 
 
+def _pq_topk(df: DataFrame, id_col: str, vec_col: str, **kw) -> DataFrame:
+    from ..functions.similarity import pq_topk
+
+    kw = {
+        k: int(v) if k in ("k", "m", "k_codes", "iters", "shortlist") else v
+        for k, v in kw.items()
+    }
+    # config steps have ONE input view: self-search (corpus queries itself)
+    return pq_topk(df, df, id_col, vec_col, **kw)
+
+
 def _cms_frequency(df: DataFrame, item_col: str, **kw) -> DataFrame:
     from ..functions.sketches import cms_frequency
 
@@ -440,6 +451,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "qualityQuantileCut": _quality_quantile,
     "profileColumns": _profile_columns,
     "quantizeEmbeddings": _quantize_embeddings,
+    "pqTopk": _pq_topk,
     "cmsFrequency": _cms_frequency,
     "zorderLayout": _zorder_layout,
     "sessionAggregate": _session_aggregate,
