@@ -3359,6 +3359,52 @@ FROM exact e JOIN est s USING (user_id)
 """
 
 
+def _q_time_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key hourly resample + forward fill (operators/timeseries.py
+    resample_ffill): one grid row per user per hour between their first
+    and last event, last observed value carried across gaps. Grids are
+    per-key sequence+explode (no global calendar, no cross join); both
+    windows partition BY KEY. Restricted to user_id < 30 so the result
+    stays compare-sized at every SF."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.timeseries import (
+        resample_ffill,
+    )
+
+    events = _table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    out = resample_ffill(
+        events, "user_id", "ts", "value", step="1 hour", tie_cols=["event_id"]
+    )
+    return out.select(
+        "user_id", "slot", F.round("value_ffill", 6).alias("value_ffill"), "is_observed"
+    )
+
+
+TIME_RESAMPLE_DUCK = """
+WITH obs AS (
+  SELECT user_id, DATE_TRUNC('hour', ts) AS slot, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, DATE_TRUNC('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE user_id < 30
+),
+last_obs AS (SELECT user_id, slot, value FROM obs WHERE rn = 1),
+extent AS (SELECT user_id, MIN(slot) AS lo, MAX(slot) AS hi FROM last_obs GROUP BY 1),
+grid AS (
+  SELECT user_id, UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 HOUR)) AS slot
+  FROM extent
+),
+joined AS (
+  SELECT g.user_id, g.slot, o.value, o.value IS NOT NULL AS is_observed
+  FROM grid g LEFT JOIN last_obs o USING (user_id, slot)
+)
+SELECT user_id, slot,
+       ROUND(LAST_VALUE(value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY slot
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_ffill,
+       is_observed
+FROM joined
+"""
+
+
 _PQ_M = 16  # subspaces (64-dim -> 16 x 4-dim)
 _PQ_K = 16  # codes per subspace -> 16 bytes/vector, 16x smaller than f32
 _PQ_ITERS = 1
@@ -3537,8 +3583,8 @@ def _q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-6 rotation (counts: 7 + 22 + 21 = 50 checked;
-        # 13 + 9 demoted + 44 r05-green = 66 tail; 116 total):
+        # entries. Round-6 rotation (counts: 7 + 23 + 20 = 50 checked;
+        # 14 + 9 demoted + 44 r05-green = 67 tail; 117 total):
         #   1. the seven r02-evidence keys (three rounds stale — the
         #      micros/nanos incident is why stale evidence is a risk),
         #   2. keys whose code/oracle is NEW or CHANGED in round 6
@@ -3550,19 +3596,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      weighted_sample, ngram_jaccard_dups, kmeans_clusters,
         #      quality_quantile_filter, snapshot_diff, profile_report,
         #      zscore_outliers, embedding_quantize, cms_user_counts,
-        #      zorder_cluster, pq_topk — plus fuzzy_name_match),
+        #      zorder_cluster, pq_topk, time_resample — plus
+        #      fuzzy_name_match),
         #   3. keys whose latest evidence is r04 (r05's tail), MINUS
         #      nine triple-green (r01+r03+r04) unchanged-SQL demotions
         #      (parts_heavy_semi, set_ops_segments, correlated_max_order,
         #      json_events, customers_no_orders_anti, string_funcs,
         #      case_coalesce, grouping_sets, broadcast_hint_join) and
-        #      MINUS thirteen further r04-green demotions displaced by
+        #      MINUS fourteen further r04-green demotions displaced by
         #      the new operators (repetition_profile, filter_audit,
         #      nfc_normalize, url_domains, span_dedup, formats_roundtrip,
         #      multimodal_decode, pivot_event_values, udf_text_metrics,
         #      vector_stats, decontaminate, pii_redaction,
-        #      boilerplate_ngrams; dataset_split stays) — ALL 22
-        #      demotions lead round 7's 50,
+        #      boilerplate_ngrams, dataset_split) — ALL 23 demotions
+        #      lead round 7's 50,
         #   4. tail: the demotions, then every key checked green in r05
         #      — freshest evidence, safe past the cutoff for one round.
     return {
@@ -3597,6 +3644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_counts": _q_cms_user_counts,
         "zorder_cluster": _q_zorder_cluster,
         "pq_topk": _q_pq_topk,
+        "time_resample": _q_time_resample,
         # -- (3) latest evidence r04 (r05 tail), minus demotions ------
         "corpus_curation": _q_corpus_curation,
         "doc_fingerprints": _q_fingerprints,
@@ -3618,15 +3666,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_supplier_cnt": _sql(Q16_PARTS_SUPPLIER_CNT),
         "q17_small_qty_revenue": _sql(Q17_SMALL_QTY_REVENUE),
         "q21_waiting_supplier": _sql(Q21_WAITING_SUPPLIER),
-        "dataset_split": _q_dataset_split,
         # -- 50-cap cutoff --------------------------------------------
         # -- (4a) demotions: FIRST into round 7's checked 50 — the
-        #    thirteen r04-green keys displaced by round 6's new
+        #    fourteen r04-green keys displaced by round 6's new
         #    operators, then the nine triple-green unchanged-SQL
         #    demotions ------------------------------------------------
         "decontaminate": _q_decontaminate,
         "pii_redaction": _q_pii_redaction,
         "boilerplate_ngrams": _q_boilerplate,
+        "dataset_split": _q_dataset_split,
         "repetition_profile": _q_repetition_profile,
         "filter_audit": _q_filter_audit,
         "nfc_normalize": _q_nfc_normalize,
@@ -3709,6 +3757,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_user_counts": _cms_user_counts_duck(),
         "zorder_cluster": _zorder_sql("duck"),
         "pq_topk": _pq_topk_duck(),
+        "time_resample": TIME_RESAMPLE_DUCK,
         "bpe_merges": _bpe_merges_duck(),
         "bpe_tokenize": _bpe_tokenize_duck(),
         "fuzzy_name_match": FUZZY_NAME_MATCH_DUCK,

@@ -94,6 +94,8 @@ HEADLINE = [
     # partials) + the Morton-key global-ntile determinism contract
     "cms_user_counts",
     "zorder_cluster",
+    # round 6 late: per-key grid explode + two key-partitioned windows
+    "time_resample",
 ]
 
 

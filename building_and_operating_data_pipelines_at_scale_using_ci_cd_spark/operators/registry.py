@@ -388,6 +388,12 @@ def _streaming_dedup_op(df: DataFrame, keys: list, ts_col: str, **kw) -> DataFra
     return streaming_dedup(df, list(keys), ts_col, **kw)
 
 
+def _resample_ffill(df: DataFrame, key_col: str, ts_col: str, value_col: str, **kw) -> DataFrame:
+    from .timeseries import resample_ffill
+
+    return resample_ffill(df, key_col, ts_col, value_col, **kw)
+
+
 def _pq_topk(df: DataFrame, id_col: str, vec_col: str, **kw) -> DataFrame:
     from ..functions.similarity import pq_topk
 
@@ -452,6 +458,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "profileColumns": _profile_columns,
     "quantizeEmbeddings": _quantize_embeddings,
     "pqTopk": _pq_topk,
+    "resampleFfill": _resample_ffill,
     "cmsFrequency": _cms_frequency,
     "zorderLayout": _zorder_layout,
     "sessionAggregate": _session_aggregate,
