@@ -3359,6 +3359,56 @@ FROM exact e JOIN est s USING (user_id)
 """
 
 
+# Spark 4 VariantType: the modern semi-structured ingestion path — parse
+# once to the binary variant encoding, extract typed fields lazily
+# (shredded access, no per-query JSON re-parse). The relational JSON
+# surface (get_json_object/from_json) is covered by json_events; this
+# covers the variant encode/decode pair itself.
+VARIANT_EXTRACT_SPARK = """
+SELECT event_id,
+       CAST(variant_get(parse_json(props), '$.k', 'int') AS INT) AS k,
+       CAST(try_variant_get(parse_json(props), '$.missing', 'int') AS INT) AS absent,
+       CAST(variant_get(parse_json(props), '$.k', 'int') % 10 AS INT) AS k_mod
+FROM events
+"""
+
+VARIANT_EXTRACT_DUCK = """
+SELECT event_id,
+       CAST(props->>'$.k' AS INT) AS k,
+       CAST(props->>'$.missing' AS INT) AS absent,
+       CAST(CAST(props->>'$.k' AS INT) % 10 AS INT) AS k_mod
+FROM events
+"""
+
+
+def _q_mad_outliers_sql() -> str:
+    """Median-absolute-deviation outliers — the robust companion to
+    zscore_outliers (mean/stddev break down exactly when outliers are
+    present; median/MAD don't). Shared-dialect SQL: exact MEDIAN both
+    engines, threshold on the standard 1.4826·MAD normal-consistency
+    scale. Two grouped aggregates + one join back — all map-side-partial
+    shapes; no window over a global order."""
+    return """
+WITH stats AS (
+  SELECT o_orderpriority AS grp, MEDIAN(o_totalprice) AS med
+  FROM orders GROUP BY o_orderpriority
+),
+dev AS (
+  SELECT o.o_orderkey, o.o_orderpriority AS grp, o.o_totalprice, s.med,
+         ABS(o.o_totalprice - s.med) AS absdev
+  FROM orders o JOIN stats s ON o.o_orderpriority = s.grp
+),
+mad AS (SELECT grp, MEDIAN(absdev) AS mad FROM dev GROUP BY grp)
+SELECT d.o_orderkey, d.grp,
+       ROUND(d.o_totalprice, 2) AS totalprice,
+       -- + 0.0 folds IEEE -0.0 to +0.0: a row exactly at the median can
+       -- round to negative zero on one engine and positive on the other
+       ROUND((d.o_totalprice - d.med) / (1.4826 * m.mad), 4) + 0.0 AS robust_z,
+       ABS(d.o_totalprice - d.med) > 1.4826 * m.mad * 1.5 AS is_outlier
+FROM dev d JOIN mad m ON d.grp = m.grp
+"""
+
+
 def _q_time_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key hourly resample + forward fill (operators/timeseries.py
     resample_ffill): one grid row per user per hour between their first
@@ -3583,8 +3633,8 @@ def _q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-6 rotation (counts: 7 + 23 + 20 = 50 checked;
-        # 14 + 9 demoted + 44 r05-green = 67 tail; 117 total):
+        # entries. Round-6 rotation (counts: 7 + 25 + 18 = 50 checked;
+        # 16 + 9 demoted + 44 r05-green = 69 tail; 119 total):
         #   1. the seven r02-evidence keys (three rounds stale — the
         #      micros/nanos incident is why stale evidence is a risk),
         #   2. keys whose code/oracle is NEW or CHANGED in round 6
@@ -3596,20 +3646,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      weighted_sample, ngram_jaccard_dups, kmeans_clusters,
         #      quality_quantile_filter, snapshot_diff, profile_report,
         #      zscore_outliers, embedding_quantize, cms_user_counts,
-        #      zorder_cluster, pq_topk, time_resample — plus
-        #      fuzzy_name_match),
+        #      zorder_cluster, pq_topk, time_resample, variant_extract,
+        #      mad_outliers — plus fuzzy_name_match),
         #   3. keys whose latest evidence is r04 (r05's tail), MINUS
         #      nine triple-green (r01+r03+r04) unchanged-SQL demotions
         #      (parts_heavy_semi, set_ops_segments, correlated_max_order,
         #      json_events, customers_no_orders_anti, string_funcs,
         #      case_coalesce, grouping_sets, broadcast_hint_join) and
-        #      MINUS fourteen further r04-green demotions displaced by
+        #      MINUS sixteen further r04-green demotions displaced by
         #      the new operators (repetition_profile, filter_audit,
         #      nfc_normalize, url_domains, span_dedup, formats_roundtrip,
         #      multimodal_decode, pivot_event_values, udf_text_metrics,
         #      vector_stats, decontaminate, pii_redaction,
-        #      boilerplate_ngrams, dataset_split) — ALL 23 demotions
-        #      lead round 7's 50,
+        #      boilerplate_ngrams, dataset_split, q17_small_qty_revenue,
+        #      q21_waiting_supplier) — ALL 25 demotions lead round 7's
+        #      50,
         #   4. tail: the demotions, then every key checked green in r05
         #      — freshest evidence, safe past the cutoff for one round.
     return {
@@ -3645,6 +3696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_cluster": _q_zorder_cluster,
         "pq_topk": _q_pq_topk,
         "time_resample": _q_time_resample,
+        "variant_extract": _sql(VARIANT_EXTRACT_SPARK),
+        "mad_outliers": _sql(_q_mad_outliers_sql()),
         # -- (3) latest evidence r04 (r05 tail), minus demotions ------
         "corpus_curation": _q_corpus_curation,
         "doc_fingerprints": _q_fingerprints,
@@ -3664,13 +3717,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": _sql(Q9_PRODUCT_PROFIT),
         "q11_important_parts": _sql(Q11_IMPORTANT_PARTS),
         "q16_parts_supplier_cnt": _sql(Q16_PARTS_SUPPLIER_CNT),
-        "q17_small_qty_revenue": _sql(Q17_SMALL_QTY_REVENUE),
-        "q21_waiting_supplier": _sql(Q21_WAITING_SUPPLIER),
         # -- 50-cap cutoff --------------------------------------------
         # -- (4a) demotions: FIRST into round 7's checked 50 — the
-        #    fourteen r04-green keys displaced by round 6's new
+        #    sixteen r04-green keys displaced by round 6's new
         #    operators, then the nine triple-green unchanged-SQL
         #    demotions ------------------------------------------------
+        "q17_small_qty_revenue": _sql(Q17_SMALL_QTY_REVENUE),
+        "q21_waiting_supplier": _sql(Q21_WAITING_SUPPLIER),
         "decontaminate": _q_decontaminate,
         "pii_redaction": _q_pii_redaction,
         "boilerplate_ngrams": _q_boilerplate,
@@ -3758,6 +3811,8 @@ def oracle_sql() -> dict[str, str]:
         "zorder_cluster": _zorder_sql("duck"),
         "pq_topk": _pq_topk_duck(),
         "time_resample": TIME_RESAMPLE_DUCK,
+        "variant_extract": VARIANT_EXTRACT_DUCK,
+        "mad_outliers": _q_mad_outliers_sql(),
         "bpe_merges": _bpe_merges_duck(),
         "bpe_tokenize": _bpe_tokenize_duck(),
         "fuzzy_name_match": FUZZY_NAME_MATCH_DUCK,

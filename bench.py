@@ -96,6 +96,8 @@ HEADLINE = [
     "zorder_cluster",
     # round 6 late: per-key grid explode + two key-partitioned windows
     "time_resample",
+    # round 6 late: exact-median robust outliers (two grouped MEDIANs)
+    "mad_outliers",
 ]
 
 
