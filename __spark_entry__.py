@@ -3359,6 +3359,67 @@ FROM exact e JOIN est s USING (user_id)
 """
 
 
+_PR_K = 3
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+
+def _q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the k-NN cosine graph (functions/graph.py) — the
+    coreset-selection centrality signal, and the third pure-DataFrame
+    iterative algorithm (after k-means and label propagation). Each
+    iteration is one equi-join + one groupBy sum on the node id. Mass
+    is ALL-INTEGER (1e-12 units, damping as exact 17/20): float ROUND
+    at 6dp measurably flips last digits between engines on the dense
+    post-division value set, integer units cannot diverge."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.graph import (
+        knn_pagerank,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return knn_pagerank(emb, "vec_id", "embedding", k=_PR_K, iters=_PR_ITERS)
+
+
+def _pagerank_duck(k: int = _PR_K, iters: int = _PR_ITERS) -> str:
+    """Integer-unit PageRank unrolled (damping 17/20, SCALE 1e12 —
+    mirrors functions/graph.py exactly; every op is bigint)."""
+    scale = 10**12
+    parts = [
+        "v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        "nc AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)",
+        f"""edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+             LIST_DOT_PRODUCT(a.e, b.e)
+               / (SQRT(LIST_DOT_PRODUCT(a.e, a.e)) * SQRT(LIST_DOT_PRODUCT(b.e, b.e))) DESC,
+             b.vec_id) AS rn
+    FROM v a JOIN v b ON a.vec_id <> b.vec_id) WHERE rn <= {k})""",
+        "deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS dg FROM edges GROUP BY src)",
+        f"pr0 AS MATERIALIZED (SELECT vec_id AS id, CAST({scale} // n AS BIGINT) AS pr FROM v CROSS JOIN nc)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""c{i + 1} AS MATERIALIZED (
+  SELECT e.dst, CAST(SUM(p.pr // d.dg) AS BIGINT) AS cin
+  FROM edges e JOIN pr{i} p ON p.id = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""pr{i + 1} AS MATERIALIZED (
+  SELECT p0.id,
+         CAST((3 * {scale}) // (20 * nc.n) + (17 * COALESCE(c.cin, 0)) // 20 AS BIGINT) AS pr
+  FROM pr0 p0 CROSS JOIN nc LEFT JOIN c{i + 1} c ON c.dst = p0.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT id AS vec_id, pr AS pr_units,
+       CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, id) AS INT) AS rank
+FROM pr{iters}
+"""
+    )
+
+
 # Spark 4 VariantType: the modern semi-structured ingestion path — parse
 # once to the binary variant encoding, extract typed fields lazily
 # (shredded access, no per-query JSON re-parse). The relational JSON
@@ -3633,8 +3694,8 @@ def _q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-6 rotation (counts: 7 + 25 + 18 = 50 checked;
-        # 16 + 9 demoted + 44 r05-green = 69 tail; 119 total):
+        # entries. Round-6 rotation (counts: 7 + 26 + 17 = 50 checked;
+        # 17 + 9 demoted + 44 r05-green = 70 tail; 120 total):
         #   1. the seven r02-evidence keys (three rounds stale — the
         #      micros/nanos incident is why stale evidence is a risk),
         #   2. keys whose code/oracle is NEW or CHANGED in round 6
@@ -3647,20 +3708,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      quality_quantile_filter, snapshot_diff, profile_report,
         #      zscore_outliers, embedding_quantize, cms_user_counts,
         #      zorder_cluster, pq_topk, time_resample, variant_extract,
-        #      mad_outliers — plus fuzzy_name_match),
+        #      mad_outliers, knn_pagerank — plus fuzzy_name_match),
         #   3. keys whose latest evidence is r04 (r05's tail), MINUS
         #      nine triple-green (r01+r03+r04) unchanged-SQL demotions
         #      (parts_heavy_semi, set_ops_segments, correlated_max_order,
         #      json_events, customers_no_orders_anti, string_funcs,
         #      case_coalesce, grouping_sets, broadcast_hint_join) and
-        #      MINUS sixteen further r04-green demotions displaced by
+        #      MINUS seventeen further r04-green demotions displaced by
         #      the new operators (repetition_profile, filter_audit,
         #      nfc_normalize, url_domains, span_dedup, formats_roundtrip,
         #      multimodal_decode, pivot_event_values, udf_text_metrics,
         #      vector_stats, decontaminate, pii_redaction,
         #      boilerplate_ngrams, dataset_split, q17_small_qty_revenue,
-        #      q21_waiting_supplier) — ALL 25 demotions lead round 7's
-        #      50,
+        #      q21_waiting_supplier, q16_parts_supplier_cnt) — ALL 26
+        #      demotions lead round 7's 50,
         #   4. tail: the demotions, then every key checked green in r05
         #      — freshest evidence, safe past the cutoff for one round.
     return {
@@ -3698,6 +3759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_resample": _q_time_resample,
         "variant_extract": _sql(VARIANT_EXTRACT_SPARK),
         "mad_outliers": _sql(_q_mad_outliers_sql()),
+        "knn_pagerank": _q_knn_pagerank,
         # -- (3) latest evidence r04 (r05 tail), minus demotions ------
         "corpus_curation": _q_corpus_curation,
         "doc_fingerprints": _q_fingerprints,
@@ -3716,12 +3778,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": _sql(Q8_MARKET_SHARE),
         "q9_product_profit": _sql(Q9_PRODUCT_PROFIT),
         "q11_important_parts": _sql(Q11_IMPORTANT_PARTS),
-        "q16_parts_supplier_cnt": _sql(Q16_PARTS_SUPPLIER_CNT),
         # -- 50-cap cutoff --------------------------------------------
         # -- (4a) demotions: FIRST into round 7's checked 50 — the
-        #    sixteen r04-green keys displaced by round 6's new
+        #    seventeen r04-green keys displaced by round 6's new
         #    operators, then the nine triple-green unchanged-SQL
         #    demotions ------------------------------------------------
+        "q16_parts_supplier_cnt": _sql(Q16_PARTS_SUPPLIER_CNT),
         "q17_small_qty_revenue": _sql(Q17_SMALL_QTY_REVENUE),
         "q21_waiting_supplier": _sql(Q21_WAITING_SUPPLIER),
         "decontaminate": _q_decontaminate,
@@ -3813,6 +3875,7 @@ def oracle_sql() -> dict[str, str]:
         "time_resample": TIME_RESAMPLE_DUCK,
         "variant_extract": VARIANT_EXTRACT_DUCK,
         "mad_outliers": _q_mad_outliers_sql(),
+        "knn_pagerank": _pagerank_duck(),
         "bpe_merges": _bpe_merges_duck(),
         "bpe_tokenize": _bpe_tokenize_duck(),
         "fuzzy_name_match": FUZZY_NAME_MATCH_DUCK,

@@ -1,0 +1,129 @@
+"""Graph centrality over DataFrames: PageRank on a k-NN similarity
+graph — the coreset-selection signal ("which examples are central to
+their neighborhood") used when curating training data by representative-
+ness, and the third iterative algorithm expressed purely on the
+DataFrame API (next to Lloyd's k-means in ``clustering.py`` and the
+min-label propagation in ``operators/dedup.py near_dup_clusters``).
+
+Scale shape:
+  - the edge list is any (src, dst) DataFrame; `knn_edges` builds one
+    from an embedding column via the existing broadcast top-k (each
+    node → its k nearest neighbors, so out-degree is uniformly k and
+    the graph has no dangling nodes);
+  - each PageRank iteration is ONE equi-join (edges ⋈ current ranks on
+    src) + ONE groupBy(dst) sum — both map-side-partial shuffles on the
+    node id; iteration count is fixed, so the job graph is static and
+    the plan depth bounded;
+  - no driver-side state beyond the node count (one ``count()`` job —
+    same bounded-scalar allowance as ``adaptive_index_size``).
+
+Cross-engine determinism — ALL-INTEGER mass accounting: rank mass is
+carried in integer units of 1/SCALE (=1e-12), every division is integer
+division, and damping is the exact rational 17/20. Float PageRank at
+6-decimal rounding was measured to FLIP the last digit between engines
+(Spark's BigDecimal HALF_UP on the exact binary double vs DuckDB's
+multiply-then-round — values after a /deg division sit densely on
+rounding boundaries); integer units make divergence impossible, the
+same lesson as ``weighted_priority_sample``'s integer priority key.
+The integer recursion tracks float PageRank to ~1e-12 per step; ranking
+and the emitted unit values are exact.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: one unit of rank mass = 1/SCALE (integer accounting, see module doc)
+SCALE = 10**12
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integer division on bigint Columns (non-negative operands):
+    (a - a % b) / b — the double quotient of an exactly-divisible pair
+    is exact below 2^53, and every operand here is mass-bounded by
+    SCALE·17 << 2^53."""
+    return ((a - a % b) / b).cast("bigint")
+
+
+def knn_edges(
+    vectors: DataFrame, id_col: str, vec_col: str, k: int = 3
+) -> DataFrame:
+    """Directed k-NN edge list (src, dst): every vector points at its
+    ``k`` nearest cosine neighbors (deterministic id tie-break, self
+    excluded). Out-degree is exactly ``k`` for every node."""
+    from .similarity import topk_neighbors
+
+    nn = topk_neighbors(vectors, vectors, id_col, vec_col, k=k)
+    return nn.select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    iters: int = 3,
+    damping: Fraction = Fraction(17, 20),
+) -> DataFrame:
+    """Fixed-iteration PageRank in integer mass units. ``nodes``
+    supplies the full vertex set (vertices without in-edges still
+    receive the teleport term). ``damping`` must be an exact rational
+    (default 17/20 = 0.85) so both the engine and any oracle apply
+    identical integer arithmetic.
+
+    Returns (id, pr_units, rank): ``pr_units`` is the integer mass in
+    1/SCALE units (divide by 1e12 for the familiar probability), rank a
+    total order (mass desc, id asc). Dangling nodes (out-degree 0) leak
+    their mass — acceptable for k-NN graphs (uniform out-degree k,
+    never dangling); renormalize upstream for general graphs.
+
+    The final total-order window is a single-partition sort of one row
+    per node — emit-a-ranking cost; at extreme node counts drop the
+    rank column and TakeOrdered the top slice instead."""
+    n = nodes.count()  # bounded scalar: one job, one long
+    if n == 0:
+        raise ValueError("empty node set")
+    dn, dd = damping.numerator, damping.denominator
+    # teleport term: (1 - d)·SCALE/n in exact integers
+    base = ((dd - dn) * SCALE) // (dd * n)
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    e = edges.join(out_deg, "src")
+    pr = nodes.select(
+        F.col(id_col).alias("__id"), F.lit(SCALE // n).cast("bigint").alias("__pr")
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(pr, e["src"] == pr["__id"])
+            .select("dst", _idiv(F.col("__pr"), F.col("__deg")).alias("__c"))
+            .groupBy("dst")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        pr = (
+            nodes.select(F.col(id_col).alias("__id"))
+            .join(contrib, F.col("__id") == F.col("dst"), "left")
+            .select(
+                "__id",
+                (
+                    F.lit(base)
+                    + _idiv(
+                        F.lit(dn) * F.coalesce(F.col("__in"), F.lit(0)).cast("bigint"),
+                        F.lit(dd).cast("bigint"),
+                    )
+                ).cast("bigint").alias("__pr"),
+            )
+        )
+    w = Window.orderBy(F.col("__pr").desc(), F.col("__id").asc())
+    return pr.select(
+        F.col("__id").alias(id_col),
+        F.col("__pr").alias("pr_units"),
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+def knn_pagerank(
+    vectors: DataFrame, id_col: str, vec_col: str, k: int = 3, iters: int = 3
+) -> DataFrame:
+    """One-call k-NN graph + PageRank (the ``knnPagerank`` config step)."""
+    return pagerank(knn_edges(vectors, id_col, vec_col, k), vectors, id_col, iters=iters)

@@ -405,6 +405,13 @@ def _pq_topk(df: DataFrame, id_col: str, vec_col: str, **kw) -> DataFrame:
     return pq_topk(df, df, id_col, vec_col, **kw)
 
 
+def _knn_pagerank(df: DataFrame, id_col: str, vec_col: str, **kw) -> DataFrame:
+    from ..functions.graph import knn_pagerank
+
+    kw = {k: int(v) if k in ("k", "iters") else v for k, v in kw.items()}
+    return knn_pagerank(df, id_col, vec_col, **kw)
+
+
 def _cms_frequency(df: DataFrame, item_col: str, **kw) -> DataFrame:
     from ..functions.sketches import cms_frequency
 
@@ -459,6 +466,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "quantizeEmbeddings": _quantize_embeddings,
     "pqTopk": _pq_topk,
     "resampleFfill": _resample_ffill,
+    "knnPagerank": _knn_pagerank,
     "cmsFrequency": _cms_frequency,
     "zorderLayout": _zorder_layout,
     "sessionAggregate": _session_aggregate,

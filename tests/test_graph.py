@@ -1,0 +1,68 @@
+"""PageRank on DataFrames (functions/graph.py): mass conservation,
+hub detection, teleport floor, and the integer-unit contract."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.graph import (
+    SCALE,
+    knn_edges,
+    knn_pagerank,
+    pagerank,
+)
+
+
+@pytest.fixture
+def star(spark):
+    # node 0 is a hub: 1..5 all point at 0; 0 points at 1 (no dangling)
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(0, 1)], "src bigint, dst bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id bigint")
+    return edges, nodes
+
+
+def test_hub_ranks_first_and_floor_holds(spark, star):
+    edges, nodes = star
+    out = pagerank(edges, nodes, "id", iters=3).collect()
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    assert by_rank[0]["id"] == 0  # the hub
+    assert by_rank[1]["id"] == 1  # fed by the hub
+    n = len(out)
+    floor = (3 * SCALE) // (20 * n)  # teleport term (1-d)/n in units
+    assert all(r["pr_units"] >= floor for r in out)
+    assert sorted(r["rank"] for r in out) == list(range(1, n + 1))
+
+
+def test_mass_is_bounded_and_deterministic(spark, star):
+    edges, nodes = star
+    a = {(r["id"], r["pr_units"]) for r in pagerank(edges, nodes, "id", iters=2).collect()}
+    b = {(r["id"], r["pr_units"]) for r in pagerank(edges, nodes, "id", iters=2).collect()}
+    assert a == b  # integer units: bit-identical across runs
+    total = sum(u for _, u in a)
+    # integer floors only ever LEAK mass; never exceeds 1.0
+    assert total <= SCALE
+
+
+def test_knn_edges_degree_and_no_self(spark):
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(4)]) for i in range(12)]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    e = knn_edges(vecs, "vec_id", "embedding", k=3)
+    deg = {r["src"]: r["n"] for r in e.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert set(deg.values()) == {3}
+    assert e.filter(F.col("src") == F.col("dst")).count() == 0
+
+
+def test_knn_pagerank_registry_step(spark):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.registry import (
+        apply_operator,
+    )
+
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(4)]) for i in range(12)]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = apply_operator(
+        "knnPagerank", vecs, {"id_col": "vec_id", "vec_col": "embedding", "k": "3", "iters": "2"}
+    )
+    assert out.columns == ["vec_id", "pr_units", "rank"]
+    assert out.count() == 12
