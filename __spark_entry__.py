@@ -3517,20 +3517,24 @@ FROM joined
 
 
 _PQ_M = 16  # subspaces (64-dim -> 16 x 4-dim)
-_PQ_K = 16  # codes per subspace -> 16 bytes/vector, 16x smaller than f32
+_PQ_K = 32  # codes per subspace -> 16 bytes/vector, 16x smaller than f32
 _PQ_ITERS = 1
-_PQ_SHORTLIST = 50
+_PQ_SHORTLIST = 100
 
 
 def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (functions/similarity.py pq_topk): the
-    corpus is stored as m=16 4-bit-ish codes (16 bytes vs 256 — the
-    memory-bound 100 TB path), queries score candidates with m ARRAY
-    LOOKUPS each (ADC) instead of a 64-dim dot, and only the ADC
-    top-50 shortlist pays an exact rerank. recall@5 = 0.94 at sf0.1
-    (bench sidecar). Strict oracle: codebook training (per-subspace
-    Lloyd under the kmeans rounding contract), encoding, ADC tables,
-    shortlist and rerank are ALL unrolled into DuckDB CTEs."""
+    corpus is stored as m=16 codes (16 bytes vs 256 — the memory-bound
+    100 TB path), queries score candidates with m ARRAY LOOKUPS each
+    (ADC) instead of a 64-dim dot, and only the ADC top-100 shortlist
+    pays an exact rerank. recall@5 at these settings: 0.945 at sf0.1 /
+    1.0 at sf0.01 (bench sidecar; uniform-random vectors are the
+    adversarial case for any quantizer). At production scale compose
+    with IVF (IVF-PQ): ADC runs only inside probed lists and the
+    shortlist stays O(k) per list instead of a corpus fraction. Strict
+    oracle: codebook training (per-subspace Lloyd under the kmeans
+    rounding contract), encoding, ADC tables, shortlist and rerank are
+    ALL unrolled into DuckDB CTEs."""
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.similarity import (
         pq_topk,
     )

@@ -48,7 +48,8 @@ def test_pq_recall_on_clustered_data(spark, vecs):
     # rerank. (This fixture is pathologically tie-heavy — many exact
     # cosines are 1.0 — so partial-shortlist recall is tie-ordering
     # luck, not signal; QUALITY evidence is the bench recall sidecar at
-    # sf0.1: 0.94 with shortlist=50 over 2000 uniform vectors.)
+    # sf0.1: 0.945 with k_codes=32/shortlist=100 over 2000 uniform
+    # vectors.)
     q = vecs.filter(F.col("vec_id") % 20 == 0)
     exact = topk_neighbors(q, vecs, "vec_id", "embedding", k=3).collect()
     approx = pq_topk(
