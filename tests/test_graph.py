@@ -54,6 +54,21 @@ def test_knn_edges_degree_and_no_self(spark):
     assert e.filter(F.col("src") == F.col("dst")).count() == 0
 
 
+def test_knn_edges_ivf_method(spark):
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(4)]) for i in range(40)]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    e = knn_edges(vecs, "vec_id", "embedding", k=3, method="ivf", n_probe=2)
+    deg = {r["src"]: r["n"] for r in e.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # approximate graph: out-degree bounded by k, may be ragged
+    assert all(1 <= d <= 3 for d in deg.values())
+    assert e.filter(F.col("src") == F.col("dst")).count() == 0
+    # pagerank runs fine on the ragged approximate graph
+    out = knn_pagerank(vecs, "vec_id", "embedding", k=3, iters=2, method="ivf")
+    assert out.count() == 40
+    with pytest.raises(ValueError):
+        knn_edges(vecs, "vec_id", "embedding", method="hnsw")
+
+
 def test_knn_pagerank_registry_step(spark):
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.registry import (
         apply_operator,

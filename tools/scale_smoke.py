@@ -257,6 +257,57 @@ def main() -> None:
         lambda: kmeans_fit_predict(emb, "vec_id", "embedding", k=64, iters=2).count(),
     )
 
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.graph import (
+        knn_pagerank,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.similarity import (
+        pq_topk,
+    )
+
+    pq_df = pq_topk(q, emb, "vec_id", "embedding", k=5, m=16, k_codes=32,
+                    iters=1, shortlist=100)
+    timed("pq_topk (ADC + rerank)", lambda: pq_df.count())
+    print(f"  pq recall@5 at x{n}: {len(_pairs(pq_df) & exact) / max(len(exact), 1):.3f}")
+    timed(
+        # the exact all-pairs edge build is the quadratic piece (294s
+        # cold at 20k — measured); method="ivf" is the production graph
+        # builder, and the PageRank iterations themselves are the linear
+        # equi-join + grouped-sum loop
+        "knn_pagerank (ivf edges)",
+        lambda: knn_pagerank(
+            emb, "vec_id", "embedding", k=3, iters=3, method="ivf"
+        ).count(),
+    )
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.sketches import (
+        cms_frequency,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.scale import (
+        zorder_layout,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.timeseries import (
+        resample_ffill,
+    )
+
+    timed(
+        # state stays depth x width counters no matter the stream size —
+        # the smoke checks the constant-state claim at 100k events
+        "cms_frequency (4x256)",
+        lambda: cms_frequency(ev, "user_id", depth=4, width=256).count(),
+    )
+    timed(
+        "zorder_layout (events)",
+        lambda: zorder_layout(ev, ["user_id", "event_id"], bits=12,
+                              num_partitions=32).count(),
+    )
+    timed(
+        "resample_ffill (hourly)",
+        lambda: resample_ffill(
+            ev.filter(F.col("user_id") % 7 == 0), "user_id", "ts", "value",
+            tie_cols=["event_id"],
+        ).count(),
+    )
+
     li = _replicate(read_parquet(spark, f"{sf_dir}/lineitem.parquet"), ["l_partkey"], n)
     print(f"lineitem ×{n}: {li.count()}")
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.scd2 import (
