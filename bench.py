@@ -288,6 +288,7 @@ def _ann_recall(qs, spark, sf_dir) -> dict[str, float]:
         ("ann_lsh_topk", "ann_lsh_recall_at_5"),
         ("ivf_topk", "ivf_recall_at_5"),
         ("pq_topk", "pq_recall_at_5"),
+        ("ivfpq_topk", "ivfpq_recall_at_5"),
     ):
         approx = pairs(name, 5)
         out[key] = round(len(approx & exact5) / max(len(exact5), 1), 4)

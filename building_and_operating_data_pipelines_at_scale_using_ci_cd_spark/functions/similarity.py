@@ -654,41 +654,21 @@ def pq_topk(
     codes = corpus.select(
         F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("__codes")
     )
-    # --- per-query ADC tables against the codebook literal -------------
-    # books[s] is already ordered 0..k_codes-1 (lloyd relabels seeds)
-    book_lit = F.lit([[list(map(float, v)) for _, v in sorted(bk)] for bk in books])
-    qsub = [F.slice(F.col(vec_col), s * d + 1, d) for s in range(m)]
-
-    def _dtab(s: int) -> Column:
-        # factory-bound s: a loop-local lambda default would be read by
-        # F.transform as the (element, index) two-arg form
-        return F.transform(
-            F.element_at(book_lit, s + 1), lambda c: F.round(dot(qsub[s], c), 9)
-        )
-
-    dtabs = F.array(*[_dtab(s) for s in range(m)])
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         l2_norm(F.col(vec_col)).alias("__qn"),
-        dtabs.alias("__dtabs"),
+        _adc_tables(F.col(vec_col), books, d).alias("__dtabs"),
     )
     # --- ADC scoring: m lookups + adds per (query, corpus-code) pair ---
     pairs = F.broadcast(q).crossJoin(codes).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    est = None
-    for s in range(m):
-        term = F.element_at(
-            F.element_at(F.col("__dtabs"), s + 1),
-            F.element_at(F.col("__codes"), s + 1) + F.lit(1),
-        )
-        est = term if est is None else est + term
     w_est = Window.partitionBy("query_id").orderBy(
         F.col("__est").desc(), F.col("neighbor_id").asc()
     )
     short = (
-        pairs.withColumn("__est", est)
+        pairs.withColumn("__est", _adc_est(m))
         .withColumn("__srank", F.row_number().over(w_est))
         .filter(F.col("__srank") <= shortlist)
         .select("query_id", "neighbor_id", "__qv", "__qn")
@@ -702,9 +682,123 @@ def pq_topk(
     rer = short.join(cvecs, "neighbor_id").withColumn(
         "__cos", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
-    return (
-        rer.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round(F.col("__cos"), 2).alias("cosine_sim"))
+    return _rank_topk(rer, k)
+
+
+def _adc_tables(vec: Column, books, d: int) -> Column:
+    """Per-query ADC lookup tables: array of m arrays, entry [s][c] =
+    round(dot(query_subvec_s, codebook_s[c]), 9). Computed ONCE per
+    query against the codebook literal — k_codes·dim multiplies,
+    independent of corpus size. books[s] is already ordered
+    0..k_codes-1 (lloyd relabels seeds)."""
+    m = len(books)
+    book_lit = F.lit([[list(map(float, v)) for _, v in sorted(bk)] for bk in books])
+    qsub = [F.slice(vec, s * d + 1, d) for s in range(m)]
+
+    def _dtab(s: int) -> Column:
+        # factory-bound s: a loop-local lambda default would be read by
+        # F.transform as the (element, index) two-arg form
+        return F.transform(
+            F.element_at(book_lit, s + 1), lambda c: F.round(dot(qsub[s], c), 9)
+        )
+
+    return F.array(*[_dtab(s) for s in range(m)])
+
+
+def _adc_est(m: int) -> Column:
+    """Estimated similarity from __dtabs + __codes: m array lookups
+    summed in fixed subspace order (left-assoc — the oracle writes the
+    same dd0+dd1+… chain, so the IEEE sums agree bit-for-bit)."""
+    est = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at(F.col("__dtabs"), s + 1),
+            F.element_at(F.col("__codes"), s + 1) + F.lit(1),
+        )
+        est = term if est is None else est + term
+    return est
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared tail of every ANN path: rank by exact __cos (id
+    tie-break), keep top-k, standard output columns."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id").asc()
     )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round(F.col("__cos"), 2).alias("cosine_sim")
+        )
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 1,
+    shortlist: int = 50,
+) -> DataFrame:
+    """IVF-PQ: the production-composed ANN path — IVF coarse lists
+    restrict WHICH codes each query scores, PQ codes make scoring a
+    candidate cost m array lookups instead of a dim-wide dot, and only
+    the ADC top-``shortlist`` pays an exact rerank. At 100 TB this is
+    the shape real vector stores run: the scan touches 16-byte codes of
+    ~n_probe/n_centroids of the corpus, raw vectors only for
+    shortlist·|queries| rows.
+
+    Codes quantize RAW vectors (not residuals v − coarse_centroid); the
+    residual refinement of the published IVFADC recipe buys accuracy at
+    the cost of per-list codebooks — documented trade, not yet needed at
+    the recall this reaches (sidecar-measured each round).
+
+    Both stages are deterministic (coarse assignment = stable argsort
+    on unrounded sims exactly like ``ivf_topk``; PQ under the rounding
+    contract), so the whole composition carries a strict oracle."""
+    cents = [
+        (r[0], r[1])
+        for r in corpus.select(id_col, vec_col).orderBy(F.col(id_col)).limit(n_centroids).collect()
+    ]
+    c_assign = ivf_probe_assignments(corpus, cents, id_col, vec_col, 1, "neighbor_id")
+    q_assign = ivf_probe_assignments(queries, cents, id_col, vec_col, n_probe, "query_id")
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("dd")).first()
+    if dim_row is None:
+        raise ValueError("empty corpus")
+    dim = dim_row["dd"]
+    d = dim // m
+    books = pq_train_codebooks(corpus, id_col, vec_col, m, k_codes, iters, dim)
+    codes = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _pq_encode(books, d)(F.col(vec_col)).alias("__codes")
+    )
+    q_tab = q_assign.withColumn(
+        "__dtabs", _adc_tables(F.col("__query_id_v"), books, d)
+    )
+    cands = (
+        q_tab.join(c_assign, "__list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(codes, "neighbor_id")
+    )
+    w_est = Window.partitionBy("query_id").orderBy(
+        F.col("__est").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        cands.withColumn("__est", _adc_est(m))
+        .withColumn("__srank", F.row_number().over(w_est))
+        .filter(F.col("__srank") <= shortlist)
+    )
+    # vectors + norms already rode along on both assignment sides — the
+    # rerank needs no join back to the corpus
+    rer = short.withColumn(
+        "__cos",
+        dot(F.col("__query_id_v"), F.col("__neighbor_id_v"))
+        / (F.col("__query_id_n") * F.col("__neighbor_id_n")),
+    )
+    return _rank_topk(rer, k)

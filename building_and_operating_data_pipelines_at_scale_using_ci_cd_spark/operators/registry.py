@@ -412,6 +412,18 @@ def _knn_pagerank(df: DataFrame, id_col: str, vec_col: str, **kw) -> DataFrame:
     return knn_pagerank(df, id_col, vec_col, **kw)
 
 
+def _ivfpq_topk(df: DataFrame, id_col: str, vec_col: str, **kw) -> DataFrame:
+    from ..functions.similarity import ivfpq_topk
+
+    kw = {
+        k: int(v)
+        if k in ("k", "n_centroids", "n_probe", "m", "k_codes", "iters", "shortlist")
+        else v
+        for k, v in kw.items()
+    }
+    return ivfpq_topk(df, df, id_col, vec_col, **kw)
+
+
 def _cms_frequency(df: DataFrame, item_col: str, **kw) -> DataFrame:
     from ..functions.sketches import cms_frequency
 
@@ -465,6 +477,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "profileColumns": _profile_columns,
     "quantizeEmbeddings": _quantize_embeddings,
     "pqTopk": _pq_topk,
+    "ivfpqTopk": _ivfpq_topk,
     "resampleFfill": _resample_ffill,
     "knnPagerank": _knn_pagerank,
     "cmsFrequency": _cms_frequency,

@@ -82,6 +82,52 @@ def test_pq_codebooks_shape_and_determinism(spark, vecs):
         pq_train_codebooks(vecs, "vec_id", "embedding", m=3, k_codes=4, iters=1, dim=8)
 
 
+def test_ivfpq_full_probe_equals_pq(spark, vecs):
+    # probing EVERY coarse list with an uncapped shortlist makes IVF-PQ's
+    # candidate set the whole corpus — output must equal plain pq_topk
+    # (same codes, same ADC tables, same rerank); this pins the coarse
+    # restriction as the ONLY thing IVF adds
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.similarity import (
+        ivfpq_topk,
+    )
+
+    q = vecs.filter(F.col("vec_id") % 20 == 0)
+    a = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                q, vecs, "vec_id", "embedding", k=3, n_centroids=4, n_probe=4,
+                m=2, k_codes=4, iters=1, shortlist=100,
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            pq_topk(
+                q, vecs, "vec_id", "embedding", k=3, m=2, k_codes=4, iters=1, shortlist=100
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_ivfpq_restricts_candidates(spark, vecs):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.similarity import (
+        ivfpq_topk,
+    )
+
+    q = vecs.filter(F.col("vec_id") == 0)
+    out = ivfpq_topk(
+        q, vecs, "vec_id", "embedding", k=50, n_centroids=8, n_probe=1,
+        m=2, k_codes=4, iters=0, shortlist=1000,
+    )
+    # probing 1 of 8 lists: the candidate pool (= output at huge k) must
+    # be a strict subset of the corpus
+    n = out.count()
+    assert 0 < n < 79
+
+
 def test_pq_fused_training_equals_per_subspace_lloyd(spark, vecs):
     # the fused trainer (one assign stage + one grouped mean per iter)
     # must produce BIT-IDENTICAL codebooks to running lloyd_centroids
