@@ -37,9 +37,15 @@ from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark import get
 #: no-driver-collect way to attach a scalar; an unbounded BNLJ appearing
 #: in these plans would still be caught by the exchange-count column
 #: jumping)
+#: pq_topk and knn_pagerank carry the SAME bounded query-side broadcast
+#: loop as topk_neighbors: pq's ADC scan broadcasts |queries| rows of
+#: lookup tables over the code stream, and knn_pagerank's exact edge
+#: builder IS topk_neighbors (its "ivf" mode equi-joins and is not in
+#: the entry). ivfpq_topk equi-joins on the coarse list id — no BNLJ.
 BNLJ_ALLOWED = {
     "topk_neighbors", "domain_mix", "lm_cross_entropy", "bigram_lm",
     "tfidf_top_terms", "quality_quantile_filter", "zorder_cluster",
+    "pq_topk", "knn_pagerank",
 }
 
 FLAGS = {
