@@ -3616,7 +3616,9 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_chain_parts(m: int, k: int, iters: int, dim: int) -> list[str]:
+def _pq_chain_parts(
+    m: int, k: int, iters: int, dim: int, src: str = "v", query_src: str = "v"
+) -> list[str]:
     """Shared CTE chain for the PQ oracles (pq_topk and ivfpq_topk):
     per-subspace Lloyd training (same assign/update pair as
     _kmeans_duck, on sliced vectors), per-vector code assignment
@@ -3648,7 +3650,9 @@ def _pq_chain_parts(m: int, k: int, iters: int, dim: int) -> list[str]:
     parts = []
     for s in range(m):
         lo, hi = s * d + 1, (s + 1) * d
-        parts.append(f"v{s} AS MATERIALIZED (SELECT vec_id, e[{lo}:{hi}] AS e FROM v)")
+        parts.append(
+            f"v{s} AS MATERIALIZED (SELECT vec_id, e[{lo}:{hi}] AS e FROM {src})"
+        )
         parts.append(
             f"""s{s}c0 AS MATERIALIZED (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, e AS cv
   FROM (SELECT vec_id, e FROM v{s} ORDER BY vec_id LIMIT {k}))"""
@@ -3663,7 +3667,7 @@ def _pq_chain_parts(m: int, k: int, iters: int, dim: int) -> list[str]:
             f"""dt{s} AS MATERIALIZED (
   SELECT q.vec_id AS query_id, c.cid,
          ROUND(LIST_DOT_PRODUCT(q.e[{lo}:{hi}], c.cv), 9) AS dd
-  FROM v q CROSS JOIN {cur} c WHERE q.vec_id % 50 = 0)"""
+  FROM {query_src} q CROSS JOIN {cur} c WHERE q.vec_id % 50 = 0)"""
         )
     return parts
 

@@ -746,6 +746,7 @@ def ivfpq_topk(
     k_codes: int = 16,
     iters: int = 1,
     shortlist: int = 50,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the production-composed ANN path — IVF coarse lists
     restrict WHICH codes each query scores, PQ codes make scoring a
@@ -755,14 +756,20 @@ def ivfpq_topk(
     ~n_probe/n_centroids of the corpus, raw vectors only for
     shortlist·|queries| rows.
 
-    Codes quantize RAW vectors (not residuals v − coarse_centroid); the
-    residual refinement of the published IVFADC recipe buys accuracy at
-    the cost of per-list codebooks — documented trade, not yet needed at
-    the recall this reaches (sidecar-measured each round).
+    ``residual=True`` is the full published IVFADC recipe: codebooks
+    quantize the residual v − coarse_centroid(v) (global codebooks, as
+    in the original formulation), and the estimator decomposes as
+    dot(q, c_list) + Σ_s dot(q_s, residual_codeword_s). The per-(query,
+    probed-list) term is computed ONCE on the ≤ n_probe assignment rows
+    — candidate scoring stays m array lookups + adds. Residuals
+    concentrate around the origin, so the same k_codes budget spends its
+    resolution where the mass is — worth measuring per corpus (the
+    sidecar does).
 
     Both stages are deterministic (coarse assignment = stable argsort
-    on unrounded sims exactly like ``ivf_topk``; PQ under the rounding
-    contract), so the whole composition carries a strict oracle."""
+    on unrounded sims exactly like ``ivf_topk``; residual subtraction is
+    exact double arithmetic; PQ under the rounding contract), so the
+    whole composition carries a strict oracle either way."""
     cents = [
         (r[0], r[1])
         for r in corpus.select(id_col, vec_col).orderBy(F.col(id_col)).limit(n_centroids).collect()
@@ -774,10 +781,42 @@ def ivfpq_topk(
         raise ValueError("empty corpus")
     dim = dim_row["dd"]
     d = dim // m
-    books = pq_train_codebooks(corpus, id_col, vec_col, m, k_codes, iters, dim)
-    codes = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _pq_encode(books, d)(F.col(vec_col)).alias("__codes")
-    )
+    if residual:
+        # coarse centroid by list id, as one map literal (n_centroids·dim
+        # floats — a design parameter)
+        cmap = F.map_from_arrays(
+            F.lit([int(cid) for cid, _ in cents]),
+            F.lit([[float(x) for x in vec] for _, vec in cents]),
+        )
+        res_vec = F.zip_with(
+            F.col("__train_v"),
+            F.element_at(cmap, F.col("__list_id")),
+            lambda a, b: a.cast("double") - b,
+        )
+        train_src = c_assign.select(
+            F.col("neighbor_id").alias(id_col),
+            F.col("__neighbor_id_v").alias("__train_v"),
+            "__list_id",
+        ).select(F.col(id_col), res_vec.alias("__train_vec"))
+        books = pq_train_codebooks(train_src, id_col, "__train_vec", m, k_codes, iters, dim)
+        codes = train_src.select(
+            F.col(id_col).alias("neighbor_id"),
+            _pq_encode(books, d)(F.col("__train_vec")).alias("__codes"),
+        )
+        # per-(query, probed list) additive term dot(q, c_list), rounded
+        # like the ADC table entries and leading the fixed sum order
+        qc = F.round(
+            dot(F.col("__query_id_v"), F.element_at(cmap, F.col("__list_id"))), 9
+        )
+        q_assign = q_assign.withColumn("__qc", qc)
+        est_col = F.col("__qc") + _adc_est(m)
+    else:
+        books = pq_train_codebooks(corpus, id_col, vec_col, m, k_codes, iters, dim)
+        codes = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _pq_encode(books, d)(F.col(vec_col)).alias("__codes"),
+        )
+        est_col = _adc_est(m)
     q_tab = q_assign.withColumn(
         "__dtabs", _adc_tables(F.col("__query_id_v"), books, d)
     )
@@ -790,7 +829,7 @@ def ivfpq_topk(
         F.col("__est").desc(), F.col("neighbor_id").asc()
     )
     short = (
-        cands.withColumn("__est", _adc_est(m))
+        cands.withColumn("__est", est_col)
         .withColumn("__srank", F.row_number().over(w_est))
         .filter(F.col("__srank") <= shortlist)
     )

@@ -128,6 +128,35 @@ def test_ivfpq_restricts_candidates(spark, vecs):
     assert 0 < n < 79
 
 
+def test_ivfpq_residual_mode_contract(spark, vecs):
+    # residual IVFADC: same output contract, deterministic across runs,
+    # candidate restriction still applies. (Quality at sf0.1 measured in
+    # ROUND6_NOTES: residual 0.705 vs raw 0.80 on uniform vectors — raw
+    # stays the default; residuals win when coarse cells carry real
+    # structure to subtract.)
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.similarity import (
+        ivfpq_topk,
+    )
+
+    q = vecs.filter(F.col("vec_id") % 20 == 0)
+
+    def run():
+        return sorted(
+            map(
+                tuple,
+                ivfpq_topk(
+                    q, vecs, "vec_id", "embedding", k=3, n_centroids=4, n_probe=2,
+                    m=2, k_codes=4, iters=1, shortlist=20, residual=True,
+                ).collect(),
+            )
+        )
+
+    a = run()
+    assert a == run()  # deterministic
+    assert 0 < len(a) <= 4 * 3
+    assert all(r[0] != r[1] for r in a)
+
+
 def test_pq_fused_training_equals_per_subspace_lloyd(spark, vecs):
     # the fused trainer (one assign stage + one grouped mean per iter)
     # must produce BIT-IDENTICAL codebooks to running lloyd_centroids
