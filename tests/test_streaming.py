@@ -223,3 +223,42 @@ def test_interval_join_stream(spark, tmp_path):
     rows = spark.sql("SELECT * FROM interval_join_test").collect()
     assert len(rows) == 1
     assert rows[0]["key_user"] == 1 and str(rows[0]["c_ts"]) == "2024-01-01 10:10:00"
+
+
+def test_foreach_batch_cms_partials_merge_to_batch_sketch(spark, tmp_path):
+    """Streaming sketch maintenance: each micro-batch contributes a CMS
+    partial via foreachBatch; the merged partials equal the one-shot
+    batch sketch EXACTLY (counter-wise sum is order-insensitive). This
+    is the maintenance pattern for 'frequencies over the whole history'
+    at 100 TB: partials per batch/day, bounded depthxwidth state, no
+    reprocessing."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.sketches import (
+        cms_build,
+        cms_merge,
+    )
+
+    rows = [(i % 7, _ts(f"2024-01-01 10:{i:02d}:00"), 1.0) for i in range(50)]
+    # two separate source files -> maxFilesPerTrigger gives two micro-batches
+    src = str(tmp_path / "cms_src")
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, v double")
+    df.filter("user_id < 4").coalesce(1).write.mode("overwrite").parquet(src)
+    df.filter("user_id >= 4").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    partials = []
+    n_batches = []
+
+    def sink(batch_df, batch_id):
+        partials.append(cms_build(batch_df, "user_id", depth=3, width=16))
+        n_batches.append(batch_id)
+
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert len(n_batches) >= 2  # genuinely incremental
+    merged = sorted(map(tuple, cms_merge(*partials).collect()))
+    whole = sorted(map(tuple, cms_build(df, "user_id", depth=3, width=16).collect()))
+    assert merged == whole
