@@ -3420,6 +3420,43 @@ FROM pr{iters}
     )
 
 
+# Incremental aggregate maintenance: the Spark side merges a pre-cutoff
+# BASE aggregate with the post-cutoff DELTA aggregate (the nightly
+# pattern that avoids reprocessing the 100 TB history); the DuckDB
+# oracle recomputes from scratch — a cross-engine PROOF that the
+# incremental merge equals the full recompute. Sums run on
+# DECIMAL(18,2) so they are EXACT (double sums differ by accumulation
+# order at the last ulp and can flip any rounding).
+INCREMENTAL_AGG_SPARK = """
+WITH base AS (
+  SELECT o_custkey, COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY o_custkey
+),
+delta AS (
+  SELECT o_custkey, COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY o_custkey
+),
+merged AS (
+  SELECT o_custkey, SUM(n) AS n_orders, SUM(s) AS total_spend
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+  GROUP BY o_custkey
+)
+-- arithmetic stays exact in DECIMAL; ONE final cast to double gives
+-- both engines the identical bits (and the comparator a uniform dtype)
+SELECT o_custkey, CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(CAST(total_spend AS DECIMAL(18,2)) AS DOUBLE) AS total_spend
+FROM merged
+"""
+
+INCREMENTAL_AGG_DUCK = """
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_spend
+FROM orders GROUP BY o_custkey
+"""
+
+
 _PQ_M = 16  # subspaces (64-dim -> 16 x 4-dim)
 _PQ_K = 32  # codes per subspace -> 16 bytes/vector, 16x smaller than f32
 _PQ_ITERS = 1
@@ -3791,8 +3828,8 @@ def _q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-6 rotation (counts: 7 + 27 + 16 = 50 checked;
-        # 18 + 9 demoted + 44 r05-green = 71 tail; 121 total):
+        # entries. Round-6 rotation (counts: 7 + 28 + 15 = 50 checked;
+        # 19 + 9 demoted + 44 r05-green = 72 tail; 122 total):
         #   1. the seven r02-evidence keys (three rounds stale — the
         #      micros/nanos incident is why stale evidence is a risk),
         #   2. keys whose code/oracle is NEW or CHANGED in round 6
@@ -3805,8 +3842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      quality_quantile_filter, snapshot_diff, profile_report,
         #      zscore_outliers, embedding_quantize, cms_user_counts,
         #      zorder_cluster, pq_topk, time_resample, variant_extract,
-        #      mad_outliers, knn_pagerank, ivfpq_topk — plus
-        #      fuzzy_name_match),
+        #      mad_outliers, knn_pagerank, ivfpq_topk, incremental_agg
+        #      — plus fuzzy_name_match),
         #   3. keys whose latest evidence is r04 (r05's tail), MINUS
         #      nine triple-green (r01+r03+r04) unchanged-SQL demotions
         #      (parts_heavy_semi, set_ops_segments, correlated_max_order,
@@ -3819,8 +3856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      vector_stats, decontaminate, pii_redaction,
         #      boilerplate_ngrams, dataset_split, q17_small_qty_revenue,
         #      q21_waiting_supplier, q16_parts_supplier_cnt,
-        #      q11_important_parts) — ALL 27 demotions lead round 7's
-        #      50,
+        #      q11_important_parts, q9_product_profit) — ALL 28
+        #      demotions lead round 7's 50,
         #   4. tail: the demotions, then every key checked green in r05
         #      — freshest evidence, safe past the cutoff for one round.
     return {
@@ -3860,6 +3897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": _sql(_q_mad_outliers_sql()),
         "knn_pagerank": _q_knn_pagerank,
         "ivfpq_topk": _q_ivfpq_topk,
+        "incremental_agg": _sql(INCREMENTAL_AGG_SPARK),
         # -- (3) latest evidence r04 (r05 tail), minus demotions ------
         "corpus_curation": _q_corpus_curation,
         "doc_fingerprints": _q_fingerprints,
@@ -3876,12 +3914,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_sales_opportunity": _sql(Q22_SALES_OPPORTUNITY),
         "q2_min_cost_supplier": _sql(Q2_MIN_COST_SUPPLIER),
         "q8_market_share": _sql(Q8_MARKET_SHARE),
-        "q9_product_profit": _sql(Q9_PRODUCT_PROFIT),
         # -- 50-cap cutoff --------------------------------------------
         # -- (4a) demotions: FIRST into round 7's checked 50 — the
-        #    eighteen r04-green keys displaced by round 6's new
+        #    nineteen r04-green keys displaced by round 6's new
         #    operators, then the nine triple-green unchanged-SQL
         #    demotions ------------------------------------------------
+        "q9_product_profit": _sql(Q9_PRODUCT_PROFIT),
         "q11_important_parts": _sql(Q11_IMPORTANT_PARTS),
         "q16_parts_supplier_cnt": _sql(Q16_PARTS_SUPPLIER_CNT),
         "q17_small_qty_revenue": _sql(Q17_SMALL_QTY_REVENUE),
@@ -3977,6 +4015,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": _q_mad_outliers_sql(),
         "knn_pagerank": _pagerank_duck(),
         "ivfpq_topk": _ivfpq_duck(),
+        "incremental_agg": INCREMENTAL_AGG_DUCK,
         "bpe_merges": _bpe_merges_duck(),
         "bpe_tokenize": _bpe_tokenize_duck(),
         "fuzzy_name_match": FUZZY_NAME_MATCH_DUCK,

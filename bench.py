@@ -98,6 +98,8 @@ HEADLINE = [
     "time_resample",
     # round 6 late: exact-median robust outliers (two grouped MEDIANs)
     "mad_outliers",
+    # round 6 late: base∪delta aggregate merge (incremental maintenance)
+    "incremental_agg",
 ]
 
 
