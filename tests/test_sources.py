@@ -201,3 +201,51 @@ def test_events_stream_detects_timestamp_encoding(spark, sf_dir):
     stream_min = out.agg({"ts": "min"}).first()[0]
     assert stream_min == batch_min
     assert stream_min.year >= 2020  # the 1970-collapse failure mode
+
+
+def test_csv_corrupt_record_lane(spark, tmp_path):
+    """Parse-level dirty data: PERMISSIVE mode + columnNameOfCorruptRecord
+    routes malformed CSV rows into a corrupt column instead of failing
+    the read — composing with the engine's error-lane model (V1/V2 handle
+    semantic dirt; this handles rows that don't even parse). The schema
+    comes through the S14 metadata mapping with the corrupt column
+    declared, exactly how a user would wire it."""
+    import json
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.config import InputSpec
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.readers import (
+        read_input,
+    )
+
+    src = tmp_path / "dirty.csv"
+    src.write_text("id,price\n1,10.5\n2,not_a_number\n3,30.0\ngarbage_line_no_comma\n")
+    meta = tmp_path / "schema.json"
+    meta.write_text(
+        json.dumps(
+            {
+                "fields": [
+                    {"name": "id", "type": "integer"},
+                    {"name": "price", "type": "double"},
+                    {"name": "_corrupt_record", "type": "string"},
+                ]
+            }
+        )
+    )
+    spec = InputSpec(
+        data_source="local",
+        dataframe_name="dirty",
+        path=str(src),
+        file_format="csv",
+        header=True,
+        data_mapping=True,
+        metadata_path=str(meta),
+        options={"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    df = read_input(spark, spec).cache()
+    good = df.filter("_corrupt_record IS NULL")
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    assert good.count() == 2 and {r["id"] for r in good.collect()} == {1, 3}
+    assert bad.count() == 2  # the unparsable number and the garbage line
+    raws = {r["_corrupt_record"] for r in bad.collect()}
+    assert any("not_a_number" in (x or "") for x in raws)
+    df.unpersist()
