@@ -2092,6 +2092,83 @@ JOIN events c
 """
 
 
+def _q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the state-expiry
+    semantics the inner join never exercises: an unmatched purchase
+    emits its null-click row only once the watermark proves no
+    qualifying click can still arrive. Compared against the batch left
+    join BELOW THE DECIDED HORIZON (max event time − delay − lookback):
+    purchases younger than that are legitimately still buffered at
+    stream end, so both engines cut there (the cutoff is a 1-row
+    scalar, bounded by design)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.streaming.ops import (
+        interval_join,
+    )
+
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("key_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("key_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = interval_join(
+        purchases, clicks, "key_user", "p_ts", "c_ts",
+        lookback="30 minutes", how="left_outer",
+    ).select(F.col("key_user").alias("user_id"), "purchase_id", "p_ts", "click_id")
+    res = _run_stream(joined, "stream_oj", "append")
+    # the decided horizon follows the GLOBAL watermark = MIN over the
+    # two inputs' max event times (Spark's multi-watermark policy): a
+    # null-match emits only once no qualifying CLICK can arrive, so a
+    # late-ending purchase stream doesn't advance the clock
+    ev = _table(spark, sf_dir, "events")
+    cutoff = (
+        ev.agg(
+            (
+                F.least(
+                    F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                    F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                )
+                - F.expr("INTERVAL 40 minutes")
+            ).alias("c")
+        ).first()["c"]
+    )
+    return res.filter(F.col("p_ts") <= F.lit(cutoff)).select(
+        "user_id", "purchase_id", "click_id", F.col("click_id").isNotNull().alias("matched")
+    )
+
+
+STREAMING_OUTER_JOIN_DUCK = """
+WITH horizon AS (
+  SELECT LEAST(
+           MAX(CASE WHEN event_type = 'purchase' THEN ts END),
+           MAX(CASE WHEN event_type = 'click' THEN ts END)
+         ) - INTERVAL 40 MINUTE AS cutoff
+  FROM events
+),
+p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, ts AS c_ts FROM events WHERE event_type = 'click')
+SELECT p.user_id, p.purchase_id, c.click_id, c.click_id IS NOT NULL AS matched
+FROM p CROSS JOIN horizon
+LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+ AND c.c_ts <= p.p_ts
+WHERE p.p_ts <= horizon.cutoff
+"""
+
+
 def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization computed by Structured Streaming's native
     ``session_window`` state machine (availableNow → memory sink) — proved
@@ -3828,8 +3905,8 @@ def _q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-6 rotation (counts: 7 + 28 + 15 = 50 checked;
-        # 19 + 9 demoted + 44 r05-green = 72 tail; 122 total):
+        # entries. Round-6 rotation (counts: 7 + 29 + 14 = 50 checked;
+        # 20 + 9 demoted + 44 r05-green = 73 tail; 123 total):
         #   1. the seven r02-evidence keys (three rounds stale — the
         #      micros/nanos incident is why stale evidence is a risk),
         #   2. keys whose code/oracle is NEW or CHANGED in round 6
@@ -3842,8 +3919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      quality_quantile_filter, snapshot_diff, profile_report,
         #      zscore_outliers, embedding_quantize, cms_user_counts,
         #      zorder_cluster, pq_topk, time_resample, variant_extract,
-        #      mad_outliers, knn_pagerank, ivfpq_topk, incremental_agg
-        #      — plus fuzzy_name_match),
+        #      mad_outliers, knn_pagerank, ivfpq_topk, incremental_agg,
+        #      streaming_outer_join — plus fuzzy_name_match),
         #   3. keys whose latest evidence is r04 (r05's tail), MINUS
         #      nine triple-green (r01+r03+r04) unchanged-SQL demotions
         #      (parts_heavy_semi, set_ops_segments, correlated_max_order,
@@ -3856,8 +3933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      vector_stats, decontaminate, pii_redaction,
         #      boilerplate_ngrams, dataset_split, q17_small_qty_revenue,
         #      q21_waiting_supplier, q16_parts_supplier_cnt,
-        #      q11_important_parts, q9_product_profit) — ALL 28
-        #      demotions lead round 7's 50,
+        #      q11_important_parts, q9_product_profit, q8_market_share)
+        #      — ALL 29 demotions lead round 7's 50,
         #   4. tail: the demotions, then every key checked green in r05
         #      — freshest evidence, safe past the cutoff for one round.
     return {
@@ -3898,6 +3975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pagerank": _q_knn_pagerank,
         "ivfpq_topk": _q_ivfpq_topk,
         "incremental_agg": _sql(INCREMENTAL_AGG_SPARK),
+        "streaming_outer_join": _q_streaming_outer_join,
         # -- (3) latest evidence r04 (r05 tail), minus demotions ------
         "corpus_curation": _q_corpus_curation,
         "doc_fingerprints": _q_fingerprints,
@@ -3913,12 +3991,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": _sql(Q15_TOP_SUPPLIER),
         "q22_sales_opportunity": _sql(Q22_SALES_OPPORTUNITY),
         "q2_min_cost_supplier": _sql(Q2_MIN_COST_SUPPLIER),
-        "q8_market_share": _sql(Q8_MARKET_SHARE),
         # -- 50-cap cutoff --------------------------------------------
         # -- (4a) demotions: FIRST into round 7's checked 50 — the
-        #    nineteen r04-green keys displaced by round 6's new
+        #    twenty r04-green keys displaced by round 6's new
         #    operators, then the nine triple-green unchanged-SQL
         #    demotions ------------------------------------------------
+        "q8_market_share": _sql(Q8_MARKET_SHARE),
         "q9_product_profit": _sql(Q9_PRODUCT_PROFIT),
         "q11_important_parts": _sql(Q11_IMPORTANT_PARTS),
         "q16_parts_supplier_cnt": _sql(Q16_PARTS_SUPPLIER_CNT),
@@ -4016,6 +4094,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_pagerank": _pagerank_duck(),
         "ivfpq_topk": _ivfpq_duck(),
         "incremental_agg": INCREMENTAL_AGG_DUCK,
+        "streaming_outer_join": STREAMING_OUTER_JOIN_DUCK,
         "bpe_merges": _bpe_merges_duck(),
         "bpe_tokenize": _bpe_tokenize_duck(),
         "fuzzy_name_match": FUZZY_NAME_MATCH_DUCK,

@@ -100,15 +100,26 @@ def interval_join(
     *,
     lookback: str = "30 minutes",
     delay: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join on ``key`` where the right event happened
+    """Stream-stream join on ``key`` where the right event happened
     within ``lookback`` BEFORE the left event (click-before-purchase
     attribution, the streaming twin of the batch range join).
 
     Both sides are watermarked and the join condition carries the
     event-time bounds — Structured Streaming needs both to know when
     buffered state can be dropped; without them state grows forever.
+
+    ``how="left_outer"`` adds the null-match lane: a left row with no
+    partner emits (once) only after the watermark passes its join
+    window, i.e. when no qualifying right row can still arrive — the
+    state-EXPIRY semantics inner joins never exercise. Rows younger
+    than ``delay + lookback`` behind the stream's max event time are
+    still undecided at stream end; comparisons against a batch twin
+    must cut at that horizon (the ``streaming_outer_join`` entry does).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError("interval_join supports inner / left_outer")
     l = with_watermark(left, left_ts, delay)
     r = with_watermark(right, right_ts, delay)
     return l.join(
@@ -116,7 +127,7 @@ def interval_join(
         (l[key] == r[key])
         & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
         & (F.col(right_ts) <= F.col(left_ts)),
-        "inner",
+        how,
     ).drop(r[key])
 
 

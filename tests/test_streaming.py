@@ -262,3 +262,37 @@ def test_foreach_batch_cms_partials_merge_to_batch_sketch(spark, tmp_path):
     merged = sorted(map(tuple, cms_merge(*partials).collect()))
     whole = sorted(map(tuple, cms_build(df, "user_id", depth=3, width=16).collect()))
     assert merged == whole
+
+
+def test_interval_join_left_outer_emits_null_after_expiry(spark, tmp_path):
+    """left_outer interval join: matched pairs emit like inner; an
+    unmatched left row emits its null-match lane once the watermark
+    proves no partner can arrive. A far-future heartbeat row drives the
+    watermark past every real event so all state decides at stream end."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.streaming.ops import (
+        interval_join,
+    )
+    import pytest
+
+    lrows = [
+        (100, 1, _ts("2024-01-01 10:00:00")),   # has a click 10 min before
+        (101, 2, _ts("2024-01-01 10:00:00")),   # no click at all
+        (999, 9, _ts("2024-01-02 10:00:00")),   # heartbeat: advances watermark
+    ]
+    rrows = [
+        (200, 1, _ts("2024-01-01 09:50:00")),
+        (998, 9, _ts("2024-01-02 10:00:00")),   # heartbeat partner side
+    ]
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(lrows, "pid long, k long, lts timestamp").write.parquet(lsrc)
+    spark.createDataFrame(rrows, "cid long, k long, rts timestamp").write.parquet(rsrc)
+    l = spark.readStream.schema("pid long, k long, lts timestamp").parquet(lsrc)
+    r = spark.readStream.schema("cid long, k long, rts timestamp").parquet(rsrc)
+    j = interval_join(l, r, "k", "lts", "rts", lookback="30 minutes", how="left_outer")
+    _run_stream_once(j.select("pid", "cid"), "oj_test", mode="append")
+    got = {(x["pid"], x["cid"]) for x in spark.sql("SELECT * FROM oj_test").collect()}
+    assert (100, 200) in got          # matched
+    assert (101, None) in got         # null lane emitted after expiry
+    assert (999, 998) in got
+    with pytest.raises(ValueError):
+        interval_join(l, r, "k", "lts", "rts", how="full_outer")
