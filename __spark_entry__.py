@@ -2169,6 +2169,83 @@ WHERE p.p_ts <= horizon.cutoff
 """
 
 
+def _q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window streaming aggregation (window 2h, slide 1h —
+    every event lands in exactly two epoch-aligned windows), the
+    overlap-window family the tumbling entry can't exercise. Complete
+    mode + availableNow; proved equal to the batch two-starts union."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.streaming.ops import (
+        sliding_counts,
+    )
+
+    stream = _events_stream(spark, sf_dir)
+    agg = sliding_counts(stream, "ts", window="2 hours", slide="1 hour", keys=["event_type"])
+    name = f"stream_slide_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("window_start", "event_type", "n_events")
+
+
+STREAMING_SLIDING_DUCK = """
+WITH starts AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS window_start FROM events
+  UNION ALL
+  SELECT event_type, DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR FROM events
+)
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM starts GROUP BY 1, 2
+"""
+
+
+# Per-source token-distribution entropy — the dataset-analysis signal
+# for mixture balance (a collapsed source shows low entropy long before
+# eyeballing finds it). One explode + two grouped aggs, map-side
+# partials everywhere; entropy rounded 6dp (3 source values, each a
+# ~31-term sum — far from any rounding boundary).
+SOURCE_ENTROPY_SPARK = """
+WITH tok AS (
+  SELECT source, t AS term
+  FROM documents LATERAL VIEW explode(split(lower(text), ' ')) AS t
+  WHERE t <> ''
+),
+counts AS (SELECT source, term, COUNT(*) AS c FROM tok GROUP BY source, term),
+totals AS (SELECT source, SUM(c) AS total, COUNT(*) AS n_terms FROM counts GROUP BY source)
+SELECT c.source,
+       CAST(t.total AS BIGINT) AS n_tokens,
+       CAST(t.n_terms AS BIGINT) AS n_terms,
+       ROUND(-SUM((c.c / t.total) * LN(c.c / t.total)), 6) AS entropy,
+       ROUND(-SUM((c.c / t.total) * LN(c.c / t.total)) / LN(t.n_terms), 6)
+         AS normalized_entropy
+FROM counts c JOIN totals t ON c.source = t.source
+GROUP BY c.source, t.total, t.n_terms
+"""
+
+SOURCE_ENTROPY_DUCK = """
+WITH tok AS (
+  SELECT source, t.term FROM documents,
+       LATERAL UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+counts AS (SELECT source, term, COUNT(*) AS c FROM tok GROUP BY source, term),
+totals AS (SELECT source, SUM(c) AS total, COUNT(*) AS n_terms FROM counts GROUP BY source)
+SELECT c.source,
+       CAST(t.total AS BIGINT) AS n_tokens,
+       CAST(t.n_terms AS BIGINT) AS n_terms,
+       ROUND(-SUM((c.c / t.total) * LN(c.c / t.total)), 6) AS entropy,
+       ROUND(-SUM((c.c / t.total) * LN(c.c / t.total)) / LN(t.n_terms), 6)
+         AS normalized_entropy
+FROM counts c JOIN totals t ON c.source = t.source
+GROUP BY c.source, t.total, t.n_terms
+"""
+
+
 def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization computed by Structured Streaming's native
     ``session_window`` state machine (availableNow → memory sink) — proved
@@ -3905,8 +3982,8 @@ def _q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-6 rotation (counts: 7 + 29 + 14 = 50 checked;
-        # 20 + 9 demoted + 44 r05-green = 73 tail; 123 total):
+        # entries. Round-6 rotation (counts: 7 + 31 + 12 = 50 checked;
+        # 22 + 9 demoted + 44 r05-green = 75 tail; 125 total):
         #   1. the seven r02-evidence keys (three rounds stale — the
         #      micros/nanos incident is why stale evidence is a risk),
         #   2. keys whose code/oracle is NEW or CHANGED in round 6
@@ -3920,7 +3997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      zscore_outliers, embedding_quantize, cms_user_counts,
         #      zorder_cluster, pq_topk, time_resample, variant_extract,
         #      mad_outliers, knn_pagerank, ivfpq_topk, incremental_agg,
-        #      streaming_outer_join — plus fuzzy_name_match),
+        #      streaming_outer_join, streaming_sliding_counts,
+        #      source_entropy — plus fuzzy_name_match),
         #   3. keys whose latest evidence is r04 (r05's tail), MINUS
         #      nine triple-green (r01+r03+r04) unchanged-SQL demotions
         #      (parts_heavy_semi, set_ops_segments, correlated_max_order,
@@ -3933,8 +4011,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      vector_stats, decontaminate, pii_redaction,
         #      boilerplate_ngrams, dataset_split, q17_small_qty_revenue,
         #      q21_waiting_supplier, q16_parts_supplier_cnt,
-        #      q11_important_parts, q9_product_profit, q8_market_share)
-        #      — ALL 29 demotions lead round 7's 50,
+        #      q11_important_parts, q9_product_profit, q8_market_share,
+        #      q2_min_cost_supplier, q22_sales_opportunity) — ALL 31
+        #      demotions lead round 7's 50,
         #   4. tail: the demotions, then every key checked green in r05
         #      — freshest evidence, safe past the cutoff for one round.
     return {
@@ -3976,6 +4055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": _q_ivfpq_topk,
         "incremental_agg": _sql(INCREMENTAL_AGG_SPARK),
         "streaming_outer_join": _q_streaming_outer_join,
+        "streaming_sliding_counts": _q_streaming_sliding,
+        "source_entropy": _sql(SOURCE_ENTROPY_SPARK),
         # -- (3) latest evidence r04 (r05 tail), minus demotions ------
         "corpus_curation": _q_corpus_curation,
         "doc_fingerprints": _q_fingerprints,
@@ -3989,13 +4070,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_near_dups": _q_winnow_near_dups,
         "q13_customer_distribution": _sql(Q13_CUSTOMER_DISTRIBUTION),
         "q15_top_supplier": _sql(Q15_TOP_SUPPLIER),
-        "q22_sales_opportunity": _sql(Q22_SALES_OPPORTUNITY),
-        "q2_min_cost_supplier": _sql(Q2_MIN_COST_SUPPLIER),
         # -- 50-cap cutoff --------------------------------------------
         # -- (4a) demotions: FIRST into round 7's checked 50 — the
-        #    twenty r04-green keys displaced by round 6's new
+        #    twenty-two r04-green keys displaced by round 6's new
         #    operators, then the nine triple-green unchanged-SQL
         #    demotions ------------------------------------------------
+        "q22_sales_opportunity": _sql(Q22_SALES_OPPORTUNITY),
+        "q2_min_cost_supplier": _sql(Q2_MIN_COST_SUPPLIER),
         "q8_market_share": _sql(Q8_MARKET_SHARE),
         "q9_product_profit": _sql(Q9_PRODUCT_PROFIT),
         "q11_important_parts": _sql(Q11_IMPORTANT_PARTS),
@@ -4095,6 +4176,8 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_topk": _ivfpq_duck(),
         "incremental_agg": INCREMENTAL_AGG_DUCK,
         "streaming_outer_join": STREAMING_OUTER_JOIN_DUCK,
+        "streaming_sliding_counts": STREAMING_SLIDING_DUCK,
+        "source_entropy": SOURCE_ENTROPY_DUCK,
         "bpe_merges": _bpe_merges_duck(),
         "bpe_tokenize": _bpe_tokenize_duck(),
         "fuzzy_name_match": FUZZY_NAME_MATCH_DUCK,

@@ -100,6 +100,8 @@ HEADLINE = [
     "mad_outliers",
     # round 6 late: base∪delta aggregate merge (incremental maintenance)
     "incremental_agg",
+    # round 6 late: explode + two grouped aggs + per-source entropy
+    "source_entropy",
 ]
 
 
