@@ -3611,6 +3611,69 @@ FROM orders GROUP BY o_custkey
 """
 
 
+def _q_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resample (operators/timeseries.py
+    resample_interpolate): gaps blend between the surrounding
+    observations — the continuous-signal fill next to the LOCF entry.
+    The blend is one float expression over identical inputs (no
+    accumulation), so 6dp rounding is cross-engine-safe."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    events = _table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    return resample_interpolate(
+        events, "user_id", "ts", "value", step="1 hour", tie_cols=["event_id"]
+    )
+
+
+TIME_INTERPOLATE_DUCK = """
+WITH obs AS (
+  SELECT user_id, DATE_TRUNC('hour', ts) AS slot, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, DATE_TRUNC('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE user_id < 30
+),
+last_obs AS (SELECT user_id, slot, value FROM obs WHERE rn = 1),
+extent AS (SELECT user_id, MIN(slot) AS lo, MAX(slot) AS hi FROM last_obs GROUP BY 1),
+grid AS (
+  SELECT user_id, UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 HOUR)) AS slot
+  FROM extent
+),
+joined AS (
+  SELECT g.user_id, g.slot, o.value, o.value IS NOT NULL AS is_observed
+  FROM grid g LEFT JOIN last_obs o USING (user_id, slot)
+),
+bounds AS (
+  SELECT user_id, slot, is_observed,
+         LAST_VALUE(CASE WHEN is_observed THEN value END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY slot
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         LAST_VALUE(CASE WHEN is_observed THEN slot END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY slot
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         FIRST_VALUE(CASE WHEN is_observed THEN value END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY slot
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         FIRST_VALUE(CASE WHEN is_observed THEN slot END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY slot
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM joined
+)
+-- floor-based rounding, NOT ROUND: dyadic blends sit exactly on decimal
+-- half-boundaries where the engines' ROUND semantics split; this form
+-- is the same double arithmetic on both sides (timeseries.py docstring)
+SELECT user_id, slot,
+       -- parenthesized EXACTLY like the engine: (nv-pv) * (dt / T), not
+       -- ((nv-pv) * dt) / T — the associations round differently
+       FLOOR((CASE WHEN pv IS NOT NULL AND nv IS NOT NULL AND EPOCH(nt) > EPOCH(pt)
+                   THEN pv + (nv - pv) * ((EPOCH(slot) - EPOCH(pt)) / (EPOCH(nt) - EPOCH(pt)))
+                   ELSE COALESCE(pv, nv) END) * 1000000.0 + 0.5) / 1000000.0 AS value_interp,
+       is_observed
+FROM bounds
+"""
+
+
 _PQ_M = 16  # subspaces (64-dim -> 16 x 4-dim)
 _PQ_K = 32  # codes per subspace -> 16 bytes/vector, 16x smaller than f32
 _PQ_ITERS = 1
@@ -3982,8 +4045,8 @@ def _q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-6 rotation (counts: 7 + 31 + 12 = 50 checked;
-        # 22 + 9 demoted + 44 r05-green = 75 tail; 125 total):
+        # entries. Round-6 rotation (counts: 7 + 32 + 11 = 50 checked;
+        # 23 + 9 demoted + 44 r05-green = 76 tail; 126 total):
         #   1. the seven r02-evidence keys (three rounds stale — the
         #      micros/nanos incident is why stale evidence is a risk),
         #   2. keys whose code/oracle is NEW or CHANGED in round 6
@@ -3998,7 +4061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      zorder_cluster, pq_topk, time_resample, variant_extract,
         #      mad_outliers, knn_pagerank, ivfpq_topk, incremental_agg,
         #      streaming_outer_join, streaming_sliding_counts,
-        #      source_entropy — plus fuzzy_name_match),
+        #      source_entropy, time_interpolate — plus
+        #      fuzzy_name_match),
         #   3. keys whose latest evidence is r04 (r05's tail), MINUS
         #      nine triple-green (r01+r03+r04) unchanged-SQL demotions
         #      (parts_heavy_semi, set_ops_segments, correlated_max_order,
@@ -4012,8 +4076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      boilerplate_ngrams, dataset_split, q17_small_qty_revenue,
         #      q21_waiting_supplier, q16_parts_supplier_cnt,
         #      q11_important_parts, q9_product_profit, q8_market_share,
-        #      q2_min_cost_supplier, q22_sales_opportunity) — ALL 31
-        #      demotions lead round 7's 50,
+        #      q2_min_cost_supplier, q22_sales_opportunity,
+        #      q15_top_supplier) — ALL 32 demotions lead round 7's 50,
         #   4. tail: the demotions, then every key checked green in r05
         #      — freshest evidence, safe past the cutoff for one round.
     return {
@@ -4057,6 +4121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_outer_join": _q_streaming_outer_join,
         "streaming_sliding_counts": _q_streaming_sliding,
         "source_entropy": _sql(SOURCE_ENTROPY_SPARK),
+        "time_interpolate": _q_time_interpolate,
+        # (time_interpolate is round-6-new: checked; q15 demoted below)
         # -- (3) latest evidence r04 (r05 tail), minus demotions ------
         "corpus_curation": _q_corpus_curation,
         "doc_fingerprints": _q_fingerprints,
@@ -4069,12 +4135,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "winnow_near_dups": _q_winnow_near_dups,
         "q13_customer_distribution": _sql(Q13_CUSTOMER_DISTRIBUTION),
-        "q15_top_supplier": _sql(Q15_TOP_SUPPLIER),
         # -- 50-cap cutoff --------------------------------------------
         # -- (4a) demotions: FIRST into round 7's checked 50 — the
-        #    twenty-two r04-green keys displaced by round 6's new
+        #    twenty-three r04-green keys displaced by round 6's new
         #    operators, then the nine triple-green unchanged-SQL
         #    demotions ------------------------------------------------
+        "q15_top_supplier": _sql(Q15_TOP_SUPPLIER),
         "q22_sales_opportunity": _sql(Q22_SALES_OPPORTUNITY),
         "q2_min_cost_supplier": _sql(Q2_MIN_COST_SUPPLIER),
         "q8_market_share": _sql(Q8_MARKET_SHARE),
@@ -4178,6 +4244,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_outer_join": STREAMING_OUTER_JOIN_DUCK,
         "streaming_sliding_counts": STREAMING_SLIDING_DUCK,
         "source_entropy": SOURCE_ENTROPY_DUCK,
+        "time_interpolate": TIME_INTERPOLATE_DUCK,
         "bpe_merges": _bpe_merges_duck(),
         "bpe_tokenize": _bpe_tokenize_duck(),
         "fuzzy_name_match": FUZZY_NAME_MATCH_DUCK,

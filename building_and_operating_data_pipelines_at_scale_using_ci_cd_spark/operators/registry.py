@@ -394,6 +394,15 @@ def _resample_ffill(df: DataFrame, key_col: str, ts_col: str, value_col: str, **
     return resample_ffill(df, key_col, ts_col, value_col, **kw)
 
 
+def _resample_interpolate(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str, **kw
+) -> DataFrame:
+    from .timeseries import resample_interpolate
+
+    kw = {k: int(v) if k == "decimals" else v for k, v in kw.items()}
+    return resample_interpolate(df, key_col, ts_col, value_col, **kw)
+
+
 def _pq_topk(df: DataFrame, id_col: str, vec_col: str, **kw) -> DataFrame:
     from ..functions.similarity import pq_topk
 
@@ -479,6 +488,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "pqTopk": _pq_topk,
     "ivfpqTopk": _ivfpq_topk,
     "resampleFfill": _resample_ffill,
+    "resampleInterpolate": _resample_interpolate,
     "knnPagerank": _knn_pagerank,
     "cmsFrequency": _cms_frequency,
     "zorderLayout": _zorder_layout,

@@ -88,3 +88,66 @@ def resample_ffill(
         F.last("__val", ignorenulls=True).over(w_fill).alias("value_ffill"),
         F.col("__val").isNotNull().alias("is_observed"),
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    tie_cols: list[str] | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Like :func:`resample_ffill` but gaps are LINEARLY INTERPOLATED
+    between the surrounding observations instead of carried forward —
+    the right fill for continuous signals (prices, sensor readings)
+    where a step function distorts downstream features. Slots before
+    the first / after the last observation fall back to nearest-value
+    (there is nothing to interpolate toward).
+
+    Same scale shape as the LOCF variant: per-key grids, two key-
+    partitioned windows (last-before + first-after, both ignorenulls —
+    no self-join). The blend ``prev + (next−prev)·Δt/T`` is ONE float
+    expression over identical inputs on any engine (no accumulation).
+    Rounding uses ``floor(x·10^d + 0.5)/10^d`` rather than the engine's
+    ROUND: dyadic blends (e.g. k/128 from 2^k-hour gaps) sit EXACTLY on
+    decimal half-boundaries, where Spark's BigDecimal HALF_UP and
+    DuckDB's rounding disagree — the floor form is the same double
+    arithmetic everywhere, so identical inputs give identical bits."""
+    base = resample_ffill(df, key_col, ts_col, value_col, step=step, tie_cols=tie_cols)
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(key_col)
+        .orderBy("slot")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_val = F.when(F.col("is_observed"), F.col("value_ffill"))
+    obs_slot = F.when(F.col("is_observed"), F.col("slot"))
+    staged = base.select(
+        key_col,
+        "slot",
+        "is_observed",
+        F.last(obs_val, ignorenulls=True).over(w_prev).alias("__pv"),
+        F.last(obs_slot, ignorenulls=True).over(w_prev).alias("__pt"),
+        F.first(obs_val, ignorenulls=True).over(w_next).alias("__nv"),
+        F.first(obs_slot, ignorenulls=True).over(w_next).alias("__nt"),
+    )
+    span = F.unix_timestamp("__nt") - F.unix_timestamp("__pt")
+    frac = (F.unix_timestamp("slot") - F.unix_timestamp("__pt")) / span
+    blended = F.when(
+        F.col("__pv").isNotNull() & F.col("__nv").isNotNull() & (span > 0),
+        F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac,
+    ).otherwise(F.coalesce("__pv", "__nv"))
+    scale = float(10**decimals)
+    rounded = F.floor(blended * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+    return staged.select(
+        key_col,
+        "slot",
+        rounded.alias("value_interp"),
+        "is_observed",
+    )

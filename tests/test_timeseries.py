@@ -55,6 +55,23 @@ def test_daily_step_and_bad_step(spark, series):
         resample_ffill(series, "k", "ts", "value", step="7 weeks")
 
 
+def test_interpolation_blends_gaps(spark, series):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    out = resample_interpolate(series, "k", "ts", "value", step="1 hour", tie_cols=["eid"])
+    got = {
+        (r["k"], r["slot"].hour): (r["value_interp"], r["is_observed"])
+        for r in out.filter(F.col("k") == "a").collect()
+    }
+    # a: observed 10.0 at hour 0, 31.0 at hour 3 -> linear blend between
+    assert got[("a", 0)] == (10.0, True)
+    assert got[("a", 1)] == (17.0, False)   # 10 + (31-10)*1/3
+    assert got[("a", 2)] == (24.0, False)   # 10 + (31-10)*2/3
+    assert got[("a", 3)] == (31.0, True)
+
+
 def test_registry_step(spark, series):
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.registry import (
         apply_operator,
