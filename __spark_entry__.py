@@ -3611,6 +3611,35 @@ FROM orders GROUP BY o_custkey
 """
 
 
+def _q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 TABLE-function tier (Spark 4 Python UDTF): one document in,
+    one row per sentence out — the row-count-changing shape scalar
+    pandas UDFs can't express, LATERAL-joined from config SQL. (The
+    ``FROM t, LATERAL udtf(...)`` comma form silently dropped rows in
+    this Spark build; the explicit ``JOIN LATERAL … ON TRUE`` is the
+    form that behaves, and the one registered examples should copy.)"""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.register import (
+        register_sql_functions,
+    )
+
+    register_sql_functions(spark)
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.sentence
+        FROM documents d JOIN LATERAL py_split_sentences(d.text) s ON TRUE
+        """
+    )
+
+
+UDTF_SENTENCES_DUCK = """
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, TRIM(parts[i]) AS sentence
+FROM (SELECT doc_id, STRING_SPLIT(text, '. ') AS parts FROM documents),
+     LATERAL UNNEST(GENERATE_SERIES(1, LEN(parts))) AS t(i)
+WHERE TRIM(parts[i]) <> ''
+"""
+
+
 def _q_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-interpolation resample (operators/timeseries.py
     resample_interpolate): gaps blend between the surrounding
@@ -4045,8 +4074,8 @@ def _q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-6 rotation (counts: 7 + 32 + 11 = 50 checked;
-        # 23 + 9 demoted + 44 r05-green = 76 tail; 126 total):
+        # entries. Round-6 rotation (counts: 7 + 33 + 10 = 50 checked;
+        # 24 + 9 demoted + 44 r05-green = 77 tail; 127 total):
         #   1. the seven r02-evidence keys (three rounds stale — the
         #      micros/nanos incident is why stale evidence is a risk),
         #   2. keys whose code/oracle is NEW or CHANGED in round 6
@@ -4061,7 +4090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      zorder_cluster, pq_topk, time_resample, variant_extract,
         #      mad_outliers, knn_pagerank, ivfpq_topk, incremental_agg,
         #      streaming_outer_join, streaming_sliding_counts,
-        #      source_entropy, time_interpolate — plus
+        #      source_entropy, time_interpolate, udtf_sentences — plus
         #      fuzzy_name_match),
         #   3. keys whose latest evidence is r04 (r05's tail), MINUS
         #      nine triple-green (r01+r03+r04) unchanged-SQL demotions
@@ -4077,7 +4106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      q21_waiting_supplier, q16_parts_supplier_cnt,
         #      q11_important_parts, q9_product_profit, q8_market_share,
         #      q2_min_cost_supplier, q22_sales_opportunity,
-        #      q15_top_supplier) — ALL 32 demotions lead round 7's 50,
+        #      q15_top_supplier, q13_customer_distribution) — ALL 33
+        #      demotions lead round 7's 50,
         #   4. tail: the demotions, then every key checked green in r05
         #      — freshest evidence, safe past the cutoff for one round.
     return {
@@ -4122,7 +4152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sliding_counts": _q_streaming_sliding,
         "source_entropy": _sql(SOURCE_ENTROPY_SPARK),
         "time_interpolate": _q_time_interpolate,
-        # (time_interpolate is round-6-new: checked; q15 demoted below)
+        "udtf_sentences": _q_udtf_sentences,
         # -- (3) latest evidence r04 (r05 tail), minus demotions ------
         "corpus_curation": _q_corpus_curation,
         "doc_fingerprints": _q_fingerprints,
@@ -4134,12 +4164,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": _q_approx_distinct,
         "minhash_near_dups": _q_minhash_near_dups,
         "winnow_near_dups": _q_winnow_near_dups,
-        "q13_customer_distribution": _sql(Q13_CUSTOMER_DISTRIBUTION),
         # -- 50-cap cutoff --------------------------------------------
         # -- (4a) demotions: FIRST into round 7's checked 50 — the
-        #    twenty-three r04-green keys displaced by round 6's new
+        #    twenty-four r04-green keys displaced by round 6's new
         #    operators, then the nine triple-green unchanged-SQL
         #    demotions ------------------------------------------------
+        "q13_customer_distribution": _sql(Q13_CUSTOMER_DISTRIBUTION),
         "q15_top_supplier": _sql(Q15_TOP_SUPPLIER),
         "q22_sales_opportunity": _sql(Q22_SALES_OPPORTUNITY),
         "q2_min_cost_supplier": _sql(Q2_MIN_COST_SUPPLIER),
@@ -4245,6 +4275,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sliding_counts": STREAMING_SLIDING_DUCK,
         "source_entropy": SOURCE_ENTROPY_DUCK,
         "time_interpolate": TIME_INTERPOLATE_DUCK,
+        "udtf_sentences": UDTF_SENTENCES_DUCK,
         "bpe_merges": _bpe_merges_duck(),
         "bpe_tokenize": _bpe_tokenize_duck(),
         "fuzzy_name_match": FUZZY_NAME_MATCH_DUCK,

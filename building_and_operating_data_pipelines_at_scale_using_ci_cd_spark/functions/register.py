@@ -53,8 +53,30 @@ def py_nfc_normalize(text: pd.Series) -> pd.Series:
     )
 
 
+def _sentence_udtf():
+    """Python UDTF (Spark 4): one input document → one row per sentence
+    with its ordinal — the TABLE-function tier of §2.9 (scalar pandas
+    UDFs can't change the row count; LATERAL joins against a UDTF can).
+    Splitting is a deterministic regex-free scan ('. ' boundaries, final
+    fragment kept), so a DuckDB oracle mirrors it with STRING_SPLIT."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, frag in enumerate(text.split(". ")):
+                frag = frag.strip()
+                if frag:
+                    yield i, frag
+
+    return SplitSentences
+
+
 def register_sql_functions(spark: SparkSession) -> None:
     """Make the Python-tier functions callable from config SQL."""
     spark.udf.register("py_token_count", py_token_count)
     spark.udf.register("py_type_token_ratio", py_type_token_ratio)
     spark.udf.register("py_nfc_normalize", py_nfc_normalize)
+    spark.udtf.register("py_split_sentences", _sentence_udtf())

@@ -326,3 +326,27 @@ def test_ngram_jaccard_hash_order_same_answer(spark):
     assert a == b and len(a) >= 1
     with pytest.raises(ValueError):
         ngram_jaccard_pairs(df, "doc_id", "text", prefix_order="nope")
+
+
+def test_udtf_sentence_split(spark):
+    """Spark 4 Python UDTF registered for config SQL: row-count-changing
+    sentence expansion. JOIN LATERAL ... ON TRUE is the working form —
+    the comma-LATERAL form dropped the first row of multi-row
+    expansions in this build (documented in COVERAGE.md)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.register import (
+        register_sql_functions,
+    )
+
+    register_sql_functions(spark)
+    spark.createDataFrame(
+        [(1, "First one. Second one. "), (2, "Only"), (3, None)],
+        "doc_id int, text string",
+    ).createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.sentence
+        FROM udtf_docs d JOIN LATERAL py_split_sentences(d.text) s ON TRUE
+        """
+    ).collect()
+    got = {(r["doc_id"], r["pos"], r["sentence"]) for r in rows}
+    assert got == {(1, 0, "First one"), (1, 1, "Second one"), (2, 0, "Only")}
