@@ -61,7 +61,10 @@ def _sentence_udtf():
     fragment kept), so a DuckDB oracle mirrors it with STRING_SPLIT."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos int, sentence string")
+    # useArrow: evaluation crosses to Python in Arrow batches
+    # (ArrowEvalPythonUDTF) — without it a UDTF is the row-at-a-time
+    # BatchEvalPython path the plan audit bans everywhere else
+    @udtf(returnType="pos int, sentence string", useArrow=True)
     class SplitSentences:
         def eval(self, text: str):
             if text is None:
