@@ -1,0 +1,31 @@
+"""The example pipelines run end-to-end in CI (the shareprice rebuild
+has its own test file): corpus_index (manifest, 2 concurrent jobs) and
+similarity_search (PQ + PageRank + quantization as config steps).
+Slow — each is a real multi-job drive over sf0.01."""
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _load(path):
+    spec = importlib.util.spec_from_file_location("example_mod", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.slow
+def test_similarity_search_example(spark):
+    mod = _load(os.path.join(_ROOT, "examples", "similarity_search", "run.py"))
+    mod.main()  # asserts internally (counts, schemas)
+
+
+@pytest.mark.slow
+def test_corpus_index_example(spark):
+    mod = _load(os.path.join(_ROOT, "examples", "corpus_index", "run.py"))
+    mod.main()  # asserts internally (pairs, clusters, sample sizes)
