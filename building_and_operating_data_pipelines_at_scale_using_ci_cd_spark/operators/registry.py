@@ -388,6 +388,13 @@ def _streaming_dedup_op(df: DataFrame, keys: list, ts_col: str, **kw) -> DataFra
     return streaming_dedup(df, list(keys), ts_col, **kw)
 
 
+def _session_close_events(df: DataFrame, key_col: str, ts_col: str, **kw) -> DataFrame:
+    from ..streaming.ops import session_close_events
+
+    kw = {k: int(v) if k == "gap_minutes" else v for k, v in kw.items()}
+    return session_close_events(df, key_col, ts_col, **kw)
+
+
 def _resample_ffill(df: DataFrame, key_col: str, ts_col: str, value_col: str, **kw) -> DataFrame:
     from .timeseries import resample_ffill
 
@@ -495,6 +502,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "sessionAggregate": _session_aggregate,
     "tumblingCounts": _tumbling_counts,
     "streamingDedup": _streaming_dedup_op,
+    "sessionCloseEvents": _session_close_events,
 }
 
 

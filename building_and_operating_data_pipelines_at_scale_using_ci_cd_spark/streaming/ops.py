@@ -199,6 +199,87 @@ def stateful_running_totals(
     )
 
 
+def session_close_events(
+    df: DataFrame, key_col: str, ts_col: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Custom session machine via ``applyInPandasWithState`` +
+    **EventTimeTimeout** — the state-EXPIRY extension point
+    (`stateful_running_totals` covers accumulate-forever state; this
+    covers "do something when the watermark says the key went quiet"):
+    one output row per CLOSED session, emitted only when the watermark
+    passes last_event + gap. Native ``session_window`` can aggregate
+    sessions; the custom machine is for close-time side effects and
+    payloads aggregations can't express (alerts, session summaries with
+    bespoke logic).
+
+    Input must already be watermarked (the timeout clock IS the
+    watermark). State per key is one tiny row; append output mode."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    key_type = df.schema[key_col].dataType
+    out_schema = StructType(
+        [
+            StructField(key_col, key_type),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_iso", StringType()),
+            StructField("end_iso", StringType()),
+            StructField("n", LongType()),
+        ]
+    )
+    gap_ms = gap_minutes * 60 * 1000
+
+    def update(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            start_iso, end_iso, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "session_start": [pd.Timestamp(start_iso)],
+                    "session_end": [pd.Timestamp(end_iso)],
+                    "n_events": [n],
+                }
+            )
+            return
+        start_iso, end_iso, n = state.get if state.exists else (None, None, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            lo, hi = str(pdf[ts_col].min()), str(pdf[ts_col].max())
+            start_iso = lo if start_iso is None or lo < start_iso else start_iso
+            end_iso = hi if end_iso is None or hi > end_iso else end_iso
+        state.update((start_iso, end_iso, n))
+        import datetime
+
+        end_ms = int(
+            datetime.datetime.fromisoformat(end_iso)
+            .replace(tzinfo=datetime.timezone.utc)
+            .timestamp()
+            * 1000
+        )
+        state.setTimeoutTimestamp(end_ms + gap_ms)
+        return
+        yield  # pragma: no cover — makes `update` a generator on all paths
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
 def foreach_batch_writer(spec: "TargetSpec"):
     """Bridge every batch load mode (including SCD2) into a streaming sink:
     ``stream.writeStream.foreachBatch(foreach_batch_writer(spec))``."""

@@ -249,3 +249,31 @@ def test_csv_corrupt_record_lane(spark, tmp_path):
     raws = {r["_corrupt_record"] for r in bad.collect()}
     assert any("not_a_number" in (x or "") for x in raws)
     df.unpersist()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution on read: a directory whose newer files carry an
+    extra column reads as the UNION schema with mergeSchema=true (nulls
+    for old files) — the lakehouse append-with-new-column case, reachable
+    through the engine's reader options passthrough."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.config import InputSpec
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.readers import (
+        read_input,
+    )
+
+    src = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id int, s string").write.parquet(src)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id int, s string, score double"
+    ).write.mode("append").parquet(src)
+    spec = InputSpec(
+        data_source="local",
+        dataframe_name="evolving",
+        path=src,
+        file_format="parquet",
+        options={"mergeSchema": "true"},
+    )
+    df = read_input(spark, spec)
+    assert set(df.columns) == {"id", "s", "score"}
+    rows = {r["id"]: r["score"] for r in df.collect()}
+    assert rows == {1: None, 2: 9.5}

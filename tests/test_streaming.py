@@ -296,3 +296,41 @@ def test_interval_join_left_outer_emits_null_after_expiry(spark, tmp_path):
     assert (999, 998) in got
     with pytest.raises(ValueError):
         interval_join(l, r, "k", "lts", "rts", how="full_outer")
+
+
+def test_session_close_events_event_time_timeout(spark, tmp_path):
+    """EventTimeTimeout custom state machine: a key's session row emits
+    ONLY once the watermark passes last_event + gap (driven here by a
+    later event on another key); still-open sessions emit nothing."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.streaming.ops import (
+        session_close_events,
+        with_watermark,
+    )
+
+    src = str(tmp_path / "sessions_src")
+    rows1 = [(1, _ts("2024-01-01 10:00:00"), 0.0), (1, _ts("2024-01-01 10:05:00"), 0.0)]
+    rows2 = [(2, _ts("2024-01-01 12:00:00"), 0.0)]
+    spark.createDataFrame(rows1, "user_id long, ts timestamp, v double").coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows2, "user_id long, ts timestamp, v double").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.registry import (
+        apply_operator,
+    )
+
+    # through the config registry step, exactly as a job config would
+    out = apply_operator(
+        "sessionCloseEvents",
+        with_watermark(stream, "ts", "10 minutes"),
+        {"key_col": "user_id", "ts_col": "ts", "gap_minutes": "30"},
+    )
+    _run_stream_once(out, "session_close_test", mode="append")
+    rows = spark.sql("SELECT * FROM session_close_test").collect()
+    got = {(r["user_id"], r["session_start"].hour, r["session_end"].minute, r["n_events"]) for r in rows}
+    # key 1 closed (watermark passed 10:05 + 30m); key 2 still open
+    assert got == {(1, 10, 5, 2)}
