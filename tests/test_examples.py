@@ -29,3 +29,16 @@ def test_similarity_search_example(spark):
 def test_corpus_index_example(spark):
     mod = _load(os.path.join(_ROOT, "examples", "corpus_index", "run.py"))
     mod.main()  # asserts internally (pairs, clusters, sample sizes)
+
+
+def test_registry_docs_bench_consistency():
+    """tools/consistency_check.py: registry ↔ docs ↔ bench drift guard
+    (stale counts and undocumented steps were recurring advice items)."""
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(_ROOT, "tools", "consistency_check.py")],
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
