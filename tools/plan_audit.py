@@ -56,11 +56,16 @@ FLAGS = {
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    json_out = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json=")), None
+    )
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
     spark = get_session(app_name="plan-audit", master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
 
     failures = []
+    metrics: dict[str, dict] = {}
     for name, fn in entry_mod.queries().items():
         try:
             df = fn(spark, sf_dir)
@@ -84,15 +89,32 @@ def main() -> int:
         # nothing), but a filtered query showing 0/N deserves a look.
         scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
         pushed = len(re.findall(r"PushedFilters: \[(?!\])", plan))
+        metrics[name] = {
+            "smj": plan.count("SortMergeJoin"),
+            "bhj": plan.count("BroadcastHashJoin"),
+            "exch": plan.count("Exchange"),
+            "pushed": pushed,
+            "scans": scans,
+            "flags": hits,
+        }
         print(
-            f"{name:30s} smj={plan.count('SortMergeJoin')} "
-            f"bhj={plan.count('BroadcastHashJoin')} "
-            f"exch={plan.count('Exchange')} pushed={pushed}/{scans} "
+            f"{name:30s} smj={metrics[name]['smj']} "
+            f"bhj={metrics[name]['bhj']} "
+            f"exch={metrics[name]['exch']} pushed={pushed}/{scans} "
             f"flags={hits or '-'}"
         )
 
     print("=" * 60)
     print(f"{len(failures)} flagged: {failures}")
+    if json_out:
+        # plan-shape baseline: diff against a prior round's file to catch
+        # an exchange-count jump (a regressed join strategy) even when the
+        # query still passes its oracle and its runtime hides in noise
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "queries": metrics, "flagged": failures}, f, indent=1)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
