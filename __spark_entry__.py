@@ -3534,28 +3534,38 @@ def _q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_pagerank(emb, "vec_id", "embedding", k=_PR_K, iters=_PR_ITERS)
 
 
-def _pagerank_duck(k: int = _PR_K, iters: int = _PR_ITERS) -> str:
+def _pagerank_duck(k: int = _PR_K, iters: int = _PR_ITERS, weighted: bool = False) -> str:
     """Integer-unit PageRank unrolled (damping 17/20, SCALE 1e12 —
-    mirrors functions/graph.py exactly; every op is bigint)."""
+    mirrors functions/graph.py exactly; every op is bigint). With
+    ``weighted``, edge weight = GREATEST(1, floor(round(cos,2)·100+0.5))
+    and a source splits mass ∝ weight — still all-integer."""
     scale = 10**12
+    cos = (
+        "LIST_DOT_PRODUCT(a.e, b.e)"
+        " / (SQRT(LIST_DOT_PRODUCT(a.e, a.e)) * SQRT(LIST_DOT_PRODUCT(b.e, b.e)))"
+    )
+    w_expr = (
+        f"GREATEST(CAST(1 AS BIGINT), CAST(FLOOR(ROUND({cos}, 2) * 100.0 + 0.5) AS BIGINT))"
+        if weighted
+        else "CAST(1 AS BIGINT)"
+    )
     parts = [
         "v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
         "nc AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)",
         f"""edges AS MATERIALIZED (
-  SELECT src, dst FROM (
-    SELECT a.vec_id AS src, b.vec_id AS dst,
+  SELECT src, dst, w FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst, {w_expr} AS w,
            ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
-             LIST_DOT_PRODUCT(a.e, b.e)
-               / (SQRT(LIST_DOT_PRODUCT(a.e, a.e)) * SQRT(LIST_DOT_PRODUCT(b.e, b.e))) DESC,
+             {cos} DESC,
              b.vec_id) AS rn
     FROM v a JOIN v b ON a.vec_id <> b.vec_id) WHERE rn <= {k})""",
-        "deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS dg FROM edges GROUP BY src)",
+        "deg AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS dg FROM edges GROUP BY src)",
         f"pr0 AS MATERIALIZED (SELECT vec_id AS id, CAST({scale} // n AS BIGINT) AS pr FROM v CROSS JOIN nc)",
     ]
     for i in range(iters):
         parts.append(
             f"""c{i + 1} AS MATERIALIZED (
-  SELECT e.dst, CAST(SUM(p.pr // d.dg) AS BIGINT) AS cin
+  SELECT e.dst, CAST(SUM((p.pr * e.w) // d.dg) AS BIGINT) AS cin
   FROM edges e JOIN pr{i} p ON p.id = e.src JOIN deg d ON d.src = e.src
   GROUP BY e.dst)"""
         )
@@ -3776,6 +3786,21 @@ def _ivfpq_duck(
     )
     parts.append(_short_part(shortlist))
     return "WITH " + ",\n".join(parts) + _PQ_TAIL
+
+
+def _q_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-WEIGHTED PageRank: each source splits its mass in
+    proportion to integer edge weights derived from the 2dp cosine
+    (floor(x·100+0.5), clamped ≥1) — pr·w // Σw per edge, the same
+    all-integer divergence-free contract as the uniform entry."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.graph import (
+        knn_pagerank,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return knn_pagerank(
+        emb, "vec_id", "embedding", k=_PR_K, iters=_PR_ITERS, weighted=True
+    )
 
 
 # Spark 4 VariantType: the modern semi-structured ingestion path — parse
@@ -4074,8 +4099,8 @@ def _q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-6 rotation (counts: 7 + 33 + 10 = 50 checked;
-        # 24 + 9 demoted + 44 r05-green = 77 tail; 127 total):
+        # entries. Round-6 rotation (counts: 7 + 34 + 9 = 50 checked;
+        # 25 + 9 demoted + 44 r05-green = 78 tail; 128 total):
         #   1. the seven r02-evidence keys (three rounds stale — the
         #      micros/nanos incident is why stale evidence is a risk),
         #   2. keys whose code/oracle is NEW or CHANGED in round 6
@@ -4090,8 +4115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      zorder_cluster, pq_topk, time_resample, variant_extract,
         #      mad_outliers, knn_pagerank, ivfpq_topk, incremental_agg,
         #      streaming_outer_join, streaming_sliding_counts,
-        #      source_entropy, time_interpolate, udtf_sentences — plus
-        #      fuzzy_name_match),
+        #      source_entropy, time_interpolate, udtf_sentences,
+        #      weighted_pagerank — plus fuzzy_name_match),
         #   3. keys whose latest evidence is r04 (r05's tail), MINUS
         #      nine triple-green (r01+r03+r04) unchanged-SQL demotions
         #      (parts_heavy_semi, set_ops_segments, correlated_max_order,
@@ -4106,8 +4131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      q21_waiting_supplier, q16_parts_supplier_cnt,
         #      q11_important_parts, q9_product_profit, q8_market_share,
         #      q2_min_cost_supplier, q22_sales_opportunity,
-        #      q15_top_supplier, q13_customer_distribution) — ALL 33
-        #      demotions lead round 7's 50,
+        #      q15_top_supplier, q13_customer_distribution,
+        #      winnow_near_dups) — ALL 34 demotions lead round 7's 50,
         #   4. tail: the demotions, then every key checked green in r05
         #      — freshest evidence, safe past the cutoff for one round.
     return {
@@ -4153,6 +4178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_entropy": _sql(SOURCE_ENTROPY_SPARK),
         "time_interpolate": _q_time_interpolate,
         "udtf_sentences": _q_udtf_sentences,
+        "weighted_pagerank": _q_weighted_pagerank,
         # -- (3) latest evidence r04 (r05 tail), minus demotions ------
         "corpus_curation": _q_corpus_curation,
         "doc_fingerprints": _q_fingerprints,
@@ -4163,12 +4189,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_resize": _q_embedding_resize,
         "approx_distinct": _q_approx_distinct,
         "minhash_near_dups": _q_minhash_near_dups,
-        "winnow_near_dups": _q_winnow_near_dups,
         # -- 50-cap cutoff --------------------------------------------
         # -- (4a) demotions: FIRST into round 7's checked 50 — the
-        #    twenty-four r04-green keys displaced by round 6's new
+        #    twenty-five r04-green keys displaced by round 6's new
         #    operators, then the nine triple-green unchanged-SQL
         #    demotions ------------------------------------------------
+        "winnow_near_dups": _q_winnow_near_dups,
         "q13_customer_distribution": _sql(Q13_CUSTOMER_DISTRIBUTION),
         "q15_top_supplier": _sql(Q15_TOP_SUPPLIER),
         "q22_sales_opportunity": _sql(Q22_SALES_OPPORTUNITY),
@@ -4276,6 +4302,7 @@ def oracle_sql() -> dict[str, str]:
         "source_entropy": SOURCE_ENTROPY_DUCK,
         "time_interpolate": TIME_INTERPOLATE_DUCK,
         "udtf_sentences": UDTF_SENTENCES_DUCK,
+        "weighted_pagerank": _pagerank_duck(weighted=True),
         "bpe_merges": _bpe_merges_duck(),
         "bpe_tokenize": _bpe_tokenize_duck(),
         "fuzzy_name_match": FUZZY_NAME_MATCH_DUCK,

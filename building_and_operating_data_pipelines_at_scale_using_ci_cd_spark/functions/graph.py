@@ -55,6 +55,7 @@ def knn_edges(
     k: int = 3,
     method: str = "exact",
     n_probe: int = 8,
+    weighted: bool = False,
 ) -> DataFrame:
     """Directed k-NN edge list (src, dst): every vector points at its
     ``k`` nearest cosine neighbors (deterministic id tie-break, self
@@ -79,7 +80,18 @@ def knn_edges(
         nn = ivf_topk(vectors, vectors, id_col, vec_col, k=k, n_probe=n_probe)
     else:
         raise ValueError("method must be 'exact' or 'ivf'")
-    return nn.select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    cols = [F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")]
+    if weighted:
+        # integer edge weight from the (2dp-rounded) cosine: floor(x*100
+        # + 0.5) is the same double arithmetic on any engine (the ROUND-
+        # semantics lesson), clamped ≥ 1 so weakly-similar edges still
+        # carry mass instead of silently dropping it
+        w = F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(F.col("cosine_sim") * F.lit(100.0) + F.lit(0.5)).cast("bigint"),
+        )
+        cols.append(w.alias("weight"))
+    return nn.select(*cols)
 
 
 def pagerank(
@@ -94,6 +106,12 @@ def pagerank(
     receive the teleport term). ``damping`` must be an exact rational
     (default 17/20 = 0.85) so both the engine and any oracle apply
     identical integer arithmetic.
+
+    If ``edges`` carries an integer ``weight`` column, contributions are
+    weighted: each source splits its mass proportionally to edge weight
+    (``pr·w // Σw_src`` — still all-integer, still divergence-free),
+    the similarity-weighted centrality actually used for coreset
+    ranking. Without the column every edge counts 1 (uniform split).
 
     Returns (id, pr_units, rank): ``pr_units`` is the integer mass in
     1/SCALE units (divide by 1e12 for the familiar probability), rank a
@@ -110,7 +128,13 @@ def pagerank(
     dn, dd = damping.numerator, damping.denominator
     # teleport term: (1 - d)·SCALE/n in exact integers
     base = ((dd - dn) * SCALE) // (dd * n)
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    w_col = (
+        F.col("weight").cast("bigint")
+        if "weight" in edges.columns
+        else F.lit(1).cast("bigint")
+    )
+    edges = edges.select("src", "dst", w_col.alias("__w"))
+    out_deg = edges.groupBy("src").agg(F.sum("__w").alias("__deg"))
     e = edges.join(out_deg, "src")
     pr = nodes.select(
         F.col(id_col).alias("__id"), F.lit(SCALE // n).cast("bigint").alias("__pr")
@@ -118,7 +142,10 @@ def pagerank(
     for _ in range(iters):
         contrib = (
             e.join(pr, e["src"] == pr["__id"])
-            .select("dst", _idiv(F.col("__pr"), F.col("__deg")).alias("__c"))
+            .select(
+                "dst",
+                _idiv(F.col("__pr") * F.col("__w"), F.col("__deg")).alias("__c"),
+            )
             .groupBy("dst")
             .agg(F.sum("__c").alias("__in"))
         )
@@ -151,9 +178,14 @@ def knn_pagerank(
     k: int = 3,
     iters: int = 3,
     method: str = "exact",
+    weighted: bool = False,
 ) -> DataFrame:
     """One-call k-NN graph + PageRank (the ``knnPagerank`` config step).
-    Pass ``method="ivf"`` at corpus scale — see :func:`knn_edges`."""
+    Pass ``method="ivf"`` at corpus scale, ``weighted=True`` for
+    similarity-weighted mass splitting — see :func:`knn_edges`."""
     return pagerank(
-        knn_edges(vectors, id_col, vec_col, k, method=method), vectors, id_col, iters=iters
+        knn_edges(vectors, id_col, vec_col, k, method=method, weighted=weighted),
+        vectors,
+        id_col,
+        iters=iters,
     )

@@ -424,7 +424,12 @@ def _pq_topk(df: DataFrame, id_col: str, vec_col: str, **kw) -> DataFrame:
 def _knn_pagerank(df: DataFrame, id_col: str, vec_col: str, **kw) -> DataFrame:
     from ..functions.graph import knn_pagerank
 
-    kw = {k: int(v) if k in ("k", "iters") else v for k, v in kw.items()}
+    kw = {
+        k: int(v)
+        if k in ("k", "iters", "n_probe")
+        else (str(v).lower() == "true" if k == "weighted" else v)
+        for k, v in kw.items()
+    }
     return knn_pagerank(df, id_col, vec_col, **kw)
 
 

@@ -69,6 +69,24 @@ def test_knn_edges_ivf_method(spark):
         knn_edges(vecs, "vec_id", "embedding", method="hnsw")
 
 
+def test_weighted_pagerank_splits_by_weight(spark):
+    # hub 0 has two out-edges: weight 9 to node 1, weight 1 to node 2 —
+    # node 1 must receive 9x node 2's inflow (before the teleport floor)
+    edges = spark.createDataFrame(
+        [(0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1)], "src bigint, dst bigint, weight bigint"
+    )
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "id bigint")
+    out = {r["id"]: r["pr_units"] for r in pagerank(edges, nodes, "id", iters=1).collect()}
+    n = 3
+    floor = (3 * SCALE) // (20 * n)
+    inflow1, inflow2 = out[1] - floor, out[2] - floor
+    assert abs(inflow1 - 9 * inflow2) <= 20  # integer floors only
+    # uniform edges (no weight column): equal split
+    eu = spark.createDataFrame([(0, 1), (0, 2), (1, 0), (2, 0)], "src bigint, dst bigint")
+    ou = {r["id"]: r["pr_units"] for r in pagerank(eu, nodes, "id", iters=1).collect()}
+    assert ou[1] == ou[2]
+
+
 def test_knn_pagerank_registry_step(spark):
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.registry import (
         apply_operator,
