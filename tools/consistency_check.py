@@ -80,6 +80,27 @@ def main() -> int:
         if total != len(q):
             failures.append(f"rotation comment says {total} total, registry has {len(q)}")
 
+    # 6. plan-audit allowlist hygiene (the round-6 failure mode: an entry
+    #    shipped in the final commit without an allowlist decision or a
+    #    baseline row). Every BNLJ_ALLOWED name must be a real entry, and
+    #    PLAN_BASELINE.json must cover the full registry so the audit's
+    #    diff-vs-baseline has a row for every query.
+    from tools.plan_audit import BNLJ_ALLOWED
+
+    ghost = sorted(set(BNLJ_ALLOWED) - set(q))
+    if ghost:
+        failures.append(f"BNLJ_ALLOWED names not in queries(): {ghost}")
+    baseline_path = os.path.join(REPO, "PLAN_BASELINE.json")
+    if os.path.exists(baseline_path):
+        import json
+
+        baseline = json.load(open(baseline_path)).get("queries", {})
+        stale = sorted(set(q) - set(baseline))
+        if stale:
+            failures.append(f"entries missing from PLAN_BASELINE.json: {stale}")
+    else:
+        failures.append("PLAN_BASELINE.json missing")
+
     for f in failures:
         print(f"FAIL {f}")
     print(f"{len(failures)} consistency failures over {len(q)} entries / {len(OPERATORS)} registry steps")

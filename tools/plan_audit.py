@@ -42,10 +42,17 @@ from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark import get
 #: lookup tables over the code stream, and knn_pagerank's exact edge
 #: builder IS topk_neighbors (its "ivf" mode equi-joins and is not in
 #: the entry). ivfpq_topk equi-joins on the coarse list id — no BNLJ.
+#: weighted_pagerank builds its kNN edges through the SAME bounded
+#: query-side broadcast loop (topk_neighbors, method="exact") as
+#: knn_pagerank — |nodes| rows broadcast once, never probe-exploded;
+#: its "ivf" mode equi-joins and carries no BNLJ (round-6 lesson: this
+#: entry shipped un-allowlisted in the final commit and failed the
+#: audit at HEAD, which is why tests/test_gates.py now runs this audit
+#: as a failing pytest gate).
 BNLJ_ALLOWED = {
     "topk_neighbors", "domain_mix", "lm_cross_entropy", "bigram_lm",
     "tfidf_top_terms", "quality_quantile_filter", "zorder_cluster",
-    "pq_topk", "knn_pagerank",
+    "pq_topk", "knn_pagerank", "weighted_pagerank",
 }
 
 FLAGS = {
