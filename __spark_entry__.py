@@ -3537,15 +3537,18 @@ def _q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_duck(k: int = _PR_K, iters: int = _PR_ITERS, weighted: bool = False) -> str:
     """Integer-unit PageRank unrolled (damping 17/20, SCALE 1e12 —
     mirrors functions/graph.py exactly; every op is bigint). With
-    ``weighted``, edge weight = GREATEST(1, floor(round(cos,2)·100+0.5))
-    and a source splits mass ∝ weight — still all-integer."""
+    ``weighted``, edge weight = GREATEST(1, floor(cos·100+0.5)) on the
+    UNROUNDED cosine — the floor form IS the rounding step, identical
+    double arithmetic on both engines (an engine-native ROUND(x,2)
+    first would re-open the HALF_UP divergence on .xx5 boundaries) —
+    and a source splits mass ∝ weight, still all-integer."""
     scale = 10**12
     cos = (
         "LIST_DOT_PRODUCT(a.e, b.e)"
         " / (SQRT(LIST_DOT_PRODUCT(a.e, a.e)) * SQRT(LIST_DOT_PRODUCT(b.e, b.e)))"
     )
     w_expr = (
-        f"GREATEST(CAST(1 AS BIGINT), CAST(FLOOR(ROUND({cos}, 2) * 100.0 + 0.5) AS BIGINT))"
+        f"GREATEST(CAST(1 AS BIGINT), CAST(FLOOR({cos} * 100.0 + 0.5) AS BIGINT))"
         if weighted
         else "CAST(1 AS BIGINT)"
     )

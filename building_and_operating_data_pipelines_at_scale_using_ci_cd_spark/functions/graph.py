@@ -74,15 +74,26 @@ def knn_edges(
         unprobed lists; PageRank handles ragged degrees natively."""
     from .similarity import ivf_topk, topk_neighbors
 
+    # weighted mode needs the UNROUNDED cosine: deriving the integer
+    # weight from an engine-native 2dp ROUND re-opens the HALF_UP vs
+    # multiply-then-round divergence on .xx5-boundary doubles that the
+    # all-integer contract exists to close — the floor form below IS the
+    # rounding step, applied identically on any engine
+    sim_decimals = None if weighted else 2
     if method == "exact":
-        nn = topk_neighbors(vectors, vectors, id_col, vec_col, k=k)
+        nn = topk_neighbors(
+            vectors, vectors, id_col, vec_col, k=k, sim_decimals=sim_decimals
+        )
     elif method == "ivf":
-        nn = ivf_topk(vectors, vectors, id_col, vec_col, k=k, n_probe=n_probe)
+        nn = ivf_topk(
+            vectors, vectors, id_col, vec_col, k=k, n_probe=n_probe,
+            sim_decimals=sim_decimals,
+        )
     else:
         raise ValueError("method must be 'exact' or 'ivf'")
     cols = [F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")]
     if weighted:
-        # integer edge weight from the (2dp-rounded) cosine: floor(x*100
+        # integer edge weight straight from the raw cosine: floor(x*100
         # + 0.5) is the same double arithmetic on any engine (the ROUND-
         # semantics lesson), clamped ≥ 1 so weakly-similar edges still
         # carry mass instead of silently dropping it

@@ -70,7 +70,11 @@ def _sentence_udtf():
             if text is None:
                 return
             for i, frag in enumerate(text.split(". ")):
-                frag = frag.strip()
+                # strip SPACES ONLY: the strict oracle uses SQL TRIM,
+                # which removes ' ' but not tab/newline — one shared
+                # whitespace contract or the hashes diverge on documents
+                # with tabs/newlines next to a '. ' boundary
+                frag = frag.strip(" ")
                 if frag:
                     yield i, frag
 

@@ -49,12 +49,20 @@ def topk_neighbors(
     vec_col: str,
     k: int = 10,
     exclude_self: bool = True,
+    sim_decimals: int | None = 2,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     Columns out: query_id, neighbor_id, rank, cosine_sim. The query side
     is broadcast explicitly — never let a small query table pick a shuffle
-    join. Ties broken by neighbor id for determinism."""
+    join. Ties broken by neighbor id for determinism.
+
+    ``sim_decimals=None`` emits the UNROUNDED cosine — required by any
+    caller that derives further integer contracts from the similarity
+    (``knn_edges`` weighted mass): rounding first would re-introduce the
+    engine ROUND-semantics divergence the integer contract exists to
+    avoid (Spark BigDecimal HALF_UP vs DuckDB multiply-then-round flip
+    on .xx5-boundary doubles)."""
     # norms are materialized once per row BEFORE the pair join: scoring a
     # pair then costs one dot product, not three (cosine() inline would
     # recompute both side's norms per candidate pair).
@@ -80,6 +88,9 @@ def topk_neighbors(
         "__cos", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
+    sim = (
+        F.col("__cos") if sim_decimals is None else F.round(F.col("__cos"), sim_decimals)
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -87,7 +98,7 @@ def topk_neighbors(
             "query_id",
             "neighbor_id",
             "rank",
-            F.round(F.col("__cos"), 2).alias("cosine_sim"),
+            sim.alias("cosine_sim"),
         )
     )
 
@@ -262,6 +273,7 @@ def ivf_topk(
     n_centroids: int | None = None,
     n_probe: int = 2,
     kmeans_iters: int = 0,
+    sim_decimals: int | None = 2,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the corpus is partitioned
     into ``n_centroids`` lists by nearest centroid; each query probes its
@@ -299,10 +311,13 @@ def ivf_topk(
         / (F.col("__query_id_n") * F.col("__neighbor_id_n")),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
+    sim = (
+        F.col("__cos") if sim_decimals is None else F.round(F.col("__cos"), sim_decimals)
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round(F.col("__cos"), 2).alias("cosine_sim"))
+        .select("query_id", "neighbor_id", "rank", sim.alias("cosine_sim"))
     )
 
 
@@ -524,6 +539,14 @@ def pq_train_codebooks(
         .limit(k_codes)
         .collect()
     )
+    if len(seed_rows) < k_codes:
+        # callers (and the unrolled DuckDB oracle) assume exactly
+        # k_codes entries per subspace; training silently-smaller
+        # codebooks from a short corpus would desync them
+        raise ValueError(
+            f"corpus has only {len(seed_rows)} rows; need >= k_codes={k_codes} "
+            "to seed the codebooks (lower k_codes or grow the corpus)"
+        )
     books = [
         [
             (rank, [float(x) for x in r["v"]][s * d : (s + 1) * d])

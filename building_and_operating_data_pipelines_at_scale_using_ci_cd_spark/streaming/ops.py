@@ -237,15 +237,25 @@ def session_close_events(
             StructField("start_iso", StringType()),
             StructField("end_iso", StringType()),
             StructField("n", LongType()),
+            StructField("end_ms", LongType()),
         ]
     )
     gap_ms = gap_minutes * 60 * 1000
+
+    # the timeout must be WATERMARK-COMPARABLE epoch ms. The pandas
+    # timestamps inside the state function are naive in the SESSION
+    # timezone, so re-deriving epoch there by forcing tzinfo=UTC fires
+    # the timeout offset by the zone delta whenever
+    # spark.sql.session.timeZone != UTC. unix_millis() on the JVM side
+    # reads the timestamp's true instant, timezone-independent — carry
+    # it through the batch and keep its max in state.
+    df = df.withColumn("__ts_ms", F.unix_millis(F.col(ts_col)))
 
     def update(key, pdf_iter, state: "GroupState"):
         import pandas as pd
 
         if state.hasTimedOut:
-            start_iso, end_iso, n = state.get
+            start_iso, end_iso, n, _end_ms = state.get
             state.remove()
             yield pd.DataFrame(
                 {
@@ -256,21 +266,16 @@ def session_close_events(
                 }
             )
             return
-        start_iso, end_iso, n = state.get if state.exists else (None, None, 0)
+        start_iso, end_iso, n, end_ms = (
+            state.get if state.exists else (None, None, 0, 0)
+        )
         for pdf in pdf_iter:
             n += len(pdf)
             lo, hi = str(pdf[ts_col].min()), str(pdf[ts_col].max())
             start_iso = lo if start_iso is None or lo < start_iso else start_iso
             end_iso = hi if end_iso is None or hi > end_iso else end_iso
-        state.update((start_iso, end_iso, n))
-        import datetime
-
-        end_ms = int(
-            datetime.datetime.fromisoformat(end_iso)
-            .replace(tzinfo=datetime.timezone.utc)
-            .timestamp()
-            * 1000
-        )
+            end_ms = max(end_ms, int(pdf["__ts_ms"].max()))
+        state.update((start_iso, end_iso, n, end_ms))
         state.setTimeoutTimestamp(end_ms + gap_ms)
         return
         yield  # pragma: no cover — makes `update` a generator on all paths
