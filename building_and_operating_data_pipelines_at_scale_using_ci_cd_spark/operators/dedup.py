@@ -816,20 +816,16 @@ _BLOOM_M = 1 << 20
 
 
 def bloom_bit_positions(col: Column, k: int = _BLOOM_K, m: int = _BLOOM_M) -> Column:
-    """The k md5-derived bit positions of a key — pure integer arithmetic,
-    portable across engines (same discipline as ``portable_hash``)."""
+    """The k xxhash64-derived bit positions of a key (seed = probe
+    index). Positions only need to be DETERMINISTIC WITHIN A JOB — the
+    filter build and the delta probe evaluate this same expression, and
+    the operator's answer (== the exact anti-join) is hash-independent
+    because Bloom filters have no false negatives. xxhash64 is the
+    native Tungsten hash: one 64-bit mix per probe, vs the previous
+    md5 → hex → substring → conv(16,10) chain whose string round-trips
+    dominated the per-row probe cost."""
     return F.array(
-        *[
-            (
-                F.conv(
-                    F.substring(F.md5(F.concat(col.cast("string"), F.lit(f"#b{i}"))), 1, 12),
-                    16,
-                    10,
-                ).cast("bigint")
-                % m
-            ).cast("int")
-            for i in range(k)
-        ]
+        *[F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)).cast("int") for i in range(k)]
     )
 
 
@@ -852,43 +848,77 @@ def bloom_incremental_new(
 
     Driver traffic is bounded by ``m`` (a design parameter: distinct set
     bit positions ≤ m, independent of corpus size), never by row count;
-    the filter ships to executors as one broadcast bitset. The history is
-    read twice but NEVER shuffled: the filter build is explode→distinct
-    over positions (map-side partial dedup into a ≤m-row space), and the
-    exact verify is a broadcast semi-join probing history with the small
-    candidate-key set. Sizing: false positive rate ≈ (1 − e^(−k·n/m))^k —
-    for n ≈ m/8 keys at k=4 that is ~0.2%, and every false positive costs
-    only one extra candidate row through the verify join."""
+    the filter ships as ONE broadcast row holding the packed word array.
+    The history is read twice but NEVER shuffled: the filter build is
+    explode→distinct over positions (map-side partial dedup into a
+    ≤m-row space), and the exact verify is a broadcast semi-join probing
+    history with the small candidate-key set.
+
+    The probe itself is FULLY JVM-side: the bitset packs into an
+    ``array<bigint>`` (m/64 words) carried on a 1-row broadcast
+    (crossJoin — the same bounded scalar-BNLJ pattern as ``domain_mix``,
+    never row-multiplying), and each key tests its k positions with
+    ``element_at`` + ``shiftrightunsigned`` on the word — the delta-side
+    row cost is k integer ops inside whole-stage codegen. The previous
+    shape ran a per-row Python md5 loop inside an Arrow batch: the
+    daily-delta side of an incremental crawl paid Python per row, and at
+    100 TB the probe IS the hot path. A broadcast row (data) rather than
+    a giant array literal (plan) keeps plan size independent of ``m``,
+    so m can grow to 2^27+ for billion-key histories without bloating
+    task serialization. Sizing: false positive rate ≈ (1 − e^(−k·n/m))^k
+    — for n ≈ m/8 keys at k=4 that is ~0.2%, and every false positive
+    costs only one extra candidate row through the verify join."""
+    from functools import reduce
+
     key_str = F.col(key_col).cast("string")
-    positions = (
+    # build the filter as packed 64-bit words DISTRIBUTED: explode the
+    # k positions, OR the bits per word with a map-side-partial bit_or
+    # agg, and collect ≤ m/64 (word, bits) rows — 64× less driver
+    # traffic than collecting distinct bit positions, still bounded by
+    # the design parameter m, never by history row count
+    word_rows = (
         hist_df.select(F.explode(bloom_bit_positions(key_str, k, m)).alias("pos"))
-        .distinct()
+        .groupBy(F.shiftright(F.col("pos"), 6).alias("w"))
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("bigint"),
+                    F.col("pos").bitwiseAND(F.lit(63)),
+                )
+            ).alias("bits")
+        )
         .collect()
     )
-    bits = bytearray((m + 7) // 8)
-    for r in positions:
-        bits[r["pos"] >> 3] |= 1 << (r["pos"] & 7)
-    bc = new_df.sparkSession.sparkContext.broadcast(bytes(bits))
+    n_words = (m + 63) // 64
+    words = [0] * n_words
+    for r in word_rows:
+        words[r["w"]] = r["bits"]
+    spark = new_df.sparkSession
+    wdf = spark.createDataFrame([(words,)], "__bloom_words array<bigint>")
 
-    from pyspark.sql.types import BooleanType
-
-    def _probe_series(keys):
-        import hashlib
-
-        blob = bc.value
-
-        def probe(key) -> bool:
-            for i in range(k):
-                p = int(hashlib.md5(f"{key}#b{i}".encode()).hexdigest()[:12], 16) % m
-                if not (blob[p >> 3] >> (p & 7)) & 1:
-                    return False
-            return True
-
-        return keys.map(probe)
-
-    maybe_in_hist = F.pandas_udf(_probe_series, BooleanType())
-
-    flagged = new_df.withColumn("__maybe", maybe_in_hist(key_str))
+    # materialize the k positions ONCE per row (a projection step) so the
+    # k bit tests don't each re-run the md5 chain inside the same stage
+    pos = F.col("__pos")
+    probes = [
+        (
+            F.getbit(
+                F.element_at(
+                    F.col("__bloom_words"),
+                    (F.shiftright(F.get(pos, i), 6) + F.lit(1)).cast("int"),
+                ),
+                F.get(pos, i).bitwiseAND(F.lit(63)).cast("bigint"),
+            )
+            == F.lit(1)
+        )
+        for i in range(k)
+    ]
+    flagged = (
+        new_df.withColumn("__pos", bloom_bit_positions(key_str, k, m))
+        .crossJoin(F.broadcast(wdf))
+        .withColumn("__maybe", reduce(lambda a, b: a & b, probes))
+        .drop("__bloom_words", "__pos")
+    )
     clean = flagged.filter(~F.col("__maybe")).drop("__maybe")
     candidates = flagged.filter(F.col("__maybe")).drop("__maybe")
     cand_keys = candidates.select(key_str.alias("__key")).distinct()
