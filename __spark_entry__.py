@@ -3531,7 +3531,11 @@ def _q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _table(spark, sf_dir, "embeddings")
-    return knn_pagerank(emb, "vec_id", "embedding", k=_PR_K, iters=_PR_ITERS)
+    # rank_mode="global" opt-in: hash-comparing the FULL total order is
+    # the strictest oracle; production calls keep the unranked default
+    return knn_pagerank(
+        emb, "vec_id", "embedding", k=_PR_K, iters=_PR_ITERS, rank_mode="global"
+    )
 
 
 def _pagerank_duck(k: int = _PR_K, iters: int = _PR_ITERS, weighted: bool = False) -> str:
@@ -3802,7 +3806,8 @@ def _q_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _table(spark, sf_dir, "embeddings")
     return knn_pagerank(
-        emb, "vec_id", "embedding", k=_PR_K, iters=_PR_ITERS, weighted=True
+        emb, "vec_id", "embedding", k=_PR_K, iters=_PR_ITERS, weighted=True,
+        rank_mode="global",
     )
 
 

@@ -111,6 +111,8 @@ def pagerank(
     id_col: str,
     iters: int = 3,
     damping: Fraction = Fraction(17, 20),
+    rank_mode: str = "none",
+    top_n: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in integer mass units. ``nodes``
     supplies the full vertex set (vertices without in-edges still
@@ -124,15 +126,29 @@ def pagerank(
     the similarity-weighted centrality actually used for coreset
     ranking. Without the column every edge counts 1 (uniform split).
 
-    Returns (id, pr_units, rank): ``pr_units`` is the integer mass in
-    1/SCALE units (divide by 1e12 for the familiar probability), rank a
-    total order (mass desc, id asc). Dangling nodes (out-degree 0) leak
-    their mass — acceptable for k-NN graphs (uniform out-degree k,
-    never dangling); renormalize upstream for general graphs.
+    Emission — the scale decision, so it is a PARAMETER, not a comment:
+      - ``rank_mode="none"`` (default): (id, pr_units) unranked.
+        ``pr_units`` is the integer mass in 1/SCALE units; the
+        scale-safe shape — no global sort anywhere, mass flows straight
+        into the next pipeline stage (a join, a threshold filter).
+      - ``top_n=N``: (id, pr_units, rank) for the N most central nodes
+        only, via sort+limit — Spark plans TakeOrderedAndProject
+        (per-partition heaps, no global shuffle-sort), the "give me
+        the coreset" call at any corpus size.
+      - ``rank_mode="global"``: every node ranked by a total order
+        (mass desc, id asc). A single-partition window sort of one row
+        per node — fine to a few 1e7 nodes, the driver-shaped
+        bottleneck at 1e9; opt-in for exactly that reason (the oracle
+        entries use it: their fixtures are small and hash-comparing a
+        full ranking is the strictest check).
 
-    The final total-order window is a single-partition sort of one row
-    per node — emit-a-ranking cost; at extreme node counts drop the
-    rank column and TakeOrdered the top slice instead."""
+    Dangling nodes (out-degree 0) leak their mass — acceptable for k-NN
+    graphs (uniform out-degree k, never dangling); renormalize upstream
+    for general graphs."""
+    if rank_mode not in ("none", "global"):
+        raise ValueError("rank_mode must be 'none' or 'global'")
+    if top_n is not None and rank_mode == "global":
+        raise ValueError("pass either top_n or rank_mode='global', not both")
     n = nodes.count()  # bounded scalar: one job, one long
     if n == 0:
         raise ValueError("empty node set")
@@ -174,12 +190,27 @@ def pagerank(
                 ).cast("bigint").alias("__pr"),
             )
         )
-    w = Window.orderBy(F.col("__pr").desc(), F.col("__id").asc())
-    return pr.select(
-        F.col("__id").alias(id_col),
-        F.col("__pr").alias("pr_units"),
-        F.row_number().over(w).alias("rank"),
-    )
+    if top_n is not None:
+        # sort+limit compiles to TakeOrderedAndProject: per-partition
+        # heaps of top_n rows, one driver merge — never a global sort
+        top = (
+            pr.orderBy(F.col("__pr").desc(), F.col("__id").asc())
+            .limit(top_n)
+            .withColumn("rank", F.row_number().over(
+                Window.orderBy(F.col("__pr").desc(), F.col("__id").asc())
+            ))
+        )
+        return top.select(
+            F.col("__id").alias(id_col), F.col("__pr").alias("pr_units"), "rank"
+        )
+    if rank_mode == "global":
+        w = Window.orderBy(F.col("__pr").desc(), F.col("__id").asc())
+        return pr.select(
+            F.col("__id").alias(id_col),
+            F.col("__pr").alias("pr_units"),
+            F.row_number().over(w).alias("rank"),
+        )
+    return pr.select(F.col("__id").alias(id_col), F.col("__pr").alias("pr_units"))
 
 
 def knn_pagerank(
@@ -190,13 +221,18 @@ def knn_pagerank(
     iters: int = 3,
     method: str = "exact",
     weighted: bool = False,
+    rank_mode: str = "none",
+    top_n: int | None = None,
 ) -> DataFrame:
     """One-call k-NN graph + PageRank (the ``knnPagerank`` config step).
     Pass ``method="ivf"`` at corpus scale, ``weighted=True`` for
-    similarity-weighted mass splitting — see :func:`knn_edges`."""
+    similarity-weighted mass splitting — see :func:`knn_edges`; rank
+    emission defaults to unranked mass (see :func:`pagerank`)."""
     return pagerank(
         knn_edges(vectors, id_col, vec_col, k, method=method, weighted=weighted),
         vectors,
         id_col,
         iters=iters,
+        rank_mode=rank_mode,
+        top_n=top_n,
     )

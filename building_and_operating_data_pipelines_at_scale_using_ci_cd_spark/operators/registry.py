@@ -426,7 +426,7 @@ def _knn_pagerank(df: DataFrame, id_col: str, vec_col: str, **kw) -> DataFrame:
 
     kw = {
         k: int(v)
-        if k in ("k", "iters", "n_probe")
+        if k in ("k", "iters", "n_probe", "top_n")
         else (str(v).lower() == "true" if k == "weighted" else v)
         for k, v in kw.items()
     }

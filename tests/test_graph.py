@@ -25,7 +25,7 @@ def star(spark):
 
 def test_hub_ranks_first_and_floor_holds(spark, star):
     edges, nodes = star
-    out = pagerank(edges, nodes, "id", iters=3).collect()
+    out = pagerank(edges, nodes, "id", iters=3, rank_mode="global").collect()
     by_rank = sorted(out, key=lambda r: r["rank"])
     assert by_rank[0]["id"] == 0  # the hub
     assert by_rank[1]["id"] == 1  # fed by the hub
@@ -33,6 +33,30 @@ def test_hub_ranks_first_and_floor_holds(spark, star):
     floor = (3 * SCALE) // (20 * n)  # teleport term (1-d)/n in units
     assert all(r["pr_units"] >= floor for r in out)
     assert sorted(r["rank"] for r in out) == list(range(1, n + 1))
+
+
+def test_emission_modes_agree(spark, star):
+    """Default emission is unranked mass; top_n returns the head of the
+    global order with identical mass values; global/top_n/none disagree
+    only in shape, never in pr_units."""
+    edges, nodes = star
+    base = pagerank(edges, nodes, "id", iters=3)
+    assert base.columns == ["id", "pr_units"]
+    full = pagerank(edges, nodes, "id", iters=3, rank_mode="global").collect()
+    top2 = pagerank(edges, nodes, "id", iters=3, top_n=2).collect()
+    assert [r["id"] for r in top2] == [
+        r["id"] for r in sorted(full, key=lambda r: r["rank"])[:2]
+    ]
+    mass = {r["id"]: r["pr_units"] for r in base.collect()}
+    assert all(mass[r["id"]] == r["pr_units"] for r in full)
+    assert all(mass[r["id"]] == r["pr_units"] for r in top2)
+    # the top_n plan must be a TakeOrdered, not a global sort
+    plan = pagerank(edges, nodes, "id", iters=3, top_n=2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    with pytest.raises(ValueError):
+        pagerank(edges, nodes, "id", rank_mode="global", top_n=2)
+    with pytest.raises(ValueError):
+        pagerank(edges, nodes, "id", rank_mode="bogus")
 
 
 def test_mass_is_bounded_and_deterministic(spark, star):
@@ -97,5 +121,13 @@ def test_knn_pagerank_registry_step(spark):
     out = apply_operator(
         "knnPagerank", vecs, {"id_col": "vec_id", "vec_col": "embedding", "k": "3", "iters": "2"}
     )
-    assert out.columns == ["vec_id", "pr_units", "rank"]
+    # scale-safe default: unranked mass
+    assert out.columns == ["vec_id", "pr_units"]
     assert out.count() == 12
+    top = apply_operator(
+        "knnPagerank",
+        vecs,
+        {"id_col": "vec_id", "vec_col": "embedding", "k": "3", "iters": "2", "top_n": "5"},
+    )
+    assert top.columns == ["vec_id", "pr_units", "rank"]
+    assert top.count() == 5
