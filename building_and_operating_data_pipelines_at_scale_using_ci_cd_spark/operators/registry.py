@@ -330,10 +330,14 @@ def _ngram_jaccard(
     )
 
 
-def _profile_columns(df: DataFrame, columns=None) -> DataFrame:
+def _profile_columns(df: DataFrame, columns=None, **kw) -> DataFrame:
     from .validation import profile_columns
 
-    return profile_columns(df, list(columns) if columns else None)
+    if "approx_distinct" in kw:
+        kw["approx_distinct"] = str(kw["approx_distinct"]).lower() == "true"
+    if "rsd" in kw:
+        kw["rsd"] = float(kw["rsd"])
+    return profile_columns(df, list(columns) if columns else None, **kw)
 
 
 def _quantize_embeddings(df: DataFrame, id_col: str, vec_col: str, bits=8) -> DataFrame:

@@ -81,18 +81,33 @@ def bad_fraction(total: int, bad: int) -> float:
     return 0.0 if total == 0 else bad / total
 
 
-def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx_distinct: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
     """Column profiling (the deequ/Glue-data-quality staple): one row per
-    column with row count, null count, exact distinct count, and
-    min/max rendered as strings — the validation-family report a
-    pipeline owner reads before trusting a new feed.
+    column with row count, null count, distinct count, and min/max
+    rendered as strings — the validation-family report a pipeline owner
+    reads before trusting a new feed.
 
     Shape at scale: ALL statistics come from ONE aggregate job — a
     single wide agg row (4 expressions per column, map-side partial
-    everywhere; the count_distincts expand internally but remain one
-    shuffle round) — then a literal-driven unpivot of that 1-row result
+    everywhere) — then a literal-driven unpivot of that 1-row result
     into the report rows. No per-column scans, no driver-side loops:
     profiling an N-column 100 TB table costs one pass regardless of N.
+
+    ``approx_distinct=True`` swaps the exact ``count_distinct`` for the
+    HLL++ sketch (``approx_count_distinct`` at relative error ``rsd``).
+    The exact form internally EXPANDS the aggregate — every distinct
+    (column, value) pair survives the map side and crosses the shuffle,
+    so a high-cardinality column (an id, a URL) makes the profile job
+    shuffle roughly the table itself; the sketch is a fixed few-KB
+    state per column at any cardinality. Same opt-in its sibling
+    ``quality_quantile_cut`` has for percentiles; exact stays the
+    default because a profile report is usually read for EXACT nulls/
+    distincts at dev scale.
 
     min/max stringify via the column's natural CAST so the report schema
     is column-type-agnostic (timestamps render ISO, numerics decimal)."""
@@ -102,11 +117,17 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"unknown columns: {missing}")
+
+    def _nd(col: str):
+        if approx_distinct:
+            return F.approx_count_distinct(F.col(col), rsd)
+        return F.count_distinct(F.col(col))
+
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
             F.count(F.col(c)).alias(f"__nn_{c}"),
-            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            _nd(c).alias(f"__nd_{c}"),
             F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
             F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
         ]
