@@ -16,6 +16,7 @@ Determinism discipline (so value-hashes match):
 
 from __future__ import annotations
 
+import re
 import tempfile
 import uuid
 from collections.abc import Callable
@@ -1681,6 +1682,86 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE LIST_DOT_PRODUCT(a.e, b.e)
       / (SQRT(LIST_DOT_PRODUCT(a.e, a.e)) * SQRT(LIST_DOT_PRODUCT(b.e, b.e))) >= 0.4
+"""
+
+
+def _q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/W8 executed for REAL (round 7): orders flow through the
+    engine's JDBC sink into the embedded Derby driver that ships in
+    Spark's own jar directory, then back through the JDBC source with
+    the aggregation PUSHED DOWN — Derby, not Spark, runs the GROUP BY.
+    The oracle recomputes the same aggregate from parquet, proving the
+    sink wrote and the pushdown read faithfully.
+
+    Determinism contract: money becomes integer cents IN SPARK before
+    the write (the portable floor(x*100+0.5) form), so every aggregate
+    crossing the JDBC boundary is COUNT/SUM over integers — no float
+    summation-order drift between Derby and DuckDB. Derby quirks
+    exercised on purpose: VARCHAR pinned via createTableColumnTypes
+    (DerbyDialect's CLOB default cannot GROUP BY), quoted identifiers
+    (Derby upcases bare names; Spark writes quoted lowercase)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.config import (
+        InputSpec,
+        TargetSpec,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sinks.writers import (
+        write_target,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.readers import (
+        read_input,
+    )
+
+    slug = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    url = f"jdbc:derby:memory:entry_{slug};create=true"
+    staged = _table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    write_target(
+        spark,
+        staged,
+        TargetSpec.from_dict(
+            {
+                "dataTarget": "database",
+                "dataFrameName": "orders_rt",
+                "loadType": "truncateInsert",
+                "tableName": "orders_rt",
+                "jdbcUrl": url,
+                "jdbcProperties": {
+                    "createTableColumnTypes": "o_orderpriority VARCHAR(20)"
+                },
+            }
+        ),
+    )
+    back = read_input(
+        spark,
+        InputSpec.from_dict(
+            {
+                "dataSource": "database",
+                "dataFrameName": "orders_back",
+                "jdbcUrl": url,
+                "tableQuery": (
+                    'SELECT "o_orderpriority", COUNT(*) AS "n_orders", '
+                    'SUM("cents") AS "sum_cents" '
+                    'FROM orders_rt GROUP BY "o_orderpriority"'
+                ),
+            }
+        ),
+    )
+    return back.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+JDBC_ROUNDTRIP_DUCK = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders GROUP BY o_orderpriority
 """
 
 
@@ -4158,7 +4239,7 @@ def _q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
         # entries. Round-6 rotation (counts: 7 + 34 + 9 = 50 checked;
-        # 25 + 9 demoted + 44 r05-green = 78 tail + 1 round-7 add = 129 total):
+        # 25 + 9 demoted + 44 r05-green = 78 tail + 2 round-7 adds = 130 total):
         #   1. the seven r02-evidence keys (three rounds stale — the
         #      micros/nanos incident is why stale evidence is a risk),
         #   2. keys whose code/oracle is NEW or CHANGED in round 6
@@ -4248,6 +4329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_resize": _q_embedding_resize,
         "approx_distinct": _q_approx_distinct,
         "minhash_near_dups": _q_minhash_near_dups,
+        "jdbc_roundtrip": _q_jdbc_roundtrip,
         # -- 50-cap cutoff --------------------------------------------
         # -- (4a) demotions: FIRST into round 7's checked 50 — the
         #    twenty-five r04-green keys displaced by round 6's new
@@ -4346,6 +4428,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": SNAPSHOT_DIFF,
         "profile_report": _profile_report_duck(),
         "profile_report_approx": _profile_report_approx_duck(),
+        "jdbc_roundtrip": JDBC_ROUNDTRIP_DUCK,
         "zscore_outliers": ZSCORE_OUTLIERS,
         "embedding_quantize": EMBEDDING_QUANTIZE_DUCK,
         "cms_user_counts": _cms_user_counts_duck(),

@@ -232,6 +232,8 @@ class ErrorSinkSpec:
     path: str | None = None
     table_name: str | None = None
     file_format: str = "parquet"
+    jdbc_url: str | None = None
+    jdbc_properties: dict[str, str] = field(default_factory=dict)
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "ErrorSinkSpec":
@@ -240,6 +242,8 @@ class ErrorSinkSpec:
             path=d.get("targetS3Location") or d.get("path"),
             table_name=d.get("tableName"),
             file_format=str(d.get("fileFormat", "parquet")).lower(),
+            jdbc_url=d.get("jdbcUrl") or d.get("url"),
+            jdbc_properties={k: str(v) for k, v in (d.get("jdbcProperties") or {}).items()},
         )
 
 

@@ -484,7 +484,22 @@ def write_error_records(
         return 0
     tagged = bad.withColumn("__error_reason", F.lit(reason))
     if spec.file_target == "database":
-        raise NotImplementedError("database error sink needs jdbc config")
+        # quarantine straight into the DB next to the data it failed to
+        # join — append-only so repeated runs accumulate an audit trail
+        # (executed for real against the embedded Derby driver in
+        # tests/test_jdbc_derby.py)
+        if not spec.jdbc_url or not spec.table_name:
+            raise ValueError("database error sink needs jdbcUrl + tableName")
+        writer = (
+            tagged.write.format("jdbc")
+            .option("url", spec.jdbc_url)
+            .option("dbtable", spec.table_name)
+            .mode("append")
+        )
+        for k, v in spec.jdbc_properties.items():
+            writer = writer.option(k, v)
+        writer.save()
+        return n
     tagged.write.mode("append").format(_fmt(spec.file_format)).save(spec.path)
     return n
 
