@@ -152,6 +152,7 @@ def ivf_probe_assignments(
     vec_col: str,
     n_probe: int,
     out_id: str,
+    transport: str = "broadcast",
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroids WITHOUT a
     shuffle: assignment is a pure map stage. At 100 TB this is the
@@ -166,7 +167,20 @@ def ivf_probe_assignments(
     ~√n adaptive default, it grows). The row norm comes out of the same
     matmul and rides along for the rerank join, which then pays one dot
     per candidate. Ties (equal cosine) break toward the LOWER centroid
-    id, exactly like the previous (−sim, cid) struct sort."""
+    id, exactly like the previous (−sim, cid) struct sort.
+
+    ``transport`` controls how the centroid matrix reaches executors:
+      - ``"broadcast"`` (default): a SparkContext broadcast — shipped
+        once per executor, torrent-distributed, NOT re-serialized into
+        every task closure / plan. This is what lets the index size cap
+        rise toward the SemDeDup ~100k-cluster regime: 100k × dim-64
+        float64 centroids are ~50 MB, untenable inside a task binary,
+        routine as a broadcast.
+      - ``"closure"``: the matrix rides the UDF closure (the pre-round-7
+        shape) — kept for the equality pin and as a fallback where
+        broadcast variables are awkward (unit scaffolding).
+    Assignments are bit-identical between transports (same arrays, same
+    matmul) — asserted by test."""
     import math
 
     def _norm(vec) -> float:
@@ -174,6 +188,8 @@ def ivf_probe_assignments(
 
     from pyspark.sql.functions import pandas_udf
 
+    if transport not in ("broadcast", "closure"):
+        raise ValueError("transport must be 'broadcast' or 'closure'")
     cids = np.array([int(cid) for cid, _ in centroids], dtype=np.int64)
     cmat = np.array([[float(x) for x in vec] for _, vec in centroids], dtype=np.float64)
     cnorms = np.array([_norm(vec) for _, vec in centroids], dtype=np.float64)
@@ -182,21 +198,35 @@ def ivf_probe_assignments(
     order = np.argsort(cids, kind="stable")
     cids_s, cmat_s, cnorms_s = cids[order], cmat[order], cnorms[order]
     probe = min(n_probe, len(cids))
+    # factory binding: the broadcast-mode UDF body must reference ONLY
+    # the broadcast handle — a fallback expression naming the raw arrays
+    # would capture them into the closure anyway (Python closures close
+    # over referenced names regardless of branch) and defeat the point
+    def _make_assign(get_index):
+        @pandas_udf("struct<norm:double,lists:array<int>>")
+        def assign(s: pd.Series) -> pd.DataFrame:
+            ids, mat_c, norms_c = get_index()
+            if len(s) == 0:
+                return pd.DataFrame({"norm": pd.Series(dtype="float64"), "lists": []})
+            mat = np.vstack(s.to_numpy()).astype(np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # zero norms divide to inf/nan exactly like the JVM path
+                # did; nan (-sim) sorts last in both engines
+                sim = (mat @ mat_c.T) / (norms[:, None] * norms_c[None, :])
+            nearest = np.argsort(-sim, axis=1, kind="stable")[:, :probe]
+            return pd.DataFrame(
+                {"norm": norms, "lists": list(ids[nearest].astype(np.int32))}
+            )
 
-    @pandas_udf("struct<norm:double,lists:array<int>>")
-    def assign(s: pd.Series) -> pd.DataFrame:
-        if len(s) == 0:
-            return pd.DataFrame({"norm": pd.Series(dtype="float64"), "lists": []})
-        mat = np.vstack(s.to_numpy()).astype(np.float64)
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            # zero norms divide to inf/nan exactly like the JVM path did;
-            # nan (-sim) sorts last in both engines
-            sim = (mat @ cmat_s.T) / (norms[:, None] * cnorms_s[None, :])
-        nearest = np.argsort(-sim, axis=1, kind="stable")[:, :probe]
-        return pd.DataFrame(
-            {"norm": norms, "lists": list(cids_s[nearest].astype(np.int32))}
-        )
+        return assign
+
+    if transport == "broadcast":
+        bc = df.sparkSession.sparkContext.broadcast((cids_s, cmat_s, cnorms_s))
+        assign = _make_assign(lambda: bc.value)
+    else:
+        index = (cids_s, cmat_s, cnorms_s)
+        assign = _make_assign(lambda: index)
 
     staged = df.select(
         F.col(id_col).alias(out_id),
@@ -249,7 +279,7 @@ def kmeans_refine(
     return cents
 
 
-def adaptive_index_size(df: DataFrame, floor: int = 8, cap: int = 65536) -> int:
+def adaptive_index_size(df: DataFrame, floor: int = 8, cap: int = 262144) -> int:
     """Scale-adaptive centroid/cluster count: ~√n, floored and capped.
 
     A FIXED centroid count is the thing that breaks at 100×: 8 lists
@@ -257,7 +287,14 @@ def adaptive_index_size(df: DataFrame, floor: int = 8, cap: int = 65536) -> int:
     √n keeps both the per-list size and the number of lists growing as
     √n (the classic IVF balance: probe cost ∝ n_centroids + n/n_centroids
     is minimized at √n). Costs one count() job — pass an explicit size
-    to skip it (the entry queries do, so their oracles stay static)."""
+    to skip it (the entry queries do, so their oracles stay static).
+
+    The cap rose 65,536 → 262,144 in round 7: centroids now reach
+    executors as a SparkContext broadcast (``ivf_probe_assignments``
+    transport), so the matrix no longer rides every task closure —
+    262k × dim-64 float64 is ~134 MB broadcast once per executor, which
+    covers √n up to n ≈ 7·10¹⁰ vectors (the SemDeDup ~100k-cluster
+    regime included)."""
     import math
 
     n = df.count()

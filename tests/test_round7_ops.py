@@ -36,6 +36,35 @@ class TestProfileApprox:
         assert "approx_count_distinct" in plan
         assert "Expand" not in plan
 
+    def test_centroid_transport_modes_identical(self, spark):
+        """Broadcast-variable centroid transport (the >65k-cluster
+        enabler) must produce bit-identical assignments to the closure
+        mode it replaced."""
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.similarity import (
+            ivf_probe_assignments,
+        )
+
+        rows = [(i, [float((i * 13 + j * 7) % 11) for j in range(8)]) for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        cents = [(i, [float((i * 5 + j) % 11) for j in range(8)]) for i in range(9)]
+        a = sorted(
+            (r["q"], r["__list_id"])
+            for r in ivf_probe_assignments(
+                df, cents, "vec_id", "embedding", 3, "q", transport="broadcast"
+            ).collect()
+        )
+        b = sorted(
+            (r["q"], r["__list_id"])
+            for r in ivf_probe_assignments(
+                df, cents, "vec_id", "embedding", 3, "q", transport="closure"
+            ).collect()
+        )
+        assert a == b
+        with pytest.raises(ValueError):
+            ivf_probe_assignments(
+                df, cents, "vec_id", "embedding", 3, "q", transport="literal"
+            )
+
     def test_registry_passthrough(self, spark):
         from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.registry import (
             apply_operator,
