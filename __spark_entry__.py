@@ -3114,6 +3114,90 @@ GROUP BY doc_id
 
 
 
+def _q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-stream decode (round 7): per document, build a
+    deterministic 16×16 grayscale raster (pixel p = (doc_id·31+p·7) mod
+    256), ENCODE it as a genuine baseline JPEG (Annex K tables, Huffman
+    entropy coding — ``functions/jpeg.py``), then decode through the
+    same ``parse_image`` path ``decode_image`` uses. Emitted values mix
+    both oracle styles: ``mean_orig_x100`` is an ALL-INTEGER value each
+    engine derives independently from first principles (DuckDB unrolls
+    the raster with GENERATE_SERIES — it never sees a JPEG byte), while
+    the decode-fidelity booleans assert the lossy round trip stayed
+    inside quantization error (the approx-contract precedent). A decoder
+    that parsed headers but produced wrong pixels fails the booleans; an
+    engine disagreement on the raster definition fails the hash."""
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("format", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("mean_orig_x100", LongType()),
+            StructField("max_err_le_8", BooleanType()),
+            StructField("mean_err_le_2", BooleanType()),
+        ]
+    )
+
+    def kernel(batches):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.jpeg import (
+            encode_jpeg_gray,
+        )
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.multimodal import (
+            parse_image,
+        )
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "format", "width", "height",
+                "mean_orig_x100", "max_err_le_8", "mean_err_le_2",
+            )}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                # smooth, wrap-free raster: a mod-256 pattern's 255->0
+                # cliffs are high-frequency edges that ring past any
+                # reasonable quantization tolerance; a bounded gradient
+                # keeps the lossy round trip inside +-8
+                px = [(d % 96) + (p % 16) * 5 + (p // 16) * 5 for p in range(256)]
+                fmt, w, h, gray = parse_image(encode_jpeg_gray(px, 16, 16, quality=85))
+                errs = [abs(a - b) for a, b in zip(gray, px)]
+                a = sum(px) * 100
+                out["doc_id"].append(d)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_orig_x100"].append((2 * a + 256) // 512)
+                out["max_err_le_8"].append(max(errs) <= 8)
+                out["mean_err_le_2"].append(sum(errs) / 256 <= 2)
+            yield pd.DataFrame(out)
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(kernel, schema)
+
+
+JPEG_DECODE_DUCK = """
+SELECT doc_id, 'jpeg' AS format, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST((2 * (s * 100) + 256) // 512 AS BIGINT) AS mean_orig_x100,
+       TRUE AS max_err_le_8, TRUE AS mean_err_le_2
+FROM (
+  SELECT d.doc_id, SUM((d.doc_id % 96) + (t.p % 16) * 5 + (t.p // 16) * 5) AS s
+  FROM documents d, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 255)) AS p) t
+  GROUP BY d.doc_id
+)
+"""
+
+
 def _q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL bytes→pixels decode, oracle-checked end-to-end: build a P5
     PGM per document whose 8×4 raster is the 32 ASCII chars of
@@ -4239,7 +4323,7 @@ def _q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
         # entries. Round-6 rotation (counts: 7 + 34 + 9 = 50 checked;
-        # 25 + 9 demoted + 44 r05-green = 78 tail + 2 round-7 adds = 130 total):
+        # 25 + 9 demoted + 44 r05-green = 78 tail + 3 round-7 adds = 131 total):
         #   1. the seven r02-evidence keys (three rounds stale — the
         #      micros/nanos incident is why stale evidence is a risk),
         #   2. keys whose code/oracle is NEW or CHANGED in round 6
@@ -4330,6 +4414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": _q_approx_distinct,
         "minhash_near_dups": _q_minhash_near_dups,
         "jdbc_roundtrip": _q_jdbc_roundtrip,
+        "jpeg_decode": _q_jpeg_decode,
         # -- 50-cap cutoff --------------------------------------------
         # -- (4a) demotions: FIRST into round 7's checked 50 — the
         #    twenty-five r04-green keys displaced by round 6's new
@@ -4429,6 +4514,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_report": _profile_report_duck(),
         "profile_report_approx": _profile_report_approx_duck(),
         "jdbc_roundtrip": JDBC_ROUNDTRIP_DUCK,
+        "jpeg_decode": JPEG_DECODE_DUCK,
         "zscore_outliers": ZSCORE_OUTLIERS,
         "embedding_quantize": EMBEDDING_QUANTIZE_DUCK,
         "cms_user_counts": _cms_user_counts_duck(),

@@ -174,18 +174,29 @@ def resize_vector(vec, out_dim: int):
 
 
 def parse_image(payload: bytes):
-    """Decode PPM (P6), PGM (P5), or uncompressed 24-bit BMP bytes into
-    ``(fmt, width, height, gray)`` where ``gray`` is a row-major list of
-    grayscale ints (0-255, ITU-R 601 luma for color inputs). Raises
-    ``ValueError`` on unsupported/corrupt payloads — callers choose
-    whether to gate or null-route."""
+    """Decode PPM (P6), PGM (P5), uncompressed 24-bit BMP, or baseline
+    JPEG bytes into ``(fmt, width, height, gray)`` where ``gray`` is a
+    row-major list of grayscale ints (0-255, ITU-R 601 luma for color
+    inputs; for JPEG the Y channel IS that luma). Raises ``ValueError``
+    on unsupported/corrupt payloads — callers choose whether to gate or
+    null-route.
+
+    JPEG decodes via the pure-numpy baseline codec in ``jpeg.py``
+    (round 7) — SOF0, 8-bit, grayscale/4:4:4/4:2:2/4:2:0, restart
+    markers; progressive (SOF2) and arithmetic streams still raise."""
     if payload[:2] in (b"P6", b"P5"):
         return _parse_pnm(payload)
     if payload[:2] == b"BM":
         return _parse_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        w, h, luma = decode_jpeg(payload)
+        return ("jpeg", w, h, luma)
     raise ValueError(
-        "unsupported image format (magic %r): only PPM/PGM/BMP decode "
-        "without a codec library — see decode_compressed_gate" % payload[:2]
+        "unsupported image format (magic %r): PPM/PGM/BMP/baseline-JPEG "
+        "decode natively — see decode_compressed_gate for the rest"
+        % payload[:2]
     )
 
 
@@ -371,14 +382,19 @@ def image_resize(df_with_payload: DataFrame, out_w: int, out_h: int) -> DataFram
 
 
 def decode_compressed_gate(*_args, **_kwargs):
-    """Honest gate for compressed formats: JPEG/PNG/video decode requires
-    a codec library (PIL/opencv/ffmpeg), none present in this container.
-    PPM/PGM/BMP decode for real via :func:`decode_image` /
-    :func:`image_resize`; wire the codec into :func:`parse_image` when the
-    dependency lands — the Spark plumbing is already proven on real bytes."""
+    """Honest gate for the formats still without a native decode path.
+    Since round 7, baseline JPEG decodes FOR REAL through the pure-numpy
+    codec in ``jpeg.py`` (wired into :func:`parse_image`); PPM/PGM/BMP
+    have decoded natively since round 5. What remains gated: PNG
+    (DEFLATE + filters + interlace — stdlib zlib makes it feasible, but
+    no fixture pressure yet), progressive/arithmetic JPEG, and video
+    codecs (genuinely need ffmpeg). Wire those into :func:`parse_image`
+    when a codec library lands — the Spark plumbing (Arrow batches,
+    corrupt-row null-routing) is proven on real compressed bytes."""
     raise NotImplementedError(
-        "JPEG/PNG/video decode requires a codec library (PIL/opencv/ffmpeg); "
-        "PPM/PGM/BMP already decode for real — extend parse_image for the rest"
+        "PNG/progressive-JPEG/video decode requires a codec library "
+        "(PIL/opencv/ffmpeg); PPM/PGM/BMP and baseline JPEG decode natively "
+        "— extend parse_image for the rest"
     )
 
 

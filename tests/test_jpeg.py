@@ -1,0 +1,120 @@
+"""Baseline JPEG codec (functions/jpeg.py): round-trip accuracy across
+layouts, decoder robustness, and integration with the multimodal Arrow
+kernels (decode_image / image_resize) on real compressed streams."""
+
+import numpy as np
+import pytest
+
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.jpeg import (
+    decode_jpeg,
+    encode_jpeg_gray,
+    encode_jpeg_rgb420,
+    encode_jpeg_rgb444,
+)
+
+
+def _gradient(w, h):
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    return ((x * 3 + y * 5) % 256).astype(np.int64)
+
+
+class TestRoundTrip:
+    def test_flat_images_exact(self):
+        for val in (0, 3, 128, 252, 255):
+            img = np.full((24, 17), val, dtype=np.int64)
+            w, h, luma = decode_jpeg(encode_jpeg_gray(img.reshape(-1), 17, 24))
+            assert (w, h) == (17, 24)
+            assert np.abs(np.array(luma).reshape(h, w) - img).max() <= 1
+
+    def test_gradient_within_quant_error(self):
+        img = _gradient(40, 30)
+        w, h, luma = decode_jpeg(encode_jpeg_gray(img.reshape(-1), 40, 30, quality=90))
+        err = np.abs(np.array(luma).reshape(h, w) - img)
+        assert err.max() <= 16 and err.mean() < 2
+
+    def test_non_multiple_of_8_dims(self):
+        img = _gradient(13, 9)
+        w, h, luma = decode_jpeg(encode_jpeg_gray(img.reshape(-1), 13, 9, quality=95))
+        assert (w, h) == (13, 9)
+        assert len(luma) == 13 * 9
+
+    def test_rgb444_luma(self):
+        rng = np.random.RandomState(3)
+        rgb = rng.randint(0, 256, (20, 20, 3)).astype(np.float64)
+        w, h, luma = decode_jpeg(encode_jpeg_rgb444(rgb.reshape(-1), 20, 20, quality=90))
+        yref = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        assert np.abs(np.array(luma).reshape(h, w) - yref).mean() < 4
+
+    def test_rgb420_subsampled_mcu_path(self):
+        rng = np.random.RandomState(5)
+        rgb = rng.randint(0, 256, (35, 29, 3)).astype(np.float64)
+        w, h, luma = decode_jpeg(encode_jpeg_rgb420(rgb.reshape(-1), 29, 35, quality=90))
+        assert (w, h) == (29, 35)
+        yref = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        assert np.abs(np.array(luma).reshape(h, w) - yref).mean() < 4
+
+    def test_restart_markers(self):
+        img = _gradient(48, 24)
+        payload = encode_jpeg_gray(img.reshape(-1), 48, 24, quality=90, restart_interval=3)
+        assert b"\xff\xdd" in payload[:256]  # DRI present
+        w, h, luma = decode_jpeg(payload)
+        assert np.abs(np.array(luma).reshape(h, w) - img).max() <= 16
+
+    def test_quality_monotone_size(self):
+        img = _gradient(32, 32).reshape(-1)
+        sizes = [len(encode_jpeg_gray(img, 32, 32, quality=q)) for q in (30, 60, 90)]
+        assert sizes[0] < sizes[1] < sizes[2]
+
+    def test_determinism(self):
+        img = _gradient(16, 16).reshape(-1)
+        p1 = encode_jpeg_gray(img, 16, 16)
+        p2 = encode_jpeg_gray(img, 16, 16)
+        assert p1 == p2
+        assert decode_jpeg(p1) == decode_jpeg(p2)
+
+
+class TestRobustness:
+    def test_not_a_jpeg(self):
+        with pytest.raises(ValueError, match="SOI"):
+            decode_jpeg(b"\x89PNG....")
+
+    def test_progressive_rejected(self):
+        img = _gradient(16, 16)
+        payload = bytearray(encode_jpeg_gray(img.reshape(-1), 16, 16))
+        i = payload.find(b"\xff\xc0")
+        payload[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+        with pytest.raises(ValueError, match="baseline"):
+            decode_jpeg(bytes(payload))
+
+    def test_truncated_stream(self):
+        img = _gradient(32, 32)
+        payload = encode_jpeg_gray(img.reshape(-1), 32, 32, quality=95)
+        with pytest.raises(ValueError):
+            decode_jpeg(payload[: len(payload) // 3])
+
+
+class TestSparkIntegration:
+    def test_decode_image_kernel_on_jpeg(self, spark):
+        """The existing decode_image Arrow kernel gains JPEG support
+        through parse_image with zero changes; corrupt payloads still
+        null-route instead of killing the stage."""
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.multimodal import (
+            decode_image,
+            image_resize,
+        )
+
+        img = _gradient(16, 16)
+        good = encode_jpeg_gray(img.reshape(-1), 16, 16, quality=90)
+        rows = [(1, bytearray(good)), (2, bytearray(b"\xff\xd8\x00garbage"))]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r["doc_id"]: r for r in decode_image(df).collect()}
+        assert got[1]["format"] == "jpeg"
+        assert (got[1]["width"], got[1]["height"]) == (16, 16)
+        assert got[1]["decode_error"] is None
+        assert abs(got[1]["mean_luma"] - img.mean()) < 2
+        assert got[2]["decode_error"] is not None and got[2]["format"] is None
+        # identity-size resize returns the full decoded raster
+        rz = image_resize(df, 16, 16).collect()
+        assert len(rz) == 1  # corrupt row dropped
+        pix = np.frombuffer(bytes(rz[0]["pixels"]), dtype=np.uint8).reshape(16, 16)
+        assert np.abs(pix.astype(int) - img).max() <= 16
