@@ -132,8 +132,12 @@ def test_parse_bmp_matches_ppm_pixels():
 def test_parse_pgm_and_unsupported():
     fmt, w, h, gray = parse_image(make_pgm(3, 1, [[7, 8, 9]]))
     assert (fmt, w, h, gray) == ("pgm", 3, 1, [7, 8, 9])
-    with pytest.raises(ValueError, match="unsupported image format"):
+    # JPEG magic now routes to the real decoder (round 7) — a corrupt
+    # jpeg-ish stream raises from there, not from the magic dispatch
+    with pytest.raises(ValueError, match="corrupt JPEG"):
         parse_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    with pytest.raises(ValueError, match="unsupported image format"):
+        parse_image(b"\x89PNG not supported")
     with pytest.raises(ValueError, match="truncated"):
         parse_image(make_ppm(2, 2, [[(1, 2, 3)]])[:-4])
 
