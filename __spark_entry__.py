@@ -3198,6 +3198,77 @@ FROM (
 """
 
 
+def _q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG decode with a FULL-STRENGTH oracle (round 7): PNG is
+    lossless, so unlike ``jpeg_decode`` there is no tolerance contract —
+    every emitted value derives from the DECODED pixels and must match
+    what DuckDB computes from the raster formula without ever seeing a
+    PNG byte. The per-document 16×16 raster (pixel p = (doc_id·37 +
+    p·11) mod 256, wrap welcome — lossless doesn't care) round-trips
+    through a real DEFLATE stream (stdlib zlib inside
+    ``functions/png.py``); the position-weighted checksum would catch a
+    single mis-unfiltered byte anywhere in any document."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("format", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("sum_luma", LongType()),
+            StructField("pos_checksum", LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.multimodal import (
+            parse_image,
+        )
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.png import (
+            encode_png_gray,
+        )
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "format", "width", "height", "sum_luma", "pos_checksum",
+            )}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                px = [(d * 37 + p * 11) % 256 for p in range(256)]
+                fmt, w, h, gray = parse_image(encode_png_gray(px, 16, 16))
+                out["doc_id"].append(d)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_luma"].append(sum(gray))
+                out["pos_checksum"].append(sum(v * (i + 1) for i, v in enumerate(gray)))
+            yield pd.DataFrame(out)
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(kernel, schema)
+
+
+PNG_DECODE_DUCK = """
+SELECT doc_id, 'png' AS format, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(SUM(v) AS BIGINT) AS sum_luma,
+       CAST(SUM(v * (p + 1)) AS BIGINT) AS pos_checksum
+FROM (
+  SELECT d.doc_id, t.p, (d.doc_id * 37 + t.p * 11) % 256 AS v
+  FROM documents d, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 255)) AS p) t
+)
+GROUP BY doc_id
+"""
+
+
 def _q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL bytes→pixels decode, oracle-checked end-to-end: build a P5
     PGM per document whose 8×4 raster is the 32 ASCII chars of
@@ -4323,7 +4394,7 @@ def _q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
         # entries. Round-6 rotation (counts: 7 + 34 + 9 = 50 checked;
-        # 25 + 9 demoted + 44 r05-green = 78 tail + 3 round-7 adds = 131 total):
+        # 25 + 9 demoted + 44 r05-green = 78 tail + 4 round-7 adds = 132 total):
         #   1. the seven r02-evidence keys (three rounds stale — the
         #      micros/nanos incident is why stale evidence is a risk),
         #   2. keys whose code/oracle is NEW or CHANGED in round 6
@@ -4415,6 +4486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "jdbc_roundtrip": _q_jdbc_roundtrip,
         "jpeg_decode": _q_jpeg_decode,
+        "png_decode": _q_png_decode,
         # -- 50-cap cutoff --------------------------------------------
         # -- (4a) demotions: FIRST into round 7's checked 50 — the
         #    twenty-five r04-green keys displaced by round 6's new
@@ -4515,6 +4587,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_report_approx": _profile_report_approx_duck(),
         "jdbc_roundtrip": JDBC_ROUNDTRIP_DUCK,
         "jpeg_decode": JPEG_DECODE_DUCK,
+        "png_decode": PNG_DECODE_DUCK,
         "zscore_outliers": ZSCORE_OUTLIERS,
         "embedding_quantize": EMBEDDING_QUANTIZE_DUCK,
         "cms_user_counts": _cms_user_counts_duck(),

@@ -193,8 +193,13 @@ def parse_image(payload: bytes):
 
         w, h, luma = decode_jpeg(payload)
         return ("jpeg", w, h, luma)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png import decode_png
+
+        w, h, luma = decode_png(payload)
+        return ("png", w, h, luma)
     raise ValueError(
-        "unsupported image format (magic %r): PPM/PGM/BMP/baseline-JPEG "
+        "unsupported image format (magic %r): PPM/PGM/BMP/baseline-JPEG/PNG "
         "decode natively — see decode_compressed_gate for the rest"
         % payload[:2]
     )
@@ -383,18 +388,19 @@ def image_resize(df_with_payload: DataFrame, out_w: int, out_h: int) -> DataFram
 
 def decode_compressed_gate(*_args, **_kwargs):
     """Honest gate for the formats still without a native decode path.
-    Since round 7, baseline JPEG decodes FOR REAL through the pure-numpy
-    codec in ``jpeg.py`` (wired into :func:`parse_image`); PPM/PGM/BMP
-    have decoded natively since round 5. What remains gated: PNG
-    (DEFLATE + filters + interlace — stdlib zlib makes it feasible, but
-    no fixture pressure yet), progressive/arithmetic JPEG, and video
-    codecs (genuinely need ffmpeg). Wire those into :func:`parse_image`
-    when a codec library lands — the Spark plumbing (Arrow batches,
-    corrupt-row null-routing) is proven on real compressed bytes."""
+    Round 7 closed BOTH still-image gaps: baseline JPEG decodes through
+    the pure-numpy T.81 codec (``jpeg.py``) and 8-bit PNG through the
+    stdlib-zlib codec (``png.py``), wired into :func:`parse_image`;
+    PPM/PGM/BMP have decoded natively since round 5. What remains
+    gated: progressive/arithmetic JPEG, 16-bit + Adam7-interlaced PNG,
+    and video codecs (genuinely need ffmpeg). Extend
+    :func:`parse_image` when a codec library lands — the Spark plumbing
+    (Arrow batches, corrupt-row null-routing) is proven on real
+    compressed bytes."""
     raise NotImplementedError(
-        "PNG/progressive-JPEG/video decode requires a codec library "
-        "(PIL/opencv/ffmpeg); PPM/PGM/BMP and baseline JPEG decode natively "
-        "— extend parse_image for the rest"
+        "progressive JPEG / interlaced PNG / video decode requires a codec "
+        "library (PIL/opencv/ffmpeg); PPM/PGM/BMP, baseline JPEG, and 8-bit "
+        "PNG decode natively — extend parse_image for the rest"
     )
 
 

@@ -1,0 +1,174 @@
+"""PNG codec on stdlib zlib + numpy — closes the PNG half of the
+compressed-image gate the same way ``jpeg.py`` closed JPEG.
+
+DEFLATE — the only genuinely hard piece of PNG — ships in the Python
+standard library (``zlib``), so a spec-faithful decoder is mostly chunk
+walking and scanline unfiltering:
+
+  - **decode_png**: 8-bit greyscale (color type 0), truecolor (2),
+    indexed (3, via PLTE), grey+alpha (4) and RGBA (6); all five
+    scanline filters (None/Sub/Up/Average/Paeth) unfiltered with numpy
+    row-recurrence; interlace (Adam7) rejected honestly. Returns
+    ``(width, height, luma)`` — the ITU-R 601 luma contract shared by
+    every decoder in this engine (alpha ignored: luma of the stored
+    color, matching how crawlers hash thumbnails).
+  - **encode_png_gray / encode_png_rgb**: minimal spec-valid writer
+    (filter 0 scanlines, one IDAT, CRC32 per chunk) so tests and the
+    oracle entry exercise REAL inflate streams.
+
+Unlike JPEG, PNG is lossless: decode(encode(img)) == img exactly, which
+gives the driver entry a stronger oracle — every derived value is
+bit-exact, no quantization-tolerance booleans needed.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_gray(gray, width: int, height: int, level: int = 6) -> bytes:
+    """8-bit greyscale PNG, filter 0 scanlines."""
+    img = np.asarray(gray, dtype=np.uint8).reshape(height, width)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(height))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, level))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png_rgb(rgb, width: int, height: int, level: int = 6) -> bytes:
+    """8-bit truecolor PNG, filter 0 scanlines."""
+    img = np.asarray(rgb, dtype=np.uint8).reshape(height, width, 3)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(height))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, level))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline filtering → (height, width*bpp) uint8 samples.
+    Sub/Up/Average/Paeth have an intra-row recurrence, so rows run in
+    Python but each step is O(row) numpy/bytearray work."""
+    stride = width * bpp
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG: inflate output shorter than raster")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        else:
+            raise ValueError(f"corrupt PNG: unknown filter type {ftype}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prev = line
+    return out
+
+
+def decode_png(payload: bytes):
+    """Decode an 8-bit non-interlaced PNG; returns ``(width, height,
+    luma)`` with luma the row-major 601-luma list (0-255)."""
+    if payload[:8] != _SIG:
+        raise ValueError("not a PNG (missing signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    plte = None
+    while pos + 8 <= len(payload):
+        length = struct.unpack_from(">I", payload, pos)[0]
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("corrupt PNG: no IHDR")
+    width, height, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError("only 8-bit PNG supported")
+    if comp != 0 or filt != 0:
+        raise ValueError("corrupt PNG: unknown compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"corrupt PNG: color type {ctype}")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG: inflate failed ({exc})") from exc
+    samples = _unfilter(raw, width, height, channels)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("corrupt PNG: indexed image without PLTE")
+        rgb = plte[samples.reshape(height, width)]
+    elif ctype == 0:
+        luma = samples.reshape(height, width).astype(np.int64)
+        return width, height, [int(v) for v in luma.reshape(-1)]
+    elif ctype == 4:
+        luma = samples.reshape(height, width, 2)[..., 0].astype(np.int64)
+        return width, height, [int(v) for v in luma.reshape(-1)]
+    else:  # 2 or 6
+        px = samples.reshape(height, width, channels)
+        rgb = px[..., :3]
+    r = rgb[..., 0].astype(np.int64)
+    g = rgb[..., 1].astype(np.int64)
+    b = rgb[..., 2].astype(np.int64)
+    luma = (299 * r + 587 * g + 114 * b) // 1000
+    return width, height, [int(v) for v in luma.reshape(-1)]
