@@ -4393,105 +4393,45 @@ def _q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-6 rotation (counts: 7 + 34 + 9 = 50 checked;
-        # 25 + 9 demoted + 44 r05-green = 78 tail + 4 round-7 adds = 132 total):
-        #   1. the seven r02-evidence keys (three rounds stale — the
-        #      micros/nanos incident is why stale evidence is a risk),
-        #   2. keys whose code/oracle is NEW or CHANGED in round 6
-        #      (multi-probe ann_lsh, literal-restructured ivf/
-        #      semantic_dedup/embedding_near_dups, the new bpe_merges +
-        #      classifier contract oracle, terms-path classifier_score,
-        #      rebound bpe_train closures, and the nine round-6-late
-        #      additions: tfidf_top_terms, inverted_index,
-        #      weighted_sample, ngram_jaccard_dups, kmeans_clusters,
-        #      quality_quantile_filter, snapshot_diff, profile_report,
-        #      zscore_outliers, embedding_quantize, cms_user_counts,
-        #      zorder_cluster, pq_topk, time_resample, variant_extract,
-        #      mad_outliers, knn_pagerank, ivfpq_topk, incremental_agg,
-        #      streaming_outer_join, streaming_sliding_counts,
-        #      source_entropy, time_interpolate, udtf_sentences,
-        #      weighted_pagerank — plus fuzzy_name_match),
-        #   3. keys whose latest evidence is r04 (r05's tail), MINUS
-        #      nine triple-green (r01+r03+r04) unchanged-SQL demotions
-        #      (parts_heavy_semi, set_ops_segments, correlated_max_order,
-        #      json_events, customers_no_orders_anti, string_funcs,
-        #      case_coalesce, grouping_sets, broadcast_hint_join) and
-        #      MINUS seventeen further r04-green demotions displaced by
-        #      the new operators (repetition_profile, filter_audit,
-        #      nfc_normalize, url_domains, span_dedup, formats_roundtrip,
-        #      multimodal_decode, pivot_event_values, udf_text_metrics,
-        #      vector_stats, decontaminate, pii_redaction,
-        #      boilerplate_ngrams, dataset_split, q17_small_qty_revenue,
-        #      q21_waiting_supplier, q16_parts_supplier_cnt,
-        #      q11_important_parts, q9_product_profit, q8_market_share,
-        #      q2_min_cost_supplier, q22_sales_opportunity,
-        #      q15_top_supplier, q13_customer_distribution,
-        #      winnow_near_dups) — ALL 34 demotions lead round 7's 50,
-        #   4. tail: the demotions, then every key checked green in r05
-        #      — freshest evidence, safe past the cutoff for one round.
+        # entries. Round-7 rotation (counts: 15 + 34 + 1 = 50 checked;
+        # 41 r05-evidence + 41 r06/r07-green = 82 tail; 132 total):
+        #   1. new or changed in round 7 (changed code re-enters the
+        #      checked 50 unconditionally — the round-6 lesson that a
+        #      final-commit change can ship unaudited applies to
+        #      correctness evidence too),
+        #   2. the 34 round-6 demotions, exactly the list the r06
+        #      comment promised would lead this round (25 r04-green
+        #      displaced by r06's new operators + 9 triple-green
+        #      unchanged-SQL),
+        #   3. the oldest remaining r05-evidence key fills slot 50,
+        #   4. tail: first the r05-evidence keys not checked this round
+        #      (they LEAD round 8), then everything checked green in
+        #      r06 or by this round's full builder sweep.
     return {
-        # -- (1) r02-stale: MUST lead the checked 50 ------------------
-        "orders_rollup": _sql(ORDERS_ROLLUP),
-        "cte_nation_revenue": _sql(CTE_NATION_REVENUE),
-        "q4_order_priority": _sql(Q4_ORDER_PRIORITY),
-        "q12_priority_classes": _sql(Q12_PRIORITY_CLASSES),
-        "q14_promo_revenue": _sql(Q14_PROMO_REVENUE),
-        "q18_large_volume_customer": _sql(Q18_LARGE_VOLUME_CUSTOMER),
-        "q19_discounted_revenue": _sql(Q19_DISCOUNTED_REVENUE),
-        # -- (2) changed or new in round 6 ----------------------------
-        "ann_lsh_topk": _q_ann_lsh,
+        # -- (1) new or changed in round 7: 4 brand-new entries
+        #    (png/jpeg decode, jdbc roundtrip, approx profiling) + 11
+        #    whose code path changed (JVM bloom probe, pagerank rank
+        #    emission, UDTF whitespace contract, centroid broadcast
+        #    transport, sim_decimals passthrough, session-machine epoch
+        #    state) — changed code ALWAYS re-enters the checked 50 ----
+        "png_decode": _q_png_decode,
+        "jpeg_decode": _q_jpeg_decode,
+        "jdbc_roundtrip": _q_jdbc_roundtrip,
+        "profile_report_approx": _q_profile_report_approx,
+        "profile_report": _q_profile_report,
+        "bloom_new_docs": _q_bloom_new_docs,
+        "knn_pagerank": _q_knn_pagerank,
+        "weighted_pagerank": _q_weighted_pagerank,
+        "udtf_sentences": _q_udtf_sentences,
         "ivf_topk": _q_ivf_topk,
         "semantic_dedup": _q_semantic_dedup,
-        "embedding_near_dups": _q_embedding_near_dups,
-        "bpe_merges": _q_bpe_merges,
-        "bpe_tokenize": _q_bpe_tokenize,
-        "classifier_distill": _q_classifier_distill,
-        "classifier_score": _q_classifier_score,
-        "fuzzy_name_match": _q_fuzzy_name_match,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "inverted_index": _q_inverted_index,
-        "weighted_sample": _q_weighted_sample,
-        "ngram_jaccard_dups": _q_ngram_jaccard,
-        "kmeans_clusters": _q_kmeans_clusters,
-        "quality_quantile_filter": _q_quality_quantile,
-        "snapshot_diff": _sql(SNAPSHOT_DIFF),
-        "profile_report": _q_profile_report,
-        "profile_report_approx": _q_profile_report_approx,
-        "zscore_outliers": _sql(ZSCORE_OUTLIERS),
-        "embedding_quantize": _q_embedding_quantize,
-        "cms_user_counts": _q_cms_user_counts,
-        "zorder_cluster": _q_zorder_cluster,
-        "pq_topk": _q_pq_topk,
-        "time_resample": _q_time_resample,
-        "variant_extract": _sql(VARIANT_EXTRACT_SPARK),
-        "mad_outliers": _sql(_q_mad_outliers_sql()),
-        "knn_pagerank": _q_knn_pagerank,
         "ivfpq_topk": _q_ivfpq_topk,
-        "incremental_agg": _sql(INCREMENTAL_AGG_SPARK),
-        "streaming_outer_join": _q_streaming_outer_join,
-        "streaming_sliding_counts": _q_streaming_sliding,
-        "source_entropy": _sql(SOURCE_ENTROPY_SPARK),
-        "time_interpolate": _q_time_interpolate,
-        "udtf_sentences": _q_udtf_sentences,
-        "weighted_pagerank": _q_weighted_pagerank,
-        # -- (3) latest evidence r04 (r05 tail), minus demotions ------
-        "corpus_curation": _q_corpus_curation,
-        "doc_fingerprints": _q_fingerprints,
         "topk_neighbors": _q_topk_neighbors,
-        "distinct_counts": _sql(DISTINCT_COUNTS),
-        "dup_groups_report": _sql(DUP_GROUPS_REPORT),
-        "null_pk_lanes": _q_null_pk_valid,
-        "embedding_resize": _q_embedding_resize,
-        "approx_distinct": _q_approx_distinct,
-        "minhash_near_dups": _q_minhash_near_dups,
-        "jdbc_roundtrip": _q_jdbc_roundtrip,
-        "jpeg_decode": _q_jpeg_decode,
-        "png_decode": _q_png_decode,
-        # -- 50-cap cutoff --------------------------------------------
-        # -- (4a) demotions: FIRST into round 7's checked 50 — the
-        #    twenty-five r04-green keys displaced by round 6's new
-        #    operators, then the nine triple-green unchanged-SQL
-        #    demotions ------------------------------------------------
+        "pq_topk": _q_pq_topk,
+        "streaming_sessionization": _q_streaming_sessions,
+        # -- (2) the 34 round-6 demotions (r04 evidence, the oldest in
+        #    the registry) — promised the lead of round 7's 50 in the
+        #    r06 rotation comment, honored here -----------------------
         "winnow_near_dups": _q_winnow_near_dups,
         "q13_customer_distribution": _sql(Q13_CUSTOMER_DISTRIBUTION),
         "q15_top_supplier": _sql(Q15_TOP_SUPPLIER),
@@ -4526,8 +4466,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs": _sql(STRING_FUNCS),
         "case_coalesce": _sql(CASE_COALESCE),
         "grouping_sets": _sql(GROUPING_SETS),
-        # -- (4b) checked green in r05 — one safe round past the cap --
+        # -- (3) oldest r05-evidence key fills the 50th slot ----------
         "stratified_sample": _q_stratified_sample,
+        # -- 50-cap cutoff --------------------------------------------
+        # -- (4a) r05-evidence keys not checked this round: these LEAD
+        #    round 8's 50 (steady-state max evidence age stays at two
+        #    rounds: 132 keys / 50-cap => every key re-checked at least
+        #    every third round; changed code re-enters immediately) ---
         "token_packing": _q_token_packing,
         "multimodal_frames": _q_multimodal_frames,
         "streaming_hourly_events": _q_streaming_hourly,
@@ -4563,14 +4508,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": _q_domain_mix,
         "lm_cross_entropy": _q_lm_cross_entropy,
         "bigram_lm": _q_bigram_lm,
-        "bloom_new_docs": _q_bloom_new_docs,
         "streaming_enrich": _q_streaming_enrich,
         "hll_rollup": _q_hll_rollup,
         "image_decode": _q_image_decode,
-        "streaming_sessionization": _q_streaming_sessions,
         "streaming_running_totals": _q_streaming_running_totals,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_interval_join": _q_streaming_interval_join,
+        # -- (4b) checked green in r06 (or r07 builder sweep) — the
+        #    freshest evidence, safe past the cutoff ------------------
+        "orders_rollup": _sql(ORDERS_ROLLUP),
+        "cte_nation_revenue": _sql(CTE_NATION_REVENUE),
+        "q4_order_priority": _sql(Q4_ORDER_PRIORITY),
+        "q12_priority_classes": _sql(Q12_PRIORITY_CLASSES),
+        "q14_promo_revenue": _sql(Q14_PROMO_REVENUE),
+        "q18_large_volume_customer": _sql(Q18_LARGE_VOLUME_CUSTOMER),
+        "q19_discounted_revenue": _sql(Q19_DISCOUNTED_REVENUE),
+        "ann_lsh_topk": _q_ann_lsh,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_tokenize": _q_bpe_tokenize,
+        "classifier_distill": _q_classifier_distill,
+        "classifier_score": _q_classifier_score,
+        "fuzzy_name_match": _q_fuzzy_name_match,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "inverted_index": _q_inverted_index,
+        "weighted_sample": _q_weighted_sample,
+        "ngram_jaccard_dups": _q_ngram_jaccard,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "quality_quantile_filter": _q_quality_quantile,
+        "snapshot_diff": _sql(SNAPSHOT_DIFF),
+        "zscore_outliers": _sql(ZSCORE_OUTLIERS),
+        "embedding_quantize": _q_embedding_quantize,
+        "cms_user_counts": _q_cms_user_counts,
+        "zorder_cluster": _q_zorder_cluster,
+        "time_resample": _q_time_resample,
+        "variant_extract": _sql(VARIANT_EXTRACT_SPARK),
+        "mad_outliers": _sql(_q_mad_outliers_sql()),
+        "incremental_agg": _sql(INCREMENTAL_AGG_SPARK),
+        "streaming_outer_join": _q_streaming_outer_join,
+        "streaming_sliding_counts": _q_streaming_sliding,
+        "source_entropy": _sql(SOURCE_ENTROPY_SPARK),
+        "time_interpolate": _q_time_interpolate,
+        "corpus_curation": _q_corpus_curation,
+        "doc_fingerprints": _q_fingerprints,
+        "distinct_counts": _sql(DISTINCT_COUNTS),
+        "dup_groups_report": _sql(DUP_GROUPS_REPORT),
+        "null_pk_lanes": _q_null_pk_valid,
+        "embedding_resize": _q_embedding_resize,
+        "approx_distinct": _q_approx_distinct,
+        "minhash_near_dups": _q_minhash_near_dups,
     }
 
 
