@@ -102,6 +102,13 @@ HEADLINE = [
     "incremental_agg",
     # round 6 late: explode + two grouped aggs + per-source entropy
     "source_entropy",
+    # round 7: real JDBC roundtrip through embedded Derby (sink write +
+    # pushdown read), per-row compressed-stream codecs (Huffman+DCT /
+    # inflate+unfilter in Arrow map stages), and HLL profiling
+    "jdbc_roundtrip",
+    "jpeg_decode",
+    "png_decode",
+    "profile_report_approx",
 ]
 
 
