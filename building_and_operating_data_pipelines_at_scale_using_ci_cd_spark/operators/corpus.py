@@ -193,6 +193,56 @@ def remove_duplicate_spans(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+) -> DataFrame:
+    """RAG-prep chunker: split each document into ``chunk_tokens``-token
+    windows advancing by ``chunk_tokens - overlap`` (overlapping windows
+    keep context across chunk boundaries — the standard retrieval-index
+    preparation). Emits (id, chunk_id, n_tokens, chunk_text); the final
+    window may be shorter; a document shorter than one stride still
+    yields its single chunk.
+
+    Whitespace contract (shared with the DuckDB oracle): tokens are the
+    non-empty fields of a single-space split — runs of spaces collapse,
+    tabs/newlines stay inside tokens, and rejoining uses one space, so
+    ``overlap=0`` chunk_texts concatenate back to the space-normalized
+    document.
+
+    Shape at scale: pure JVM higher-order functions — one projection
+    tokenizes, ``sequence``/``posexplode`` fans out window starts, and
+    ``slice`` cuts each window from the token array. NO shuffle at all
+    (chunking is embarrassingly row-local) and no Python; output rows ≈
+    input tokens / stride, so the explode factor is bounded by the
+    chunk geometry, not the corpus."""
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap
+    tk = df.select(
+        F.col(id_col).alias("__id"),
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("__tk"),
+    )
+    n = F.size(F.col("__tk"))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    exploded = tk.select(
+        "__id", "__tk", F.posexplode(starts).alias("chunk_id", "__start")
+    ).filter((F.col("__start") < F.size(F.col("__tk"))) | (F.col("chunk_id") == 0))
+    win = F.slice(F.col("__tk"), F.col("__start") + 1, chunk_tokens)
+    return exploded.select(
+        F.col("__id").alias(id_col),
+        "chunk_id",
+        F.size(win).alias("n_tokens"),
+        F.array_join(win, " ").alias("chunk_text"),
+    )
+
+
 def frequent_ngrams(
     df: DataFrame,
     id_col: str,

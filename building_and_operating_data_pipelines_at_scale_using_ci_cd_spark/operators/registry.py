@@ -117,6 +117,13 @@ def _pii_redact(df: DataFrame, text_col: str = "text", output_col: str | None = 
     return df.withColumn(output_col or text_col, redact_pii(F.col(text_col)))
 
 
+def _chunk_documents(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
+    from .corpus import chunk_documents
+
+    kw = {k: int(v) if k in ("chunk_tokens", "overlap") else v for k, v in kw.items()}
+    return chunk_documents(df, id_col, text_col, **kw)
+
+
 def _frequent_ngrams(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
     from .corpus import frequent_ngrams
 
@@ -477,6 +484,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "packSequential": _pack_sequential,
     "piiRedact": _pii_redact,
     "frequentNgrams": _frequent_ngrams,
+    "chunkDocuments": _chunk_documents,
     "decontaminate": _decontaminate,
     "repetitionProfile": _repetition_profile,
     "removeDuplicateSpans": _remove_duplicate_spans,

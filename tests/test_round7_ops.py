@@ -1,8 +1,81 @@
-"""Round-7 operator changes: approx profiling, scale-safe emission."""
+"""Round-7 operator changes: approx profiling, scale-safe emission,
+centroid transport, RAG chunking."""
 
 import pytest
 
 from pyspark.sql import functions as F
+
+
+class TestChunkDocuments:
+    def _chunks(self, spark, rows, **kw):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.corpus import (
+            chunk_documents,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return chunk_documents(df, "doc_id", "text", **kw).collect()
+
+    def test_windows_and_overlap(self, spark):
+        text = " ".join(f"t{i}" for i in range(10))
+        got = sorted(
+            (r["chunk_id"], r["n_tokens"], r["chunk_text"])
+            for r in self._chunks(spark, [(1, text)], chunk_tokens=4, overlap=1)
+        )
+        # stride 3: starts 0,3,6,9 — final window is 1 token
+        assert [g[0] for g in got] == [0, 1, 2, 3]
+        assert [g[1] for g in got] == [4, 4, 4, 1]
+        assert got[0][2] == "t0 t1 t2 t3"
+        assert got[1][2] == "t3 t4 t5 t6"
+        assert got[3][2] == "t9"
+
+    def test_no_overlap_reassembles(self, spark):
+        text = "a  b   c d e"  # runs of spaces collapse under the contract
+        got = sorted(
+            (r["chunk_id"], r["chunk_text"])
+            for r in self._chunks(spark, [(1, text)], chunk_tokens=2, overlap=0)
+        )
+        assert " ".join(t for _, t in got) == "a b c d e"
+
+    def test_short_and_empty_docs(self, spark):
+        got = self._chunks(spark, [(1, "only two"), (2, "")], chunk_tokens=8)
+        by_id = {r["doc_id"]: r for r in got}
+        assert len(got) == 2
+        assert by_id[1]["n_tokens"] == 2 and by_id[1]["chunk_text"] == "only two"
+        assert by_id[2]["n_tokens"] == 0 and by_id[2]["chunk_text"] == ""
+
+    def test_no_shuffle_no_python(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.corpus import (
+            chunk_documents,
+        )
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = (
+            chunk_documents(df, "doc_id", "text", chunk_tokens=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan and "EvalPython" not in plan
+
+    def test_validation_and_registry(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.corpus import (
+            chunk_documents,
+        )
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.registry import (
+            apply_operator,
+        )
+
+        df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(df, "doc_id", "text", chunk_tokens=0)
+        with pytest.raises(ValueError):
+            chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+        out = apply_operator(
+            "chunkDocuments",
+            df,
+            {"id_col": "doc_id", "text_col": "text", "chunk_tokens": "2", "overlap": "0"},
+        )
+        assert out.count() == 2
 
 
 class TestProfileApprox:
