@@ -101,7 +101,7 @@ def test_pagerank_mass_bounds_on_random_graphs(spark, edges):
     nodes = sorted({v for e in edges for v in e})
     e_df = spark.createDataFrame(list(set(edges)), "src bigint, dst bigint")
     n_df = spark.createDataFrame([(v,) for v in nodes], "id bigint")
-    out = pagerank(e_df, n_df, "id", iters=2).collect()
+    out = pagerank(e_df, n_df, "id", iters=2, rank_mode="global").collect()
     n = len(nodes)
     floor = (3 * SCALE) // (20 * n)
     assert sum(r["pr_units"] for r in out) <= SCALE
