@@ -344,6 +344,7 @@ def _profile_columns(df: DataFrame, columns=None, **kw) -> DataFrame:
         kw["approx_distinct"] = str(kw["approx_distinct"]).lower() == "true"
     if "rsd" in kw:
         kw["rsd"] = float(kw["rsd"])
+    # distinct_mode ("exact"|"approx"|"both") passes through as a string
     return profile_columns(df, list(columns) if columns else None, **kw)
 
 

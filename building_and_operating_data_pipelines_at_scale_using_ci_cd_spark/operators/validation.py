@@ -86,6 +86,7 @@ def profile_columns(
     columns: list[str] | None = None,
     approx_distinct: bool = False,
     rsd: float = 0.05,
+    distinct_mode: str | None = None,
 ) -> DataFrame:
     """Column profiling (the deequ/Glue-data-quality staple): one row per
     column with row count, null count, distinct count, and min/max
@@ -109,38 +110,59 @@ def profile_columns(
     default because a profile report is usually read for EXACT nulls/
     distincts at dev scale.
 
+    ``distinct_mode`` supersedes the boolean: ``"exact"`` (default),
+    ``"approx"``, or ``"both"`` — "both" emits ``n_distinct`` (exact)
+    AND ``n_distinct_approx`` side by side from the SAME single
+    aggregate, the calibration report that shows how far the sketch is
+    from truth without paying a second scan or a join.
+
     min/max stringify via the column's natural CAST so the report schema
     is column-type-agnostic (timestamps render ISO, numerics decimal)."""
     from pyspark.sql import functions as F
 
+    if distinct_mode is None:
+        distinct_mode = "approx" if approx_distinct else "exact"
+    if distinct_mode not in ("exact", "approx", "both"):
+        raise ValueError("distinct_mode must be 'exact', 'approx', or 'both'")
     cols = columns or df.columns
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"unknown columns: {missing}")
 
-    def _nd(col: str):
-        if approx_distinct:
-            return F.approx_count_distinct(F.col(col), rsd)
-        return F.count_distinct(F.col(col))
-
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
             F.count(F.col(c)).alias(f"__nn_{c}"),
-            _nd(c).alias(f"__nd_{c}"),
             F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
             F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
         ]
+        if distinct_mode in ("exact", "both"):
+            aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+        if distinct_mode in ("approx", "both"):
+            aggs.append(
+                F.approx_count_distinct(F.col(c), rsd).alias(f"__nda_{c}")
+            )
     wide = df.agg(*aggs)
-    reports = [
-        F.struct(
+
+    def _report(c: str):
+        fields = [
             F.lit(c).alias("col_name"),
             F.col("__n").cast("bigint").alias("n_rows"),
             (F.col("__n") - F.col(f"__nn_{c}")).cast("bigint").alias("n_nulls"),
-            F.col(f"__nd_{c}").cast("bigint").alias("n_distinct"),
+        ]
+        if distinct_mode == "approx":
+            fields.append(F.col(f"__nda_{c}").cast("bigint").alias("n_distinct"))
+        else:
+            fields.append(F.col(f"__nd_{c}").cast("bigint").alias("n_distinct"))
+        if distinct_mode == "both":
+            fields.append(
+                F.col(f"__nda_{c}").cast("bigint").alias("n_distinct_approx")
+            )
+        fields += [
             F.col(f"__min_{c}").alias("min_value"),
             F.col(f"__max_{c}").alias("max_value"),
-        )
-        for c in cols
-    ]
+        ]
+        return F.struct(*fields)
+
+    reports = [_report(c) for c in cols]
     return wide.select(F.explode(F.array(*reports)).alias("r")).select("r.*")

@@ -109,6 +109,24 @@ class TestProfileApprox:
         assert "approx_count_distinct" in plan
         assert "Expand" not in plan
 
+    def test_both_mode_single_scan(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.validation import (
+            profile_columns,
+        )
+
+        df = spark.range(3000).select(F.col("id"), (F.col("id") % 5).alias("five"))
+        out = profile_columns(df, distinct_mode="both")
+        rows = {r["col_name"]: r for r in out.collect()}
+        assert rows["five"]["n_distinct"] == 5
+        assert rows["five"]["n_distinct_approx"] == 5
+        assert rows["id"]["n_distinct"] == 3000
+        assert abs(rows["id"]["n_distinct_approx"] - 3000) / 3000 < 0.1
+        # exact + sketch come from ONE aggregate over ONE scan
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("Range") == 1 and "Join" not in plan
+        with pytest.raises(ValueError):
+            profile_columns(df, distinct_mode="fuzzy")
+
     def test_centroid_transport_modes_identical(self, spark):
         """Broadcast-variable centroid transport (the >65k-cluster
         enabler) must produce bit-identical assignments to the closure
