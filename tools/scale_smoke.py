@@ -332,5 +332,51 @@ def main() -> None:
     )
 
 
+
+    # round-7 operators over the flooded corpus
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.corpus import (
+        chunk_documents,
+    )
+
+    timed(
+        # chunking is row-local (no shuffle): the smoke checks the
+        # explode factor stays bounded by the chunk geometry at 10x
+        "chunk_documents (32/8)",
+        lambda: chunk_documents(
+            docs, "doc_id", "text", chunk_tokens=32, overlap=8
+        ).count(),
+    )
+
+    def _jpeg_smoke():
+        # decode a real Huffman stream per doc across all cores — the
+        # per-row Python codec cost is the thing being smoked here
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.jpeg import (
+            encode_jpeg_gray,
+        )
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.multimodal import (
+            decode_image,
+        )
+
+        import pandas as pd
+
+        def gen(batches):
+            for pdf in batches:
+                payloads = [
+                    encode_jpeg_gray(
+                        [(int(d) % 96 + (p % 16) * 5 + p // 16 * 5) for p in range(256)],
+                        16, 16,
+                    )
+                    for d in pdf["doc_id"]
+                ]
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+        payload_df = docs.select("doc_id").repartition(32).mapInPandas(
+            gen, "doc_id long, payload binary"
+        )
+        return decode_image(payload_df).filter(F.col("decode_error").isNull()).count()
+
+    timed("jpeg encode+decode per doc", _jpeg_smoke)
+
+
 if __name__ == "__main__":
     main()
