@@ -1,0 +1,73 @@
+"""RAG retrieval-index preparation on the config dialect (round 7):
+
+  1. chunk — `chunkDocuments` (64-token windows, 16 overlap; pure JVM
+     HOFs, zero shuffle) → stable chunk keys + xxhash64 fingerprints →
+     `exactDedupSurvivors` drops repeated chunk text corpus-wide →
+     per-corpus chunk stats.
+  2. index — `invertedIndex` (df-banded postings, reducer state bounded
+     by max_df) + `tfidfTopTerms` (top-3 descriptors per chunk) over
+     the deduped chunks.
+
+    cd /root/repo && python examples/rag_prep/run.py
+
+The same configs run unchanged at corpus scale: chunking is row-local,
+dedup is one hash-groupBy, and both index builds are single-scan
+aggregations with map-side partials.
+"""
+
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
+
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark import get_session
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.plans.pipeline import (
+    from_manifest,
+)
+
+DEMO = "/tmp/rag_prep_demo"
+
+
+def main():
+    shutil.rmtree(DEMO, ignore_errors=True)
+    spark = get_session(app_name="rag-prep-demo")
+
+    with open(os.path.join(os.path.dirname(__file__), "manifest.json")) as f:
+        manifest = json.load(f)
+    outcomes = from_manifest(spark, manifest).run()
+    for name, o in outcomes.items():
+        print(f"  task {name}: {o.state} (attempts={o.attempts})")
+    assert all(o.state == "success" for o in outcomes.values())
+
+    import duckdb
+
+    n_chunks, n_docs, total_tokens = duckdb.sql(
+        f"SELECT n_chunks, n_docs, total_tokens FROM '{DEMO}/chunk_stats/*.parquet'"
+    ).fetchone()
+    print(f"chunks: {n_chunks} over {n_docs} docs, {total_tokens} tokens")
+    assert n_docs == 500 and n_chunks >= n_docs and total_tokens > 0
+
+    # every chunk respects the window geometry and the overlap stitches:
+    bad = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{DEMO}/chunks/*.parquet' WHERE n_tokens > 64 OR n_tokens <= 0"
+    ).fetchone()[0]
+    assert bad == 0
+
+    postings = duckdb.sql(
+        f"SELECT COUNT(*), MIN(df), MAX(df) FROM '{DEMO}/postings/*.parquet'"
+    ).fetchone()
+    print(f"postings: {postings[0]} terms, df in [{postings[1]}, {postings[2]}]")
+    assert postings[0] > 0 and postings[1] >= 2
+
+    terms = duckdb.sql(
+        f"SELECT COUNT(*), COUNT(DISTINCT chunk_pk) FROM '{DEMO}/chunk_terms/*.parquet'"
+    ).fetchone()
+    print(f"tfidf descriptors: {terms[0]} rows over {terms[1]} chunks (top-3 each)")
+    assert terms[0] <= 3 * n_chunks and terms[1] > 0
+    print("rag_prep example OK")
+
+
+if __name__ == "__main__":
+    main()

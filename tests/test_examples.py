@@ -31,6 +31,12 @@ def test_corpus_index_example(spark):
     mod.main()  # asserts internally (pairs, clusters, sample sizes)
 
 
+@pytest.mark.slow
+def test_rag_prep_example(spark):
+    mod = _load(os.path.join(_ROOT, "examples", "rag_prep", "run.py"))
+    mod.main()  # asserts internally (chunk geometry, postings, tfidf)
+
+
 def test_registry_docs_bench_consistency():
     """tools/consistency_check.py: registry ↔ docs ↔ bench drift guard
     (stale counts and undocumented steps were recurring advice items)."""
