@@ -945,6 +945,92 @@ GROUP BY l.l_suppkey, s.s_name
 """
 
 
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT φ-heavy hitters at bounded memory (functions/sketches.py
+    heavy_hitters): per-partition Misra-Gries candidate summaries (≤ k
+    rows per partition, never the key space) + one exact verify pass
+    over candidates only. The item stream is deliberately SKEWED — every
+    'error' event collapses to one item while other types fan out over
+    50 user buckets — so the entry exercises real MG pruning (201
+    distinct items, one ~20% hitter) and the integer cross-multiplied
+    threshold (cnt·20 ≥ n·1). Answer == plain GROUP BY HAVING, which is
+    exactly what the oracle runs."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.sketches import (
+        heavy_hitters,
+    )
+
+    ev = _table(spark, sf_dir, "events").select(
+        F.concat(
+            F.col("event_type"),
+            F.lit("#"),
+            (
+                F.col("user_id")
+                % F.when(F.col("event_type") == "error", 1).otherwise(50)
+            ).cast("string"),
+        ).alias("item")
+    )
+    return heavy_hitters(ev, "item", frac_num=1, frac_den=20)
+
+
+HEAVY_HITTERS_DUCK = """
+WITH items AS MATERIALIZED (
+  SELECT event_type || '#' ||
+         CAST(user_id % (CASE WHEN event_type = 'error' THEN 1 ELSE 50 END)
+              AS VARCHAR) AS item
+  FROM events
+),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM items)
+SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM items, t
+GROUP BY item, t.n
+HAVING COUNT(*) * 20 >= t.n * 1
+"""
+
+
+def _q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filtered large⋈large join (operators/scale.py
+    bloom_filtered_join): lineitem probes a filter built from the
+    high-value ~10% of orders, so ~90% of line items never enter the
+    join exchange — the hand-rolled runtime row-level filter. Answer-
+    invariant (no false negatives; false positives ride through to the
+    exact join), asserted by hash-matching a PLAIN DuckDB join under
+    the integer-cents contract."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.scale import (
+        bloom_filtered_join,
+    )
+
+    li = _table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    big_orders = (
+        _table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_orderkey").alias("orderkey"), "o_orderpriority")
+    )
+    return (
+        bloom_filtered_join(li, big_orders, "orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
+BLOOM_JOIN_DUCK = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_totalprice > 450000
+GROUP BY o.o_orderpriority
+"""
+
+
 def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite training-data filter a real corpus pipeline runs:
     exact-dedup survivors ∩ predicted-English ∩ quality ≥ 0.5 — chaining
@@ -4478,8 +4564,8 @@ def _q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-7 rotation (counts: 17 + 33 + 0 = 50 checked;
-        # 42 r05-evidence + 42 r06/r07-green = 84 tail; 134 total):
+        # entries. Round-7 rotation (counts: 19 + 31 + 0 = 50 checked;
+        # 44 r04/r05-evidence + 42 r06/r07-green = 86 tail; 136 total):
         #   1. new or changed in round 7 (changed code re-enters the
         #      checked 50 unconditionally — the round-6 lesson that a
         #      final-commit change can ship unaudited applies to
@@ -4515,11 +4601,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionization": _q_streaming_sessions,
         "doc_chunks": _q_doc_chunks,
         "salted_join_revenue": _q_salted_join,
+        "heavy_hitters": _q_heavy_hitters,
+        "bloom_join_revenue": _q_bloom_join,
         # -- (2) the round-6 demotions (r04 evidence, the oldest in
         #    the registry) — promised the lead of round 7's 50 in the
-        #    r06 rotation comment; 33 of the 34 fit under the cap
-        #    (grouping_sets displaced by the late adds, first in the
-        #    tail) ----------------------------------------------------
+        #    r06 rotation comment; 31 of the 34 fit under the cap
+        #    (string_funcs/case_coalesce/grouping_sets displaced by
+        #    the late adds; they lead the tail) -----------------------
         "winnow_near_dups": _q_winnow_near_dups,
         "q13_customer_distribution": _sql(Q13_CUSTOMER_DISTRIBUTION),
         "q15_top_supplier": _sql(Q15_TOP_SUPPLIER),
@@ -4551,11 +4639,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlated_max_order": _sql(CORRELATED_MAX_ORDER),
         "json_events": _sql(JSON_EVENTS_SPARK),
         "customers_no_orders_anti": _sql(CUSTOMERS_NO_ORDERS_ANTI),
+        # -- 50-cap cutoff (the four round-7 late adds displaced the
+        #    last three demotions and the r05 filler just past the cap;
+        #    they lead round 8 with the rest of the r04/r05 tail) ------
         "string_funcs": _sql(STRING_FUNCS),
         "case_coalesce": _sql(CASE_COALESCE),
-        # -- 50-cap cutoff (the two round-7 late adds displaced the
-        #    last demotion and the r05 filler just past the cap; they
-        #    lead round 8 with the rest of the r04/r05 tail) ----------
         "grouping_sets": _sql(GROUPING_SETS),
         "stratified_sample": _q_stratified_sample,
         # -- (4a) r05-evidence keys not checked this round: these LEAD
@@ -4665,6 +4753,8 @@ def oracle_sql() -> dict[str, str]:
         "png_decode": PNG_DECODE_DUCK,
         "doc_chunks": DOC_CHUNKS_DUCK,
         "salted_join_revenue": SALTED_JOIN_DUCK,
+        "heavy_hitters": HEAVY_HITTERS_DUCK,
+        "bloom_join_revenue": BLOOM_JOIN_DUCK,
         "zscore_outliers": ZSCORE_OUTLIERS,
         "embedding_quantize": EMBEDDING_QUANTIZE_DUCK,
         "cms_user_counts": _cms_user_counts_duck(),

@@ -127,3 +127,88 @@ def cms_frequency(
     :func:`cms_build` + :func:`cms_estimate` directly."""
     sketch = cms_build(df, item_col, depth=depth, width=width, weight_col=weight_col)
     return cms_estimate(sketch, df, item_col, depth=depth, width=width)
+
+
+def mg_candidates(df: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries candidate keys, ≤ ``k`` rows per
+    partition. The MG invariant: any item whose count WITHIN a
+    partition exceeds n_partition/(k+1) survives that partition's
+    summary; since a globally-(1/(k+1))-frequent item must be locally
+    frequent in at least one partition, the UNION of partition
+    summaries is a superset of every global heavy hitter — the
+    candidate-generation half of :func:`heavy_hitters`.
+
+    Batches arrive vectorized (``value_counts`` per Arrow batch, one
+    dict merge per batch); state per partition is bounded by k plus one
+    batch's distinct count. Output is candidates only — counts from MG
+    are estimates and deliberately NOT emitted (the exact pass
+    recounts)."""
+    import pandas as pd
+
+    def kernel(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for item, cnt in pdf[item_col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(cnt)
+            if len(counters) > k:
+                # MG decrement step, batch-merged: shave the smallest
+                # counts until <= k keys remain; total decrement across
+                # the partition is <= n_partition/(k+1)
+                for _ in range(len(counters) - k):
+                    m = min(counters.values())
+                    counters = {kk: v - m for kk, v in counters.items() if v > m}
+                    if len(counters) <= k:
+                        break
+        yield pd.DataFrame({item_col: list(counters.keys())})
+
+    return df.select(item_col).mapInPandas(
+        kernel, df.select(item_col).schema
+    ).distinct()
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    frac_num: int = 1,
+    frac_den: int = 100,
+    k: int | None = None,
+) -> DataFrame:
+    """EXACT φ-heavy hitters (φ = frac_num/frac_den) at bounded memory —
+    the two-pass shape that replaces a full ``GROUP BY`` when the key
+    space is corpus-sized but the answer is tiny:
+
+      1. candidates: per-partition Misra-Gries summaries
+         (:func:`mg_candidates`, ≤ k rows per partition — never the key
+         space), unioned. MG has no false negatives for items above
+         n/(k+1), so with ``k ≥ frac_den/frac_num`` every true heavy
+         hitter is a candidate.
+      2. verify: ONE more scan counts exactly — but only candidate rows
+         survive the broadcast semi-filter into the aggregation, so the
+         shuffle carries candidates×partitions rows, not the key space.
+
+    The accept predicate is integer cross-multiplication
+    (cnt·frac_den ≥ n_total·frac_num) against a 1-row broadcast total —
+    no float share, no driver collect. Result is EXACTLY the plain
+    ``GROUP BY … HAVING`` answer (strict oracle-able); memory is the
+    thing that changed, not the semantics."""
+    if frac_num <= 0 or frac_den <= 0:
+        raise ValueError("frac must be positive")
+    if k is None:
+        k = max(16, 2 * ((frac_den + frac_num - 1) // frac_num))
+    if k * frac_num < frac_den:
+        raise ValueError(
+            f"k={k} cannot guarantee completeness for frac {frac_num}/{frac_den} "
+            f"(need k >= {frac_den // frac_num})"
+        )
+    cands = mg_candidates(df, item_col, k)
+    total = df.agg(F.count(F.lit(1)).cast("bigint").alias("__n_total"))
+    counted = (
+        df.join(F.broadcast(cands), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(frac_den) >= F.col("__n_total") * F.lit(frac_num))
+        .select(item_col, "cnt")
+    )

@@ -829,6 +829,72 @@ def bloom_bit_positions(col: Column, k: int = _BLOOM_K, m: int = _BLOOM_M) -> Co
     )
 
 
+def bloom_words_df(src: DataFrame, key_str: Column, k: int, m: int) -> DataFrame:
+    """Build a Bloom filter over ``src``'s keys as ONE row holding the
+    packed ``array<bigint>`` word array (m/64 words), ready to broadcast.
+
+    The build is DISTRIBUTED: explode the k positions, OR the bits per
+    word with a map-side-partial ``bit_or`` agg, and collect ≤ m/64
+    (word, bits) rows — 64× less driver traffic than collecting
+    distinct bit positions, still bounded by the design parameter m,
+    never by source row count. Shared by :func:`bloom_incremental_new`
+    and ``operators.scale.bloom_filtered_join``."""
+    word_rows = (
+        src.select(F.explode(bloom_bit_positions(key_str, k, m)).alias("pos"))
+        .groupBy(F.shiftright(F.col("pos"), 6).alias("w"))
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("bigint"),
+                    F.col("pos").bitwiseAND(F.lit(63)),
+                )
+            ).alias("bits")
+        )
+        .collect()
+    )
+    n_words = (m + 63) // 64
+    words = [0] * n_words
+    for r in word_rows:
+        words[r["w"]] = r["bits"]
+    return src.sparkSession.createDataFrame([(words,)], "__bloom_words array<bigint>")
+
+
+def bloom_probe_flag(
+    df: DataFrame, key_str: Column, wdf: DataFrame, k: int, m: int
+) -> DataFrame:
+    """Attach a boolean ``__maybe`` column: True iff the key's k bits
+    are all set in the broadcast word array. FULLY JVM-side — the 1-row
+    crossJoin is the ``domain_mix`` scalar-attachment shape (never
+    row-multiplying) and each test is ``element_at``+``getbit`` integer
+    ops inside whole-stage codegen; a probe row costs k integer ops, no
+    Python anywhere."""
+    from functools import reduce
+
+    # materialize the k positions ONCE per row (a projection step) so
+    # the k bit tests don't each re-run the hash chain inside the stage
+    pos = F.col("__pos")
+    probes = [
+        (
+            F.getbit(
+                F.element_at(
+                    F.col("__bloom_words"),
+                    (F.shiftright(F.get(pos, i), 6) + F.lit(1)).cast("int"),
+                ),
+                F.get(pos, i).bitwiseAND(F.lit(63)).cast("bigint"),
+            )
+            == F.lit(1)
+        )
+        for i in range(k)
+    ]
+    return (
+        df.withColumn("__pos", bloom_bit_positions(key_str, k, m))
+        .crossJoin(F.broadcast(wdf))
+        .withColumn("__maybe", reduce(lambda a, b: a & b, probes))
+        .drop("__bloom_words", "__pos")
+    )
+
+
 def bloom_incremental_new(
     new_df: DataFrame,
     hist_df: DataFrame,
@@ -868,57 +934,9 @@ def bloom_incremental_new(
     task serialization. Sizing: false positive rate ≈ (1 − e^(−k·n/m))^k
     — for n ≈ m/8 keys at k=4 that is ~0.2%, and every false positive
     costs only one extra candidate row through the verify join."""
-    from functools import reduce
-
     key_str = F.col(key_col).cast("string")
-    # build the filter as packed 64-bit words DISTRIBUTED: explode the
-    # k positions, OR the bits per word with a map-side-partial bit_or
-    # agg, and collect ≤ m/64 (word, bits) rows — 64× less driver
-    # traffic than collecting distinct bit positions, still bounded by
-    # the design parameter m, never by history row count
-    word_rows = (
-        hist_df.select(F.explode(bloom_bit_positions(key_str, k, m)).alias("pos"))
-        .groupBy(F.shiftright(F.col("pos"), 6).alias("w"))
-        .agg(
-            F.bit_or(
-                F.call_function(
-                    "shiftleft",
-                    F.lit(1).cast("bigint"),
-                    F.col("pos").bitwiseAND(F.lit(63)),
-                )
-            ).alias("bits")
-        )
-        .collect()
-    )
-    n_words = (m + 63) // 64
-    words = [0] * n_words
-    for r in word_rows:
-        words[r["w"]] = r["bits"]
-    spark = new_df.sparkSession
-    wdf = spark.createDataFrame([(words,)], "__bloom_words array<bigint>")
-
-    # materialize the k positions ONCE per row (a projection step) so the
-    # k bit tests don't each re-run the md5 chain inside the same stage
-    pos = F.col("__pos")
-    probes = [
-        (
-            F.getbit(
-                F.element_at(
-                    F.col("__bloom_words"),
-                    (F.shiftright(F.get(pos, i), 6) + F.lit(1)).cast("int"),
-                ),
-                F.get(pos, i).bitwiseAND(F.lit(63)).cast("bigint"),
-            )
-            == F.lit(1)
-        )
-        for i in range(k)
-    ]
-    flagged = (
-        new_df.withColumn("__pos", bloom_bit_positions(key_str, k, m))
-        .crossJoin(F.broadcast(wdf))
-        .withColumn("__maybe", reduce(lambda a, b: a & b, probes))
-        .drop("__bloom_words", "__pos")
-    )
+    wdf = bloom_words_df(hist_df, key_str, k, m)
+    flagged = bloom_probe_flag(new_df, key_str, wdf, k, m)
     clean = flagged.filter(~F.col("__maybe")).drop("__maybe")
     candidates = flagged.filter(F.col("__maybe")).drop("__maybe")
     cand_keys = candidates.select(key_str.alias("__key")).distinct()

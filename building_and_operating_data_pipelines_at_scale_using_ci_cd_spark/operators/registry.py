@@ -117,6 +117,24 @@ def _pii_redact(df: DataFrame, text_col: str = "text", output_col: str | None = 
     return df.withColumn(output_col or text_col, redact_pii(F.col(text_col)))
 
 
+def _heavy_hitters(df: DataFrame, item_col: str, **kw) -> DataFrame:
+    from ..functions.sketches import heavy_hitters
+
+    kw = {k: int(v) for k, v in kw.items()}  # frac_num/frac_den/k
+    return heavy_hitters(df, item_col, **kw)
+
+
+def _bloom_filtered_join(df: DataFrame, key: str, build_view: str, **kw) -> DataFrame:
+    """Config shape: the step's input view is the PROBE side; the build
+    side is another registered view named by ``build_view`` (phase_1
+    inputs and phase_2 outputs are all temp views — the same
+    by-name resolution config SQL uses)."""
+    from .scale import bloom_filtered_join
+
+    kw = {k: int(v) if k in ("k", "m") else v for k, v in kw.items()}
+    return bloom_filtered_join(df, df.sparkSession.table(build_view), key, **kw)
+
+
 def _chunk_documents(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
     from .corpus import chunk_documents
 
@@ -516,6 +534,8 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "resampleInterpolate": _resample_interpolate,
     "knnPagerank": _knn_pagerank,
     "cmsFrequency": _cms_frequency,
+    "heavyHitters": _heavy_hitters,
+    "bloomFilteredJoin": _bloom_filtered_join,
     "zorderLayout": _zorder_layout,
     "sessionAggregate": _session_aggregate,
     "tumblingCounts": _tumbling_counts,

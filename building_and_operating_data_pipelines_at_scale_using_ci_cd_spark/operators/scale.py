@@ -67,6 +67,53 @@ def salted_join(
     return out.drop("__salt")
 
 
+def bloom_filtered_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    how: str = "inner",
+    k: int = 4,
+    m: int = 1 << 20,
+) -> DataFrame:
+    """Bloom-filtered equi-join: build a Bloom filter over ``build``'s
+    join keys, drop ``probe`` rows that CANNOT match map-side, then run
+    the normal join on the survivors — the classic shuffle-reduction
+    for a selective large⋈large join (the hand-rolled form of Spark's
+    runtime row-level filtering, but available to any plan and any
+    selectivity, with explicit knobs).
+
+    When it pays: ``build`` is too big to broadcast (else the join never
+    shuffles anyway) and most ``probe`` rows have no partner — e.g.
+    joining a 100 TB event stream against last week's 1% of flagged
+    entities. The filter costs one narrow pass over ``build`` plus ≤
+    m/64 driver rows; every pruned probe row is a row that never enters
+    the exchange. When every probe row matches, the filter is pure
+    overhead — this is an optimization with a selectivity condition,
+    stated rather than hidden.
+
+    Answer-invariant for ``inner``/``left_semi`` (Bloom filters have no
+    false negatives; false positives just ride through to the exact
+    join) — which is what the ``bloom_join_revenue`` oracle asserts
+    against a plain DuckDB join. ``left_anti`` would be WRONG to
+    pre-filter this way (a pruned row belongs in the answer), so it is
+    rejected."""
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            "bloom_filtered_join supports inner/left_semi; pre-filtering the "
+            "probe side is answer-changing for outer/anti joins"
+        )
+    from .dedup import bloom_probe_flag, bloom_words_df
+
+    key_str = F.col(key).cast("string")
+    wdf = bloom_words_df(build, key_str, k, m)
+    survivors = (
+        bloom_probe_flag(probe, key_str, wdf, k, m)
+        .filter(F.col("__maybe"))
+        .drop("__maybe")
+    )
+    return survivors.join(build, key, how)
+
+
 def compact_files(
     spark, path: str, fmt: str = "parquet", target_mb: int = 128, sort_by: list[str] | None = None
 ) -> int:

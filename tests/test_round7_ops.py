@@ -6,6 +6,92 @@ import pytest
 from pyspark.sql import functions as F
 
 
+class TestHeavyHitters:
+    def test_exact_answer_on_skewed_stream(self, spark):
+        """100k-ish items, one 10% hitter, long uniform tail: result must
+        equal the plain GROUP BY HAVING answer exactly."""
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.sketches import (
+            heavy_hitters,
+        )
+
+        df = spark.range(50_000).select(
+            F.when(F.col("id") % 10 == 0, F.lit("HOT"))
+            .otherwise(F.concat(F.lit("t"), (F.col("id") % 20_000).cast("string")))
+            .alias("item")
+        ).repartition(8)
+        got = {(r["item"], r["cnt"]) for r in heavy_hitters(df, "item", 1, 50).collect()}
+        exact = {
+            (r["item"], r["cnt"])
+            for r in df.groupBy("item")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .filter(F.col("cnt") * 50 >= 50_000)
+            .collect()
+        }
+        assert got == exact and ("HOT", 5000) in got
+
+    def test_candidates_bounded_per_partition(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.sketches import (
+            mg_candidates,
+        )
+
+        df = spark.range(20_000).select(
+            F.concat(F.lit("k"), (F.col("id") % 5000).cast("string")).alias("item")
+        ).repartition(4)
+        n_cand = mg_candidates(df, "item", 32).count()
+        assert n_cand <= 4 * 32  # <= partitions x k, never the key space
+
+    def test_k_guard_and_registry(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.sketches import (
+            heavy_hitters,
+        )
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.registry import (
+            apply_operator,
+        )
+
+        df = spark.range(100).select(F.lit("x").alias("item"))
+        with pytest.raises(ValueError, match="completeness"):
+            heavy_hitters(df, "item", 1, 100, k=10)
+        out = apply_operator(
+            "heavyHitters", df, {"item_col": "item", "frac_num": "1", "frac_den": "2"}
+        )
+        assert [(r["item"], r["cnt"]) for r in out.collect()] == [("x", 100)]
+
+
+class TestBloomFilteredJoin:
+    def test_matches_plain_join_and_rejects_anti(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.scale import (
+            bloom_filtered_join,
+        )
+
+        probe = spark.range(10_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        build = spark.range(300).select((F.col("id") * 7).alias("k"), F.lit("b").alias("tag"))
+        got = sorted(
+            (r["k"], r["v"], r["tag"])
+            for r in bloom_filtered_join(probe, build, "k").collect()
+        )
+        exact = sorted(
+            (r["k"], r["v"], r["tag"]) for r in probe.join(build, "k").collect()
+        )
+        assert got == exact and len(got) > 0
+        semi = bloom_filtered_join(probe, build, "k", how="left_semi")
+        assert semi.count() == probe.join(build, "k", "left_semi").count()
+        with pytest.raises(ValueError, match="answer-changing"):
+            bloom_filtered_join(probe, build, "k", how="left_anti")
+
+    def test_registry_build_view_resolution(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.registry import (
+            apply_operator,
+        )
+
+        probe = spark.range(1000).select(F.col("id").alias("k"))
+        spark.range(10).select((F.col("id") * 100).alias("k"), F.lit(1).alias("w")) \
+            .createOrReplaceTempView("bloom_build_side")
+        out = apply_operator(
+            "bloomFilteredJoin", probe, {"key": "k", "build_view": "bloom_build_side"}
+        )
+        assert out.count() == 10
+
+
 class TestChunkDocuments:
     def _chunks(self, spark, rows, **kw):
         from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.corpus import (

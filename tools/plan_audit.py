@@ -49,14 +49,17 @@ from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark import get
 #: entry shipped un-allowlisted in the final commit and failed the
 #: audit at HEAD, which is why tests/test_gates.py now runs this audit
 #: as a failing pytest gate).
-#: bloom_new_docs carries the round-7 JVM-side probe: the packed filter
-#: words ride ONE broadcast row crossJoined onto the delta (the same
-#: scalar-attachment shape as domain_mix) so the k bit tests run in
-#: whole-stage codegen instead of a per-row Python md5 loop.
+#: bloom_new_docs and bloom_join_revenue carry the round-7 JVM-side
+#: probe: the packed filter words ride ONE broadcast row crossJoined
+#: onto the probe stream (the same scalar-attachment shape as
+#: domain_mix) so the k bit tests run in whole-stage codegen instead of
+#: a per-row Python md5 loop. heavy_hitters attaches its 1-row total
+#: the same way for the integer cross-multiplied threshold.
 BNLJ_ALLOWED = {
     "topk_neighbors", "domain_mix", "lm_cross_entropy", "bigram_lm",
     "tfidf_top_terms", "quality_quantile_filter", "zorder_cluster",
     "pq_topk", "knn_pagerank", "weighted_pagerank", "bloom_new_docs",
+    "bloom_join_revenue", "heavy_hitters",
 }
 
 FLAGS = {
