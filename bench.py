@@ -109,6 +109,12 @@ HEADLINE = [
     "jpeg_decode",
     "png_decode",
     "profile_report_approx",
+    # round 7 late: bounded-memory two-pass frequent items, map-side
+    # bloom shuffle reduction, zero-shuffle HOF chunking
+    "heavy_hitters",
+    "bloom_join_revenue",
+    "doc_chunks",
+    "salted_join_revenue",
 ]
 
 

@@ -269,3 +269,71 @@ def test_bpe_detokenization_invariant_for_any_corpus(spark, words):
     row = bpe_apply(df, "doc_id", "text", merges).first()
     assert "".join(row["tokens"]).replace(EOW, " ").split() == words
     assert row["n_tokens"] == len(row["tokens"])
+
+
+# -- round 7: chunking coverage, heavy-hitter exactness ----------------------
+
+_tokens = st.lists(
+    st.text(alphabet="abcxyz", min_size=1, max_size=3), min_size=0, max_size=40
+)
+
+
+@settings(**_SETTINGS)
+@given(toks=_tokens, chunk=st.integers(1, 8), overlap=st.integers(0, 7))
+def test_chunking_covers_every_token_in_order(spark, toks, chunk, overlap):
+    """For ANY token list and window geometry: concatenating chunks with
+    the overlap removed reproduces the space-normalized document, and
+    every chunk obeys the size bound (the completeness/geometry contract
+    behind the doc_chunks oracle)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.corpus import (
+        chunk_documents,
+    )
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        (r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(
+            df, "doc_id", "text", chunk_tokens=chunk, overlap=overlap
+        ).collect()
+    )
+    assert all(n <= chunk for _, n, _ in rows)
+    assert [cid for cid, _, _ in rows] == list(range(len(rows)))
+    stride = chunk - overlap
+    rebuilt: list[str] = []
+    for cid, _n, ctext in rows:
+        ctoks = ctext.split(" ") if ctext else []
+        rebuilt.extend(ctoks if cid == 0 else ctoks[overlap:])
+    # trailing windows can re-cover already-seen tokens when the final
+    # stride overruns; the rebuilt list must START with the original and
+    # contain nothing new
+    assert rebuilt[: len(toks)] == toks
+    assert len(rebuilt) >= len(toks)
+
+
+_stream = st.lists(st.integers(0, 30), min_size=1, max_size=120)
+
+
+@settings(**_SETTINGS)
+@given(items=_stream, den=st.integers(2, 10))
+def test_heavy_hitters_equals_group_by_having(spark, items, den):
+    """For ANY stream and threshold 1/den: the bounded-memory two-pass
+    answer equals the plain GROUP BY HAVING answer exactly."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.sketches import (
+        heavy_hitters,
+    )
+
+    df = spark.createDataFrame([(str(i),) for i in items], "item string").repartition(3)
+    got = {
+        (r["item"], r["cnt"])
+        for r in heavy_hitters(df, "item", 1, den).collect()
+    }
+    n = len(items)
+    exact = {
+        (str(k), v)
+        for k, v in __import__("collections").Counter(str(i) for i in items).items()
+        if v * den >= n
+    }
+    assert got == exact
