@@ -3808,9 +3808,9 @@ def _q_profile_report_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = _table(spark, sf_dir, "orders")
-    # distinct_mode="both": exact + sketch from ONE wide aggregate —
-    # one scan, no self-join (the first cut of this entry ran the
-    # profile twice and joined; 4.7s → ~2.6s at bench scale)
+    # distinct_mode="both": exact + sketch via the split-agg plan (the
+    # sketch pass must stay OUT of the exact-distinct Expand — fusing
+    # them into one aggregate measured 2× slower; see profile_columns)
     prof = profile_columns(orders, _PROFILE_COLS, distinct_mode="both")
     return prof.select(
         "col_name",

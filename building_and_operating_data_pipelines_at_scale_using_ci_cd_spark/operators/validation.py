@@ -112,9 +112,16 @@ def profile_columns(
 
     ``distinct_mode`` supersedes the boolean: ``"exact"`` (default),
     ``"approx"``, or ``"both"`` — "both" emits ``n_distinct`` (exact)
-    AND ``n_distinct_approx`` side by side from the SAME single
-    aggregate, the calibration report that shows how far the sketch is
-    from truth without paying a second scan or a join.
+    AND ``n_distinct_approx`` side by side, the calibration report that
+    shows how far the sketch is from truth. Measured planning detail:
+    "both" runs as TWO aggregates crossJoined (1-row × 1-row), not one.
+    Spark plans N-column exact distincts through an Expand (each input
+    row replicated N+1×); fusing the HLL sketches into that same
+    aggregate made every sketch update run against the expanded stream
+    — measured 2× SLOWER (8.6s vs 3.8+0.5 split at sf0.1) than paying a
+    second slim scan that never expands. The exact pass's expanded
+    volume dominates at any scale, so the extra scan stays a small
+    constant fraction.
 
     min/max stringify via the column's natural CAST so the report schema
     is column-type-agnostic (timestamps render ISO, numerics decimal)."""
@@ -138,11 +145,20 @@ def profile_columns(
         ]
         if distinct_mode in ("exact", "both"):
             aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
-        if distinct_mode in ("approx", "both"):
+        elif distinct_mode == "approx":
             aggs.append(
                 F.approx_count_distinct(F.col(c), rsd).alias(f"__nda_{c}")
             )
     wide = df.agg(*aggs)
+    if distinct_mode == "both":
+        # slim sketch-only pass: no Expand, crossJoin is 1-row x 1-row
+        approx_wide = df.agg(
+            *[
+                F.approx_count_distinct(F.col(c), rsd).alias(f"__nda_{c}")
+                for c in cols
+            ]
+        )
+        wide = wide.crossJoin(F.broadcast(approx_wide))
 
     def _report(c: str):
         fields = [

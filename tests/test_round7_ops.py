@@ -195,7 +195,7 @@ class TestProfileApprox:
         assert "approx_count_distinct" in plan
         assert "Expand" not in plan
 
-    def test_both_mode_single_scan(self, spark):
+    def test_both_mode_values_and_split_plan(self, spark):
         from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.validation import (
             profile_columns,
         )
@@ -207,9 +207,13 @@ class TestProfileApprox:
         assert rows["five"]["n_distinct_approx"] == 5
         assert rows["id"]["n_distinct"] == 3000
         assert abs(rows["id"]["n_distinct_approx"] - 3000) / 3000 < 0.1
-        # exact + sketch come from ONE aggregate over ONE scan
+        # DELIBERATELY two aggregates (1-row crossJoin), NOT one fused
+        # agg: the sketches must stay OUT of the exact-distinct Expand
+        # (fusing measured 2x slower — see profile_columns docstring)
         plan = out._jdf.queryExecution().optimizedPlan().toString()
-        assert plan.count("Range") == 1 and "Join" not in plan
+        assert plan.count("Range") == 2
+        expand_section = plan.split("Expand")[-1] if "Expand" in plan else ""
+        assert "approx_count_distinct" not in expand_section.split("Aggregate")[0]
         with pytest.raises(ValueError):
             profile_columns(df, distinct_mode="fuzzy")
 
