@@ -60,6 +60,10 @@ BNLJ_ALLOWED = {
     "tfidf_top_terms", "quality_quantile_filter", "zorder_cluster",
     "pq_topk", "knn_pagerank", "weighted_pagerank", "bloom_new_docs",
     "bloom_join_revenue", "heavy_hitters",
+    # profile_report_approx: the split-agg both-mode joins the exact
+    # wide agg to the slim sketch agg 1-row x 1-row — scalar attachment,
+    # deliberately NOT fused (the Expand lesson in profile_columns)
+    "profile_report_approx",
 }
 
 FLAGS = {
