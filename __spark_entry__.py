@@ -3443,6 +3443,64 @@ GROUP BY doc_id
 """
 
 
+def _q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (round 7): per document a deterministic int16
+    waveform (s_i = (doc_id·17 + i·13) mod 2048 − 1024, 480 samples @
+    8 kHz) is packed into a genuine RIFF/WAVE PCM stream
+    (``functions/audio.py``) and decoded back through the
+    ``audio_features`` Arrow kernel. PCM is LOSSLESS, so — like
+    ``png_decode`` — every emitted feature is exact-integer and the
+    DuckDB oracle re-derives all of them from the waveform's closed
+    form without parsing a RIFF byte: a single wrong sample anywhere
+    flips energy/zero-crossing sums and breaks the hash."""
+    from pyspark.sql.types import StructType
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.audio import (
+        AUDIO_SCHEMA,
+        audio_features,
+        encode_wav_pcm16,
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                encode_wav_pcm16(
+                    [((int(d) * 17 + i * 13) % 2048) - 1024 for i in range(480)],
+                    8000,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    payload_df = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return audio_features(payload_df).drop("decode_error")
+
+
+WAV_DECODE_DUCK = """
+WITH w AS MATERIALIZED (
+  SELECT d.doc_id, t.i,
+         (d.doc_id * 17 + t.i * 13) % 2048 - 1024 AS s,
+         CASE WHEN t.i = 0 THEN NULL
+              ELSE (d.doc_id * 17 + (t.i - 1) * 13) % 2048 - 1024 END AS prev
+  FROM documents d, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 479)) AS i) t
+)
+SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS n_channels,
+       CAST(480 AS INT) AS n_samples, CAST(60 AS BIGINT) AS duration_ms,
+       CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+       CAST(SUM(s * s) AS BIGINT) AS energy,
+       CAST(SUM(CASE WHEN prev * s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM w GROUP BY doc_id
+"""
+
+
 def _q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL bytes→pixels decode, oracle-checked end-to-end: build a P5
     PGM per document whose 8×4 raster is the 32 ASCII chars of
@@ -4564,8 +4622,8 @@ def _q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-7 rotation (counts: 19 + 31 + 0 = 50 checked;
-        # 44 r04/r05-evidence + 42 r06/r07-green = 86 tail; 136 total):
+        # entries. Round-7 rotation (counts: 20 + 30 + 0 = 50 checked;
+        # 45 r04/r05-evidence + 42 r06/r07-green = 87 tail; 137 total):
         #   1. new or changed in round 7 (changed code re-enters the
         #      checked 50 unconditionally — the round-6 lesson that a
         #      final-commit change can ship unaudited applies to
@@ -4603,11 +4661,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_revenue": _q_salted_join,
         "heavy_hitters": _q_heavy_hitters,
         "bloom_join_revenue": _q_bloom_join,
+        "wav_decode": _q_wav_decode,
         # -- (2) the round-6 demotions (r04 evidence, the oldest in
         #    the registry) — promised the lead of round 7's 50 in the
-        #    r06 rotation comment; 31 of the 34 fit under the cap
-        #    (string_funcs/case_coalesce/grouping_sets displaced by
-        #    the late adds; they lead the tail) -----------------------
+        #    r06 rotation comment; 30 of the 34 fit under the cap
+        #    (customers_no_orders_anti/string_funcs/case_coalesce/
+        #    grouping_sets displaced by the late adds; they lead the
+        #    tail) ----------------------------------------------------
         "winnow_near_dups": _q_winnow_near_dups,
         "q13_customer_distribution": _sql(Q13_CUSTOMER_DISTRIBUTION),
         "q15_top_supplier": _sql(Q15_TOP_SUPPLIER),
@@ -4638,10 +4698,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_segments": _sql(SET_OPS_SEGMENTS),
         "correlated_max_order": _sql(CORRELATED_MAX_ORDER),
         "json_events": _sql(JSON_EVENTS_SPARK),
-        "customers_no_orders_anti": _sql(CUSTOMERS_NO_ORDERS_ANTI),
-        # -- 50-cap cutoff (the four round-7 late adds displaced the
-        #    last three demotions and the r05 filler just past the cap;
+        # -- 50-cap cutoff (the five round-7 late adds displaced the
+        #    last four demotions and the r05 filler just past the cap;
         #    they lead round 8 with the rest of the r04/r05 tail) ------
+        "customers_no_orders_anti": _sql(CUSTOMERS_NO_ORDERS_ANTI),
         "string_funcs": _sql(STRING_FUNCS),
         "case_coalesce": _sql(CASE_COALESCE),
         "grouping_sets": _sql(GROUPING_SETS),
@@ -4755,6 +4815,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_join_revenue": SALTED_JOIN_DUCK,
         "heavy_hitters": HEAVY_HITTERS_DUCK,
         "bloom_join_revenue": BLOOM_JOIN_DUCK,
+        "wav_decode": WAV_DECODE_DUCK,
         "zscore_outliers": ZSCORE_OUTLIERS,
         "embedding_quantize": EMBEDDING_QUANTIZE_DUCK,
         "cms_user_counts": _cms_user_counts_duck(),

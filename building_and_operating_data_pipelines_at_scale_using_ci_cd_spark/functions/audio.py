@@ -1,0 +1,178 @@
+"""WAV (RIFF PCM) audio codec + feature extraction — zero dependencies.
+
+The multimodal tier treated audio as opaque bytes with a stand-in
+feature kernel (``decode_media_batch``'s byte statistics). Like BMP/PPM
+on the image side, uncompressed RIFF/WAVE needs nothing but struct
+parsing, so the audio lane gets a REAL bytes→samples path:
+
+  - **decode_wav**: RIFF chunk walk (fmt/data, unknown chunks skipped —
+    LIST/INFO/fact appear in the wild), PCM 16-bit little-endian at any
+    rate/channel count; compressed formats (format codes other than 1)
+    raise ``ValueError`` honestly. Returns channel 0's samples — the
+    deterministic mono reference every downstream feature uses.
+  - **encode_wav_pcm16**: minimal spec-valid writer (mono or
+    interleaved stereo) so tests and the oracle entry run on genuine
+    RIFF streams.
+  - **audio_features**: Arrow ``mapInPandas`` over a payload column →
+    per-clip integer features (duration, peak, energy, zero crossings).
+    ALL-INTEGER on purpose: PCM is integral, so every feature is exact
+    and a DuckDB oracle can re-derive it from a synthesized waveform's
+    closed form without parsing a single RIFF byte — the strict-oracle
+    discipline the image codecs use, with no tolerance contract needed
+    (PCM is lossless).
+
+Scale shape: identical to ``decode_image`` — a narrow Arrow map stage,
+parallel over rows, no shuffle; corrupt payloads null-route per row
+with the reason, never killing the stage.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def encode_wav_pcm16(samples, sample_rate: int, channels: int = 1) -> bytes:
+    """Pack int16 samples (interleaved if ``channels`` > 1) into a
+    canonical 44-byte-header RIFF/WAVE file."""
+    arr = np.asarray(samples, dtype=np.int16)
+    if channels <= 0 or len(arr) % channels:
+        raise ValueError("sample count must be a multiple of channels")
+    data = arr.tobytes()
+    byte_rate = sample_rate * channels * 2
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes):
+    """Decode PCM-16 RIFF/WAVE bytes → ``(sample_rate, n_channels,
+    samples)`` with ``samples`` = channel 0 as a list of ints. Raises
+    ``ValueError`` on non-RIFF, non-PCM, non-16-bit, or truncated
+    input."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            if len(body) != size:
+                raise ValueError("truncated WAV data chunk")
+            data = body
+        # unknown chunks (LIST, fact, cue…) skipped; chunks are
+        # word-aligned — odd sizes carry a pad byte
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("corrupt WAV: missing fmt or data chunk")
+    audio_format, channels, sample_rate, _rate, _align, bits = fmt
+    if audio_format != 1:
+        raise ValueError(
+            f"only PCM WAV supported (format code {audio_format}; compressed "
+            "audio needs a codec library)"
+        )
+    if bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (got {bits})")
+    if channels <= 0:
+        raise ValueError("corrupt WAV: zero channels")
+    arr = np.frombuffer(data[: (len(data) // (2 * channels)) * 2 * channels], dtype="<i2")
+    ch0 = arr[::channels]
+    return sample_rate, channels, [int(v) for v in ch0]
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("peak_abs", LongType()),
+        StructField("sum_abs", LongType()),
+        StructField("energy", LongType()),
+        StructField("zero_crossings", LongType()),
+        StructField("decode_error", StringType()),
+    ]
+)
+
+
+def audio_features(df_with_payload: DataFrame) -> DataFrame:
+    """Per-clip integer features over a (doc_id, payload) frame:
+    duration (ms, floor), peak amplitude, Σ|s|, Σs² (the integer energy
+    — RMS without the cross-engine sqrt), and zero crossings (count of
+    adjacent sample pairs with strictly opposite signs, s_{i-1}·s_i<0).
+    Undecodable rows null-route with the reason, like
+    :func:`multimodal.decode_image`."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in AUDIO_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    rate, channels, samples = decode_wav(bytes(payload))
+                    s = np.asarray(samples, dtype=np.int64)
+                    out["sample_rate"].append(rate)
+                    out["n_channels"].append(channels)
+                    out["n_samples"].append(len(s))
+                    out["duration_ms"].append(int(len(s)) * 1000 // rate)
+                    out["peak_abs"].append(int(np.abs(s).max()) if len(s) else 0)
+                    out["sum_abs"].append(int(np.abs(s).sum()))
+                    out["energy"].append(int((s * s).sum()))
+                    out["zero_crossings"].append(
+                        int(((s[:-1] * s[1:]) < 0).sum()) if len(s) > 1 else 0
+                    )
+                    out["decode_error"].append(None)
+                except ValueError as exc:
+                    for k in (
+                        "sample_rate", "n_channels", "n_samples", "duration_ms",
+                        "peak_abs", "sum_abs", "energy", "zero_crossings",
+                    ):
+                        out[k].append(None)
+                    out["decode_error"].append(str(exc))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="Int32"),
+                    "n_channels": pd.Series(out["n_channels"], dtype="Int32"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="Int32"),
+                    "duration_ms": pd.Series(out["duration_ms"], dtype="Int64"),
+                    "peak_abs": pd.Series(out["peak_abs"], dtype="Int64"),
+                    "sum_abs": pd.Series(out["sum_abs"], dtype="Int64"),
+                    "energy": pd.Series(out["energy"], dtype="Int64"),
+                    "zero_crossings": pd.Series(out["zero_crossings"], dtype="Int64"),
+                    "decode_error": out["decode_error"],
+                }
+            )
+
+    return df_with_payload.mapInPandas(kernel, AUDIO_SCHEMA)
