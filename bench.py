@@ -115,6 +115,7 @@ HEADLINE = [
     "bloom_join_revenue",
     "doc_chunks",
     "salted_join_revenue",
+    "wav_decode",
 ]
 
 
