@@ -76,8 +76,14 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
     """Undo per-scanline filtering → (height, width*bpp) uint8 samples.
-    Sub/Up/Average/Paeth have an intra-row recurrence, so rows run in
-    Python but each step is O(row) numpy/bytearray work."""
+
+    Honest cost note: Sub/Average/Paeth carry a LEFT-neighbor
+    recurrence, so those rows run as per-byte Python — fine for the
+    thumbnail-scale fixtures this engine processes and for filter-0
+    streams (our encoder's output, decoded via the fast path), ~seconds
+    per megapixel otherwise. A production cluster swaps in PIL; the
+    filter semantics here are the spec-conformance reference, each
+    pinned by a test stream."""
     stride = width * bpp
     if len(raw) < height * (stride + 1):
         raise ValueError("truncated PNG: inflate output shorter than raster")

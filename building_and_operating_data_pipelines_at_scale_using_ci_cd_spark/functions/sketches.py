@@ -189,10 +189,18 @@ def heavy_hitters(
     The accept predicate is integer cross-multiplication
     (cnt·frac_den ≥ n_total·frac_num) against a 1-row broadcast total —
     no float share, no driver collect. Result is EXACTLY the plain
-    ``GROUP BY … HAVING`` answer (strict oracle-able); memory is the
-    thing that changed, not the semantics."""
+    ``GROUP BY … HAVING`` answer over NON-NULL items (strict
+    oracle-able); memory is the thing that changed, not the semantics.
+
+    Null items are EXCLUDED explicitly (and n_total counts non-null
+    rows only): pandas ``value_counts`` drops NaN in the candidate pass
+    and a null key never survives an equi-semi-join, so nulls could
+    otherwise be silently missed rather than deliberately skipped — a
+    null-frequency question is a null-count question, answered by
+    ``profile_columns``."""
     if frac_num <= 0 or frac_den <= 0:
         raise ValueError("frac must be positive")
+    df = df.filter(F.col(item_col).isNotNull())
     if k is None:
         k = max(16, 2 * ((frac_den + frac_num - 1) // frac_num))
     if k * frac_num < frac_den:

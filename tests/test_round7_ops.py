@@ -40,6 +40,18 @@ class TestHeavyHitters:
         n_cand = mg_candidates(df, "item", 32).count()
         assert n_cand <= 4 * 32  # <= partitions x k, never the key space
 
+    def test_null_items_excluded_deliberately(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.sketches import (
+            heavy_hitters,
+        )
+
+        rows = [("a",)] * 6 + [(None,)] * 10 + [("b",)] * 1
+        df = spark.createDataFrame(rows, "item string")
+        got = {(r["item"], r["cnt"]) for r in heavy_hitters(df, "item", 1, 2).collect()}
+        # threshold over NON-NULL rows (7): a=6 qualifies, b=1 does not,
+        # null is excluded by contract, never silently half-counted
+        assert got == {("a", 6)}
+
     def test_k_guard_and_registry(self, spark):
         from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.sketches import (
             heavy_hitters,
