@@ -14,12 +14,13 @@ gate with a from-the-spec (ITU-T T.81) implementation:
     PPM/BMP (ITU-R 601 luma), so every downstream kernel
     (``decode_image`` thumbnails, ``image_resize``) gains JPEG support
     without change.
-  - **encode_jpeg_gray / encode_jpeg_rgb444**: a baseline encoder with
-    the T.81 Annex K tables (the "typical" quantization + Huffman
-    tables every camera and libjpeg default to), used to build real
-    compressed fixtures in tests and the oracle entry — decode is
-    therefore exercised on genuine entropy-coded streams, not
-    hand-crafted toys.
+  - **encode_jpeg_gray / encode_jpeg_rgb444 / encode_jpeg_rgb422 /
+    encode_jpeg_rgb420**: a baseline encoder with the T.81 Annex K
+    tables (the "typical" quantization + Huffman tables every camera
+    and libjpeg default to) in every subsampling layout the decoder
+    claims, used to build real compressed fixtures in tests and the
+    oracle entry — each decode path is exercised on genuine
+    entropy-coded streams, not hand-crafted toys.
 
 Scale + determinism notes:
   - Entropy decoding is per-image sequential Python (Huffman is a
@@ -34,10 +35,9 @@ Scale + determinism notes:
     IDCT, half-up rounding) — which is what lets the driver entry
     hash-compare decode-derived values across engines.
 
-Still gated: PNG (DEFLATE needs zlib bit-exactness decisions we have no
-fixture pressure for — though ``zlib`` is stdlib, unpaletting/interlace
-is not worth hand-rolling yet) and video codecs. See
-``decode_compressed_gate``.
+Sibling codecs: ``png.py`` (stdlib-zlib PNG, landed the same round)
+and ``audio.py`` (WAV/RIFF PCM). Still gated: progressive/arithmetic
+JPEG and video codecs. See ``decode_compressed_gate``.
 """
 
 from __future__ import annotations
@@ -690,6 +690,71 @@ def encode_jpeg_rgb420(rgb, width: int, height: int, quality: int = 85) -> bytes
             bytes([8])
             + struct.pack(">HH", height, width)
             + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        + _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+        + _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+        + _dht_segment(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        + _dht_segment(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+        + _marker(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    )
+    return head + bytes(bw.out) + b"\xff\xd9"
+
+
+def encode_jpeg_rgb422(rgb, width: int, height: int, quality: int = 85) -> bytes:
+    """Encode an interleaved RGB raster as a baseline 4:2:2 YCbCr JPEG —
+    Y at 2×1 sampling, chroma box-averaged to half WIDTH only (the
+    broadcast/JFIF-still middle ground between 4:4:4 and 4:2:0).
+    Exists so the decoder's horizontal-only-subsampled MCU path
+    (2 Y blocks + Cb + Cr per MCU) runs on real streams."""
+    arr = np.asarray(rgb, dtype=np.float64).reshape(height, width, 3)
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    # MCU grid: 16 wide x 8 tall
+    h8 = -(-height // 8) * 8
+    w16 = -(-width // 16) * 16
+
+    def pad(p):
+        return np.pad(p, ((0, h8 - height), (0, w16 - width)), mode="edge")
+
+    yp = np.clip(np.round(pad(y)), 0, 255).astype(np.int64)
+    cbp = pad(cb)
+    crp = pad(cr)
+    cb2 = np.clip(np.round((cbp[:, 0::2] + cbp[:, 1::2]) / 2), 0, 255).astype(np.int64)
+    cr2 = np.clip(np.round((crp[:, 0::2] + crp[:, 1::2]) / 2), 0, 255).astype(np.int64)
+    qy = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+    yz = _fdct_quant(yp, qy)
+    cbz = _fdct_quant(cb2, qc)
+    crz = _fdct_quant(cr2, qc)
+    dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    ybx = w16 // 8
+    cbx = w16 // 16
+    for my in range(h8 // 8):
+        for mx in range(w16 // 16):
+            for bx in range(2):  # 2 Y blocks per MCU, horizontal
+                idx = my * ybx + (mx * 2 + bx)
+                preds[0] = _encode_block(bw, yz[idx], preds[0], dc_l, ac_l)
+            cidx = my * cbx + mx
+            preds[1] = _encode_block(bw, cbz[cidx], preds[1], dc_c, ac_c)
+            preds[2] = _encode_block(bw, crz[cidx], preds[2], dc_c, ac_c)
+    bw.flush()
+    head = (
+        b"\xff\xd8"
+        + _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _dqt_segment(0, qy)
+        + _dqt_segment(1, qc)
+        + _marker(
+            0xC0,
+            bytes([8])
+            + struct.pack(">HH", height, width)
+            + bytes([3, 1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1]),
         )
         + _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
         + _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)

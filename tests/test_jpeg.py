@@ -118,3 +118,16 @@ class TestSparkIntegration:
         assert len(rz) == 1  # corrupt row dropped
         pix = np.frombuffer(bytes(rz[0]["pixels"]), dtype=np.uint8).reshape(16, 16)
         assert np.abs(pix.astype(int) - img).max() <= 16
+
+
+def test_rgb422_horizontal_subsampled_mcu_path(spark=None):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.jpeg import (
+        encode_jpeg_rgb422,
+    )
+
+    rng = np.random.RandomState(13)
+    rgb = rng.randint(0, 256, (21, 27, 3)).astype(np.float64)
+    w, h, luma = decode_jpeg(encode_jpeg_rgb422(rgb.reshape(-1), 27, 21, quality=90))
+    assert (w, h) == (27, 21)
+    yref = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    assert np.abs(np.array(luma).reshape(h, w) - yref).mean() < 4
