@@ -889,6 +889,7 @@ DOC_CHUNKS_DUCK = """
 WITH toks AS MATERIALIZED (
   SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS t
   FROM documents
+  WHERE text IS NOT NULL  -- null-document contract: no chunks (corpus.py)
 ),
 st AS MATERIALIZED (
   SELECT doc_id, t, UNNEST(GENERATE_SERIES(0, GREATEST(LEN(t) - 1, 0), 24)) AS s

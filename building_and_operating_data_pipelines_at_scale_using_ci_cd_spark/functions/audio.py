@@ -105,6 +105,11 @@ def decode_wav(payload: bytes):
         raise ValueError(f"only 16-bit PCM supported (got {bits})")
     if channels <= 0:
         raise ValueError("corrupt WAV: zero channels")
+    if sample_rate <= 0:
+        # downstream duration math divides by the rate; a zero here must
+        # surface as the per-row decode_error, not a stage-killing
+        # ZeroDivisionError
+        raise ValueError("corrupt WAV: zero sample rate")
     arr = np.frombuffer(data[: (len(data) // (2 * channels)) * 2 * channels], dtype="<i2")
     ch0 = arr[::channels]
     return sample_rate, channels, [int(v) for v in ch0]

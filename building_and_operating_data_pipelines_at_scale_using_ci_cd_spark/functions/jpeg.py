@@ -263,7 +263,16 @@ def decode_jpeg(payload: bytes):
     (0-255) — chroma is entropy-decoded (the stream must advance) but
     not reconstructed, since every caller in this engine consumes the
     601-luma contract. Raises ``ValueError`` on progressive/arithmetic/
-    12-bit streams or corrupt data."""
+    12-bit streams or corrupt data — ValueError is the ONLY corrupt-input
+    exception (decode_image/image_resize null-route exactly that class),
+    so truncated-segment struct/index failures are normalized here."""
+    try:
+        return _decode_jpeg_inner(payload)
+    except (struct.error, IndexError, StopIteration) as exc:
+        raise ValueError(f"corrupt JPEG: truncated or malformed segment ({exc})") from exc
+
+
+def _decode_jpeg_inner(payload: bytes):
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -287,6 +296,8 @@ def decode_jpeg(payload: bytes):
                 pq, tq = body[i] >> 4, body[i] & 0xF
                 if pq != 0:
                     raise ValueError("only 8-bit quantization tables supported")
+                if len(body) < i + 65:
+                    raise ValueError("corrupt JPEG: truncated quantization table")
                 tbl = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(
                     np.int64
                 )
@@ -299,8 +310,12 @@ def decode_jpeg(payload: bytes):
             while i < len(body):
                 tc, th = body[i] >> 4, body[i] & 0xF
                 bits = list(body[i + 1 : i + 17])
+                if len(bits) < 16:
+                    raise ValueError("corrupt JPEG: truncated Huffman table header")
                 n = sum(bits)
                 vals = list(body[i + 17 : i + 17 + n])
+                if len(vals) < n:
+                    raise ValueError("corrupt JPEG: truncated Huffman value list")
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffDecoder(bits, vals)
                 i += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
@@ -364,7 +379,16 @@ def _decode_scan(
     # reconstructed afterwards (vectorized)
     comp_order = []
     for cid, hi, vi, tq in comps:
-        tdc, tac = next((t[1], t[2]) for t in scan if t[0] == cid)
+        sel = next(((t[1], t[2]) for t in scan if t[0] == cid), None)
+        if sel is None:
+            raise ValueError("corrupt JPEG: frame component missing from scan")
+        tdc, tac = sel
+        # KeyError in the MCU loop would escape the per-row ValueError
+        # null-routing and kill the whole Arrow stage — check up front
+        if tdc not in dc_tabs:
+            raise ValueError("corrupt JPEG: scan references undefined DC Huffman table")
+        if tac not in ac_tabs:
+            raise ValueError("corrupt JPEG: scan references undefined AC Huffman table")
         comp_order.append((cid, hi, vi, tq, tdc, tac))
     y_cid, y_hi, y_vi, y_tq = comps[0][0], comps[0][1], comps[0][2], comps[0][3]
     y_blocks_x, y_blocks_y = mcus_x * y_hi, mcus_y * y_vi

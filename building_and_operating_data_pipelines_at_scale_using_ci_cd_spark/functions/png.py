@@ -121,7 +121,17 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
 
 def decode_png(payload: bytes):
     """Decode an 8-bit non-interlaced PNG; returns ``(width, height,
-    luma)`` with luma the row-major 601-luma list (0-255)."""
+    luma)`` with luma the row-major 601-luma list (0-255). ValueError is
+    the ONLY corrupt-input exception (the decode_image/image_resize
+    null-route contract), so struct/index failures from truncated or
+    malformed chunks are normalized here."""
+    try:
+        return _decode_png_inner(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt PNG: truncated or malformed chunk ({exc})") from exc
+
+
+def _decode_png_inner(payload: bytes):
     if payload[:8] != _SIG:
         raise ValueError("not a PNG (missing signature)")
     pos = 8
@@ -163,7 +173,12 @@ def decode_png(payload: bytes):
     if ctype == 3:
         if plte is None:
             raise ValueError("corrupt PNG: indexed image without PLTE")
-        rgb = plte[samples.reshape(height, width)]
+        idx = samples.reshape(height, width)
+        # numpy fancy-index IndexError on an out-of-range palette entry
+        # would escape the ValueError-only null-routing upstream
+        if idx.size and int(idx.max()) >= len(plte):
+            raise ValueError("corrupt PNG: palette index out of range")
+        rgb = plte[idx]
     elif ctype == 0:
         luma = samples.reshape(height, width).astype(np.int64)
         return width, height, [int(v) for v in luma.reshape(-1)]

@@ -145,6 +145,43 @@ def lsh_bucket_key(vec: Column, dim: int, num_planes: int = 8, plane_offset: int
     return F.aggregate(bits, F.lit(0.0), lambda acc, x: acc + x).cast("int")
 
 
+# live centroid broadcasts, keyed by (SparkContext id, array digest).
+# Re-invoking IVF/SemDeDup with the SAME centroid set reuses the handle
+# instead of stacking a fresh ~dim×k float64 copy on driver+executors
+# per call; distinct sets accumulate only until release_ivf_broadcasts()
+# (long-lived sessions should call it between index generations).
+_CENTROID_BROADCASTS: dict = {}
+
+
+def release_ivf_broadcasts() -> int:
+    """Destroy every centroid broadcast this module is holding and
+    return how many were released. Safe to call at any point where no
+    assignment DataFrame built from a prior call is still pending
+    materialization (destroyed broadcasts fail on next use rather than
+    silently recomputing)."""
+    n = 0
+    for bc in _CENTROID_BROADCASTS.values():
+        try:
+            bc.destroy()
+            n += 1
+        except Exception:
+            pass  # context already stopped — nothing left to free
+    _CENTROID_BROADCASTS.clear()
+    return n
+
+
+def _centroid_broadcast(sc, arrays: tuple):
+    import hashlib
+
+    digest = hashlib.sha1(b"".join(a.tobytes() for a in arrays)).hexdigest()
+    key = (id(sc), digest)
+    bc = _CENTROID_BROADCASTS.get(key)
+    if bc is None:
+        bc = sc.broadcast(arrays)
+        _CENTROID_BROADCASTS[key] = bc
+    return bc
+
+
 def ivf_probe_assignments(
     df: DataFrame,
     centroids: list[tuple],
@@ -222,7 +259,9 @@ def ivf_probe_assignments(
         return assign
 
     if transport == "broadcast":
-        bc = df.sparkSession.sparkContext.broadcast((cids_s, cmat_s, cnorms_s))
+        bc = _centroid_broadcast(
+            df.sparkSession.sparkContext, (cids_s, cmat_s, cnorms_s)
+        )
         assign = _make_assign(lambda: bc.value)
     else:
         index = (cids_s, cmat_s, cnorms_s)

@@ -214,6 +214,13 @@ def chunk_documents(
     ``overlap=0`` chunk_texts concatenate back to the space-normalized
     document.
 
+    Null contract: documents whose text is NULL produce NO chunks (they
+    are filtered up front). Without the filter the chunk_id==0
+    keep-branch fires on a null token array and emits a spurious
+    (chunk_id 0, null n_tokens, null chunk_text) row whose cross-engine
+    NULL semantics the oracle need not share. An empty-but-non-null
+    document still yields its single empty chunk.
+
     Shape at scale: pure JVM higher-order functions — one projection
     tokenizes, ``sequence``/``posexplode`` fans out window starts, and
     ``slice`` cuts each window from the token array. NO shuffle at all
@@ -225,6 +232,7 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("overlap must be in [0, chunk_tokens)")
     stride = chunk_tokens - overlap
+    df = df.filter(F.col(text_col).isNotNull())
     tk = df.select(
         F.col(id_col).alias("__id"),
         F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("__tk"),
