@@ -3444,6 +3444,82 @@ GROUP BY doc_id
 """
 
 
+def _q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode with a FULL-STRENGTH oracle (round 8): GIF's LZW is
+    lossless over the identity-grey palette, so — like ``png_decode`` —
+    every emitted value derives from DECODED pixels with no tolerance
+    contract. The per-document 16×16 raster (pixel p = (doc_id·37 +
+    p·11) mod 256, the png_decode family) round-trips through a REAL
+    LZW bitstream (``functions/gif.py``) written ROW-INTERLACED, so the
+    decoder exercises variable-width code reads AND the 4-pass
+    deinterlace permutation — the position-weighted checksum breaks if
+    a single index lands on the wrong row. DuckDB derives both sums
+    from the raster formula without seeing a GIF byte."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("format", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("sum_luma", LongType()),
+            StructField("pos_checksum", LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.gif import (
+            encode_gif_gray,
+        )
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.multimodal import (
+            parse_image,
+        )
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "format", "width", "height", "sum_luma", "pos_checksum",
+            )}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                px = [(d * 37 + p * 11) % 256 for p in range(256)]
+                fmt, w, h, gray = parse_image(encode_gif_gray(px, 16, 16, interlace=True))
+                out["doc_id"].append(d)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_luma"].append(sum(gray))
+                out["pos_checksum"].append(sum(v * (i + 1) for i, v in enumerate(gray)))
+            yield pd.DataFrame(out)
+
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return docs.mapInPandas(kernel, schema)
+
+
+GIF_DECODE_DUCK = """
+SELECT doc_id, 'gif' AS format, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(SUM(v) AS BIGINT) AS sum_luma,
+       CAST(SUM(v * (p + 1)) AS BIGINT) AS pos_checksum
+FROM (
+  SELECT d.doc_id, t.p, (d.doc_id * 37 + t.p * 11) % 256 AS v
+  FROM documents d, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 255)) AS p) t
+)
+GROUP BY doc_id
+"""
+
+
 def _q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode (round 7): per document a deterministic int16
     waveform (s_i = (doc_id·17 + i·13) mod 2048 − 1024, 480 samples @
@@ -4643,6 +4719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    emission, UDTF whitespace contract, centroid broadcast
         #    transport, sim_decimals passthrough, session-machine epoch
         #    state) — changed code ALWAYS re-enters the checked 50 ----
+        "gif_decode": _q_gif_decode,
         "png_decode": _q_png_decode,
         "jpeg_decode": _q_jpeg_decode,
         "jdbc_roundtrip": _q_jdbc_roundtrip,
@@ -4812,6 +4889,7 @@ def oracle_sql() -> dict[str, str]:
         "jdbc_roundtrip": JDBC_ROUNDTRIP_DUCK,
         "jpeg_decode": JPEG_DECODE_DUCK,
         "png_decode": PNG_DECODE_DUCK,
+        "gif_decode": GIF_DECODE_DUCK,
         "doc_chunks": DOC_CHUNKS_DUCK,
         "salted_join_revenue": SALTED_JOIN_DUCK,
         "heavy_hitters": HEAVY_HITTERS_DUCK,

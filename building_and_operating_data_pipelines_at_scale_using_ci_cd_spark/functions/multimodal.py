@@ -174,8 +174,9 @@ def resize_vector(vec, out_dim: int):
 
 
 def parse_image(payload: bytes):
-    """Decode PPM (P6), PGM (P5), uncompressed 24-bit BMP, or baseline
-    JPEG bytes into ``(fmt, width, height, gray)`` where ``gray`` is a
+    """Decode PPM (P6), PGM (P5), uncompressed 24-bit BMP, baseline
+    JPEG, 8-bit PNG (plain or Adam7), or GIF (LZW, first composited
+    frame) bytes into ``(fmt, width, height, gray)`` where ``gray`` is a
     row-major list of grayscale ints (0-255, ITU-R 601 luma for color
     inputs; for JPEG the Y channel IS that luma). Raises ``ValueError``
     on unsupported/corrupt payloads — callers choose whether to gate or
@@ -198,9 +199,14 @@ def parse_image(payload: bytes):
 
         w, h, luma = decode_png(payload)
         return ("png", w, h, luma)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        w, h, luma = decode_gif(payload)
+        return ("gif", w, h, luma)
     raise ValueError(
-        "unsupported image format (magic %r): PPM/PGM/BMP/baseline-JPEG/PNG "
-        "decode natively — see decode_compressed_gate for the rest"
+        "unsupported image format (magic %r): PPM/PGM/BMP/baseline-JPEG/PNG/"
+        "GIF decode natively — see decode_compressed_gate for the rest"
         % payload[:2]
     )
 
@@ -391,16 +397,18 @@ def decode_compressed_gate(*_args, **_kwargs):
     Round 7 closed BOTH still-image gaps: baseline JPEG decodes through
     the pure-numpy T.81 codec (``jpeg.py``) and 8-bit PNG through the
     stdlib-zlib codec (``png.py``), wired into :func:`parse_image`;
-    PPM/PGM/BMP have decoded natively since round 5. What remains
-    gated: progressive/arithmetic JPEG, 16-bit + Adam7-interlaced PNG,
-    and video codecs (genuinely need ffmpeg). Extend
-    :func:`parse_image` when a codec library lands — the Spark plumbing
-    (Arrow batches, corrupt-row null-routing) is proven on real
-    compressed bytes."""
+    PPM/PGM/BMP have decoded natively since round 5; round 8 added
+    Adam7-interlaced PNG, GIF (LZW), and MJPEG-in-AVI video frames.
+    What remains gated: progressive/arithmetic JPEG, 16-bit PNG,
+    compressed audio, and inter-frame video codecs (genuinely need
+    ffmpeg). Extend :func:`parse_image` when a codec library lands —
+    the Spark plumbing (Arrow batches, corrupt-row null-routing) is
+    proven on real compressed bytes."""
     raise NotImplementedError(
-        "progressive JPEG / interlaced PNG / video decode requires a codec "
-        "library (PIL/opencv/ffmpeg); PPM/PGM/BMP, baseline JPEG, and 8-bit "
-        "PNG decode natively — extend parse_image for the rest"
+        "progressive JPEG / 16-bit PNG / inter-frame video decode requires "
+        "a codec library (PIL/opencv/ffmpeg); PPM/PGM/BMP, baseline JPEG, "
+        "8-bit PNG (plain+Adam7), GIF, and MJPEG-AVI frames decode natively "
+        "— extend parse_image for the rest"
     )
 
 

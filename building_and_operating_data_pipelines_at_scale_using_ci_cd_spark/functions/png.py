@@ -8,7 +8,10 @@ walking and scanline unfiltering:
   - **decode_png**: 8-bit greyscale (color type 0), truecolor (2),
     indexed (3, via PLTE), grey+alpha (4) and RGBA (6); all five
     scanline filters (None/Sub/Up/Average/Paeth) unfiltered with numpy
-    row-recurrence; interlace (Adam7) rejected honestly. Returns
+    row-recurrence; Adam7 interlace deinterlaced pass-by-pass (each of
+    the 7 passes is its own independently-filtered sub-image scattered
+    back on the pass grid — empty passes contribute zero scanlines, per
+    spec). Returns
     ``(width, height, luma)`` — the ITU-R 601 luma contract shared by
     every decoder in this engine (alpha ignored: luma of the stored
     color, matching how crawlers hash thumbnails).
@@ -40,11 +43,52 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png_gray(gray, width: int, height: int, level: int = 6) -> bytes:
-    """8-bit greyscale PNG, filter 0 scanlines."""
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per PNG §8.2
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _pass_dims(width: int, height: int):
+    """Per-pass (x0, y0, dx, dy, pass_w, pass_h); empty passes included
+    with zero dims (they contribute NO scanlines, not even filter bytes)."""
+    return [
+        (x0, y0, dx, dy, max(0, (width - x0 + dx - 1) // dx), max(0, (height - y0 + dy - 1) // dy))
+        for x0, y0, dx, dy in _ADAM7
+    ]
+
+
+def _encode_raw(img: np.ndarray, interlace: bool) -> bytes:
+    """Filter-0 serialization of an (h, w[, bpp]) uint8 array, plain or
+    Adam7 pass order."""
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w = img.shape[0], img.shape[1]
+    if not interlace:
+        return b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    parts = []
+    for x0, y0, dx, dy, pw, ph in _pass_dims(w, h):
+        if pw == 0 or ph == 0:
+            continue
+        sub = img[y0::dy, x0::dx, :]
+        parts.extend(b"\x00" + sub[y].tobytes() for y in range(ph))
+    return b"".join(parts)
+
+
+def encode_png_gray(
+    gray, width: int, height: int, level: int = 6, interlace: bool = False
+) -> bytes:
+    """8-bit greyscale PNG, filter 0 scanlines; ``interlace=True`` writes
+    a spec-valid Adam7 stream (pass-major scanline order)."""
     img = np.asarray(gray, dtype=np.uint8).reshape(height, width)
-    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(height))
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = _encode_raw(img, interlace)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, int(interlace))
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
@@ -53,11 +97,14 @@ def encode_png_gray(gray, width: int, height: int, level: int = 6) -> bytes:
     )
 
 
-def encode_png_rgb(rgb, width: int, height: int, level: int = 6) -> bytes:
-    """8-bit truecolor PNG, filter 0 scanlines."""
+def encode_png_rgb(
+    rgb, width: int, height: int, level: int = 6, interlace: bool = False
+) -> bytes:
+    """8-bit truecolor PNG, filter 0 scanlines; ``interlace=True`` writes
+    a spec-valid Adam7 stream."""
     img = np.asarray(rgb, dtype=np.uint8).reshape(height, width, 3)
-    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(height))
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = _encode_raw(img, interlace)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, int(interlace))
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
@@ -119,8 +166,27 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
     return out
 
 
+def _deinterlace(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
+    """Adam7: each pass is an independent filtered sub-image (its first
+    scanline has no Up/Paeth predecessor) — unfilter each with the same
+    machinery, then scatter onto the pass grid. Returns the same
+    (height, width*bpp) layout as :func:`_unfilter`."""
+    full = np.zeros((height, width, bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy, pw, ph in _pass_dims(width, height):
+        if pw == 0 or ph == 0:
+            continue
+        n = ph * (1 + pw * bpp)
+        sub = _unfilter(raw[pos : pos + n], pw, ph, bpp)
+        pos += n
+        full[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+    if pos != len(raw):
+        raise ValueError("corrupt PNG: interlaced raster length mismatch")
+    return full.reshape(height, width * bpp)
+
+
 def decode_png(payload: bytes):
-    """Decode an 8-bit non-interlaced PNG; returns ``(width, height,
+    """Decode an 8-bit PNG (plain or Adam7); returns ``(width, height,
     luma)`` with luma the row-major 601-luma list (0-255). ValueError is
     the ONLY corrupt-input exception (the decode_image/image_resize
     null-route contract), so struct/index failures from truncated or
@@ -160,8 +226,8 @@ def _decode_png_inner(payload: bytes):
         raise ValueError("only 8-bit PNG supported")
     if comp != 0 or filt != 0:
         raise ValueError("corrupt PNG: unknown compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"corrupt PNG: unknown interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"corrupt PNG: color type {ctype}")
@@ -169,7 +235,10 @@ def _decode_png_inner(payload: bytes):
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG: inflate failed ({exc})") from exc
-    samples = _unfilter(raw, width, height, channels)
+    if interlace == 1:
+        samples = _deinterlace(raw, width, height, channels)
+    else:
+        samples = _unfilter(raw, width, height, channels)
     if ctype == 3:
         if plte is None:
             raise ValueError("corrupt PNG: indexed image without PLTE")

@@ -114,12 +114,21 @@ class TestRobustness:
         with pytest.raises(ValueError, match="signature"):
             decode_png(b"\xff\xd8jpeg")
 
-    def test_interlace_rejected(self):
+    def test_mislabeled_interlace_flag_is_corrupt(self):
         img = _gradient(8, 8)
         payload = bytearray(encode_png_gray(img.reshape(-1), 8, 8))
-        # interlace byte: sig(8) + len(4) + 'IHDR'(4) + body offset 12
+        # interlace byte: sig(8) + len(4) + 'IHDR'(4) + body offset 12.
+        # A plain raster labeled Adam7 is SHORTER than the 7-pass raster
+        # (72 vs 79 bytes at 8x8) — must fail as corrupt, not misdecode
         payload[8 + 4 + 4 + 12] = 1
-        with pytest.raises(ValueError, match="interlaced"):
+        with pytest.raises(ValueError):
+            decode_png(bytes(payload))
+
+    def test_unknown_interlace_method_rejected(self):
+        img = _gradient(8, 8)
+        payload = bytearray(encode_png_gray(img.reshape(-1), 8, 8))
+        payload[8 + 4 + 4 + 12] = 2
+        with pytest.raises(ValueError, match="interlace"):
             decode_png(bytes(payload))
 
     def test_corrupt_inflate(self):
@@ -146,3 +155,53 @@ def test_decode_image_kernel_on_png(spark):
     assert (got[1]["width"], got[1]["height"]) == (12, 10)
     assert abs(got[1]["mean_luma"] - img.mean()) < 0.01  # lossless
     assert got[2]["decode_error"] is not None
+
+
+class TestAdam7:
+    def test_gray_roundtrip_odd_sizes(self):
+        rng = np.random.default_rng(11)
+        for w, h in [(1, 1), (2, 1), (7, 3), (8, 8), (13, 11), (33, 17), (4, 16)]:
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            gw, gh, luma = decode_png(
+                encode_png_gray(img.reshape(-1), w, h, interlace=True)
+            )
+            assert (gw, gh) == (w, h)
+            assert np.array_equal(np.array(luma).reshape(h, w), img)
+
+    def test_interlaced_equals_plain(self):
+        img = _gradient(19, 13)
+        plain = decode_png(encode_png_gray(img.reshape(-1), 19, 13))
+        adam7 = decode_png(encode_png_gray(img.reshape(-1), 19, 13, interlace=True))
+        assert plain == adam7
+
+    def test_rgb_interlaced_luma(self):
+        rng = np.random.default_rng(5)
+        rgb = rng.integers(0, 256, (9, 14, 3), dtype=np.uint8)
+        _, _, luma = decode_png(encode_png_rgb(rgb.reshape(-1), 14, 9, interlace=True))
+        c = rgb.astype(np.int64)
+        want = (299 * c[..., 0] + 587 * c[..., 1] + 114 * c[..., 2]) // 1000
+        assert np.array_equal(np.array(luma).reshape(9, 14), want)
+
+    def test_small_image_empty_passes(self):
+        # 3x2: passes 2,3,4 are empty on x or y — spec says they emit
+        # NOTHING, not even filter bytes; round-trip proves both sides
+        img = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+        _, _, luma = decode_png(encode_png_gray(img.reshape(-1), 3, 2, interlace=True))
+        assert luma == [1, 2, 3, 4, 5, 6]
+
+    def test_truncated_interlaced_raster(self):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.png import (
+            _encode_raw,
+        )
+
+        img = _gradient(8, 8)
+        raw = _encode_raw(img, interlace=True)
+        ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1)
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw[:-5]))  # last pass runs short
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            decode_png(payload)
