@@ -3578,6 +3578,78 @@ FROM w GROUP BY doc_id
 """
 
 
+def _q_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-audio decode (round 8): per document, 480 µ-law code
+    bytes b_i = (doc_id·7 + i·3) mod 256 are wrapped in a genuine
+    format-7 RIFF container and expanded through ``decode_wav``'s G.711
+    path. G.711 expansion is a CLOSED FORM over the code byte
+    (u = ~b; mag = ((u%16)·8+132)·2^((u//16)%8) − 132; sign from bit 7),
+    so the DuckDB oracle re-derives every 16-bit linear sample — and
+    every integer feature — from the byte formula without touching a
+    RIFF byte or an expansion table: one wrong segment shift or sign
+    anywhere breaks energy/pos sums exactly."""
+    import struct as _struct
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.audio import (
+        audio_features,
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        def wav_mulaw(codes: bytes) -> bytes:
+            fmt = _struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+            return (
+                b"RIFF"
+                + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(codes))
+                + b"WAVE"
+                + b"fmt "
+                + _struct.pack("<I", len(fmt))
+                + fmt
+                + b"data"
+                + _struct.pack("<I", len(codes))
+                + codes
+            )
+
+        for pdf in batches:
+            payloads = [
+                wav_mulaw(bytes((int(d) * 7 + i * 3) % 256 for i in range(480)))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    payload_df = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return audio_features(payload_df).drop("decode_error")
+
+
+G711_DECODE_DUCK = """
+WITH w AS MATERIALIZED (
+  SELECT doc_id, i, s,
+         LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM (
+    SELECT d.doc_id, t.i,
+           CASE WHEN u >= 128 THEN -mag ELSE mag END AS s
+    FROM documents d,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 479)) AS i) t,
+         LATERAL (SELECT 255 - (d.doc_id * 7 + t.i * 3) % 256 AS u) uu,
+         LATERAL (SELECT ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132 AS mag) mm
+  )
+)
+SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS n_channels,
+       CAST(480 AS INT) AS n_samples, CAST(60 AS BIGINT) AS duration_ms,
+       CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+       CAST(SUM(s * s) AS BIGINT) AS energy,
+       CAST(SUM(CASE WHEN prev * s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM w GROUP BY doc_id
+"""
+
+
 def _q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL bytes→pixels decode, oracle-checked end-to-end: build a P5
     PGM per document whose 8×4 raster is the 32 ASCII chars of
@@ -4720,6 +4792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    transport, sim_decimals passthrough, session-machine epoch
         #    state) — changed code ALWAYS re-enters the checked 50 ----
         "gif_decode": _q_gif_decode,
+        "g711_decode": _q_g711_decode,
         "png_decode": _q_png_decode,
         "jpeg_decode": _q_jpeg_decode,
         "jdbc_roundtrip": _q_jdbc_roundtrip,
@@ -4890,6 +4963,7 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_decode": JPEG_DECODE_DUCK,
         "png_decode": PNG_DECODE_DUCK,
         "gif_decode": GIF_DECODE_DUCK,
+        "g711_decode": G711_DECODE_DUCK,
         "doc_chunks": DOC_CHUNKS_DUCK,
         "salted_join_revenue": SALTED_JOIN_DUCK,
         "heavy_hitters": HEAVY_HITTERS_DUCK,

@@ -6,13 +6,22 @@ on the image side, uncompressed RIFF/WAVE needs nothing but struct
 parsing, so the audio lane gets a REAL bytes→samples path:
 
   - **decode_wav**: RIFF chunk walk (fmt/data, unknown chunks skipped —
-    LIST/INFO/fact appear in the wild), PCM 16-bit little-endian at any
-    rate/channel count; compressed formats (format codes other than 1)
-    raise ``ValueError`` honestly. Returns channel 0's samples — the
-    deterministic mono reference every downstream feature uses.
-  - **encode_wav_pcm16**: minimal spec-valid writer (mono or
-    interleaved stereo) so tests and the oracle entry run on genuine
-    RIFF streams.
+    LIST/INFO/fact appear in the wild); PCM at 8 (unsigned, offset
+    removed), 16, and 24 bits little-endian at any rate/channel count,
+    plus ITU-T G.711 µ-law (format 7) and A-law (format 6) expanded to
+    16-bit linear through the closed-form segment expansion (round 8 —
+    the first COMPRESSED audio the engine decodes natively; G.711 is a
+    fixed 2:1 logarithmic code, no entropy coding, so it needs nothing
+    but integer arithmetic). Anything else raises ``ValueError``
+    honestly. Returns channel 0's samples — the deterministic mono
+    reference every downstream feature uses — at native depth (8-bit →
+    ±127, 24-bit → ±2^23).
+  - **encode_wav_pcm16 / encode_wav_pcm8 / encode_wav_pcm24 /
+    encode_wav_g711**: minimal spec-valid writers so tests and the
+    oracle entry run on genuine RIFF streams. The G.711 encoder is a
+    nearest-code quantizer over the 256-entry expansion table —
+    equivalent to the bit-twiddling reference encoder up to ties, and
+    by construction exactly consistent with the decoder.
   - **audio_features**: Arrow ``mapInPandas`` over a payload column →
     per-clip integer features (duration, peak, energy, zero crossings).
     ALL-INTEGER on purpose: PCM is integral, so every feature is exact
@@ -41,6 +50,98 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+
+def mulaw_expand(u: int) -> int:
+    """ITU-T G.711 µ-law byte → 16-bit linear (closed-form segment
+    expansion: magnitude = ((mantissa·8 + 132) << exponent) − 132)."""
+    u = ~u & 0xFF
+    mag = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+    mag -= 0x84
+    return -mag if u & 0x80 else mag
+
+
+def alaw_expand(a: int) -> int:
+    """ITU-T G.711 A-law byte → 16-bit linear. Sign bit 1 = positive
+    (after the 0x55 toggle, which A-law applies to even bits)."""
+    a ^= 0x55
+    seg = (a >> 4) & 7
+    mant = a & 0x0F
+    if seg == 0:
+        mag = (mant << 4) + 8
+    else:
+        mag = ((mant << 4) + 0x108) << (seg - 1)
+    return mag if a & 0x80 else -mag
+
+
+_MULAW_TABLE = np.array([mulaw_expand(b) for b in range(256)], dtype=np.int64)
+_ALAW_TABLE = np.array([alaw_expand(b) for b in range(256)], dtype=np.int64)
+
+
+def encode_wav_g711(samples, sample_rate: int, law: str = "mulaw") -> bytes:
+    """Mono G.711 WAV: quantize 16-bit linear samples to the NEAREST
+    code in the expansion table (ties to the lower byte value) and wrap
+    in a format-7 (µ-law) / format-6 (A-law) RIFF container."""
+    table = _MULAW_TABLE if law == "mulaw" else _ALAW_TABLE
+    code = 7 if law == "mulaw" else 6
+    arr = np.asarray(samples, dtype=np.int64)
+    data = bytes(
+        np.abs(arr[:, None] - table[None, :]).argmin(axis=1).astype(np.uint8)
+    )
+    fmt = struct.pack("<HHIIHH", code, 1, sample_rate, sample_rate, 1, 8)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _encode_pcm(samples, sample_rate: int, channels: int, bits: int, data: bytes) -> bytes:
+    block_align = channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, bits
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def encode_wav_pcm8(samples, sample_rate: int, channels: int = 1) -> bytes:
+    """8-bit PCM WAV (stored unsigned with 128 offset, per spec);
+    ``samples`` are signed −128..127."""
+    arr = np.asarray(samples, dtype=np.int64)
+    if channels <= 0 or len(arr) % channels:
+        raise ValueError("sample count must be a multiple of channels")
+    return _encode_pcm(
+        samples, sample_rate, channels, 8, (arr + 128).astype(np.uint8).tobytes()
+    )
+
+
+def encode_wav_pcm24(samples, sample_rate: int, channels: int = 1) -> bytes:
+    """24-bit PCM WAV, little-endian 3-byte signed samples."""
+    arr = np.asarray(samples, dtype=np.int64)
+    if channels <= 0 or len(arr) % channels:
+        raise ValueError("sample count must be a multiple of channels")
+    b = (arr & 0xFFFFFF).astype(np.uint32)
+    raw = np.zeros((len(arr), 3), dtype=np.uint8)
+    raw[:, 0] = b & 0xFF
+    raw[:, 1] = (b >> 8) & 0xFF
+    raw[:, 2] = (b >> 16) & 0xFF
+    return _encode_pcm(samples, sample_rate, channels, 24, raw.tobytes())
 
 
 def encode_wav_pcm16(samples, sample_rate: int, channels: int = 1) -> bytes:
@@ -96,13 +197,6 @@ def decode_wav(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("corrupt WAV: missing fmt or data chunk")
     audio_format, channels, sample_rate, _rate, _align, bits = fmt
-    if audio_format != 1:
-        raise ValueError(
-            f"only PCM WAV supported (format code {audio_format}; compressed "
-            "audio needs a codec library)"
-        )
-    if bits != 16:
-        raise ValueError(f"only 16-bit PCM supported (got {bits})")
     if channels <= 0:
         raise ValueError("corrupt WAV: zero channels")
     if sample_rate <= 0:
@@ -110,8 +204,39 @@ def decode_wav(payload: bytes):
         # surface as the per-row decode_error, not a stage-killing
         # ZeroDivisionError
         raise ValueError("corrupt WAV: zero sample rate")
-    arr = np.frombuffer(data[: (len(data) // (2 * channels)) * 2 * channels], dtype="<i2")
-    ch0 = arr[::channels]
+    if audio_format == 1:  # linear PCM at 8/16/24 bits
+        if bits == 16:
+            arr = np.frombuffer(
+                data[: (len(data) // (2 * channels)) * 2 * channels], dtype="<i2"
+            )
+            ch0 = arr[::channels].astype(np.int64)
+        elif bits == 8:  # stored unsigned, offset 128
+            arr = np.frombuffer(data[: (len(data) // channels) * channels], dtype=np.uint8)
+            ch0 = arr[::channels].astype(np.int64) - 128
+        elif bits == 24:  # 3-byte little-endian signed
+            n = (len(data) // (3 * channels)) * (3 * channels)
+            raw = np.frombuffer(data[:n], dtype=np.uint8).reshape(-1, 3)
+            v = (
+                raw[:, 0].astype(np.int64)
+                | (raw[:, 1].astype(np.int64) << 8)
+                | (raw[:, 2].astype(np.int64) << 16)
+            )
+            v -= (v >> 23) << 24  # sign-extend bit 23
+            ch0 = v[::channels]
+        else:
+            raise ValueError(f"only 8/16/24-bit PCM supported (got {bits})")
+    elif audio_format in (6, 7):  # G.711 A-law / µ-law, always 8-bit mono bytes
+        if bits != 8:
+            raise ValueError(f"corrupt WAV: G.711 with {bits}-bit samples")
+        table = _MULAW_TABLE if audio_format == 7 else _ALAW_TABLE
+        arr = np.frombuffer(data[: (len(data) // channels) * channels], dtype=np.uint8)
+        ch0 = table[arr[::channels].astype(np.int64)]
+    else:
+        raise ValueError(
+            f"unsupported WAV format code {audio_format} (PCM 8/16/24-bit and "
+            "G.711 mu-law/A-law decode natively; other compressed audio needs "
+            "a codec library)"
+        )
     return sample_rate, channels, [int(v) for v in ch0]
 
 

@@ -56,7 +56,7 @@ class TestRobustness:
         payload = bytearray(encode_wav_pcm16(_tone(10), 8000))
         i = payload.index(b"fmt ") + 8
         payload[i] = 0x55  # format code -> MP3-ish
-        with pytest.raises(ValueError, match="only PCM"):
+        with pytest.raises(ValueError, match="format code"):
             decode_wav(bytes(payload))
 
     def test_truncated_data(self):
@@ -83,3 +83,53 @@ def test_audio_features_kernel(spark):
     assert r1["energy"] == int((s * s).sum())
     assert r1["zero_crossings"] == int(((s[:-1] * s[1:]) < 0).sum())
     assert got[2]["decode_error"] is not None and got[2]["sample_rate"] is None
+
+
+class TestDepthsAndG711:
+    def test_pcm8_roundtrip(self):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.audio import (
+            encode_wav_pcm8,
+        )
+
+        s = list(range(-128, 128))
+        rate, ch, got = decode_wav(encode_wav_pcm8(s, 8000))
+        assert (rate, ch) == (8000, 1) and got == s
+
+    def test_pcm24_roundtrip_extremes(self):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.audio import (
+            encode_wav_pcm24,
+        )
+
+        s = [-(1 << 23), (1 << 23) - 1, 0, -1, 1, 123456, -654321]
+        _, _, got = decode_wav(encode_wav_pcm24(s, 44100))
+        assert got == s
+
+    def test_g711_table_ranges(self):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.audio import (
+            _ALAW_TABLE,
+            _MULAW_TABLE,
+        )
+
+        # canonical ITU G.711 extremes and symmetry
+        assert int(_MULAW_TABLE.max()) == 32124 == -int(_MULAW_TABLE.min())
+        assert int(_ALAW_TABLE.max()) == 32256 == -int(_ALAW_TABLE.min())
+        # every code distinct per sign half (the expansion is injective
+        # up to the two zero codes in mu-law)
+        assert len(set(_ALAW_TABLE.tolist())) == 256
+
+    @pytest.mark.parametrize("law", ["mulaw", "alaw"])
+    def test_g711_nearest_code_and_idempotence(self, law):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.audio import (
+            _ALAW_TABLE,
+            _MULAW_TABLE,
+            encode_wav_g711,
+        )
+
+        table = _MULAW_TABLE if law == "mulaw" else _ALAW_TABLE
+        x = np.linspace(-32000, 32000, 501).astype(int).tolist()
+        _, _, dec = decode_wav(encode_wav_g711(x, 8000, law=law))
+        for xi, di in zip(x, dec):
+            assert di == int(table[np.abs(np.int64(xi) - table).argmin()])
+        _, _, dec2 = decode_wav(encode_wav_g711(dec, 8000, law=law))
+        assert dec2 == dec  # codebook values quantize to themselves
+
