@@ -3578,6 +3578,101 @@ FROM w GROUP BY doc_id
 """
 
 
+def _q_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode (round 8): per document a 4-frame MJPEG AVI is
+    muxed from genuine baseline JPEGs (frame f raster: pixel p =
+    ((doc_id + f·7) mod 96) + (p mod 16)·5 + (p div 16)·5 — the
+    jpeg_decode wrap-free gradient family), then DEMUXED through the
+    RIFF walker (``functions/avi.py``) and every 2nd frame decoded
+    through ``parse_image``. Same two-tier contract as ``jpeg_decode``:
+    ``mean_orig_x100`` is derived independently per engine (DuckDB
+    never sees a container or JPEG byte), the fidelity booleans pin the
+    lossy round trip inside quantization error, and the (doc, frame)
+    row fan-out pins the demux order and the every-2 sampling."""
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("n_frames", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("mean_orig_x100", LongType()),
+            StructField("max_err_le_8", BooleanType()),
+            StructField("mean_err_le_2", BooleanType()),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.avi import (
+            demux_avi,
+            mux_mjpeg_avi,
+        )
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.jpeg import (
+            encode_jpeg_gray,
+        )
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.multimodal import (
+            parse_image,
+        )
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "frame_idx", "n_frames", "width", "height",
+                "mean_orig_x100", "max_err_le_8", "mean_err_le_2",
+            )}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rasters = [
+                    [((d + f * 7) % 96) + (p % 16) * 5 + (p // 16) * 5 for p in range(256)]
+                    for f in range(4)
+                ]
+                avi = mux_mjpeg_avi(
+                    [encode_jpeg_gray(px, 16, 16, quality=85) for px in rasters],
+                    16, 16, rate=24,
+                )
+                w, h, _rate, _scale, frames = demux_avi(avi)
+                for idx in range(0, len(frames), 2):
+                    _fmt, fw, fh, gray = parse_image(frames[idx])
+                    px = rasters[idx]
+                    errs = [abs(a - b) for a, b in zip(gray, px)]
+                    a = sum(px) * 100
+                    out["doc_id"].append(d)
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(len(frames))
+                    out["width"].append(fw)
+                    out["height"].append(fh)
+                    out["mean_orig_x100"].append((2 * a + 256) // 512)
+                    out["max_err_le_8"].append(max(errs) <= 8)
+                    out["mean_err_le_2"].append(sum(errs) / 256 <= 2)
+            yield pd.DataFrame(out)
+
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return docs.mapInPandas(kernel, schema)
+
+
+AVI_FRAMES_DUCK = """
+SELECT d.doc_id, CAST(f.f AS INT) AS frame_idx, CAST(4 AS INT) AS n_frames,
+       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST((2 * ((256 * ((d.doc_id + f.f * 7) % 96) + 19200) * 100) + 256) // 512
+            AS BIGINT) AS mean_orig_x100,
+       TRUE AS max_err_le_8, TRUE AS mean_err_le_2
+FROM documents d, (SELECT UNNEST([0, 2]) AS f) f
+"""
+
+
 def _q_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPRESSED-audio decode (round 8): per document, 480 µ-law code
     bytes b_i = (doc_id·7 + i·3) mod 256 are wrapped in a genuine
@@ -4772,7 +4867,9 @@ def _q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
         # entries. Round-7 rotation (counts: 20 + 30 + 0 = 50 checked;
-        # 45 r04/r05-evidence + 42 r06/r07-green = 87 tail; 137 total):
+        # 45 r04/r05-evidence + 42 r06/r07-green = 87 tail; 140 total
+        # (3 round-8 codec entries lead; full r8 rotation rewrite at round
+        # close):
         #   1. new or changed in round 7 (changed code re-enters the
         #      checked 50 unconditionally — the round-6 lesson that a
         #      final-commit change can ship unaudited applies to
@@ -4793,6 +4890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    state) — changed code ALWAYS re-enters the checked 50 ----
         "gif_decode": _q_gif_decode,
         "g711_decode": _q_g711_decode,
+        "avi_frames": _q_avi_frames,
         "png_decode": _q_png_decode,
         "jpeg_decode": _q_jpeg_decode,
         "jdbc_roundtrip": _q_jdbc_roundtrip,
@@ -4964,6 +5062,7 @@ def oracle_sql() -> dict[str, str]:
         "png_decode": PNG_DECODE_DUCK,
         "gif_decode": GIF_DECODE_DUCK,
         "g711_decode": G711_DECODE_DUCK,
+        "avi_frames": AVI_FRAMES_DUCK,
         "doc_chunks": DOC_CHUNKS_DUCK,
         "salted_join_revenue": SALTED_JOIN_DUCK,
         "heavy_hitters": HEAVY_HITTERS_DUCK,

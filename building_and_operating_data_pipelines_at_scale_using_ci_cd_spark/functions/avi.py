@@ -1,0 +1,235 @@
+"""MJPEG-in-AVI container codec — a REAL video decode path.
+
+The video tier's blocker was never the container (RIFF is the same
+chunk walk WAV uses) but the per-frame codec. Round 7 made baseline
+JPEG decode real (``jpeg.py``), which unlocks Motion-JPEG: every frame
+of an MJPEG AVI is an independent baseline JPEG, no inter-frame
+prediction. So the engine can now demux a genuine video container and
+decode genuine compressed frames end to end:
+
+  - **demux_avi**: RIFF 'AVI ' walk — LIST hdrl (avih for the frame
+    geometry, strh for the rate/scale clock, strf BITMAPINFOHEADER for
+    the fourcc), LIST movi (frame chunks ``NNdc``/``NNdb`` of the first
+    video stream, including inside 'rec ' sub-LISTs), idx1 ignored
+    (offsets are recoverable from movi itself). Returns
+    ``(width, height, rate, scale, [frame bytes...])``.
+  - **mux_mjpeg_avi**: minimal spec-valid writer (avih/strh/strf +
+    movi + idx1) so tests and the oracle entry exercise REAL container
+    bytes around REAL entropy-coded frames from ``encode_jpeg_*``.
+  - **sample_video_frames**: the Spark operator — Arrow ``mapInPandas``
+    over (doc_id, payload) that demuxes, keeps every ``every``-th
+    frame, decodes it via :func:`multimodal.parse_image`, and emits one
+    row per sampled frame (doc_id, frame_idx, width, height, sum_luma,
+    n_pixels). One input row fans out to N frame rows — the true video
+    pipeline shape — and corrupt payloads/frames null-route per row.
+
+Inter-frame codecs (H.264 etc.) remain honestly gated in
+``multimodal.decode_compressed_gate`` — those genuinely need ffmpeg.
+Scale note: like the image kernels, demux+decode is a narrow map stage
+(no shuffle); a cluster swaps libjpeg-turbo into the frame decode for
+~50× without changing the plan shape.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _riff_list(kind: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", kind + body)
+
+
+def mux_mjpeg_avi(
+    frames: list[bytes], width: int, height: int, rate: int = 30, scale: int = 1
+) -> bytes:
+    """Wrap baseline-JPEG frames in a spec-valid AVI (MJPG fourcc)."""
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    usec_per_frame = (1_000_000 * scale) // max(rate, 1)
+    max_bytes = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        usec_per_frame, max_bytes * rate, 0, 0x10, len(frames), 0, 1,
+        max_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack(
+            "<IHHIIIIIIII4H",
+            0, 0, 0, 0, scale, rate, 0, len(frames), max_bytes, 0xFFFFFFFF, 0,
+            0, 0, width, height,
+        )
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(_riff_chunk(b"00dc", f) for f in frames)
+    movi = _riff_list(b"movi", movi_body)
+    # idx1: offsets are relative to the start of the movi list's data
+    idx = bytearray()
+    off = 4  # past the 'movi' kind fourcc
+    for f in frames:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(f))
+        off += 8 + len(f) + (len(f) & 1)
+    riff_body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _walk_movi(payload: bytes, pos: int, end: int, frames: list[bytes]):
+    while pos + 8 <= end:
+        tag = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body_start = pos + 8
+        if body_start + size > len(payload):
+            raise ValueError("corrupt AVI: truncated movi chunk")
+        if tag == b"LIST":
+            kind = payload[body_start : body_start + 4]
+            if kind == b"rec ":
+                _walk_movi(payload, body_start + 4, body_start + size, frames)
+        elif tag[:2] == b"00" and tag[2:4] in (b"dc", b"db"):
+            frames.append(payload[body_start : body_start + size])
+        pos = body_start + size + (size & 1)
+
+
+def demux_avi(payload: bytes):
+    """Parse an AVI container → ``(width, height, rate, scale,
+    [frame bytes...])`` for the first video stream. ValueError is the
+    only corrupt-input exception (the null-route contract)."""
+    try:
+        return _demux_inner(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt AVI: truncated or malformed chunk ({exc})") from exc
+
+
+def _demux_inner(payload: bytes):
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI (missing RIFF/AVI signature)")
+    width = height = None
+    rate, scale = 30, 1
+    frames: list[bytes] = []
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body_start = pos + 8
+        if tag == b"LIST":
+            kind = payload[body_start : body_start + 4]
+            if kind == b"hdrl":
+                hpos, hend = body_start + 4, body_start + size
+                while hpos + 8 <= hend:
+                    htag = payload[hpos : hpos + 4]
+                    hsize = struct.unpack_from("<I", payload, hpos + 4)[0]
+                    hbody = payload[hpos + 8 : hpos + 8 + hsize]
+                    if htag == b"avih":
+                        if len(hbody) < 40:
+                            raise ValueError("corrupt AVI: truncated avih")
+                        width, height = struct.unpack_from("<II", hbody, 32)
+                    elif htag == b"LIST" and hbody[:4] == b"strl":
+                        spos, send = hpos + 12, hpos + 8 + hsize
+                        is_video = False
+                        while spos + 8 <= send:
+                            stag = payload[spos : spos + 4]
+                            ssize = struct.unpack_from("<I", payload, spos + 4)[0]
+                            sbody = payload[spos + 8 : spos + 8 + ssize]
+                            if stag == b"strh" and len(sbody) >= 32:
+                                is_video = sbody[:4] == b"vids"
+                                if is_video:
+                                    scale, rate = struct.unpack_from("<II", sbody, 20)
+                            spos += 8 + ssize + (ssize & 1)
+                        del is_video
+                    hpos += 8 + hsize + (hsize & 1)
+            elif kind == b"movi":
+                _walk_movi(payload, body_start + 4, body_start + size, frames)
+        pos = body_start + size + (size & 1)
+    if width is None or height is None:
+        raise ValueError("corrupt AVI: no avih header")
+    if not frames:
+        raise ValueError("corrupt AVI: no video frames")
+    return int(width), int(height), int(rate), max(int(scale), 1), frames
+
+
+#: one row per SAMPLED frame — the fan-out shape a video pipeline produces
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_luma", LongType()),
+        StructField("frame_ok", BooleanType()),
+    ]
+)
+
+
+def sample_video_frames(df_with_payload: DataFrame, every: int = 1) -> DataFrame:
+    """Demux AVI payloads and DECODE every ``every``-th frame through
+    :func:`multimodal.parse_image` (MJPEG frames are baseline JPEGs).
+    Emits (doc_id, frame_idx, n_frames, width, height, sum_luma,
+    frame_ok); a corrupt container yields ONE row with frame_idx −1 and
+    frame_ok false, a corrupt single frame yields its row with
+    frame_ok false — either way the stage survives."""
+    if every <= 0:
+        raise ValueError("every must be positive")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal import parse_image
+
+        for pdf in batches:
+            out = {f.name: [] for f in VIDEO_FRAME_SCHEMA.fields}
+
+            def emit(doc_id, idx, n, w, h, s, ok):
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["n_frames"].append(n)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_luma"].append(s)
+                out["frame_ok"].append(ok)
+
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, _rate, _scale, frames = demux_avi(bytes(payload))
+                except ValueError:
+                    emit(doc_id, -1, None, None, None, None, False)
+                    continue
+                for idx in range(0, len(frames), every):
+                    try:
+                        _fmt, fw, fh, gray = parse_image(frames[idx])
+                        emit(doc_id, idx, len(frames), fw, fh, sum(gray), True)
+                    except ValueError:
+                        emit(doc_id, idx, len(frames), None, None, None, False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="Int32"),
+                    "width": pd.Series(out["width"], dtype="Int32"),
+                    "height": pd.Series(out["height"], dtype="Int32"),
+                    "sum_luma": pd.Series(out["sum_luma"], dtype="Int64"),
+                    "frame_ok": pd.Series(out["frame_ok"], dtype="boolean"),
+                }
+            )
+
+    return df_with_payload.mapInPandas(kernel, VIDEO_FRAME_SCHEMA)

@@ -135,6 +135,30 @@ def _bloom_filtered_join(df: DataFrame, key: str, build_view: str, **kw) -> Data
     return bloom_filtered_join(df, df.sparkSession.table(build_view), key, **kw)
 
 
+def _decode_image(df: DataFrame, **kw) -> DataFrame:
+    """Config shape for the image lane: input view carries (doc_id,
+    payload) binary rows; PPM/PGM/BMP/JPEG/PNG/GIF decode natively."""
+    from ..functions.multimodal import decode_image
+
+    if "thumb" in kw:
+        kw["thumb"] = int(kw["thumb"])
+    return decode_image(df, **kw)
+
+
+def _audio_features(df: DataFrame) -> DataFrame:
+    from ..functions.audio import audio_features
+
+    return audio_features(df)
+
+
+def _sample_video_frames(df: DataFrame, **kw) -> DataFrame:
+    from ..functions.avi import sample_video_frames
+
+    if "every" in kw:
+        kw["every"] = int(kw["every"])
+    return sample_video_frames(df, **kw)
+
+
 def _chunk_documents(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
     from .corpus import chunk_documents
 
@@ -541,6 +565,9 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "tumblingCounts": _tumbling_counts,
     "streamingDedup": _streaming_dedup_op,
     "sessionCloseEvents": _session_close_events,
+    "decodeImage": _decode_image,
+    "audioFeatures": _audio_features,
+    "sampleVideoFrames": _sample_video_frames,
 }
 
 
