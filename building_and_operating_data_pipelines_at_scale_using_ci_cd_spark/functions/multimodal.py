@@ -398,17 +398,18 @@ def decode_compressed_gate(*_args, **_kwargs):
     the pure-numpy T.81 codec (``jpeg.py``) and 8-bit PNG through the
     stdlib-zlib codec (``png.py``), wired into :func:`parse_image`;
     PPM/PGM/BMP have decoded natively since round 5; round 8 added
-    Adam7-interlaced PNG, GIF (LZW), and MJPEG-in-AVI video frames.
-    What remains gated: progressive/arithmetic JPEG, 16-bit PNG,
-    compressed audio, and inter-frame video codecs (genuinely need
-    ffmpeg). Extend :func:`parse_image` when a codec library lands —
-    the Spark plumbing (Arrow batches, corrupt-row null-routing) is
-    proven on real compressed bytes."""
+    Adam7-interlaced and 16-bit PNG, GIF (LZW), G.711 audio, and
+    MJPEG-in-AVI video frames. What remains gated: progressive/
+    arithmetic JPEG, entropy-coded audio (MP3/AAC/FLAC), and
+    inter-frame video codecs (genuinely need ffmpeg-class libraries).
+    Extend :func:`parse_image` when a codec library lands — the Spark
+    plumbing (Arrow batches, corrupt-row null-routing) is proven on
+    real compressed bytes."""
     raise NotImplementedError(
-        "progressive JPEG / 16-bit PNG / inter-frame video decode requires "
-        "a codec library (PIL/opencv/ffmpeg); PPM/PGM/BMP, baseline JPEG, "
-        "8-bit PNG (plain+Adam7), GIF, and MJPEG-AVI frames decode natively "
-        "— extend parse_image for the rest"
+        "progressive JPEG / entropy-coded audio / inter-frame video decode "
+        "requires a codec library (PIL/opencv/ffmpeg); PPM/PGM/BMP, baseline "
+        "JPEG, PNG (8/16-bit, plain+Adam7), GIF, G.711, and MJPEG-AVI frames "
+        "decode natively — extend parse_image for the rest"
     )
 
 

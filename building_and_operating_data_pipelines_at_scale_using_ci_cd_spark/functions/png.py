@@ -5,10 +5,12 @@ DEFLATE — the only genuinely hard piece of PNG — ships in the Python
 standard library (``zlib``), so a spec-faithful decoder is mostly chunk
 walking and scanline unfiltering:
 
-  - **decode_png**: 8-bit greyscale (color type 0), truecolor (2),
-    indexed (3, via PLTE), grey+alpha (4) and RGBA (6); all five
-    scanline filters (None/Sub/Up/Average/Paeth) unfiltered with numpy
-    row-recurrence; Adam7 interlace deinterlaced pass-by-pass (each of
+  - **decode_png**: greyscale (color type 0), truecolor (2), indexed
+    (3, via PLTE), grey+alpha (4) and RGBA (6) at 8-bit depth, and
+    types 0/2/4/6 at 16-bit (big-endian samples, reduced to 8 bits via
+    the high byte); all five scanline filters (None/Sub/Up/Average/
+    Paeth) unfiltered with numpy row-recurrence on BYTE-level bpp per
+    spec; Adam7 interlace deinterlaced pass-by-pass (each of
     the 7 passes is its own independently-filtered sub-image scattered
     back on the pass grid — empty passes contribute zero scanlines, per
     spec). Returns
@@ -89,6 +91,25 @@ def encode_png_gray(
     img = np.asarray(gray, dtype=np.uint8).reshape(height, width)
     raw = _encode_raw(img, interlace)
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, int(interlace))
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, level))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png_gray16(
+    gray, width: int, height: int, level: int = 6, interlace: bool = False
+) -> bytes:
+    """16-bit greyscale PNG (big-endian samples, filter 0); values
+    0..65535. Exists so the 16-bit decode path runs on real streams."""
+    v = np.asarray(gray, dtype=np.uint16).reshape(height, width)
+    img = np.stack(
+        [(v >> 8).astype(np.uint8), (v & 0xFF).astype(np.uint8)], axis=-1
+    )
+    raw = _encode_raw(img, interlace)
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, 0, 0, 0, int(interlace))
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
@@ -222,8 +243,10 @@ def _decode_png_inner(payload: bytes):
     if ihdr is None:
         raise ValueError("corrupt PNG: no IHDR")
     width, height, depth, ctype, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError("only 8-bit PNG supported")
+    if depth not in (8, 16):
+        raise ValueError(f"only 8/16-bit PNG supported (got depth {depth})")
+    if depth == 16 and ctype == 3:
+        raise ValueError("corrupt PNG: indexed color is 8-bit only")
     if comp != 0 or filt != 0:
         raise ValueError("corrupt PNG: unknown compression/filter method")
     if interlace not in (0, 1):
@@ -235,10 +258,18 @@ def _decode_png_inner(payload: bytes):
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG: inflate failed ({exc})") from exc
+    bpp = channels * (depth // 8)  # filters operate on BYTES per pixel
     if interlace == 1:
-        samples = _deinterlace(raw, width, height, channels)
+        samples = _deinterlace(raw, width, height, bpp)
     else:
-        samples = _unfilter(raw, width, height, channels)
+        samples = _unfilter(raw, width, height, bpp)
+    if depth == 16:
+        # 16-bit samples are big-endian; reduce to 8 bits via the high
+        # byte (the standard v >> 8 reduction) so the shared luma path
+        # below applies unchanged
+        samples = np.ascontiguousarray(
+            samples.reshape(height, width * channels, 2)[..., 0]
+        )
     if ctype == 3:
         if plte is None:
             raise ValueError("corrupt PNG: indexed image without PLTE")

@@ -205,3 +205,39 @@ class TestAdam7:
         )
         with pytest.raises(ValueError):
             decode_png(payload)
+
+
+class TestDepth16:
+    def test_gray16_roundtrip_high_byte(self):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.png import (
+            encode_png_gray16,
+        )
+
+        rng = np.random.default_rng(21)
+        for w, h in [(1, 1), (7, 3), (13, 11)]:
+            v = rng.integers(0, 65536, (h, w), dtype=np.uint16)
+            for il in (False, True):
+                gw, gh, luma = decode_png(
+                    encode_png_gray16(v.ravel().tolist(), w, h, interlace=il)
+                )
+                assert (gw, gh) == (w, h)
+                assert np.array_equal(np.array(luma).reshape(h, w), v >> 8)
+
+    def test_indexed_16bit_rejected(self):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", bytes(6))
+            + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00"))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="indexed"):
+            decode_png(payload)
+
+    def test_other_depths_rejected(self):
+        img = _gradient(8, 8)
+        payload = bytearray(encode_png_gray(img.reshape(-1), 8, 8))
+        payload[8 + 4 + 4 + 8] = 4  # depth byte -> 4-bit
+        with pytest.raises(ValueError, match="8/16-bit"):
+            decode_png(bytes(payload))
