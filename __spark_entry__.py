@@ -3369,6 +3369,89 @@ FROM (
 """
 
 
+def _q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive (SOF2) JPEG decode (round 8): the successive-
+    approximation four-scan script (DC/AC at Al=1, then DC/AC
+    refinement) transmits the SAME quantized coefficients baseline
+    sends, so the decode-fidelity contract matches ``jpeg_decode``:
+    an ALL-INTEGER mean each engine derives independently (raster
+    pixel p = ((doc_id·3) mod 96) + (p mod 16)·5 + (p div 16)·5), plus
+    booleans pinning the lossy round trip inside quantization error.
+    A broken EOB-run, ZRL skip, or correction-bit path shows up as
+    wrong pixels and fails the booleans."""
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("format", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("mean_orig_x100", LongType()),
+            StructField("max_err_le_8", BooleanType()),
+            StructField("mean_err_le_2", BooleanType()),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.jpeg import (
+            encode_jpeg_gray_progressive,
+        )
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.multimodal import (
+            parse_image,
+        )
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "format", "width", "height",
+                "mean_orig_x100", "max_err_le_8", "mean_err_le_2",
+            )}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                px = [((d * 3) % 96) + (p % 16) * 5 + (p // 16) * 5 for p in range(256)]
+                fmt, w, h, gray = parse_image(
+                    encode_jpeg_gray_progressive(px, 16, 16, quality=85, mode="successive")
+                )
+                errs = [abs(a - b) for a, b in zip(gray, px)]
+                a = sum(px) * 100
+                out["doc_id"].append(d)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_orig_x100"].append((2 * a + 256) // 512)
+                out["max_err_le_8"].append(max(errs) <= 8)
+                out["mean_err_le_2"].append(sum(errs) / 256 <= 2)
+            yield pd.DataFrame(out)
+
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return docs.mapInPandas(kernel, schema)
+
+
+JPEG_PROGRESSIVE_DUCK = """
+SELECT doc_id, 'jpeg' AS format, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST((2 * (s * 100) + 256) // 512 AS BIGINT) AS mean_orig_x100,
+       TRUE AS max_err_le_8, TRUE AS mean_err_le_2
+FROM (
+  SELECT d.doc_id, SUM((d.doc_id * 3) % 96 + (t.p % 16) * 5 + (t.p // 16) * 5) AS s
+  FROM documents d, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 255)) AS p) t
+  GROUP BY d.doc_id
+)
+"""
+
+
 def _q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PNG decode with a FULL-STRENGTH oracle (round 7): PNG is
     lossless, so unlike ``jpeg_decode`` there is no tolerance contract —
@@ -3575,6 +3658,58 @@ SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS n_channels,
        CAST(SUM(s * s) AS BIGINT) AS energy,
        CAST(SUM(CASE WHEN prev * s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
 FROM w GROUP BY doc_id
+"""
+
+
+def _q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term co-occurrence / PMI counting (operators/corpus.py
+    term_cooccurrence): document-level pair counts over the df-band +
+    per-doc-rarest-8 bounded vocabulary, with the all-integer
+    ``lift_x1000`` association score (lift is the exp of PMI — same
+    ranking, no cross-engine log). The oracle re-derives the band
+    filter, the deterministic (df, term) rank cap, the pair join, and
+    the integer DIV in DuckDB; a tie-break or band boundary slip
+    changes rows, a single miscounted pair breaks the hash."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.corpus import (
+        term_cooccurrence,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    return term_cooccurrence(
+        docs, "doc_id", "text", min_doc_freq=2, max_terms_per_doc=8
+    )
+
+
+PMI_PAIRS_DUCK = """
+WITH toks AS MATERIALIZED (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS t(term)
+),
+dfc AS MATERIALIZED (
+  SELECT term, COUNT(*) AS df FROM toks GROUP BY term
+),
+kept AS MATERIALIZED (
+  SELECT doc_id, term, df FROM (
+    SELECT toks.doc_id, toks.term, dfc.df,
+           ROW_NUMBER() OVER (
+             PARTITION BY toks.doc_id ORDER BY dfc.df ASC, toks.term ASC
+           ) AS rk
+    FROM toks JOIN dfc USING (term)
+    WHERE dfc.df >= 2
+  ) WHERE rk <= 8
+),
+n AS MATERIALIZED (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+p AS MATERIALIZED (
+  SELECT a.term AS term_a, b.term AS term_b,
+         a.df AS docs_a, b.df AS docs_b, COUNT(*) AS pair_docs
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2, 3, 4
+)
+SELECT term_a, term_b, CAST(pair_docs AS BIGINT) AS pair_docs,
+       CAST(docs_a AS BIGINT) AS docs_a, CAST(docs_b AS BIGINT) AS docs_b,
+       CAST(n.n_docs AS BIGINT) AS n_docs,
+       CAST((1000 * pair_docs * n.n_docs) // (docs_a * docs_b) AS BIGINT) AS lift_x1000
+FROM p, n
 """
 
 
@@ -4866,22 +5001,27 @@ def _q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-7 rotation (counts: 20 + 30 + 0 = 50 checked;
-        # 45 r04/r05-evidence + 42 r06/r07-green = 87 tail; 140 total
-        # (3 round-8 codec entries lead; full r8 rotation rewrite at round
-        # close):
-        #   1. new or changed in round 7 (changed code re-enters the
-        #      checked 50 unconditionally — the round-6 lesson that a
-        #      final-commit change can ship unaudited applies to
-        #      correctness evidence too),
-        #   2. the 34 round-6 demotions, exactly the list the r06
-        #      comment promised would lead this round (25 r04-green
-        #      displaced by r06's new operators + 9 triple-green
-        #      unchanged-SQL),
-        #   4. tail: first the r05-evidence keys not checked this round
-        #      (they LEAD round 8), then everything checked green in
-        #      r06 or by this round's full builder sweep.
-    return {
+        # entries. Round-8 rotation (counts: 5 + 8 + 37 = 50 checked;
+        # 92 r06/r07-green tail; 142 total). ``base`` below keeps the
+        # historical (round-7) definition order for readability — the
+        # ACTUAL round-8 checked set is the explicit ``head`` list after
+        # it (5 new + 8 changed-code re-entries + the 37 oldest-evidence
+        # keys the round-7 comment promised), followed by everything
+        # else in prior order. Next round's 50 should lead with the
+        # r06/r07-evidence block displaced this round (jdbc_roundtrip,
+        # profile_report_approx, profile_report, bloom_new_docs,
+        # knn_pagerank, weighted_pagerank, udtf_sentences,
+        # topk_neighbors, pq_topk, streaming_sessionization,
+        # salted_join_revenue, heavy_hitters, bloom_join_revenue,
+        # winnow_near_dups, the q13/q15/q22/q2/q8/q9/q11/q16/q17/q21
+        # TPC-H block, decontaminate, pii_redaction, boilerplate_ngrams,
+        # dataset_split, repetition_profile, filter_audit,
+        # nfc_normalize, url_domains, span_dedup, formats_roundtrip,
+        # multimodal_decode, pivot_event_values, udf_text_metrics,
+        # vector_stats, broadcast_hint_join, parts_heavy_semi,
+        # set_ops_segments, correlated_max_order, json_events) plus
+        # anything round 9 changes.
+    base = {
         # -- (1) new or changed in round 7: 4 brand-new entries
         #    (png/jpeg decode, jdbc roundtrip, approx profiling) + 11
         #    whose code path changed (JVM bloom probe, pagerank rank
@@ -4891,6 +5031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_decode": _q_gif_decode,
         "g711_decode": _q_g711_decode,
         "avi_frames": _q_avi_frames,
+        "pmi_pairs": _q_pmi_pairs,
+        "jpeg_progressive": _q_jpeg_progressive,
         "png_decode": _q_png_decode,
         "jpeg_decode": _q_jpeg_decode,
         "jdbc_roundtrip": _q_jdbc_roundtrip,
@@ -5044,6 +5186,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": _q_approx_distinct,
         "minhash_near_dups": _q_minhash_near_dups,
     }
+    # Round-8 rotation head: the driver checks the FIRST 50 keys.
+    # Composition (5 + 8 + 37 = 50):
+    #   - 5 brand-new round-8 entries (codec tier + PMI),
+    #   - 8 whose code path changed in round 8 (jpeg/png/wav decode
+    #     hardening + progressive/Adam7/16-bit/G.711 rewrites touched
+    #     shared decoders; chunk_documents null contract; the centroid
+    #     broadcast registry behind ivf/ivfpq/semantic_dedup;
+    #     parse_image dispatch behind image_decode) — changed code
+    #     ALWAYS re-enters,
+    #   - the 37 oldest-evidence keys, exactly the order the round-7
+    #     comment promised (the 5 displaced demotions, then the
+    #     r05-evidence block, then the r04 tail through
+    #     q20_excess_supplier).
+    # Everything not in the head keeps its r06/r07 evidence and follows
+    # in prior order; steady-state max evidence age stays ≤ 3 rounds.
+    head = [
+        "gif_decode", "g711_decode", "avi_frames", "pmi_pairs",
+        "jpeg_progressive",
+        "png_decode", "jpeg_decode", "wav_decode", "doc_chunks",
+        "ivf_topk", "ivfpq_topk", "semantic_dedup", "image_decode",
+        "customers_no_orders_anti", "string_funcs", "case_coalesce",
+        "grouping_sets", "stratified_sample",
+        "token_packing", "multimodal_frames", "streaming_hourly_events",
+        "winnow_fingerprints", "simhash_near_pairs", "scd2_price_history",
+        "sessionization", "event_type_pivot",
+        "text_stats", "date_funcs", "range_join_shipments", "percentiles",
+        "hourly_events", "dedup_keep_latest", "asof_purchase_attribution",
+        "exact_dedup_docs", "near_dup_clusters", "simhash_fingerprints",
+        "tokenize_regex", "quality_scores", "lang_id",
+        "top_orders_per_customer", "running_customer_spend",
+        "q1_pricing_summary", "q3_shipping_priority",
+        "q5_local_supplier_volume", "q6_forecast_revenue",
+        "q7_volume_shipping", "q10_returned_items", "orders_cube",
+        "window_analytics", "q20_excess_supplier",
+    ]
+    out = {k: base[k] for k in head}
+    out.update((k, v) for k, v in base.items() if k not in out)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5063,6 +5243,8 @@ def oracle_sql() -> dict[str, str]:
         "gif_decode": GIF_DECODE_DUCK,
         "g711_decode": G711_DECODE_DUCK,
         "avi_frames": AVI_FRAMES_DUCK,
+        "pmi_pairs": PMI_PAIRS_DUCK,
+        "jpeg_progressive": JPEG_PROGRESSIVE_DUCK,
         "doc_chunks": DOC_CHUNKS_DUCK,
         "salted_join_revenue": SALTED_JOIN_DUCK,
         "heavy_hitters": HEAVY_HITTERS_DUCK,

@@ -116,6 +116,14 @@ HEADLINE = [
     "doc_chunks",
     "salted_join_revenue",
     "wav_decode",
+    # round 8: the codec tier completions (interlaced-LZW GIF, G.711
+    # expansion, MJPEG-AVI demux+decode fan-out, progressive JPEG
+    # successive-approximation) and the bounded PMI pair join
+    "gif_decode",
+    "g711_decode",
+    "avi_frames",
+    "jpeg_progressive",
+    "pmi_pairs",
 ]
 
 

@@ -258,14 +258,17 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes):
-    """Decode a baseline sequential JPEG; returns ``(width, height,
-    luma)`` where luma is a row-major ``list[int]`` of the Y channel
-    (0-255) — chroma is entropy-decoded (the stream must advance) but
-    not reconstructed, since every caller in this engine consumes the
-    601-luma contract. Raises ``ValueError`` on progressive/arithmetic/
-    12-bit streams or corrupt data — ValueError is the ONLY corrupt-input
-    exception (decode_image/image_resize null-route exactly that class),
-    so truncated-segment struct/index failures are normalized here."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG; returns
+    ``(width, height, luma)`` where luma is a row-major ``list[int]`` of
+    the Y channel (0-255) — chroma is entropy-decoded where the
+    bitstream demands it (baseline interleaved scans, progressive DC
+    scans) but not reconstructed, since every caller in this engine
+    consumes the 601-luma contract; progressive chroma AC scans are
+    skipped outright by marker resync. Raises ``ValueError`` on
+    arithmetic-coded/hierarchical/12-bit streams or corrupt data —
+    ValueError is the ONLY corrupt-input exception (decode_image/
+    image_resize null-route exactly that class), so truncated-segment
+    struct/index failures are normalized here."""
     try:
         return _decode_jpeg_inner(payload)
     except (struct.error, IndexError, StopIteration) as exc:
@@ -281,6 +284,7 @@ def _decode_jpeg_inner(payload: bytes):
     ac_tabs: dict[int, _HuffDecoder] = {}
     restart_interval = 0
     frame = None  # (w, h, comps) ; comps = [(cid, hi, vi, tq)]
+    progressive = False
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
@@ -318,7 +322,7 @@ def _decode_jpeg_inner(payload: bytes):
                     raise ValueError("corrupt JPEG: truncated Huffman value list")
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffDecoder(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision = body[0]
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -329,13 +333,23 @@ def _decode_jpeg_inner(payload: bytes):
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("only baseline sequential (SOF0) JPEG supported")
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                "only baseline (SOF0) and progressive (SOF2) JPEG supported"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
+            if progressive:
+                # the progressive loop owns the rest of the stream
+                # (multiple scans with DHT/DQT/DRI segments in between)
+                return _decode_progressive(
+                    payload, pos - 2, frame, qtables, dc_tabs, ac_tabs,
+                    restart_interval,
+                )
             ns = body[0]
             scan = []
             for c in range(ns):
@@ -411,13 +425,21 @@ def _decode_scan(
             mcu_count += 1
     if y_tq not in qtables:
         raise ValueError("corrupt JPEG: missing quantization table")
-    # vectorized dequant + IDCT + level shift over ALL Y blocks at once
+    return _reconstruct_y(
+        y_coefs, qtables[y_tq], w, h, y_hi, y_vi, hmax, vmax, y_blocks_x, y_blocks_y
+    )
+
+
+def _reconstruct_y(y_coefs, qtbl, w, h, y_hi, y_vi, hmax, vmax, y_blocks_x, y_blocks_y):
+    """Vectorized dequant + IDCT + level shift over ALL Y blocks at once,
+    then assemble the luma plane and crop padding — shared by the
+    baseline and progressive paths (progressive differs only in how the
+    coefficients were accumulated)."""
     deq = np.zeros((len(y_coefs), 64), dtype=np.float64)
-    deq[:, ZIGZAG] = y_coefs * qtables[y_tq][ZIGZAG]
+    deq[:, ZIGZAG] = y_coefs * qtbl[ZIGZAG]
     blocks = deq.reshape(-1, 8, 8)
     spatial = np.einsum("ij,njk,kl->nil", _DCT.T, blocks, _DCT)
     pixels = np.clip(np.floor(spatial + 128.5), 0, 255).astype(np.uint8)
-    # assemble the luma plane and crop padding
     plane = (
         pixels.reshape(y_blocks_y, y_blocks_x, 8, 8)
         .transpose(0, 2, 1, 3)
@@ -430,6 +452,273 @@ def _decode_scan(
     if (y_hi, y_vi) != (hmax, vmax):
         raise ValueError("luma must have the maximal sampling factor")
     return w, h, [int(v) for v in plane[:h, :w].reshape(-1)]
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) — T.81 annex G. Coefficients accumulate across scans:
+# DC and AC bands arrive separately (spectral selection) and/or bitplane by
+# bitplane (successive approximation); only the Y component's coefficients
+# are stored (the 601-luma contract), but every interleaved DC scan decodes
+# all components to keep the bitstream aligned, and non-Y AC scans are
+# skipped by marker resync (scans are self-contained — no cross-scan
+# entropy state beyond the coefficient store itself).
+# ---------------------------------------------------------------------------
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Byte position of the next real marker (skipping stuffed 0xFF00 and
+    RSTn) at or after ``pos``."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            if 0xD0 <= data[pos + 1] <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    raise ValueError("corrupt JPEG: unterminated scan")
+
+
+def _ac_first_block(br, ac_tab, coef, ss, se, al, eobrun):
+    """First AC scan for one block (G.1.2.2); returns the new EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac_tab.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("corrupt JPEG: AC index past spectral band")
+        coef[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(br, ac_tab, coef, ss, se, al, eobrun):
+    """AC successive-approximation refinement for one block (G.1.2.3):
+    newly nonzero coefficients arrive as ±2^al; already-nonzero ones get
+    a correction bit appended whenever the scan passes over them."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+
+    def correct(c):
+        # invariant: every nonzero coef is a multiple of 2^al here, so
+        # the magnitude bit test is exact
+        if br.read_bit() and (abs(c) & p1) == 0:
+            return c + (p1 if c >= 0 else m1)
+        return c
+
+    if eobrun == 0:
+        while k <= se:
+            rs = ac_tab.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # r == 15 (ZRL): advance over 16 zero-history coefficients —
+                # 15 consumed by the decrement loop, the 16th by the shared
+                # k += 1 after the break (no value stored since s == 0)
+            elif s == 1:
+                val = p1 if br.read_bit() else m1
+            else:
+                raise ValueError("corrupt JPEG: bad AC refinement symbol")
+            # advance over r zero coefficients, appending correction bits
+            # to any nonzero coefficients passed over
+            while k <= se:
+                c = coef[k]
+                if c != 0:
+                    coef[k] = correct(c)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s == 1:
+                if k > se:
+                    raise ValueError("corrupt JPEG: refinement past band end")
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = coef[k]
+            if c != 0:
+                coef[k] = correct(c)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(payload, pos, frame, qtables, dc_tabs, ac_tabs, restart_interval):
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    y_cid, y_hi, y_vi, y_tq = comps[0]
+    y_blocks_x, y_blocks_y = mcus_x * y_hi, mcus_y * y_vi
+    y_coefs = np.zeros((y_blocks_y * y_blocks_x, 64), dtype=np.int64)
+    # non-interleaved grid per component: ceil over its OWN sampled dims
+    comp_grid = {}
+    for cid, hi, vi, _tq in comps:
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        comp_grid[cid] = (-(-cw // 8), -(-ch // 8), hi, vi)
+    got_scan = False
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker between scans")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue
+        seg_len = struct.unpack_from(">H", payload, pos)[0]
+        body = payload[pos + 2 : pos + seg_len]
+        if marker == 0xC4:  # DHT between scans
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                if len(bits) < 16:
+                    raise ValueError("corrupt JPEG: truncated Huffman table header")
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                if len(vals) < n:
+                    raise ValueError("corrupt JPEG: truncated Huffman value list")
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffDecoder(bits, vals)
+                i += 17 + n
+            pos += seg_len
+            continue
+        if marker == 0xDD:
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+            pos += seg_len
+            continue
+        if marker != 0xDA:  # DQT/APPn/COM between scans: skip
+            pos += seg_len
+            continue
+        ns = body[0]
+        scan = []
+        for c in range(ns):
+            cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+            scan.append((cs, tt >> 4, tt & 0xF))
+        ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+        ahal = body[3 + 2 * ns]
+        ah, al = ahal >> 4, ahal & 0xF
+        data_start = pos + seg_len
+        if ss == 0:  # DC scan (may be interleaved)
+            if se != 0:
+                raise ValueError("corrupt JPEG: DC scan with Se != 0")
+            br = _BitReader(payload, data_start)
+            preds = {cs: 0 for cs, *_ in scan}
+            order = []
+            for cs, td, _ta in scan:
+                sel = next((c for c in comps if c[0] == cs), None)
+                if sel is None:
+                    raise ValueError("corrupt JPEG: scan component not in frame")
+                if ah == 0 and td not in dc_tabs:
+                    raise ValueError("corrupt JPEG: scan references undefined DC Huffman table")
+                order.append((cs, sel[1], sel[2], td))
+            unit = 0
+            # walk units (MCUs when interleaved, single blocks otherwise)
+            if ns > 1:
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        if restart_interval and unit and unit % restart_interval == 0:
+                            br.align_to_marker()
+                            preds = {k: 0 for k in preds}
+                        for cs, hi, vi, td in order:
+                            for by in range(vi):
+                                for bx in range(hi):
+                                    if ah == 0:
+                                        t = dc_tabs[td].decode(br)
+                                        diff = _extend(br.receive(t), t) if t else 0
+                                        preds[cs] += diff
+                                        v = preds[cs] << al
+                                    else:
+                                        v = None
+                                    if cs == y_cid:
+                                        bi = (my * y_vi + by) * y_blocks_x + (mx * y_hi + bx)
+                                        if ah == 0:
+                                            y_coefs[bi, 0] = v
+                                        elif br.read_bit():
+                                            y_coefs[bi, 0] |= 1 << al
+                                    elif ah != 0:
+                                        br.read_bit()
+                        unit += 1
+            else:
+                cs, _td_unused, _ta = scan[0]
+                bx_n, by_n, hi, vi = comp_grid[cs]
+                td = order[0][3]
+                for row in range(by_n):
+                    for col in range(bx_n):
+                        if restart_interval and unit and unit % restart_interval == 0:
+                            br.align_to_marker()
+                            preds = {k: 0 for k in preds}
+                        if ah == 0:
+                            t = dc_tabs[td].decode(br)
+                            diff = _extend(br.receive(t), t) if t else 0
+                            preds[cs] += diff
+                            v = preds[cs] << al
+                        if cs == y_cid:
+                            bi = row * y_blocks_x + col
+                            if ah == 0:
+                                y_coefs[bi, 0] = v
+                            elif br.read_bit():
+                                y_coefs[bi, 0] |= 1 << al
+                        elif ah != 0:
+                            br.read_bit()
+                        unit += 1
+            pos = _next_marker(payload, br.pos)
+            got_scan = True
+            continue
+        # AC scan: always single-component per spec
+        if ns != 1:
+            raise ValueError("corrupt JPEG: interleaved AC scan")
+        cs, _td, ta = scan[0]
+        if cs != y_cid:
+            # chroma AC never reaches the luma raster — skip the scan
+            pos = _next_marker(payload, data_start)
+            got_scan = True
+            continue
+        if ta not in ac_tabs:
+            raise ValueError("corrupt JPEG: scan references undefined AC Huffman table")
+        bx_n, by_n, _hi, _vi = comp_grid[cs]
+        br = _BitReader(payload, data_start)
+        eobrun = 0
+        unit = 0
+        step = _ac_first_block if ah == 0 else _ac_refine_block
+        for row in range(by_n):
+            for col in range(bx_n):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    br.align_to_marker()
+                    eobrun = 0
+                eobrun = step(
+                    br, ac_tabs[ta], y_coefs[row * y_blocks_x + col], ss, se, al, eobrun
+                )
+                unit += 1
+        pos = _next_marker(payload, br.pos)
+        got_scan = True
+    if not got_scan:
+        raise ValueError("corrupt JPEG: progressive stream with no scans")
+    if y_tq not in qtables:
+        raise ValueError("corrupt JPEG: missing quantization table")
+    return _reconstruct_y(
+        y_coefs, qtables[y_tq], w, h, y_hi, y_vi, hmax, vmax, y_blocks_x, y_blocks_y
+    )
 
 
 def _decode_block(br, dc_tab, ac_tab, preds, cid):
@@ -601,6 +890,161 @@ def encode_jpeg_gray(
         + _marker(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     )
     return head + bytes(bw.out) + b"\xff\xd9"
+
+
+def _prog_dc_first(qz, dc_codes, al: int) -> bytes:
+    bw = _BitWriter()
+    pred = 0
+    for blk in qz:
+        v = int(blk[0]) >> al  # arithmetic shift, mirrored by decoder's << al
+        diff = v - pred
+        pred = v
+        t = _category(diff)
+        code, length = dc_codes[t]
+        bw.write(code, length)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _prog_dc_refine(qz, al: int) -> bytes:
+    bw = _BitWriter()
+    for blk in qz:
+        bw.write((int(blk[0]) >> al) & 1, 1)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _prog_ac_first(qz, ac_codes, ss: int, se: int, al: int) -> bytes:
+    """First AC scan: magnitude-shifted band coefficients, per-block EOB0
+    (no cross-block EOB runs — legal, and the Annex K table has no EOBn
+    codes anyway)."""
+    bw = _BitWriter()
+    for blk in qz:
+        t = [
+            (int(v) >> al) if v >= 0 else -((-int(v)) >> al)
+            for v in blk[ss : se + 1]
+        ]
+        last = -1
+        for i in range(len(t) - 1, -1, -1):
+            if t[i]:
+                last = i
+                break
+        run = 0
+        for i in range(last + 1):
+            v = t[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]
+                bw.write(code, length)
+                run -= 16
+            s = _category(v)
+            code, length = ac_codes[(run << 4) | s]
+            bw.write(code, length)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < len(t) - 1:
+            code, length = ac_codes[0x00]
+            bw.write(code, length)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _prog_ac_refine(qz, ac_codes, ss: int, se: int, al: int) -> bytes:
+    """AC successive-approximation refinement scan: newly nonzero
+    coefficients (|v| >> al == 1) carry (run<<4)|1 + sign bit; history
+    coefficients emit buffered correction bits; trailing content covered
+    by a per-block EOB0 followed by its buffered bits."""
+    bw = _BitWriter()
+    for blk in qz:
+        band = [int(v) for v in blk[ss : se + 1]]
+        mags = [(abs(v) >> al) for v in band]
+        run = 0
+        pending: list[int] = []  # correction bits buffered until next symbol
+        for v, m in zip(band, mags):
+            if m == 0:
+                run += 1
+                continue
+            if m > 1:  # history coefficient: append its correction bit
+                pending.append(abs(v) & (1 << al) and 1 or 0)
+                continue
+            # newly nonzero (m == 1)
+            while run > 15:
+                code, length = ac_codes[0xF0]
+                bw.write(code, length)
+                run -= 16
+                for b in pending:
+                    bw.write(b, 1)
+                pending = []
+            code, length = ac_codes[(run << 4) | 1]
+            bw.write(code, length)
+            bw.write(1 if v > 0 else 0, 1)
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+            run = 0
+        if run > 0 or pending:
+            code, length = ac_codes[0x00]  # EOB0
+            bw.write(code, length)
+            for b in pending:
+                bw.write(b, 1)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def encode_jpeg_gray_progressive(
+    gray, width: int, height: int, quality: int = 85, mode: str = "spectral"
+) -> bytes:
+    """Progressive (SOF2) grayscale encoder over the Annex K tables.
+
+    ``mode="spectral"``: three scans — DC, then AC bands 1-9 and 10-63
+    (spectral selection only; every coefficient at full precision).
+    ``mode="successive"``: four scans — DC and AC at Al=1 first, then a
+    DC refinement and an AC refinement delivering the final bit
+    (successive approximation: exercises the correction-bit machinery).
+    Either way the quantized coefficients transmitted are IDENTICAL to
+    what :func:`encode_jpeg_gray` sends, so progressive decode must
+    produce bit-identical pixels to the baseline round trip — which is
+    exactly what the tests assert."""
+    img = np.asarray(gray, dtype=np.int64).reshape(height, width)
+    qtbl = _scaled_quant(QUANT_LUMA, quality)
+    qz = _fdct_quant(_pad_edge(img), qtbl)
+    dc_codes = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    if mode == "spectral":
+        scans = [
+            (0, 0, 0, 0, _prog_dc_first(qz, dc_codes, 0)),
+            (1, 9, 0, 0, _prog_ac_first(qz, ac_codes, 1, 9, 0)),
+            (10, 63, 0, 0, _prog_ac_first(qz, ac_codes, 10, 63, 0)),
+        ]
+    elif mode == "successive":
+        scans = [
+            (0, 0, 0, 1, _prog_dc_first(qz, dc_codes, 1)),
+            (1, 63, 0, 1, _prog_ac_first(qz, ac_codes, 1, 63, 1)),
+            (0, 0, 1, 0, _prog_dc_refine(qz, 0)),
+            (1, 63, 1, 0, _prog_ac_refine(qz, ac_codes, 1, 63, 0)),
+        ]
+    else:
+        raise ValueError("mode must be 'spectral' or 'successive'")
+    out = bytearray(
+        b"\xff\xd8"
+        + _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _dqt_segment(0, qtbl)
+        + _marker(
+            0xC2,
+            bytes([8]) + struct.pack(">HH", height, width) + bytes([1, 1, 0x11, 0]),
+        )
+        + _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+        + _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    )
+    for ss, se, ah, al, data in scans:
+        out += _marker(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out += data
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def encode_jpeg_rgb444(rgb, width: int, height: int, quality: int = 85) -> bytes:

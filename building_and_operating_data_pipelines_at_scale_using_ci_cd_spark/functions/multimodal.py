@@ -182,9 +182,10 @@ def parse_image(payload: bytes):
     on unsupported/corrupt payloads — callers choose whether to gate or
     null-route.
 
-    JPEG decodes via the pure-numpy baseline codec in ``jpeg.py``
-    (round 7) — SOF0, 8-bit, grayscale/4:4:4/4:2:2/4:2:0, restart
-    markers; progressive (SOF2) and arithmetic streams still raise."""
+    JPEG decodes via the pure-numpy codec in ``jpeg.py`` — baseline
+    SOF0 (round 7) AND progressive SOF2 (round 8: spectral selection,
+    successive approximation, EOB runs), 8-bit, grayscale/4:4:4/4:2:2/
+    4:2:0, restart markers; arithmetic-coded streams still raise."""
     if payload[:2] in (b"P6", b"P5"):
         return _parse_pnm(payload)
     if payload[:2] == b"BM":
@@ -398,18 +399,19 @@ def decode_compressed_gate(*_args, **_kwargs):
     the pure-numpy T.81 codec (``jpeg.py``) and 8-bit PNG through the
     stdlib-zlib codec (``png.py``), wired into :func:`parse_image`;
     PPM/PGM/BMP have decoded natively since round 5; round 8 added
-    Adam7-interlaced and 16-bit PNG, GIF (LZW), G.711 audio, and
-    MJPEG-in-AVI video frames. What remains gated: progressive/
-    arithmetic JPEG, entropy-coded audio (MP3/AAC/FLAC), and
-    inter-frame video codecs (genuinely need ffmpeg-class libraries).
-    Extend :func:`parse_image` when a codec library lands — the Spark
-    plumbing (Arrow batches, corrupt-row null-routing) is proven on
-    real compressed bytes."""
+    progressive JPEG, Adam7-interlaced and 16-bit PNG, GIF (LZW),
+    G.711 audio, and MJPEG-in-AVI video frames. What remains gated:
+    arithmetic-coded/hierarchical JPEG, entropy-coded audio
+    (MP3/AAC/FLAC), and inter-frame video codecs (genuinely need
+    ffmpeg-class libraries). Extend :func:`parse_image` when a codec
+    library lands — the Spark plumbing (Arrow batches, corrupt-row
+    null-routing) is proven on real compressed bytes."""
     raise NotImplementedError(
-        "progressive JPEG / entropy-coded audio / inter-frame video decode "
-        "requires a codec library (PIL/opencv/ffmpeg); PPM/PGM/BMP, baseline "
-        "JPEG, PNG (8/16-bit, plain+Adam7), GIF, G.711, and MJPEG-AVI frames "
-        "decode natively — extend parse_image for the rest"
+        "arithmetic-coded JPEG / entropy-coded audio / inter-frame video "
+        "decode requires a codec library (PIL/opencv/ffmpeg); PPM/PGM/BMP, "
+        "JPEG (baseline+progressive), PNG (8/16-bit, plain+Adam7), GIF, "
+        "G.711, and MJPEG-AVI frames decode natively — extend parse_image "
+        "for the rest"
     )
 
 

@@ -16,7 +16,7 @@ the 100-TB corpus is never shuffled for the join itself.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.text import shingles_from_tokens, tokens
 
@@ -270,6 +270,89 @@ def frequent_ngrams(
         .groupBy("gram")
         .agg(F.count_distinct("__id").alias("doc_freq"))
         .filter(F.col("doc_freq") >= min_doc_freq)
+    )
+
+
+def term_cooccurrence(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_doc_freq: int = 2,
+    max_doc_freq: int | None = None,
+    max_terms_per_doc: int | None = None,
+) -> DataFrame:
+    """Document-level term co-occurrence with integer association
+    strength — the counting core of PMI/collocation analysis. Returns
+    (term_a, term_b, pair_docs, docs_a, docs_b, n_docs, lift_x1000)
+    for every unordered term pair sharing a document, where
+    ``lift_x1000 = floor(1000 · pair_docs · n_docs / (docs_a·docs_b))``.
+    Lift is P(a,b)/(P(a)P(b)) and PMI is its log, a MONOTONE transform —
+    so ranking by the all-integer lift IS ranking by PMI, with no float
+    log to diverge across engines (the knn_pagerank integer-mass
+    lesson applied to collocations). Tokens are the shared single-space
+    split contract; terms are per-document DISTINCT (document-level
+    co-occurrence, not positional windows).
+
+    Shape at scale — the pair explosion is the danger (Σ_d C(t_d, 2)):
+      1. the doc-frequency band filter runs BEFORE any pairing (the
+         ``inverted_index`` lesson): drop hapaxes (< min_doc_freq, they
+         cannot co-occur meaningfully) and stopword-frequency terms
+         (> max_doc_freq, they pair with EVERYTHING — the quadratic
+         blowup at corpus scale);
+      2. ``max_terms_per_doc`` optionally caps each document's
+         contribution to its N RAREST kept terms (ascending df, then
+         term — deterministic), bounding pairs per doc at C(N, 2)
+         regardless of document length;
+      3. the pair generator is a self-equi-join on doc id (never a
+         cross join), and the final count is one map-side-combinable
+         groupBy; n_docs attaches as a 1-row broadcast scalar."""
+    if min_doc_freq < 1:
+        raise ValueError("min_doc_freq must be >= 1")
+    toks = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.array_distinct(
+                    F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+                )
+            ).alias("term"),
+        )
+    )
+    dfc = toks.groupBy("term").agg(F.count("*").alias("__df"))
+    band = dfc.filter(F.col("__df") >= min_doc_freq)
+    if max_doc_freq is not None:
+        band = band.filter(F.col("__df") <= max_doc_freq)
+    kept = toks.join(band, "term")
+    if max_terms_per_doc is not None:
+        w = Window.partitionBy("__id").orderBy(F.col("__df").asc(), F.col("term").asc())
+        kept = (
+            kept.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= max_terms_per_doc)
+            .drop("__rk")
+        )
+    a = kept.select(F.col("__id"), F.col("term").alias("term_a"), F.col("__df").alias("docs_a"))
+    b = kept.select(F.col("__id"), F.col("term").alias("term_b"), F.col("__df").alias("docs_b"))
+    pairs = (
+        a.join(b, "__id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b", "docs_a", "docs_b")
+        .agg(F.count("*").alias("pair_docs"))
+    )
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    return pairs.crossJoin(F.broadcast(n_docs)).select(
+        "term_a",
+        "term_b",
+        "pair_docs",
+        F.col("docs_a").cast("bigint").alias("docs_a"),
+        F.col("docs_b").cast("bigint").alias("docs_b"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        # DIV (not /) keeps the arithmetic in exact bigint — a float
+        # quotient could land at x.999... and truncate differently than
+        # DuckDB's integer // on division-exact boundaries
+        F.expr(
+            "CAST((1000 * pair_docs * n_docs) DIV (docs_a * docs_b) AS BIGINT)"
+        ).alias("lift_x1000"),
     )
 
 

@@ -135,6 +135,13 @@ def _bloom_filtered_join(df: DataFrame, key: str, build_view: str, **kw) -> Data
     return bloom_filtered_join(df, df.sparkSession.table(build_view), key, **kw)
 
 
+def _term_cooccurrence(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
+    from .corpus import term_cooccurrence
+
+    kw = {k: int(v) for k, v in kw.items()}
+    return term_cooccurrence(df, id_col, text_col, **kw)
+
+
 def _decode_image(df: DataFrame, **kw) -> DataFrame:
     """Config shape for the image lane: input view carries (doc_id,
     payload) binary rows; PPM/PGM/BMP/JPEG/PNG/GIF decode natively."""
@@ -565,6 +572,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "tumblingCounts": _tumbling_counts,
     "streamingDedup": _streaming_dedup_op,
     "sessionCloseEvents": _session_close_events,
+    "termCooccurrence": _term_cooccurrence,
     "decodeImage": _decode_image,
     "audioFeatures": _audio_features,
     "sampleVideoFrames": _sample_video_frames,

@@ -78,12 +78,22 @@ class TestRobustness:
         with pytest.raises(ValueError, match="SOI"):
             decode_jpeg(b"\x89PNG....")
 
-    def test_progressive_rejected(self):
+    def test_mislabeled_sof2_is_corrupt(self):
+        # a BASELINE scan relabeled SOF2 hits the progressive path with
+        # Ss=0/Se=63 — an illegal DC-scan shape that must fail as corrupt
         img = _gradient(16, 16)
         payload = bytearray(encode_jpeg_gray(img.reshape(-1), 16, 16))
         i = payload.find(b"\xff\xc0")
-        payload[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-        with pytest.raises(ValueError, match="baseline"):
+        payload[i + 1] = 0xC2
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(payload))
+
+    def test_arithmetic_coded_rejected(self):
+        img = _gradient(16, 16)
+        payload = bytearray(encode_jpeg_gray(img.reshape(-1), 16, 16))
+        i = payload.find(b"\xff\xc0")
+        payload[i + 1] = 0xC9  # SOF9: arithmetic sequential
+        with pytest.raises(ValueError, match="SOF0"):
             decode_jpeg(bytes(payload))
 
     def test_truncated_stream(self):
@@ -131,3 +141,81 @@ def test_rgb422_horizontal_subsampled_mcu_path(spark=None):
     assert (w, h) == (27, 21)
     yref = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
     assert np.abs(np.array(luma).reshape(h, w) - yref).mean() < 4
+
+
+class TestProgressive:
+    """SOF2: the progressive transmission of the SAME quantized
+    coefficients baseline sends — so decoded pixels must be
+    bit-identical to the baseline round trip."""
+
+    @pytest.mark.parametrize("mode", ["spectral", "successive"])
+    @pytest.mark.parametrize("w,h", [(8, 8), (17, 13), (64, 48)])
+    def test_identical_to_baseline(self, mode, w, h):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.jpeg import (
+            encode_jpeg_gray_progressive,
+        )
+
+        rng = np.random.default_rng(4)
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        img = ((x * 5 + y * 3) % 200 + rng.integers(0, 20, (h, w))).clip(0, 255)
+        flat = img.reshape(-1).tolist()
+        base = decode_jpeg(encode_jpeg_gray(flat, w, h, quality=85))
+        prog = decode_jpeg(
+            encode_jpeg_gray_progressive(flat, w, h, quality=85, mode=mode)
+        )
+        assert prog == base
+
+    def test_flat_image_eob_only_scans(self):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.jpeg import (
+            encode_jpeg_gray_progressive,
+        )
+
+        flat = [128] * 256  # all-zero AC everywhere: EOB-only AC scans
+        base = decode_jpeg(encode_jpeg_gray(flat, 16, 16))
+        for mode in ("spectral", "successive"):
+            assert decode_jpeg(
+                encode_jpeg_gray_progressive(flat, 16, 16, mode=mode)
+            ) == base
+
+    def test_truncated_progressive_stream(self):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.jpeg import (
+            encode_jpeg_gray_progressive,
+        )
+
+        img = _gradient(32, 32)
+        payload = encode_jpeg_gray_progressive(img.reshape(-1), 32, 32)
+        with pytest.raises(ValueError):
+            decode_jpeg(payload[: len(payload) * 2 // 3])
+
+    def test_real_progressive_photo(self):
+        import os
+
+        f = (
+            "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/"
+            "rust/html/embedded-book/assets/f3.jpg"
+        )
+        if not os.path.exists(f):
+            pytest.skip("no real progressive fixture on this host")
+        # produced by a real encoder: multi-component interleaved DC,
+        # cross-block EOB runs, successive approximation, chroma AC skip
+        with open(f, "rb") as fh:
+            w, h, luma = decode_jpeg(fh.read())
+        assert (w, h) == (720, 477) and len(luma) == w * h
+        arr = np.array(luma)
+        assert 100 < arr.mean() < 140 and arr.std() > 30  # a photo, not noise
+
+    def test_parse_image_dispatches_progressive(self):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.jpeg import (
+            encode_jpeg_gray_progressive,
+        )
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.multimodal import (
+            parse_image,
+        )
+
+        img = _gradient(16, 16)
+        fmt, w, h, gray = parse_image(
+            encode_jpeg_gray_progressive(img.reshape(-1), 16, 16, mode="successive")
+        )
+        assert (fmt, w, h) == ("jpeg", 16, 16)
+        base = decode_jpeg(encode_jpeg_gray(img.reshape(-1), 16, 16))
+        assert gray == base[2]

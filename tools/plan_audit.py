@@ -64,6 +64,10 @@ BNLJ_ALLOWED = {
     # wide agg to the slim sketch agg 1-row x 1-row — scalar attachment,
     # deliberately NOT fused (the Expand lesson in profile_columns)
     "profile_report_approx",
+    # pmi_pairs: term_cooccurrence attaches the 1-row n_docs total via
+    # broadcast crossJoin — the domain_mix scalar-attachment shape; the
+    # pair generator itself is a hash equi-join on doc id
+    "pmi_pairs",
 }
 
 FLAGS = {
