@@ -184,16 +184,19 @@ VIDEO_FRAME_SCHEMA = StructType(
 
 
 def sample_video_frames(df_with_payload: DataFrame, every: int = 1) -> DataFrame:
-    """Demux AVI payloads and DECODE every ``every``-th frame through
-    :func:`multimodal.parse_image` (MJPEG frames are baseline JPEGs).
-    Emits (doc_id, frame_idx, n_frames, width, height, sum_luma,
-    frame_ok); a corrupt container yields ONE row with frame_idx −1 and
-    frame_ok false, a corrupt single frame yields its row with
-    frame_ok false — either way the stage survives."""
+    """Decode every ``every``-th frame of a multi-frame media payload:
+    MJPEG AVI (demux via the RIFF walker, frames through
+    :func:`multimodal.parse_image`) or animated GIF (composited frames
+    via :func:`gif.gif_frame_lumas`). Emits (doc_id, frame_idx,
+    n_frames, width, height, sum_luma, frame_ok); a corrupt container
+    yields ONE row with frame_idx −1 and frame_ok false, a corrupt
+    single frame yields its row with frame_ok false — either way the
+    stage survives."""
     if every <= 0:
         raise ValueError("every must be positive")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .gif import gif_frame_lumas
         from .multimodal import parse_image
 
         for pdf in batches:
@@ -209,8 +212,18 @@ def sample_video_frames(df_with_payload: DataFrame, every: int = 1) -> DataFrame
                 out["frame_ok"].append(ok)
 
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if raw[:6] in (b"GIF87a", b"GIF89a"):
+                    try:
+                        w, h, lumas = gif_frame_lumas(raw)
+                    except ValueError:
+                        emit(doc_id, -1, None, None, None, None, False)
+                        continue
+                    for idx in range(0, len(lumas), every):
+                        emit(doc_id, idx, len(lumas), w, h, sum(lumas[idx]), True)
+                    continue
                 try:
-                    w, h, _rate, _scale, frames = demux_avi(bytes(payload))
+                    w, h, _rate, _scale, frames = demux_avi(raw)
                 except ValueError:
                     emit(doc_id, -1, None, None, None, None, False)
                     continue

@@ -152,3 +152,26 @@ def test_sample_video_frames_registry_step(spark, tmp_path):
     back = spark.read.parquet(str(tmp_path / "frames")).collect()
     assert sorted(r["frame_idx"] for r in back) == [0, 3]
     assert all(r["frame_ok"] for r in back)
+
+
+def test_sample_video_frames_on_animated_gif(spark):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.gif import (
+        encode_gif_gray,
+    )
+
+    f0 = np.full((4, 4), 10, dtype=np.uint8)
+    f1 = np.full((4, 4), 20, dtype=np.uint8)
+    f2 = np.full((4, 4), 30, dtype=np.uint8)
+    gif = encode_gif_gray([f0, f1, f2], 4, 4)
+    df = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(b"GIF89a junk"))],
+        "doc_id long, payload binary",
+    )
+    got = sample_video_frames(df, every=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    ok = sorted(by_doc[1], key=lambda r: r["frame_idx"])
+    assert [(r["frame_idx"], r["sum_luma"]) for r in ok] == [(0, 160), (2, 480)]
+    assert all(r["n_frames"] == 3 and r["frame_ok"] for r in ok)
+    assert by_doc[2][0]["frame_idx"] == -1 and not by_doc[2][0]["frame_ok"]

@@ -37,6 +37,12 @@ def test_rag_prep_example(spark):
     mod.main()  # asserts internally (chunk geometry, postings, tfidf)
 
 
+@pytest.mark.slow
+def test_media_pipeline_example(spark):
+    mod = _load(os.path.join(_ROOT, "examples", "media_pipeline", "run.py"))
+    mod.main()  # asserts internally (formats decoded, features, frame fan-out)
+
+
 def test_registry_docs_bench_consistency():
     """tools/consistency_check.py: registry ↔ docs ↔ bench drift guard
     (stale counts and undocumented steps were recurring advice items)."""
