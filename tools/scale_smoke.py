@@ -377,6 +377,82 @@ def main() -> None:
 
     timed("jpeg encode+decode per doc", _jpeg_smoke)
 
+    def _media_smoke(maker, decoder):
+        import pandas as pd
+
+        def gen(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "payload": [maker(int(d)) for d in pdf["doc_id"]]}
+                )
+
+        payload_df = docs.select("doc_id").repartition(32).mapInPandas(
+            gen, "doc_id long, payload binary"
+        )
+        return decoder(payload_df)
+
+    def _gif_smoke():
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.gif import (
+            encode_gif_gray,
+        )
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.multimodal import (
+            decode_image,
+        )
+
+        return _media_smoke(
+            lambda d: encode_gif_gray(
+                [(d * 37 + p * 11) % 256 for p in range(256)], 16, 16, interlace=True
+            ),
+            lambda df: decode_image(df).filter(F.col("decode_error").isNull()).count(),
+        )
+
+    timed("gif interlaced-LZW encode+decode per doc", _gif_smoke)
+
+    def _avi_smoke():
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.avi import (
+            mux_mjpeg_avi,
+            sample_video_frames,
+        )
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.jpeg import (
+            encode_jpeg_gray,
+        )
+
+        def make(d):
+            return mux_mjpeg_avi(
+                [
+                    encode_jpeg_gray(
+                        [((d + f * 7) % 96) + (p % 16) * 5 + p // 16 * 5 for p in range(256)],
+                        16, 16,
+                    )
+                    for f in range(4)
+                ],
+                16, 16, rate=24,
+            )
+
+        return _media_smoke(
+            make,
+            lambda df: sample_video_frames(df, every=2)
+            .filter(F.col("frame_ok"))
+            .count(),
+        )
+
+    timed("mjpeg-avi mux+demux+frame-decode per doc", _avi_smoke)
+
+    def _g711_smoke():
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.audio import (
+            audio_features,
+            encode_wav_g711,
+        )
+
+        return _media_smoke(
+            lambda d: encode_wav_g711(
+                [((d * 17 + i * 13) % 2048) - 1024 for i in range(480)], 8000
+            ),
+            lambda df: audio_features(df).filter(F.col("decode_error").isNull()).count(),
+        )
+
+    timed("g711 quantize+expand per doc", _g711_smoke)
+
 
 if __name__ == "__main__":
     main()
