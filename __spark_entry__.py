@@ -3661,6 +3661,49 @@ FROM w GROUP BY doc_id
 """
 
 
+def _q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection (functions/
+    similarity.py random_projection): 64-dim embeddings → 16 integer
+    coordinates, matrix entries derived from md5(seed:j:i) hex-digit
+    parity — the portable-hash trick — so DuckDB REBUILDS the exact
+    matrix in SQL and recomputes every coordinate over the same
+    floor(x·1000+0.5) quantization. All-integer end to end: one flipped
+    sign or mis-indexed element breaks the hash."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.similarity import (
+        random_projection,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, "vec_id", "embedding", 16)
+    # one row per coordinate — the driver hasher takes scalars, not arrays
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("j", "coord")
+    ).select("vec_id", F.col("j").cast("int").alias("j"), "coord")
+
+
+JL_PROJECTION_DUCK = """
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         LIST_TRANSFORM(embedding::DOUBLE[],
+                        x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+m AS MATERIALIZED (
+  SELECT j.j, i.i,
+         CASE WHEN substr(md5('jl:' || j.j || ':' || i.i), 1, 1)
+                   IN ('0','2','4','6','8','a','c','e')
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS j) j,
+       (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS i) i
+),
+p AS MATERIALIZED (
+  SELECT q.vec_id, m.j, SUM(m.s * q.qv[m.i + 1]) AS c
+  FROM q, m GROUP BY 1, 2
+)
+SELECT vec_id, CAST(j AS INT) AS j, CAST(c AS BIGINT) AS coord FROM p
+"""
+
+
 def _q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term co-occurrence / PMI counting (operators/corpus.py
     term_cooccurrence): document-level pair counts over the df-band +
@@ -5001,11 +5044,11 @@ def _q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-8 rotation (counts: 5 + 8 + 37 = 50 checked;
-        # 92 r06/r07-green tail; 142 total). ``base`` below keeps the
+        # entries. Round-8 rotation (counts: 6 + 8 + 36 = 50 checked;
+        # 93 r06/r07-green tail; 143 total). ``base`` below keeps the
         # historical (round-7) definition order for readability — the
         # ACTUAL round-8 checked set is the explicit ``head`` list after
-        # it (5 new + 8 changed-code re-entries + the 37 oldest-evidence
+        # it (6 new + 8 changed-code re-entries + the 36 oldest-evidence
         # keys the round-7 comment promised), followed by everything
         # else in prior order. Next round's 50 should lead with the
         # r06/r07-evidence block displaced this round (jdbc_roundtrip,
@@ -5033,6 +5076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avi_frames": _q_avi_frames,
         "pmi_pairs": _q_pmi_pairs,
         "jpeg_progressive": _q_jpeg_progressive,
+        "jl_projection": _q_jl_projection,
         "png_decode": _q_png_decode,
         "jpeg_decode": _q_jpeg_decode,
         "jdbc_roundtrip": _q_jdbc_roundtrip,
@@ -5203,7 +5247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in prior order; steady-state max evidence age stays ≤ 3 rounds.
     head = [
         "gif_decode", "g711_decode", "avi_frames", "pmi_pairs",
-        "jpeg_progressive",
+        "jpeg_progressive", "jl_projection",
         "png_decode", "jpeg_decode", "wav_decode", "doc_chunks",
         "ivf_topk", "ivfpq_topk", "semantic_dedup", "image_decode",
         "customers_no_orders_anti", "string_funcs", "case_coalesce",
@@ -5219,7 +5263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary", "q3_shipping_priority",
         "q5_local_supplier_volume", "q6_forecast_revenue",
         "q7_volume_shipping", "q10_returned_items", "orders_cube",
-        "window_analytics", "q20_excess_supplier",
+        "window_analytics",
     ]
     out = {k: base[k] for k in head}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -5245,6 +5289,7 @@ def oracle_sql() -> dict[str, str]:
         "avi_frames": AVI_FRAMES_DUCK,
         "pmi_pairs": PMI_PAIRS_DUCK,
         "jpeg_progressive": JPEG_PROGRESSIVE_DUCK,
+        "jl_projection": JL_PROJECTION_DUCK,
         "doc_chunks": DOC_CHUNKS_DUCK,
         "salted_join_revenue": SALTED_JOIN_DUCK,
         "heavy_hitters": HEAVY_HITTERS_DUCK,

@@ -124,6 +124,7 @@ HEADLINE = [
     "avi_frames",
     "jpeg_progressive",
     "pmi_pairs",
+    "jl_projection",
 ]
 
 

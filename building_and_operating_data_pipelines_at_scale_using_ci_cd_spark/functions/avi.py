@@ -147,17 +147,13 @@ def _demux_inner(payload: bytes):
                         width, height = struct.unpack_from("<II", hbody, 32)
                     elif htag == b"LIST" and hbody[:4] == b"strl":
                         spos, send = hpos + 12, hpos + 8 + hsize
-                        is_video = False
                         while spos + 8 <= send:
                             stag = payload[spos : spos + 4]
                             ssize = struct.unpack_from("<I", payload, spos + 4)[0]
                             sbody = payload[spos + 8 : spos + 8 + ssize]
-                            if stag == b"strh" and len(sbody) >= 32:
-                                is_video = sbody[:4] == b"vids"
-                                if is_video:
-                                    scale, rate = struct.unpack_from("<II", sbody, 20)
+                            if stag == b"strh" and len(sbody) >= 32 and sbody[:4] == b"vids":
+                                scale, rate = struct.unpack_from("<II", sbody, 20)
                             spos += 8 + ssize + (ssize & 1)
-                        del is_video
                     hpos += 8 + hsize + (hsize & 1)
             elif kind == b"movi":
                 _walk_movi(payload, body_start + 4, body_start + size, frames)

@@ -318,6 +318,61 @@ def kmeans_refine(
     return cents
 
 
+def jl_sign(seed: str, j: int, i: int) -> int:
+    """±1 entry (j, i) of the Johnson-Lindenstrauss projection matrix,
+    derived from the first hex digit of ``md5(seed:j:i)`` — md5 is the
+    one hash both Spark and DuckDB expose identically (the portable-
+    hash oracle trick), so the ORACLE can rebuild the exact matrix in
+    SQL while the operator ships it as literals."""
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dim: int,
+    *,
+    in_dim: int = 64,
+    seed: str = "jl",
+    scale: int = 1000,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a ±1
+    (Achlioptas-style) projection: ``proj[j] = Σ_i sign(j,i) · q_i``
+    over the quantized input ``q_i = floor(x_i·scale + 0.5)`` —
+    ALL-INTEGER, so the result is exact and cross-engine hashable (no
+    float accumulation order anywhere). Distances are preserved up to
+    the JL distortion times the ``1/scale`` quantization error; the
+    usual pipeline is project → ANN/cluster in out_dim ≪ in_dim.
+
+    Shape at scale: the matrix is out_dim × in_dim literal ints baked
+    into ONE projection expression per output coordinate — pure
+    whole-stage codegen, zero Python, zero shuffle, no closure capture
+    (a few KB of literals, not a broadcast). Emits (id, proj) with
+    ``proj: array<bigint>`` of length ``out_dim``."""
+    if out_dim <= 0 or in_dim <= 0:
+        raise ValueError("out_dim and in_dim must be positive")
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("long"),
+    )
+    df = df.select(F.col(id_col), q.alias("__q"))
+    coords = []
+    for j in range(out_dim):
+        signs = [jl_sign(seed, j, i) for i in range(in_dim)]
+        signed = F.zip_with(
+            F.col("__q"),
+            F.array(*[F.lit(s).cast("long") for s in signs]),
+            lambda x, s: x * s,
+        )
+        coords.append(
+            F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        )
+    return df.select(F.col(id_col), F.array(*coords).alias("proj"))
+
+
 def adaptive_index_size(df: DataFrame, floor: int = 8, cap: int = 262144) -> int:
     """Scale-adaptive centroid/cluster count: ~√n, floored and capped.
 

@@ -135,6 +135,13 @@ def _bloom_filtered_join(df: DataFrame, key: str, build_view: str, **kw) -> Data
     return bloom_filtered_join(df, df.sparkSession.table(build_view), key, **kw)
 
 
+def _random_projection(df: DataFrame, id_col: str, vec_col: str, out_dim, **kw) -> DataFrame:
+    from ..functions.similarity import random_projection
+
+    kw = {k: int(v) if k in ("in_dim", "scale") else v for k, v in kw.items()}
+    return random_projection(df, id_col, vec_col, int(out_dim), **kw)
+
+
 def _term_cooccurrence(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
     from .corpus import term_cooccurrence
 
@@ -573,6 +580,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "streamingDedup": _streaming_dedup_op,
     "sessionCloseEvents": _session_close_events,
     "termCooccurrence": _term_cooccurrence,
+    "randomProjection": _random_projection,
     "decodeImage": _decode_image,
     "audioFeatures": _audio_features,
     "sampleVideoFrames": _sample_video_frames,

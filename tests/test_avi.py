@@ -49,14 +49,12 @@ class TestContainer:
             for f in frames
         )
         rec = b"LIST" + struct.pack("<I", 4 + len(inner)) + b"rec " + inner
-        movi_at = avi.index(b"LIST" + avi[avi.index(b"movi") - 4 : avi.index(b"movi")])
-        head = avi[: avi.index(b"movi") - 8]
+        head = avi[: avi.index(b"movi") - 8]  # everything before the movi LIST
         movi = b"LIST" + struct.pack("<I", 4 + len(rec)) + b"movi" + rec
         payload = head + movi
         payload = payload[:4] + struct.pack("<I", len(payload) - 8) + payload[8:]
         _, _, _, _, got = demux_avi(payload)
         assert got == frames
-        del movi_at
 
     def test_decode_fidelity_through_parse_image(self):
         from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.multimodal import (
