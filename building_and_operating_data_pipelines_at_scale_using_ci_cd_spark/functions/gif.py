@@ -293,7 +293,11 @@ def _gif_frames_inner(payload: bytes):
         idx = np.array(
             _lzw_decode(min_code, data, fw * fh), dtype=np.int64
         ).reshape(fh, fw)
-        if int(idx.max(initial=0)) >= len(pal):
+        # transparent pixels are never looked up in the palette, and real
+        # encoders legally pick a transparent index past the table end —
+        # only OPAQUE out-of-range indices are corrupt
+        opaque = idx if transparent is None else idx[idx != transparent]
+        if opaque.size and int(opaque.max()) >= len(pal):
             raise ValueError("corrupt GIF: pixel index outside color table")
         if fpacked & 0x40:  # row interlace: invert the 4-pass permutation
             rows = [r for start, step in _INTERLACE for r in range(start, fh, step)]

@@ -148,3 +148,28 @@ def test_parse_image_and_kernel_on_gif(spark):
     assert got[1]["format"] == "gif" and (got[1]["width"], got[1]["height"]) == (12, 10)
     assert abs(got[1]["mean_luma"] - img.mean()) < 0.01  # lossless
     assert got[2]["decode_error"] is not None
+
+
+def test_transparent_index_outside_palette_is_legal():
+    import struct
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.gif import (
+        _lzw_encode,
+        _sub_blocks,
+    )
+
+    # real encoders legally pick a transparent index past the color table
+    # end (those pixels are never looked up) — build an 8-color GIF whose
+    # frame uses index 255 as transparency
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 2, 2, 0xF2, 0, 0)  # GCT size 2<<2 = 8
+    for i in range(8):
+        out += bytes((i * 30, i * 30, i * 30))
+    out += bytes((0x21, 0xF9, 4, 0x01, 0, 0, 255, 0))  # GCE: transparent 255
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+    out.append(8)
+    out += _sub_blocks(_lzw_encode(8, [3, 255, 255, 5]))
+    out += b"\x3b"
+    w, h, luma = decode_gif(bytes(out))
+    # transparent pixels keep the background (index 0 -> luma 0)
+    assert (w, h) == (2, 2) and luma == [90, 0, 0, 150]

@@ -241,3 +241,42 @@ class TestDepth16:
         payload[8 + 4 + 4 + 8] = 4  # depth byte -> 4-bit
         with pytest.raises(ValueError, match="8/16-bit"):
             decode_png(bytes(payload))
+
+
+class TestRealFiles:
+    """Streams from REAL encoders (libpng's own test image, tool-produced
+    16-bit icons) — structural validation that the decoder handles
+    real-world chunk layouts, not just our own encoder's output."""
+
+    def test_libpng_pngtest_adam7_rgba(self):
+        import os
+
+        f = "/usr/share/doc/libpng-dev/examples/pngtest.png"
+        if not os.path.exists(f):
+            pytest.skip("libpng example image not on this host")
+        with open(f, "rb") as fh:
+            payload = fh.read()
+        assert payload[28] == 1  # interlaced, color type 6 (RGBA)
+        w, h, luma = decode_png(payload)
+        assert (w, h) == (91, 69) and len(luma) == 91 * 69
+        assert all(0 <= v <= 255 for v in luma)
+        arr = np.array(luma)
+        assert arr.std() > 10  # a picture, not a constant field
+
+    def test_real_16bit_rgba_icons(self):
+        import glob as _glob
+
+        candidates = sorted(
+            _glob.glob("/root/.pyenv/versions/*/lib/python*/idlelib/Icons/idle_*.png")
+        )
+        files = []
+        for f in candidates:
+            with open(f, "rb") as fh:
+                payload = fh.read()
+            if payload[24] == 16:  # keep only genuine 16-bit streams
+                files.append(payload)
+        if not files:
+            pytest.skip("no 16-bit PNG fixtures on this host")
+        for payload in files:
+            w, h, luma = decode_png(payload)
+            assert len(luma) == w * h and max(luma) <= 255

@@ -337,3 +337,73 @@ def test_heavy_hitters_equals_group_by_having(spark, items, den):
         if v * den >= n
     }
     assert got == exact
+
+
+# --- round 8: codec properties (pure-Python, no Spark jobs — generous
+# example counts are cheap here) ------------------------------------------
+
+
+@given(st.lists(st.integers(0, 255), min_size=0, max_size=600))
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_roundtrip_any_index_stream(indices):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.gif import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    assert _lzw_decode(8, _lzw_encode(8, indices), len(indices)) == indices
+
+
+@given(
+    st.lists(st.integers(0, 255), min_size=1, max_size=120),
+    st.integers(1, 40),
+    st.integers(1, 40),
+)
+@settings(max_examples=25, deadline=None)
+def test_gif_image_roundtrip_any_raster(pixels, w, h):
+    import numpy as np
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.gif import (
+        decode_gif,
+        encode_gif_gray,
+    )
+
+    img = np.resize(np.array(pixels, dtype=np.uint8), (h, w))
+    _, _, luma = decode_gif(encode_gif_gray(img, w, h))
+    assert luma == [int(v) for v in img.reshape(-1)]
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=200), st.sampled_from(["mulaw", "alaw"]))
+@settings(max_examples=40, deadline=None)
+def test_g711_quantizer_idempotent_and_nearest(samples, law):
+    import numpy as np
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.audio import (
+        _ALAW_TABLE,
+        _MULAW_TABLE,
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    table = _MULAW_TABLE if law == "mulaw" else _ALAW_TABLE
+    _, _, dec = decode_wav(encode_wav_g711(samples, 8000, law=law))
+    for x, d in zip(samples, dec):
+        # decoded value is a nearest table code (ties toward lower byte)
+        assert abs(d - x) == int(np.abs(table - np.int64(x)).min())
+    _, _, dec2 = decode_wav(encode_wav_g711(dec, 8000, law=law))
+    assert dec2 == dec
+
+
+@given(st.lists(st.integers(0, 255), min_size=1, max_size=150), st.integers(1, 30), st.integers(1, 30), st.booleans())
+@settings(max_examples=25, deadline=None)
+def test_png_roundtrip_any_raster_plain_and_adam7(pixels, w, h, interlace):
+    import numpy as np
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.png import (
+        decode_png,
+        encode_png_gray,
+    )
+
+    img = np.resize(np.array(pixels, dtype=np.uint8), (h, w))
+    _, _, luma = decode_png(encode_png_gray(img.reshape(-1), w, h, interlace=interlace))
+    assert luma == [int(v) for v in img.reshape(-1)]
