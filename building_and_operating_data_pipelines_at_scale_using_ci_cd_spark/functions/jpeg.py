@@ -252,6 +252,17 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
+def _dc_diff(br: "_BitReader", dc_tab: "_HuffDecoder") -> int:
+    """Decode one DC difference. A corrupt Huffman table can hand back an
+    arbitrary byte as the category — receive(255) would build a 255-bit
+    int that OverflowErrors the int64 coefficient store (fuzz-found), so
+    the spec's 16-bit ceiling is enforced here."""
+    t = dc_tab.decode(br)
+    if t > 16:
+        raise ValueError("corrupt JPEG: DC category out of range")
+    return _extend(br.receive(t), t) if t else 0
+
+
 # ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
@@ -331,7 +342,14 @@ def _decode_jpeg_inner(payload: bytes):
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 0xF, tq))
+                hi, vi = hv >> 4, hv & 0xF
+                if hi == 0 or vi == 0:
+                    # a zero sampling factor divides the MCU geometry by
+                    # zero downstream (fuzz-found ZeroDivisionError)
+                    raise ValueError("corrupt JPEG: zero sampling factor")
+                comps.append((cid, hi, vi, tq))
+            if not comps or w == 0 or h == 0:
+                raise ValueError("corrupt JPEG: empty frame")
             frame = (w, h, comps)
             progressive = marker == 0xC2
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
@@ -644,8 +662,7 @@ def _decode_progressive(payload, pos, frame, qtables, dc_tabs, ac_tabs, restart_
                             for by in range(vi):
                                 for bx in range(hi):
                                     if ah == 0:
-                                        t = dc_tabs[td].decode(br)
-                                        diff = _extend(br.receive(t), t) if t else 0
+                                        diff = _dc_diff(br, dc_tabs[td])
                                         preds[cs] += diff
                                         v = preds[cs] << al
                                     else:
@@ -669,8 +686,7 @@ def _decode_progressive(payload, pos, frame, qtables, dc_tabs, ac_tabs, restart_
                             br.align_to_marker()
                             preds = {k: 0 for k in preds}
                         if ah == 0:
-                            t = dc_tabs[td].decode(br)
-                            diff = _extend(br.receive(t), t) if t else 0
+                            diff = _dc_diff(br, dc_tabs[td])
                             preds[cs] += diff
                             v = preds[cs] << al
                         if cs == y_cid:
@@ -723,8 +739,7 @@ def _decode_progressive(payload, pos, frame, qtables, dc_tabs, ac_tabs, restart_
 
 def _decode_block(br, dc_tab, ac_tab, preds, cid):
     coefs = np.zeros(64, dtype=np.int64)
-    t = dc_tab.decode(br)
-    diff = _extend(br.receive(t), t) if t else 0
+    diff = _dc_diff(br, dc_tab)
     preds[cid] += diff
     coefs[0] = preds[cid]
     k = 1
