@@ -144,6 +144,14 @@ def _write_file(df: DataFrame, spec: "TargetSpec", mode: str) -> None:
                 ],
             )
         return
+    if fmt == "delta" and not _has_delta_spark():
+        # S9/W2 executed for real without delta-spark: the in-repo
+        # transaction-log implementation (sources/delta_lite.py). Stages
+        # through Spark's parquet writer, then records one atomic commit.
+        from ..sources.delta_lite import write_delta_lite
+
+        write_delta_lite(out, spec.path, mode=mode, partition_by=spec.partition_by)
+        return
     writer.format(fmt).save(spec.path)
     if spec.single_file:
         _single_file_rename(df.sparkSession, spec.path, spec.output_file_name_prefix)
@@ -216,6 +224,15 @@ def _write_sftp(spark: SparkSession, df: DataFrame, spec: "TargetSpec", mode: st
         sftp.close()
         transport.close()
     shutil.rmtree(stage, ignore_errors=True)
+
+
+def _has_delta_spark() -> bool:
+    try:  # pragma: no cover - delta-spark not in this container
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
 
 
 def _delta_table(spark: SparkSession, path: str):
@@ -370,6 +387,48 @@ def _scd2_write(spark: SparkSession, df: DataFrame, spec: "TargetSpec") -> None:
         dt = _delta_table(spark, spec.path)
         if dt is not None:  # pragma: no cover - delta-spark not in container
             _scd2_delta_merge(spark, dt, df, spec)
+            return
+        if not _has_delta_spark():
+            # the delta-lite lane: real transaction-log MERGE that rewrites
+            # only matched files (sources/delta_lite.py), replacing the
+            # full-table swap the plain file sink needs.
+            from ..sources.delta_lite import (
+                is_delta_table,
+                merge_scd2_delta_lite,
+                read_delta_lite,
+                write_delta_lite,
+            )
+
+            if is_delta_table(spec.path):
+                existing_cols = read_delta_lite(spark, spec.path).columns
+                if not set(SCD2_META_COLS) <= set(existing_cols):
+                    raise ValueError(
+                        f"scdType2Insert target '{spec.path}' exists but lacks "
+                        f"the SCD2 meta columns {SCD2_META_COLS}; refusing to "
+                        "overwrite a non-SCD2 table"
+                    )
+                merge_scd2_delta_lite(
+                    spark,
+                    spec.path,
+                    df,
+                    keys=keys,
+                    compare_cols=spec.scd2_compare_cols or None,
+                    effective_ts=spec.scd2_effective_col,
+                )
+            else:
+                # initial load through scd2_merge's None-target lane so
+                # dedup/versioning semantics match the file sink exactly
+                write_delta_lite(
+                    scd2_merge(
+                        None,
+                        df,
+                        keys=keys,
+                        compare_cols=spec.scd2_compare_cols or None,
+                        effective_ts=spec.scd2_effective_col,
+                    ),
+                    spec.path,
+                    mode="errorifexists",
+                )
             return
 
     target = None

@@ -1,0 +1,601 @@
+"""S9/W5-delta executed for REAL: a minimal Delta Lake transaction log.
+
+The reference names ``deltalake`` as a first-class file format and SCD2 as
+its flagship load mode (reference ``spark.json:19,73,91``), but delta-spark
+is not in this container — rounds 1-7 could only pin that lane with contract
+doubles. This module implements the PUBLIC Delta transaction-log protocol
+(delta-io/delta PROTOCOL.md) directly over Spark parquet + JSON, so the
+delta read/write/MERGE paths execute and are testable here:
+
+  - a Delta table is a directory of parquet data files plus ``_delta_log/``
+    holding ordered commits ``%020d.json`` (newline-delimited action records:
+    ``protocol``, ``metaData``, ``add``, ``remove``, ``commitInfo``) and
+    optional ``%020d.checkpoint.parquet`` snapshots referenced by
+    ``_last_checkpoint``.
+  - the table state at version V = replay actions 0..V: latest ``metaData``
+    wins; a file is live iff its last action ≤V is ``add``.
+  - commits are atomic by file creation: we stage the JSON then ``os.link``
+    it into place, which FAILS if the version already exists — that failed
+    link IS the optimistic-concurrency conflict signal (the same mutual
+    exclusion delta-spark gets from its LogStore on HDFS/local).
+
+Honest scope gate (checked, not assumed): reader/writer protocol ≤ (1,2) —
+no deletion vectors, no column mapping, no generated columns. Tables using
+newer features raise ValueError instead of returning wrong rows.
+
+Scale notes:
+  - the log replay touches only ``_delta_log`` (KBs per commit) and the
+    active-file LIST, never data; checkpoints bound replay length the same
+    way they do in delta-spark.
+  - reads hand Spark the live file list with an explicit schema; for
+    partitioned tables the hive-style ``key=value`` layout delta writes is
+    recovered via ``basePath`` partition discovery, so partition pruning on
+    the read is Catalyst-native.
+  - MERGE rewrites ONLY the files that contain a matched current business
+    key (found with one ``input_file_name()`` semi-join, driver traffic
+    bounded by the file COUNT) — the at-scale property that makes Delta
+    MERGE cheaper than the full-table overwrite the file sink does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import urllib.parse
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+LOG_DIR = "_delta_log"
+_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+class DeltaConcurrentWriteError(RuntimeError):
+    """Another writer committed this version first (optimistic-concurrency
+    loss). Callers may reload the snapshot and retry."""
+
+
+@dataclass
+class DeltaSnapshot:
+    path: str
+    version: int
+    metadata: dict
+    files: dict = field(default_factory=dict)  # rel path -> add action
+
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self.metadata["schemaString"]))
+
+    @property
+    def partition_columns(self) -> list:
+        return list(self.metadata.get("partitionColumns") or [])
+
+
+def _log_path(table_path: str) -> str:
+    return os.path.join(table_path, LOG_DIR)
+
+
+def is_delta_table(table_path: str) -> bool:
+    log = _log_path(table_path)
+    return os.path.isdir(log) and any(
+        f.endswith(".json") and f[:20].isdigit() for f in os.listdir(log)
+    )
+
+
+def _commit_versions(log: str) -> list:
+    out = []
+    for f in os.listdir(log):
+        if f.endswith(".json") and len(f) == 25 and f[:20].isdigit():
+            out.append(int(f[:20]))
+    return sorted(out)
+
+
+def _checkpoint_versions(log: str) -> list:
+    out = []
+    for f in os.listdir(log):
+        if f.endswith(".checkpoint.parquet") and f[:20].isdigit():
+            out.append(int(f[:20]))
+    return sorted(out)
+
+
+def _check_protocol(action: dict) -> None:
+    if action.get("minReaderVersion", 1) > _PROTOCOL["minReaderVersion"]:
+        raise ValueError(
+            "delta_lite supports reader protocol <= 1 (no deletion vectors / "
+            f"column mapping); table requires {action.get('minReaderVersion')}"
+        )
+
+
+def _check_metadata(meta: dict) -> None:
+    conf = meta.get("configuration") or {}
+    mode = conf.get("delta.columnMapping.mode", "none")
+    if mode not in ("", "none"):
+        raise ValueError(f"delta_lite does not support columnMapping mode {mode!r}")
+
+
+def _apply_action(state: "DeltaSnapshot", action: dict) -> None:
+    if "protocol" in action and action["protocol"]:
+        _check_protocol(action["protocol"])
+    if "metaData" in action and action["metaData"]:
+        _check_metadata(action["metaData"])
+        state.metadata = action["metaData"]
+    if "add" in action and action["add"]:
+        add = action["add"]
+        if add.get("deletionVector"):
+            raise ValueError("delta_lite does not support deletion vectors")
+        state.files[urllib.parse.unquote(add["path"])] = add
+    if "remove" in action and action["remove"]:
+        state.files.pop(urllib.parse.unquote(action["remove"]["path"]), None)
+
+
+def _normalize_map(v):
+    """pyarrow map columns round-trip as [(k, v), ...]; JSON as dict."""
+    if v is None:
+        return {}
+    if isinstance(v, dict):
+        return v
+    return dict(v)
+
+
+def _read_checkpoint(path: str, state: DeltaSnapshot) -> None:
+    import pyarrow.parquet as pq
+
+    for row in pq.read_table(path).to_pylist():
+        action = {}
+        if row.get("protocol"):
+            action["protocol"] = row["protocol"]
+        if row.get("metaData"):
+            md = dict(row["metaData"])
+            md["configuration"] = _normalize_map(md.get("configuration"))
+            action["metaData"] = md
+        if row.get("add"):
+            add = dict(row["add"])
+            add["partitionValues"] = _normalize_map(add.get("partitionValues"))
+            action["add"] = add
+        if row.get("remove"):
+            action["remove"] = dict(row["remove"])
+        _apply_action(state, action)
+
+
+def load_snapshot(table_path: str, version: int | None = None) -> DeltaSnapshot:
+    """Replay the log up to ``version`` (time travel) or to the latest."""
+    log = _log_path(table_path)
+    if not os.path.isdir(log):
+        raise ValueError(f"not a delta table (no {LOG_DIR}): {table_path}")
+    versions = _commit_versions(log)
+    if not versions:
+        raise ValueError(f"empty delta log: {table_path}")
+    target = versions[-1] if version is None else int(version)
+    if target not in versions and version is not None:
+        # commits before a checkpoint may legally be vacuumed; we only
+        # support travel to versions whose tail of commits still exists
+        raise ValueError(f"version {target} not available (have {versions})")
+
+    state = DeltaSnapshot(path=table_path, version=target, metadata={})
+    start = 0
+    cps = [v for v in _checkpoint_versions(log) if v <= target]
+    if cps:
+        cp = cps[-1]
+        _read_checkpoint(os.path.join(log, f"{cp:020d}.checkpoint.parquet"), state)
+        start = cp + 1
+    for v in range(start, target + 1):
+        fpath = os.path.join(log, f"{v:020d}.json")
+        if not os.path.exists(fpath):
+            raise ValueError(f"delta log is missing commit {v} for {table_path}")
+        with open(fpath, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    _apply_action(state, json.loads(line))
+    if not state.metadata:
+        raise ValueError(f"delta log has no metaData action: {table_path}")
+    return state
+
+
+def read_delta_lite(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Read a Delta table (optionally a past version) as a DataFrame."""
+    snap = load_snapshot(table_path, version)
+    schema = snap.schema
+    pcols = snap.partition_columns
+    paths = [os.path.join(table_path, p) for p in sorted(snap.files)]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    if not pcols:
+        return spark.read.schema(schema).parquet(*paths)
+    # partitioned: delta data files do NOT contain the partition columns;
+    # the hive-style layout lets Spark's partition discovery re-attach them
+    # (basePath pins the anchor); casts pin the declared types over the
+    # discovery's inference.
+    data_schema = StructType([f for f in schema.fields if f.name not in pcols])
+    by_type = {f.name: f.dataType for f in schema.fields}
+    df = (
+        spark.read.schema(data_schema)
+        .option("basePath", table_path)
+        .parquet(*paths)
+    )
+    return df.select(
+        *[
+            F.col(f.name).cast(by_type[f.name]).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+
+
+def _schema_string(df: DataFrame) -> str:
+    return json.dumps(df.schema.jsonValue())
+
+
+def _decode_hive_dir(component: str) -> tuple:
+    key, _, raw = component.partition("=")
+    if raw == _HIVE_NULL:
+        return key, None
+    return key, urllib.parse.unquote(raw)
+
+
+def _collect_staged_files(stage: str, pcols: list) -> list:
+    """(relative hive path, partitionValues, size, numRecords) per data file."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for root, _dirs, names in os.walk(stage):
+        for name in names:
+            if not name.endswith(".parquet") or name.startswith("."):
+                continue
+            full = os.path.join(root, name)
+            rel_dir = os.path.relpath(root, stage)
+            pvals = {}
+            parts = [] if rel_dir == "." else rel_dir.split(os.sep)
+            for comp in parts:
+                k, v = _decode_hive_dir(comp)
+                pvals[k] = v
+            if sorted(pvals) != sorted(pcols):
+                raise ValueError(
+                    f"staged layout {rel_dir!r} does not match partition columns {pcols}"
+                )
+            n_rows = pq.ParquetFile(full).metadata.num_rows
+            if n_rows == 0:
+                continue  # empty shuffle partitions produce 0-row parts;
+                # committing them would only bloat the log and every scan
+            out.append((full, parts, pvals, os.path.getsize(full), n_rows))
+    return out
+
+
+def _commit(table_path: str, version: int, actions: list) -> None:
+    """Atomic publish of one commit: hard-link into the version slot; an
+    existing slot means another writer won the race."""
+    log = _log_path(table_path)
+    os.makedirs(log, exist_ok=True)
+    final = os.path.join(log, f"{version:020d}.json")
+    fd, tmp = tempfile.mkstemp(dir=log, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            for action in actions:
+                fh.write(json.dumps(action, separators=(",", ":")) + "\n")
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise DeltaConcurrentWriteError(
+                f"version {version} already committed at {table_path}"
+            ) from None
+    finally:
+        os.unlink(tmp)
+
+
+def write_delta_lite(
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+    partition_by: list | None = None,
+) -> int:
+    """Write ``df`` as a Delta commit; returns the committed version.
+
+    ``mode``: ``append`` | ``overwrite`` | ``errorifexists`` | ``ignore``.
+    The data files are staged with Spark's own parquet writer (so file
+    sizing/layout is whatever the session's partitioning produced), then
+    moved into the table and recorded in one commit.
+    """
+    spark = df.sparkSession
+    exists = is_delta_table(table_path)
+    snap = load_snapshot(table_path) if exists else None
+    if exists and mode == "ignore":
+        return snap.version
+    if exists and mode in ("error", "errorifexists"):
+        raise ValueError(f"delta table already exists: {table_path}")
+
+    pcols = list(partition_by or (snap.partition_columns if snap else []))
+    if snap and partition_by and list(partition_by) != snap.partition_columns:
+        raise ValueError(
+            f"partition columns {partition_by} do not match table's "
+            f"{snap.partition_columns}"
+        )
+    if snap:
+        declared = snap.schema
+        if {f.name for f in declared.fields} != set(df.columns):
+            raise ValueError(
+                f"schema mismatch: table has {[f.name for f in declared.fields]}, "
+                f"write has {df.columns}"
+            )
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
+        )
+
+    os.makedirs(table_path, exist_ok=True)
+    stage = tempfile.mkdtemp(prefix=".delta_stage_", dir=table_path)
+    try:
+        writer = df.write.mode("overwrite")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(stage)
+
+        adds = []
+        for full, parts, pvals, size, _n in _collect_staged_files(stage, pcols):
+            base = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            rel = "/".join(parts + [base]) if parts else base
+            dest = os.path.join(table_path, *parts, base)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            shutil.move(full, dest)
+            adds.append(
+                {
+                    "add": {
+                        "path": urllib.parse.quote(rel),
+                        "partitionValues": pvals,
+                        "size": size,
+                        "modificationTime": int(os.path.getmtime(dest) * 1000),
+                        "dataChange": True,
+                        "stats": json.dumps({"numRecords": _n}),
+                    }
+                }
+            )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "WRITE",
+                "operationParameters": {"mode": mode.upper()},
+                "engineInfo": "delta-lite (PySpark analytics engine)",
+            }
+        }
+    ]
+    if snap is None:
+        actions.append({"protocol": dict(_PROTOCOL)})
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _schema_string(df),
+                    "partitionColumns": pcols,
+                    "configuration": {},
+                    "createdTime": int(os.path.getmtime(table_path) * 1000),
+                }
+            }
+        )
+        version = 0
+    else:
+        version = snap.version + 1
+        if mode == "overwrite":
+            for rel, add in sorted(snap.files.items()):
+                actions.append(
+                    {
+                        "remove": {
+                            "path": add["path"],
+                            "deletionTimestamp": int(
+                                os.path.getmtime(table_path) * 1000
+                            ),
+                            "dataChange": True,
+                        }
+                    }
+                )
+    actions.extend(adds)
+    _commit(table_path, version, actions)
+    return version
+
+
+def checkpoint_delta_lite(table_path: str) -> int:
+    """Write a parquet checkpoint of the current snapshot plus the
+    ``_last_checkpoint`` pointer; returns the checkpointed version.
+    Bounds future log replay to commits after this version."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    snap = load_snapshot(table_path)
+    kv = pa.map_(pa.string(), pa.string())
+    schema = pa.schema(
+        [
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [
+                        pa.field("minReaderVersion", pa.int32()),
+                        pa.field("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        pa.field("id", pa.string()),
+                        pa.field(
+                            "format",
+                            pa.struct([pa.field("provider", pa.string())]),
+                        ),
+                        pa.field("schemaString", pa.string()),
+                        pa.field("partitionColumns", pa.list_(pa.string())),
+                        pa.field("configuration", kv),
+                        pa.field("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        pa.field("path", pa.string()),
+                        pa.field("partitionValues", kv),
+                        pa.field("size", pa.int64()),
+                        pa.field("modificationTime", pa.int64()),
+                        pa.field("dataChange", pa.bool_()),
+                        pa.field("stats", pa.string()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    meta = snap.metadata
+    rows = [
+        {"protocol": dict(_PROTOCOL), "metaData": None, "add": None},
+        {
+            "protocol": None,
+            "metaData": {
+                "id": meta.get("id", ""),
+                "format": {"provider": "parquet"},
+                "schemaString": meta["schemaString"],
+                "partitionColumns": list(meta.get("partitionColumns") or []),
+                "configuration": _normalize_map(meta.get("configuration")),
+                "createdTime": meta.get("createdTime"),
+            },
+            "add": None,
+        },
+    ]
+    for rel in sorted(snap.files):
+        add = snap.files[rel]
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": {
+                    "path": add["path"],
+                    "partitionValues": _normalize_map(add.get("partitionValues")),
+                    "size": add.get("size"),
+                    "modificationTime": add.get("modificationTime"),
+                    "dataChange": False,
+                    "stats": add.get("stats"),
+                },
+            }
+        )
+    log = _log_path(table_path)
+    cp_path = os.path.join(log, f"{snap.version:020d}.checkpoint.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), cp_path)
+    with open(os.path.join(log, "_last_checkpoint"), "w", encoding="utf-8") as fh:
+        json.dump({"version": snap.version, "size": len(rows)}, fh)
+    return snap.version
+
+
+def merge_scd2_delta_lite(
+    spark: SparkSession,
+    table_path: str,
+    incoming: DataFrame,
+    keys: list,
+    compare_cols: list | None = None,
+    effective_ts=None,
+) -> int:
+    """SCD2 MERGE against a delta-lite table, rewriting ONLY matched files.
+
+    File pruning (the at-scale point of MERGE): one semi-join of the
+    current slice tagged with ``input_file_name()`` against the incoming
+    keys finds the files that hold a matched CURRENT row; every other
+    file is untouched. Those files' rows — current AND history alike,
+    since a parquet file may hold both — are re-merged with the standard
+    ``scd2_merge`` lanes (feeding it only these rows is sufficient:
+    untouched files contain no matched current key, so their merge would
+    be the identity). Brand-new keys insert regardless of pruning.
+    Driver traffic is one ``collect()`` of distinct file PATHS, bounded
+    by the table's file count, never rows.
+    """
+    from ..operators.scd2 import IS_CURRENT, scd2_merge
+
+    snap = load_snapshot(table_path)
+    if snap.partition_columns:
+        raise ValueError(
+            "delta_lite SCD2 merge supports unpartitioned tables "
+            "(the file sink's SCD2 path has no partitioning either)"
+        )
+    target = read_delta_lite(spark, table_path)
+    tagged = target.withColumn("__file", F.input_file_name())
+    inc_keys = incoming.select(*keys).dropDuplicates(keys)
+    matched_files = [
+        r["__file"]
+        for r in tagged.filter(F.col(IS_CURRENT))
+        .join(F.broadcast(inc_keys), on=keys, how="leftsemi")
+        .select("__file")
+        .distinct()
+        .collect()
+    ]
+    rel_matched = sorted(
+        os.path.relpath(urllib.parse.unquote(urllib.parse.urlparse(f).path), table_path)
+        for f in matched_files
+    )
+    if rel_matched:
+        # re-scan ONLY the matched files — a plain pruned parquet read,
+        # no filter UDF, no second pass over untouched files
+        pruned_rows = spark.read.schema(snap.schema).parquet(
+            *[os.path.join(table_path, r) for r in rel_matched]
+        )
+    else:
+        pruned_rows = spark.createDataFrame([], target.schema)
+
+    merged = scd2_merge(
+        pruned_rows,
+        incoming,
+        keys,
+        compare_cols=compare_cols,
+        effective_ts=effective_ts,
+    )
+
+    # stage + commit: remove matched files, add the re-merged replacement
+    stage = tempfile.mkdtemp(prefix=".delta_stage_", dir=table_path)
+    try:
+        merged.select(
+            *[F.col(f.name).cast(f.dataType) for f in snap.schema.fields]
+        ).write.mode("overwrite").parquet(stage)
+        actions = [
+            {
+                "commitInfo": {
+                    "operation": "MERGE",
+                    "operationParameters": {"matchedFiles": len(rel_matched)},
+                    "engineInfo": "delta-lite (PySpark analytics engine)",
+                }
+            }
+        ]
+        now_ms = int(os.path.getmtime(table_path) * 1000)
+        for rel in rel_matched:
+            actions.append(
+                {
+                    "remove": {
+                        "path": urllib.parse.quote(rel.replace(os.sep, "/")),
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        for full, parts, pvals, size, _n in _collect_staged_files(stage, []):
+            base = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            dest = os.path.join(table_path, base)
+            shutil.move(full, dest)
+            actions.append(
+                {
+                    "add": {
+                        "path": base,
+                        "partitionValues": {},
+                        "size": size,
+                        "modificationTime": int(os.path.getmtime(dest) * 1000),
+                        "dataChange": True,
+                        "stats": json.dumps({"numRecords": _n}),
+                    }
+                }
+            )
+        _commit(table_path, snap.version + 1, actions)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return snap.version + 1

@@ -130,6 +130,27 @@ def _read_excel(spark: SparkSession, spec: "InputSpec") -> DataFrame:
         return spark.createDataFrame(rows, schema=cols)
 
 
+def _read_delta(spark: SparkSession, spec: "InputSpec") -> DataFrame:
+    """S9: Delta source. Prefer the delta-spark DSv2 reader when the
+    package is installed (full protocol support); otherwise read through
+    the in-repo ``delta_lite`` transaction-log implementation (public
+    protocol ≤ (1,2): add/remove replay, checkpoints, hive-partitioned
+    layout, ``versionAsOf`` time travel). Either way the scan is a plain
+    parquet read underneath, so pushdown/pruning behave like S3."""
+    try:
+        import delta  # noqa: F401  pragma: no cover - not in this container
+
+        return spark.read.options(**spec.options).format("delta").load(spec.path)
+    except ImportError:
+        pass
+    from .delta_lite import read_delta_lite
+
+    version = spec.options.get("versionAsOf")
+    return read_delta_lite(
+        spark, spec.path, version=int(version) if version is not None else None
+    )
+
+
 def _read_xml(spark: SparkSession, spec: "InputSpec") -> DataFrame:
     """S6: try the built-in xml source (Spark 4 ships one); fall back to a
     clear error mentioning the rowTag requirement."""
@@ -269,7 +290,7 @@ def read_input(spark: SparkSession, spec: "InputSpec") -> DataFrame:
                 reader = reader.schema(load_schema_mapping(spec.metadata_path))
             df = reader.format(fmt).load(spec.path)
         elif fmt == "deltalake":
-            df = spark.read.options(**spec.options).format("delta").load(spec.path)
+            df = _read_delta(spark, spec)
         elif fmt == "xml":
             df = _read_xml(spark, spec)
         elif fmt == "excel":

@@ -1,0 +1,330 @@
+"""S9/W5-delta executed for real: the delta_lite transaction log.
+
+The reference names ``deltalake`` as a first-class format and SCD2 as its
+flagship load mode (reference ``spark.json:19,73,91``); delta-spark is not
+installed here, so these tests drive the in-repo implementation of the
+public Delta protocol — log replay, time travel, checkpoints, partitioned
+layout, optimistic-concurrency conflict, file-pruned MERGE — and assert
+the on-disk log is PROTOCOL-SHAPED (action JSON an external Delta reader
+would accept), which is the interop evidence available without network.
+"""
+
+import json
+import os
+
+import pytest
+
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.config import (
+    InputSpec,
+    TargetSpec,
+)
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.scd2 import (
+    scd2_initial,
+)
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sinks.writers import (
+    write_target,
+)
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources import (
+    delta_lite as dl,
+)
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.readers import (
+    read_input,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_create_append_overwrite_time_travel(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    df0 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    assert dl.write_delta_lite(df0, tp, mode="overwrite") == 0
+    df1 = spark.createDataFrame([(3, "c")], "id int, v string")
+    assert dl.write_delta_lite(df1, tp, mode="append") == 1
+    assert _rows(dl.read_delta_lite(spark, tp)) == [(1, "a"), (2, "b"), (3, "c")]
+    # time travel to every version
+    assert _rows(dl.read_delta_lite(spark, tp, version=0)) == [(1, "a"), (2, "b")]
+    assert dl.write_delta_lite(df1, tp, mode="overwrite") == 2
+    assert _rows(dl.read_delta_lite(spark, tp)) == [(3, "c")]
+    assert _rows(dl.read_delta_lite(spark, tp, version=1)) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
+
+
+def test_error_and_ignore_modes(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,)], "id int")
+    dl.write_delta_lite(df, tp)
+    with pytest.raises(ValueError, match="already exists"):
+        dl.write_delta_lite(df, tp, mode="errorifexists")
+    v = dl.write_delta_lite(df, tp, mode="ignore")
+    assert v == 0 and _rows(dl.read_delta_lite(spark, tp)) == [(1,)]
+
+
+def test_schema_mismatch_refused(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(spark.createDataFrame([(1, "a")], "id int, v string"), tp)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        dl.write_delta_lite(spark.createDataFrame([(2,)], "id int"), tp, mode="append")
+
+
+def test_partitioned_roundtrip_with_null_partition(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "US", 5), (2, "DE", 6), (3, None, 7)], "id int, country string, n int"
+    )
+    dl.write_delta_lite(df, tp, partition_by=["country"])
+    got = dl.read_delta_lite(spark, tp)
+    # declared schema preserved (partition col type pinned, order too)
+    assert got.schema.simpleString() == "struct<id:int,country:string,n:int>"
+    assert _rows(got.select("id", "country", "n")) == [
+        (1, "US", 5),
+        (2, "DE", 6),
+        (3, None, 7),
+    ]
+    # appends must keep the table's partitioning
+    with pytest.raises(ValueError, match="partition columns"):
+        dl.write_delta_lite(df, tp, mode="append", partition_by=["n"])
+    # hive-style layout on disk (what partition discovery / external
+    # readers expect)
+    snap = dl.load_snapshot(tp)
+    assert all(
+        p.split("/")[0].startswith("country=") for p in snap.files
+    ), sorted(snap.files)
+
+
+def test_checkpoint_bounds_replay(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,)], "id int")
+    dl.write_delta_lite(df, tp)
+    for _ in range(3):
+        dl.write_delta_lite(df, tp, mode="append")
+    assert dl.checkpoint_delta_lite(tp) == 3
+    # deleting pre-checkpoint commits must not break reads (replay starts
+    # at the checkpoint)
+    log = os.path.join(tp, dl.LOG_DIR)
+    for v in range(3):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    dl.write_delta_lite(df, tp, mode="append")
+    assert dl.read_delta_lite(spark, tp).count() == 5
+    # but time travel to a vacuumed version now honestly fails
+    with pytest.raises(ValueError, match="not available"):
+        dl.load_snapshot(tp, version=1)
+
+
+def test_concurrent_commit_conflict(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(spark.createDataFrame([(1,)], "id int"), tp)
+    # simulate a racing writer that takes version 1 first
+    dl._commit(tp, 1, [{"commitInfo": {"operation": "WRITE"}}])
+    with pytest.raises(dl.DeltaConcurrentWriteError):
+        dl._commit(tp, 1, [{"commitInfo": {"operation": "WRITE"}}])
+
+
+def test_log_is_protocol_shaped(spark, tmp_path):
+    """The interop check: every commit line is a single-action JSON record
+    with the fields PROTOCOL.md requires for protocol (1,2) tables."""
+    tp = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    dl.write_delta_lite(df, tp)
+    dl.write_delta_lite(df, tp, mode="overwrite")
+    log = os.path.join(tp, dl.LOG_DIR)
+    seen = set()
+    for fname in sorted(os.listdir(log)):
+        if not fname.endswith(".json"):
+            continue
+        with open(fname if os.path.isabs(fname) else os.path.join(log, fname)) as fh:
+            for line in fh:
+                action = json.loads(line)
+                assert len(action) == 1  # one action per line
+                kind = next(iter(action))
+                seen.add(kind)
+                body = action[kind]
+                if kind == "protocol":
+                    assert body == {"minReaderVersion": 1, "minWriterVersion": 2}
+                elif kind == "metaData":
+                    assert body["format"]["provider"] == "parquet"
+                    assert {"id", "schemaString", "partitionColumns"} <= set(body)
+                    # schemaString is a Spark StructType JSON document
+                    assert json.loads(body["schemaString"])["type"] == "struct"
+                elif kind == "add":
+                    assert {"path", "partitionValues", "size", "modificationTime", "dataChange"} <= set(body)
+                    assert os.path.exists(os.path.join(tp, body["path"])) or any(
+                        json.loads(l2).get("remove", {}).get("path") == body["path"]
+                        for f2 in sorted(os.listdir(log)) if f2.endswith(".json")
+                        for l2 in open(os.path.join(log, f2))
+                    )
+                    assert json.loads(body["stats"])["numRecords"] == 1
+                elif kind == "remove":
+                    assert {"path", "deletionTimestamp", "dataChange"} <= set(body)
+    assert {"protocol", "metaData", "add", "remove", "commitInfo"} <= seen
+
+
+def test_unsupported_features_gate(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(spark.createDataFrame([(1,)], "id int"), tp)
+    # reader-protocol-3 table (deletion vectors etc.) must refuse, not
+    # return wrong rows
+    dl._commit(tp, 1, [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}])
+    with pytest.raises(ValueError, match="reader protocol"):
+        dl.load_snapshot(tp)
+    # column-mapped table likewise
+    tp2 = str(tmp_path / "t2")
+    dl.write_delta_lite(spark.createDataFrame([(1,)], "id int"), tp2)
+    snap = dl.load_snapshot(tp2)
+    md = dict(snap.metadata)
+    md["configuration"] = {"delta.columnMapping.mode": "name"}
+    dl._commit(tp2, 1, [{"metaData": md}])
+    with pytest.raises(ValueError, match="columnMapping"):
+        dl.load_snapshot(tp2)
+
+
+def test_merge_rewrites_only_matched_files(spark, tmp_path):
+    """The at-scale MERGE property: files without a matched current key
+    survive the merge untouched (same physical path in the new snapshot)."""
+    tp = str(tmp_path / "t")
+    init = scd2_initial(
+        spark.createDataFrame([(i, f"v{i}") for i in range(8)], "k int, v string"),
+        "2024-01-01 00:00:00",
+    )
+    # force several files so pruning has something to prune
+    dl.write_delta_lite(init.repartition(4, "k"), tp)
+    before = dl.load_snapshot(tp)
+    assert len(before.files) >= 2
+    inc = spark.createDataFrame([(3, "CHANGED")], "k int, v string")
+    dl.merge_scd2_delta_lite(
+        spark, tp, inc, ["k"], effective_ts="2024-02-01 00:00:00"
+    )
+    after = dl.load_snapshot(tp)
+    surviving = set(before.files) & set(after.files)
+    # at least one untouched file carried over byte-identical; the file
+    # holding k=3 was rewritten
+    assert surviving, "merge rewrote every file — pruning is not working"
+    assert set(after.files) != set(before.files)
+    got = {
+        (r.k, r.v, r.is_current)
+        for r in dl.read_delta_lite(spark, tp).collect()
+    }
+    assert (3, "v3", False) in got and (3, "CHANGED", True) in got
+    assert (5, "v5", True) in got
+    # one current row per key
+    cur = [r for r in got if r[2]]
+    assert len(cur) == 8
+
+
+def test_merge_insert_only_touches_nothing(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    init = scd2_initial(
+        spark.createDataFrame([(1, "a")], "k int, v string"), "2024-01-01 00:00:00"
+    )
+    dl.write_delta_lite(init, tp)
+    before = dl.load_snapshot(tp)
+    dl.merge_scd2_delta_lite(
+        spark,
+        tp,
+        spark.createDataFrame([(9, "new")], "k int, v string"),
+        ["k"],
+        effective_ts="2024-02-01 00:00:00",
+    )
+    after = dl.load_snapshot(tp)
+    assert set(before.files) <= set(after.files)  # nothing removed
+    assert dl.read_delta_lite(spark, tp).count() == 2
+
+
+def test_config_dialect_delta_lanes(spark, tmp_path):
+    """deltalake rides the same InputSpec/TargetSpec surface as every
+    other format (reference ``spark.json:19``): simpleInsert appends,
+    versionAsOf time-travels, scdType2Insert merges."""
+    tp = str(tmp_path / "t")
+    for rows in ([(1, "a"), (2, "b")], [(3, "c")]):
+        write_target(
+            spark,
+            spark.createDataFrame(rows, "id int, v string"),
+            TargetSpec.from_dict(
+                {
+                    "dataTarget": "local",
+                    "dataFrameName": "t",
+                    "path": tp,
+                    "fileFormat": "deltalake",
+                    "loadType": "simpleInsert",
+                }
+            ),
+        )
+    got = read_input(
+        spark,
+        InputSpec.from_dict(
+            {"dataSource": "local", "path": tp, "fileFormat": "deltalake"}
+        ),
+    )
+    assert got.count() == 3
+    v0 = read_input(
+        spark,
+        InputSpec.from_dict(
+            {
+                "dataSource": "local",
+                "path": tp,
+                "fileFormat": "deltalake",
+                "options": {"versionAsOf": "0"},
+            }
+        ),
+    )
+    assert _rows(v0) == [(1, "a"), (2, "b")]
+
+    scd = str(tmp_path / "scd")
+    for eff, rows in [
+        ("2024-01-01 00:00:00", [(1, "x"), (2, "y")]),
+        ("2024-02-01 00:00:00", [(2, "y2"), (3, "z")]),
+    ]:
+        write_target(
+            spark,
+            spark.createDataFrame(rows, "k int, v string"),
+            TargetSpec.from_dict(
+                {
+                    "dataTarget": "local",
+                    "dataFrameName": "d",
+                    "path": scd,
+                    "fileFormat": "deltalake",
+                    "loadType": "scdType2Insert",
+                    "scd2Keys": ["k"],
+                    "scd2EffectiveCol": eff,
+                }
+            ),
+        )
+    hist = {
+        (r.k, r.v, r.is_current)
+        for r in read_input(
+            spark,
+            InputSpec.from_dict(
+                {"dataSource": "local", "path": scd, "fileFormat": "deltalake"}
+            ),
+        ).collect()
+    }
+    assert hist == {
+        (1, "x", True),
+        (2, "y", False),
+        (2, "y2", True),
+        (3, "z", True),
+    }
+
+
+def test_scd2_refuses_non_scd2_delta_table(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(spark.createDataFrame([(1, "a")], "k int, v string"), tp)
+    with pytest.raises(ValueError, match="lacks the SCD2 meta columns"):
+        write_target(
+            spark,
+            spark.createDataFrame([(1, "b")], "k int, v string"),
+            TargetSpec.from_dict(
+                {
+                    "dataTarget": "local",
+                    "dataFrameName": "d",
+                    "path": tp,
+                    "fileFormat": "deltalake",
+                    "loadType": "scdType2Insert",
+                    "scd2Keys": ["k"],
+                }
+            ),
+        )
