@@ -4010,6 +4010,97 @@ FROM w GROUP BY doc_id
 """
 
 
+def _q_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTROPY-CODED audio decode (round 8 continuation): per document,
+    480 samples s_i = ((doc_id·13 + i·7) mod 4001) − 2000 are FLAC-
+    encoded Spark-side (``functions/flac.py``: Rice-coded residuals,
+    fixed predictors, 256-sample frames → 2 frames/clip, CRC-8/16) and
+    decoded back through ``audio_features``'s container dispatch. Three
+    bitstream shapes rotate by doc id — mid/side stereo (doc%4==0,
+    right = −left, so the side channel carries 17-bit 2s values),
+    forced-LPC subframes (doc%5==0), and default constant/fixed — plus
+    a truncated-payload corrupt lane (doc%97==0) that must null-route.
+    FLAC is LOSSLESS, so the DuckDB oracle recomputes every integer
+    feature from the closed-form sample formula: any Rice/predictor/
+    decorrelation/CRC bug anywhere breaks energy/zero-crossing sums
+    exactly."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.audio import (
+        audio_features,
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.flac import (
+            encode_flac,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                s = [((d * 13 + i * 7) % 4001) - 2000 for i in range(480)]
+                if d % 4 == 0:
+                    p = encode_flac(
+                        [s, [-v for v in s]], 16000, block_size=256, stereo="mid/side"
+                    )
+                elif d % 5 == 0:
+                    p = encode_flac([s], 16000, block_size=256, subframe="lpc")
+                else:
+                    p = encode_flac([s], 16000, block_size=256)
+                payloads.append(p[:30] if d % 97 == 0 else p)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    out = audio_features(docs.mapInPandas(gen, "doc_id long, payload binary"))
+    return out.select(
+        "doc_id",
+        F.col("decode_error").isNull().alias("decode_ok"),
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        "duration_ms",
+        "peak_abs",
+        "sum_abs",
+        "energy",
+        "zero_crossings",
+    )
+
+
+FLAC_DECODE_DUCK = """
+WITH w AS MATERIALIZED (
+  SELECT d.doc_id, t.i,
+         ((d.doc_id * 13 + t.i * 7) % 4001) - 2000 AS s
+  FROM documents d,
+       LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 479)) AS i) t
+  WHERE d.doc_id % 97 <> 0
+), lagd AS MATERIALIZED (
+  SELECT doc_id, s,
+         LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM w
+)
+SELECT doc_id, TRUE AS decode_ok,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS INT) AS n_channels,
+       CAST(480 AS INT) AS n_samples,
+       CAST(30 AS BIGINT) AS duration_ms,
+       CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+       CAST(SUM(s * s) AS BIGINT) AS energy,
+       CAST(SUM(CASE WHEN prev * s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM lagd GROUP BY doc_id
+UNION ALL
+SELECT doc_id, FALSE, CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM documents WHERE doc_id % 97 = 0
+"""
+
+
 def _q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL bytes→pixels decode, oracle-checked end-to-end: build a P5
     PGM per document whose 8×4 raster is the 32 ASCII chars of
@@ -5131,8 +5222,8 @@ def _q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-8 rotation (counts: 7 + 9 + 34 = 50 checked;
-        # 94 r06/r07-green tail; 144 total). ``base``
+        # entries. Round-8 rotation (counts: 8 + 9 + 33 = 50 checked;
+        # 95 r06/r07-green tail; 145 total). ``base``
         # keeps the historical (round-7) definition order for
         # readability — the ACTUAL round-8 checked set is the explicit
         # ``head`` list after it (7 new entries incl. delta_roundtrip,
@@ -5162,6 +5253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    transport, sim_decimals passthrough, session-machine epoch
         #    state) — changed code ALWAYS re-enters the checked 50 ----
         "delta_roundtrip": _q_delta_roundtrip,
+        "flac_decode": _q_flac_decode,
         "gif_decode": _q_gif_decode,
         "g711_decode": _q_g711_decode,
         "avi_frames": _q_avi_frames,
@@ -5337,7 +5429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Everything not in the head keeps its r06/r07 evidence and follows
     # in prior order; steady-state max evidence age stays ≤ 3 rounds.
     head = [
-        "delta_roundtrip",
+        "delta_roundtrip", "flac_decode",
         "gif_decode", "g711_decode", "avi_frames", "pmi_pairs",
         "jpeg_progressive", "jl_projection",
         "png_decode", "jpeg_decode", "wav_decode", "doc_chunks",
@@ -5356,9 +5448,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer", "running_customer_spend",
         "q1_pricing_summary", "q3_shipping_priority",
         "q5_local_supplier_volume", "q6_forecast_revenue",
-        "q7_volume_shipping", "q10_returned_items", "orders_cube",
-        # window_analytics displaced to the tail lead by delta_roundtrip
-        # (r04 evidence — it leads round 9's 50)
+        "q7_volume_shipping", "q10_returned_items",
+        # orders_cube + window_analytics displaced to the tail lead by
+        # delta_roundtrip/flac_decode (r04 evidence — they lead round
+        # 9's 50)
     ]
     out = {k: base[k] for k in head}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -5378,6 +5471,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_report_approx": _profile_report_approx_duck(),
         "jdbc_roundtrip": JDBC_ROUNDTRIP_DUCK,
         "delta_roundtrip": DELTA_ROUNDTRIP_DUCK,
+        "flac_decode": FLAC_DECODE_DUCK,
         "jpeg_decode": JPEG_DECODE_DUCK,
         "png_decode": PNG_DECODE_DUCK,
         "gif_decode": GIF_DECODE_DUCK,

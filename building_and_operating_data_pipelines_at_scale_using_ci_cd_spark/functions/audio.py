@@ -240,6 +240,19 @@ def decode_wav(payload: bytes):
     return sample_rate, channels, [int(v) for v in ch0]
 
 
+def decode_audio(payload: bytes):
+    """Container dispatch: RIFF/WAVE → :func:`decode_wav` (PCM 8/16/24,
+    G.711 µ-law/A-law), ``fLaC`` magic → :func:`flac.decode_flac` (the
+    entropy-coded lossless path, round 8). Same ``(sample_rate,
+    n_channels, ch0_samples)`` contract and ValueError corrupt-row class
+    either way."""
+    if payload[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        return decode_flac(payload)
+    return decode_wav(payload)
+
+
 AUDIO_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -270,7 +283,7 @@ def audio_features(df_with_payload: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 out["doc_id"].append(doc_id)
                 try:
-                    rate, channels, samples = decode_wav(bytes(payload))
+                    rate, channels, samples = decode_audio(bytes(payload))
                     s = np.asarray(samples, dtype=np.int64)
                     out["sample_rate"].append(rate)
                     out["n_channels"].append(channels)

@@ -400,18 +400,20 @@ def decode_compressed_gate(*_args, **_kwargs):
     stdlib-zlib codec (``png.py``), wired into :func:`parse_image`;
     PPM/PGM/BMP have decoded natively since round 5; round 8 added
     progressive JPEG, Adam7-interlaced and 16-bit PNG, GIF (LZW),
-    G.711 audio, and MJPEG-in-AVI video frames. What remains gated:
-    arithmetic-coded/hierarchical JPEG, entropy-coded audio
-    (MP3/AAC/FLAC), and inter-frame video codecs (genuinely need
-    ffmpeg-class libraries). Extend :func:`parse_image` when a codec
-    library lands — the Spark plumbing (Arrow batches, corrupt-row
-    null-routing) is proven on real compressed bytes."""
+    G.711 audio, MJPEG-in-AVI video frames, and FLAC (``flac.py`` —
+    Rice/fixed/LPC subframes, mid/side stereo, CRC-verified). What
+    remains gated: arithmetic-coded/hierarchical JPEG, perceptual
+    audio (MP3/AAC — psychoacoustic transform codecs), and inter-frame
+    video codecs (genuinely need ffmpeg-class libraries). Extend
+    :func:`parse_image` when a codec library lands — the Spark plumbing
+    (Arrow batches, corrupt-row null-routing) is proven on real
+    compressed bytes."""
     raise NotImplementedError(
-        "arithmetic-coded JPEG / entropy-coded audio / inter-frame video "
+        "arithmetic-coded JPEG / MP3-AAC audio / inter-frame video "
         "decode requires a codec library (PIL/opencv/ffmpeg); PPM/PGM/BMP, "
         "JPEG (baseline+progressive), PNG (8/16-bit, plain+Adam7), GIF, "
-        "G.711, and MJPEG-AVI frames decode natively — extend parse_image "
-        "for the rest"
+        "G.711, FLAC, and MJPEG-AVI frames decode natively — extend "
+        "parse_image for the rest"
     )
 
 

@@ -5,8 +5,8 @@ the round-8 codec tier made REAL:
   - images — `decodeImage`: JPEG (baseline + progressive), PNG (plain +
     Adam7 + 16-bit), GIF (interlaced LZW), BMP/PPM — plus deliberately
     corrupt rows proving the per-row null-route;
-  - audio  — `audioFeatures`: PCM 8/16/24-bit and G.711 µ-law clips →
-    all-integer per-clip features;
+  - audio  — `audioFeatures`: PCM 8/16/24-bit, G.711 µ-law, and FLAC
+    (mono + mid/side stereo) clips → all-integer per-clip features;
   - video  — `sampleVideoFrames`: MJPEG-in-AVI demux + per-frame JPEG
     decode and an animated GIF, every-2nd-frame sampling.
 
@@ -47,6 +47,9 @@ def _build_corpus(spark):
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.avi import (
         mux_mjpeg_avi,
     )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.flac import (
+        encode_flac,
+    )
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.gif import (
         encode_gif_gray,
     )
@@ -77,6 +80,8 @@ def _build_corpus(spark):
         (4, bytearray(encode_wav_g711(tone, 8000, law="mulaw"))),
         (5, bytearray(encode_wav_g711(tone, 8000, law="alaw"))),
         (6, bytearray(b"RIFFxxxxWAVEgarbage")),
+        (7, bytearray(encode_flac([tone], 8000, block_size=256))),
+        (8, bytearray(encode_flac([tone, tone[::-1]], 16000, stereo="mid/side"))),
     ]
     frames = [encode_jpeg_gray(_raster(f), 16, 16) for f in range(4)]
     anim = np.stack(
@@ -119,7 +124,7 @@ def main():
         f"SELECT COUNT(*), MAX(duration_ms) FROM '{DEMO}/audio_features/*.parquet'"
     ).fetchone()
     print(f"audio clips decoded: {n_audio}, max duration {max_ms} ms")
-    assert n_audio == 5 and max_ms == 60  # 480 samples @ 8 kHz
+    assert n_audio == 7 and max_ms == 60  # 480 samples @ 8 kHz (FLAC @16k = 30ms)
 
     stats = {
         r[0]: (r[1], r[2], r[3])

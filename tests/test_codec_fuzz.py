@@ -31,6 +31,10 @@ from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.
     encode_jpeg_gray,
     encode_jpeg_gray_progressive,
 )
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.flac import (
+    decode_flac,
+    encode_flac,
+)
 from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.png import (
     decode_png,
     encode_png_gray,
@@ -53,6 +57,11 @@ _SEEDS = {
     ),
     "wav": (lambda: encode_wav_pcm16(_TONE, 8000), decode_wav),
     "g711": (lambda: encode_wav_g711(_TONE, 8000), decode_wav),
+    "flac": (lambda: encode_flac([_TONE], 8000, block_size=64), decode_flac),
+    "flac_ms": (
+        lambda: encode_flac([_TONE, _TONE[::-1]], 8000, stereo="mid/side"),
+        decode_flac,
+    ),
     "avi": (
         lambda: mux_mjpeg_avi([encode_jpeg_gray(_IMG.reshape(-1), 16, 16)] * 3, 16, 16),
         demux_avi,
