@@ -125,6 +125,10 @@ HEADLINE = [
     "jpeg_progressive",
     "pmi_pairs",
     "jl_projection",
+    # round 8 continuation: real Delta transaction-log lane (SCD2 write +
+    # file-pruned MERGE + time-travel read) and Rice/LPC FLAC decode
+    "delta_roundtrip",
+    "flac_decode",
 ]
 
 

@@ -453,6 +453,64 @@ def main() -> None:
 
     timed("g711 quantize+expand per doc", _g711_smoke)
 
+    def _flac_smoke():
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.audio import (
+            audio_features,
+        )
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.flac import (
+            encode_flac,
+        )
+
+        return _media_smoke(
+            lambda d: encode_flac(
+                [[((d * 13 + i * 7) % 4001) - 2000 for i in range(480)]],
+                16000,
+                block_size=256,
+            ),
+            lambda df: audio_features(df).filter(F.col("decode_error").isNull()).count(),
+        )
+
+    timed("flac rice encode+decode per doc", _flac_smoke)
+
+    def _delta_smoke():
+        # the delta lane's scale axes: commit/replay cost vs file count
+        # and MERGE file pruning — 64-file table, tiny matched set
+        import shutil
+        import tempfile
+
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.scd2 import (
+            scd2_merge,
+        )
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.delta_lite import (
+            load_snapshot,
+            merge_scd2_delta_lite,
+            read_delta_lite,
+            write_delta_lite,
+        )
+
+        base = tempfile.mkdtemp(prefix="delta_smoke_")
+        tp = f"{base}/t"
+        init = scd2_merge(
+            None,
+            docs.select(F.col("doc_id").alias("k"), F.col("source").alias("v")),
+            ["k"],
+            effective_ts="2024-01-01 00:00:00",
+        )
+        write_delta_lite(init.repartition(64, "k"), tp)
+        inc = (
+            docs.select(F.col("doc_id").alias("k"))
+            .filter(F.col("k") % 1000 == 0)
+            .withColumn("v", F.lit("CHANGED"))
+        )
+        merge_scd2_delta_lite(spark, tp, inc, ["k"], effective_ts="2024-02-01 00:00:00")
+        snap = load_snapshot(tp)
+        n = read_delta_lite(spark, tp).count()
+        shutil.rmtree(base, ignore_errors=True)
+        print(f"  delta files after merge: {len(snap.files)} (64 + rewrites)")
+        return n
+
+    timed("delta scd2 write+pruned-merge", _delta_smoke)
+
 
 if __name__ == "__main__":
     main()
