@@ -4185,6 +4185,197 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY key DESC, term) 
 WHERE rank <= 3
 """
 
+_BM25_TERMS = ["hash", "merge", "stream", "vector"]
+
+
+def _q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval (functions/indexing.py round-8
+    extension): every document scored against a fixed 4-term query.
+    Document length is a map-only ``size(word_tokens)`` projection (no
+    explode); only query-set tokens shuffle; df is a |q|-row broadcast;
+    N/avgdl ride the allowlisted 1-row scalar crossJoin. The row set
+    (docs matching ≥1 term) is deterministic; the score carries the 4dp
+    rounding contract proven on lm_cross_entropy's logs (tf/df/dl/N all
+    exact integers, avgdl one exact division)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.indexing import (
+        bm25_scores,
+    )
+
+    return bm25_scores(
+        _table(spark, sf_dir, "documents"), "doc_id", "text", _BM25_TERMS
+    )
+
+
+BM25_SCORES_DUCK = """
+WITH dl AS MATERIALIZED (
+  SELECT doc_id, LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS dl
+  FROM documents
+),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+tf AS MATERIALIZED (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS tok
+        FROM documents)
+  WHERE tok IN ('hash', 'merge', 'stream', 'vector')
+  GROUP BY doc_id, tok
+),
+dfq AS (SELECT tok, COUNT(*) AS dft FROM tf GROUP BY tok)
+SELECT tf.doc_id,
+       CAST(COUNT(*) AS INT) AS n_matched_terms,
+       ROUND(SUM(
+         LN(1.0 + (n - dft + 0.5) / (dft + 0.5))
+         * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+       ), 4) + 0.0 AS bm25
+FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+GROUP BY tf.doc_id
+"""
+
+
+def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (functions/indexing.py
+    ``rrf_fuse``): a LEXICAL top-100 (integer tf·idf-surrogate ranking
+    over the 4-term query — weight_t = 2e6·N DIV (2·df_t + 1), the
+    all-integer form so ranks can't flip cross-engine) fused with a
+    VECTOR top-100 (exact integer dot product of floor(x·1000+0.5)-
+    quantized embeddings against vec 0's embedding — the MIPS retrieval
+    mode; ids are shared between `documents` and `embeddings` by
+    fixture construction). rrf = Σ 1e9 DIV (60 + rank): integer
+    division + integer sums end-to-end, so the fused top-20 ORDER is
+    exact on every engine. Both candidate lists are top-k-bounded
+    BEFORE the global rank window (TakeOrdered limit, then a ≤100-row
+    window — the pagerank single-partition-sort lesson applied)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.indexing import (
+        rrf_fuse,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.text import (
+        word_tokens,
+    )
+    from pyspark.sql import Window
+
+    docs = _table(spark, sf_dir, "documents")
+    emb = _table(spark, sf_dir, "embeddings")
+
+    # lexical list: integer weights, top 100
+    tf = (
+        docs.select(
+            "doc_id", F.explode(word_tokens(F.col("text"))).alias("__tok")
+        )
+        .filter(F.col("__tok").isin(_BM25_TERMS))
+        .groupBy("doc_id", "__tok")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("__n"))
+    lex = (
+        tf.join(F.broadcast(dfq), "__tok")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "__w",
+            F.expr("(2000000 * __n) DIV (2 * __df + 1)"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("__tf") * F.col("__w")).alias("__score"))
+        .orderBy(F.col("__score").desc(), F.col("doc_id"))
+        .limit(100)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("__score").desc(), F.col("doc_id"))
+            ),
+        )
+        .select("doc_id", "rank")
+    )
+
+    # vector list: exact integer dot vs vec 0, top 100
+    quant = lambda c: F.transform(  # noqa: E731
+        c, lambda x: F.floor(x.cast("double") * F.lit(1000.0) + F.lit(0.5)).cast("bigint")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(quant(F.col("embedding")).alias("__qv"))
+    dots = (
+        emb.select("vec_id", quant(F.col("embedding")).alias("__e"))
+        .crossJoin(F.broadcast(qv))  # 1-row scalar attach
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.aggregate(
+                F.zip_with(F.col("__e"), F.col("__qv"), lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("__dot"),
+        )
+        .orderBy(F.col("__dot").desc(), F.col("doc_id"))
+        .limit(100)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("__dot").desc(), F.col("doc_id"))
+            ),
+        )
+        .select("doc_id", "rank")
+    )
+
+    fused = rrf_fuse([lex, dots], "doc_id")
+    return (
+        fused.orderBy(F.col("rrf_units").desc(), F.col("doc_id"))
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("rrf_units").desc(), F.col("doc_id")))
+            .cast("int"),
+        )
+        .select("rank", "doc_id", "n_lists", "rrf_units")
+    )
+
+
+RRF_FUSION_DUCK = """
+WITH tf AS MATERIALIZED (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS tok
+        FROM documents)
+  WHERE tok IN ('hash', 'merge', 'stream', 'vector')
+  GROUP BY doc_id, tok
+),
+dfq AS (SELECT tok, COUNT(*) AS dft FROM tf GROUP BY tok),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+lex AS MATERIALIZED (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM (
+    SELECT doc_id, SUM(tf * ((2000000 * n) // (2 * dft + 1))) AS score
+    FROM tf JOIN dfq USING (tok) CROSS JOIN nd
+    GROUP BY doc_id
+  )
+  ORDER BY rank LIMIT 100
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+dots AS MATERIALIZED (
+  SELECT vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id) AS rank
+  FROM (
+    SELECT e.vec_id,
+           LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(e.embedding)),
+             i -> CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)
+                * CAST(FLOOR(CAST(q.qv[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))) AS dot
+    FROM embeddings e CROSS JOIN q
+  )
+  ORDER BY rank LIMIT 100
+),
+unioned AS (
+  SELECT doc_id, CAST(1000000000 // (60 + rank) AS BIGINT) AS units FROM lex
+  UNION ALL
+  SELECT doc_id, CAST(1000000000 // (60 + rank) AS BIGINT) AS units FROM dots
+),
+fused AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_lists,
+         CAST(SUM(units) AS BIGINT) AS rrf_units
+  FROM unioned GROUP BY doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_units DESC, doc_id) AS INT) AS rank,
+       doc_id, n_lists, rrf_units
+FROM fused
+ORDER BY rrf_units DESC, doc_id LIMIT 20
+"""
+
+
 # the synthetic corpus draws from a ~31-word vocabulary, so "mid
 # frequency" is the whole band; max_df still BOUNDS per-term reducer
 # state (the scale contract) even when set permissively
@@ -5222,8 +5413,8 @@ def _q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-8 rotation (counts: 8 + 9 + 33 = 50 checked;
-        # 95 r06/r07-green tail; 145 total). ``base``
+        # entries. Round-8 rotation (counts: 10 + 9 + 31 = 50 checked;
+        # 97 r06/r07-green tail; 147 total). ``base``
         # keeps the historical (round-7) definition order for
         # readability — the ACTUAL round-8 checked set is the explicit
         # ``head`` list after it (7 new entries incl. delta_roundtrip,
@@ -5254,6 +5445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    state) — changed code ALWAYS re-enters the checked 50 ----
         "delta_roundtrip": _q_delta_roundtrip,
         "flac_decode": _q_flac_decode,
+        "bm25_scores": _q_bm25_scores,
+        "rrf_fusion": _q_rrf_fusion,
         "gif_decode": _q_gif_decode,
         "g711_decode": _q_g711_decode,
         "avi_frames": _q_avi_frames,
@@ -5429,7 +5622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Everything not in the head keeps its r06/r07 evidence and follows
     # in prior order; steady-state max evidence age stays ≤ 3 rounds.
     head = [
-        "delta_roundtrip", "flac_decode",
+        "delta_roundtrip", "flac_decode", "bm25_scores", "rrf_fusion",
         "gif_decode", "g711_decode", "avi_frames", "pmi_pairs",
         "jpeg_progressive", "jl_projection",
         "png_decode", "jpeg_decode", "wav_decode", "doc_chunks",
@@ -5448,10 +5641,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer", "running_customer_spend",
         "q1_pricing_summary", "q3_shipping_priority",
         "q5_local_supplier_volume", "q6_forecast_revenue",
-        "q7_volume_shipping", "q10_returned_items",
-        # orders_cube + window_analytics displaced to the tail lead by
-        # delta_roundtrip/flac_decode (r04 evidence — they lead round
-        # 9's 50)
+        # q7_volume_shipping, q10_returned_items, orders_cube and
+        # window_analytics displaced to the tail lead by the four new
+        # round-8-continuation entries (delta_roundtrip, flac_decode,
+        # bm25_scores, rrf_fusion); r04 evidence — they lead round 9's 50
     ]
     out = {k: base[k] for k in head}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -5472,6 +5665,8 @@ def oracle_sql() -> dict[str, str]:
         "jdbc_roundtrip": JDBC_ROUNDTRIP_DUCK,
         "delta_roundtrip": DELTA_ROUNDTRIP_DUCK,
         "flac_decode": FLAC_DECODE_DUCK,
+        "bm25_scores": BM25_SCORES_DUCK,
+        "rrf_fusion": RRF_FUSION_DUCK,
         "jpeg_decode": JPEG_DECODE_DUCK,
         "png_decode": PNG_DECODE_DUCK,
         "gif_decode": GIF_DECODE_DUCK,

@@ -129,6 +129,10 @@ HEADLINE = [
     # file-pruned MERGE + time-travel read) and Rice/LPC FLAC decode
     "delta_roundtrip",
     "flac_decode",
+    # round 8 continuation: lexical retrieval (query-filtered explode +
+    # two broadcast joins + scalar attach) and integer hybrid fusion
+    "bm25_scores",
+    "rrf_fusion",
 ]
 
 

@@ -129,3 +129,119 @@ def inverted_index(
         )
         .select("term", F.col("df").cast("int").alias("df"), "postings")
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query-term
+    set — the lexical half of hybrid retrieval (the vector half is the
+    ANN tier in ``similarity.py``; fuse with :func:`rrf_fuse`). Uses the
+    Lucene idf form ln(1 + (N−df+0.5)/(df+0.5)), always positive.
+
+    Returns (id, n_matched_terms, bm25) for documents matching ≥1 query
+    term — a deterministic ROW SET (the float only decides values).
+
+    Scale shape: document length comes from ``size(word_tokens(text))``
+    — a map-only projection, no explode; only tokens IN the query set
+    are exploded and aggregated (the shuffle carries |q| terms per doc,
+    not the corpus vocabulary); per-term document frequency is a
+    |q|-row broadcast; N/avgdl attach as a 1-row broadcast scalar (the
+    allowlisted BNLJ pattern — never a driver collect).
+
+    Cross-engine contract: the score is ROUND(·, round_dp) — the same
+    4dp rounding proven on ``lm_cross_entropy``'s logs; everything
+    else (tf, df, dl, N) is exact-integer and avgdl is one exact
+    division of an integer sum.
+    """
+    if not query_terms:
+        raise ValueError("bm25_scores needs at least one query term")
+    terms = sorted(set(query_terms))
+    dl = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(word_tokens(F.col(text_col))).alias("__dl"),
+    ).persist()
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    tf = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(word_tokens(F.col(text_col))).alias("__tok"),
+        )
+        .filter(F.col("__tok").isin(terms))
+        .groupBy("__id", "__tok")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+    )
+    contrib = idf * (
+        F.col("__tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("__tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "__tok")
+        .join(dl, "__id")
+        .crossJoin(F.broadcast(stats))  # 1-row scalar attach
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_matched_terms"),
+            F.round(F.sum(contrib), round_dp).alias("bm25"),
+        )
+        .select(F.col("__id").alias(id_col), "n_matched_terms", "bm25")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    rank_col: str = "rank",
+    k: int = 60,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists over one id space:
+    rrf(id) = Σ_lists scale // (k + rank) — the standard hybrid-search
+    combiner (lexical ∪ vector), with the reciprocal QUANTIZED to an
+    integer so the fused score (and therefore the fused ORDER) is exact
+    on every engine: integer division + integer sum, no float anywhere.
+
+    Inputs each carry (id_col, rank_col); an id absent from a list
+    contributes 0 for it (full outer union semantics). Returns
+    (id, n_lists, rrf_units) — callers order by (rrf_units DESC, id).
+
+    Scale shape: one unionByName + one groupBy on the id — a single
+    shuffle regardless of list count; each input list is usually
+    already top-k-bounded by its producer.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if k <= 0:
+        raise ValueError("rrf k must be positive")
+    # integer DIV, never float-divide-then-truncate: a true quotient that
+    # lands within one ulp of an integer would truncate differently as a
+    # double than under exact integer division
+    units = F.expr(
+        f"CAST({scale} AS BIGINT) DIV (CAST({k} AS BIGINT) + CAST({rank_col} AS BIGINT))"
+    )
+    parts = [r.select(F.col(id_col), units.alias("__units")) for r in rankings]
+    from functools import reduce
+
+    allr = reduce(lambda a, b: a.unionByName(b), parts)
+    return allr.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+        F.sum("__units").cast("bigint").alias("rrf_units"),
+    )

@@ -149,6 +149,36 @@ def _term_cooccurrence(df: DataFrame, id_col: str, text_col: str, **kw) -> DataF
     return term_cooccurrence(df, id_col, text_col, **kw)
 
 
+def _bm25_score(df: DataFrame, id_col: str, text_col: str, query_terms, **kw) -> DataFrame:
+    """Config shape: ``queryTerms`` as a comma-joined string or list;
+    optional k1/b floats, roundDp int."""
+    from ..functions.indexing import bm25_scores
+
+    terms = (
+        [t for t in query_terms.split(",") if t]
+        if isinstance(query_terms, str)
+        else list(query_terms)
+    )
+    kw = {k: (int(v) if k == "round_dp" else float(v)) for k, v in kw.items()}
+    return bm25_scores(df, id_col, text_col, terms, **kw)
+
+
+def _rrf_fuse(df: DataFrame, id_col: str, other_views, rank_col: str = "rank", **kw) -> DataFrame:
+    """Config shape: the step's input view is the FIRST ranked list;
+    ``otherViews`` names the rest (comma-joined or list) — the same
+    by-name view resolution ``bloomFilteredJoin`` uses."""
+    from ..functions.indexing import rrf_fuse
+
+    views = (
+        [v for v in other_views.split(",") if v]
+        if isinstance(other_views, str)
+        else list(other_views)
+    )
+    dfs = [df] + [df.sparkSession.table(v) for v in views]
+    kw = {k: int(v) for k, v in kw.items()}
+    return rrf_fuse(dfs, id_col, rank_col=rank_col, **kw)
+
+
 def _decode_image(df: DataFrame, **kw) -> DataFrame:
     """Config shape for the image lane: input view carries (doc_id,
     payload) binary rows; PPM/PGM/BMP/JPEG/PNG/GIF decode natively."""
@@ -581,6 +611,8 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "sessionCloseEvents": _session_close_events,
     "termCooccurrence": _term_cooccurrence,
     "randomProjection": _random_projection,
+    "bm25Score": _bm25_score,
+    "rrfFuse": _rrf_fuse,
     "decodeImage": _decode_image,
     "audioFeatures": _audio_features,
     "sampleVideoFrames": _sample_video_frames,

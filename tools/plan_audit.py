@@ -68,6 +68,14 @@ BNLJ_ALLOWED = {
     # broadcast crossJoin — the domain_mix scalar-attachment shape; the
     # pair generator itself is a hash equi-join on doc id
     "pmi_pairs",
+    # bm25_scores: N/avgdl ride a 1-row broadcast crossJoin (scalar
+    # attachment); tf→df and tf→dl joins are hash equi-joins
+    "bm25_scores",
+    # rrf_fusion: two 1-row scalar attaches (corpus doc count for the
+    # integer idf surrogate; the quantized query vector for the integer
+    # dot) — both candidate lists are top-100-bounded before their
+    # ≤100-row global rank windows
+    "rrf_fusion",
 }
 
 FLAGS = {
