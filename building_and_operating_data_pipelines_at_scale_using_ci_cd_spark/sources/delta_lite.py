@@ -198,14 +198,14 @@ def load_snapshot(table_path: str, version: int | None = None) -> DeltaSnapshot:
     return state
 
 
-def read_delta_lite(
-    spark: SparkSession, table_path: str, version: int | None = None
+def _read_files(
+    spark: SparkSession, snap: DeltaSnapshot, rel_files: list
 ) -> DataFrame:
-    """Read a Delta table (optionally a past version) as a DataFrame."""
-    snap = load_snapshot(table_path, version)
+    """Read a subset of a snapshot's data files with the declared schema
+    (partition columns recovered from the hive layout and cast)."""
     schema = snap.schema
     pcols = snap.partition_columns
-    paths = [os.path.join(table_path, p) for p in sorted(snap.files)]
+    paths = [os.path.join(snap.path, p) for p in sorted(rel_files)]
     if not paths:
         return spark.createDataFrame([], schema)
     if not pcols:
@@ -218,7 +218,7 @@ def read_delta_lite(
     by_type = {f.name: f.dataType for f in schema.fields}
     df = (
         spark.read.schema(data_schema)
-        .option("basePath", table_path)
+        .option("basePath", snap.path)
         .parquet(*paths)
     )
     return df.select(
@@ -227,6 +227,14 @@ def read_delta_lite(
             for f in schema.fields
         ]
     )
+
+
+def read_delta_lite(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Read a Delta table (optionally a past version) as a DataFrame."""
+    snap = load_snapshot(table_path, version)
+    return _read_files(spark, snap, list(snap.files))
 
 
 def _schema_string(df: DataFrame) -> str:
@@ -289,44 +297,15 @@ def _commit(table_path: str, version: int, actions: list) -> None:
         os.unlink(tmp)
 
 
-def write_delta_lite(
-    df: DataFrame,
-    table_path: str,
-    mode: str = "append",
-    partition_by: list | None = None,
-) -> int:
-    """Write ``df`` as a Delta commit; returns the committed version.
+#: like delta-spark's default: a parquet checkpoint every N commits bounds
+#: log-replay length for long-lived tables
+CHECKPOINT_INTERVAL = 10
 
-    ``mode``: ``append`` | ``overwrite`` | ``errorifexists`` | ``ignore``.
-    The data files are staged with Spark's own parquet writer (so file
-    sizing/layout is whatever the session's partitioning produced), then
-    moved into the table and recorded in one commit.
-    """
-    spark = df.sparkSession
-    exists = is_delta_table(table_path)
-    snap = load_snapshot(table_path) if exists else None
-    if exists and mode == "ignore":
-        return snap.version
-    if exists and mode in ("error", "errorifexists"):
-        raise ValueError(f"delta table already exists: {table_path}")
 
-    pcols = list(partition_by or (snap.partition_columns if snap else []))
-    if snap and partition_by and list(partition_by) != snap.partition_columns:
-        raise ValueError(
-            f"partition columns {partition_by} do not match table's "
-            f"{snap.partition_columns}"
-        )
-    if snap:
-        declared = snap.schema
-        if {f.name for f in declared.fields} != set(df.columns):
-            raise ValueError(
-                f"schema mismatch: table has {[f.name for f in declared.fields]}, "
-                f"write has {df.columns}"
-            )
-        df = df.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
-        )
-
+def _stage_and_adds(df: DataFrame, table_path: str, pcols: list) -> list:
+    """Stage ``df`` through Spark's parquet writer, move the part files
+    into the table (hive dirs preserved for partitioned layouts) and
+    return their ``add`` actions."""
     os.makedirs(table_path, exist_ok=True)
     stage = tempfile.mkdtemp(prefix=".delta_stage_", dir=table_path)
     try:
@@ -354,8 +333,58 @@ def write_delta_lite(
                     }
                 }
             )
+        return adds
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def _maybe_checkpoint(table_path: str, version: int, interval: int | None) -> None:
+    if interval and version and version % interval == 0:
+        checkpoint_delta_lite(table_path)
+
+
+def write_delta_lite(
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+    partition_by: list | None = None,
+    checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
+) -> int:
+    """Write ``df`` as a Delta commit; returns the committed version.
+
+    ``mode``: ``append`` | ``overwrite`` | ``errorifexists`` | ``ignore``.
+    The data files are staged with Spark's own parquet writer (so file
+    sizing/layout is whatever the session's partitioning produced), then
+    moved into the table and recorded in one commit. Every
+    ``checkpoint_interval`` commits a parquet checkpoint is written so
+    replay cost stays bounded on long-lived tables (None disables).
+    """
+    spark = df.sparkSession
+    exists = is_delta_table(table_path)
+    snap = load_snapshot(table_path) if exists else None
+    if exists and mode == "ignore":
+        return snap.version
+    if exists and mode in ("error", "errorifexists"):
+        raise ValueError(f"delta table already exists: {table_path}")
+
+    pcols = list(partition_by or (snap.partition_columns if snap else []))
+    if snap and partition_by and list(partition_by) != snap.partition_columns:
+        raise ValueError(
+            f"partition columns {partition_by} do not match table's "
+            f"{snap.partition_columns}"
+        )
+    if snap:
+        declared = snap.schema
+        if {f.name for f in declared.fields} != set(df.columns):
+            raise ValueError(
+                f"schema mismatch: table has {[f.name for f in declared.fields]}, "
+                f"write has {df.columns}"
+            )
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
+        )
+
+    adds = _stage_and_adds(df, table_path, pcols)
 
     actions = [
         {
@@ -398,7 +427,43 @@ def write_delta_lite(
                 )
     actions.extend(adds)
     _commit(table_path, version, actions)
+    _maybe_checkpoint(table_path, version, checkpoint_interval)
     return version
+
+
+def vacuum_delta_lite(table_path: str, retain_versions: int = 0) -> list:
+    """Delete data files no longer referenced by the retained snapshots
+    (current and, with ``retain_versions`` > 0, that many prior versions
+    — time travel to them keeps working; older versions become
+    unreadable, which is the honest Delta VACUUM trade). Returns the
+    relative paths removed. The log itself is never touched, so history
+    metadata stays auditable."""
+    snap = load_snapshot(table_path)
+    referenced = set(snap.files)
+    log = _log_path(table_path)
+    versions = [v for v in _commit_versions(log) if v < snap.version]
+    for v in sorted(versions, reverse=True)[:retain_versions]:
+        try:
+            referenced |= set(load_snapshot(table_path, v).files)
+        except ValueError:
+            break  # pre-checkpoint commits may already be gone
+    removed = []
+    for root, dirs, names in os.walk(table_path):
+        dirs[:] = [d for d in dirs if d != LOG_DIR and not d.startswith(".")]
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, name), table_path).replace(
+                os.sep, "/"
+            )
+            if rel not in referenced:
+                os.unlink(os.path.join(root, name))
+                removed.append(rel)
+    # prune now-empty hive partition dirs
+    for root, dirs, names in os.walk(table_path, topdown=False):
+        if root != table_path and not os.listdir(root):
+            os.rmdir(root)
+    return sorted(removed)
 
 
 def checkpoint_delta_lite(table_path: str) -> int:
@@ -499,6 +564,7 @@ def merge_scd2_delta_lite(
     keys: list,
     compare_cols: list | None = None,
     effective_ts=None,
+    checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
 ) -> int:
     """SCD2 MERGE against a delta-lite table, rewriting ONLY matched files.
 
@@ -512,15 +578,18 @@ def merge_scd2_delta_lite(
     be the identity). Brand-new keys insert regardless of pruning.
     Driver traffic is one ``collect()`` of distinct file PATHS, bounded
     by the table's file count, never rows.
+
+    Partitioned tables work the same way — the pruned read recovers the
+    partition columns from the matched files' hive paths, and the
+    rewrite re-stages through ``partitionBy`` so replacement files land
+    back in their partitions (an SCD2 key that MOVES partitions is
+    handled naturally: its old current row is closed in the old
+    partition's rewrite and the new version inserts into the new one).
     """
     from ..operators.scd2 import IS_CURRENT, scd2_merge
 
     snap = load_snapshot(table_path)
-    if snap.partition_columns:
-        raise ValueError(
-            "delta_lite SCD2 merge supports unpartitioned tables "
-            "(the file sink's SCD2 path has no partitioning either)"
-        )
+    pcols = snap.partition_columns
     target = read_delta_lite(spark, table_path)
     tagged = target.withColumn("__file", F.input_file_name())
     inc_keys = incoming.select(*keys).dropDuplicates(keys)
@@ -533,17 +602,14 @@ def merge_scd2_delta_lite(
         .collect()
     ]
     rel_matched = sorted(
-        os.path.relpath(urllib.parse.unquote(urllib.parse.urlparse(f).path), table_path)
+        os.path.relpath(
+            urllib.parse.unquote(urllib.parse.urlparse(f).path), table_path
+        ).replace(os.sep, "/")
         for f in matched_files
     )
-    if rel_matched:
-        # re-scan ONLY the matched files — a plain pruned parquet read,
-        # no filter UDF, no second pass over untouched files
-        pruned_rows = spark.read.schema(snap.schema).parquet(
-            *[os.path.join(table_path, r) for r in rel_matched]
-        )
-    else:
-        pruned_rows = spark.createDataFrame([], target.schema)
+    # re-scan ONLY the matched files — a plain pruned parquet read, no
+    # filter UDF, no second pass over untouched files
+    pruned_rows = _read_files(spark, snap, rel_matched)
 
     merged = scd2_merge(
         pruned_rows,
@@ -551,51 +617,30 @@ def merge_scd2_delta_lite(
         keys,
         compare_cols=compare_cols,
         effective_ts=effective_ts,
-    )
+    ).select(*[F.col(f.name).cast(f.dataType) for f in snap.schema.fields])
 
-    # stage + commit: remove matched files, add the re-merged replacement
-    stage = tempfile.mkdtemp(prefix=".delta_stage_", dir=table_path)
-    try:
-        merged.select(
-            *[F.col(f.name).cast(f.dataType) for f in snap.schema.fields]
-        ).write.mode("overwrite").parquet(stage)
-        actions = [
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "MERGE",
+                "operationParameters": {"matchedFiles": len(rel_matched)},
+                "engineInfo": "delta-lite (PySpark analytics engine)",
+            }
+        }
+    ]
+    now_ms = int(os.path.getmtime(table_path) * 1000)
+    for rel in rel_matched:
+        actions.append(
             {
-                "commitInfo": {
-                    "operation": "MERGE",
-                    "operationParameters": {"matchedFiles": len(rel_matched)},
-                    "engineInfo": "delta-lite (PySpark analytics engine)",
+                "remove": {
+                    "path": urllib.parse.quote(rel),
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
                 }
             }
-        ]
-        now_ms = int(os.path.getmtime(table_path) * 1000)
-        for rel in rel_matched:
-            actions.append(
-                {
-                    "remove": {
-                        "path": urllib.parse.quote(rel.replace(os.sep, "/")),
-                        "deletionTimestamp": now_ms,
-                        "dataChange": True,
-                    }
-                }
-            )
-        for full, parts, pvals, size, _n in _collect_staged_files(stage, []):
-            base = f"part-{uuid.uuid4().hex}.snappy.parquet"
-            dest = os.path.join(table_path, base)
-            shutil.move(full, dest)
-            actions.append(
-                {
-                    "add": {
-                        "path": base,
-                        "partitionValues": {},
-                        "size": size,
-                        "modificationTime": int(os.path.getmtime(dest) * 1000),
-                        "dataChange": True,
-                        "stats": json.dumps({"numRecords": _n}),
-                    }
-                }
-            )
-        _commit(table_path, snap.version + 1, actions)
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
-    return snap.version + 1
+        )
+    actions.extend(_stage_and_adds(merged, table_path, pcols))
+    version = snap.version + 1
+    _commit(table_path, version, actions)
+    _maybe_checkpoint(table_path, version, checkpoint_interval)
+    return version

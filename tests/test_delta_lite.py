@@ -328,3 +328,74 @@ def test_scd2_refuses_non_scd2_delta_table(spark, tmp_path):
                 }
             ),
         )
+
+
+def test_partitioned_scd2_merge_with_partition_move(spark, tmp_path):
+    """MERGE on a hive-partitioned table: only partitions holding matched
+    current keys are rewritten, and a key whose partition VALUE changes
+    closes in the old partition and inserts into the new one."""
+    tp = str(tmp_path / "t")
+    init = scd2_initial(
+        spark.createDataFrame(
+            [(1, "US", "a"), (2, "US", "b"), (3, "DE", "c"), (4, "FR", "d")],
+            "k int, country string, v string",
+        ),
+        "2024-01-01 00:00:00",
+    )
+    dl.write_delta_lite(init, tp, partition_by=["country"])
+    before = dl.load_snapshot(tp)
+    inc = spark.createDataFrame(
+        [(2, "DE", "b"), (5, "US", "e")], "k int, country string, v string"
+    )
+    dl.merge_scd2_delta_lite(spark, tp, inc, ["k"], effective_ts="2024-02-01 00:00:00")
+    after = dl.load_snapshot(tp)
+    # the FR partition had no matched key: its file survives untouched
+    fr_files = {p for p in before.files if p.startswith("country=FR")}
+    assert fr_files and fr_files <= set(after.files)
+    got = {
+        (r.k, r.country, r.v, r.is_current)
+        for r in dl.read_delta_lite(spark, tp).collect()
+    }
+    assert (2, "US", "b", False) in got       # closed in old partition
+    assert (2, "DE", "b", True) in got        # current in new partition
+    assert (5, "US", "e", True) in got        # brand-new key
+    assert (4, "FR", "d", True) in got        # untouched
+    assert sum(1 for g in got if g[0] == 2) == 2
+
+
+def test_vacuum_removes_only_unreferenced(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    dl.write_delta_lite(df, tp)                       # v0
+    dl.write_delta_lite(df, tp, mode="overwrite")     # v1 — v0's file unreferenced
+    dl.write_delta_lite(df, tp, mode="append")        # v2
+    on_disk = lambda: {  # noqa: E731
+        os.path.relpath(os.path.join(r, f), tp)
+        for r, _d, fs in os.walk(tp)
+        for f in fs
+        if f.endswith(".parquet") and dl.LOG_DIR not in r
+    }
+    assert len(on_disk()) == 3
+    # retain one prior version: nothing referenced by v1/v2 is deleted
+    removed = dl.vacuum_delta_lite(tp, retain_versions=1)
+    assert len(removed) == 1  # only v0's overwritten file
+    assert dl.read_delta_lite(spark, tp).count() == 2
+    assert dl.read_delta_lite(spark, tp, version=1).count() == 1
+    # v0 data is gone: reading it now fails at scan time, not silently
+    import py4j.protocol
+
+    with pytest.raises(Exception):
+        dl.read_delta_lite(spark, tp, version=0).count()
+
+
+def test_auto_checkpoint_interval(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,)], "id int")
+    dl.write_delta_lite(df, tp, checkpoint_interval=3)
+    for _ in range(4):
+        dl.write_delta_lite(df, tp, mode="append", checkpoint_interval=3)
+    log = os.path.join(tp, dl.LOG_DIR)
+    cps = [f for f in os.listdir(log) if f.endswith(".checkpoint.parquet")]
+    assert cps == ["00000000000000000003.checkpoint.parquet"]
+    assert json.load(open(os.path.join(log, "_last_checkpoint")))["version"] == 3
+    assert dl.read_delta_lite(spark, tp).count() == 5
