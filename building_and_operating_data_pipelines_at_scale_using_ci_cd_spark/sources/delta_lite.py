@@ -67,6 +67,7 @@ class DeltaSnapshot:
     version: int
     metadata: dict
     files: dict = field(default_factory=dict)  # rel path -> add action
+    txns: dict = field(default_factory=dict)  # appId -> highest version
 
     @property
     def schema(self) -> StructType:
@@ -82,9 +83,14 @@ def _log_path(table_path: str) -> str:
 
 
 def is_delta_table(table_path: str) -> bool:
+    # a checkpoint with every earlier commit vacuumed is still a live
+    # table — detecting only .json commits would misread it as absent
+    # and a subsequent "create" would shadow the checkpointed state
     log = _log_path(table_path)
     return os.path.isdir(log) and any(
-        f.endswith(".json") and f[:20].isdigit() for f in os.listdir(log)
+        (f.endswith(".json") or f.endswith(".checkpoint.parquet"))
+        and f[:20].isdigit()
+        for f in os.listdir(log)
     )
 
 
@@ -132,6 +138,11 @@ def _apply_action(state: "DeltaSnapshot", action: dict) -> None:
         state.files[urllib.parse.unquote(add["path"])] = add
     if "remove" in action and action["remove"]:
         state.files.pop(urllib.parse.unquote(action["remove"]["path"]), None)
+    if "txn" in action and action["txn"]:
+        txn = action["txn"]
+        app = txn.get("appId")
+        if app is not None:
+            state.txns[app] = max(state.txns.get(app, -1), int(txn["version"]))
 
 
 def _normalize_map(v):
@@ -160,6 +171,8 @@ def _read_checkpoint(path: str, state: DeltaSnapshot) -> None:
             action["add"] = add
         if row.get("remove"):
             action["remove"] = dict(row["remove"])
+        if row.get("txn"):
+            action["txn"] = dict(row["txn"])
         _apply_action(state, action)
 
 
@@ -168,18 +181,16 @@ def load_snapshot(table_path: str, version: int | None = None) -> DeltaSnapshot:
     log = _log_path(table_path)
     if not os.path.isdir(log):
         raise ValueError(f"not a delta table (no {LOG_DIR}): {table_path}")
-    versions = _commit_versions(log)
-    if not versions:
+    jsons = _commit_versions(log)
+    all_cps = _checkpoint_versions(log)
+    if not jsons and not all_cps:
         raise ValueError(f"empty delta log: {table_path}")
-    target = versions[-1] if version is None else int(version)
-    if target not in versions and version is not None:
-        # commits before a checkpoint may legally be vacuumed; we only
-        # support travel to versions whose tail of commits still exists
-        raise ValueError(f"version {target} not available (have {versions})")
+    latest = max(jsons[-1] if jsons else -1, all_cps[-1] if all_cps else -1)
+    target = latest if version is None else int(version)
 
     state = DeltaSnapshot(path=table_path, version=target, metadata={})
     start = 0
-    cps = [v for v in _checkpoint_versions(log) if v <= target]
+    cps = [v for v in all_cps if v <= target]
     if cps:
         cp = cps[-1]
         _read_checkpoint(os.path.join(log, f"{cp:020d}.checkpoint.parquet"), state)
@@ -187,7 +198,12 @@ def load_snapshot(table_path: str, version: int | None = None) -> DeltaSnapshot:
     for v in range(start, target + 1):
         fpath = os.path.join(log, f"{v:020d}.json")
         if not os.path.exists(fpath):
-            raise ValueError(f"delta log is missing commit {v} for {table_path}")
+            # commits before a checkpoint may legally be vacuumed; only
+            # versions whose replay tail still exists are reachable
+            raise ValueError(
+                f"version {target} not available (missing commit {v}) for "
+                f"{table_path}"
+            )
         with open(fpath, encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
@@ -349,6 +365,7 @@ def write_delta_lite(
     mode: str = "append",
     partition_by: list | None = None,
     checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
+    txn: tuple | None = None,
 ) -> int:
     """Write ``df`` as a Delta commit; returns the committed version.
 
@@ -358,6 +375,13 @@ def write_delta_lite(
     moved into the table and recorded in one commit. Every
     ``checkpoint_interval`` commits a parquet checkpoint is written so
     replay cost stays bounded on long-lived tables (None disables).
+
+    ``txn=(app_id, version)`` records the protocol's ``txn`` action for
+    IDEMPOTENT writers (Structured Streaming foreachBatch: pass the
+    batch id): if the table has already committed this app's version —
+    e.g. the batch is replayed after a failure — the write is a NO-OP,
+    the exactly-once half of the streaming→delta contract. Watermarks
+    survive checkpoints.
     """
     spark = df.sparkSession
     exists = is_delta_table(table_path)
@@ -366,6 +390,10 @@ def write_delta_lite(
         return snap.version
     if exists and mode in ("error", "errorifexists"):
         raise ValueError(f"delta table already exists: {table_path}")
+    if txn is not None and snap is not None:
+        app_id, app_version = txn
+        if snap.txns.get(str(app_id), -1) >= int(app_version):
+            return snap.version  # already applied — idempotent replay
 
     pcols = list(partition_by or (snap.partition_columns if snap else []))
     if snap and partition_by and list(partition_by) != snap.partition_columns:
@@ -425,9 +453,86 @@ def write_delta_lite(
                         }
                     }
                 )
+    if txn is not None:
+        actions.append(
+            {"txn": {"appId": str(txn[0]), "version": int(txn[1])}}
+        )
     actions.extend(adds)
     _commit(table_path, version, actions)
     _maybe_checkpoint(table_path, version, checkpoint_interval)
+    return version
+
+
+def streaming_delta_sink(
+    stream_df: DataFrame,
+    table_path: str,
+    app_id: str,
+    checkpoint_location: str,
+    partition_by: list | None = None,
+):
+    """Structured Streaming → delta-lite: a ``foreachBatch`` writer whose
+    per-batch append carries ``txn=(app_id, batch_id)``, so a batch
+    REPLAYED after a failure (the at-least-once half Spark's checkpoint
+    gives) commits exactly once — together: exactly-once into the table.
+    Returns the started StreamingQuery; caller awaits/stops it.
+    """
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_delta_lite(
+            batch_df,
+            table_path,
+            mode="append",
+            partition_by=partition_by,
+            txn=(app_id, batch_id),
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_location)
+        .start()
+    )
+
+
+def optimize_delta_lite(
+    table_path: str, spark: SparkSession, target_files: int = 1
+) -> int:
+    """OPTIMIZE (bin-packing compaction): rewrite the current snapshot's
+    data into ``target_files`` files per partition and commit
+    remove+add with ``dataChange: false`` — readers see identical rows,
+    small-file scan overhead goes away, and concurrent streaming readers
+    can tell no new data arrived (the dataChange flag is exactly for
+    this). Time travel to pre-OPTIMIZE versions still works until those
+    files are vacuumed."""
+    snap = load_snapshot(table_path)
+    if not snap.files:
+        return snap.version
+    df = read_delta_lite(spark, table_path).coalesce(max(1, int(target_files)))
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "OPTIMIZE",
+                "operationParameters": {"inputFiles": len(snap.files)},
+                "engineInfo": "delta-lite (PySpark analytics engine)",
+            }
+        }
+    ]
+    now_ms = int(os.path.getmtime(table_path) * 1000)
+    for rel in sorted(snap.files):
+        actions.append(
+            {
+                "remove": {
+                    "path": snap.files[rel]["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": False,
+                }
+            }
+        )
+    adds = _stage_and_adds(df, table_path, snap.partition_columns)
+    for a in adds:
+        a["add"]["dataChange"] = False
+    actions.extend(adds)
+    version = snap.version + 1
+    _commit(table_path, version, actions)
     return version
 
 
@@ -515,11 +620,20 @@ def checkpoint_delta_lite(table_path: str) -> int:
                     ]
                 ),
             ),
+            pa.field(
+                "txn",
+                pa.struct(
+                    [
+                        pa.field("appId", pa.string()),
+                        pa.field("version", pa.int64()),
+                    ]
+                ),
+            ),
         ]
     )
     meta = snap.metadata
     rows = [
-        {"protocol": dict(_PROTOCOL), "metaData": None, "add": None},
+        {"protocol": dict(_PROTOCOL), "metaData": None, "add": None, "txn": None},
         {
             "protocol": None,
             "metaData": {
@@ -531,8 +645,20 @@ def checkpoint_delta_lite(table_path: str) -> int:
                 "createdTime": meta.get("createdTime"),
             },
             "add": None,
+            "txn": None,
         },
     ]
+    for app in sorted(snap.txns):
+        # streaming idempotence watermarks must survive checkpoint-bounded
+        # replay, or a replayed batch after log vacuum double-writes
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": None,
+                "txn": {"appId": app, "version": snap.txns[app]},
+            }
+        )
     for rel in sorted(snap.files):
         add = snap.files[rel]
         rows.append(
@@ -547,6 +673,7 @@ def checkpoint_delta_lite(table_path: str) -> int:
                     "dataChange": False,
                     "stats": add.get("stats"),
                 },
+                "txn": None,
             }
         )
     log = _log_path(table_path)

@@ -1,0 +1,154 @@
+"""Lakehouse lifecycle on delta-lite (round 8): the reference's flagship
+format (``spark.json:19`` deltalake) driven end-to-end WITHOUT delta-spark
+through the in-repo transaction-log implementation —
+
+  1. batch appends through the config dialect (two ``simpleInsert`` jobs
+     → two commits),
+  2. a Structured Streaming file source landing EXACTLY-ONCE via
+     ``streaming_delta_sink`` (foreachBatch + the protocol's ``txn``
+     idempotence watermark),
+  3. an ``scdType2Insert`` MERGE that rewrites only matched files,
+  4. OPTIMIZE (dataChange=false compaction) + VACUUM, with time travel
+     proving history until the files are reclaimed.
+
+    cd /root/repo && python examples/lakehouse/run.py
+"""
+
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
+
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark import (
+    Orchestrator,
+    get_session,
+)
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.delta_lite import (
+    load_snapshot,
+    optimize_delta_lite,
+    read_delta_lite,
+    streaming_delta_sink,
+    vacuum_delta_lite,
+)
+
+DEMO = "/tmp/lakehouse_demo"
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _run_cfg(spark, name, cfg):
+    path = os.path.join(DEMO, "cfg", f"{name}.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump(cfg, fh)
+    Orchestrator(spark).run(path)
+
+
+def main():
+    shutil.rmtree(DEMO, ignore_errors=True)
+    spark = get_session(app_name="lakehouse-demo")
+    table = f"{DEMO}/orders_delta"
+    scd = f"{DEMO}/parts_scd"
+
+    # 1. two batch appends through the config dialect
+    batch = {
+        "configs": {"name": "orders_to_delta", "phase_1": {"input_data": {
+            "dataSource": "local", "dataFrameName": "orders",
+            "path": f"{SF}/orders.parquet",
+            "fileProperties": {"fileFormat": "parquet"}}}},
+        "phase_2": {"data_transformations": [{
+            "functionName": "proj",
+            "sqlQuery": "SELECT o_orderkey, o_custkey, o_orderpriority FROM orders",
+            "outputDFName": "proj"}]},
+        "phase_3": {"target_record_insert": [{
+            "dataTarget": "local", "dataFrameName": "proj",
+            "loadType": "simpleInsert", "path": table,
+            "fileFormat": "deltalake"}]},
+    }
+    _run_cfg(spark, "b1", batch)
+    _run_cfg(spark, "b2", batch)
+    n_orders = spark.read.parquet(f"{SF}/orders.parquet").count()
+    assert read_delta_lite(spark, table).count() == 2 * n_orders
+    assert read_delta_lite(spark, table, version=0).count() == n_orders
+    print(f"batch: 2 commits, {2 * n_orders} rows, time travel to v0 = {n_orders}")
+
+    # 2. streaming lands exactly once (txn watermark absorbs the replay)
+    stream_src = f"{DEMO}/stream_src"
+    spark.read.parquet(f"{SF}/orders.parquet").limit(100).select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    ).write.parquet(stream_src)
+    q = streaming_delta_sink(
+        spark.readStream.schema(
+            "o_orderkey long, o_custkey long, o_orderpriority string"
+        ).parquet(stream_src),
+        table,
+        app_id="orders-stream",
+        checkpoint_location=f"{DEMO}/stream_cp",
+    )
+    q.processAllAvailable()
+    q.stop()
+    n_after_stream = read_delta_lite(spark, table).count()
+    assert n_after_stream == 2 * n_orders + 100
+    # replay batch 0 by hand — the txn action makes it a no-op
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.delta_lite import (
+        write_delta_lite,
+    )
+
+    write_delta_lite(
+        spark.read.parquet(stream_src),
+        table,
+        mode="append",
+        txn=("orders-stream", 0),
+    )
+    assert read_delta_lite(spark, table).count() == n_after_stream
+    print(f"streaming: +100 rows exactly-once (replay absorbed)")
+
+    # 3. SCD2 MERGE through the config dialect
+    for eff, where in (("2024-01-01 00:00:00", "TRUE"), ("2024-02-01 00:00:00", "p_partkey % 2 = 0")):
+        _run_cfg(spark, f"scd_{eff[:7]}", {
+            "configs": {"name": "parts_scd", "phase_1": {"input_data": {
+                "dataSource": "local", "dataFrameName": "part",
+                "path": f"{SF}/part.parquet",
+                "fileProperties": {"fileFormat": "parquet"}}}},
+            "phase_2": {"data_transformations": [{
+                "functionName": "snap",
+                "sqlQuery": "SELECT p_partkey, CASE WHEN " + where +
+                            " THEN p_brand || '_X' ELSE p_brand END AS brand FROM part",
+                "outputDFName": "snap"}]},
+            "phase_3": {"target_record_insert": [{
+                "dataTarget": "local", "dataFrameName": "snap",
+                "loadType": "scdType2Insert", "path": scd,
+                "fileFormat": "deltalake", "scd2Keys": ["p_partkey"],
+                "scd2EffectiveCol": eff}]},
+        })
+    hist = read_delta_lite(spark, scd)
+    n_parts = spark.read.parquet(f"{SF}/part.parquet").count()
+    n_cur = hist.filter("is_current").count()
+    n_closed = hist.filter("NOT is_current").count()
+    assert n_cur == n_parts and n_closed == sum(
+        1 for (k,) in spark.read.parquet(f"{SF}/part.parquet").select("p_partkey").collect()
+        if k % 2 != 0
+    )
+    merge_commit = json.loads(
+        open(os.path.join(scd, "_delta_log", "00000000000000000001.json")).readline()
+    )
+    print(f"scd2 merge: {n_cur} current / {n_closed} closed, "
+          f"matchedFiles={merge_commit['commitInfo']['operationParameters']['matchedFiles']}")
+
+    # 4. OPTIMIZE + VACUUM + the honest end of time travel
+    files_before = len(load_snapshot(table).files)
+    v_opt = optimize_delta_lite(table, spark, target_files=2)
+    files_after = len(load_snapshot(table).files)
+    assert files_after <= 2 < files_before
+    assert read_delta_lite(spark, table).count() == n_after_stream
+    removed = vacuum_delta_lite(table)
+    assert len(removed) == files_before
+    assert read_delta_lite(spark, table).count() == n_after_stream
+    print(f"optimize: {files_before} -> {files_after} files (v{v_opt}); "
+          f"vacuum reclaimed {len(removed)}")
+    print("lakehouse example OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -399,3 +399,80 @@ def test_auto_checkpoint_interval(spark, tmp_path):
     assert cps == ["00000000000000000003.checkpoint.parquet"]
     assert json.load(open(os.path.join(log, "_last_checkpoint")))["version"] == 3
     assert dl.read_delta_lite(spark, tp).count() == 5
+
+
+def test_txn_idempotent_writes(spark, tmp_path):
+    """The protocol's txn action: replaying a (appId, version) write is a
+    no-op — the exactly-once half of the streaming contract."""
+    tp = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,)], "id int")
+    dl.write_delta_lite(df, tp, txn=("job-a", 0))
+    v = dl.write_delta_lite(df, tp, mode="append", txn=("job-a", 0))  # replay
+    assert v == 0 and dl.read_delta_lite(spark, tp).count() == 1
+    dl.write_delta_lite(df, tp, mode="append", txn=("job-a", 1))
+    assert dl.read_delta_lite(spark, tp).count() == 2
+    # a DIFFERENT app's version counter is independent
+    dl.write_delta_lite(df, tp, mode="append", txn=("job-b", 0))
+    assert dl.read_delta_lite(spark, tp).count() == 3
+    assert dl.load_snapshot(tp).txns == {"job-a": 1, "job-b": 0}
+
+
+def test_txn_watermark_survives_checkpoint(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,)], "id int")
+    dl.write_delta_lite(df, tp, txn=("app", 7))
+    dl.checkpoint_delta_lite(tp)
+    log = os.path.join(tp, dl.LOG_DIR)
+    os.unlink(os.path.join(log, f"{0:020d}.json"))  # vacuumed commit
+    dl.write_delta_lite(df, tp, mode="append")  # forces replay from cp
+    v = dl.write_delta_lite(df, tp, mode="append", txn=("app", 7))  # replay
+    assert dl.read_delta_lite(spark, tp).count() == 2  # no double write
+    assert dl.load_snapshot(tp).txns == {"app": 7}
+
+
+def test_streaming_delta_sink_exactly_once(spark, tmp_path):
+    """foreachBatch -> delta-lite: file-source stream lands in the table;
+    a manual batch replay (same batch id) commits nothing."""
+    src = str(tmp_path / "src")
+    tp = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").write.parquet(src)
+    q = dl.streaming_delta_sink(
+        spark.readStream.schema("id long, v string").parquet(src),
+        tp,
+        app_id="stream-1",
+        checkpoint_location=str(tmp_path / "cp"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert dl.read_delta_lite(spark, tp).count() == 2
+    # simulate the failure-replay of batch 0
+    dl.write_delta_lite(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        tp,
+        mode="append",
+        txn=("stream-1", 0),
+    )
+    assert dl.read_delta_lite(spark, tp).count() == 2
+
+
+def test_optimize_compacts_without_data_change(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(20)], "id int, v string")
+    dl.write_delta_lite(df.repartition(8, "id"), tp)
+    before = dl.load_snapshot(tp)
+    assert len(before.files) > 1
+    dl.optimize_delta_lite(tp, spark, target_files=1)
+    after = dl.load_snapshot(tp)
+    assert len(after.files) == 1
+    assert _rows(dl.read_delta_lite(spark, tp)) == _rows(df)
+    # pre-OPTIMIZE time travel still works; OPTIMIZE commit flags no data change
+    assert dl.read_delta_lite(spark, tp, version=before.version).count() == 20
+    with open(os.path.join(tp, dl.LOG_DIR, f"{after.version:020d}.json")) as fh:
+        actions = [json.loads(l) for l in fh if l.strip()]
+    assert all(
+        a["remove"]["dataChange"] is False for a in actions if "remove" in a
+    )
+    assert all(a["add"]["dataChange"] is False for a in actions if "add" in a)
+    # vacuum now reclaims the compacted-away files
+    removed = dl.vacuum_delta_lite(tp)
+    assert set(removed) == set(before.files)

@@ -43,6 +43,12 @@ def test_media_pipeline_example(spark):
     mod.main()  # asserts internally (formats decoded, features, frame fan-out)
 
 
+def test_lakehouse_example(spark):
+    mod = _load(os.path.join(_ROOT, "examples", "lakehouse", "run.py"))
+    mod.main()  # asserts internally (commits, time travel, exactly-once,
+    # pruned merge, optimize/vacuum)
+
+
 def test_registry_docs_bench_consistency():
     """tools/consistency_check.py: registry ↔ docs ↔ bench drift guard
     (stale counts and undocumented steps were recurring advice items)."""
