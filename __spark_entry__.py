@@ -4376,6 +4376,80 @@ ORDER BY rrf_units DESC, doc_id LIMIT 20
 """
 
 
+#: k sized under the SMALLEST fixture's distinct-key count (sf0.001 has
+#: ~200 parts) — a sketch wider than the key space is just COUNT(DISTINCT)
+_KMV_K = 128
+
+
+def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k sketch (functions/sketches.py round-8 extension):
+    the k smallest portable-48-bit-hash distinct values of
+    lineitem.l_partkey are a DETERMINISTIC uniform sample, so the
+    classic (k−1)·2^48 DIV h_k distinct estimate AND sample quantiles
+    are strict-value-oracle-able — no error-bound-boolean fallback. The
+    exact distinct count rides along so the estimate's quality is
+    visible (and the 20% cross-multiplied bound is itself exact
+    integer arithmetic). Plan: one distinct shuffle + TakeOrdered k;
+    driver traffic bounded by k."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.sketches import (
+        kmv_sketch,
+        kmv_summary,
+    )
+
+    li = _table(spark, sf_dir, "lineitem")
+    summary = kmv_summary(kmv_sketch(li, "l_partkey", k=_KMV_K), _KMV_K)
+    exact = li.agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        summary.crossJoin(F.broadcast(exact))  # 1-row scalar attach
+        .select(
+            "k",
+            "hk",
+            "est_distinct",
+            F.col("q25").cast("bigint").alias("q25"),
+            F.col("q50").cast("bigint").alias("q50"),
+            F.col("q75").cast("bigint").alias("q75"),
+            "exact_distinct",
+            (
+                F.abs(F.col("est_distinct") - F.col("exact_distinct")) * F.lit(5)
+                <= F.col("exact_distinct")
+            ).alias("within_20pct"),
+        )
+    )
+
+
+KMV_DISTINCT_DUCK = f"""
+WITH d AS (SELECT DISTINCT l_partkey AS value FROM lineitem),
+h AS (SELECT value,
+             CAST(CONCAT('0x', SUBSTR(MD5(CAST(value AS VARCHAR)), 1, 12)) AS BIGINT) AS hv
+      FROM d),
+bk AS MATERIALIZED (
+  SELECT * FROM (SELECT hv, value, ROW_NUMBER() OVER (ORDER BY hv) AS pos FROM h)
+  WHERE pos <= {_KMV_K}
+),
+byval AS MATERIALIZED (
+  SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS vpos FROM bk
+),
+s AS (
+  SELECT (SELECT hv FROM bk WHERE pos = {_KMV_K}) AS hk,
+         (SELECT value FROM byval WHERE vpos = {int((_KMV_K - 1) * 0.25) + 1}) AS q25,
+         (SELECT value FROM byval WHERE vpos = {int((_KMV_K - 1) * 0.5) + 1}) AS q50,
+         (SELECT value FROM byval WHERE vpos = {int((_KMV_K - 1) * 0.75) + 1}) AS q75
+),
+e AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct FROM lineitem)
+SELECT CAST({_KMV_K} AS INT) AS k,
+       CAST(hk AS BIGINT) AS hk,
+       CAST({_KMV_K - 1} * 281474976710656 // hk AS BIGINT) AS est_distinct,
+       CAST(q25 AS BIGINT) AS q25, CAST(q50 AS BIGINT) AS q50,
+       CAST(q75 AS BIGINT) AS q75,
+       exact_distinct,
+       ABS({_KMV_K - 1} * 281474976710656 // hk - exact_distinct) * 5
+         <= exact_distinct AS within_20pct
+FROM s CROSS JOIN e
+"""
+
+
 # the synthetic corpus draws from a ~31-word vocabulary, so "mid
 # frequency" is the whole band; max_df still BOUNDS per-term reducer
 # state (the scale contract) even when set permissively
@@ -5413,8 +5487,8 @@ def _q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-8 rotation (counts: 10 + 9 + 31 = 50 checked;
-        # 97 r06/r07-green tail; 147 total). ``base``
+        # entries. Round-8 rotation (counts: 11 + 9 + 30 = 50 checked;
+        # 98 r06/r07-green tail; 148 total). ``base``
         # keeps the historical (round-7) definition order for
         # readability — the ACTUAL round-8 checked set is the explicit
         # ``head`` list after it (7 new entries incl. delta_roundtrip,
@@ -5447,6 +5521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flac_decode": _q_flac_decode,
         "bm25_scores": _q_bm25_scores,
         "rrf_fusion": _q_rrf_fusion,
+        "kmv_distinct": _q_kmv_distinct,
         "gif_decode": _q_gif_decode,
         "g711_decode": _q_g711_decode,
         "avi_frames": _q_avi_frames,
@@ -5623,6 +5698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in prior order; steady-state max evidence age stays ≤ 3 rounds.
     head = [
         "delta_roundtrip", "flac_decode", "bm25_scores", "rrf_fusion",
+        "kmv_distinct",
         "gif_decode", "g711_decode", "avi_frames", "pmi_pairs",
         "jpeg_progressive", "jl_projection",
         "png_decode", "jpeg_decode", "wav_decode", "doc_chunks",
@@ -5640,8 +5716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_regex", "quality_scores", "lang_id",
         "top_orders_per_customer", "running_customer_spend",
         "q1_pricing_summary", "q3_shipping_priority",
-        "q5_local_supplier_volume", "q6_forecast_revenue",
-        # q7_volume_shipping, q10_returned_items, orders_cube and
+        "q5_local_supplier_volume",
+        # q6_forecast_revenue, q7_volume_shipping, q10_returned_items, orders_cube and
         # window_analytics displaced to the tail lead by the four new
         # round-8-continuation entries (delta_roundtrip, flac_decode,
         # bm25_scores, rrf_fusion); r04 evidence — they lead round 9's 50
@@ -5667,6 +5743,7 @@ def oracle_sql() -> dict[str, str]:
         "flac_decode": FLAC_DECODE_DUCK,
         "bm25_scores": BM25_SCORES_DUCK,
         "rrf_fusion": RRF_FUSION_DUCK,
+        "kmv_distinct": KMV_DISTINCT_DUCK,
         "jpeg_decode": JPEG_DECODE_DUCK,
         "png_decode": PNG_DECODE_DUCK,
         "gif_decode": GIF_DECODE_DUCK,

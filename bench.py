@@ -133,6 +133,8 @@ HEADLINE = [
     # two broadcast joins + scalar attach) and integer hybrid fusion
     "bm25_scores",
     "rrf_fusion",
+    # round 8 continuation: bottom-k sketch (distinct shuffle + TakeOrdered)
+    "kmv_distinct",
 ]
 
 

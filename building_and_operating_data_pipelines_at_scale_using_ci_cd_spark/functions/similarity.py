@@ -354,23 +354,26 @@ def random_projection(
     ``proj: array<bigint>`` of length ``out_dim``."""
     if out_dim <= 0 or in_dim <= 0:
         raise ValueError("out_dim and in_dim must be positive")
-    q = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("long"),
+    # the whole projection is ONE F.expr over a generated SQL string.
+    # Building it Column-by-Column looks equivalent but costs out_dim ×
+    # in_dim py4j round trips for the literals alone — measured 4.8s of
+    # DRIVER time at 16×64 before the first task launched (the bench
+    # "slow query" that was really slow Python). One string, one parse.
+    q = (
+        f"transform(`{vec_col}`, x -> CAST(floor(CAST(x AS DOUBLE) * "
+        f"{float(scale)!r} + 0.5) AS LONG))"
     )
-    df = df.select(F.col(id_col), q.alias("__q"))
-    coords = []
-    for j in range(out_dim):
-        signs = [jl_sign(seed, j, i) for i in range(in_dim)]
-        signed = F.zip_with(
-            F.col("__q"),
-            F.array(*[F.lit(s).cast("long") for s in signs]),
-            lambda x, s: x * s,
-        )
-        coords.append(
-            F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc + x)
-        )
-    return df.select(F.col(id_col), F.array(*coords).alias("proj"))
+    rows = ",".join(
+        "array(" + ",".join(str(jl_sign(seed, j, i)) + "L" for i in range(in_dim)) + ")"
+        for j in range(out_dim)
+    )
+    proj = (
+        f"transform(array({rows}), row -> "
+        f"aggregate(zip_with(__q, row, (x, s) -> x * s), 0L, (a, x) -> a + x))"
+    )
+    return df.select(F.col(id_col), F.expr(q).alias("__q")).select(
+        F.col(id_col), F.expr(proj).alias("proj")
+    )
 
 
 def adaptive_index_size(df: DataFrame, floor: int = 8, cap: int = 262144) -> int:

@@ -220,3 +220,107 @@ def heavy_hitters(
         .filter(F.col("cnt") * F.lit(frac_den) >= F.col("__n_total") * F.lit(frac_num))
         .select(item_col, "cnt")
     )
+
+
+def kmv_hash(value: Column) -> Column:
+    """Portable 48-bit uniform hash of a value: first 12 hex chars of
+    md5 over the string form. 48 bits (< 2^53) so every arithmetic step
+    downstream stays exactly representable — and exactly reproducible —
+    in any engine with md5, the same trick the CMS buckets and the
+    weighted-sample priorities use."""
+    return F.conv(
+        F.substring(F.md5(value.cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) sketch of a column's DISTINCT
+    values: the ``k`` rows with the smallest portable 48-bit hash, as a
+    DataFrame of ``(pos, hv, value)``.
+
+    Why this sketch earns its place next to HLL/CMS:
+
+      - the bottom-k of a uniform hash is a DETERMINISTIC uniform sample
+        of the distinct values — so unlike engine-private sketch blobs,
+        every derived statistic (distinct estimate, sample quantiles) is
+        strict-value-oracle-able: another engine computes the *same k
+        rows*;
+      - mergeable by construction: ``kmv_sketch`` of a union ==
+        bottom-k of the unioned sketches (keep per-shard sketches at
+        100 TB, merge on demand — pinned by test);
+      - the classic KMV estimator: distinct ≈ (k-1) * 2^48 / h_k where
+        ``h_k`` is the largest retained hash — here computed with
+        INTEGER division so it is bit-identical cross-engine.
+
+    Plan shape: distinct (one shuffle, map-side partial) → global
+    TakeOrdered k on the hash (no full sort — Spark's
+    ``TakeOrderedAndProject``), driver traffic bounded by ``k``.
+    """
+    if k < 2:
+        raise ValueError("kmv needs k >= 2 (the estimator divides by h_k)")
+    from pyspark.sql import Window
+
+    return (
+        df.select(F.col(col).alias("value")).distinct()
+        .select(kmv_hash(F.col("value")).alias("hv"), "value")
+        .orderBy("hv")
+        .limit(k)
+        .withColumn(
+            "pos", F.row_number().over(Window.orderBy("hv")).cast("int")
+        )
+        .select("pos", "hv", "value")
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 256) -> DataFrame:
+    """Union partial KMV sketches into the sketch of the combined input:
+    distinct-union the retained (hv, value) rows and keep the k
+    smallest. Exactly equals the single-pass sketch of the unioned
+    data (test-pinned)."""
+    from pyspark.sql import Window
+
+    allrows = reduce(
+        lambda a, b: a.unionByName(b), [s.select("hv", "value") for s in sketches]
+    )
+    return (
+        allrows.distinct()
+        .orderBy("hv")
+        .limit(k)
+        .withColumn("pos", F.row_number().over(Window.orderBy("hv")).cast("int"))
+        .select("pos", "hv", "value")
+    )
+
+
+def kmv_summary(sketch: DataFrame, k: int, quantiles=(0.25, 0.5, 0.75)) -> DataFrame:
+    """One-row summary of a full (size-k) KMV sketch: the integer
+    distinct-count estimate ``(k-1) * 2^48 DIV h_k`` and the requested
+    quantiles of the uniform distinct-value sample (positional picks
+    over the value-sorted sample — floor((n-1)q)+1 — so no engine
+    interpolation semantics are involved). Every output is integer /
+    exact → strict cross-engine."""
+    from pyspark.sql import Window
+
+    n = sketch.count()
+    if n < k:
+        raise ValueError(
+            f"kmv_summary needs a full sketch (k={k} rows, got {n}) — "
+            "fewer distinct values than k means COUNT(DISTINCT) exactly"
+        )
+    by_val = sketch.withColumn(
+        "vpos", F.row_number().over(Window.orderBy("value")).cast("int")
+    )
+    picks = {f"q{int(q * 100)}": int((k - 1) * q) + 1 for q in quantiles}
+    agg = [
+        F.max(F.when(F.col("pos") == k, F.col("hv"))).alias("hk"),
+    ] + [
+        F.max(F.when(F.col("vpos") == pos, F.col("value"))).alias(name)
+        for name, pos in picks.items()
+    ]
+    return by_val.agg(*agg).select(
+        F.lit(k).cast("int").alias("k"),
+        F.col("hk").cast("bigint").alias("hk"),
+        F.expr(f"CAST({k - 1} AS BIGINT) * CAST({2**48} AS BIGINT) DIV hk")
+        .cast("bigint")
+        .alias("est_distinct"),
+        *[F.col(name) for name in picks],
+    )

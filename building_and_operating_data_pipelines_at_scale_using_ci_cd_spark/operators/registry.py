@@ -179,6 +179,14 @@ def _rrf_fuse(df: DataFrame, id_col: str, other_views, rank_col: str = "rank", *
     return rrf_fuse(dfs, id_col, rank_col=rank_col, **kw)
 
 
+def _kmv_sketch(df: DataFrame, col: str, **kw) -> DataFrame:
+    """Config shape: the mergeable bottom-k rows (keep per-shard
+    sketches; union+rerank = the whole-corpus sketch)."""
+    from ..functions.sketches import kmv_sketch
+
+    return kmv_sketch(df, col, **{k: int(v) for k, v in kw.items()})
+
+
 def _decode_image(df: DataFrame, **kw) -> DataFrame:
     """Config shape for the image lane: input view carries (doc_id,
     payload) binary rows; PPM/PGM/BMP/JPEG/PNG/GIF decode natively."""
@@ -613,6 +621,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "randomProjection": _random_projection,
     "bm25Score": _bm25_score,
     "rrfFuse": _rrf_fuse,
+    "kmvSketch": _kmv_sketch,
     "decodeImage": _decode_image,
     "audioFeatures": _audio_features,
     "sampleVideoFrames": _sample_video_frames,

@@ -138,3 +138,71 @@ def test_registry_steps(spark, items):
         "zorderLayout", df, {"cols": ["a", "b"], "bits": "6", "num_partitions": "4"}
     )
     assert laid.count() == 100
+
+
+class TestKMV:
+    """KMV bottom-k sketch: deterministic uniform distinct-sample."""
+
+    def test_sketch_rows_and_determinism(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.sketches import (
+            kmv_hash,
+            kmv_sketch,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.range(0, 1000).select(F.col("id").alias("v"))
+        sk = kmv_sketch(df, "v", k=32)
+        rows = sk.collect()
+        assert len(rows) == 32
+        assert [r.pos for r in rows] == sorted(r.pos for r in rows)
+        hvs = [r.hv for r in rows]
+        assert hvs == sorted(hvs)
+        # rerun == same sketch (deterministic hash, no RNG)
+        assert kmv_sketch(df, "v", k=32).collect() == rows
+        # the hash really is the bottom-k of the full hash set
+        all_h = sorted(
+            r.h for r in df.select(kmv_hash(F.col("v")).alias("h")).collect()
+        )
+        assert hvs == all_h[:32]
+
+    def test_merge_equals_single_pass(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.sketches import (
+            kmv_merge,
+            kmv_sketch,
+        )
+        from pyspark.sql import functions as F
+
+        a = spark.range(0, 600).select(F.col("id").alias("v"))
+        b = spark.range(400, 1000).select(F.col("id").alias("v"))  # overlap
+        merged = kmv_merge(
+            kmv_sketch(a, "v", k=32), kmv_sketch(b, "v", k=32), k=32
+        )
+        whole = kmv_sketch(a.unionByName(b), "v", k=32)
+        assert merged.collect() == whole.collect()
+
+    def test_summary_estimate_and_quantiles(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.sketches import (
+            kmv_sketch,
+            kmv_summary,
+        )
+        from pyspark.sql import functions as F
+
+        n = 5000
+        df = spark.range(0, n).select(F.col("id").alias("v"))
+        row = kmv_summary(kmv_sketch(df, "v", k=256), 256).collect()[0]
+        assert abs(row.est_distinct - n) / n < 0.2  # ~1/sqrt(k) regime
+        # quantiles of a uniform 0..n sample land near the true ones
+        assert abs(row.q50 - n / 2) < n * 0.15
+        assert row.q25 < row.q50 < row.q75
+
+    def test_summary_requires_full_sketch(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.sketches import (
+            kmv_sketch,
+            kmv_summary,
+        )
+        from pyspark.sql import functions as F
+        import pytest
+
+        df = spark.range(0, 10).select(F.col("id").alias("v"))
+        with pytest.raises(ValueError, match="full sketch"):
+            kmv_summary(kmv_sketch(df, "v", k=64), 64)

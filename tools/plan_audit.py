@@ -76,6 +76,9 @@ BNLJ_ALLOWED = {
     # dot) — both candidate lists are top-100-bounded before their
     # ≤100-row global rank windows
     "rrf_fusion",
+    # kmv_distinct: the exact COUNT(DISTINCT) reference rides a 1-row
+    # broadcast crossJoin onto the 1-row sketch summary
+    "kmv_distinct",
 }
 
 FLAGS = {
