@@ -366,8 +366,16 @@ def write_delta_lite(
     partition_by: list | None = None,
     checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
     txn: tuple | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Write ``df`` as a Delta commit; returns the committed version.
+
+    ``merge_schema=True`` allows ADDITIVE evolution on append/overwrite:
+    new columns join the table schema (a new ``metaData`` action rides
+    the commit); rows in old files read back NULL for them — exactly
+    Spark's missing-column parquet semantics, so no rewrite happens.
+    Dropping or retyping columns still refuses (that's a rewrite, not
+    an evolution).
 
     ``mode``: ``append`` | ``overwrite`` | ``errorifexists`` | ``ignore``.
     The data files are staged with Spark's own parquet writer (so file
@@ -401,16 +409,32 @@ def write_delta_lite(
             f"partition columns {partition_by} do not match table's "
             f"{snap.partition_columns}"
         )
+    new_metadata = None
     if snap:
         declared = snap.schema
-        if {f.name for f in declared.fields} != set(df.columns):
+        declared_names = {f.name for f in declared.fields}
+        extra = [c for c in df.columns if c not in declared_names]
+        missing = declared_names - set(df.columns)
+        if (extra and not merge_schema) or missing:
             raise ValueError(
-                f"schema mismatch: table has {[f.name for f in declared.fields]}, "
+                f"schema mismatch: table has {sorted(declared_names)}, "
                 f"write has {df.columns}"
+                + (" (pass merge_schema=True to add columns)" if extra and not missing else "")
             )
-        df = df.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
-        )
+        if extra:
+            evolved = StructType(
+                list(declared.fields)
+                + [df.schema[c] for c in df.columns if c in extra]
+            )
+            df = df.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in evolved.fields]
+            )
+            new_metadata = dict(snap.metadata)
+            new_metadata["schemaString"] = json.dumps(evolved.jsonValue())
+        else:
+            df = df.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
+            )
 
     adds = _stage_and_adds(df, table_path, pcols)
 
@@ -440,6 +464,8 @@ def write_delta_lite(
         version = 0
     else:
         version = snap.version + 1
+        if new_metadata is not None:
+            actions.append({"metaData": new_metadata})
         if mode == "overwrite":
             for rel, add in sorted(snap.files.items()):
                 actions.append(
@@ -534,6 +560,48 @@ def optimize_delta_lite(
     version = snap.version + 1
     _commit(table_path, version, actions)
     return version
+
+
+def delta_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level changes between two versions — semantic CDC from time
+    travel alone (no ``_change_data`` directory needed): the multiset
+    difference of the snapshots, as rows tagged ``_change_type``
+    insert | delete (an update surfaces as delete+insert of the row).
+
+    Exact file pruning: a data file present in BOTH snapshots
+    contributes identical rows to both sides and cancels in the
+    multiset diff, so only files that CHANGED between the versions are
+    scanned — a day's CDC on a 100 TB table reads the day's churn, not
+    the table. (OPTIMIZE commits rewrite files without changing rows;
+    their before/after files are not shared, but their rows still
+    cancel — correctness never depends on the pruning.)
+
+    Schema evolution between the versions is handled by aligning the
+    older side to the newer schema (added columns read as NULL, same as
+    the snapshot read itself)."""
+    s_old = load_snapshot(table_path, from_version)
+    s_new = load_snapshot(table_path, to_version)
+    shared = set(s_old.files) & set(s_new.files)
+    old = _read_files(spark, s_old, [f for f in s_old.files if f not in shared])
+    new = _read_files(spark, s_new, [f for f in s_new.files if f not in shared])
+    target = s_new.schema
+    have = set(old.columns)
+    old = old.select(
+        *[
+            (F.col(f.name) if f.name in have else F.lit(None).cast(f.dataType)).alias(
+                f.name
+            )
+            for f in target.fields
+        ]
+    )
+    inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+    deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+    return inserts.unionByName(deletes)
 
 
 def vacuum_delta_lite(table_path: str, retain_versions: int = 0) -> list:

@@ -476,3 +476,135 @@ def test_optimize_compacts_without_data_change(spark, tmp_path):
     # vacuum now reclaims the compacted-away files
     removed = dl.vacuum_delta_lite(tp)
     assert set(removed) == set(before.files)
+
+
+def test_randomized_op_sequences_match_model(spark, tmp_path):
+    """Model-based check: random operation sequences (append / overwrite /
+    SCD2 merge / optimize / checkpoint / vacuum) against a plain-Python
+    model of the CURRENT-state semantics. Catches interaction bugs no
+    single-feature test covers (the checkpoint-only-log bug came from
+    exactly such an interaction)."""
+    import random
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.scd2 import (
+        scd2_merge,
+    )
+
+    for seed in (1, 7, 23):
+        rng = random.Random(seed)
+        tp = str(tmp_path / f"t{seed}")
+        # model: key -> current value (SCD2 current slice); row multiset
+        # for plain appends is tracked as a list of (k, v)
+        model_rows = []
+
+        def mk(rows):
+            return spark.createDataFrame(rows, "k int, v string")
+
+        dl.write_delta_lite(
+            scd2_merge(None, mk([(0, "init")]), ["k"], effective_ts="2024-01-01 00:00:00"),
+            tp,
+            checkpoint_interval=3,
+        )
+        current = {0: "init"}
+        closed = 0
+        for step in range(12):
+            op = rng.choice(["merge", "merge", "optimize", "checkpoint", "vacuum"])
+            if op == "merge":
+                inc = [
+                    (rng.randrange(8), f"v{seed}.{step}.{i}")
+                    for i in range(rng.randrange(1, 4))
+                ]
+                # model: last dedup survivor per key wins (greatest row
+                # under the non-key total order = max v string)
+                by_key = {}
+                for k, v in inc:
+                    if k not in by_key or v > by_key[k]:
+                        by_key[k] = v
+                dl.merge_scd2_delta_lite(
+                    spark, tp, mk(inc), ["k"],
+                    effective_ts=f"2024-02-{step + 1:02d} 00:00:00",
+                )
+                for k, v in by_key.items():
+                    if current.get(k) not in (v,):
+                        if k in current:
+                            closed += 1
+                        current[k] = v
+            elif op == "optimize":
+                dl.optimize_delta_lite(tp, spark, target_files=1)
+            elif op == "checkpoint":
+                dl.checkpoint_delta_lite(tp)
+            else:
+                dl.vacuum_delta_lite(tp)
+            got_cur = {
+                r.k: r.v
+                for r in dl.read_delta_lite(spark, tp).filter("is_current").collect()
+            }
+            assert got_cur == current, f"seed {seed} step {step} op {op}"
+        got_closed = (
+            dl.read_delta_lite(spark, tp).filter("NOT is_current").count()
+        )
+        assert got_closed == closed, f"seed {seed}: closed-history count"
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(spark.createDataFrame([(1, "a")], "id int, v string"), tp)
+    wide = spark.createDataFrame([(2, "b", 9)], "id int, v string, n int")
+    with pytest.raises(ValueError, match="merge_schema"):
+        dl.write_delta_lite(wide, tp, mode="append")
+    dl.write_delta_lite(wide, tp, mode="append", merge_schema=True)
+    got = dl.read_delta_lite(spark, tp)
+    assert got.schema.simpleString() == "struct<id:int,v:string,n:int>"
+    assert _rows(got) == [(1, "a", None), (2, "b", 9)]  # old rows read NULL
+    # v0 time travel keeps the ORIGINAL schema
+    assert dl.read_delta_lite(spark, tp, version=0).columns == ["id", "v"]
+    # dropping columns still refuses
+    with pytest.raises(ValueError, match="schema mismatch"):
+        dl.write_delta_lite(
+            spark.createDataFrame([(3,)], "id int"), tp, mode="append",
+            merge_schema=True,
+        )
+
+
+def test_delta_changes_cdc(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id int, v string"),
+        tp,
+    )
+    # v1: rewrite id=2 (delete+insert) and add id=4 via overwrite
+    dl.write_delta_lite(
+        spark.createDataFrame(
+            [(1, "a"), (2, "B2"), (3, "c"), (4, "d")], "id int, v string"
+        ),
+        tp,
+        mode="overwrite",
+    )
+    changes = {
+        (r.id, r.v, r._change_type)
+        for r in dl.delta_changes(spark, tp, 0, 1).collect()
+    }
+    assert changes == {
+        (2, "b", "delete"),
+        (2, "B2", "insert"),
+        (4, "d", "insert"),
+    }
+    # OPTIMIZE between versions must produce ZERO changes
+    dl.optimize_delta_lite(tp, spark, target_files=1)
+    assert dl.delta_changes(spark, tp, 1, 2).count() == 0
+    # shared-file pruning: appends leave v0's files shared, so the scan
+    # only touches the appended file
+    dl.write_delta_lite(
+        spark.createDataFrame([(9, "z")], "id int, v string"), tp, mode="append"
+    )
+    got = dl.delta_changes(spark, tp, 2, 3)
+    assert [tuple(r) for r in got.collect()] == [(9, "z", "insert")]
+    # and across a schema evolution
+    dl.write_delta_lite(
+        spark.createDataFrame([(10, "y", 5)], "id int, v string, n int"),
+        tp,
+        mode="append",
+        merge_schema=True,
+    )
+    got = {(r.id, r.v, r.n, r._change_type) for r in dl.delta_changes(spark, tp, 3, 4).collect()}
+    assert got == {(10, "y", 5, "insert")}
