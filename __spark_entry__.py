@@ -4376,6 +4376,68 @@ ORDER BY rrf_units DESC, doc_id LIMIT 20
 """
 
 
+def _q_delta_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC from the delta-lite log (``sources/delta_lite.py
+    delta_changes``): version 0 holds the part snapshot as integer
+    cents; version 1 overwrites with every 3rd key repriced (+100) and
+    every 5th key dropped. The change feed between the versions — the
+    multiset snapshot diff with exact shared-file pruning — must
+    contain exactly (changed ∪ dropped) deletes and changed inserts;
+    the oracle re-derives all three aggregate lanes from `part` alone,
+    so the log bookkeeping, both snapshot reads and the diff itself are
+    value-checked."""
+    import tempfile
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.delta_lite import (
+        delta_changes,
+        write_delta_lite,
+    )
+
+    tp = os.path.join(tempfile.mkdtemp(prefix="delta_cdc_"), "parts")
+    base = _table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    write_delta_lite(base.repartition(8, "p_partkey"), tp)
+    v1 = base.filter(F.col("p_partkey") % 5 != 0).withColumn(
+        "cents",
+        F.col("cents")
+        + F.when(F.col("p_partkey") % 3 == 0, F.lit(100)).otherwise(F.lit(0)),
+    )
+    write_delta_lite(v1.repartition(8, "p_partkey"), tp, mode="overwrite")
+    return (
+        delta_changes(spark, tp, 0, 1)
+        .groupBy("_change_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(F.col("_change_type").alias("change_type"), "n", "sum_cents")
+    )
+
+
+DELTA_CDC_DUCK = """
+WITH p AS (
+  SELECT p_partkey,
+         CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM part
+),
+changed AS (SELECT * FROM p WHERE p_partkey % 3 = 0 AND p_partkey % 5 <> 0),
+dropped AS (SELECT * FROM p WHERE p_partkey % 5 = 0)
+SELECT 'delete' AS change_type,
+       CAST((SELECT COUNT(*) FROM changed) + (SELECT COUNT(*) FROM dropped) AS BIGINT) AS n,
+       CAST((SELECT COALESCE(SUM(cents), 0) FROM changed)
+          + (SELECT COALESCE(SUM(cents), 0) FROM dropped) AS BIGINT) AS sum_cents
+UNION ALL
+SELECT 'insert',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(cents + 100) AS BIGINT)
+FROM changed
+"""
+
+
 #: k sized under the SMALLEST fixture's distinct-key count (sf0.001 has
 #: ~200 parts) — a sketch wider than the key space is just COUNT(DISTINCT)
 _KMV_K = 128
@@ -5487,8 +5549,8 @@ def _q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-8 rotation (counts: 11 + 9 + 30 = 50 checked;
-        # 98 r06/r07-green tail; 148 total). ``base``
+        # entries. Round-8 rotation (counts: 12 + 9 + 29 = 50 checked;
+        # 99 r06/r07-green tail; 149 total). ``base``
         # keeps the historical (round-7) definition order for
         # readability — the ACTUAL round-8 checked set is the explicit
         # ``head`` list after it (7 new entries incl. delta_roundtrip,
@@ -5522,6 +5584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": _q_bm25_scores,
         "rrf_fusion": _q_rrf_fusion,
         "kmv_distinct": _q_kmv_distinct,
+        "delta_cdc": _q_delta_cdc,
         "gif_decode": _q_gif_decode,
         "g711_decode": _q_g711_decode,
         "avi_frames": _q_avi_frames,
@@ -5698,7 +5761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in prior order; steady-state max evidence age stays ≤ 3 rounds.
     head = [
         "delta_roundtrip", "flac_decode", "bm25_scores", "rrf_fusion",
-        "kmv_distinct",
+        "kmv_distinct", "delta_cdc",
         "gif_decode", "g711_decode", "avi_frames", "pmi_pairs",
         "jpeg_progressive", "jl_projection",
         "png_decode", "jpeg_decode", "wav_decode", "doc_chunks",
@@ -5716,8 +5779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_regex", "quality_scores", "lang_id",
         "top_orders_per_customer", "running_customer_spend",
         "q1_pricing_summary", "q3_shipping_priority",
-        "q5_local_supplier_volume",
-        # q6_forecast_revenue, q7_volume_shipping, q10_returned_items, orders_cube and
+        # q5_local_supplier_volume, q6_forecast_revenue,
+        # q7_volume_shipping, q10_returned_items, orders_cube and
         # window_analytics displaced to the tail lead by the four new
         # round-8-continuation entries (delta_roundtrip, flac_decode,
         # bm25_scores, rrf_fusion); r04 evidence — they lead round 9's 50
@@ -5744,6 +5807,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": BM25_SCORES_DUCK,
         "rrf_fusion": RRF_FUSION_DUCK,
         "kmv_distinct": KMV_DISTINCT_DUCK,
+        "delta_cdc": DELTA_CDC_DUCK,
         "jpeg_decode": JPEG_DECODE_DUCK,
         "png_decode": PNG_DECODE_DUCK,
         "gif_decode": GIF_DECODE_DUCK,

@@ -135,6 +135,8 @@ HEADLINE = [
     "rrf_fusion",
     # round 8 continuation: bottom-k sketch (distinct shuffle + TakeOrdered)
     "kmv_distinct",
+    # round 8 continuation: pruned snapshot-diff CDC over the delta log
+    "delta_cdc",
 ]
 
 
