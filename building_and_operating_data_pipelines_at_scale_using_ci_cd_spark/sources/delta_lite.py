@@ -562,6 +562,187 @@ def optimize_delta_lite(
     return version
 
 
+def _pruned_rewrite(
+    spark: SparkSession,
+    table_path: str,
+    match_files_df,
+    rewrite_fn,
+    operation: str,
+    op_params: dict,
+) -> int:
+    """Shared DML skeleton: find the files holding rows matched by
+    ``match_files_df`` (a DataFrame of rows from the tagged table that
+    the operation touches), run ``rewrite_fn(pruned_rows)`` over ONLY
+    those files' rows, and commit remove(matched)+add(rewritten).
+    Untouched files never move. Driver traffic = file paths."""
+    snap = load_snapshot(table_path)
+    matched_files = [
+        r["__file"] for r in match_files_df.select("__file").distinct().collect()
+    ]
+    rel_matched = sorted(
+        os.path.relpath(
+            urllib.parse.unquote(urllib.parse.urlparse(f).path), table_path
+        ).replace(os.sep, "/")
+        for f in matched_files
+    )
+    pruned = _read_files(spark, snap, rel_matched)
+    rewritten = rewrite_fn(pruned).select(
+        *[F.col(f.name).cast(f.dataType) for f in snap.schema.fields]
+    )
+    actions = [
+        {
+            "commitInfo": {
+                "operation": operation,
+                "operationParameters": {**op_params, "matchedFiles": len(rel_matched)},
+                "engineInfo": "delta-lite (PySpark analytics engine)",
+            }
+        }
+    ]
+    now_ms = int(os.path.getmtime(table_path) * 1000)
+    for rel in rel_matched:
+        actions.append(
+            {
+                "remove": {
+                    "path": urllib.parse.quote(rel),
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    actions.extend(_stage_and_adds(rewritten, table_path, snap.partition_columns))
+    version = snap.version + 1
+    _commit(table_path, version, actions)
+    return version
+
+
+def delete_delta_lite(spark: SparkSession, table_path: str, condition: str) -> int:
+    """Row-level DELETE WHERE: rewrites only the files that contain a
+    matching row (the others never move — pinned by test), committing
+    remove+add like delta's own DELETE."""
+    tagged = read_delta_lite(spark, table_path).withColumn(
+        "__file", F.input_file_name()
+    )
+    return _pruned_rewrite(
+        spark,
+        table_path,
+        tagged.filter(F.expr(condition)),
+        lambda rows: rows.filter(~F.expr(condition)),
+        "DELETE",
+        {"predicate": condition},
+    )
+
+
+def update_delta_lite(
+    spark: SparkSession, table_path: str, condition: str, set_exprs: dict
+) -> int:
+    """Row-level UPDATE ... SET ... WHERE: same pruned-rewrite shape;
+    ``set_exprs`` maps column → SQL expression (evaluated only on
+    matching rows)."""
+    tagged = read_delta_lite(spark, table_path).withColumn(
+        "__file", F.input_file_name()
+    )
+    cond = F.expr(condition)
+
+    def rewrite(rows: DataFrame) -> DataFrame:
+        # all SET expressions see the PRE-update row (standard SQL UPDATE
+        # semantics — UPDATE t SET a=b, b=a swaps): ONE select, never
+        # chained withColumns (each of those would see prior SETs)
+        newcols = {
+            c: F.when(cond, F.expr(e)).otherwise(F.col(c)).alias(c)
+            for c, e in set_exprs.items()
+        }
+        return rows.select(
+            *[newcols.get(c, F.col(c)).alias(c) for c in rows.columns]
+        )
+
+    return _pruned_rewrite(
+        spark,
+        table_path,
+        tagged.filter(cond),
+        rewrite,
+        "UPDATE",
+        {"predicate": condition, "set": sorted(set_exprs)},
+    )
+
+
+def merge_delta_lite(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    on_keys: list,
+    when_matched_update: dict | None = None,
+    when_matched_delete: str | bool = False,
+    when_not_matched_insert: bool = True,
+    matched_condition: str | None = None,
+) -> int:
+    """General MERGE INTO (the DeltaTable.merge surface, generalized
+    from the SCD2-specific merge): upsert/delete by key with optional
+    conditions, rewriting ONLY files holding matched keys.
+
+    - ``when_matched_update``: column → SQL expr over the joined row
+      (source columns visible as ``src_<name>``); applied to matched
+      target rows passing ``matched_condition``.
+    - ``when_matched_delete``: True, or a SQL condition string —
+      matched rows satisfying it are dropped (evaluated before update).
+    - ``when_not_matched_insert``: source rows with no target match
+      insert as-is (source must carry the table's columns).
+    """
+    snap = load_snapshot(table_path)
+    target = read_delta_lite(spark, table_path)
+    tagged = target.withColumn("__file", F.input_file_name())
+    src_keys = source.select(*on_keys).dropDuplicates(on_keys)
+    matched = tagged.join(F.broadcast(src_keys), on=on_keys, how="leftsemi")
+
+    # source side: keys + src_-prefixed payload, tagged so the left join
+    # marks matched target rows; one deterministic row per key
+    marker = source.select(
+        *[F.col(k) for k in on_keys],
+        *[F.col(c).alias(f"src_{c}") for c in source.columns if c not in on_keys],
+    ).dropDuplicates(on_keys).withColumn("__src_hit", F.lit(True))
+
+    # inserts computed against the PRE-merge snapshot and unioned into
+    # the rewrite, so the whole MERGE is ONE atomic commit
+    inserts = (
+        source.join(target.select(*on_keys).dropDuplicates(on_keys), on=on_keys, how="leftanti")
+        .dropDuplicates(on_keys)
+        .select(*[F.col(f.name) for f in snap.schema.fields])
+        if when_not_matched_insert
+        else None
+    )
+
+    def rewrite(rows: DataFrame) -> DataFrame:
+        out = rows.join(marker, on=on_keys, how="left")
+        if when_matched_delete:
+            cond = (
+                F.col("__src_hit")
+                if when_matched_delete is True
+                else (F.col("__src_hit") & F.expr(when_matched_delete))
+            )
+            out = out.filter(~F.coalesce(cond, F.lit(False)))
+        if when_matched_update:
+            upd = F.coalesce(F.col("__src_hit"), F.lit(False))
+            if matched_condition:
+                upd = upd & F.expr(matched_condition)
+            # SET expressions see the PRE-update row: computed in one
+            # select, not chained withColumns
+            sets = {
+                c: F.when(upd, F.expr(e)).otherwise(F.col(c)).alias(c)
+                for c, e in when_matched_update.items()
+            }
+            out = out.select(
+                *[
+                    sets.get(f.name, F.col(f.name)).alias(f.name)
+                    for f in snap.schema.fields
+                ]
+            )
+        out = out.select(*[f.name for f in snap.schema.fields])
+        return out.unionByName(inserts) if inserts is not None else out
+
+    return _pruned_rewrite(
+        spark, table_path, matched, rewrite, "MERGE", {"on": on_keys}
+    )
+
+
 def delta_changes(
     spark: SparkSession,
     table_path: str,

@@ -608,3 +608,97 @@ def test_delta_changes_cdc(spark, tmp_path):
     )
     got = {(r.id, r.v, r.n, r._change_type) for r in dl.delta_changes(spark, tp, 3, 4).collect()}
     assert got == {(10, "y", 5, "insert")}
+
+
+def test_delete_rewrites_only_matching_files(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "k int, v string"
+        ).repartition(4, "k"),
+        tp,
+    )
+    before = dl.load_snapshot(tp)
+    dl.delete_delta_lite(spark, tp, "k = 3")
+    after = dl.load_snapshot(tp)
+    assert set(before.files) & set(after.files), "DELETE rewrote every file"
+    got = {r.k for r in dl.read_delta_lite(spark, tp).collect()}
+    assert got == set(range(8)) - {3}
+    # delete with no matches: version still commits, rows unchanged
+    dl.delete_delta_lite(spark, tp, "k = 99")
+    assert dl.read_delta_lite(spark, tp).count() == 7
+
+
+def test_update_where(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(
+        spark.createDataFrame([(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+                              "k int, n int, v string"),
+        tp,
+    )
+    dl.update_delta_lite(spark, tp, "k >= 2", {"n": "n + 100", "v": "upper(v)"})
+    got = {(r.k, r.n, r.v) for r in dl.read_delta_lite(spark, tp).collect()}
+    assert got == {(1, 10, "a"), (2, 120, "B"), (3, 130, "C")}
+    # SET sees the PRE-update row: swap two columns referencing each other
+    tp2 = str(tmp_path / "t2")
+    dl.write_delta_lite(spark.createDataFrame([(1, 2)], "a int, b int"), tp2)
+    dl.update_delta_lite(spark, tp2, "a = 1", {"a": "b", "b": "a"})
+    assert _rows(dl.read_delta_lite(spark, tp2)) == [(2, 1)]
+
+
+def test_general_merge_upsert_delete(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(
+        spark.createDataFrame(
+            [(1, 10, "keep"), (2, 20, "upd"), (3, 30, "del"), (4, 40, "keep")],
+            "k int, n int, tag string",
+        ).repartition(4, "k"),
+        tp,
+    )
+    before = dl.load_snapshot(tp)
+    src = spark.createDataFrame(
+        [(2, 999, "x"), (3, 0, "x"), (9, 90, "new")], "k int, n int, tag string"
+    )
+    v = dl.merge_delta_lite(
+        spark,
+        tp,
+        src,
+        ["k"],
+        when_matched_update={"n": "src_n", "tag": "'updated'"},
+        when_matched_delete="tag = 'del'",
+        when_not_matched_insert=True,
+    )
+    got = {(r.k, r.n, r.tag) for r in dl.read_delta_lite(spark, tp).collect()}
+    assert got == {
+        (1, 10, "keep"),          # untouched key
+        (2, 999, "updated"),      # matched update from src_n
+        (4, 40, "keep"),          # untouched key
+        (9, 90, "new"),           # not-matched insert
+    }
+    # one atomic commit for the whole merge
+    assert v == before.version + 1
+    assert dl.load_snapshot(tp).version == v
+    # time travel to pre-merge still shows the old rows
+    assert dl.read_delta_lite(spark, tp, version=before.version).count() == 4
+
+
+def test_merge_insert_only_and_update_only(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(spark.createDataFrame([(1, 1)], "k int, n int"), tp)
+    # insert-only merge (matched rows carried unchanged)
+    dl.merge_delta_lite(
+        spark, tp,
+        spark.createDataFrame([(1, 99), (2, 2)], "k int, n int"),
+        ["k"], when_not_matched_insert=True,
+    )
+    assert _rows(dl.read_delta_lite(spark, tp)) == [(1, 1), (2, 2)]
+    # conditional update-only merge
+    dl.merge_delta_lite(
+        spark, tp,
+        spark.createDataFrame([(1, 100), (2, 200)], "k int, n int"),
+        ["k"],
+        when_matched_update={"n": "src_n"},
+        matched_condition="k = 2",
+        when_not_matched_insert=False,
+    )
+    assert _rows(dl.read_delta_lite(spark, tp)) == [(1, 1), (2, 200)]
