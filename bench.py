@@ -137,6 +137,10 @@ HEADLINE = [
     "kmv_distinct",
     # round 8 continuation: pruned snapshot-diff CDC over the delta log
     "delta_cdc",
+    # round 8 continuation: integer-DCT perceptual hash (Arrow map stage)
+    # + Hamming band self-join over the 64-bit fingerprints
+    "phash_fingerprints",
+    "phash_near_pairs",
 ]
 
 

@@ -179,6 +179,20 @@ def _rrf_fuse(df: DataFrame, id_col: str, other_views, rank_col: str = "rank", *
     return rrf_fuse(dfs, id_col, rank_col=rank_col, **kw)
 
 
+def _phash_fingerprints(df: DataFrame, **kw) -> DataFrame:
+    """Config shape: input view carries (doc_id, payload) image rows."""
+    from ..functions.phash import phash_fingerprints
+
+    return phash_fingerprints(df, **kw)
+
+
+def _phash_near_pairs(df: DataFrame, **kw) -> DataFrame:
+    """Config shape: input view is a phashFingerprints output."""
+    from ..functions.phash import phash_near_pairs
+
+    return phash_near_pairs(df, **{k: int(v) for k, v in kw.items()})
+
+
 def _kmv_sketch(df: DataFrame, col: str, **kw) -> DataFrame:
     """Config shape: the mergeable bottom-k rows (keep per-shard
     sketches; union+rerank = the whole-corpus sketch)."""
@@ -622,6 +636,8 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "bm25Score": _bm25_score,
     "rrfFuse": _rrf_fuse,
     "kmvSketch": _kmv_sketch,
+    "phashFingerprints": _phash_fingerprints,
+    "phashNearPairs": _phash_near_pairs,
     "decodeImage": _decode_image,
     "audioFeatures": _audio_features,
     "sampleVideoFrames": _sample_video_frames,
