@@ -157,7 +157,13 @@ def _normalize_map(v):
 def _read_checkpoint(path: str, state: DeltaSnapshot) -> None:
     import pyarrow.parquet as pq
 
-    for row in pq.read_table(path).to_pylist():
+    try:
+        rows = pq.read_table(path).to_pylist()
+    except Exception as exc:  # pyarrow raises ArrowInvalid/OSError — keep
+        # the module's one corrupt-input class (json lines already raise
+        # JSONDecodeError, a ValueError subclass)
+        raise ValueError(f"corrupt delta checkpoint {path}: {exc}") from exc
+    for row in rows:
         action = {}
         if row.get("protocol"):
             action["protocol"] = row["protocol"]

@@ -702,3 +702,14 @@ def test_merge_insert_only_and_update_only(spark, tmp_path):
         when_not_matched_insert=False,
     )
     assert _rows(dl.read_delta_lite(spark, tp)) == [(1, 1), (2, 200)]
+
+
+def test_corrupt_checkpoint_is_valueerror(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(spark.createDataFrame([(1,)], "id int"), tp)
+    dl.checkpoint_delta_lite(tp)
+    cp = os.path.join(tp, dl.LOG_DIR, f"{0:020d}.checkpoint.parquet")
+    with open(cp, "wb") as fh:
+        fh.write(b"PAR1 this is not a checkpoint")
+    with pytest.raises(ValueError, match="corrupt delta checkpoint"):
+        dl.load_snapshot(tp)

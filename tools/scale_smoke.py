@@ -472,6 +472,33 @@ def main() -> None:
 
     timed("flac rice encode+decode per doc", _flac_smoke)
 
+    def _phash_smoke():
+        # per-doc 32x32 PGM -> integer-DCT hash, then the Hamming band
+        # self-join: the pair-bucket shuffle is the scale axis here
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.phash import (
+            phash_fingerprints,
+            phash_near_pairs,
+        )
+
+        def make(d):
+            import hashlib
+
+            base = d - (d % 2)
+            rows = [
+                hashlib.md5(
+                    (f"{d}#x" if r == 31 and d % 2 else f"{base}#{r}").encode()
+                ).hexdigest()
+                for r in range(32)
+            ]
+            return b"P5 32 32 255\n" + "".join(rows).encode()
+
+        return _media_smoke(
+            make,
+            lambda df: phash_near_pairs(phash_fingerprints(df), radius=10).count(),
+        )
+
+    timed("phash hash+band-pair per doc", _phash_smoke)
+
     def _delta_smoke():
         # the delta lane's scale axes: commit/replay cost vs file count
         # and MERGE file pruning — 64-file table, tiny matched set
