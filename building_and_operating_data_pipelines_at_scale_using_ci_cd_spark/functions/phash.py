@@ -150,17 +150,43 @@ def phash_fingerprints(df_with_payload: DataFrame) -> DataFrame:
     return df_with_payload.mapInPandas(kernel, PHASH_SCHEMA)
 
 
-def phash_near_pairs(fps: DataFrame, radius: int = 8) -> DataFrame:
-    """Pairs of images within Hamming ``radius`` of each other, from a
-    (doc_id, phash_hi, phash_lo) fingerprint frame. Pigeonhole banding
-    over the 64 bits (radius+1 bands ⇒ any ≤radius pair collides on a
-    full band — complete by construction), candidates from a band
-    equi-join, verified with two bit_counts. Returns
-    (id_a, id_b, hamming_dist), id_a < id_b."""
+def _probe_masks(width: int, errors: int) -> list:
+    """All XOR masks of ``width`` bits with ≤ ``errors`` bits set."""
+    from itertools import combinations
+
+    out = [0]
+    for e in range(1, errors + 1):
+        for pos in combinations(range(width), e):
+            m = 0
+            for p in pos:
+                m |= 1 << p
+            out.append(m)
+    return out
+
+
+def phash_near_pairs(fps: DataFrame, radius: int = 8, n_bands: int = 4) -> DataFrame:
+    """Pairs of images within Hamming ``radius``, from a (doc_id,
+    phash_hi, phash_lo) fingerprint frame. Returns
+    (id_a, id_b, hamming_dist), id_a < id_b.
+
+    Multi-probe pigeonhole (the HmSearch shape, and the same lesson the
+    text-LSH multi-probe fix learned in round 6): naive banding needs
+    radius+1 bands, and at radius 10 that means 5-bit bands — 32
+    buckets, so a big corpus self-join degenerates quadratically
+    (measured: 94s for 50k images). Instead keep FEW, WIDE bands
+    (default 4 × 16 bits → 65,536 bucket values) and PROBE each band
+    value within Hamming ``e = radius // n_bands`` of itself: if two
+    hashes differ in ≤ radius bits, some band carries ≤ e of them
+    (generalized pigeonhole), so the probed equi-join is COMPLETE —
+    pinned by the brute-force test. Only the probe side fans out
+    (Σ C(width, ≤e) patterns, 137 at 16/2); the corpus side stays one
+    row per (doc, band). Candidates verify with one bit_count(xor)."""
     if not 0 <= radius < 64:
         raise ValueError("radius must be in [0, 64)")
-    n_bands = radius + 1
+    if not 1 <= n_bands <= 64 or 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
     width = 64 // n_bands
+    errors = radius // n_bands
     # two's-complement packing: hi*2^32 overflows int64 when bit 63 is
     # set, so fold hi into signed range FIRST (max result = 2^63-1)
     signed_hi = F.col("phash_hi").cast("bigint") - F.when(
@@ -192,8 +218,19 @@ def phash_near_pairs(fps: DataFrame, radius: int = 8) -> DataFrame:
                 ]
             )
         ).alias("__b"),
-    ).select("doc_id", "__h64", F.col("__b.band").alias("band"), F.col("__b.val").alias("val"))
-    a, b = bands.alias("a"), bands.alias("b")
+    ).select(
+        "doc_id", "__h64", F.col("__b.band").alias("band"), F.col("__b.val").alias("val")
+    )
+    masks = _probe_masks(width, errors)
+    probes = bands.select(
+        "doc_id",
+        "__h64",
+        "band",
+        F.explode(
+            F.transform(F.lit(masks), lambda m: F.col("val").bitwiseXOR(m))
+        ).alias("val"),
+    )
+    a, b = probes.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
