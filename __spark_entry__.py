@@ -5708,12 +5708,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 101 r06/r07-green tail; 151 total). ``base``
         # keeps the historical (round-7) definition order for
         # readability — the ACTUAL round-8 checked set is the explicit
-        # ``head`` list after it (7 new entries incl. delta_roundtrip,
+        # ``head`` list after it (14 new entries: the 6 codec-tier adds
+        # plus delta_roundtrip, flac_decode, bm25_scores, rrf_fusion,
+        # kmv_distinct, delta_cdc, phash_fingerprints, phash_near_pairs;
         # 9 changed-code re-entries incl. scd2_price_history whose sink
-        # gained the delta-lite lanes, + the 34 oldest-evidence keys the
-        # round-7 comment promised), followed by everything else in
-        # prior order. Next round's 50 should lead with window_analytics
-        # (displaced by delta_roundtrip) then the r06/r07-evidence block
+        # gained the delta-lite lanes; + the 27 oldest-evidence keys
+        # that still fit under the cap), followed by everything else in
+        # prior order. Next round's 50 should lead with the 8 keys the
+        # late adds displaced (window_analytics, orders_cube,
+        # q1_pricing_summary, q3_shipping_priority,
+        # q5_local_supplier_volume, q6_forecast_revenue,
+        # q7_volume_shipping, q10_returned_items — all r04 evidence)
+        # then the r06/r07-evidence block
         # displaced this round (jdbc_roundtrip,
         # profile_report_approx, profile_report, bloom_new_docs,
         # knn_pagerank, weighted_pagerank, udtf_sentences,
