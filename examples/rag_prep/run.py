@@ -6,7 +6,10 @@
      per-corpus chunk stats.
   2. index — `invertedIndex` (df-banded postings, reducer state bounded
      by max_df) + `tfidfTopTerms` (top-3 descriptors per chunk) over
-     the deduped chunks.
+     the deduped chunks, then hybrid retrieval (round 8): `bm25Score`
+     over a fixed query, a length-prior ranking, and `rrfFuse` — the
+     integer reciprocal-rank combiner — producing the fused candidate
+     set.
 
     cd /root/repo && python examples/rag_prep/run.py
 
@@ -66,6 +69,19 @@ def main():
     ).fetchone()
     print(f"tfidf descriptors: {terms[0]} rows over {terms[1]} chunks (top-3 each)")
     assert terms[0] <= 3 * n_chunks and terms[1] > 0
+
+    # hybrid retrieval: BM25 top-50 fused with a length-prior top-50 via
+    # integer reciprocal-rank fusion (round-8 steps bm25Score + rrfFuse)
+    fused = duckdb.sql(
+        f"""SELECT COUNT(*), MAX(n_lists), MIN(rrf_units)
+            FROM '{DEMO}/fused/*.parquet'"""
+    ).fetchone()
+    print(f"fused candidates: {fused[0]} (max n_lists {fused[1]})")
+    assert 50 <= fused[0] <= 100 and fused[1] == 2 and fused[2] > 0
+    both = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{DEMO}/fused/*.parquet' WHERE n_lists = 2"
+    ).fetchone()[0]
+    print(f"chunks ranked by BOTH lists: {both}")
     print("rag_prep example OK")
 
 
