@@ -450,7 +450,14 @@ def _write_residual(
     bw: _BitWriter, resid: list, block_size: int = 0, order: int = 0, po: int = 0
 ) -> None:
     """Rice-code the residual; ``po`` > 0 splits it into 2^po partitions
-    with independent parameters (block_size/order required then)."""
+    with independent parameters (block_size/order required then).
+    ``po`` is clamped to the largest LEGAL order for this block: 2^po
+    must divide the block and partition 0 (which cedes ``order`` warmup
+    samples) must not go negative — hypothesis found the unclamped
+    version emitting a corrupt stream for a short tail block under a
+    forced partition order."""
+    while po and (block_size % (1 << po) or (block_size >> po) < order):
+        po -= 1
     bw.write(0, 2)  # 4-bit rice params
     bw.write(po, 4)
     pos = 0

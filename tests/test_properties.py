@@ -407,3 +407,63 @@ def test_png_roundtrip_any_raster_plain_and_adam7(pixels, w, h, interlace):
     img = np.resize(np.array(pixels, dtype=np.uint8), (h, w))
     _, _, luma = decode_png(encode_png_gray(img.reshape(-1), w, h, interlace=interlace))
     assert luma == [int(v) for v in img.reshape(-1)]
+
+
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+    st.sampled_from([64, 256, 4096]),
+    st.sampled_from([None, "verbatim", "lpc"]),
+    st.sampled_from([0, 2]),
+)
+@settings(max_examples=25, deadline=None)
+def test_flac_roundtrip_any_signal(samples, block_size, subframe, po):
+    """FLAC is lossless: decode(encode(x)) == x for ANY int16 signal,
+    across block sizes, forced subframe types and partition orders —
+    hypothesis explores constants, ramps, extremes and short tails."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    if subframe == "lpc" and len(samples) < 3:
+        samples = samples + [0, 0]
+    rate, ch, dec = decode_flac(
+        encode_flac(
+            [samples], 16000, block_size=block_size, subframe=subframe,
+            partition_order=po,
+        )
+    )
+    assert (rate, ch) == (16000, 1) and dec == samples
+
+
+@given(
+    st.lists(st.integers(-20000, 20000), min_size=2, max_size=200),
+)
+@settings(max_examples=25, deadline=None)
+def test_flac_midside_roundtrip(left):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    right = left[::-1]
+    _, ch, dec = decode_flac(encode_flac([left, right], 8000, stereo="mid/side"))
+    assert ch == 2 and dec == left
+
+
+@given(st.lists(st.integers(0, 255), min_size=1, max_size=256), st.integers(1, 16), st.integers(1, 16))
+@settings(max_examples=25, deadline=None)
+def test_phash_deterministic_any_raster(pixels, w, h):
+    """pHash never crashes and is deterministic on arbitrary rasters
+    (including degenerate 1×1) — the integer DCT path has no float, no
+    overflow, no shape assumptions beyond 2-D."""
+    import numpy as np
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.phash import (
+        phash64,
+    )
+
+    r = np.resize(np.array(pixels, dtype=np.int64), (h, w))
+    out = phash64(r)
+    assert out == phash64(r)
+    assert len(out[2]) == 64
