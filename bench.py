@@ -141,6 +141,14 @@ HEADLINE = [
     # + Hamming band self-join over the 64-bit fingerprints
     "phash_fingerprints",
     "phash_near_pairs",
+    # round 8 fourth session: whole-stage-codegen URL canonicalization +
+    # canonical-URL groupBy, per-domain capped window, the all-shift
+    # log-bucket sketch (map + two groupBys + bounded quantile walk),
+    # and the single-groupBy OHLCV bar build
+    "url_canonical_dedup",
+    "domain_cap_sample",
+    "logbucket_quantiles",
+    "ohlc_bars",
 ]
 
 

@@ -324,3 +324,124 @@ def kmv_summary(sketch: DataFrame, k: int, quantiles=(0.25, 0.5, 0.75)) -> DataF
         .alias("est_distinct"),
         *[F.col(name) for name in picks],
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-bucket histogram sketch (DDSketch-style, deterministic)
+# ---------------------------------------------------------------------------
+#
+# DDSketch (Masson/Rim/Lee, VLDB 2019) buckets values by
+# ceil(log_gamma(x)) and answers quantiles with bounded RELATIVE error
+# from counts alone.  A float log is not bit-stable across engines, so
+# this variant uses the base-2 exponent plus a linear sub-bucket grid:
+#
+#   e = floor(log2(v))           -- EXACTLY, via the bit length of v
+#   m = ((v << sub_bits) >> e) - 2^sub_bits   in [0, 2^sub_bits)
+#   bucket = e * 2^sub_bits + m
+#
+# Every step is integer shift arithmetic, so the sketch is bit-identical
+# in any engine with << / >> (DuckDB included — strict oracles, not
+# error-bound contracts).  Relative error of the midpoint estimate is
+# <= 1/2^(sub_bits+1) (3.1% at sub_bits=4); buckets are exactly
+# mergeable by summing counts (partial sketches per shard/day at 100 TB,
+# merged on demand — same maintenance shape as the HLL/CMS partials).
+# State is bounded by construction: <= 63 * 2^sub_bits counter rows no
+# matter the input cardinality, with map-side partial aggregation
+# collapsing each partition before the one shuffle.
+
+
+def logbucket_index(value: Column, sub_bits: int = 4) -> Column:
+    """Bucket id of a POSITIVE bigint value (callers quantize floats to
+    integer units first — cents, micros — the engine-wide strictness
+    trick).  ``floor(log2(v))`` is computed exactly as
+    ``length(bin(v)) - 1``; the shifts run through ``call_function`` so
+    the shift distance can be a Column (the Python helpers only accept
+    literals).  Values must stay below 2^(63 - sub_bits) so the left
+    shift cannot overflow."""
+    v = value.cast("bigint")
+    e = (F.length(F.bin(v)) - F.lit(1)).cast("int")
+    sub = 1 << sub_bits
+    m = F.call_function(
+        "shiftright", F.call_function("shiftleft", v, F.lit(sub_bits)), e
+    ) - F.lit(sub)
+    return (e.cast("bigint") * F.lit(sub) + m).cast("int")
+
+
+def logbucket_estimate(bucket: Column, sub_bits: int = 4) -> Column:
+    """Midpoint representative of a bucket, as exact integer arithmetic:
+    bucket [e, m] covers [(sub+m)*2^e/sub, (sub+m+1)*2^e/sub), midpoint
+    = (2*(sub+m)+1) * 2^e / 2^(sub_bits+1) — and dividing by a power of
+    two is a right shift, so the whole estimate is three shifts, no
+    float anywhere."""
+    sub = 1 << sub_bits
+    e = F.floor(bucket / F.lit(sub)).cast("int")
+    m = bucket.cast("bigint") % F.lit(sub)
+    num = F.call_function(
+        "shiftleft", (F.lit(2) * (F.lit(sub) + m) + F.lit(1)).cast("bigint"), e
+    )
+    return F.call_function("shiftright", num, F.lit(sub_bits + 1)).cast("bigint")
+
+
+def logbucket_sketch(df: DataFrame, col: str, sub_bits: int = 4) -> DataFrame:
+    """Histogram sketch of a positive integer column: one row per
+    occupied ``(bucket, cnt)``.  One groupBy; map-side partials bound
+    pre-shuffle rows at 63 * 2^sub_bits per partition."""
+    return (
+        df.select(logbucket_index(F.col(col), sub_bits).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def logbucket_merge(*sketches: DataFrame) -> DataFrame:
+    """Sum partial sketches into the sketch of the combined input —
+    exact (integer counts), pinned equal to the single-pass sketch by
+    test."""
+    allrows = reduce(lambda a, b: a.unionByName(b), sketches)
+    return allrows.groupBy("bucket").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+
+
+def logbucket_quantiles(
+    sketch: DataFrame, probs=(0.5, 0.9, 0.99), sub_bits: int = 4
+) -> DataFrame:
+    """Quantile estimates from a sketch: for each p, the midpoint of
+    the first bucket whose cumulative count reaches rank
+    ``floor((n-1)*p) + 1`` (the positional definition KMV uses — no
+    interpolation semantics).  The cumulative window is ordered over
+    the SKETCH, whose size is bounded by construction (<= 63 * 2^sub_bits
+    rows), so the single-partition window is a bounded-state scan, not
+    a data-sized sort — the same argument the KMV summary carries.
+    Output: (p_x100, rank, bucket, est, n) per prob, all integers."""
+    from pyspark.sql import Window
+
+    cum = sketch.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    spark = sketch.sparkSession
+    probs_df = spark.createDataFrame(
+        [(int(round(p * 100)),) for p in probs], "p_x100 int"
+    )
+    ranked = cum.crossJoin(F.broadcast(probs_df)).withColumn(
+        "rank",
+        (
+            ((F.col("n") - 1) * F.col("p_x100") / F.lit(100)).cast("bigint")
+            + F.lit(1)
+        ),
+    )
+    return (
+        ranked.filter(F.col("cum") >= F.col("rank"))
+        .groupBy("p_x100", "rank", "n")
+        .agg(F.min("bucket").cast("int").alias("bucket"))
+        .select(
+            "p_x100",
+            F.col("rank").cast("bigint").alias("rank"),
+            "bucket",
+            logbucket_estimate(F.col("bucket"), sub_bits).alias("est"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )

@@ -193,6 +193,43 @@ def _phash_near_pairs(df: DataFrame, **kw) -> DataFrame:
     return phash_near_pairs(df, **{k: int(v) for k, v in kw.items()})
 
 
+def _url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """Config shape: crawl-hygiene URL dedup — canonicalize (case /
+    www. / default port / tracking params / param order / trailing
+    slash) then one groupBy on the canonical URL."""
+    from .web import url_dedup
+
+    return url_dedup(df, url_col, id_col)
+
+
+def _domain_cap(df: DataFrame, host_col: str, cap, id_col: str, **kw) -> DataFrame:
+    """Config shape: keep at most ``cap`` rows per registrable domain
+    (eTLD+1 over the bounded public-suffix excerpt), deterministic
+    portable-hash draw."""
+    from .web import domain_cap
+
+    if "seed" in kw:
+        kw["seed"] = int(kw["seed"])
+    return domain_cap(df, host_col, int(cap), id_col, **kw)
+
+
+def _logbucket_sketch(df: DataFrame, col: str, **kw) -> DataFrame:
+    """Config shape: the mergeable deterministic log-bucket histogram
+    (keep per-shard sketches; summing counts = the whole-corpus
+    sketch)."""
+    from ..functions.sketches import logbucket_sketch
+
+    return logbucket_sketch(df, col, **{k: int(v) for k, v in kw.items()})
+
+
+def _ohlc_bars(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+               tie_col: str, **kw) -> DataFrame:
+    """Config shape: irregular ticks → OHLCV bars per (key, bucket)."""
+    from .timeseries import ohlc_bars
+
+    return ohlc_bars(df, key_col, ts_col, value_col, tie_col, **kw)
+
+
 def _kmv_sketch(df: DataFrame, col: str, **kw) -> DataFrame:
     """Config shape: the mergeable bottom-k rows (keep per-shard
     sketches; union+rerank = the whole-corpus sketch)."""
@@ -636,6 +673,10 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "bm25Score": _bm25_score,
     "rrfFuse": _rrf_fuse,
     "kmvSketch": _kmv_sketch,
+    "urlDedup": _url_dedup,
+    "domainCap": _domain_cap,
+    "logbucketSketch": _logbucket_sketch,
+    "ohlcBars": _ohlc_bars,
     "phashFingerprints": _phash_fingerprints,
     "phashNearPairs": _phash_near_pairs,
     "decodeImage": _decode_image,

@@ -151,3 +151,55 @@ def resample_interpolate(
         rounded.alias("value_interp"),
         "is_observed",
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tie_col: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Irregular ticks → OHLCV bars per (key, time bucket): the
+    aggregation that turns an event stream into the daily/hourly bars
+    the reference's shareprice pipeline consumes
+    (`example-shareprice.py:149` reads pre-built bars; this builds
+    them).
+
+    open/close are ``min_by``/``max_by`` over the COMPOSITE order
+    ``struct(ts, tie)`` — a deterministic total order, so two ticks in
+    the same microsecond can't make the bar engine-dependent (the
+    DuckDB oracle reproduces the same pick with a FIRST_VALUE window
+    over the identical order).  Values are quantized to integer
+    hundredths (``floor(v*100 + 0.5)`` — the engine-wide HALF-UP
+    contract) so high/low/sum are exact integers cross-engine.
+
+    Scale shape: ONE hash-partitioned groupBy on (key, bucket); every
+    accumulator (min_by/max_by/min/max/sum/count) has map-side partial
+    merge, so a hot key costs a skewed reducer, never a global sort —
+    and AQE's skew split handles that reducer.  No window, no self-join.
+    """
+    if step not in _STEPS:
+        raise ValueError(f"unsupported step {step!r}; one of {sorted(_STEPS)}")
+    unit, _ = _STEPS[step]
+    v = F.floor(F.col(value_col) * F.lit(100) + F.lit(0.5)).cast("bigint")
+    order = F.struct(F.col(ts_col), F.col(tie_col))
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.date_trunc(unit, F.col(ts_col)).alias("bar_ts"),
+            F.col(ts_col),
+            F.col(tie_col),
+            v.alias("v_x100"),
+        )
+        .groupBy("key", "bar_ts")
+        .agg(
+            F.min_by("v_x100", order).alias("open_x100"),
+            F.max("v_x100").alias("high_x100"),
+            F.min("v_x100").alias("low_x100"),
+            F.max_by("v_x100", order).alias("close_x100"),
+            F.sum("v_x100").cast("bigint").alias("volume_x100"),
+            F.count("*").cast("bigint").alias("n_ticks"),
+        )
+    )

@@ -79,6 +79,10 @@ BNLJ_ALLOWED = {
     # kmv_distinct: the exact COUNT(DISTINCT) reference rides a 1-row
     # broadcast crossJoin onto the 1-row sketch summary
     "kmv_distinct",
+    # logbucket_quantiles: two bounded broadcast attaches onto the
+    # <=63*16-row sketch — the 3-row probs grid and the 1-row merge_ok
+    # scalar; the sketch build itself is map + hash groupBy
+    "logbucket_quantiles",
 }
 
 FLAGS = {
