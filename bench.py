@@ -149,6 +149,12 @@ HEADLINE = [
     "domain_cap_sample",
     "logbucket_quantiles",
     "ohlc_bars",
+    # round 8 fourth session: staged user-keyed funnel joins, the
+    # cohort-retention join+groupBy chain, and blocked Fellegi-Sunter
+    # candidate scoring
+    "funnel_conversion",
+    "retention_cohorts",
+    "record_linkage",
 ]
 
 

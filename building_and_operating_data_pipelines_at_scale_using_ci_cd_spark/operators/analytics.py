@@ -1,0 +1,145 @@
+"""Event-sequence analytics: conversion funnels and cohort retention.
+
+Parity note: the reference (aws-samples
+building-and-operating-data-pipelines-at-scale-using-ci-cd) declares
+generic SQL transformation steps; these are the two event-stream
+reports every product pipeline builds on top of such a dialect,
+promoted to first-class config-callable operators (peer of
+sessionization, which round 4 established).
+
+Scale shapes:
+  - ``funnel``: stage k is an equi-join on the user key between stage
+    k-1's per-user times and the (type-filtered, so pre-pruned) event
+    stream — len(stages) hash joins, each keyed on the high-cardinality
+    user id; the summary is a union of 1-row aggregates walked by a
+    window over len(stages) rows (bounded state, the KMV-summary
+    argument). No window over the event stream itself.
+  - ``retention``: one groupBy for cohorts, one distinct for
+    (user, day) activity, one equi-join on user, one groupBy on
+    (cohort, offset) — all map-side-partial, all keyed on user/cohort.
+    The cohort-size attach is an equi-join on cohort day (bounded by
+    the calendar, not the corpus).
+
+Every output is integer (counts and ``*_pct_x10000`` basis points via
+integer DIV) so results are bit-identical cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Ordered conversion funnel: a user reaches stage k if they have a
+    ``stages[k]`` event STRICTLY AFTER their stage-k-1 time (earliest
+    qualifying event wins, so the per-user stage time is deterministic).
+    Returns one row per stage: ``(stage_idx, stage, n_users,
+    conv_pct_x10000)`` where conversion is basis points of the
+    stage-0 population, integer-DIV'd."""
+    if not stages:
+        raise ValueError("funnel needs at least one stage")
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(type_col).alias("ty"),
+    )
+    cur = (
+        ev.filter(F.col("ty") == stages[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("st"))
+    )
+    summaries = [
+        cur.groupBy().count().select(
+            F.lit(0).alias("stage_idx"),
+            F.lit(stages[0]).alias("stage"),
+            F.col("count").cast("bigint").alias("n_users"),
+        )
+    ]
+    for i, stage in enumerate(stages[1:], start=1):
+        nxt = (
+            ev.filter(F.col("ty") == stage)
+            .join(cur, "u")
+            .filter(F.col("t") > F.col("st"))
+            .groupBy("u")
+            .agg(F.min("t").alias("st"))
+        )
+        summaries.append(
+            nxt.groupBy().count().select(
+                F.lit(i).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                F.col("count").cast("bigint").alias("n_users"),
+            )
+        )
+        cur = nxt
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    # len(stages)-row window: attach the stage-0 population
+    w = Window.orderBy("stage_idx").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return out.select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.expr("CAST(n_users * 10000 AS BIGINT)")
+        .alias("__num"),
+        F.first("n_users").over(w).alias("__base"),
+    ).select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.expr("CAST(__num DIV GREATEST(__base, 1) AS BIGINT)").alias(
+            "conv_pct_x10000"
+        ),
+    )
+
+
+def retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    max_offset: int = 7,
+) -> DataFrame:
+    """Daily cohort retention: cohort = a user's first active day;
+    a user is retained at offset d if active on cohort_day + d.
+    Returns ``(cohort_day, day_offset, n_active, n_cohort,
+    retained_pct_x10000)`` for offsets 0..max_offset — integers only,
+    basis points by integer DIV."""
+    if max_offset < 0:
+        raise ValueError("max_offset must be >= 0")
+    ev = df.select(
+        F.col(user_col).alias("u"), F.to_date(F.col(ts_col)).alias("d")
+    )
+    cohorts = ev.groupBy("u").agg(F.min("d").alias("cohort_day"))
+    active = ev.distinct()
+    joined = active.join(cohorts, "u").select(
+        "u", "cohort_day", F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset")
+    )
+    counts = (
+        joined.filter(
+            (F.col("day_offset") >= 0) & (F.col("day_offset") <= max_offset)
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+    )
+    sizes = (
+        cohorts.groupBy("cohort_day")
+        .agg(F.count("*").cast("bigint").alias("n_cohort"))
+    )
+    return counts.join(sizes, "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        "n_cohort",
+        F.expr("CAST(n_active * 10000 DIV n_cohort AS BIGINT)").alias(
+            "retained_pct_x10000"
+        ),
+    )

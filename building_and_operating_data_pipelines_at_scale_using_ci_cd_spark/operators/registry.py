@@ -230,6 +230,49 @@ def _ohlc_bars(df: DataFrame, key_col: str, ts_col: str, value_col: str,
     return ohlc_bars(df, key_col, ts_col, value_col, tie_col, **kw)
 
 
+def _funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
+            stages) -> DataFrame:
+    """Config shape: ordered conversion funnel; ``stages`` is a
+    comma-joined list or a list."""
+    from .analytics import funnel
+
+    steps = (
+        [s for s in stages.split(",") if s] if isinstance(stages, str) else list(stages)
+    )
+    return funnel(df, user_col, ts_col, type_col, steps)
+
+
+def _retention(df: DataFrame, user_col: str, ts_col: str, **kw) -> DataFrame:
+    """Config shape: daily cohort retention basis points."""
+    from .analytics import retention
+
+    return retention(df, user_col, ts_col, **{k: int(v) for k, v in kw.items()})
+
+
+def _link_records(df: DataFrame, right_view: str, block_keys: str,
+                  comparators: str, threshold, left_id: str,
+                  right_id: str) -> DataFrame:
+    """Config shape: blocked Fellegi–Sunter linkage. The step's input
+    view is the LEFT side; ``right_view`` names the right (the rrfFuse
+    view-resolution pattern). ``block_keys`` is 'lcol:rcol,...';
+    ``comparators`` is a JSON list of FieldComparator kwargs.  Callers
+    needing expression block keys (e.g. name suffixes) stage them with
+    a sqlQuery step first — idiomatic for the dialect."""
+    import json as _json
+
+    from pyspark.sql import functions as _F
+
+    from .linkage import FieldComparator, link_records
+
+    right = df.sparkSession.table(right_view)
+    blocks = [
+        (_F.col("l." + a), _F.col("r." + b))
+        for a, b in (p.split(":") for p in block_keys.split(",") if p)
+    ]
+    comps = [FieldComparator(**c) for c in _json.loads(comparators)]
+    return link_records(df, right, blocks, comps, int(threshold), left_id, right_id)
+
+
 def _kmv_sketch(df: DataFrame, col: str, **kw) -> DataFrame:
     """Config shape: the mergeable bottom-k rows (keep per-shard
     sketches; union+rerank = the whole-corpus sketch)."""
@@ -675,6 +718,9 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "kmvSketch": _kmv_sketch,
     "urlDedup": _url_dedup,
     "domainCap": _domain_cap,
+    "funnel": _funnel,
+    "retention": _retention,
+    "linkRecords": _link_records,
     "logbucketSketch": _logbucket_sketch,
     "ohlcBars": _ohlc_bars,
     "phashFingerprints": _phash_fingerprints,

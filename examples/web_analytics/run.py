@@ -1,0 +1,143 @@
+"""Web + product analytics on the config dialect (round 8, 4th
+session): three CONCURRENT manifest jobs exercising the session's new
+operator steps end-to-end —
+
+  - curate  — `urlDedup` + `domainCap`: crawl-hygiene URL
+    canonicalization/dedup and the per-registrable-domain quota over a
+    deliberately messy synthetic crawl (mixed-case hosts, default
+    ports, tracking params, fragments, multi-label co.uk suffixes);
+  - product — `funnel` (signup→view→click→purchase), `retention`
+    (daily cohorts, 8 offsets), `ohlcBars` (hourly OHLCV), and
+    `logbucketSketch` (deterministic value-distribution sketch);
+  - linkage — `linkRecords`: blocked Fellegi–Sunter matching of a
+    customer table against a corrupted copy, block keys staged by
+    plain sqlQuery steps (the dialect-idiomatic way to get expression
+    block keys).
+
+    cd /root/repo && python examples/web_analytics/run.py
+
+Every step is a hash-partitioned join/groupBy or a map expression —
+the same configs run unchanged at crawl scale; only paths change.
+"""
+
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
+
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark import get_session
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.plans.pipeline import (
+    from_manifest,
+)
+
+DEMO = "/tmp/web_analytics_demo"
+SF = "/root/testdata/sf0.01"
+
+
+def _stage_inputs(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.createOrReplaceTempView("d0")
+    spark.sql(
+        """
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'Http' END
+               || '://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+               || 'host' || CAST(doc_id % 9 AS STRING) || '.Example.co.uk'
+               || CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END
+               || '/p/' || CAST(doc_id % 60 AS STRING)
+               || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&k=1#f' ELSE '' END AS url,
+               'host' || CAST(doc_id % 9 AS STRING) || '.example.co.uk' AS host
+        FROM d0
+        """
+    ).write.mode("overwrite").parquet(f"{DEMO}/raw/crawl")
+
+    spark.read.parquet(f"{SF}/events.parquet").write.mode("overwrite").parquet(
+        f"{DEMO}/raw/events"
+    )
+
+    spark.read.parquet(f"{SF}/customer.parquet").write.mode("overwrite").parquet(
+        f"{DEMO}/raw/clean"
+    )
+    spark.read.parquet(f"{SF}/customer.parquet").createOrReplaceTempView("c0")
+    spark.sql(
+        """
+        SELECT c_custkey + 1000000 AS d_id,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN replace(c_name, 'Customer#', 'Custmer#') ELSE c_name END AS d_name,
+               c_nationkey AS d_nationkey,
+               CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 0.97 ELSE c_acctbal END AS d_acctbal,
+               CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS d_mktsegment
+        FROM c0
+        """
+    ).write.mode("overwrite").parquet(f"{DEMO}/raw/dirty")
+
+
+def main():
+    shutil.rmtree(DEMO, ignore_errors=True)
+    spark = get_session(app_name="web-analytics-demo")
+    _stage_inputs(spark)
+
+    with open(os.path.join(os.path.dirname(__file__), "manifest.json")) as f:
+        manifest = json.load(f)
+    outcomes = from_manifest(spark, manifest).run()
+    for name, o in outcomes.items():
+        print(f"  task {name}: {o.state} (attempts={o.attempts})")
+    assert all(o.state == "success" for o in outcomes.values())
+
+    import duckdb
+
+    n_docs = duckdb.sql(f"SELECT COUNT(*) FROM '{DEMO}/raw/crawl/*.parquet'").fetchone()[0]
+    uniq, dirty_urls = duckdb.sql(
+        f"SELECT COUNT(*), COALESCE(SUM(CASE WHEN canonical_url LIKE '%utm%' "
+        f"OR canonical_url LIKE '%WWW%' THEN 1 ELSE 0 END), 0) "
+        f"FROM '{DEMO}/uniq_urls/*.parquet'"
+    ).fetchone()
+    print(f"crawl: {n_docs} raw urls -> {uniq} canonical ({dirty_urls} hygiene misses)")
+    assert 0 < uniq < n_docs and dirty_urls == 0
+
+    caps = duckdb.sql(f"SELECT domain, n_kept FROM '{DEMO}/domain_stats/*.parquet'").fetchall()
+    print(f"domain caps: {caps}")
+    # all 9 hosts share eTLD+1 example.co.uk -> ONE domain, capped at 40
+    assert caps == [("example.co.uk", 40)]
+
+    fun = duckdb.sql(
+        f"SELECT stage, n_users, conv_pct_x10000 FROM '{DEMO}/funnel_report/*.parquet' "
+        f"ORDER BY stage_idx"
+    ).fetchall()
+    print(f"funnel: {fun}")
+    ns = [r[1] for r in fun]
+    assert len(fun) == 4 and ns == sorted(ns, reverse=True) and fun[0][2] == 10000
+
+    ret = duckdb.sql(
+        f"SELECT COUNT(*), MAX(retained_pct_x10000) FROM '{DEMO}/retention_report/*.parquet'"
+    ).fetchone()
+    print(f"retention rows: {ret[0]} (max bp {ret[1]})")
+    assert ret[0] > 0 and ret[1] <= 10000
+
+    n_events = duckdb.sql(f"SELECT COUNT(*) FROM '{DEMO}/raw/events/*.parquet'").fetchone()[0]
+    bars = duckdb.sql(
+        f"SELECT COUNT(*), SUM(n_ticks) FROM '{DEMO}/bars/*.parquet'"
+    ).fetchone()
+    sketch_total = duckdb.sql(
+        f"SELECT SUM(cnt) FROM '{DEMO}/value_sketch/*.parquet'"
+    ).fetchone()[0]
+    print(f"bars: {bars[0]} (ticks {bars[1]}); sketch mass {sketch_total}")
+    assert bars[1] == n_events and sketch_total == n_events
+
+    m = duckdb.sql(
+        f"SELECT COUNT(*), SUM(CASE WHEN right_id - 1000000 = left_id THEN 1 ELSE 0 END) "
+        f"FROM '{DEMO}/matches/*.parquet'"
+    ).fetchone()
+    print(f"linkage: {m[0]} matches, {m[1]} true")
+    # every match above threshold is a true pair here (blocks are tight),
+    # and the model's documented false negatives keep it below the total
+    n_cust = duckdb.sql(f"SELECT COUNT(*) FROM '{DEMO}/raw/clean/*.parquet'").fetchone()[0]
+    assert m[0] == m[1] and 0 < m[0] < n_cust
+
+    print("web_analytics example OK")
+
+
+if __name__ == "__main__":
+    main()

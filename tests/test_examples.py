@@ -43,6 +43,13 @@ def test_media_pipeline_example(spark):
     mod.main()  # asserts internally (formats decoded, features, frame fan-out)
 
 
+@pytest.mark.slow
+def test_web_analytics_example(spark):
+    mod = _load(os.path.join(_ROOT, "examples", "web_analytics", "run.py"))
+    mod.main()  # asserts internally (URL hygiene, domain cap, funnel
+    # monotonicity, bar/sketch mass conservation, linkage truth)
+
+
 def test_lakehouse_example(spark):
     mod = _load(os.path.join(_ROOT, "examples", "lakehouse", "run.py"))
     mod.main()  # asserts internally (commits, time travel, exactly-once,

@@ -538,6 +538,90 @@ def main() -> None:
 
     timed("delta scd2 write+pruned-merge", _delta_smoke)
 
+    # round-8 fourth session: web curation, event analytics, linkage,
+    # log-bucket sketch — all over the ×n replicas
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.analytics import (
+        funnel,
+        retention,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.linkage import (
+        FieldComparator,
+        link_records,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.sketches import (
+        logbucket_quantiles,
+        logbucket_sketch,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.web import (
+        domain_cap,
+        url_dedup,
+    )
+
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://WWW.host"), (F.col("doc_id") % 997).cast("string"),
+            F.lit(".Example.co.uk:80/p/"), (F.col("doc_id") % 5000).cast("string"),
+            F.lit("?utm_source=x&k=1#f"),
+        ).alias("url"),
+        F.concat(
+            F.lit("host"), (F.col("doc_id") % 997).cast("string"),
+            F.lit(".example.co.uk"),
+        ).alias("host"),
+    )
+    timed("url_dedup", lambda: url_dedup(urls, "url", "doc_id").count())
+    timed(
+        "domain_cap",
+        lambda: domain_cap(urls, "host", 100, "doc_id").count(),
+    )
+
+    events = _replicate(read_parquet(spark, f"{sf_dir}/events.parquet"), ["event_id"], n)
+    print(f"events ×{n}: {events.count()}")
+    timed(
+        "funnel (4 stages)",
+        lambda: funnel(
+            events, "user_id", "ts", "event_type",
+            ["signup", "view", "click", "purchase"],
+        ).count(),
+    )
+    timed(
+        "retention (8 offsets)",
+        lambda: retention(events, "user_id", "ts", max_offset=7).count(),
+    )
+
+    li = _replicate(read_parquet(spark, f"{sf_dir}/lineitem.parquet"),
+                    ["l_orderkey", "l_linenumber"], n)
+    cents = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint").alias("c")
+    )
+    timed(
+        "logbucket sketch+quantiles",
+        lambda: logbucket_quantiles(logbucket_sketch(cents, "c")).count(),
+    )
+
+    cust = _replicate(read_parquet(spark, f"{sf_dir}/customer.parquet"), ["c_custkey"], n)
+    dirty = cust.select(
+        F.col("c_custkey").alias("d_id"),
+        F.when(F.col("c_custkey") % 3 == 0,
+               F.regexp_replace("c_name", "Customer#", "Custmer#"))
+        .otherwise(F.col("c_name")).alias("d_name"),
+        F.col("c_nationkey").alias("d_nationkey"),
+        F.col("c_acctbal").alias("d_acctbal"),
+        F.col("c_mktsegment").alias("d_mktsegment"),
+    )
+    timed(
+        "record_linkage (blocked FS)",
+        lambda: link_records(
+            cust, dirty,
+            [(F.col("l.c_nationkey"), F.col("r.d_nationkey")),
+             (F.expr("right(l.c_name, 4)"), F.expr("right(r.d_name, 4)"))],
+            [FieldComparator("c_name", "d_name", "exact", 4000, -1500),
+             FieldComparator("c_acctbal", "d_acctbal", "abs_tol_x100", 2000, -2500, param=50),
+             FieldComparator("c_mktsegment", "d_mktsegment", "exact", 500, -500)],
+            800, "c_custkey", "d_id",
+        ).count(),
+    )
+
 
 if __name__ == "__main__":
     main()
