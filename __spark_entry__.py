@@ -6128,20 +6128,151 @@ FROM cand WHERE score >= {_LINK_THRESHOLD}
 """
 
 
+def _q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count on the part co-purchase graph
+    (functions/graph.py triangle_count — the Suri/Vassilvitskii
+    degree-ordered orientation): edges = distinct part pairs sharing an
+    order (per-order fan-out bounded by order size), orientation keeps
+    every out-degree O(sqrt(m)) so the wedge join survives power-law
+    degree skew — the property that makes this THE scalable triangle
+    formulation. Output (n_nodes, n_edges, n_triangles), exact."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.graph import (
+        triangle_count,
+    )
+
+    _views(spark, sf_dir)
+    # the %2 keyspace subsample keeps the ENTRY at bench scale (the
+    # wedge count of the full sf0.1 graph is a ~40s workload on BOTH
+    # engines — honest, but it would dominate the suite); the full
+    # graph runs in tools/scale_smoke.py
+    edges = spark.sql(
+        """
+        SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        WHERE l1.l_partkey % 2 = 0 AND l2.l_partkey % 2 = 0
+        """
+    )
+    return triangle_count(edges, "src", "dst")
+
+
+COPURCHASE_TRIANGLES_DUCK = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  WHERE l1.l_partkey % 2 = 0 AND l2.l_partkey % 2 = 0),
+deg AS MATERIALIZED (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v),
+ed AS MATERIALIZED (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.a ELSE e.b END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.b ELSE e.a END AS w
+  FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+wedges AS MATERIALIZED (
+  SELECT e1.w AS x, e2.w AS y
+  FROM ed e1 JOIN ed e2 ON e1.u = e2.u AND e1.w < e2.w),
+closed AS (SELECT 1 FROM wedges JOIN e ON wedges.x = e.a AND wedges.y = e.b)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM closed) AS BIGINT) AS n_triangles
+"""
+
+
+_GEO_RADIUS = 150_000  # micro-degrees (~0.15 deg)
+
+
+def _q_geo_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial proximity self-join (operators/geo.py proximity_pairs):
+    radius-sized grid cells + 3x3 multi-probe candidate join + exact
+    integer squared-distance verify — only the probe side fans out
+    (x9), candidates bounded by local density. Coordinates are
+    deterministic integer micro-degrees derived per user from the
+    portable md5 hash, so the DUCKDB ORACLE IS AN ALL-PAIRS BRUTE
+    FORCE — it proves the banding COMPLETE at every driver check, the
+    phash_near_pairs precedent."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.text import (
+        portable_hash,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.geo import (
+        proximity_pairs,
+    )
+
+    users = _table(spark, sf_dir, "events").select("user_id").distinct()
+    pts = users.select(
+        F.col("user_id").alias("id"),
+        (F.lit(40_000_000) + portable_hash(F.col("user_id"), seed=1) % F.lit(2_000_000))
+        .cast("bigint")
+        .alias("lat"),
+        (F.lit(-74_000_000) + portable_hash(F.col("user_id"), seed=2) % F.lit(2_000_000))
+        .cast("bigint")
+        .alias("lon"),
+    )
+    return proximity_pairs(pts, "id", "lat", "lon", _GEO_RADIUS)
+
+
+GEO_PROXIMITY_DUCK = f"""
+WITH pts AS MATERIALIZED (
+  SELECT user_id AS id,
+         40000000 + CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(user_id AS VARCHAR), '#1')), 1, 8)) AS BIGINT) % 2000000 AS lat,
+         -74000000 + CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(user_id AS VARCHAR), '#2')), 1, 8)) AS BIGINT) % 2000000 AS lon
+  FROM (SELECT DISTINCT user_id FROM events))
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST((a.lat - b.lat) * (a.lat - b.lat)
+          + (a.lon - b.lon) * (a.lon - b.lon) AS BIGINT) AS dist2
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE (a.lat - b.lat) * (a.lat - b.lat)
+    + (a.lon - b.lon) * (a.lon - b.lon) <= {_GEO_RADIUS * _GEO_RADIUS}
+"""
+
+
+def _q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLCV bars (streaming/ops.py ohlc_tumbling): the
+    tumbling-window twin of the batch ohlc_bars entry — six declarative
+    aggregates incl. min_by/max_by over the composite (ts, event_id)
+    order, ONE state row per (window, key), late ticks folded until the
+    watermark closes the bar. Complete mode + availableNow; the oracle
+    is the SAME batch SQL ohlc_bars pins, so stream == batch is the
+    checked contract."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.streaming.ops import (
+        ohlc_tumbling,
+    )
+
+    stream = _events_stream(spark, sf_dir)
+    agg = ohlc_tumbling(stream, "ts", "event_type", "value", "event_id")
+    name = f"stream_ohlc_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "key", "bar_ts", "open_x100", "high_x100", "low_x100",
+        "close_x100", "volume_x100", "n_ticks",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-8 rotation (counts: 21 + 9 + 20 = 50 checked;
-        # 108 r06/r07-green tail; 158 total). ``base``
+        # entries. Round-8 rotation (counts: 24 + 9 + 17 = 50 checked;
+        # 111 r06/r07-green tail; 161 total). ``base``
         # keeps the historical (round-7) definition order for
         # readability — the ACTUAL round-8 checked set is the explicit
         # ``head`` list after it (18 new entries: the 6 codec-tier adds
         # plus delta_roundtrip, flac_decode, bm25_scores, rrf_fusion,
         # kmv_distinct, delta_cdc, phash_fingerprints, phash_near_pairs,
-        # and the 7 fourth-session adds url_canonical_dedup,
+        # and the 10 fourth-session adds url_canonical_dedup,
         # domain_cap_sample, logbucket_quantiles, ohlc_bars,
-        # funnel_conversion, retention_cohorts, record_linkage;
+        # funnel_conversion, retention_cohorts, record_linkage,
+        # streaming_ohlc, copurchase_triangles, geo_proximity_pairs;
         # 9 changed-code re-entries incl. scd2_price_history whose sink
-        # gained the delta-lite lanes; + the 20 oldest-evidence keys
+        # gained the delta-lite lanes; + the 17 oldest-evidence keys
         # that still fit under the cap), followed by everything else in
         # prior order. Next round's 50 should lead with the 12 keys the
         # late adds displaced (top_orders_per_customer,
@@ -6173,6 +6304,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _q_funnel_conversion,
         "retention_cohorts": _q_retention_cohorts,
         "record_linkage": _q_record_linkage,
+        "streaming_ohlc": _q_streaming_ohlc,
+        "copurchase_triangles": _q_copurchase_triangles,
+        "geo_proximity_pairs": _q_geo_proximity,
         # -- (1) new or changed in round 7: 4 brand-new entries
         #    (png/jpeg decode, jdbc roundtrip, approx profiling) + 11
         #    whose code path changed (JVM bloom probe, pagerank rank
@@ -6367,6 +6501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup", "domain_cap_sample",
         "logbucket_quantiles", "ohlc_bars",
         "funnel_conversion", "retention_cohorts", "record_linkage",
+        "streaming_ohlc", "copurchase_triangles", "geo_proximity_pairs",
         "delta_roundtrip", "flac_decode", "bm25_scores", "rrf_fusion",
         "kmv_distinct", "delta_cdc", "phash_fingerprints",
         "phash_near_pairs",
@@ -6387,15 +6522,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_regex", "quality_scores", "lang_id",
         "top_orders_per_customer", "running_customer_spend",
         "q1_pricing_summary", "q3_shipping_priority",
-        # 50-cap cutoff now falls after exact_dedup_docs: the seven
+        # 50-cap cutoff now falls after hourly_events: the ten
         # 4th-session adds (url_canonical_dedup, domain_cap_sample,
         # logbucket_quantiles, ohlc_bars, funnel_conversion,
-        # retention_cohorts, record_linkage) displaced
-        # near_dup_clusters, simhash_fingerprints, tokenize_regex,
-        # quality_scores, lang_id, top_orders_per_customer,
-        # running_customer_spend, q1_pricing_summary and
-        # q3_shipping_priority past the cap. Round 9's 50 should lead
-        # with those nine, then q5_local_supplier_volume,
+        # retention_cohorts, record_linkage, streaming_ohlc,
+        # copurchase_triangles, geo_proximity_pairs) displaced
+        # dedup_keep_latest, asof_purchase_attribution,
+        # exact_dedup_docs, near_dup_clusters, simhash_fingerprints,
+        # tokenize_regex, quality_scores, lang_id,
+        # top_orders_per_customer, running_customer_spend,
+        # q1_pricing_summary and q3_shipping_priority past the cap.
+        # Round 9's 50 should lead with those twelve, then
+        # q5_local_supplier_volume,
         # q6_forecast_revenue, q7_volume_shipping, q10_returned_items,
         # orders_cube, window_analytics, q20_excess_supplier and the
         # rest of the r04-evidence tail — the oldest evidence in the
@@ -6415,6 +6553,9 @@ def oracle_sql() -> dict[str, str]:
         "funnel_conversion": FUNNEL_CONVERSION_DUCK,
         "retention_cohorts": RETENTION_COHORTS_DUCK,
         "record_linkage": RECORD_LINKAGE_DUCK,
+        "streaming_ohlc": OHLC_BARS_DUCK,
+        "copurchase_triangles": COPURCHASE_TRIANGLES_DUCK,
+        "geo_proximity_pairs": GEO_PROXIMITY_DUCK,
         "tfidf_top_terms": TFIDF_TOP_TERMS_DUCK,
         "inverted_index": INVERTED_INDEX_DUCK,
         "weighted_sample": WEIGHTED_SAMPLE_DUCK,

@@ -155,6 +155,10 @@ HEADLINE = [
     "funnel_conversion",
     "retention_cohorts",
     "record_linkage",
+    # round 8 fourth session: degree-ordered triangle census (wedge join
+    # bounded by sqrt(m) out-degrees) and the 3x3 grid-cell spatial join
+    "copurchase_triangles",
+    "geo_proximity_pairs",
 ]
 
 

@@ -273,6 +273,30 @@ def _link_records(df: DataFrame, right_view: str, block_keys: str,
     return link_records(df, right, blocks, comps, int(threshold), left_id, right_id)
 
 
+def _triangle_count(df: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Config shape: exact triangle census of an edge-list view."""
+    from ..functions.graph import triangle_count
+
+    return triangle_count(df, src, dst)
+
+
+def _geo_proximity_pairs(df: DataFrame, id_col: str, lat_col: str,
+                         lon_col: str, radius_micro) -> DataFrame:
+    """Config shape: all point pairs within a micro-degree radius."""
+    from .geo import proximity_pairs
+
+    return proximity_pairs(df, id_col, lat_col, lon_col, int(radius_micro))
+
+
+def _ohlc_tumbling(df: DataFrame, ts_col: str, key_col: str, value_col: str,
+                   tie_col: str, **kw) -> DataFrame:
+    """Config shape: streaming tumbling-window OHLCV (the ohlcBars
+    twin for a readStream input view)."""
+    from ..streaming.ops import ohlc_tumbling
+
+    return ohlc_tumbling(df, ts_col, key_col, value_col, tie_col, **kw)
+
+
 def _kmv_sketch(df: DataFrame, col: str, **kw) -> DataFrame:
     """Config shape: the mergeable bottom-k rows (keep per-shard
     sketches; union+rerank = the whole-corpus sketch)."""
@@ -721,6 +745,9 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "funnel": _funnel,
     "retention": _retention,
     "linkRecords": _link_records,
+    "ohlcTumbling": _ohlc_tumbling,
+    "triangleCount": _triangle_count,
+    "geoProximityPairs": _geo_proximity_pairs,
     "logbucketSketch": _logbucket_sketch,
     "ohlcBars": _ohlc_bars,
     "phashFingerprints": _phash_fingerprints,

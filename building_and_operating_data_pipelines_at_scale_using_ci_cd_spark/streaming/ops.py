@@ -294,3 +294,38 @@ def foreach_batch_writer(spec: "TargetSpec"):
         write_target(batch_df.sparkSession, batch_df, spec)
 
     return _write
+
+
+def ohlc_tumbling(
+    df: DataFrame, ts_col: str, key_col: str, value_col: str, tie_col: str,
+    window: str = "1 hour", delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``operators/timeseries.ohlc_bars``:
+    tumbling-window OHLCV where open/close are ``min_by``/``max_by``
+    over the composite (ts, tie) order.  All six accumulators are
+    declarative aggregates, so Spark keeps ONE partial state row per
+    (window, key) — late ticks fold into their bar until the watermark
+    closes it; no per-event state, no custom state machine.  Values are
+    HALF-UP integer hundredths (the batch contract), so the streaming
+    result is hash-equal to the batch formulation — pinned by the
+    ``streaming_ohlc`` entry."""
+    src = with_watermark(df, ts_col, delay).select(
+        F.col(ts_col),
+        F.col(key_col).alias("key"),
+        F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint").alias("__v"),
+        F.struct(F.col(ts_col), F.col(tie_col)).alias("__ord"),
+    )
+    g = src.groupBy(F.window(F.col(ts_col), window).alias("win"), F.col("key"))
+    return g.agg(
+        F.min_by("__v", "__ord").alias("open_x100"),
+        F.max("__v").alias("high_x100"),
+        F.min("__v").alias("low_x100"),
+        F.max_by("__v", "__ord").alias("close_x100"),
+        F.sum("__v").cast("bigint").alias("volume_x100"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+    ).select(
+        F.col("win.start").alias("bar_ts"),
+        "key",
+        "open_x100", "high_x100", "low_x100", "close_x100",
+        "volume_x100", "n_ticks",
+    )

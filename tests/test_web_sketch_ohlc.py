@@ -249,3 +249,23 @@ class TestOhlcBars:
              "tie_col": "event_id"},
         )
         assert out.count() == 2
+
+
+class TestStreamingOhlc:
+    def test_stream_equals_batch(self, spark, sf_dir):
+        import __spark_entry__ as entry_mod
+
+        streamed = sorted(
+            map(tuple, entry_mod.queries()["streaming_ohlc"](spark, sf_dir).collect())
+        )
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        batch = sorted(
+            map(
+                tuple,
+                ohlc_bars(ev, "event_type", "ts", "value", "event_id")
+                .select("key", "bar_ts", "open_x100", "high_x100", "low_x100",
+                        "close_x100", "volume_x100", "n_ticks")
+                .collect(),
+            )
+        )
+        assert streamed == batch

@@ -83,6 +83,10 @@ BNLJ_ALLOWED = {
     # <=63*16-row sketch — the 3-row probs grid and the 1-row merge_ok
     # scalar; the sketch build itself is map + hash groupBy
     "logbucket_quantiles",
+    # copurchase_triangles: the (n_nodes, n_edges, n_triangles) summary
+    # is two 1-row x 1-row broadcast crossJoins (scalar attachment);
+    # the wedge generator itself is hash equi-joins only
+    "copurchase_triangles",
 }
 
 FLAGS = {

@@ -609,6 +609,50 @@ def main() -> None:
         F.col("c_acctbal").alias("d_acctbal"),
         F.col("c_mktsegment").alias("d_mktsegment"),
     )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.graph import (
+        triangle_count,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.text import (
+        portable_hash,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.geo import (
+        proximity_pairs,
+    )
+
+    # offset partkeys per replica too: the graph must grow in NODES
+    # (disjoint copies), not densify — un-offset parts would multiply
+    # per-node degree by n and the wedge count by n², which measures the
+    # replication artifact, not the operator
+    li_g = _replicate(
+        read_parquet(spark, f"{sf_dir}/lineitem.parquet"),
+        ["l_orderkey", "l_linenumber", "l_partkey"], n,
+    )
+    li_g.createOrReplaceTempView("smoke_lineitem")
+    edges = spark.sql(
+        """
+        SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+        FROM smoke_lineitem l1 JOIN smoke_lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+          AND l1.l_partkey % 2 = 0 AND l2.l_partkey % 2 = 0
+        """
+    )
+    timed(
+        "triangle_count (co-purchase graph, nodes x n)",
+        lambda: triangle_count(edges, "src", "dst").count(),
+    )
+
+    geo_pts = events.select(F.col("event_id").alias("id")).distinct().select(
+        "id",
+        (F.lit(40_000_000) + portable_hash(F.col("id"), seed=1) % F.lit(5_000_000))
+        .cast("bigint").alias("lat"),
+        (F.lit(-74_000_000) + portable_hash(F.col("id"), seed=2) % F.lit(5_000_000))
+        .cast("bigint").alias("lon"),
+    )
+    timed(
+        "geo proximity (1M pts, 3x3 probe)",
+        lambda: proximity_pairs(geo_pts, "id", "lat", "lon", 20_000).count(),
+    )
+
     timed(
         "record_linkage (blocked FS)",
         lambda: link_records(
