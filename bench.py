@@ -159,6 +159,10 @@ HEADLINE = [
     # bounded by sqrt(m) out-degrees) and the 3x3 grid-cell spatial join
     "copurchase_triangles",
     "geo_proximity_pairs",
+    # round 8 fourth session: per-key return/drawdown windows over bars
+    # and the composed skew-diagnosis report (TakeOrdered + sketch)
+    "bar_returns",
+    "join_skew_report",
 ]
 
 

@@ -273,6 +273,20 @@ def _link_records(df: DataFrame, right_view: str, block_keys: str,
     return link_records(df, right, blocks, comps, int(threshold), left_id, right_id)
 
 
+def _bar_returns(df: DataFrame, **kw) -> DataFrame:
+    """Config shape: per-bar returns + drawdown over an ohlcBars view."""
+    from .timeseries import bar_returns
+
+    return bar_returns(df, **kw)
+
+
+def _skew_report(df: DataFrame, key_col: str, **kw) -> DataFrame:
+    """Config shape: quantified join-key skew diagnosis."""
+    from .scale import skew_report
+
+    return skew_report(df, key_col, **{k: int(v) for k, v in kw.items()})
+
+
 def _triangle_count(df: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Config shape: exact triangle census of an edge-list view."""
     from ..functions.graph import triangle_count
@@ -748,6 +762,8 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "ohlcTumbling": _ohlc_tumbling,
     "triangleCount": _triangle_count,
     "geoProximityPairs": _geo_proximity_pairs,
+    "barReturns": _bar_returns,
+    "skewReport": _skew_report,
     "logbucketSketch": _logbucket_sketch,
     "ohlcBars": _ohlc_bars,
     "phashFingerprints": _phash_fingerprints,

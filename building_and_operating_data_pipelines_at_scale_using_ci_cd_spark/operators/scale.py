@@ -234,3 +234,75 @@ def bucketed_write(
     if sort:
         writer = writer.sortBy(*keys)
     writer.mode("overwrite").format("parquet").saveAsTable(table)
+
+
+def skew_report(df: DataFrame, key_col: str, top_n: int = 5) -> DataFrame:
+    """Quantified skew diagnosis for a join/groupBy key — the report
+    that tells you WHETHER :func:`salted_join` is needed and how badly:
+    the ``top_n`` heaviest keys with their share of all rows in integer
+    basis points, alongside distribution stats of the per-key counts
+    (key cardinality, max count, and p50/p99 ESTIMATES from the
+    deterministic log-bucket sketch — so the whole report is
+    bit-identical cross-engine and the quantile state is bounded by
+    construction, never by cardinality).
+
+    Plan: one groupBy(key) count → (a) TakeOrdered top_n (no full
+    sort), (b) one 1-row aggregate (total/max/n_keys), (c) the
+    log-bucket sketch over the counts (bounded ≤63·16 rows) walked for
+    p50/p99.  The scalars attach by 1-row broadcast crossJoin — the
+    heavy_hitters shape."""
+    from ..functions.sketches import (
+        logbucket_estimate,
+        logbucket_index,
+    )
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(top_n)
+    totals = counts.agg(
+        F.sum("cnt").cast("bigint").alias("__total"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    sketch = (
+        counts.select(logbucket_index(F.col("cnt")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("bcnt"))
+    )
+    from pyspark.sql import Window
+
+    cum = sketch.select(
+        "bucket",
+        F.sum("bcnt")
+        .over(Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("bcnt").over(Window.partitionBy()).alias("bn"),
+    )
+    picks = None
+    for p in (50, 99):
+        pick = (
+            cum.filter(
+                F.col("cum")
+                >= ((F.col("bn") - 1) * F.lit(p) / F.lit(100)).cast("bigint") + 1
+            )
+            .groupBy()
+            .agg(F.min("bucket").alias("bucket"))
+            .select(
+                logbucket_estimate(F.col("bucket")).alias(f"p{p}_cnt_est")
+            )
+        )
+        picks = pick if picks is None else picks.crossJoin(F.broadcast(pick))
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(picks))
+        .select(
+            "key",
+            "cnt",
+            F.expr("CAST(cnt * 10000 DIV __total AS BIGINT)").alias("share_bp"),
+            "n_keys",
+            "max_cnt",
+            "p50_cnt_est",
+            "p99_cnt_est",
+        )
+    )

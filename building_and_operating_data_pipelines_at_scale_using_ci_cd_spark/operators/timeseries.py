@@ -203,3 +203,47 @@ def ohlc_bars(
             F.count("*").cast("bigint").alias("n_ticks"),
         )
     )
+
+
+def bar_returns(
+    bars: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "bar_ts",
+) -> DataFrame:
+    """Per-bar simple return and running drawdown over an OHLCV bar
+    table (the :func:`ohlc_bars` output), in INTEGER BASIS POINTS.
+
+    Integer-division sign trap: Spark's ``DIV`` truncates toward zero
+    while other engines floor toward -inf, so a negative return divided
+    naively diverges cross-engine.  Both agree on NON-NEGATIVE
+    operands, so the return is computed as
+    ``sign * (|close-open| * 10000 DIV open)`` — the magnitude is
+    divided, the sign multiplied back.  Drawdown's numerator
+    (runmax - close) is non-negative by construction.
+
+    One window per key ordered by bar time (hash-partitioned on the
+    key — no global sort); everything else is map arithmetic.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    diff = F.col("close_x100") - F.col("open_x100")
+    ret_bp = (
+        F.signum(diff).cast("bigint")
+        * F.expr("CAST(abs(close_x100 - open_x100) * 10000 DIV open_x100 AS BIGINT)")
+    ).cast("bigint")
+    with_run = bars.withColumn("run_max_x100", F.max("close_x100").over(w))
+    dd_bp = F.expr(
+        "CAST((run_max_x100 - close_x100) * 10000 DIV run_max_x100 AS BIGINT)"
+    )
+    return with_run.select(
+        F.col(key_col),
+        F.col(ts_col),
+        "open_x100",
+        "close_x100",
+        ret_bp.alias("ret_bp"),
+        "run_max_x100",
+        dd_bp.alias("drawdown_bp"),
+    )

@@ -467,3 +467,115 @@ def test_phash_deterministic_any_raster(pixels, w, h):
     out = phash64(r)
     assert out == phash64(r)
     assert len(out[2]) == 64
+
+
+# --- round-8 fourth session: web / sketch / graph / geo properties -------
+
+_url_chars = st.text(
+    alphabet="abcXYZ019-._~/?&=#: ", min_size=0, max_size=30
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    scheme=st.sampled_from(["http", "HTTP", "https", "Https"]),
+    host=st.sampled_from(["a.b.com", "WWW.shop.co.uk", "X.Y.Z.example.org"]),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    rest=_url_chars,
+)
+def test_url_canonicalization_idempotent(spark, scheme, host, port, rest):
+    """canonicalize(canonicalize(u)) == canonicalize(u): the canonical
+    form is a FIXED POINT, so re-running the hygiene pass on an already
+    clean corpus is a no-op — the property that makes incremental crawl
+    merges safe."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.web import (
+        canonicalize_url,
+    )
+
+    url = f"{scheme}://{host}{port}/{rest}"
+    df = spark.createDataFrame([(url,)], ["u"])
+    once = df.select(canonicalize_url(F.col("u")).alias("c"))
+    twice = once.select(canonicalize_url(F.col("c")).alias("c"))
+    assert once.collect() == twice.collect()
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(st.integers(1, 10**12), min_size=1, max_size=40),
+    split=st.integers(2, 4),
+)
+def test_logbucket_merge_equals_direct_and_bounds_error(spark, vals, split):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.sketches import (
+        logbucket_estimate,
+        logbucket_index,
+        logbucket_merge,
+        logbucket_sketch,
+    )
+
+    df = spark.createDataFrame([(v, i % split) for i, v in enumerate(vals)], "v long, g int")
+    direct = sorted(map(tuple, logbucket_sketch(df, "v").collect()))
+    parts = [logbucket_sketch(df.filter(F.col("g") == i), "v") for i in range(split)]
+    merged = sorted(map(tuple, logbucket_merge(*parts).collect()))
+    assert merged == direct
+    # every value's midpoint representative is within 1/32 relative error
+    rows = df.select(
+        "v", logbucket_estimate(logbucket_index(F.col("v"))).alias("est")
+    ).collect()
+    for r in rows:
+        assert abs(r["est"] - r["v"]) * 32 <= r["v"] + 32
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=25
+    )
+)
+def test_triangle_count_matches_brute_force_any_multigraph(spark, edges):
+    """Edge direction, duplicates, and self-loops never change the
+    census — and the oriented-wedge count equals the O(n^3) truth."""
+    import itertools as it
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.graph import (
+        triangle_count,
+    )
+
+    simple = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = {v for e in simple for v in e}
+    expect = sum(
+        1 for a, b, c in it.combinations(sorted(nodes), 3)
+        if (a, b) in simple and (b, c) in simple and (a, c) in simple
+    )
+    df = spark.createDataFrame(edges or [(0, 0)], "src int, dst int")
+    r = triangle_count(df, "src", "dst").collect()[0]
+    assert r["n_triangles"] == expect
+    assert r["n_edges"] == len(simple)
+
+
+@settings(**_SETTINGS)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(-500, 500), st.integers(-500, 500)),
+        min_size=1, max_size=25, unique=True,
+    ),
+    radius=st.integers(1, 400),
+)
+def test_proximity_pairs_complete_and_exact_any_cloud(spark, pts, radius):
+    import itertools as it
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.geo import (
+        proximity_pairs,
+    )
+
+    rows = [(i, la, lo) for i, (la, lo) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, lat long, lon long")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist2"])
+        for r in proximity_pairs(df, "id", "lat", "lon", radius).collect()
+    )
+    exp = sorted(
+        (a[0], b[0], (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2)
+        for a, b in it.combinations(rows, 2)
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= radius * radius
+    )
+    assert got == exp

@@ -269,3 +269,67 @@ class TestStreamingOhlc:
             )
         )
         assert streamed == batch
+
+
+class TestBarReturnsSkewReport:
+    def test_bar_returns_hand_case(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.timeseries import (
+            bar_returns,
+        )
+
+        t = datetime.datetime(2024, 6, 1, 9, 0)
+        bars = spark.createDataFrame(
+            [("A", t, 100, 120), ("A", t + datetime.timedelta(hours=1), 120, 90),
+             ("A", t + datetime.timedelta(hours=2), 90, 110)],
+            ["key", "bar_ts", "open_x100", "close_x100"],
+        )
+        rows = {r["bar_ts"].hour: r for r in bar_returns(bars).collect()}
+        # +20/100 = +2000bp; -30/120 => sign*-(30*10000 DIV 120) = -2500bp
+        assert rows[9]["ret_bp"] == 2000 and rows[9]["drawdown_bp"] == 0
+        assert rows[10]["ret_bp"] == -2500
+        # runmax 120, close 90 -> 30*10000 DIV 120 = 2500bp drawdown
+        assert rows[10]["drawdown_bp"] == 2500
+        assert rows[11]["run_max_x100"] == 120 and rows[11]["drawdown_bp"] == 833
+
+    def test_negative_division_sign_contract(self, spark):
+        # -1 close move on open 3: DIV truncates magnitude, sign reapplied
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.timeseries import (
+            bar_returns,
+        )
+
+        t = datetime.datetime(2024, 6, 1)
+        bars = spark.createDataFrame(
+            [("K", t, 3, 2)], ["key", "bar_ts", "open_x100", "close_x100"]
+        )
+        r = bar_returns(bars).collect()[0]
+        assert r["ret_bp"] == -3333  # -(1*10000 DIV 3), not floor(-3334)
+
+    def test_skew_report_shares_and_quantiles(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.scale import (
+            skew_report,
+        )
+
+        # key 0: 60 rows; keys 1..20: 2 rows each -> total 100
+        rows = [(0,)] * 60 + [(k,) for k in range(1, 21) for _ in range(2)]
+        df = spark.createDataFrame(rows, ["k"])
+        out = skew_report(df, "k", top_n=2).collect()
+        assert len(out) == 2
+        top = out[0] if out[0]["key"] == 0 else out[1]
+        assert top["cnt"] == 60 and top["share_bp"] == 6000
+        assert top["n_keys"] == 21 and top["max_cnt"] == 60
+        # p50 of per-key counts is 2; a SINGLE outlier sits above the p99
+        # rank (floor(20*0.99)+1 = 20 of 21) by construction — max_cnt is
+        # the column that flags it, and max/p50 is the skew signal
+        assert out[0]["p50_cnt_est"] <= 3 and out[0]["p99_cnt_est"] <= 3
+        assert top["max_cnt"] // out[0]["p50_cnt_est"] >= 20
+
+    def test_registry_steps(self, spark):
+        t = datetime.datetime(2024, 6, 1)
+        bars = spark.createDataFrame(
+            [("K", t, 100, 110)], ["key", "bar_ts", "open_x100", "close_x100"]
+        )
+        out = apply_operator("barReturns", bars, {})
+        assert out.collect()[0]["ret_bp"] == 1000
+        df = spark.createDataFrame([(1,), (1,), (2,)], ["k"])
+        rep = apply_operator("skewReport", df, {"key_col": "k", "top_n": "1"})
+        assert rep.collect()[0]["cnt"] == 2

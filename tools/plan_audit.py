@@ -87,6 +87,9 @@ BNLJ_ALLOWED = {
     # is two 1-row x 1-row broadcast crossJoins (scalar attachment);
     # the wedge generator itself is hash equi-joins only
     "copurchase_triangles",
+    # join_skew_report: the totals row and the two 1-row sketch-quantile
+    # picks attach to the 5-row TakeOrdered top by broadcast crossJoin
+    "join_skew_report",
 }
 
 FLAGS = {

@@ -653,6 +653,25 @@ def main() -> None:
         lambda: proximity_pairs(geo_pts, "id", "lat", "lon", 20_000).count(),
     )
 
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.scale import (
+        skew_report,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.timeseries import (
+        bar_returns,
+        ohlc_bars,
+    )
+
+    timed(
+        "ohlc_bars + bar_returns",
+        lambda: bar_returns(
+            ohlc_bars(events, "event_type", "ts", "value", "event_id")
+        ).count(),
+    )
+    timed(
+        "skew_report (lineitem suppkey)",
+        lambda: skew_report(li, "l_suppkey", top_n=5).count(),
+    )
+
     timed(
         "record_linkage (blocked FS)",
         lambda: link_records(
