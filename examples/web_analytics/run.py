@@ -126,6 +126,18 @@ def main():
     print(f"bars: {bars[0]} (ticks {bars[1]}); sketch mass {sketch_total}")
     assert bars[1] == n_events and sketch_total == n_events
 
+    ret = duckdb.sql(
+        f"SELECT COUNT(*), MAX(drawdown_bp) FROM '{DEMO}/returns/*.parquet'"
+    ).fetchone()
+    print(f"bar returns: {ret[0]} rows (max drawdown {ret[1]}bp)")
+    assert ret[0] == bars[0] and 0 <= ret[1] <= 10000
+
+    sk = duckdb.sql(
+        f"SELECT COUNT(*), MAX(share_bp) FROM '{DEMO}/user_skew/*.parquet'"
+    ).fetchone()
+    print(f"user skew report: top {sk[0]} keys, max share {sk[1]}bp")
+    assert sk[0] == 3 and 0 < sk[1] <= 10000
+
     m = duckdb.sql(
         f"SELECT COUNT(*), SUM(CASE WHEN right_id - 1000000 = left_id THEN 1 ELSE 0 END) "
         f"FROM '{DEMO}/matches/*.parquet'"
