@@ -163,6 +163,15 @@ HEADLINE = [
     # and the composed skew-diagnosis report (TakeOrdered + sketch)
     "bar_returns",
     "join_skew_report",
+    # round 8 fifth session: Markov transition matrix, KMV join-size,
+    # DSIR importance selection, multi-source BFS, IMA ADPCM audio,
+    # MS-RLE8 inter-frame video
+    "event_transitions",
+    "kmv_join_size",
+    "dsir_select",
+    "bfs_reachability",
+    "adpcm_decode",
+    "rle_video_frames",
 ]
 
 

@@ -12,7 +12,10 @@ parsing, so the audio lane gets a REAL bytes→samples path:
     16-bit linear through the closed-form segment expansion (round 8 —
     the first COMPRESSED audio the engine decodes natively; G.711 is a
     fixed 2:1 logarithmic code, no entropy coding, so it needs nothing
-    but integer arithmetic). Anything else raises ``ValueError``
+    but integer arithmetic), plus IMA/DVI ADPCM (format 0x11, round-8
+    fifth session — PREDICTIVE 4:1 compression: each 4-bit code updates
+    a per-block (predictor, step-index) state machine over the public
+    89-entry step table). Anything else raises ``ValueError``
     honestly. Returns channel 0's samples — the deterministic mono
     reference every downstream feature uses — at native depth (8-bit →
     ±127, 24-bit → ±2^23).
@@ -76,6 +79,95 @@ def alaw_expand(a: int) -> int:
 
 _MULAW_TABLE = np.array([mulaw_expand(b) for b in range(256)], dtype=np.int64)
 _ALAW_TABLE = np.array([alaw_expand(b) for b in range(256)], dtype=np.int64)
+
+#: IMA/DVI ADPCM (WAV format 0x11) — the standard public tables
+#: (IMA "Recommended Practices for Enhancing Digital Audio
+#: Compatibility", 1992; identical in every implementation).
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_step(pred: int, index: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM decoder step: (pred, index) + 4-bit code →
+    (new_pred, new_index). The exact reference recurrence — sign bit 8,
+    diff = step/8 + step/4·b0 + step/2·b1 + step·b2, clamp to int16,
+    index walk clamped to [0, 88]."""
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[nib & 7]))
+    return pred, index
+
+
+def encode_wav_adpcm_ima(samples, sample_rate: int, block_samples: int = 505) -> bytes:
+    """Mono IMA ADPCM WAV (format 0x11): the standard predictive
+    encoder — each sample's difference from the running prediction is
+    quantized to the largest 3-bit magnitude not exceeding it (plus the
+    sign bit), then the encoder runs the DECODER's update so both sides
+    track the identical state; by construction decode is exactly
+    consistent. ``block_samples`` must be odd (1 header sample +
+    2 nibbles per data byte)."""
+    if block_samples < 3 or block_samples % 2 == 0:
+        raise ValueError("block_samples must be odd and >= 3")
+    arr = [int(v) for v in samples]
+    index = 0
+    blocks = []
+    for start in range(0, len(arr), block_samples):
+        chunk = arr[start : start + block_samples]
+        pred = max(-32768, min(32767, chunk[0]))
+        blocks.append(struct.pack("<hBB", pred, index, 0))
+        nibs = []
+        for s in chunk[1:]:
+            step = _IMA_STEP_TABLE[index]
+            delta = s - pred
+            nib = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                nib |= 4
+                delta -= step
+            if delta >= step >> 1:
+                nib |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                nib |= 1
+            pred, index = _ima_step(pred, index, nib)
+            nibs.append(nib)
+        if len(nibs) % 2:  # final short block: pad with a 0 nibble
+            nibs.append(0)
+        blocks.append(bytes(nibs[i] | (nibs[i + 1] << 4) for i in range(0, len(nibs), 2)))
+    data = b"".join(blocks)
+    block_align = 4 + (block_samples - 1) // 2
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate,
+        (sample_rate * block_align) // block_samples, block_align, 4,
+        2, block_samples,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
 
 
 def encode_wav_g711(samples, sample_rate: int, law: str = "mulaw") -> bytes:
@@ -231,11 +323,37 @@ def decode_wav(payload: bytes):
         table = _MULAW_TABLE if audio_format == 7 else _ALAW_TABLE
         arr = np.frombuffer(data[: (len(data) // channels) * channels], dtype=np.uint8)
         ch0 = table[arr[::channels].astype(np.int64)]
+    elif audio_format == 0x11:  # IMA/DVI ADPCM (predictive 4:1 compression)
+        if bits != 4:
+            raise ValueError(f"corrupt WAV: IMA ADPCM with {bits}-bit codes")
+        if channels != 1:
+            raise ValueError("IMA ADPCM: only mono streams decode natively")
+        block_align = fmt[4]
+        if block_align < 5:
+            raise ValueError("corrupt WAV: IMA ADPCM block_align < 5")
+        out: list[int] = []
+        for start in range(0, len(data), block_align):
+            block = data[start : start + block_align]
+            if len(block) < 5:
+                raise ValueError("corrupt WAV: truncated IMA ADPCM block")
+            pred = struct.unpack_from("<h", block, 0)[0]
+            index = block[2]
+            if index > 88:
+                raise ValueError("corrupt WAV: IMA ADPCM step index out of range")
+            out.append(pred)
+            # every nibble present decodes (low nibble first); a padded
+            # final short block therefore yields its pad sample — the
+            # samplesPerBlock-aware trim is the container's job
+            for byte in block[4:]:
+                for nib in (byte & 0x0F, byte >> 4):
+                    pred, index = _ima_step(pred, index, nib)
+                    out.append(pred)
+        ch0 = np.asarray(out, dtype=np.int64)
     else:
         raise ValueError(
-            f"unsupported WAV format code {audio_format} (PCM 8/16/24-bit and "
-            "G.711 mu-law/A-law decode natively; other compressed audio needs "
-            "a codec library)"
+            f"unsupported WAV format code {audio_format} (PCM 8/16/24-bit, "
+            "G.711 mu-law/A-law and IMA ADPCM decode natively; other "
+            "compressed audio needs a codec library)"
         )
     return sample_rate, channels, [int(v) for v in ch0]
 

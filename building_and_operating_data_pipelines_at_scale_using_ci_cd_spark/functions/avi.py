@@ -116,6 +116,14 @@ def demux_avi(payload: bytes):
     """Parse an AVI container → ``(width, height, rate, scale,
     [frame bytes...])`` for the first video stream. ValueError is the
     only corrupt-input exception (the null-route contract)."""
+    return demux_avi_info(payload)[:5]
+
+
+def demux_avi_info(payload: bytes):
+    """Like :func:`demux_avi` but also returns the video stream's codec
+    fourcc (strh handler, e.g. b"MJPG"/b"MRLE") and the strf palette
+    bytes (BGR0 quads after the 40-byte BITMAPINFOHEADER, or None):
+    ``(width, height, rate, scale, frames, codec, palette)``."""
     try:
         return _demux_inner(payload)
     except (struct.error, IndexError) as exc:
@@ -127,6 +135,8 @@ def _demux_inner(payload: bytes):
         raise ValueError("not an AVI (missing RIFF/AVI signature)")
     width = height = None
     rate, scale = 30, 1
+    codec = None
+    palette = None
     frames: list[bytes] = []
     pos = 12
     while pos + 8 <= len(payload):
@@ -147,12 +157,19 @@ def _demux_inner(payload: bytes):
                         width, height = struct.unpack_from("<II", hbody, 32)
                     elif htag == b"LIST" and hbody[:4] == b"strl":
                         spos, send = hpos + 12, hpos + 8 + hsize
+                        in_vids = False
                         while spos + 8 <= send:
                             stag = payload[spos : spos + 4]
                             ssize = struct.unpack_from("<I", payload, spos + 4)[0]
                             sbody = payload[spos + 8 : spos + 8 + ssize]
                             if stag == b"strh" and len(sbody) >= 32 and sbody[:4] == b"vids":
                                 scale, rate = struct.unpack_from("<II", sbody, 20)
+                                if codec is None:
+                                    codec = bytes(sbody[4:8])
+                                in_vids = True
+                            elif stag == b"strf" and in_vids and len(sbody) >= 40:
+                                if palette is None and len(sbody) > 40:
+                                    palette = bytes(sbody[40:])
                             spos += 8 + ssize + (ssize & 1)
                     hpos += 8 + hsize + (hsize & 1)
             elif kind == b"movi":
@@ -162,7 +179,156 @@ def _demux_inner(payload: bytes):
         raise ValueError("corrupt AVI: no avih header")
     if not frames:
         raise ValueError("corrupt AVI: no video frames")
-    return int(width), int(height), int(rate), max(int(scale), 1), frames
+    return int(width), int(height), int(rate), max(int(scale), 1), frames, codec, palette
+
+
+# ---------------------------------------------------------------------------
+# Microsoft RLE8 (BI_RLE8 / "MRLE") — a REAL inter-frame video codec
+# ---------------------------------------------------------------------------
+#
+# MS-RLE is the delta-frame codec Video-for-Windows shipped: a frame may
+# SKIP pixels (end-of-line with the row unfinished, consecutive EOLs,
+# and the (0,2) delta-jump escape), and skipped pixels keep the PREVIOUS
+# frame's value — genuine temporal prediction, so decoding frame N
+# requires compositing frames 0..N like the animated-GIF path. Stream
+# grammar (public BMP/AVI spec):
+#   (n>0, v)       encoded run: n copies of palette index v
+#   (0, 0)         end of line (x←0, y←y+1; untouched pixels persist)
+#   (0, 1)         end of bitmap
+#   (0, 2, dx, dy) delta: skip dx pixels right and dy rows down
+#   (0, n>=3, ...) absolute run: n literal bytes, word-aligned pad
+# Rows are in BMP storage order (bottom-up); luma sums are
+# orientation-invariant so the canvas is kept in storage order.
+
+
+def decode_mrle_frames(width: int, height: int, frames: list[bytes], palette: bytes):
+    """Decode MS-RLE8 frames over a persistent canvas → one ITU-R 601
+    integer-luma list per frame (the composited view after that frame —
+    the ``gif_frame_lumas`` contract). ``palette`` is the strf BGR0 quad
+    table; missing entries fall back to identity grey. ValueError is the
+    only corrupt-input exception."""
+    import numpy as np
+
+    if width <= 0 or height <= 0:
+        raise ValueError("corrupt AVI: non-positive MRLE geometry")
+    # BGR0 quads → 601 luma per palette index (identity-grey fallback)
+    luma_tab = np.arange(256, dtype=np.int64)
+    if palette:
+        quads = np.frombuffer(palette[: 256 * 4], dtype=np.uint8).reshape(-1, 4)
+        n = len(quads)
+        luma_tab[:n] = (
+            299 * quads[:, 2].astype(np.int64)
+            + 587 * quads[:, 1].astype(np.int64)
+            + 114 * quads[:, 0].astype(np.int64)
+        ) // 1000
+    canvas = np.zeros((height, width), dtype=np.uint8)
+    out: list[list[int]] = []
+    for data in frames:
+        x = y = 0
+        pos = 0
+        while True:
+            if pos + 2 > len(data):
+                raise ValueError("corrupt MRLE frame: missing end-of-bitmap")
+            n, v = data[pos], data[pos + 1]
+            pos += 2
+            if n > 0:  # encoded run
+                if y >= height or x + n > width:
+                    raise ValueError("corrupt MRLE frame: run overflows row")
+                canvas[y, x : x + n] = v
+                x += n
+            elif v == 0:  # end of line
+                x, y = 0, y + 1
+            elif v == 1:  # end of bitmap
+                break
+            elif v == 2:  # delta jump (skipped pixels persist)
+                if pos + 2 > len(data):
+                    raise ValueError("corrupt MRLE frame: truncated delta")
+                x += data[pos]
+                y += data[pos + 1]
+                pos += 2
+                if x > width or y > height:
+                    raise ValueError("corrupt MRLE frame: delta out of bounds")
+            else:  # absolute run of v literal bytes, word-aligned
+                if pos + v > len(data):
+                    raise ValueError("corrupt MRLE frame: truncated absolute run")
+                if y >= height or x + v > width:
+                    raise ValueError("corrupt MRLE frame: absolute run overflows row")
+                canvas[y, x : x + v] = np.frombuffer(data[pos : pos + v], dtype=np.uint8)
+                x += v
+                pos += v + (v & 1)
+        out.append([int(s) for s in luma_tab[canvas].reshape(-1)])
+    return out
+
+
+def encode_mrle_frame(rows, prev_rows=None) -> bytes:
+    """Encode one MS-RLE8 frame from ``rows`` (height lists of palette
+    indices, storage order). Rows equal to ``prev_rows`` emit a bare
+    end-of-line (the skip IS the temporal delta); changed rows emit
+    maximal encoded runs (split at 255). Spec-valid output ending in
+    end-of-bitmap."""
+    out = bytearray()
+    for yi, row in enumerate(rows):
+        if prev_rows is not None and list(row) == list(prev_rows[yi]):
+            out += b"\x00\x00"  # EOL only: whole row persists
+            continue
+        i = 0
+        while i < len(row):
+            j = i
+            while j < len(row) and row[j] == row[i] and j - i < 255:
+                j += 1
+            out += bytes((j - i, row[i]))
+            i = j
+        out += b"\x00\x00"
+    out += b"\x00\x01"  # end of bitmap
+    return bytes(out)
+
+
+def mux_mrle_avi(
+    frames_rle: list[bytes],
+    width: int,
+    height: int,
+    palette: bytes | None = None,
+    rate: int = 15,
+    scale: int = 1,
+) -> bytes:
+    """Wrap MS-RLE8 frames in a spec-valid AVI: strh handler "MRLE",
+    strf = 8-bit BITMAPINFOHEADER with biCompression=BI_RLE8 plus the
+    BGR0 palette quads (identity grey by default)."""
+    if not frames_rle:
+        raise ValueError("AVI needs at least one frame")
+    if palette is None:
+        palette = bytes(b for i in range(256) for b in (i, i, i, 0))
+    usec_per_frame = (1_000_000 * scale) // max(rate, 1)
+    max_bytes = max(len(f) for f in frames_rle)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        usec_per_frame, max_bytes * rate, 0, 0x10, len(frames_rle), 0, 1,
+        max_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMRLE"
+        + struct.pack(
+            "<IHHIIIIIIII4H",
+            0, 0, 0, 0, scale, rate, 0, len(frames_rle), max_bytes, 0xFFFFFFFF, 0,
+            0, 0, width, height,
+        )
+    )
+    strf = (
+        struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 8,
+            1,  # biCompression = BI_RLE8
+            width * height, 0, 0, 256, 0,
+        )
+        + palette
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(b"00dc", f) for f in frames_rle))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
 #: one row per SAMPLED frame — the fan-out shape a video pipeline produces
@@ -219,9 +385,21 @@ def sample_video_frames(df_with_payload: DataFrame, every: int = 1) -> DataFrame
                         emit(doc_id, idx, len(lumas), w, h, sum(lumas[idx]), True)
                     continue
                 try:
-                    w, h, _rate, _scale, frames = demux_avi(raw)
+                    w, h, _rate, _scale, frames, codec, palette = demux_avi_info(raw)
                 except ValueError:
                     emit(doc_id, -1, None, None, None, None, False)
+                    continue
+                if codec in (b"MRLE", b"mrle", b"RLE8"):
+                    # inter-frame codec: delta frames composite over the
+                    # persistent canvas, so decode the whole stream then
+                    # sample (the animated-GIF shape)
+                    try:
+                        lumas = decode_mrle_frames(w, h, frames, palette)
+                    except ValueError:
+                        emit(doc_id, -1, None, None, None, None, False)
+                        continue
+                    for idx in range(0, len(lumas), every):
+                        emit(doc_id, idx, len(lumas), w, h, sum(lumas[idx]), True)
                     continue
                 for idx in range(0, len(frames), every):
                     try:

@@ -400,20 +400,22 @@ def decode_compressed_gate(*_args, **_kwargs):
     stdlib-zlib codec (``png.py``), wired into :func:`parse_image`;
     PPM/PGM/BMP have decoded natively since round 5; round 8 added
     progressive JPEG, Adam7-interlaced and 16-bit PNG, GIF (LZW),
-    G.711 audio, MJPEG-in-AVI video frames, and FLAC (``flac.py`` —
-    Rice/fixed/LPC subframes, mid/side stereo, CRC-verified). What
-    remains gated: arithmetic-coded/hierarchical JPEG, perceptual
-    audio (MP3/AAC — psychoacoustic transform codecs), and inter-frame
-    video codecs (genuinely need ffmpeg-class libraries). Extend
-    :func:`parse_image` when a codec library lands — the Spark plumbing
-    (Arrow batches, corrupt-row null-routing) is proven on real
-    compressed bytes."""
+    G.711 + IMA ADPCM audio, MJPEG-in-AVI and MS-RLE8 delta-frame
+    video (``avi.py`` — the latter is genuine temporal prediction:
+    skipped pixels persist from the previous frame), and FLAC
+    (``flac.py`` — Rice/fixed/LPC subframes, mid/side stereo,
+    CRC-verified). What remains gated: arithmetic-coded/hierarchical
+    JPEG, perceptual audio (MP3/AAC — psychoacoustic transform codecs),
+    and motion-compensated DCT video (MPEG/H.26x — genuinely need
+    ffmpeg-class libraries). Extend :func:`parse_image` when a codec
+    library lands — the Spark plumbing (Arrow batches, corrupt-row
+    null-routing) is proven on real compressed bytes."""
     raise NotImplementedError(
-        "arithmetic-coded JPEG / MP3-AAC audio / inter-frame video "
+        "arithmetic-coded JPEG / MP3-AAC audio / motion-compensated video "
         "decode requires a codec library (PIL/opencv/ffmpeg); PPM/PGM/BMP, "
         "JPEG (baseline+progressive), PNG (8/16-bit, plain+Adam7), GIF, "
-        "G.711, FLAC, and MJPEG-AVI frames decode natively — extend "
-        "parse_image for the rest"
+        "G.711, IMA ADPCM, FLAC, MJPEG-AVI and MS-RLE8 delta frames "
+        "decode natively — extend parse_image for the rest"
     )
 
 

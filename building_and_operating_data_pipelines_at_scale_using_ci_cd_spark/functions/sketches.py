@@ -326,6 +326,69 @@ def kmv_summary(sketch: DataFrame, k: int, quantiles=(0.25, 0.5, 0.75)) -> DataF
     )
 
 
+def kmv_intersect(sk_a: DataFrame, sk_b: DataFrame, k: int) -> DataFrame:
+    """Set-overlap / join-cardinality estimate from two full size-``k``
+    KMV sketches (Beyer et al., SIGMOD 2007): the bottom-``k`` of the
+    UNIONED hash sets is a uniform sample of A ∪ B, so the fraction of
+    those ``k`` values present in BOTH sketches estimates Jaccard, and
+
+        |A ∩ B| ≈ jaccard · |A ∪ B|  →  n_both * union_est DIV k
+
+    with every step integer (strict-value-oracle-able, like
+    ``kmv_summary``). This is the "how big will this join be" answer
+    computed from two bounded sketches — the inputs themselves never
+    meet in a join; only 2k retained rows do.
+
+    Returns one row: ``(k, n_both, union_est, jaccard_x10000,
+    inter_est)``. Raises if either sketch is not full (fewer distinct
+    values than ``k`` means the exact answer is already cheap).
+    """
+    from pyspark.sql import Window
+
+    if sk_a.count() < k or sk_b.count() < k:
+        raise ValueError(
+            f"kmv_intersect needs two full size-{k} sketches — an "
+            "under-full sketch means COUNT(DISTINCT) is exact already"
+        )
+    union_k = kmv_merge(sk_a, sk_b, k=k)
+    flagged = (
+        union_k.join(
+            sk_a.select(F.col("hv").alias("hv_a")).distinct(),
+            union_k["hv"] == F.col("hv_a"),
+            "left",
+        )
+        .join(
+            sk_b.select(F.col("hv").alias("hv_b")).distinct(),
+            union_k["hv"] == F.col("hv_b"),
+            "left",
+        )
+        .select(
+            "pos",
+            "hv",
+            (F.col("hv_a").isNotNull() & F.col("hv_b").isNotNull())
+            .cast("int")
+            .alias("in_both"),
+        )
+    )
+    return flagged.agg(
+        F.max(F.when(F.col("pos") == k, F.col("hv"))).alias("hk"),
+        F.sum("in_both").cast("bigint").alias("n_both"),
+    ).select(
+        F.lit(k).cast("int").alias("k"),
+        "n_both",
+        F.expr(f"CAST({k - 1} AS BIGINT) * CAST({2**48} AS BIGINT) DIV hk")
+        .cast("bigint")
+        .alias("union_est"),
+        F.expr(f"CAST(n_both * 10000 DIV {k} AS BIGINT)").alias(
+            "jaccard_x10000"
+        ),
+        F.expr(
+            f"CAST(n_both * (CAST({k - 1} AS BIGINT) * CAST({2**48} AS BIGINT)"
+            f" DIV hk) DIV {k} AS BIGINT)"
+        ).alias("inter_est"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Log-bucket histogram sketch (DDSketch-style, deterministic)
 # ---------------------------------------------------------------------------

@@ -19,6 +19,11 @@ Scale shapes:
     (cohort, offset) — all map-side-partial, all keyed on user/cohort.
     The cohort-size attach is an equi-join on cohort day (bounded by
     the calendar, not the corpus).
+  - ``transition_matrix``: ONE lead() window partitioned by the user
+    key (the event stream shuffles once, on its natural high-cardinality
+    key — never a global sort) + one groupBy on the (from, to) pair;
+    the row-probability attach is a window over the pair table, which
+    is bounded by |event types|² regardless of corpus size.
 
 Every output is integer (counts and ``*_pct_x10000`` basis points via
 integer DIV) so results are bit-identical cross-engine.
@@ -142,4 +147,57 @@ def retention(
         F.expr("CAST(n_active * 10000 DIV n_cohort AS BIGINT)").alias(
             "retained_pct_x10000"
         ),
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tie_col: str | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences: for every consecutive event pair within a user's
+    timeline, count ``from_event -> to_event`` and express the row
+    probability in basis points (``prob_x10000 = cnt * 10000 DIV
+    from_total``, integer DIV so the matrix is bit-identical
+    cross-engine — the funnel/retention contract).
+
+    ``tie_col`` breaks same-timestamp ordering deterministically
+    (defaults to the type column itself so the sequence is total even
+    on tied clocks). ``min_count`` drops transitions rarer than the
+    floor AFTER the row totals are computed, so probabilities still sum
+    over the full row.
+
+    Returns ``(from_event, to_event, cnt, from_total, prob_x10000)``.
+    """
+    tie = tie_col or type_col
+    seq = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tie))
+    pairs = (
+        df.select(
+            F.col(type_col).alias("from_event"),
+            F.lead(F.col(type_col)).over(seq).alias("to_event"),
+        )
+        .filter(F.col("to_event").isNotNull())
+        .groupBy("from_event", "to_event")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    # |types|²-row table: the row-total window is bounded state
+    row = Window.partitionBy("from_event").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        pairs.withColumn("from_total", F.sum("cnt").over(row).cast("bigint"))
+        .filter(F.col("cnt") >= F.lit(int(min_count)))
+        .select(
+            "from_event",
+            "to_event",
+            "cnt",
+            "from_total",
+            F.expr("CAST(cnt * 10000 DIV from_total AS BIGINT)").alias(
+                "prob_x10000"
+            ),
+        )
     )

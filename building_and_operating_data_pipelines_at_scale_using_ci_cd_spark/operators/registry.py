@@ -249,6 +249,39 @@ def _retention(df: DataFrame, user_col: str, ts_col: str, **kw) -> DataFrame:
     return retention(df, user_col, ts_col, **{k: int(v) for k, v in kw.items()})
 
 
+def _transition_matrix(df: DataFrame, user_col: str, ts_col: str,
+                       type_col: str, **kw) -> DataFrame:
+    """Config shape: first-order Markov transition counts +
+    basis-point row probabilities over per-user event sequences."""
+    from .analytics import transition_matrix
+
+    if "min_count" in kw:
+        kw["min_count"] = int(kw["min_count"])
+    return transition_matrix(df, user_col, ts_col, type_col, **kw)
+
+
+def _dsir_select(df: DataFrame, target_view: str, id_col: str,
+                 text_col: str, k, **kw) -> DataFrame:
+    """Config shape: DSIR importance selection. The step's input view
+    is the RAW corpus; ``target_view`` names the target corpus (the
+    rrfFuse view-resolution pattern)."""
+    from .sampling import dsir_select
+
+    return dsir_select(
+        df, df.sparkSession.table(target_view), id_col, text_col, int(k),
+        **{key: int(v) for key, v in kw.items()},
+    )
+
+
+def _kmv_intersect(df: DataFrame, other_view: str, k) -> DataFrame:
+    """Config shape: set-overlap / join-size estimate from two full
+    KMV sketches. The step's input view is sketch A; ``other_view``
+    names sketch B (the rrfFuse view-resolution pattern)."""
+    from ..functions.sketches import kmv_intersect
+
+    return kmv_intersect(df, df.sparkSession.table(other_view), int(k))
+
+
 def _link_records(df: DataFrame, right_view: str, block_keys: str,
                   comparators: str, threshold, left_id: str,
                   right_id: str) -> DataFrame:
@@ -292,6 +325,21 @@ def _triangle_count(df: DataFrame, src: str = "src", dst: str = "dst") -> DataFr
     from ..functions.graph import triangle_count
 
     return triangle_count(df, src, dst)
+
+
+def _bfs_levels(df: DataFrame, sources_view: str, src: str = "src",
+                dst: str = "dst", node_col: str = "node",
+                max_hops="4", directed="false") -> DataFrame:
+    """Config shape: multi-source BFS hop distances. The step's input
+    view is the edge list; ``sources_view`` names the source-node view
+    (the rrfFuse view-resolution pattern)."""
+    from ..functions.graph import bfs_levels
+
+    return bfs_levels(
+        df, df.sparkSession.table(sources_view), src, dst, node_col,
+        max_hops=int(max_hops),
+        directed=str(directed).lower() in ("true", "1", "yes"),
+    )
 
 
 def _geo_proximity_pairs(df: DataFrame, id_col: str, lat_col: str,
@@ -758,6 +806,10 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "domainCap": _domain_cap,
     "funnel": _funnel,
     "retention": _retention,
+    "transitionMatrix": _transition_matrix,
+    "kmvIntersect": _kmv_intersect,
+    "dsirSelect": _dsir_select,
+    "bfsLevels": _bfs_levels,
     "linkRecords": _link_records,
     "ohlcTumbling": _ohlc_tumbling,
     "triangleCount": _triangle_count,

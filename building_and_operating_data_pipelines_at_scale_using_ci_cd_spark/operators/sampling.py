@@ -242,3 +242,151 @@ def domain_mix_sample(
         .filter(F.col("__rn") <= F.col("__w") * F.col("__k"))
         .drop("__w", "__rn", "__k")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance selection (hashed n-gram features)
+# ---------------------------------------------------------------------------
+#
+# Data Selection with Importance Resampling (Xie et al., NeurIPS 2023)
+# selects raw-corpus documents that look like a small TARGET corpus:
+# featurize every document into hashed n-gram bucket counts, fit
+# bag-of-words distributions p (target) and q (raw), and weight each
+# document by its log likelihood ratio sum_b c_b * (log p_b - log q_b).
+#
+# Cross-engine contract: the ONLY float arithmetic is the B per-bucket
+# log-ratio scores, quantized HALF-UP to integer `scale`-units exactly
+# the way lm_cross_entropy's rounding contract does (both engines
+# evaluate ln on the same rational double); every per-document weight
+# is then an exact INTEGER sum of those scores, so ranking never sits
+# on a float boundary.
+#
+# Shape at 100 TB: the raw corpus is a narrow tokenize+explode map
+# whose only shuffles are (a) ONE groupBy down to <= n_buckets rows and
+# (b) ONE per-document weight aggregation keyed on the document id; the
+# score table is <= n_buckets rows and broadcasts; the target corpus is
+# small by definition (that's why you're matching it). Selection is a
+# TakeOrdered top-k — never a global sort.
+
+
+def _bucket_rows(df: DataFrame, id_col: str, text_col: str, n_buckets: int) -> DataFrame:
+    """(__id, bucket) rows — one per unigram AND bigram OCCURRENCE (not
+    distinct: DSIR weights are count-weighted). Bucket = portable 48-bit
+    md5 hash mod n_buckets. Tokens materialize in their own projection
+    (the shingles_from_tokens O(tokens²) lesson); the rand() barrier
+    stops CollapseProject from inlining the split into the lambda."""
+    from ..functions.text import tokens
+
+    tk = df.select(
+        F.col(id_col).alias("__id"),
+        tokens(F.lower(F.col(text_col))).alias("__tk"),
+        F.rand().alias("__b0"),
+    )
+    uni = tk.select("__id", F.explode("__tk").alias("gram"))
+    big = tk.select(
+        "__id",
+        F.explode(
+            F.when(
+                F.size("__tk") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__tk") - F.lit(1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("__tk"), i, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    grams = uni.unionByName(big)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 12), 16, 10).cast("bigint")
+        % F.lit(int(n_buckets))
+    )
+    return grams.select("__id", bucket.alias("bucket"))
+
+
+def dsir_bucket_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_buckets: int = 512,
+    scale: int = 10_000,
+    alpha: int = 1,
+) -> DataFrame:
+    """Per-bucket integer log-likelihood-ratio scores
+    ``floor(scale * ln(p_b / q_b) + 0.5)`` with add-``alpha`` smoothed
+    ``p_b = (tc_b + a) / (T + aB)`` over hashed unigram+bigram buckets.
+    Returns the FULL ``n_buckets``-row grid (unseen buckets carry the
+    smoothed floor score) — bounded build side for the weight join."""
+    if n_buckets < 2 or n_buckets > 1_000_000:
+        raise ValueError("n_buckets must be in [2, 1e6] (the broadcast bound)")
+    spark = raw.sparkSession
+    qc = _bucket_rows(raw, id_col, text_col, n_buckets).groupBy("bucket").agg(
+        F.count("*").alias("qc")
+    )
+    pc = _bucket_rows(target, id_col, text_col, n_buckets).groupBy("bucket").agg(
+        F.count("*").alias("pc")
+    )
+    grid = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    tot = (
+        qc.agg(F.sum("qc").alias("qt"))
+        .crossJoin(pc.agg(F.sum("pc").alias("pt")))
+    )  # 1-row scalar attach
+    a, b = int(alpha), int(n_buckets)
+    return (
+        grid.join(qc, "bucket", "left")
+        .join(pc, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.floor(
+                F.lit(float(scale))
+                * (
+                    F.log(F.coalesce(F.col("pc"), F.lit(0)) + F.lit(a))
+                    - F.log(F.col("pt") + F.lit(a * b))
+                    - F.log(F.coalesce(F.col("qc"), F.lit(0)) + F.lit(a))
+                    + F.log(F.col("qt") + F.lit(a * b))
+                )
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("score"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    *,
+    n_buckets: int = 512,
+    scale: int = 10_000,
+    alpha: int = 1,
+) -> DataFrame:
+    """The ``k`` raw-corpus documents most like the target corpus under
+    the DSIR importance weight (deterministic top-k by ``(weight DESC,
+    id ASC)`` — the ranking variant of the paper's Gumbel resampling;
+    use :func:`weighted_priority_sample` over the weights when a
+    without-replacement SAMPLE is wanted instead). Returns
+    ``(id_col, n_grams, weight)``."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    scores = dsir_bucket_scores(
+        raw, target, id_col, text_col,
+        n_buckets=n_buckets, scale=scale, alpha=alpha,
+    )
+    return (
+        _bucket_rows(raw, id_col, text_col, n_buckets)
+        .join(F.broadcast(scores), "bucket")
+        .groupBy("__id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum("score").cast("bigint").alias("weight"),
+        )
+        .orderBy(F.col("weight").desc(), F.col("__id").asc())
+        .limit(k)
+        .select(F.col("__id").alias(id_col), "n_grams", "weight")
+    )

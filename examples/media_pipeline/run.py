@@ -5,10 +5,12 @@ the round-8 codec tier made REAL:
   - images — `decodeImage`: JPEG (baseline + progressive), PNG (plain +
     Adam7 + 16-bit), GIF (interlaced LZW), BMP/PPM — plus deliberately
     corrupt rows proving the per-row null-route;
-  - audio  — `audioFeatures`: PCM 8/16/24-bit, G.711 µ-law, and FLAC
-    (mono + mid/side stereo) clips → all-integer per-clip features;
+  - audio  — `audioFeatures`: PCM 8/16/24-bit, G.711 µ-law, FLAC
+    (mono + mid/side stereo), and IMA ADPCM (predictive 4:1, 5th
+    session) clips → all-integer per-clip features;
   - video  — `sampleVideoFrames`: MJPEG-in-AVI demux + per-frame JPEG
-    decode and an animated GIF, every-2nd-frame sampling.
+    decode, an animated GIF, and an MS-RLE8 delta-frame AVI (genuine
+    inter-frame prediction), every-2nd-frame sampling.
 
     cd /root/repo && python examples/media_pipeline/run.py
 
@@ -39,13 +41,16 @@ def _raster(seed, w=16, h=16):
 
 def _build_corpus(spark):
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.audio import (
+        encode_wav_adpcm_ima,
         encode_wav_g711,
         encode_wav_pcm8,
         encode_wav_pcm16,
         encode_wav_pcm24,
     )
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.avi import (
+        encode_mrle_frame,
         mux_mjpeg_avi,
+        mux_mrle_avi,
     )
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.flac import (
         encode_flac,
@@ -82,15 +87,25 @@ def _build_corpus(spark):
         (6, bytearray(b"RIFFxxxxWAVEgarbage")),
         (7, bytearray(encode_flac([tone], 8000, block_size=256))),
         (8, bytearray(encode_flac([tone, tone[::-1]], 16000, stereo="mid/side"))),
+        (9, bytearray(encode_wav_adpcm_ima(tone, 8000, block_samples=481))),
     ]
     frames = [encode_jpeg_gray(_raster(f), 16, 16) for f in range(4)]
     anim = np.stack(
         [np.array(_raster(f), dtype=np.uint8).reshape(16, 16) for f in range(3)]
     )
+    # MS-RLE8 delta stream: frame 0 paints the canvas, frame 1 rewrites
+    # only the rows a 4x4 square moved through (bare-EOL skips persist)
+    mrle_rows0 = [[40] * 16 for _ in range(16)]
+    mrle_rows1 = [list(r) for r in mrle_rows0]
+    for y in range(4):
+        mrle_rows1[y][4:8] = [200] * 4
     video = [
         (1, bytearray(mux_mjpeg_avi(frames, 16, 16, rate=24))),
         (2, bytearray(encode_gif_gray(list(anim), 16, 16))),
         (3, bytearray(b"RIFF not a real avi")),
+        (4, bytearray(mux_mrle_avi(
+            [encode_mrle_frame(mrle_rows0),
+             encode_mrle_frame(mrle_rows1, mrle_rows0)], 16, 16))),
     ]
     for name, rows in (("images", images), ("audio", audio), ("video", video)):
         spark.createDataFrame(rows, "doc_id long, payload binary").write.mode(
@@ -124,7 +139,13 @@ def main():
         f"SELECT COUNT(*), MAX(duration_ms) FROM '{DEMO}/audio_features/*.parquet'"
     ).fetchone()
     print(f"audio clips decoded: {n_audio}, max duration {max_ms} ms")
-    assert n_audio == 7 and max_ms == 60  # 480 samples @ 8 kHz (FLAC @16k = 30ms)
+    assert n_audio == 8 and max_ms == 60  # 480 samples @ 8 kHz (FLAC @16k = 30ms)
+    adpcm_peak = duckdb.sql(
+        f"SELECT peak_abs FROM '{DEMO}/audio_features/*.parquet' WHERE doc_id = 9"
+    ).fetchone()[0]
+    # the predictor tracks the ±3000 square tone with authentic ADPCM
+    # overshoot ringing on the edges (measured peak 3710)
+    assert 2500 <= adpcm_peak <= 4500
 
     stats = {
         r[0]: (r[1], r[2], r[3])
@@ -136,6 +157,7 @@ def main():
     assert stats[1] == (2, 4, 0)  # AVI: frames 0 and 2 of 4
     assert stats[2] == (2, 3, 0)  # animated GIF: frames 0 and 2 of 3
     assert stats[3][2] == 1 and stats[3][0] == 1  # corrupt container: one bad row
+    assert stats[4] == (1, 2, 0)  # MS-RLE8 delta stream: frame 0 of 2
     print("media_pipeline example OK")
 
 

@@ -7,8 +7,11 @@ operator steps end-to-end —
     deliberately messy synthetic crawl (mixed-case hosts, default
     ports, tracking params, fragments, multi-label co.uk suffixes);
   - product — `funnel` (signup→view→click→purchase), `retention`
-    (daily cohorts, 8 offsets), `ohlcBars` (hourly OHLCV), and
-    `logbucketSketch` (deterministic value-distribution sketch);
+    (daily cohorts, 8 offsets), `ohlcBars` (hourly OHLCV),
+    `logbucketSketch` (deterministic value-distribution sketch),
+    `transitionMatrix` (Markov event transitions, 5th session), and
+    `kmvSketch`+`kmvIntersect` (the viewer/buyer audience-overlap
+    estimate from two bounded sketches);
   - linkage — `linkRecords`: blocked Fellegi–Sunter matching of a
     customer table against a corrupted copy, block keys staged by
     plain sqlQuery steps (the dialect-idiomatic way to get expression
@@ -137,6 +140,27 @@ def main():
     ).fetchone()
     print(f"user skew report: top {sk[0]} keys, max share {sk[1]}bp")
     assert sk[0] == 3 and 0 < sk[1] <= 10000
+
+    # transition mass conservation: every event except each user's last
+    # contributes exactly one transition
+    tr = duckdb.sql(
+        f"SELECT SUM(cnt), MIN(prob_sum), MAX(prob_sum) FROM ("
+        f"  SELECT from_event, SUM(cnt) AS cnt, SUM(prob_x10000) AS prob_sum"
+        f"  FROM '{DEMO}/transitions/*.parquet' GROUP BY from_event)"
+    ).fetchone()
+    n_users = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{DEMO}/raw/events/*.parquet'"
+    ).fetchone()[0]
+    print(f"transitions: {tr[0]} pairs (rows prob-sum {tr[1]}..{tr[2]}bp)")
+    assert tr[0] == n_events - n_users  # one transition per non-final event
+    assert 9970 <= tr[1] <= 10000 and tr[2] <= 10000  # integer-DIV rows sum to ~1
+
+    ov = duckdb.sql(
+        f"SELECT k, n_both, jaccard_x10000 FROM '{DEMO}/audience_overlap/*.parquet'"
+    ).fetchone()
+    print(f"viewer/buyer overlap: {ov[1]}/{ov[0]} union sample in both "
+          f"(jaccard {ov[2]}bp)")
+    assert ov[0] == 64 and 8000 <= ov[2] <= 10000  # every user views AND buys
 
     m = duckdb.sql(
         f"SELECT COUNT(*), SUM(CASE WHEN right_id - 1000000 = left_id THEN 1 ELSE 0 END) "

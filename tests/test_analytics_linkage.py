@@ -172,3 +172,74 @@ class TestLinkage:
              "threshold": "1500", "left_id": "id", "right_id": "id"},
         )
         assert {(r["left_id"], r["right_id"]) for r in out.collect()} == {(1, 11)}
+
+
+class TestTransitionMatrix:
+    def test_hand_sequences(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.analytics import (
+            transition_matrix,
+        )
+
+        # u1: a -> b -> a -> b ; u2: a -> a  (transitions never cross users)
+        ev = _ev(spark, [
+            (1, 0, "a"), (1, 1, "b"), (1, 2, "a"), (1, 3, "b"),
+            (2, 0, "a"), (2, 1, "a"),
+        ])
+        got = {
+            (r.from_event, r.to_event): (r.cnt, r.from_total, r.prob_x10000)
+            for r in transition_matrix(ev, "user_id", "ts", "event_type").collect()
+        }
+        assert got == {
+            ("a", "b"): (2, 3, 6666),   # 2*10000 DIV 3
+            ("a", "a"): (1, 3, 3333),
+            ("b", "a"): (1, 1, 10000),
+        }
+
+    def test_tie_break_is_deterministic(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.analytics import (
+            transition_matrix,
+        )
+
+        # two events on the SAME timestamp: tie_col (id) fixes the order
+        rows = [(1, T0, "b", 2), (1, T0, "a", 1), (1, T0 + datetime.timedelta(minutes=1), "c", 3)]
+        ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "eid"])
+        got = {
+            (r.from_event, r.to_event)
+            for r in transition_matrix(
+                ev, "user_id", "ts", "event_type", tie_col="eid"
+            ).collect()
+        }
+        assert got == {("a", "b"), ("b", "c")}
+
+    def test_min_count_keeps_full_row_totals(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.analytics import (
+            transition_matrix,
+        )
+
+        # a->b twice, a->c once; min_count=2 drops a->c but a->b's
+        # probability is still 2/3 of the FULL row
+        ev = _ev(spark, [
+            (1, 0, "a"), (1, 1, "b"),
+            (2, 0, "a"), (2, 1, "b"),
+            (3, 0, "a"), (3, 1, "c"),
+        ])
+        rows = transition_matrix(
+            ev, "user_id", "ts", "event_type", min_count=2
+        ).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.from_event, r.to_event, r.cnt, r.from_total, r.prob_x10000) == (
+            "a", "b", 2, 3, 6666
+        )
+
+    def test_registry_step(self, spark):
+        ev = _ev(spark, [(1, 0, "a"), (1, 1, "b")])
+        out = apply_operator(
+            "transitionMatrix",
+            ev,
+            {"user_col": "user_id", "ts_col": "ts", "type_col": "event_type",
+             "min_count": "1"},
+        ).collect()
+        assert [(r.from_event, r.to_event, r.prob_x10000) for r in out] == [
+            ("a", "b", 10000)
+        ]

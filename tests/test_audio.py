@@ -133,3 +133,94 @@ class TestDepthsAndG711:
         _, _, dec2 = decode_wav(encode_wav_g711(dec, 8000, law=law))
         assert dec2 == dec  # codebook values quantize to themselves
 
+
+
+class TestIMAADPCM:
+    """IMA/DVI ADPCM (WAV format 0x11): predictive 4:1 compression."""
+
+    def test_step_recurrence_hand_values(self):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.audio import (
+            _IMA_STEP_TABLE,
+            _ima_step,
+        )
+
+        # pred=0, index=0, step=7: nibble 7 -> diff = 0+1+3+7 = 11, idx +8
+        assert _ima_step(0, 0, 7) == (11, 8)
+        assert _ima_step(0, 0, 15) == (-11, 8)
+        # index clamps at both ends
+        assert _ima_step(0, 0, 0)[1] == 0
+        assert _ima_step(0, 88, 4)[1] == 88
+        # predictor clamps to int16
+        assert _ima_step(32700, 88, 7)[0] == 32767
+        assert _ima_step(-32700, 88, 15)[0] == -32768
+        assert _IMA_STEP_TABLE[88] == 32767 and len(_IMA_STEP_TABLE) == 89
+
+    def test_encode_decode_tracks_signal(self):
+        import math
+
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.audio import (
+            decode_wav,
+            encode_wav_adpcm_ima,
+        )
+
+        x = [int(6000 * math.sin(i / 9)) for i in range(505 * 3)]
+        rate, ch, dec = decode_wav(encode_wav_adpcm_ima(x, 16000))
+        assert (rate, ch) == (16000, 1)
+        assert len(dec) == len(x)
+        # after the per-block header resync the code tracks within a few
+        # steps; ignore the first block's attack ramp
+        tail_err = max(abs(a - b) for a, b in zip(x[505:], dec[505:]))
+        assert tail_err < 1500
+
+    def test_block_header_resyncs_exactly(self):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.audio import (
+            decode_wav,
+            encode_wav_adpcm_ima,
+        )
+
+        x = [0] * 505 + [12345] + [12345] * 504
+        _, _, dec = decode_wav(encode_wav_adpcm_ima(x, 8000))
+        assert dec[505] == 12345  # block 2's header carries the exact sample
+
+    def test_corrupt_inputs_are_valueerror(self):
+        import struct
+
+        import pytest
+
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.audio import (
+            decode_wav,
+            encode_wav_adpcm_ima,
+        )
+
+        good = bytearray(encode_wav_adpcm_ima([0] * 505, 8000))
+        # step index byte out of range (>88): find the data chunk start
+        pos = good.find(b"data") + 8
+        bad = bytearray(good)
+        bad[pos + 2] = 99
+        with pytest.raises(ValueError, match="step index"):
+            decode_wav(bytes(bad))
+        # stereo rejected honestly
+        fmt_pos = good.find(b"fmt ") + 8
+        bad2 = bytearray(good)
+        struct.pack_into("<H", bad2, fmt_pos + 2, 2)
+        with pytest.raises(ValueError, match="mono"):
+            decode_wav(bytes(bad2))
+        with pytest.raises(ValueError):
+            encode_wav_adpcm_ima([0] * 10, 8000, block_samples=4)  # even
+
+    def test_audio_features_drives_adpcm(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.audio import (
+            audio_features,
+            decode_wav,
+            encode_wav_adpcm_ima,
+        )
+
+        wav = encode_wav_adpcm_ima([100, 200, -100, 50, 0] * 101, 8000)
+        _, _, dec = decode_wav(wav)
+        df = spark.createDataFrame([(1, bytearray(wav)), (2, bytearray(b"RIFFjunk"))],
+                                   ["doc_id", "payload"])
+        rows = {r.doc_id: r for r in audio_features(df).collect()}
+        assert rows[1].n_samples == len(dec)
+        assert rows[1].sum_abs == sum(abs(v) for v in dec)
+        assert rows[1].decode_error is None
+        assert rows[2].decode_error is not None  # corrupt row null-routes

@@ -173,3 +173,117 @@ def test_sample_video_frames_on_animated_gif(spark):
     assert [(r["frame_idx"], r["sum_luma"]) for r in ok] == [(0, 160), (2, 480)]
     assert all(r["n_frames"] == 3 and r["frame_ok"] for r in ok)
     assert by_doc[2][0]["frame_idx"] == -1 and not by_doc[2][0]["frame_ok"]
+
+
+class TestMRLE:
+    """MS-RLE8 (BI_RLE8): the delta-frame Video-for-Windows codec."""
+
+    @staticmethod
+    def _mk(frames_rows):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.avi import (
+            encode_mrle_frame,
+            mux_mrle_avi,
+        )
+
+        rle, prev = [], None
+        for rows in frames_rows:
+            rle.append(encode_mrle_frame(rows, prev))
+            prev = rows
+        h, w = len(frames_rows[0]), len(frames_rows[0][0])
+        return mux_mrle_avi(rle, w, h)
+
+    def test_roundtrip_composites(self):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.avi import (
+            decode_mrle_frames,
+            demux_avi_info,
+        )
+
+        f0 = [[7] * 8 for _ in range(4)]
+        f1 = [list(r) for r in f0]
+        f1[2][3:6] = [200, 201, 202]
+        avi = self._mk([f0, f1])
+        w, h, _r, _s, frames, codec, pal = demux_avi_info(avi)
+        assert codec == b"MRLE" and (w, h) == (8, 4)
+        lumas = decode_mrle_frames(w, h, frames, pal)
+        assert lumas[0] == [7] * 32
+        assert lumas[1] == [v for row in f1 for v in row]
+
+    def test_delta_rows_are_skipped_not_rewritten(self):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.avi import (
+            encode_mrle_frame,
+        )
+
+        f0 = [[1] * 8 for _ in range(4)]
+        f1 = [list(r) for r in f0]
+        f1[3][0] = 99
+        rle = encode_mrle_frame(f1, f0)
+        # three unchanged rows = three bare EOLs (2 bytes each)
+        assert rle.startswith(b"\x00\x00\x00\x00\x00\x00")
+
+    def test_absolute_and_delta_escapes(self):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.avi import (
+            decode_mrle_frames,
+        )
+
+        data = bytes(
+            [0, 3, 5, 6, 7, 0,  # absolute run of 3 + pad at (0,0)
+             0, 2, 2, 1,        # delta: x+=2, y+=1 (skipped pixels persist)
+             3, 9,              # encoded run at (5,1)
+             0, 0,              # EOL
+             0, 1]              # EOF
+        )
+        lum = decode_mrle_frames(8, 3, [data], None)[0]
+        exp = [0] * 24
+        exp[0:3] = [5, 6, 7]
+        exp[8 + 5 : 8 + 8] = [9, 9, 9]
+        assert lum == exp
+
+    def test_palette_luma(self):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.avi import (
+            decode_mrle_frames,
+        )
+
+        # palette index 1 = pure red (BGR0 quads) -> 601 luma 299*255//1000
+        pal = bytes([0, 0, 0, 0, 0, 0, 255, 0])
+        data = bytes([2, 1, 0, 0, 0, 1])
+        lum = decode_mrle_frames(2, 1, [data], pal)[0]
+        assert lum == [76, 76]
+
+    def test_corrupt_frames_are_valueerror(self):
+        import pytest
+
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.avi import (
+            decode_mrle_frames,
+        )
+
+        cases = [
+            bytes([5, 1]),            # run then no EOF
+            bytes([0, 2, 1]),         # truncated delta
+            bytes([0, 5, 1, 2]),      # truncated absolute run
+            bytes([9, 1, 0, 1]),      # run overflows the 4-wide row
+        ]
+        for data in cases:
+            with pytest.raises(ValueError):
+                decode_mrle_frames(4, 2, [data], None)
+
+    def test_sample_video_frames_dispatch(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.avi import (
+            sample_video_frames,
+        )
+
+        f0 = [[10] * 8 for _ in range(4)]
+        f1 = [list(r) for r in f0]
+        f1[0][0] = 200
+        avi = self._mk([f0, f1])
+        df = spark.createDataFrame(
+            [(1, bytearray(avi)), (2, bytearray(avi[:20]))], ["doc_id", "payload"]
+        )
+        rows = sorted(
+            (r.doc_id, r.frame_idx, r.sum_luma, bool(r.frame_ok))
+            for r in sample_video_frames(df, every=1).collect()
+        )
+        assert rows == [
+            (1, 0, 320, True),
+            (1, 1, 320 + 190, True),
+            (2, -1, None, False),
+        ]

@@ -116,3 +116,83 @@ class TestProximityPairs:
         )
         rows = out.collect()
         assert len(rows) == 1 and rows[0]["dist2"] == 25
+
+
+class TestBFSLevels:
+    @staticmethod
+    def _bfs(spark, edges, sources, **kw):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.graph import (
+            bfs_levels,
+        )
+
+        e = spark.createDataFrame(edges, ["src", "dst"])
+        s = spark.createDataFrame([(x,) for x in sources], ["node"])
+        return sorted(
+            (r.node, r.dist) for r in bfs_levels(e, s, **kw).collect()
+        )
+
+    def test_path_graph(self, spark):
+        got = self._bfs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], [1], max_hops=3)
+        assert got == [(1, 0), (2, 1), (3, 2), (4, 3)]  # 5 beyond max_hops
+
+    def test_multi_source_takes_min(self, spark):
+        got = self._bfs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], [1, 5], max_hops=4)
+        assert got == [(1, 0), (2, 1), (3, 2), (4, 1), (5, 0)]
+
+    def test_unreachable_component_absent(self, spark):
+        got = self._bfs(spark, [(1, 2), (8, 9)], [1], max_hops=4)
+        assert got == [(1, 0), (2, 1)]
+
+    def test_directed_mode(self, spark):
+        # 2 -> 1 only: undirected reaches 2, directed does not
+        undirected = self._bfs(spark, [(2, 1)], [1], max_hops=2)
+        directed = self._bfs(spark, [(2, 1)], [1], max_hops=2, directed=True)
+        assert undirected == [(1, 0), (2, 1)]
+        assert directed == [(1, 0)]
+
+    def test_cycle_terminates_at_first_visit(self, spark):
+        got = self._bfs(spark, [(1, 2), (2, 3), (3, 1)], [1], max_hops=10)
+        assert got == [(1, 0), (2, 1), (3, 1)]
+
+    def test_vs_networkx_free_reference(self, spark):
+        # brute-force reference BFS in plain python over a random graph
+        import random
+
+        random.seed(7)
+        edges = list({(random.randrange(30), random.randrange(30)) for _ in range(60)})
+        edges = [(a, b) for a, b in edges if a != b]
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        dist = {0: 0}
+        frontier = [0]
+        for h in range(1, 5):
+            nxt = [v for u in frontier for v in adj.get(u, ()) if v not in dist]
+            for v in nxt:
+                dist.setdefault(v, h)
+            frontier = sorted(set(nxt))
+        got = dict(self._bfs(spark, edges, [0], max_hops=4))
+        assert got == dist
+
+    def test_registry_step(self, spark):
+        e = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+        spark.createDataFrame([(1,)], ["node"]).createOrReplaceTempView("bfs_src_v")
+        got = sorted(
+            (r.node, r.dist)
+            for r in apply_operator(
+                "bfsLevels", e, {"sources_view": "bfs_src_v", "max_hops": "1"}
+            ).collect()
+        )
+        assert got == [(1, 0), (2, 1)]
+
+    def test_validation(self, spark):
+        import pytest as _pt
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.graph import (
+            bfs_levels,
+        )
+
+        e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+        s = spark.createDataFrame([(1,)], ["node"])
+        with _pt.raises(ValueError, match="max_hops"):
+            bfs_levels(e, s, max_hops=-1)

@@ -206,3 +206,80 @@ class TestKMV:
         df = spark.range(0, 10).select(F.col("id").alias("v"))
         with pytest.raises(ValueError, match="full sketch"):
             kmv_summary(kmv_sketch(df, "v", k=64), 64)
+
+
+class TestKMVIntersect:
+    """Join-size / overlap estimation from two full KMV sketches."""
+
+    @staticmethod
+    def _sets(spark, a_range, b_range):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.sketches import (
+            kmv_sketch,
+        )
+        from pyspark.sql import functions as F
+
+        a = spark.range(*a_range).select(F.col("id").alias("v"))
+        b = spark.range(*b_range).select(F.col("id").alias("v"))
+        return kmv_sketch(a, "v", k=64), kmv_sketch(b, "v", k=64)
+
+    def test_overlap_estimate(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.sketches import (
+            kmv_intersect,
+        )
+
+        # |A ∩ B| = 200, |A ∪ B| = 1000, J = 0.2 — deterministic hash,
+        # so the estimate is a fixed value; bounds are the ~1/sqrt(k)
+        # regime, not flake tolerance
+        sk_a, sk_b = self._sets(spark, (0, 600), (400, 1000))
+        row = kmv_intersect(sk_a, sk_b, 64).collect()[0]
+        assert row.k == 64
+        assert abs(row.union_est - 1000) / 1000 < 0.3
+        assert 500 <= row.jaccard_x10000 <= 3500  # J=0.2 ± sampling
+        assert 50 <= row.inter_est <= 400
+
+    def test_identical_sets(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.sketches import (
+            kmv_intersect,
+        )
+
+        sk_a, sk_b = self._sets(spark, (0, 500), (0, 500))
+        row = kmv_intersect(sk_a, sk_b, 64).collect()[0]
+        assert row.n_both == 64
+        assert row.jaccard_x10000 == 10000
+        assert row.inter_est == row.union_est
+
+    def test_disjoint_sets(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.sketches import (
+            kmv_intersect,
+        )
+
+        sk_a, sk_b = self._sets(spark, (0, 500), (1000, 1500))
+        row = kmv_intersect(sk_a, sk_b, 64).collect()[0]
+        assert row.n_both == 0
+        assert row.jaccard_x10000 == 0
+        assert row.inter_est == 0
+
+    def test_requires_full_sketches(self, spark):
+        import pytest
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.sketches import (
+            kmv_intersect,
+            kmv_sketch,
+        )
+        from pyspark.sql import functions as F
+
+        small = spark.range(0, 10).select(F.col("id").alias("v"))
+        big = spark.range(0, 500).select(F.col("id").alias("v"))
+        with pytest.raises(ValueError, match="full"):
+            kmv_intersect(kmv_sketch(small, "v", k=64), kmv_sketch(big, "v", k=64), 64)
+
+    def test_registry_step(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.registry import (
+            apply_operator,
+        )
+
+        sk_a, sk_b = self._sets(spark, (0, 500), (0, 500))
+        sk_b.createOrReplaceTempView("kmv_b_v")
+        row = apply_operator(
+            "kmvIntersect", sk_a, {"other_view": "kmv_b_v", "k": "64"}
+        ).collect()[0]
+        assert row.jaccard_x10000 == 10000

@@ -90,6 +90,15 @@ BNLJ_ALLOWED = {
     # join_skew_report: the totals row and the two 1-row sketch-quantile
     # picks attach to the 5-row TakeOrdered top by broadcast crossJoin
     "join_skew_report",
+    # kmv_join_size: the exact-overlap reference rides a 1-row broadcast
+    # crossJoin onto the 1-row intersect summary (the kmv_distinct
+    # shape); the estimator itself only ever joins 2k retained rows
+    "kmv_join_size",
+    # dsir_select: the (qt, pt) gram totals ride a 1-row broadcast
+    # crossJoin onto the <=B-row bucket-score grid (the domain_mix
+    # scalar-attachment shape); the per-doc weight join is a hash
+    # equi-join against the broadcast B-row score table
+    "dsir_select",
 }
 
 FLAGS = {

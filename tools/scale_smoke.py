@@ -685,6 +685,99 @@ def main() -> None:
         ).count(),
     )
 
+    # ---- round-8 fifth-session lanes ------------------------------------
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.graph import (
+        bfs_levels,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.sketches import (
+        kmv_intersect,
+        kmv_sketch,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.analytics import (
+        transition_matrix,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.sampling import (
+        dsir_select,
+    )
+
+    timed(
+        "transition_matrix (1M events)",
+        lambda: transition_matrix(events, "user_id", "ts", "event_type",
+                                  tie_col="event_id").count(),
+    )
+    timed(
+        "kmv_intersect (two 1M-row key sets, k=256)",
+        lambda: kmv_intersect(
+            kmv_sketch(li.filter(F.col("l_orderkey") % 2 == 0), "l_partkey", k=256),
+            kmv_sketch(li.filter(F.col("l_orderkey") % 2 == 1), "l_partkey", k=256),
+            256,
+        ).count(),
+    )
+    # BFS over the replicated adjacent-line co-purchase graph (nodes
+    # scale with copies; degree stays constant, so the frontier joins
+    # are the scaled axis)
+    bfs_edges = spark.sql(
+        """
+        SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+        FROM smoke_lineitem l1 JOIN smoke_lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l2.l_linenumber = l1.l_linenumber + 1
+        WHERE l1.l_partkey <> l2.l_partkey
+        """
+    )
+    bfs_srcs = li.filter(F.col("l_partkey") % 100 == 0).select(
+        F.col("l_partkey").alias("node")
+    ).distinct()
+    timed(
+        "bfs_levels (3 hops, x-n node graph)",
+        lambda: bfs_levels(bfs_edges, bfs_srcs, max_hops=3).count(),
+    )
+    timed(
+        "dsir_select (x-n corpus, 512 buckets)",
+        lambda: dsir_select(
+            docs, docs.filter(F.col("source") == "src18"),
+            "doc_id", "text", 100,
+        ).count(),
+    )
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.audio import (
+        audio_features,
+        encode_wav_adpcm_ima,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.avi import (
+        encode_mrle_frame,
+        mux_mrle_avi,
+        sample_video_frames,
+    )
+
+    adpcm_clip = encode_wav_adpcm_ima(
+        [((i * 37) % 4001) - 2000 for i in range(505 * 2)], 8000
+    )
+    adpcm_df = docs.select("doc_id").withColumn(
+        "payload", F.lit(bytearray(adpcm_clip))
+    )
+    timed(
+        "adpcm decode (x-n clips of 1010 samples)",
+        lambda: audio_features(adpcm_df).filter(
+            F.col("decode_error").isNull()
+        ).count(),
+    )
+
+    _rows0 = [[30] * 16 for _ in range(16)]
+    _rows1 = [list(r) for r in _rows0]
+    for _y in range(4):
+        _rows1[_y][4:8] = [200] * 4
+    mrle_clip = mux_mrle_avi(
+        [encode_mrle_frame(_rows0), encode_mrle_frame(_rows1, _rows0)], 16, 16
+    )
+    mrle_df = docs.select("doc_id").withColumn(
+        "payload", F.lit(bytearray(mrle_clip))
+    )
+    timed(
+        "mrle video decode (x-n 2-frame clips)",
+        lambda: sample_video_frames(mrle_df, every=1).filter("frame_ok").count(),
+    )
+
 
 if __name__ == "__main__":
     main()
