@@ -172,6 +172,9 @@ HEADLINE = [
     "bfs_reachability",
     "adpcm_decode",
     "rle_video_frames",
+    # round 8 fifth session late adds: rule-based expectations + OLS trend
+    "expectations_report",
+    "trend_slopes",
 ]
 
 

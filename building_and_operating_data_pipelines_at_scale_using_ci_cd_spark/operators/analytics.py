@@ -24,6 +24,9 @@ Scale shapes:
     key — never a global sort) + one groupBy on the (from, to) pair;
     the row-probability attach is a window over the pair table, which
     is bounded by |event types|² regardless of corpus size.
+  - ``linear_fit``: one aggregation pass (map-side partial) to per-key
+    integer moments after a 1-row global-min rebase; the slope quotient
+    is pure expression arithmetic over the |keys|-row aggregate.
 
 Every output is integer (counts and ``*_pct_x10000`` basis points via
 integer DIV) so results are bit-identical cross-engine.
@@ -200,4 +203,65 @@ def transition_matrix(
                 "prob_x10000"
             ),
         )
+    )
+
+
+def linear_fit(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-key ordinary-least-squares TREND: the slope of y over x in
+    integer ``1/scale`` units, from the closed-form normal equation
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    computed entirely in int64. Both moments are translation-invariant
+    in x, so x is re-based against the GLOBAL minimum first (one 1-row
+    broadcast attach) — that bounds every product far below 2^63 for
+    month-scale hour offsets and cent-scale values, where raw epoch
+    units would overflow. The quotient uses the two-step split
+    ``q·scale + (r·scale DIV den)`` (q, r = divmod(|num|, den)) with the
+    sign multiplied back — exact floor on any engine without ever
+    forming num·scale (the bar_returns DIV-sign contract, extended to
+    keep the intermediate in range). Keys with a degenerate x spread
+    (den = 0) emit NULL.
+
+    Inputs must already be integer units (e.g. hours and cents); one
+    aggregation + one tiny groupBy — map-side partial, no window.
+    Returns ``(key, n_points, slope_x{scale})``.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+    )
+    x0 = base.agg(F.min("x").alias("x0"))  # 1-row scalar attach
+    s = (
+        base.crossJoin(F.broadcast(x0))
+        .select("key", (F.col("x") - F.col("x0")).alias("xr"), "y")
+        .groupBy("key")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("xr").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("xr") * F.col("xr")).cast("bigint").alias("sxx"),
+            F.sum(F.col("xr") * F.col("y")).cast("bigint").alias("sxy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    sgn = F.when(num < 0, F.lit(-1)).otherwise(F.lit(1)).cast("bigint")
+    q = F.expr("ABS(n * sxy - sx * sy) DIV (n * sxx - sx * sx)")
+    rem_scaled = F.expr(
+        f"(ABS(n * sxy - sx * sy) % (n * sxx - sx * sx)) * {int(scale)} "
+        f"DIV (n * sxx - sx * sx)"
+    )
+    slope = sgn * (q * F.lit(int(scale)) + rem_scaled)
+    return s.select(
+        F.col("key").alias(key_col),
+        F.col("n").alias("n_points"),
+        F.when(den != 0, slope).cast("bigint").alias(f"slope_x{int(scale)}"),
     )

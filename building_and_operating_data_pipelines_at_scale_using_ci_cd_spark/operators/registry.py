@@ -273,6 +273,26 @@ def _dsir_select(df: DataFrame, target_view: str, id_col: str,
     )
 
 
+def _expectations(df: DataFrame, rules) -> DataFrame:
+    """Config shape: rule-based data-quality expectations report;
+    ``rules`` is a JSON list of Expectation kwargs (the linkRecords
+    comparator-JSON pattern)."""
+    import json as _json
+
+    from .validation import Expectation, expectations_report
+
+    spec = _json.loads(rules) if isinstance(rules, str) else rules
+    return expectations_report(df, [Expectation(**r) for r in spec])
+
+
+def _linear_fit(df: DataFrame, key_col: str, x_col: str, y_col: str,
+                scale="1000") -> DataFrame:
+    """Config shape: per-key OLS trend slope in integer 1/scale units."""
+    from .analytics import linear_fit
+
+    return linear_fit(df, key_col, x_col, y_col, scale=int(scale))
+
+
 def _kmv_intersect(df: DataFrame, other_view: str, k) -> DataFrame:
     """Config shape: set-overlap / join-size estimate from two full
     KMV sketches. The step's input view is sketch A; ``other_view``
@@ -810,6 +830,8 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "kmvIntersect": _kmv_intersect,
     "dsirSelect": _dsir_select,
     "bfsLevels": _bfs_levels,
+    "expectations": _expectations,
+    "linearFit": _linear_fit,
     "linkRecords": _link_records,
     "ohlcTumbling": _ohlc_tumbling,
     "triangleCount": _triangle_count,

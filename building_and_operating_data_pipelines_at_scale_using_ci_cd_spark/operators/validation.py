@@ -182,3 +182,134 @@ def profile_columns(
 
     reports = [_report(c) for c in cols]
     return wide.select(F.explode(F.array(*reports)).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# Rule-based expectations report (the Great-Expectations-style checkup)
+# ---------------------------------------------------------------------------
+
+
+class Expectation:
+    """One data-quality rule. ``kind`` ∈ {not_null, unique, in_range,
+    in_set, regex_match, row_count_between}; ``column`` names the target
+    (ignored for row_count_between); params carry the bounds/set/pattern.
+
+    Each rule compiles to a failure COUNT aggregate, so an arbitrary rule
+    list is ONE wide aggregation pass over the input (plus one groupBy
+    per `unique` rule — duplicate counting needs its own shuffle on that
+    column, the dedup_split argument)."""
+
+    KINDS = ("not_null", "unique", "in_range", "in_set", "regex_match",
+             "row_count_between")
+
+    def __init__(self, rule_id: str, kind: str, column: str | None = None,
+                 lo=None, hi=None, values: list | None = None,
+                 pattern: str | None = None):
+        if kind not in self.KINDS:
+            raise ValueError(f"unknown expectation kind {kind!r}; use one of {self.KINDS}")
+        if kind != "row_count_between" and not column:
+            raise ValueError(f"expectation {rule_id!r} ({kind}) needs a column")
+        if kind in ("in_range", "row_count_between") and lo is None and hi is None:
+            raise ValueError(f"expectation {rule_id!r} needs lo and/or hi")
+        if kind == "in_set" and not values:
+            raise ValueError(f"expectation {rule_id!r} needs a non-empty values list")
+        if kind == "regex_match" and not pattern:
+            raise ValueError(f"expectation {rule_id!r} needs a pattern")
+        self.rule_id, self.kind, self.column = rule_id, kind, column
+        self.lo, self.hi, self.values, self.pattern = lo, hi, values, pattern
+
+
+def expectations_report(df: DataFrame, rules: list[Expectation]) -> DataFrame:
+    """Evaluate every rule in (at most) two passes and return one row per
+    rule: ``(rule_id, kind, column, n_rows, n_failed, passed)`` — all
+    integers/booleans, strict cross-engine.
+
+    Plan shape: all row-level rules (not_null / in_range / in_set /
+    regex_match / row_count_between) fold into ONE wide aggregation (one
+    scan, map-side partial); each `unique` rule adds one groupBy on its
+    column with a bounded 1-row output (count of over-represented keys
+    via sum(cnt) - count(*)). NULL semantics are explicit: range/set/
+    regex rules fail NULLs (a NULL price is not "between 1 and 9"), the
+    not_null rule exists to make that contract visible.
+    """
+    if not rules:
+        raise ValueError("expectations_report needs at least one rule")
+    aggs = [F.count("*").cast("bigint").alias("__n")]
+    for r in rules:
+        if r.kind == "unique":
+            continue
+        if r.kind == "not_null":
+            fail = F.col(r.column).isNull()
+        elif r.kind == "in_range":
+            c = F.col(r.column)
+            ok = F.lit(True)
+            if r.lo is not None:
+                ok = ok & (c >= F.lit(r.lo))
+            if r.hi is not None:
+                ok = ok & (c <= F.lit(r.hi))
+            fail = ~F.coalesce(ok, F.lit(False))
+        elif r.kind == "in_set":
+            fail = ~F.coalesce(F.col(r.column).isin(*r.values), F.lit(False))
+        elif r.kind == "regex_match":
+            fail = ~F.coalesce(
+                F.col(r.column).cast("string").rlike(r.pattern), F.lit(False)
+            )
+        else:  # row_count_between: evaluated on the 1-row aggregate below
+            continue
+        aggs.append(
+            F.sum(fail.cast("bigint")).cast("bigint").alias(f"__f_{r.rule_id}")
+        )
+    wide = df.agg(*aggs)
+
+    rows = []
+    for r in rules:
+        if r.kind == "unique":
+            dup = (
+                df.groupBy(r.column)
+                .agg(F.count("*").alias("__c"))
+                .agg(
+                    F.sum("__c").cast("bigint").alias("__n"),
+                    (F.sum("__c") - F.count("*")).cast("bigint").alias("__f"),
+                )
+            )
+            rows.append(
+                dup.select(
+                    F.lit(r.rule_id).alias("rule_id"),
+                    F.lit(r.kind).alias("kind"),
+                    F.lit(r.column).alias("column"),
+                    F.col("__n").alias("n_rows"),
+                    F.col("__f").alias("n_failed"),
+                    (F.col("__f") == 0).alias("passed"),
+                )
+            )
+        elif r.kind == "row_count_between":
+            ok = F.lit(True)
+            if r.lo is not None:
+                ok = ok & (F.col("__n") >= F.lit(int(r.lo)))
+            if r.hi is not None:
+                ok = ok & (F.col("__n") <= F.lit(int(r.hi)))
+            rows.append(
+                wide.select(
+                    F.lit(r.rule_id).alias("rule_id"),
+                    F.lit(r.kind).alias("kind"),
+                    F.lit(r.column or "*").alias("column"),
+                    F.col("__n").alias("n_rows"),
+                    F.when(ok, F.lit(0)).otherwise(F.lit(1)).cast("bigint").alias("n_failed"),
+                    ok.alias("passed"),
+                )
+            )
+        else:
+            rows.append(
+                wide.select(
+                    F.lit(r.rule_id).alias("rule_id"),
+                    F.lit(r.kind).alias("kind"),
+                    F.lit(r.column).alias("column"),
+                    F.col("__n").alias("n_rows"),
+                    F.col(f"__f_{r.rule_id}").alias("n_failed"),
+                    (F.col(f"__f_{r.rule_id}") == 0).alias("passed"),
+                )
+            )
+    out = rows[0]
+    for x in rows[1:]:
+        out = out.unionByName(x)
+    return out

@@ -1,0 +1,126 @@
+"""Round-8 fifth-session late ops: rule-based expectations report and
+the per-key integer OLS trend."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.analytics import (
+    linear_fit,
+)
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.registry import (
+    apply_operator,
+)
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.validation import (
+    Expectation,
+    expectations_report,
+)
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    rows = [
+        # id, price, status, code
+        (1, 10.0, "A", "1-HIGH"),
+        (1, 20.0, "B", "2-MED"),      # duplicate id
+        (2, -5.0, "A", "9-JUNK"),     # price below range, bad code
+        (3, None, "C", "3-LOW"),      # null price, status outside set
+        (None, 50.0, "A", None),      # null id, null code
+    ]
+    return spark.createDataFrame(rows, ["id", "price", "status", "code"])
+
+
+class TestExpectations:
+    def test_all_kinds(self, dirty):
+        rules = [
+            Expectation("r_null", "not_null", "id"),
+            Expectation("r_uniq", "unique", "id"),
+            Expectation("r_range", "in_range", "price", lo=0, hi=100),
+            Expectation("r_set", "in_set", "status", values=["A", "B"]),
+            Expectation("r_re", "regex_match", "code", pattern="^[1-5]-"),
+            Expectation("r_rows", "row_count_between", lo=1, hi=4),
+        ]
+        got = {
+            r.rule_id: (r.n_rows, r.n_failed, r.passed)
+            for r in expectations_report(dirty, rules).collect()
+        }
+        assert got["r_null"] == (5, 1, False)
+        # duplicates = total - distinct keys (two rows share id 1)
+        assert got["r_uniq"] == (5, 1, False)
+        # -5 fails, NULL price fails (explicit NULL semantics)
+        assert got["r_range"] == (5, 2, False)
+        assert got["r_set"] == (5, 1, False)       # status C
+        assert got["r_re"] == (5, 2, False)        # 9-JUNK + NULL code
+        assert got["r_rows"] == (5, 1, False)      # 5 rows > hi=4
+
+    def test_clean_data_passes(self, spark):
+        df = spark.createDataFrame([(1, 5.0), (2, 6.0)], ["id", "v"])
+        rules = [
+            Expectation("a", "not_null", "id"),
+            Expectation("b", "unique", "id"),
+            Expectation("c", "in_range", "v", lo=0, hi=10),
+        ]
+        assert all(r.passed for r in expectations_report(df, rules).collect())
+
+    def test_validation_errors(self, dirty):
+        with pytest.raises(ValueError, match="unknown expectation kind"):
+            Expectation("x", "nope", "id")
+        with pytest.raises(ValueError, match="needs a column"):
+            Expectation("x", "not_null")
+        with pytest.raises(ValueError, match="lo and/or hi"):
+            Expectation("x", "in_range", "id")
+        with pytest.raises(ValueError, match="values"):
+            Expectation("x", "in_set", "id")
+        with pytest.raises(ValueError, match="pattern"):
+            Expectation("x", "regex_match", "id")
+        with pytest.raises(ValueError, match="at least one rule"):
+            expectations_report(dirty, [])
+
+    def test_registry_step_json_rules(self, dirty):
+        out = apply_operator(
+            "expectations",
+            dirty,
+            {"rules": '[{"rule_id": "n", "kind": "not_null", "column": "id"},'
+                      ' {"rule_id": "c", "kind": "row_count_between", "lo": 1}]'},
+        ).collect()
+        got = {r.rule_id: r.passed for r in out}
+        assert got == {"n": False, "c": True}
+
+
+class TestLinearFit:
+    def test_exact_positive_slope(self, spark):
+        # y = 3x + 5 exactly -> slope_x1000 == 3000
+        rows = [("k", x, 3 * x + 5) for x in range(10)]
+        df = spark.createDataFrame(rows, ["k", "x", "y"])
+        r = linear_fit(df, "k", "x", "y").collect()[0]
+        assert (r.n_points, r.slope_x1000) == (10, 3000)
+
+    def test_negative_and_fractional_truncation(self, spark):
+        # y = -x: slope -1000; y = x DIV 3 pattern: slope ~ 333
+        rows = [("neg", x, -x) for x in range(8)]
+        rows += [("frac", x, x // 3) for x in range(9)]
+        df = spark.createDataFrame(rows, ["k", "x", "y"])
+        got = {r.k: r.slope_x1000 for r in linear_fit(df, "k", "x", "y").collect()}
+        assert got["neg"] == -1000
+        assert 300 <= got["frac"] <= 400
+
+    def test_degenerate_x_is_null(self, spark):
+        df = spark.createDataFrame([("k", 5, 1), ("k", 5, 9)], ["k", "x", "y"])
+        r = linear_fit(df, "k", "x", "y").collect()[0]
+        assert r.slope_x1000 is None
+
+    def test_translation_invariance(self, spark):
+        # shifting x by a huge constant must not change the slope (the
+        # global-min rebase is what keeps the moments in int64)
+        base = [("k", x, 7 * x + 2) for x in range(20)]
+        big = [("k", x + 490_000, 7 * x + 2) for x in range(20)]
+        s1 = linear_fit(spark.createDataFrame(base, ["k", "x", "y"]), "k", "x", "y").collect()[0]
+        s2 = linear_fit(spark.createDataFrame(big, ["k", "x", "y"]), "k", "x", "y").collect()[0]
+        assert s1.slope_x1000 == s2.slope_x1000 == 7000
+
+    def test_registry_step(self, spark):
+        df = spark.createDataFrame([("k", x, 2 * x) for x in range(5)], ["k", "x", "y"])
+        r = apply_operator(
+            "linearFit", df,
+            {"key_col": "k", "x_col": "x", "y_col": "y", "scale": "100"},
+        ).collect()[0]
+        assert r.slope_x100 == 200

@@ -99,6 +99,10 @@ BNLJ_ALLOWED = {
     # scalar-attachment shape); the per-doc weight join is a hash
     # equi-join against the broadcast B-row score table
     "dsir_select",
+    # trend_slopes: the global-min x rebase rides a 1-row broadcast
+    # crossJoin onto the event stream (the scalar-attachment shape) so
+    # every OLS moment stays in int64
+    "trend_slopes",
 }
 
 FLAGS = {
