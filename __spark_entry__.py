@@ -6806,6 +6806,63 @@ FROM s
 """
 
 
+def _q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-proportion A/B test (operators/analytics.py ab_test):
+    users split into even/odd arms by id, converted = ≥14 purchase
+    events; the pooled z² significance decision is made by
+    cross-multiplication in DECIMAL(38,0) products of int64 counts —
+    no sqrt, no float, no rounding contract, exact on any engine
+    (DuckDB mirrors with HUGEINT). One groupBy to per-user counts, one
+    to the 2-row arm table, pure expression arithmetic after."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.analytics import (
+        ab_test,
+    )
+
+    ev = _table(spark, sf_dir, "events")
+    labeled = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("int")).alias("np")
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("even"))
+            .otherwise(F.lit("odd"))
+            .alias("arm"),
+            (F.col("np") >= 14).cast("int").alias("converted"),
+        )
+    )
+    return ab_test(labeled, "arm", "converted")
+
+
+AB_TEST_DUCK = """
+WITH pu AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+  FROM events GROUP BY user_id),
+lab AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS arm,
+         CASE WHEN np >= 14 THEN 1 ELSE 0 END AS conv
+  FROM pu),
+arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS x
+         FROM lab GROUP BY arm),
+a AS (SELECT arm AS arm_a, n AS n_a, x AS x_a FROM arms ORDER BY arm LIMIT 1),
+b AS (SELECT arm AS arm_b, n AS n_b, x AS x_b FROM arms ORDER BY arm DESC LIMIT 1)
+SELECT arm_a, n_a, x_a, arm_b, n_b, x_b,
+       CAST(x_a * 10000 // n_a AS BIGINT) AS rate_a_bp,
+       CAST(x_b * 10000 // n_b AS BIGINT) AS rate_b_bp,
+       CASE WHEN CAST(n_a AS HUGEINT) * n_b * (x_a + x_b) * (n_a + n_b - x_a - x_b) = 0
+            THEN FALSE
+            ELSE (CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a)
+                 * (CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a)
+                 * (n_a + n_b) * 10000
+                 >= 38416 * CAST(n_a AS HUGEINT) * n_b * (x_a + x_b)
+                    * (n_a + n_b - x_a - x_b)
+       END AS significant
+FROM a CROSS JOIN b
+WHERE arm_a <> arm_b
+"""
+
+
 def _q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming OHLCV bars (streaming/ops.py ohlc_tumbling): the
     tumbling-window twin of the batch ohlc_bars entry — six declarative
@@ -6838,23 +6895,23 @@ def _q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-8 rotation (counts: 34 + 9 + 7 = 50 checked;
-        # 121 r06/r07-green tail; 171 total). ``base``
+        # entries. Round-8 rotation (counts: 35 + 9 + 6 = 50 checked;
+        # 122 r06/r07-green tail; 172 total). ``base``
         # keeps the historical (round-7) definition order for
         # readability — the ACTUAL round-8 checked set is the explicit
-        # ``head`` list after it (26 new entries: the 6 codec-tier adds
+        # ``head`` list after it (27 new entries: the 6 codec-tier adds
         # plus delta_roundtrip, flac_decode, bm25_scores, rrf_fusion,
         # kmv_distinct, delta_cdc, phash_fingerprints, phash_near_pairs,
         # the 12 fourth-session adds url_canonical_dedup,
         # domain_cap_sample, logbucket_quantiles, ohlc_bars,
         # funnel_conversion, retention_cohorts, record_linkage,
         # streaming_ohlc, copurchase_triangles, geo_proximity_pairs,
-        # bar_returns, join_skew_report, and the 8 fifth-session adds
+        # bar_returns, join_skew_report, and the 9 fifth-session adds
         # event_transitions, kmv_join_size, dsir_select,
         # bfs_reachability, adpcm_decode, rle_video_frames,
-        # expectations_report, trend_slopes;
+        # expectations_report, trend_slopes, ab_test_report;
         # 9 changed-code re-entries incl. scd2_price_history whose sink
-        # gained the delta-lite lanes; + the 7 oldest-evidence keys
+        # gained the delta-lite lanes; + the 6 oldest-evidence keys
         # that still fit under the cap), followed by everything else in
         # prior order. Next round's 50 should lead with the 12 keys the
         # late adds displaced (top_orders_per_customer,
@@ -6902,6 +6959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rle_video_frames": _q_rle_video_frames,
         "expectations_report": _q_expectations_report,
         "trend_slopes": _q_trend_slopes,
+        "ab_test_report": _q_ab_test,
         # -- (1) new or changed in round 7: 4 brand-new entries
         #    (png/jpeg decode, jdbc roundtrip, approx profiling) + 11
         #    whose code path changed (JVM bloom probe, pagerank rank
@@ -7096,7 +7154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions", "kmv_join_size",
         "dsir_select", "bfs_reachability",
         "adpcm_decode", "rle_video_frames",
-        "expectations_report", "trend_slopes",
+        "expectations_report", "trend_slopes", "ab_test_report",
         # round-8 4th-session brand-new entries
         "url_canonical_dedup", "domain_cap_sample",
         "logbucket_quantiles", "ohlc_bars",
@@ -7123,11 +7181,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_regex", "quality_scores", "lang_id",
         "top_orders_per_customer", "running_customer_spend",
         "q1_pricing_summary", "q3_shipping_priority",
-        # 50-cap cutoff now falls after streaming_hourly_events: the
-        # twelve 4th-session adds plus the eight 5th-session adds
+        # 50-cap cutoff now falls after multimodal_frames: the
+        # twelve 4th-session adds plus the nine 5th-session adds
         # (event_transitions, kmv_join_size, dsir_select,
         # bfs_reachability, adpcm_decode, rle_video_frames,
-        # expectations_report, trend_slopes) displaced
+        # expectations_report, trend_slopes, ab_test_report) displaced
+        # streaming_hourly_events,
         # winnow_fingerprints, simhash_near_pairs,
         # sessionization, event_type_pivot, text_stats,
         # date_funcs, range_join_shipments, percentiles,
@@ -7136,7 +7195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tokenize_regex, quality_scores, lang_id,
         # top_orders_per_customer, running_customer_spend,
         # q1_pricing_summary and q3_shipping_priority past the cap.
-        # Round 9's 50 should lead with those twenty-two, then
+        # Round 9's 50 should lead with those twenty-three, then
         # q5_local_supplier_volume,
         # q6_forecast_revenue, q7_volume_shipping, q10_returned_items,
         # orders_cube, window_analytics, q20_excess_supplier and the
@@ -7170,6 +7229,7 @@ def oracle_sql() -> dict[str, str]:
         "rle_video_frames": RLE_VIDEO_FRAMES_DUCK,
         "expectations_report": EXPECTATIONS_REPORT_DUCK,
         "trend_slopes": TREND_SLOPES_DUCK,
+        "ab_test_report": AB_TEST_DUCK,
         "tfidf_top_terms": TFIDF_TOP_TERMS_DUCK,
         "inverted_index": INVERTED_INDEX_DUCK,
         "weighted_sample": WEIGHTED_SAMPLE_DUCK,

@@ -172,9 +172,11 @@ HEADLINE = [
     "bfs_reachability",
     "adpcm_decode",
     "rle_video_frames",
-    # round 8 fifth session late adds: rule-based expectations + OLS trend
+    # round 8 fifth session late adds: rule-based expectations, OLS
+    # trend, exact A/B significance
     "expectations_report",
     "trend_slopes",
+    "ab_test_report",
 ]
 
 

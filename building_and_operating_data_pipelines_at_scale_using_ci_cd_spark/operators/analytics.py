@@ -265,3 +265,70 @@ def linear_fit(
         F.col("n").alias("n_points"),
         F.when(den != 0, slope).cast("bigint").alias(f"slope_x{int(scale)}"),
     )
+
+
+def ab_test(
+    df: DataFrame,
+    arm_col: str,
+    converted_col: str,
+    z2_x10000: int = 38416,
+    arm_a=None,
+    arm_b=None,
+) -> DataFrame:
+    """Two-proportion A/B significance test with an EXACT decision: one
+    row per arm pair — (n, x) per arm, lift in basis points, and the
+    pooled two-proportion z-test decided by cross-multiplication,
+
+        z² = (x_a·n_b − x_b·n_a)² · (n_a + n_b)
+             ───────────────────────────────────────────
+             n_a·n_b·(x_a + x_b)·(n_a + n_b − x_a − x_b)
+
+        significant  ⇔  num · 10000 ≥ z2_x10000 · den
+
+    evaluated in DECIMAL(38,0) products of int64 counts, so the boolean
+    is exact on any engine — no sqrt, no float, no rounding contract
+    (default threshold 3.8416 = z²₀.₀₅). Degenerate pools (all or no
+    conversions) emit significant = false. ``converted_col`` is 0/1.
+    Pass ``arm_a``/``arm_b`` to name the compared arms explicitly;
+    by default the minimum and maximum arm values are compared (other
+    arm values, if any, take no part).
+
+    One aggregation pass to a 2-row table, then pure expression
+    arithmetic — the corpus never shuffles twice.
+    """
+    if arm_a is not None and arm_b is not None:
+        df = df.filter(F.col(arm_col).isin(arm_a, arm_b))
+    arms = (
+        df.groupBy(F.col(arm_col).alias("arm"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col(converted_col).cast("bigint")).cast("bigint").alias("x"),
+        )
+    )
+    a = arms.orderBy("arm").limit(1).select(
+        F.col("arm").alias("arm_a"), F.col("n").alias("n_a"), F.col("x").alias("x_a")
+    )
+    b = arms.orderBy(F.col("arm").desc()).limit(1).select(
+        F.col("arm").alias("arm_b"), F.col("n").alias("n_b"), F.col("x").alias("x_b")
+    )
+    pair = a.crossJoin(F.broadcast(b))  # two 1-row sides
+    dec = "CAST({} AS DECIMAL(38, 0))"
+    num = (
+        f"POWER_DIFF * POWER_DIFF * ({dec.format('n_a')} + {dec.format('n_b')})"
+    ).replace("POWER_DIFF", f"({dec.format('x_a')} * {dec.format('n_b')} - "
+                            f"{dec.format('x_b')} * {dec.format('n_a')})")
+    den = (
+        f"{dec.format('n_a')} * {dec.format('n_b')} * "
+        f"({dec.format('x_a')} + {dec.format('x_b')}) * "
+        f"({dec.format('n_a')} + {dec.format('n_b')} - "
+        f"{dec.format('x_a')} - {dec.format('x_b')})"
+    )
+    return pair.filter(F.col("arm_a") != F.col("arm_b")).select(
+        "arm_a", "n_a", "x_a", "arm_b", "n_b", "x_b",
+        F.expr("CAST(x_a * 10000 DIV n_a AS BIGINT)").alias("rate_a_bp"),
+        F.expr("CAST(x_b * 10000 DIV n_b AS BIGINT)").alias("rate_b_bp"),
+        F.expr(
+            f"CASE WHEN {den} = 0 THEN FALSE "
+            f"ELSE {num} * 10000 >= {z2_x10000} * ({den}) END"
+        ).alias("significant"),
+    )

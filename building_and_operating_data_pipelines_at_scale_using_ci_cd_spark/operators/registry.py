@@ -293,6 +293,15 @@ def _linear_fit(df: DataFrame, key_col: str, x_col: str, y_col: str,
     return linear_fit(df, key_col, x_col, y_col, scale=int(scale))
 
 
+def _ab_test(df: DataFrame, arm_col: str, converted_col: str, **kw) -> DataFrame:
+    """Config shape: exact two-proportion A/B significance decision."""
+    from .analytics import ab_test
+
+    if "z2_x10000" in kw:
+        kw["z2_x10000"] = int(kw["z2_x10000"])
+    return ab_test(df, arm_col, converted_col, **kw)
+
+
 def _kmv_intersect(df: DataFrame, other_view: str, k) -> DataFrame:
     """Config shape: set-overlap / join-size estimate from two full
     KMV sketches. The step's input view is sketch A; ``other_view``
@@ -832,6 +841,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "bfsLevels": _bfs_levels,
     "expectations": _expectations,
     "linearFit": _linear_fit,
+    "abTest": _ab_test,
     "linkRecords": _link_records,
     "ohlcTumbling": _ohlc_tumbling,
     "triangleCount": _triangle_count,

@@ -1,9 +1,12 @@
 """RAG retrieval-index preparation on the config dialect (round 7):
 
-  1. chunk — `chunkDocuments` (64-token windows, 16 overlap; pure JVM
-     HOFs, zero shuffle) → stable chunk keys + xxhash64 fingerprints →
-     `exactDedupSurvivors` drops repeated chunk text corpus-wide →
-     per-corpus chunk stats.
+  1. chunk — `dsirSelect` (round-8 fifth session: DSIR importance
+     selection of the most target-like documents — hashed n-gram
+     buckets, integer log-ratio scores) runs first as the in-domain
+     curation pass, then `chunkDocuments` (64-token windows, 16
+     overlap; pure JVM HOFs, zero shuffle) → stable chunk keys +
+     xxhash64 fingerprints → `exactDedupSurvivors` drops repeated
+     chunk text corpus-wide → per-corpus chunk stats.
   2. index — `invertedIndex` (df-banded postings, reducer state bounded
      by max_df) + `tfidfTopTerms` (top-3 descriptors per chunk) over
      the deduped chunks, then hybrid retrieval (round 8): `bm25Score`
@@ -57,6 +60,19 @@ def main():
         f"SELECT COUNT(*) FROM '{DEMO}/chunks/*.parquet' WHERE n_tokens > 64 OR n_tokens <= 0"
     ).fetchone()[0]
     assert bad == 0
+
+    # DSIR in-domain selection: the src18 target docs (doc_id % 20 = 18)
+    # outrank the rest of the corpus under their own importance weights
+    dsir = duckdb.sql(
+        f"SELECT COUNT(*), SUM(CASE WHEN doc_id % 20 = 18 THEN 1 ELSE 0 END),"
+        f" MIN(weight) FROM '{DEMO}/domain_docs/*.parquet'"
+    ).fetchone()
+    n_tgt = duckdb.sql(
+        "SELECT COUNT(*) FROM '/root/testdata/sf0.01/documents.parquet' "
+        "WHERE source = 'src18'"
+    ).fetchone()[0]
+    print(f"dsir selection: {dsir[0]} docs, {dsir[1]}/{n_tgt} target docs kept")
+    assert dsir[0] == 200 and dsir[1] == n_tgt  # every target doc selected
 
     postings = duckdb.sql(
         f"SELECT COUNT(*), MIN(df), MAX(df) FROM '{DEMO}/postings/*.parquet'"

@@ -124,3 +124,63 @@ class TestLinearFit:
             {"key_col": "k", "x_col": "x", "y_col": "y", "scale": "100"},
         ).collect()[0]
         assert r.slope_x100 == 200
+
+
+class TestABTest:
+    @staticmethod
+    def _arms(spark, xa, na, xb, nb):
+        rows = [("A", 1 if i < xa else 0) for i in range(na)]
+        rows += [("B", 1 if i < xb else 0) for i in range(nb)]
+        return spark.createDataFrame(rows, ["arm", "conv"])
+
+    def test_significant_and_not(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.analytics import (
+            ab_test,
+        )
+
+        # 60% vs 40% over 100 each: z^2 = 8.0 -> significant at 3.8416
+        r = ab_test(self._arms(spark, 60, 100, 40, 100), "arm", "conv").collect()[0]
+        assert (r.rate_a_bp, r.rate_b_bp, r.significant) == (6000, 4000, True)
+        # 52% vs 48%: z^2 ~ 0.32 -> not significant
+        r = ab_test(self._arms(spark, 52, 100, 48, 100), "arm", "conv").collect()[0]
+        assert r.significant is False
+
+    def test_exact_threshold_boundary(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.analytics import (
+            ab_test,
+        )
+
+        # make z^2 exactly computable: pass a custom threshold equal to
+        # the exact z^2 of the data -> >= comparison flips to True
+        df = self._arms(spark, 30, 50, 20, 50)
+        # z^2 = (30*50-20*50)^2*100 / (50*50*50*50) = 25e6*100/625e4 = 4.0
+        assert ab_test(df, "arm", "conv", z2_x10000=40000).collect()[0].significant
+        assert not ab_test(df, "arm", "conv", z2_x10000=40001).collect()[0].significant
+
+    def test_degenerate_pools(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.analytics import (
+            ab_test,
+        )
+
+        all_conv = self._arms(spark, 10, 10, 10, 10)
+        none_conv = self._arms(spark, 0, 10, 0, 10)
+        assert ab_test(all_conv, "arm", "conv").collect()[0].significant is False
+        assert ab_test(none_conv, "arm", "conv").collect()[0].significant is False
+
+    def test_explicit_arm_filter(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.analytics import (
+            ab_test,
+        )
+
+        df = self._arms(spark, 60, 100, 40, 100).unionByName(
+            spark.createDataFrame([("C", 1)] * 30, ["arm", "conv"])
+        )
+        r = ab_test(df, "arm", "conv", arm_a="A", arm_b="B").collect()[0]
+        assert (r.arm_a, r.arm_b, r.significant) == ("A", "B", True)
+
+    def test_registry_step(self, spark):
+        r = apply_operator(
+            "abTest", self._arms(spark, 60, 100, 40, 100),
+            {"arm_col": "arm", "converted_col": "conv", "z2_x10000": "38416"},
+        ).collect()[0]
+        assert r.significant is True

@@ -103,6 +103,10 @@ BNLJ_ALLOWED = {
     # crossJoin onto the event stream (the scalar-attachment shape) so
     # every OLS moment stays in int64
     "trend_slopes",
+    # ab_test_report: the two arm rows (each a 1-row TakeOrdered off
+    # the 2-row arm aggregate) meet in a 1-row x 1-row broadcast
+    # crossJoin — pure scalar attachment
+    "ab_test_report",
 }
 
 FLAGS = {
