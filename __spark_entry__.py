@@ -6863,6 +6863,84 @@ WHERE arm_a <> arm_b
 """
 
 
+def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift report (operators/validation.py
+    psi_report): the production ML drift metric over the deterministic
+    log-bucket grid — bucket assignment is exact integer shifts, the
+    smoothed-share ln terms follow the lm_cross_entropy rounding
+    contract (quantized ONCE at the end). Reference = event value
+    cents; current = the same values scaled 3/2, a real distribution
+    shift, so the checked PSI is materially nonzero. Two bounded
+    sketches + a tiny outer join; the slices shuffle once each."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.validation import (
+        psi_report,
+    )
+
+    ev = _table(spark, sf_dir, "events")
+    cents = ev.select(
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("v")
+    )
+    shifted = cents.select(F.expr("CAST(v * 3 DIV 2 AS BIGINT) AS v"))
+    return psi_report(cents, shifted, "v")
+
+
+PSI_DRIFT_DUCK = """
+WITH cents AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+rb AS (
+  SELECT (length(bin(v)) - 1) * 16 + ((v << 4) >> (length(bin(v)) - 1)) - 16
+           AS bucket, COUNT(*) AS rc
+  FROM cents GROUP BY 1),
+cb AS (
+  SELECT (length(bin(v)) - 1) * 16 + ((v << 4) >> (length(bin(v)) - 1)) - 16
+           AS bucket, COUNT(*) AS cc
+  FROM (SELECT v * 3 // 2 AS v FROM cents) GROUP BY 1),
+j AS (
+  SELECT COALESCE(rb.bucket, cb.bucket) AS bucket,
+         COALESCE(rc, 0) AS rc, COALESCE(cc, 0) AS cc
+  FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket),
+t AS (SELECT SUM(rc) AS nr, SUM(cc) AS nc, COUNT(*) AS nb FROM j)
+SELECT CAST(nb AS INT) AS n_buckets, CAST(nr AS BIGINT) AS n_ref,
+       CAST(nc AS BIGINT) AS n_cur,
+       CAST(FLOOR(SUM(((rc + 1.0) / (nr + nb) - (cc + 1.0) / (nc + nb))
+                      * (LN((rc + 1.0) / (nr + nb))
+                         - LN((cc + 1.0) / (nc + nb)))) * 10000 + 0.5)
+            AS BIGINT) AS psi_x10000
+FROM j CROSS JOIN t GROUP BY nr, nc, nb
+"""
+
+
+def _q_schema_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift report (operators/validation.py schema_diff):
+    metadata-only comparison of two projections of orders whose types
+    the SQL fully determines — one renamed column per side, one
+    deliberate double-vs-string type mismatch, one shared key. No data
+    is scanned; the oracle is the literal expected report."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.validation import (
+        schema_diff,
+    )
+
+    _views(spark, sf_dir)
+    left = spark.sql(
+        "SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price, "
+        "o_orderstatus AS status FROM orders"
+    )
+    right = spark.sql(
+        "SELECT o_orderkey, CAST(o_totalprice AS STRING) AS price, "
+        "o_orderpriority AS priority FROM orders"
+    )
+    return schema_diff(left, right)
+
+
+SCHEMA_TABLE_DIFF_DUCK = """
+SELECT * FROM (VALUES
+  ('o_orderkey', 'ok', 'bigint', 'bigint'),
+  ('price', 'type_mismatch', 'double', 'string'),
+  ('priority', 'only_right', CAST(NULL AS VARCHAR), 'string'),
+  ('status', 'only_left', 'string', CAST(NULL AS VARCHAR))
+) AS t(col_name, status, type_left, type_right)
+"""
+
+
 def _q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming OHLCV bars (streaming/ops.py ohlc_tumbling): the
     tumbling-window twin of the batch ohlc_bars entry — six declarative
@@ -6895,23 +6973,24 @@ def _q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-8 rotation (counts: 35 + 9 + 6 = 50 checked;
-        # 122 r06/r07-green tail; 172 total). ``base``
+        # entries. Round-8 rotation (counts: 37 + 9 + 4 = 50 checked;
+        # 124 r06/r07-green tail; 174 total). ``base``
         # keeps the historical (round-7) definition order for
         # readability — the ACTUAL round-8 checked set is the explicit
-        # ``head`` list after it (27 new entries: the 6 codec-tier adds
+        # ``head`` list after it (29 new entries: the 6 codec-tier adds
         # plus delta_roundtrip, flac_decode, bm25_scores, rrf_fusion,
         # kmv_distinct, delta_cdc, phash_fingerprints, phash_near_pairs,
         # the 12 fourth-session adds url_canonical_dedup,
         # domain_cap_sample, logbucket_quantiles, ohlc_bars,
         # funnel_conversion, retention_cohorts, record_linkage,
         # streaming_ohlc, copurchase_triangles, geo_proximity_pairs,
-        # bar_returns, join_skew_report, and the 9 fifth-session adds
+        # bar_returns, join_skew_report, and the 11 fifth-session adds
         # event_transitions, kmv_join_size, dsir_select,
         # bfs_reachability, adpcm_decode, rle_video_frames,
-        # expectations_report, trend_slopes, ab_test_report;
+        # expectations_report, trend_slopes, ab_test_report,
+        # psi_drift, schema_table_diff;
         # 9 changed-code re-entries incl. scd2_price_history whose sink
-        # gained the delta-lite lanes; + the 6 oldest-evidence keys
+        # gained the delta-lite lanes; + the 4 oldest-evidence keys
         # that still fit under the cap), followed by everything else in
         # prior order. Next round's 50 should lead with the 12 keys the
         # late adds displaced (top_orders_per_customer,
@@ -6960,6 +7039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations_report": _q_expectations_report,
         "trend_slopes": _q_trend_slopes,
         "ab_test_report": _q_ab_test,
+        "psi_drift": _q_psi_drift,
+        "schema_table_diff": _q_schema_table_diff,
         # -- (1) new or changed in round 7: 4 brand-new entries
         #    (png/jpeg decode, jdbc roundtrip, approx profiling) + 11
         #    whose code path changed (JVM bloom probe, pagerank rank
@@ -7155,6 +7236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select", "bfs_reachability",
         "adpcm_decode", "rle_video_frames",
         "expectations_report", "trend_slopes", "ab_test_report",
+        "psi_drift", "schema_table_diff",
         # round-8 4th-session brand-new entries
         "url_canonical_dedup", "domain_cap_sample",
         "logbucket_quantiles", "ohlc_bars",
@@ -7181,12 +7263,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_regex", "quality_scores", "lang_id",
         "top_orders_per_customer", "running_customer_spend",
         "q1_pricing_summary", "q3_shipping_priority",
-        # 50-cap cutoff now falls after multimodal_frames: the
-        # twelve 4th-session adds plus the nine 5th-session adds
+        # 50-cap cutoff now falls after token_packing: the
+        # twelve 4th-session adds plus the eleven 5th-session adds
         # (event_transitions, kmv_join_size, dsir_select,
         # bfs_reachability, adpcm_decode, rle_video_frames,
-        # expectations_report, trend_slopes, ab_test_report) displaced
-        # streaming_hourly_events,
+        # expectations_report, trend_slopes, ab_test_report,
+        # psi_drift, schema_table_diff) displaced
+        # multimodal_frames, streaming_hourly_events,
         # winnow_fingerprints, simhash_near_pairs,
         # sessionization, event_type_pivot, text_stats,
         # date_funcs, range_join_shipments, percentiles,
@@ -7195,7 +7278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tokenize_regex, quality_scores, lang_id,
         # top_orders_per_customer, running_customer_spend,
         # q1_pricing_summary and q3_shipping_priority past the cap.
-        # Round 9's 50 should lead with those twenty-three, then
+        # Round 9's 50 should lead with those twenty-five, then
         # q5_local_supplier_volume,
         # q6_forecast_revenue, q7_volume_shipping, q10_returned_items,
         # orders_cube, window_analytics, q20_excess_supplier and the
@@ -7230,6 +7313,8 @@ def oracle_sql() -> dict[str, str]:
         "expectations_report": EXPECTATIONS_REPORT_DUCK,
         "trend_slopes": TREND_SLOPES_DUCK,
         "ab_test_report": AB_TEST_DUCK,
+        "psi_drift": PSI_DRIFT_DUCK,
+        "schema_table_diff": SCHEMA_TABLE_DIFF_DUCK,
         "tfidf_top_terms": TFIDF_TOP_TERMS_DUCK,
         "inverted_index": INVERTED_INDEX_DUCK,
         "weighted_sample": WEIGHTED_SAMPLE_DUCK,

@@ -177,6 +177,8 @@ HEADLINE = [
     "expectations_report",
     "trend_slopes",
     "ab_test_report",
+    "psi_drift",
+    "schema_table_diff",
 ]
 
 

@@ -302,6 +302,25 @@ def _ab_test(df: DataFrame, arm_col: str, converted_col: str, **kw) -> DataFrame
     return ab_test(df, arm_col, converted_col, **kw)
 
 
+def _psi_report(df: DataFrame, ref_view: str, value_col: str, **kw) -> DataFrame:
+    """Config shape: PSI drift of the input view's column against a
+    reference view (the rrfFuse view-resolution pattern)."""
+    from .validation import psi_report
+
+    return psi_report(
+        df.sparkSession.table(ref_view), df, value_col,
+        **{k: int(v) for k, v in kw.items()},
+    )
+
+
+def _schema_diff(df: DataFrame, right_view: str) -> DataFrame:
+    """Config shape: metadata-only schema drift report between the
+    input view and ``right_view``."""
+    from .validation import schema_diff
+
+    return schema_diff(df, df.sparkSession.table(right_view))
+
+
 def _kmv_intersect(df: DataFrame, other_view: str, k) -> DataFrame:
     """Config shape: set-overlap / join-size estimate from two full
     KMV sketches. The step's input view is sketch A; ``other_view``
@@ -842,6 +861,8 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "expectations": _expectations,
     "linearFit": _linear_fit,
     "abTest": _ab_test,
+    "psiReport": _psi_report,
+    "schemaDiff": _schema_diff,
     "linkRecords": _link_records,
     "ohlcTumbling": _ohlc_tumbling,
     "triangleCount": _triangle_count,

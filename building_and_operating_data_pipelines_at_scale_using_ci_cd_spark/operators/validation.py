@@ -313,3 +313,92 @@ def expectations_report(df: DataFrame, rules: list[Expectation]) -> DataFrame:
     for x in rows[1:]:
         out = out.unionByName(x)
     return out
+
+
+def psi_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    sub_bits: int = 4,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Population Stability Index — THE production drift metric for a
+    numeric feature — between a reference slice and a current slice,
+    over the deterministic log-bucket grid (``functions/sketches.py``):
+
+        PSI = Σ_buckets (p_i − q_i) · ln(p_i / q_i)
+
+    with add-one smoothing over the OBSERVED bucket union (so an empty
+    bucket on one side contributes a finite penalty instead of ln 0).
+    Bucket assignment is the integer-shift log-bucket index — exact on
+    any engine; the ln terms follow the lm_cross_entropy rounding
+    contract (both engines evaluate ln on the same rational double,
+    quantized ONCE at the end: ``psi_x{scale} = floor(scale·PSI+0.5)``).
+
+    Plan: one bounded sketch per slice (map + groupBy to ≤ 63·2^sub_bits
+    rows), a full outer join of the two tiny sketches, windowed totals
+    over the bounded bucket table, one 1-row aggregate. The slices
+    themselves shuffle once each. Returns one row:
+    ``(n_buckets, n_ref, n_cur, psi_x{scale})``. Values must be
+    positive integers (quantize upstream, the logbucket contract).
+    """
+    from ..functions.sketches import logbucket_sketch
+
+    r = logbucket_sketch(ref, value_col, sub_bits=sub_bits).withColumnRenamed(
+        "cnt", "rc"
+    )
+    c = logbucket_sketch(cur, value_col, sub_bits=sub_bits).withColumnRenamed(
+        "cnt", "cc"
+    )
+    both = (
+        r.join(c, "bucket", "outer")
+        .select(
+            "bucket",
+            F.coalesce(F.col("rc"), F.lit(0)).cast("bigint").alias("rc"),
+            F.coalesce(F.col("cc"), F.lit(0)).cast("bigint").alias("cc"),
+        )
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tot = both.select(
+        "bucket", "rc", "cc",
+        F.sum("rc").over(w).alias("nr"),
+        F.sum("cc").over(w).alias("nc"),
+        F.count("*").over(w).alias("nb"),
+    )
+    # smoothed shares over the observed-bucket union
+    p = (F.col("rc") + F.lit(1)) / (F.col("nr") + F.col("nb"))
+    q = (F.col("cc") + F.lit(1)) / (F.col("nc") + F.col("nb"))
+    term = (p - q) * (F.log(p) - F.log(q))
+    return tot.agg(
+        F.count("*").cast("int").alias("n_buckets"),
+        F.max("nr").cast("bigint").alias("n_ref"),
+        F.max("nc").cast("bigint").alias("n_cur"),
+        F.floor(F.sum(term) * F.lit(float(scale)) + F.lit(0.5))
+        .cast("bigint")
+        .alias(f"psi_x{int(scale)}"),
+    )
+
+
+def schema_diff(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Schema-drift report between two frames: one row per column name
+    appearing in either schema, with status ``ok`` / ``type_mismatch``
+    / ``only_left`` / ``only_right`` and both rendered types. Pure
+    METADATA — no data is scanned (the report is built from the
+    analyzed schemas and parallelized, bounded by column count) — so
+    it costs the same on a 100 TB table as on a fixture. The upstream
+    feed-changed-shape check a pipeline runs before V1-V7 touch rows."""
+    lt = {f.name: f.dataType.simpleString() for f in left.schema.fields}
+    rt = {f.name: f.dataType.simpleString() for f in right.schema.fields}
+    rows = []
+    for name in sorted(set(lt) | set(rt)):
+        if name in lt and name in rt:
+            status = "ok" if lt[name] == rt[name] else "type_mismatch"
+        elif name in lt:
+            status = "only_left"
+        else:
+            status = "only_right"
+        rows.append((name, status, lt.get(name), rt.get(name)))
+    return left.sparkSession.createDataFrame(
+        rows,
+        "col_name string, status string, type_left string, type_right string",
+    )

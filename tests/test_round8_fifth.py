@@ -184,3 +184,93 @@ class TestABTest:
             {"arm_col": "arm", "converted_col": "conv", "z2_x10000": "38416"},
         ).collect()[0]
         assert r.significant is True
+
+
+class TestPSIReport:
+    def test_identical_slices_near_zero(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.validation import (
+            psi_report,
+        )
+
+        df = spark.range(1, 2001).select((F.col("id") % 500 + 1).alias("v"))
+        r = psi_report(df, df, "v").collect()[0]
+        assert r.psi_x10000 == 0  # identical distributions
+        assert r.n_ref == r.n_cur == 2000
+
+    def test_shift_is_detected_and_reference_matches(self, spark):
+        import math
+
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.validation import (
+            psi_report,
+        )
+
+        ref_vals = [(v % 300) + 1 for v in range(1500)]
+        cur_vals = [v * 4 for v in ref_vals]  # two-octave shift
+        ref = spark.createDataFrame([(v,) for v in ref_vals], ["v"])
+        cur = spark.createDataFrame([(v,) for v in cur_vals], ["v"])
+        r = psi_report(ref, cur, "v").collect()[0]
+        assert r.psi_x10000 > 10000  # PSI > 1: major drift
+
+        # pure-python reference implementation over the same buckets
+        def bucket(v):
+            e = v.bit_length() - 1
+            return e * 16 + ((v << 4) >> e) - 16
+
+        from collections import Counter
+        rc, cc = Counter(map(bucket, ref_vals)), Counter(map(bucket, cur_vals))
+        buckets = set(rc) | set(cc)
+        nr, nc, nb = sum(rc.values()), sum(cc.values()), len(buckets)
+        psi = sum(
+            ((rc[b] + 1) / (nr + nb) - (cc[b] + 1) / (nc + nb))
+            * (math.log((rc[b] + 1) / (nr + nb)) - math.log((cc[b] + 1) / (nc + nb)))
+            for b in buckets
+        )
+        assert r.psi_x10000 == math.floor(psi * 10000 + 0.5)
+        assert r.n_buckets == nb
+
+    def test_registry_step(self, spark):
+        df = spark.range(1, 101).select((F.col("id") + 10).alias("v"))
+        df.createOrReplaceTempView("psi_ref_v")
+        r = apply_operator(
+            "psiReport", df, {"ref_view": "psi_ref_v", "value_col": "v"}
+        ).collect()[0]
+        assert r.psi_x10000 == 0
+
+
+class TestSchemaDiff:
+    def test_all_statuses(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.validation import (
+            schema_diff,
+        )
+
+        left = spark.createDataFrame([(1, 2.0, "x")], ["k", "p", "l_only"])
+        right = spark.createDataFrame([(1, "2.0", True)], ["k", "p", "r_only"])
+        got = {
+            r.col_name: (r.status, r.type_left, r.type_right)
+            for r in schema_diff(left, right).collect()
+        }
+        assert got == {
+            "k": ("ok", "bigint", "bigint"),
+            "p": ("type_mismatch", "double", "string"),
+            "l_only": ("only_left", "string", None),
+            "r_only": ("only_right", None, "boolean"),
+        }
+
+    def test_no_data_scan(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.validation import (
+            schema_diff,
+        )
+
+        # a frame whose evaluation would EXPLODE if scanned: the diff
+        # must come from metadata alone
+        bomb = spark.range(1).select(
+            (F.lit(1) / (F.col("id") - F.col("id"))).alias("boom")
+        )
+        out = schema_diff(bomb, bomb)
+        assert all(r.status == "ok" for r in out.collect())
+
+    def test_registry_step(self, spark):
+        left = spark.createDataFrame([(1,)], ["k"])
+        spark.createDataFrame([("a",)], ["k"]).createOrReplaceTempView("sd_right_v")
+        r = apply_operator("schemaDiff", left, {"right_view": "sd_right_v"}).collect()[0]
+        assert (r.col_name, r.status) == ("k", "type_mismatch")
