@@ -74,8 +74,13 @@ def canonicalize_url(url: Column, strip_www: bool = True) -> Column:
        changes page identity);
     6. collapse trailing ``/`` on non-root paths; empty path → ``/``.
 
-    Rows that don't look like absolute URLs (no ``scheme://``) come
-    back NULL so callers can route them to an error lane.
+    Rows that don't look like absolute URLs (no ``scheme://``, or any
+    literal whitespace left after the outer trim — legal URLs
+    %-encode spaces) come back NULL so callers can route them to an
+    error lane. The whitespace rule is also what makes the transform
+    IDEMPOTENT: hypothesis found ``http://a.b.com/ /`` whose
+    trailing-slash collapse exposed a trailing space that the next
+    pass's trim would then eat.
     """
     u = F.regexp_replace(F.trim(url), r"#.*$", "")
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
@@ -106,7 +111,7 @@ def canonicalize_url(url: Column, strip_www: bool = True) -> Column:
     q_part = F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(F.lit(""))
 
     return F.when(
-        scheme != "",
+        (scheme != "") & ~u.rlike(r"\s"),
         F.concat(scheme, F.lit("://"), host, port_part, path, q_part),
     )
 
@@ -140,7 +145,7 @@ def canonicalize_url_sql(expr: str, strip_www: bool = True) -> str:
     )
     q_part = f"CASE WHEN {canon_q} <> '' THEN '?' || {canon_q} ELSE '' END"
     return (
-        f"CASE WHEN {scheme} <> '' THEN "
+        f"CASE WHEN {scheme} <> '' AND NOT regexp_matches({u}, '\\s') THEN "
         f"{scheme} || '://' || {host} || {port_part} || {path} || {q_part} END"
     )
 
