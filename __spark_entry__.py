@@ -6941,6 +6941,76 @@ SELECT * FROM (VALUES
 """
 
 
+def _q_rank_sum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test (operators/analytics.py
+    rank_sum_test) between the raw event-value cents of even users and
+    a genuine 10%-scaled copy on odd users — a distribution shift the
+    nonparametric test must flag. U from per-value counts (one groupBy
+    to the V-row value table + one cumulative window over V, never a
+    row-level rank), significance decided exactly with the full tie
+    correction in DECIMAL(38,0) cross-multiplication (DuckDB:
+    HUGEINT)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.analytics import (
+        rank_sum_test,
+    )
+
+    ev = _table(spark, sf_dir, "events")
+    labeled = ev.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("base"))
+        .otherwise(F.lit("shifted"))
+        .alias("arm"),
+        F.when(
+            F.col("user_id") % 2 == 0,
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint"),
+        )
+        .otherwise(
+            F.expr(
+                "CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) * 11 DIV 10 AS BIGINT)"
+            )
+        )
+        .alias("v"),
+    )
+    return rank_sum_test(labeled, "arm", "v", "base", "shifted")
+
+
+RANK_SUM_DRIFT_DUCK = """
+WITH lab AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'base' ELSE 'shifted' END AS arm,
+         CASE WHEN user_id % 2 = 0 THEN c ELSE c * 11 // 10 END AS v
+  FROM (SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events)),
+pv AS (
+  SELECT v, SUM(CASE WHEN arm = 'base' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN arm = 'shifted' THEN 1 ELSE 0 END) AS cb
+  FROM lab GROUP BY v),
+cum AS (
+  SELECT ca, cb,
+         COALESCE(SUM(cb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+  FROM pv),
+s AS (
+  SELECT CAST(SUM(ca * (2 * cumb + cb)) AS BIGINT) AS u2,
+         CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+         CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT)
+           AS t3,
+         CAST(COUNT(*) AS INT) AS n_values
+  FROM cum)
+SELECT 'base' AS arm_a, n_a, 'shifted' AS arm_b, n_b, u2, n_values,
+       CASE WHEN n_a = 0 OR n_b = 0
+              OR (CAST(n_a + n_b AS HUGEINT)
+                  * ((n_a + n_b) * CAST(n_a + n_b AS HUGEINT) - 1) - t3) = 0
+            THEN FALSE
+            ELSE 3 * (CAST(u2 AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b)
+                 * (CAST(u2 AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b)
+                 * (n_a + n_b) * (n_a + n_b - 1) * 10000
+                 >= 38416 * CAST(n_a AS HUGEINT) * n_b
+                    * (CAST(n_a + n_b AS HUGEINT)
+                       * ((n_a + n_b) * CAST(n_a + n_b AS HUGEINT) - 1) - t3)
+       END AS significant
+FROM s
+"""
+
+
 def _q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming OHLCV bars (streaming/ops.py ohlc_tumbling): the
     tumbling-window twin of the batch ohlc_bars entry — six declarative
@@ -6973,24 +7043,24 @@ def _q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-8 rotation (counts: 37 + 9 + 4 = 50 checked;
-        # 124 r06/r07-green tail; 174 total). ``base``
+        # entries. Round-8 rotation (counts: 38 + 9 + 3 = 50 checked;
+        # 125 r06/r07-green tail; 175 total). ``base``
         # keeps the historical (round-7) definition order for
         # readability — the ACTUAL round-8 checked set is the explicit
-        # ``head`` list after it (29 new entries: the 6 codec-tier adds
+        # ``head`` list after it (30 new entries: the 6 codec-tier adds
         # plus delta_roundtrip, flac_decode, bm25_scores, rrf_fusion,
         # kmv_distinct, delta_cdc, phash_fingerprints, phash_near_pairs,
         # the 12 fourth-session adds url_canonical_dedup,
         # domain_cap_sample, logbucket_quantiles, ohlc_bars,
         # funnel_conversion, retention_cohorts, record_linkage,
         # streaming_ohlc, copurchase_triangles, geo_proximity_pairs,
-        # bar_returns, join_skew_report, and the 11 fifth-session adds
+        # bar_returns, join_skew_report, and the 12 fifth-session adds
         # event_transitions, kmv_join_size, dsir_select,
         # bfs_reachability, adpcm_decode, rle_video_frames,
         # expectations_report, trend_slopes, ab_test_report,
-        # psi_drift, schema_table_diff;
+        # psi_drift, schema_table_diff, rank_sum_drift;
         # 9 changed-code re-entries incl. scd2_price_history whose sink
-        # gained the delta-lite lanes; + the 4 oldest-evidence keys
+        # gained the delta-lite lanes; + the 3 oldest-evidence keys
         # that still fit under the cap), followed by everything else in
         # prior order. Next round's 50 should lead with the 12 keys the
         # late adds displaced (top_orders_per_customer,
@@ -7041,6 +7111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_report": _q_ab_test,
         "psi_drift": _q_psi_drift,
         "schema_table_diff": _q_schema_table_diff,
+        "rank_sum_drift": _q_rank_sum_drift,
         # -- (1) new or changed in round 7: 4 brand-new entries
         #    (png/jpeg decode, jdbc roundtrip, approx profiling) + 11
         #    whose code path changed (JVM bloom probe, pagerank rank
@@ -7236,7 +7307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select", "bfs_reachability",
         "adpcm_decode", "rle_video_frames",
         "expectations_report", "trend_slopes", "ab_test_report",
-        "psi_drift", "schema_table_diff",
+        "psi_drift", "schema_table_diff", "rank_sum_drift",
         # round-8 4th-session brand-new entries
         "url_canonical_dedup", "domain_cap_sample",
         "logbucket_quantiles", "ohlc_bars",
@@ -7263,13 +7334,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_regex", "quality_scores", "lang_id",
         "top_orders_per_customer", "running_customer_spend",
         "q1_pricing_summary", "q3_shipping_priority",
-        # 50-cap cutoff now falls after token_packing: the
-        # twelve 4th-session adds plus the eleven 5th-session adds
+        # 50-cap cutoff now falls after stratified_sample: the
+        # twelve 4th-session adds plus the twelve 5th-session adds
         # (event_transitions, kmv_join_size, dsir_select,
         # bfs_reachability, adpcm_decode, rle_video_frames,
         # expectations_report, trend_slopes, ab_test_report,
-        # psi_drift, schema_table_diff) displaced
-        # multimodal_frames, streaming_hourly_events,
+        # psi_drift, schema_table_diff, rank_sum_drift) displaced
+        # token_packing, multimodal_frames, streaming_hourly_events,
         # winnow_fingerprints, simhash_near_pairs,
         # sessionization, event_type_pivot, text_stats,
         # date_funcs, range_join_shipments, percentiles,
@@ -7278,7 +7349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tokenize_regex, quality_scores, lang_id,
         # top_orders_per_customer, running_customer_spend,
         # q1_pricing_summary and q3_shipping_priority past the cap.
-        # Round 9's 50 should lead with those twenty-five, then
+        # Round 9's 50 should lead with those twenty-six, then
         # q5_local_supplier_volume,
         # q6_forecast_revenue, q7_volume_shipping, q10_returned_items,
         # orders_cube, window_analytics, q20_excess_supplier and the
@@ -7315,6 +7386,7 @@ def oracle_sql() -> dict[str, str]:
         "ab_test_report": AB_TEST_DUCK,
         "psi_drift": PSI_DRIFT_DUCK,
         "schema_table_diff": SCHEMA_TABLE_DIFF_DUCK,
+        "rank_sum_drift": RANK_SUM_DRIFT_DUCK,
         "tfidf_top_terms": TFIDF_TOP_TERMS_DUCK,
         "inverted_index": INVERTED_INDEX_DUCK,
         "weighted_sample": WEIGHTED_SAMPLE_DUCK,

@@ -179,6 +179,7 @@ HEADLINE = [
     "ab_test_report",
     "psi_drift",
     "schema_table_diff",
+    "rank_sum_drift",
 ]
 
 

@@ -332,3 +332,83 @@ def ab_test(
             f"ELSE {num} * 10000 >= {z2_x10000} * ({den}) END"
         ).alias("significant"),
     )
+
+
+def rank_sum_test(
+    df: DataFrame,
+    arm_col: str,
+    value_col: str,
+    arm_a,
+    arm_b,
+    z2_x10000: int = 38416,
+) -> DataFrame:
+    """Mann–Whitney U rank-sum test between two arms of an integer
+    metric, with an EXACT significance decision. The U statistic is
+    computed from per-value counts (never a row-level rank window):
+
+        U₂ = 2U = Σ_v ca_v · (2·cumB(<v) + cb_v)
+
+    (ties contribute half each, hence the doubled units), and the
+    normal approximation with the FULL tie correction is decided by
+    cross-multiplication —
+
+        z² = 3·(U₂ − n₁n₂)²·n(n−1) / (n₁n₂·(n(n²−1) − Σ(t³−t)))
+
+        significant ⇔ 3·(U₂−n₁n₂)²·n(n−1)·10⁴ ≥ z2_x10000·n₁n₂·(…)
+
+    — in DECIMAL(38,0) products of int64 terms (DuckDB mirrors in
+    HUGEINT), so the boolean is exact: no sqrt, no float (the ab_test
+    contract, extended with tie-corrected variance). Degenerate inputs
+    (one arm empty, or every value tied) emit not-significant.
+
+    Plan: one groupBy to the V-row per-value count table (V = distinct
+    metric values — quantize/bucket the metric upstream so V stays
+    bounded; the cumulative window then sorts V rows, not the corpus),
+    one window, one 1-row aggregate. Returns ``(arm_a, n_a, arm_b,
+    n_b, u2, n_values, significant)``.
+    """
+    per_v = (
+        df.filter(F.col(arm_col).isin(arm_a, arm_b))
+        .groupBy(F.col(value_col).cast("bigint").alias("v"))
+        .agg(
+            F.sum((F.col(arm_col) == F.lit(arm_a)).cast("bigint")).alias("ca"),
+            F.sum((F.col(arm_col) == F.lit(arm_b)).cast("bigint")).alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_v.withColumn(
+        "cumb", F.coalesce(F.sum("cb").over(w), F.lit(0)).cast("bigint")
+    )
+    s = cum.agg(
+        F.sum(F.col("ca") * (F.lit(2) * F.col("cumb") + F.col("cb")))
+        .cast("bigint")
+        .alias("u2"),
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+        F.sum(
+            (F.col("ca") + F.col("cb")) * (F.col("ca") + F.col("cb"))
+            * (F.col("ca") + F.col("cb"))
+            - (F.col("ca") + F.col("cb"))
+        )
+        .cast("bigint")
+        .alias("t3"),
+        F.count("*").cast("bigint").alias("n_values"),
+    )
+    d = "CAST({} AS DECIMAL(38, 0))"
+    n = f"({d.format('n_a')} + {d.format('n_b')})"
+    diff = f"({d.format('u2')} - {d.format('n_a')} * {d.format('n_b')})"
+    lhs = f"3 * {diff} * {diff} * {n} * ({n} - 1) * 10000"
+    tie_term = f"({n} * ({n} * {n} - 1) - {d.format('t3')})"
+    rhs = f"{z2_x10000} * {d.format('n_a')} * {d.format('n_b')} * {tie_term}"
+    return s.select(
+        F.lit(arm_a).alias("arm_a"),
+        "n_a",
+        F.lit(arm_b).alias("arm_b"),
+        "n_b",
+        "u2",
+        F.col("n_values").cast("int").alias("n_values"),
+        F.expr(
+            f"CASE WHEN n_a = 0 OR n_b = 0 OR {tie_term} = 0 THEN FALSE "
+            f"ELSE {lhs} >= {rhs} END"
+        ).alias("significant"),
+    )

@@ -302,6 +302,16 @@ def _ab_test(df: DataFrame, arm_col: str, converted_col: str, **kw) -> DataFrame
     return ab_test(df, arm_col, converted_col, **kw)
 
 
+def _rank_sum_test(df: DataFrame, arm_col: str, value_col: str,
+                   arm_a: str, arm_b: str, **kw) -> DataFrame:
+    """Config shape: exact Mann–Whitney rank-sum significance."""
+    from .analytics import rank_sum_test
+
+    if "z2_x10000" in kw:
+        kw["z2_x10000"] = int(kw["z2_x10000"])
+    return rank_sum_test(df, arm_col, value_col, arm_a, arm_b, **kw)
+
+
 def _psi_report(df: DataFrame, ref_view: str, value_col: str, **kw) -> DataFrame:
     """Config shape: PSI drift of the input view's column against a
     reference view (the rrfFuse view-resolution pattern)."""
@@ -863,6 +873,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "abTest": _ab_test,
     "psiReport": _psi_report,
     "schemaDiff": _schema_diff,
+    "rankSumTest": _rank_sum_test,
     "linkRecords": _link_records,
     "ohlcTumbling": _ohlc_tumbling,
     "triangleCount": _triangle_count,

@@ -274,3 +274,78 @@ class TestSchemaDiff:
         spark.createDataFrame([("a",)], ["k"]).createOrReplaceTempView("sd_right_v")
         r = apply_operator("schemaDiff", left, {"right_view": "sd_right_v"}).collect()[0]
         assert (r.col_name, r.status) == ("k", "type_mismatch")
+
+
+class TestRankSumTest:
+    @staticmethod
+    def _df(spark, a_vals, b_vals):
+        rows = [("A", v) for v in a_vals] + [("B", v) for v in b_vals]
+        return spark.createDataFrame(rows, ["arm", "v"])
+
+    def test_extreme_separation_boundary(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.analytics import (
+            rank_sum_test,
+        )
+
+        # n=3+3 full separation: z^2 = 27/7 = 3.857... -> significant
+        # at 3.8416, NOT at 3.8572 (the exact-comparison boundary)
+        df = self._df(spark, [1, 2, 3], [4, 5, 6])
+        assert rank_sum_test(df, "arm", "v", "A", "B").collect()[0].significant
+        r = rank_sum_test(df, "arm", "v", "A", "B", z2_x10000=38572).collect()[0]
+        assert r.significant is False
+        assert r.u2 == 0  # every A below every B
+
+    def test_same_distribution_not_significant(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.analytics import (
+            rank_sum_test,
+        )
+
+        vals = [i % 10 for i in range(60)]
+        r = rank_sum_test(self._df(spark, vals, vals), "arm", "v", "A", "B").collect()[0]
+        assert r.significant is False
+        # fully symmetric: U = n1*n2/2 exactly -> u2 == n1*n2
+        assert r.u2 == 60 * 60
+
+    def test_all_tied_degenerate(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.analytics import (
+            rank_sum_test,
+        )
+
+        r = rank_sum_test(
+            self._df(spark, [5] * 4, [5] * 4), "arm", "v", "A", "B"
+        ).collect()[0]
+        assert r.significant is False and r.n_values == 1
+
+    def test_matches_python_reference(self, spark):
+        import random
+
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.analytics import (
+            rank_sum_test,
+        )
+
+        random.seed(11)
+        a = [random.randrange(20) for _ in range(80)]
+        b = [random.randrange(20) + 3 for _ in range(70)]
+        r = rank_sum_test(self._df(spark, a, b), "arm", "v", "A", "B").collect()[0]
+        # pure-python U (doubled units, ties count once each)
+        u2 = sum(2 for x in a for y in b if x > y) + sum(
+            1 for x in a for y in b if x == y
+        )
+        assert r.u2 == u2
+        # z^2 with tie correction, float reference for the boolean
+        n1, n2 = len(a), len(b)
+        n = n1 + n2
+        from collections import Counter
+        t3 = sum(t ** 3 - t for t in Counter(a + b).values())
+        z2 = (3 * (u2 - n1 * n2) ** 2 * n * (n - 1)) / (
+            n1 * n2 * (n * (n * n - 1) - t3)
+        )
+        assert r.significant == (z2 * 10000 >= 38416)
+
+    def test_registry_step(self, spark):
+        r = apply_operator(
+            "rankSumTest",
+            self._df(spark, [1, 2, 3], [4, 5, 6]),
+            {"arm_col": "arm", "value_col": "v", "arm_a": "A", "arm_b": "B"},
+        ).collect()[0]
+        assert r.significant is True
