@@ -1,6 +1,6 @@
-"""Web + product analytics on the config dialect (round 8, 4th
-session): three CONCURRENT manifest jobs exercising the session's new
-operator steps end-to-end —
+"""Web + product analytics on the config dialect (round 8): four
+CONCURRENT manifest jobs exercising the session's new operator steps
+end-to-end —
 
   - curate  — `urlDedup` + `domainCap`: crawl-hygiene URL
     canonicalization/dedup and the per-registrable-domain quota over a
@@ -15,7 +15,12 @@ operator steps end-to-end —
   - linkage — `linkRecords`: blocked Fellegi–Sunter matching of a
     customer table against a corrupted copy, block keys staged by
     plain sqlQuery steps (the dialect-idiomatic way to get expression
-    block keys).
+    block keys);
+  - experiments — the fifth-session stats tier: `expectations` (the
+    DQ gate), `abTest` + `rankSumTest` (exact cross-multiplied
+    significance decisions), `psiReport` (week-over-week value
+    drift), `linearFit` (per-type value trend), `schemaDiff`
+    (a deliberately drifted feed shape).
 
     cd /root/repo && python examples/web_analytics/run.py
 
@@ -161,6 +166,45 @@ def main():
     print(f"viewer/buyer overlap: {ov[1]}/{ov[0]} union sample in both "
           f"(jaccard {ov[2]}bp)")
     assert ov[0] == 64 and 8000 <= ov[2] <= 10000  # every user views AND buys
+
+    # experiments job: the fifth-session stats tier end-to-end
+    dq = dict(duckdb.sql(
+        f"SELECT rule_id, passed FROM '{DEMO}/dq_report/*.parquet'"
+    ).fetchall())
+    print(f"dq gate: {dq}")
+    assert dq == {"ev_pk": True, "ev_user": True, "ev_type": True, "ev_rows": True}
+
+    ab = duckdb.sql(
+        f"SELECT n_a, n_b, rate_a_bp, rate_b_bp, significant "
+        f"FROM '{DEMO}/ab_result/*.parquet'"
+    ).fetchone()
+    print(f"A/B: control {ab[0]} users @ {ab[2]}bp vs treatment {ab[1]} @ {ab[3]}bp "
+          f"-> significant={ab[4]}")
+    assert ab[0] + ab[1] == 150 and ab[4] is False  # same population, no effect
+
+    rs = duckdb.sql(
+        f"SELECT n_a, n_b, significant FROM '{DEMO}/rank_result/*.parquet'"
+    ).fetchone()
+    print(f"rank-sum: {rs[0]} vs {rs[1]} values -> significant={rs[2]}")
+    assert rs[0] + rs[1] == n_events and rs[2] is False  # identical value dists
+
+    psi = duckdb.sql(
+        f"SELECT n_ref, n_cur, psi_x10000 FROM '{DEMO}/drift_report/*.parquet'"
+    ).fetchone()
+    print(f"psi drift week1 vs rest: {psi[2]}bp over {psi[0]}+{psi[1]} rows")
+    assert psi[0] + psi[1] == n_events and 0 <= psi[2] < 1000  # same distribution
+
+    tr2 = duckdb.sql(
+        f"SELECT COUNT(*), COUNT(slope_x1000) FROM '{DEMO}/trend_report/*.parquet'"
+    ).fetchone()
+    assert tr2[0] == 5 and tr2[1] == 5  # a slope per event type
+
+    sd = dict(duckdb.sql(
+        f"SELECT col_name, status FROM '{DEMO}/schema_report/*.parquet'"
+    ).fetchall())
+    print(f"schema drift: {sd}")
+    assert sd == {"event_id": "ok", "user_id": "type_mismatch",
+                  "value": "ok", "props": "only_right"}
 
     m = duckdb.sql(
         f"SELECT COUNT(*), SUM(CASE WHEN right_id - 1000000 = left_id THEN 1 ELSE 0 END) "
