@@ -6765,10 +6765,12 @@ UNION ALL SELECT 'volume', 'row_count_between', '*', n,
 def _q_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key OLS trend (operators/analytics.py linear_fit): the value
     slope of each event type over time, in integer milli-cents-per-hour
-    from the closed-form normal equation — every moment int64 after the
-    1-row global-min hour rebase, the quotient exact via the divmod
-    split q·1000 + r·1000 DIV den (never forming num·1000, which would
-    overflow at corpus scale). One aggregation pass, map-side partial."""
+    from the closed-form normal equation — per-row products int64
+    after the 1-row global-min hour rebase, sums and cross products
+    widened to DECIMAL(38,0) (int64 n·Σxy wraps silently past ~10⁵-10⁶
+    rows per key; DuckDB mirrors in HUGEINT), the quotient exact via
+    the divmod split q·1000 + r·1000 DIV den (never forming num·1000).
+    One aggregation pass, map-side partial."""
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.analytics import (
         linear_fit,
     )
@@ -6790,10 +6792,10 @@ WITH b AS (
 x0 AS (SELECT MIN(x) AS x0 FROM b),
 s AS (
   SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(x - x0) AS BIGINT) AS sx,
-         CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM((x - x0) * (x - x0)) AS BIGINT) AS sxx,
-         CAST(SUM((x - x0) * y) AS BIGINT) AS sxy
+         SUM(CAST(x - x0 AS HUGEINT)) AS sx,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST((x - x0) * (x - x0) AS HUGEINT)) AS sxx,
+         SUM(CAST((x - x0) * y AS HUGEINT)) AS sxy
   FROM b CROSS JOIN x0 GROUP BY key)
 SELECT key AS event_type, n AS n_points,
        CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
@@ -6809,11 +6811,14 @@ FROM s
 def _q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-proportion A/B test (operators/analytics.py ab_test):
     users split into even/odd arms by id, converted = ≥14 purchase
-    events; the pooled z² significance decision is made by
-    cross-multiplication in DECIMAL(38,0) products of int64 counts —
-    no sqrt, no float, no rounding contract, exact on any engine
-    (DuckDB mirrors with HUGEINT). One groupBy to per-user counts, one
-    to the 2-row arm table, pure expression arithmetic after."""
+    events; the pooled z² significance decision is made by the
+    magnitude-reduced cross-multiplication (_cross_mult_ge: both sides
+    divided by n_a·n_b before comparing) in DECIMAL(38,0) — no sqrt,
+    no float, no rounding contract, exact on any engine to ~4·10⁹
+    rows per comparison and NULL past it (DuckDB mirrors in HUGEINT).
+    Plan: ONE scan — groupBy(arm) to the arm table, then a single
+    1-row min/max + min_by/max_by aggregate picks both arms (the old
+    orderBy/limit pair re-scanned the corpus 2-4x, explain-verified)."""
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.analytics import (
         ab_test,
     )
@@ -6845,20 +6850,30 @@ lab AS (
   FROM pu),
 arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS x
          FROM lab GROUP BY arm),
-a AS (SELECT arm AS arm_a, n AS n_a, x AS x_a FROM arms ORDER BY arm LIMIT 1),
-b AS (SELECT arm AS arm_b, n AS n_b, x AS x_b FROM arms ORDER BY arm DESC LIMIT 1)
+pair AS (
+  SELECT MIN(arm) AS arm_a, ARG_MIN(n, arm) AS n_a, ARG_MIN(x, arm) AS x_a,
+         MAX(arm) AS arm_b, ARG_MAX(n, arm) AS n_b, ARG_MAX(x, arm) AS x_b
+  FROM arms),
+-- mirror of _cross_mult_ge: divide both sides of  D²·B >= M·R1  by M
+terms AS (
+  SELECT *,
+         (CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a)
+           * (CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a) AS a_sq,
+         CAST(n_a AS HUGEINT) * n_b AS m,
+         (CAST(n_a AS HUGEINT) + n_b) * 10000 AS b,
+         38416 * (CAST(x_a AS HUGEINT) + x_b)
+               * (CAST(n_a AS HUGEINT) + n_b - x_a - x_b) AS r1
+  FROM pair)
 SELECT arm_a, n_a, x_a, arm_b, n_b, x_b,
        CAST(x_a * 10000 // n_a AS BIGINT) AS rate_a_bp,
        CAST(x_b * 10000 // n_b AS BIGINT) AS rate_b_bp,
-       CASE WHEN CAST(n_a AS HUGEINT) * n_b * (x_a + x_b) * (n_a + n_b - x_a - x_b) = 0
+       CASE WHEN n_a + n_b > 4000000000 THEN CAST(NULL AS BOOLEAN)
+            WHEN m * (x_a + x_b) * (CAST(n_a AS HUGEINT) + n_b - x_a - x_b) = 0
             THEN FALSE
-            ELSE (CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a)
-                 * (CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a)
-                 * (n_a + n_b) * 10000
-                 >= 38416 * CAST(n_a AS HUGEINT) * n_b * (x_a + x_b)
-                    * (n_a + n_b - x_a - x_b)
+            ELSE GREATEST(LEAST(r1 - (a_sq // m) * b, b), -1) * m
+                 <= (a_sq % m) * b
        END AS significant
-FROM a CROSS JOIN b
+FROM terms
 WHERE arm_a <> arm_b
 """
 
@@ -6948,8 +6963,11 @@ def _q_rank_sum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonparametric test must flag. U from per-value counts (one groupBy
     to the V-row value table + one cumulative window over V, never a
     row-level rank), significance decided exactly with the full tie
-    correction in DECIMAL(38,0) cross-multiplication (DuckDB:
-    HUGEINT)."""
+    correction via the magnitude-reduced DECIMAL(38,0)
+    cross-multiplication (_cross_mult_ge; DuckDB mirrors in HUGEINT)
+    — exact to ~1.9·10⁸ rows, NULL past the guard. max_values=None
+    skips the cardinality pre-check: cents of a bounded price range
+    keep V bounded by construction (the guard itself is pytest-pinned)."""
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.analytics import (
         rank_sum_test,
     )
@@ -6970,7 +6988,9 @@ def _q_rank_sum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("v"),
     )
-    return rank_sum_test(labeled, "arm", "v", "base", "shifted")
+    return rank_sum_test(
+        labeled, "arm", "v", "base", "shifted", max_values=None
+    )
 
 
 RANK_SUM_DRIFT_DUCK = """
@@ -6991,23 +7011,32 @@ cum AS (
 s AS (
   SELECT CAST(SUM(ca * (2 * cumb + cb)) AS BIGINT) AS u2,
          CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
-         CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT)
-           AS t3,
+         SUM(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb)
+             - (ca + cb)) AS t3,
          CAST(COUNT(*) AS INT) AS n_values
-  FROM cum)
+  FROM cum),
+-- mirror of _cross_mult_ge: divide both sides of  D²·B >= M·R1  by M
+terms AS (
+  SELECT *,
+         (CAST(u2 AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b)
+           * (CAST(u2 AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b) AS a_sq,
+         CAST(n_a AS HUGEINT) * n_b AS m,
+         3 * (CAST(n_a AS HUGEINT) + n_b)
+           * (CAST(n_a AS HUGEINT) + n_b - 1) * 10000 AS b,
+         38416 * (CAST(n_a AS HUGEINT) + n_b)
+                 * ((CAST(n_a AS HUGEINT) + n_b)
+                    * (CAST(n_a AS HUGEINT) + n_b) - 1) - 38416 * t3 AS r1,
+         (CAST(n_a AS HUGEINT) + n_b)
+           * ((CAST(n_a AS HUGEINT) + n_b)
+              * (CAST(n_a AS HUGEINT) + n_b) - 1) - t3 AS tie_term
+  FROM s)
 SELECT 'base' AS arm_a, n_a, 'shifted' AS arm_b, n_b, u2, n_values,
-       CASE WHEN n_a = 0 OR n_b = 0
-              OR (CAST(n_a + n_b AS HUGEINT)
-                  * ((n_a + n_b) * CAST(n_a + n_b AS HUGEINT) - 1) - t3) = 0
-            THEN FALSE
-            ELSE 3 * (CAST(u2 AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b)
-                 * (CAST(u2 AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b)
-                 * (n_a + n_b) * (n_a + n_b - 1) * 10000
-                 >= 38416 * CAST(n_a AS HUGEINT) * n_b
-                    * (CAST(n_a + n_b AS HUGEINT)
-                       * ((n_a + n_b) * CAST(n_a + n_b AS HUGEINT) - 1) - t3)
+       CASE WHEN n_a + n_b > 100000000 THEN CAST(NULL AS BOOLEAN)
+            WHEN n_a = 0 OR n_b = 0 OR tie_term = 0 THEN FALSE
+            ELSE GREATEST(LEAST(r1 - (a_sq // m) * b, b), -1) * m
+                 <= (a_sq % m) * b
        END AS significant
-FROM s
+FROM terms
 """
 
 

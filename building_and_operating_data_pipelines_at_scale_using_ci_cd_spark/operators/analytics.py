@@ -25,8 +25,14 @@ Scale shapes:
     the row-probability attach is a window over the pair table, which
     is bounded by |event types|² regardless of corpus size.
   - ``linear_fit``: one aggregation pass (map-side partial) to per-key
-    integer moments after a 1-row global-min rebase; the slope quotient
-    is pure expression arithmetic over the |keys|-row aggregate.
+    DECIMAL(38,0) moments after a 1-row global-min rebase; the slope
+    quotient is pure expression arithmetic over the |keys|-row
+    aggregate.
+  - ``ab_test`` / ``rank_sum_test``: one corpus scan each to a tiny
+    count table; the exact significance boolean is decided by the
+    magnitude-reduced cross-multiplication in ``_cross_mult_ge`` so
+    DECIMAL(38,0) covers ~4·10⁹ (A/B) / ~1.9·10⁸ (rank-sum) rows per
+    comparison, with a NULL lane — never a wrong boolean — past it.
 
 Every output is integer (counts and ``*_pct_x10000`` basis points via
 integer DIV) so results are bit-identical cross-engine.
@@ -218,16 +224,20 @@ def linear_fit(
 
         slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
 
-    computed entirely in int64. Both moments are translation-invariant
+    computed in DECIMAL(38,0). Both moments are translation-invariant
     in x, so x is re-based against the GLOBAL minimum first (one 1-row
-    broadcast attach) — that bounds every product far below 2^63 for
+    broadcast attach) — that keeps the per-row products in int64 for
     month-scale hour offsets and cent-scale values, where raw epoch
-    units would overflow. The quotient uses the two-step split
-    ``q·scale + (r·scale DIV den)`` (q, r = divmod(|num|, den)) with the
-    sign multiplied back — exact floor on any engine without ever
-    forming num·scale (the bar_returns DIV-sign contract, extended to
-    keep the intermediate in range). Keys with a degenerate x spread
-    (den = 0) emit NULL.
+    units would overflow — and the per-key sums and the cross products
+    ``n·Σxy``, ``Σx·Σy`` are widened to DECIMAL(38,0) BEFORE
+    multiplying: in int64 those grow as n² per key and would silently
+    wrap (a wrong slope, not an error) once a key holds ~10⁵–10⁶ rows;
+    in decimal a genuine >38-digit overflow NULLs the slope instead.
+    The quotient uses the two-step split ``q·scale + (r·scale DIV
+    den)`` (q, r = divmod(|num|, den)) with the sign multiplied back —
+    exact floor on any engine without ever forming num·scale (the
+    bar_returns DIV-sign contract, extended to keep the intermediate
+    in range). Keys with a degenerate x spread (den = 0) emit NULL.
 
     Inputs must already be integer units (e.g. hours and cents); one
     aggregation + one tiny groupBy — map-side partial, no window.
@@ -245,19 +255,22 @@ def linear_fit(
         .groupBy("key")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.sum("xr").cast("bigint").alias("sx"),
-            F.sum("y").cast("bigint").alias("sy"),
-            F.sum(F.col("xr") * F.col("xr")).cast("bigint").alias("sxx"),
-            F.sum(F.col("xr") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("xr").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+            F.sum((F.col("xr") * F.col("xr")).cast("decimal(38,0)")).alias("sxx"),
+            F.sum((F.col("xr") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
         )
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dnum = (
+        "(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy)"
+    )
+    dden = "(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx)"
+    num = F.expr(dnum)
+    den = F.expr(dden)
     sgn = F.when(num < 0, F.lit(-1)).otherwise(F.lit(1)).cast("bigint")
-    q = F.expr("ABS(n * sxy - sx * sy) DIV (n * sxx - sx * sx)")
+    q = F.expr(f"ABS({dnum}) DIV {dden}")
     rem_scaled = F.expr(
-        f"(ABS(n * sxy - sx * sy) % (n * sxx - sx * sx)) * {int(scale)} "
-        f"DIV (n * sxx - sx * sx)"
+        f"CAST((ABS({dnum}) % {dden}) * {int(scale)} DIV {dden} AS BIGINT)"
     )
     slope = sgn * (q * F.lit(int(scale)) + rem_scaled)
     return s.select(
@@ -265,6 +278,44 @@ def linear_fit(
         F.col("n").alias("n_points"),
         F.when(den != 0, slope).cast("bigint").alias(f"slope_x{int(scale)}"),
     )
+
+
+def _cross_mult_ge(a_sq: str, m: str, b: str, r1: str) -> str:
+    """SQL boolean for ``a_sq · b  >=  m · r1`` without ever forming
+    either full product — the shared magnitude-reduction lemma behind
+    both exact significance tests.
+
+    With ``q = a_sq DIV m`` and ``r = a_sq % m`` (so ``a_sq = q·m + r``,
+    ``0 <= r < m``), the comparison divides both sides by ``m``:
+
+        a_sq·b >= m·r1  ⇔  (q·b − r1)·m >= −r·b
+                        ⇔  LEAST(r1 − q·b, b) · m  <=  r·b
+
+    (if ``q·b >= r1`` the clamped factor is <= 0 and the clause is
+    trivially true; if ``r1 − q·b >= b`` then the factor clamps to
+    ``b`` and ``b·m > r·b`` is trivially false since r < m; in between
+    the comparison is exact). The two-sided clamp — LEAST against ``b``
+    above, GREATEST against ``-1`` below — bounds the multiplied factor
+    in ``[-1, b]`` so every operand stays within ``max(r1, b·m, r·b)``,
+    inside DECIMAL(38,0) for inputs where the naive ``a_sq·b`` product
+    would need ~10⁴⁰ (without the GREATEST, a dominant ``q·b`` would
+    overflow the product and NULL a decision that must be TRUE). All
+    four inputs must be non-negative integer SQL expressions with
+    ``m >= 1``.
+    """
+    q = f"({a_sq}) DIV ({m})"
+    r = f"({a_sq}) % ({m})"
+    return (
+        f"(GREATEST(LEAST(({r1}) - ({q}) * ({b}), ({b})), -1) * ({m}) "
+        f"<= ({r}) * ({b}))"
+    )
+
+
+#: past this many total rows per comparison the DECIMAL(38,0)
+#: cross-multiplication can overflow (→ NULL, not a wrong answer);
+#: both tests emit NULL significance beyond it instead of guessing.
+AB_TEST_MAX_N = 4_000_000_000
+RANK_SUM_MAX_N = 100_000_000
 
 
 def ab_test(
@@ -283,18 +334,27 @@ def ab_test(
              ───────────────────────────────────────────
              n_a·n_b·(x_a + x_b)·(n_a + n_b − x_a − x_b)
 
-        significant  ⇔  num · 10000 ≥ z2_x10000 · den
+        significant  ⇔  D² · (N·10⁴)  ≥  z2_x10000 · n_a·n_b·p·q
 
-    evaluated in DECIMAL(38,0) products of int64 counts, so the boolean
-    is exact on any engine — no sqrt, no float, no rounding contract
-    (default threshold 3.8416 = z²₀.₀₅). Degenerate pools (all or no
+    with D = x_a·n_b − x_b·n_a, decided via :func:`_cross_mult_ge`
+    (divide both sides by M = n_a·n_b before comparing), so every
+    intermediate stays within DECIMAL(38,0) up to N = n_a + n_b ≈ 4·10⁹
+    total rows — the naive product overflows (silently NULLs in
+    non-ANSI Spark) past ~10⁷ rows per arm. Beyond
+    :data:`AB_TEST_MAX_N` the decision is emitted as NULL (D² itself
+    can overflow there), never a wrong boolean; DuckDB mirrors in
+    HUGEINT. No sqrt, no float, no rounding contract (default
+    threshold 3.8416 = z²₀.₀₅). Degenerate pools (all or no
     conversions) emit significant = false. ``converted_col`` is 0/1.
     Pass ``arm_a``/``arm_b`` to name the compared arms explicitly;
     by default the minimum and maximum arm values are compared (other
     arm values, if any, take no part).
 
-    One aggregation pass to a 2-row table, then pure expression
-    arithmetic — the corpus never shuffles twice.
+    Plan: ONE scan of the input — groupBy(arm) with map-side partials
+    to the tiny arm table, then a single 1-row aggregate picks both
+    compared arms with min/max + min_by/max_by structs (no
+    orderBy/limit twin subplans, which would each re-scan the corpus);
+    the decision is pure expression arithmetic on that row.
     """
     if arm_a is not None and arm_b is not None:
         df = df.filter(F.col(arm_col).isin(arm_a, arm_b))
@@ -305,31 +365,42 @@ def ab_test(
             F.sum(F.col(converted_col).cast("bigint")).cast("bigint").alias("x"),
         )
     )
-    a = arms.orderBy("arm").limit(1).select(
-        F.col("arm").alias("arm_a"), F.col("n").alias("n_a"), F.col("x").alias("x_a")
+    pair = arms.agg(
+        F.min("arm").alias("arm_a"),
+        F.min_by(F.struct("n", "x"), "arm").alias("__sa"),
+        F.max("arm").alias("arm_b"),
+        F.max_by(F.struct("n", "x"), "arm").alias("__sb"),
+    ).select(
+        "arm_a",
+        F.col("__sa.n").alias("n_a"),
+        F.col("__sa.x").alias("x_a"),
+        "arm_b",
+        F.col("__sb.n").alias("n_b"),
+        F.col("__sb.x").alias("x_b"),
     )
-    b = arms.orderBy(F.col("arm").desc()).limit(1).select(
-        F.col("arm").alias("arm_b"), F.col("n").alias("n_b"), F.col("x").alias("x_b")
-    )
-    pair = a.crossJoin(F.broadcast(b))  # two 1-row sides
     dec = "CAST({} AS DECIMAL(38, 0))"
-    num = (
-        f"POWER_DIFF * POWER_DIFF * ({dec.format('n_a')} + {dec.format('n_b')})"
-    ).replace("POWER_DIFF", f"({dec.format('x_a')} * {dec.format('n_b')} - "
-                            f"{dec.format('x_b')} * {dec.format('n_a')})")
-    den = (
-        f"{dec.format('n_a')} * {dec.format('n_b')} * "
-        f"({dec.format('x_a')} + {dec.format('x_b')}) * "
+    diff = (
+        f"({dec.format('x_a')} * {dec.format('n_b')} - "
+        f"{dec.format('x_b')} * {dec.format('n_a')})"
+    )
+    a_sq = f"({diff} * {diff})"
+    m = f"({dec.format('n_a')} * {dec.format('n_b')})"
+    b = f"(({dec.format('n_a')} + {dec.format('n_b')}) * 10000)"
+    r1 = (
+        f"({z2_x10000} * ({dec.format('x_a')} + {dec.format('x_b')}) * "
         f"({dec.format('n_a')} + {dec.format('n_b')} - "
-        f"{dec.format('x_a')} - {dec.format('x_b')})"
+        f"{dec.format('x_a')} - {dec.format('x_b')}))"
     )
     return pair.filter(F.col("arm_a") != F.col("arm_b")).select(
         "arm_a", "n_a", "x_a", "arm_b", "n_b", "x_b",
         F.expr("CAST(x_a * 10000 DIV n_a AS BIGINT)").alias("rate_a_bp"),
         F.expr("CAST(x_b * 10000 DIV n_b AS BIGINT)").alias("rate_b_bp"),
         F.expr(
-            f"CASE WHEN {den} = 0 THEN FALSE "
-            f"ELSE {num} * 10000 >= {z2_x10000} * ({den}) END"
+            f"CASE WHEN n_a + n_b > {AB_TEST_MAX_N} THEN CAST(NULL AS BOOLEAN) "
+            f"WHEN {m} * ({dec.format('x_a')} + {dec.format('x_b')}) * "
+            f"({dec.format('n_a')} + {dec.format('n_b')} - "
+            f"{dec.format('x_a')} - {dec.format('x_b')}) = 0 THEN FALSE "
+            f"ELSE {_cross_mult_ge(a_sq, m, b, r1)} END"
         ).alias("significant"),
     )
 
@@ -341,6 +412,8 @@ def rank_sum_test(
     arm_a,
     arm_b,
     z2_x10000: int = 38416,
+    max_values: int | None = 1_000_000,
+    n_buckets_bits: int | None = None,
 ) -> DataFrame:
     """Mann–Whitney U rank-sum test between two arms of an integer
     metric, with an EXACT significance decision. The U statistic is
@@ -354,52 +427,95 @@ def rank_sum_test(
 
         z² = 3·(U₂ − n₁n₂)²·n(n−1) / (n₁n₂·(n(n²−1) − Σ(t³−t)))
 
-        significant ⇔ 3·(U₂−n₁n₂)²·n(n−1)·10⁴ ≥ z2_x10000·n₁n₂·(…)
+    rewritten as ``D²·B ≥ M·R1`` with D = U₂−n₁n₂, M = n₁n₂,
+    B = 3·n(n−1)·10⁴, R1 = z2_x10000·tie_term and decided via
+    :func:`_cross_mult_ge` (divide both sides by M before comparing).
+    The tie cubes and every product run in DECIMAL(38,0) — int64 would
+    silently wrap Σ(t³−t) past ~2·10⁶ rows, and the naive five-way
+    product overflows past ~6·10⁵ — so the boolean is exact up to
+    n ≈ 1.9·10⁸ total rows; beyond :data:`RANK_SUM_MAX_N` it is emitted
+    as NULL, never a wrong answer (DuckDB mirrors in HUGEINT). No sqrt,
+    no float (the ab_test contract, extended with tie-corrected
+    variance). Degenerate inputs (one arm empty, or every value tied)
+    emit not-significant.
 
-    — in DECIMAL(38,0) products of int64 terms (DuckDB mirrors in
-    HUGEINT), so the boolean is exact: no sqrt, no float (the ab_test
-    contract, extended with tie-corrected variance). Degenerate inputs
-    (one arm empty, or every value tied) emit not-significant.
+    Plan: one groupBy to the V-row per-value count table, one
+    cumulative window over V rows, one 1-row aggregate. The window is
+    a single-partition sort of V rows, so V MUST stay bounded — and
+    that contract is now enforced, two ways:
 
-    Plan: one groupBy to the V-row per-value count table (V = distinct
-    metric values — quantize/bucket the metric upstream so V stays
-    bounded; the cumulative window then sorts V rows, not the corpus),
-    one window, one 1-row aggregate. Returns ``(arm_a, n_a, arm_b,
-    n_b, u2, n_values, significant)``.
+    - ``max_values`` (default 10⁶): an ``approx_count_distinct``
+      pre-check (map-side-partial, one cheap extra pass, no shuffle of
+      data rows) raises ``ValueError`` before planting a sort that
+      would never finish on an unquantized metric. ``None`` skips the
+      pass for callers that already guarantee bounded V.
+    - ``n_buckets_bits``: opt-in sign-preserving log-bucket
+      quantization (the ``logbucket_index`` grid, mirrored for
+      negatives) applied BEFORE grouping — V drops to ≤ 2·63·2^bits+1
+      regardless of the metric, the pre-check is skipped, and the test
+      becomes approximate exactly to the bucket resolution (relative
+      width 2^-bits), which is what a drift detector wants.
+
+    Returns ``(arm_a, n_a, arm_b, n_b, u2, n_values, significant)``.
     """
-    per_v = (
-        df.filter(F.col(arm_col).isin(arm_a, arm_b))
-        .groupBy(F.col(value_col).cast("bigint").alias("v"))
-        .agg(
-            F.sum((F.col(arm_col) == F.lit(arm_a)).cast("bigint")).alias("ca"),
-            F.sum((F.col(arm_col) == F.lit(arm_b)).cast("bigint")).alias("cb"),
+    vals = df.filter(F.col(arm_col).isin(arm_a, arm_b)).select(
+        F.col(arm_col).alias("__arm"),
+        F.col(value_col).cast("bigint").alias("v"),
+    )
+    if n_buckets_bits is not None:
+        from ..functions.sketches import logbucket_index
+
+        av = F.abs(F.col("v"))
+        signed_bucket = (
+            F.when(F.col("v") > 0, logbucket_index(av, n_buckets_bits) + F.lit(1))
+            .when(F.col("v") < 0, -(logbucket_index(av, n_buckets_bits) + F.lit(1)))
+            .otherwise(F.lit(0))
+            .cast("bigint")
         )
+        vals = vals.select("__arm", signed_bucket.alias("v"))
+    elif max_values is not None:
+        approx_v = vals.agg(
+            F.approx_count_distinct("v").alias("adv")
+        ).collect()[0]["adv"]
+        # approx_count_distinct is ±~2.3%; 1.1 head-room keeps the
+        # guard from false-failing right at the limit
+        if approx_v > max_values * 1.1:
+            raise ValueError(
+                f"rank_sum_test: ~{approx_v} distinct values of "
+                f"{value_col!r} exceed max_values={max_values}; the "
+                "cumulative rank window would single-task-sort that many "
+                "rows. Quantize the metric (n_buckets_bits=...) or raise "
+                "max_values explicitly."
+            )
+    per_v = vals.groupBy("v").agg(
+        F.sum((F.col("__arm") == F.lit(arm_a)).cast("bigint")).alias("ca"),
+        F.sum((F.col("__arm") == F.lit(arm_b)).cast("bigint")).alias("cb"),
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     cum = per_v.withColumn(
         "cumb", F.coalesce(F.sum("cb").over(w), F.lit(0)).cast("bigint")
     )
+    dec38 = "CAST({} AS DECIMAL(38, 0))"
+    t = f"({dec38.format('ca')} + {dec38.format('cb')})"
     s = cum.agg(
         F.sum(F.col("ca") * (F.lit(2) * F.col("cumb") + F.col("cb")))
         .cast("bigint")
         .alias("u2"),
         F.sum("ca").cast("bigint").alias("n_a"),
         F.sum("cb").cast("bigint").alias("n_b"),
-        F.sum(
-            (F.col("ca") + F.col("cb")) * (F.col("ca") + F.col("cb"))
-            * (F.col("ca") + F.col("cb"))
-            - (F.col("ca") + F.col("cb"))
-        )
-        .cast("bigint")
+        F.sum(F.expr(f"{t} * {t} * {t} - {t}"))
+        .cast("decimal(38,0)")
         .alias("t3"),
         F.count("*").cast("bigint").alias("n_values"),
     )
     d = "CAST({} AS DECIMAL(38, 0))"
     n = f"({d.format('n_a')} + {d.format('n_b')})"
+    m = f"({d.format('n_a')} * {d.format('n_b')})"
     diff = f"({d.format('u2')} - {d.format('n_a')} * {d.format('n_b')})"
-    lhs = f"3 * {diff} * {diff} * {n} * ({n} - 1) * 10000"
-    tie_term = f"({n} * ({n} * {n} - 1) - {d.format('t3')})"
-    rhs = f"{z2_x10000} * {d.format('n_a')} * {d.format('n_b')} * {tie_term}"
+    a_sq = f"({diff} * {diff})"
+    b = f"(3 * {n} * ({n} - 1) * 10000)"
+    tie_term = f"({n} * ({n} * {n} - 1) - t3)"
+    r1 = f"({z2_x10000} * {tie_term})"
     return s.select(
         F.lit(arm_a).alias("arm_a"),
         "n_a",
@@ -408,7 +524,8 @@ def rank_sum_test(
         "u2",
         F.col("n_values").cast("int").alias("n_values"),
         F.expr(
-            f"CASE WHEN n_a = 0 OR n_b = 0 OR {tie_term} = 0 THEN FALSE "
-            f"ELSE {lhs} >= {rhs} END"
+            f"CASE WHEN n_a + n_b > {RANK_SUM_MAX_N} THEN CAST(NULL AS BOOLEAN) "
+            f"WHEN n_a = 0 OR n_b = 0 OR {tie_term} = 0 THEN FALSE "
+            f"ELSE {_cross_mult_ge(a_sq, m, b, r1)} END"
         ).alias("significant"),
     )

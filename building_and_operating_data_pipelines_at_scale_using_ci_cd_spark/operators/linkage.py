@@ -29,6 +29,10 @@ Comparator kinds:
   - ``prefix`` — first ``param`` chars equal;
   - ``abs_tol_x100`` — |left-right| <= param/100, compared on
     HALF-UP-quantized integer hundredths (exact cross-engine).
+
+All three share ONE null contract (see ``FieldComparator``): both-null
+agrees, one-sided null disagrees — so the same missing field can never
+flip sign between comparator kinds.
 """
 
 from __future__ import annotations
@@ -42,7 +46,14 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class FieldComparator:
     """One field rule: adds ``w_agree`` milli-units when the rule
-    holds, else ``w_disagree`` (typically negative)."""
+    holds, else ``w_disagree`` (typically negative).
+
+    NULL contract — IDENTICAL for every kind (a missing-both-sides
+    field must not score oppositely depending on which comparator
+    happens to test it): both sides NULL ⇒ agreement (the eqNullSafe
+    convention ``exact`` always had); exactly one side NULL ⇒
+    disagreement (the comparison can't confirm, so it doesn't pay
+    ``w_agree``)."""
 
     left_col: str
     right_col: str
@@ -56,14 +67,18 @@ class FieldComparator:
         if self.kind == "exact":
             return l.eqNullSafe(r)
         if self.kind == "prefix":
-            return F.substring(l.cast("string"), 1, self.param) == F.substring(
+            cmp = F.substring(l.cast("string"), 1, self.param) == F.substring(
                 r.cast("string"), 1, self.param
             )
-        if self.kind == "abs_tol_x100":
+        elif self.kind == "abs_tol_x100":
             lq = F.floor(l * 100 + F.lit(0.5)).cast("bigint")
             rq = F.floor(r * 100 + F.lit(0.5)).cast("bigint")
-            return F.abs(lq - rq) <= F.lit(self.param)
-        raise ValueError(f"unknown comparator kind {self.kind!r}")
+            cmp = F.abs(lq - rq) <= F.lit(self.param)
+        else:
+            raise ValueError(f"unknown comparator kind {self.kind!r}")
+        # same null-safe contract as eqNullSafe: both-null agrees, a
+        # one-sided null (cmp = NULL) falls to disagreement
+        return (l.isNull() & r.isNull()) | F.coalesce(cmp, F.lit(False))
 
     def weight(self) -> Column:
         return (

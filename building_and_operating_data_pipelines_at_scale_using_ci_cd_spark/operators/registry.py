@@ -293,6 +293,18 @@ def _linear_fit(df: DataFrame, key_col: str, x_col: str, y_col: str,
     return linear_fit(df, key_col, x_col, y_col, scale=int(scale))
 
 
+def _registrable_domain_psl(
+    df: DataFrame, host_col: str, psl_path: str, **kw
+) -> DataFrame:
+    """Config shape: eTLD+1 under a FULL public-suffix-list file
+    (wildcards/exceptions included) — the broadcast-join twin of the
+    literal-excerpt path ``domainCap`` uses. ``psl_path`` points at a
+    publicsuffix.org-format file on the driver."""
+    from .web import load_psl, registrable_domain_psl
+
+    return registrable_domain_psl(df, host_col, load_psl(psl_path), **kw)
+
+
 def _ab_test(df: DataFrame, arm_col: str, converted_col: str, **kw) -> DataFrame:
     """Config shape: exact two-proportion A/B significance decision."""
     from .analytics import ab_test
@@ -307,8 +319,9 @@ def _rank_sum_test(df: DataFrame, arm_col: str, value_col: str,
     """Config shape: exact Mann–Whitney rank-sum significance."""
     from .analytics import rank_sum_test
 
-    if "z2_x10000" in kw:
-        kw["z2_x10000"] = int(kw["z2_x10000"])
+    for k in ("z2_x10000", "max_values", "n_buckets_bits"):
+        if kw.get(k) is not None:
+            kw[k] = int(kw[k])
     return rank_sum_test(df, arm_col, value_col, arm_a, arm_b, **kw)
 
 
@@ -862,6 +875,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "kmvSketch": _kmv_sketch,
     "urlDedup": _url_dedup,
     "domainCap": _domain_cap,
+    "registrableDomainPsl": _registrable_domain_psl,
     "funnel": _funnel,
     "retention": _retention,
     "transitionMatrix": _transition_matrix,

@@ -11,11 +11,14 @@ tier with the web-crawl hygiene a 100-TB training corpus needs
 Scale design: every transform here is a pure Column expression —
 map-only, whole-stage-codegen, zero Python, zero shuffle.  The only
 shuffles are the ones the *caller* asks for (``url_dedup``'s groupBy on
-the canonical URL, ``domain_cap``'s per-domain window), and both key on
-high-cardinality values (canonical URL / registrable domain) so they
-partition evenly; a pathological single mega-domain in ``domain_cap``
-is exactly the skew case the window tolerates because the cap is a
-row_number early-exit per partition, not a sort of the whole corpus.
+the canonical URL, ``domain_cap``'s count pre-pass + per-domain
+ranking), keyed on high-cardinality values (canonical URL / registrable
+domain) so they partition evenly.  A pathological single mega-domain in
+``domain_cap`` never reaches a window sort of its full row set: the
+count pre-pass routes under-cap domains around ranking entirely and a
+hash-threshold pre-filter shrinks an over-cap domain to ~4·cap rows
+before the exact window (with a checked exact fallback, so the answer
+never depends on hash uniformity) — see :func:`domain_cap`.
 
 Cross-engine determinism: components are extracted with regexes (not
 ``parse_url``) so a DuckDB oracle can mirror every step byte-for-byte;
@@ -33,7 +36,13 @@ from ..functions.text import portable_hash
 # Query parameters that never change page identity (analytics /
 # click-tracking); stripped before the param sort.  The regex form is
 # compiled once into the plan — extending the list is a literal edit.
-TRACKING_PARAM_RE = r"^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|ref_src|igshid)="
+# Bare ``ref`` is deliberately NOT in the default list: unlike utm_*/
+# gclid it frequently carries page identity (``?ref=<branch>`` on code
+# hosts), so stripping it can merge genuinely distinct pages — pass
+# ``strip_ref=True`` to canonicalize_url to opt in for corpora where
+# ``ref`` is known to be referral tracking only.
+TRACKING_PARAM_RE = r"^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref_src|igshid)="
+TRACKING_PARAM_WITH_REF_RE = r"^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|ref_src|igshid)="
 
 # Bounded public-suffix excerpt: second-level suffixes under which the
 # registrable domain is three labels, not two ("bbc.co.uk", not
@@ -59,7 +68,9 @@ _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
 _QUERY_RE = r"\?([^#]*)"
 
 
-def canonicalize_url(url: Column, strip_www: bool = True) -> Column:
+def canonicalize_url(
+    url: Column, strip_www: bool = True, strip_ref: bool = False
+) -> Column:
     """Canonical form of an absolute http(s)-style URL, as one
     whole-stage-codegen Column expression.
 
@@ -100,11 +111,12 @@ def canonicalize_url(url: Column, strip_www: bool = True) -> Column:
     trimmed = F.regexp_replace(raw_path, r"/+$", "")
     path = F.when(trimmed == "", F.lit("/")).otherwise(trimmed)
 
+    tracking_re = TRACKING_PARAM_WITH_REF_RE if strip_ref else TRACKING_PARAM_RE
     query = F.regexp_extract(u, _QUERY_RE, 1)
     params = F.array_sort(
         F.filter(
             F.split(query, "&"),
-            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+            lambda p: (p != "") & ~p.rlike(tracking_re),
         )
     )
     canon_q = F.array_join(params, "&")
@@ -116,11 +128,14 @@ def canonicalize_url(url: Column, strip_www: bool = True) -> Column:
     )
 
 
-def canonicalize_url_sql(expr: str, strip_www: bool = True) -> str:
+def canonicalize_url_sql(
+    expr: str, strip_www: bool = True, strip_ref: bool = False
+) -> str:
     """The DuckDB/ANSI mirror of :func:`canonicalize_url` over the SQL
     expression ``expr`` — kept next to the Column version so the two
     evolve together (every oracle that canonicalizes URLs composes
     this)."""
+    tracking_re = TRACKING_PARAM_WITH_REF_RE if strip_ref else TRACKING_PARAM_RE
     u = f"regexp_replace(trim({expr}), '#.*$', '')"
     scheme = f"lower(regexp_extract({u}, '{_SCHEME_RE}', 1))"
     hostport = f"lower(regexp_extract({u}, '{_HOSTPORT_RE}', 1))"
@@ -141,7 +156,7 @@ def canonicalize_url_sql(expr: str, strip_www: bool = True) -> str:
     query = f"regexp_extract({u}, '\\?([^#]*)', 1)"
     canon_q = (
         f"array_to_string(list_sort(list_filter(string_split({query}, '&'), "
-        f"p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))), '&')"
+        f"p -> p <> '' AND NOT regexp_matches(p, '{tracking_re}'))), '&')"
     )
     q_part = f"CASE WHEN {canon_q} <> '' THEN '?' || {canon_q} ELSE '' END"
     return (
@@ -184,15 +199,18 @@ def registrable_domain_sql(expr: str) -> str:
 def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
     """Collapse rows whose URLs canonicalize identically: one output
     row per canonical URL carrying the smallest ``id_col`` (the
-    deterministic survivor) and the variant count.  One groupBy on the
-    canonical URL — high cardinality, even partitioning; rows whose URL
-    doesn't parse land in the NULL group for the caller to route."""
+    deterministic survivor — MIN in the id column's NATIVE type, so
+    string document ids work; an unconditional bigint cast would NULL
+    every survivor on a string-keyed corpus) and the variant count.
+    One groupBy on the canonical URL — high cardinality, even
+    partitioning; rows whose URL doesn't parse land in the NULL group
+    for the caller to route."""
     canon = canonicalize_url(F.col(url_col))
     return (
         df.select(canon.alias("canonical_url"), F.col(id_col))
         .groupBy("canonical_url")
         .agg(
-            F.min(id_col).cast("bigint").alias("keep_id"),
+            F.min(id_col).alias("keep_id"),
             F.count("*").cast("bigint").alias("n_variants"),
         )
     )
@@ -209,25 +227,275 @@ def domain_cap(
     per-domain quota every crawl-derived corpus applies so one
     mega-site can't dominate the training mix.
 
-    The kept set is DETERMINISTIC: rows rank by
+    The kept set is DETERMINISTIC and EXACT: rows rank by
     ``(portable_hash(id, seed), id)`` within their domain, so the
     selection is a uniform pseudo-random draw that any engine with md5
-    reproduces exactly.  Plan: one hash-partitioned window (no global
-    sort); adds ``domain`` and keeps input columns.
+    reproduces exactly.
+
+    Skew design (a single mega-domain is the whole point of this
+    operator, so it must not be its failure mode — ``row_number`` has
+    no early exit; a naive per-domain window would SORT the entire
+    mega-domain's rows in one task):
+
+    1. per-domain count pre-pass (cheap map-side-partial groupBy);
+    2. rows of domains with ``count <= cap`` bypass ranking entirely —
+       they are all kept, no window ever sees them;
+    3. over-cap domains pre-filter to rows with
+       ``hash <= HASH_SPAN·cap·4/count + 1024`` — because the kept set
+       is exactly the ``cap`` smallest ``(hash, id)`` pairs, the
+       survivor set is a PREFIX of that order, ~4·cap + slack expected
+       rows per domain, and the exact window ranks only those;
+    4. the oversample makes a shortfall (< cap survivors)
+       astronomically unlikely but not impossible, so it is CHECKED:
+       any short domain (adversarial ids could skew md5's low range)
+       falls back to the exact window over all its rows — the answer
+       never depends on the hash being uniform.
+
+    The count attach is an equi-join on ``domain``; unlike a window,
+    a skewed join is AQE-splittable. Adds ``domain``; keeps input
+    columns.
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     from pyspark.sql import Window
 
+    hash_span = 1 << 32
     dom = registrable_domain(F.col(host_col))
-    w = (
-        Window.partitionBy("domain")
-        .orderBy(F.col("__dc_h").asc(), F.col(id_col).asc())
+    base = df.withColumn("domain", dom).withColumn(
+        "__dc_h", portable_hash(F.col(id_col), seed=seed)
     )
-    return (
-        df.withColumn("domain", dom)
-        .withColumn("__dc_h", portable_hash(F.col(id_col), seed=seed))
+    counts = base.groupBy("domain").agg(F.count("*").alias("__dc_n"))
+    joined = base.join(counts, "domain")
+    out_cols = [*df.columns, "domain"]
+
+    under = joined.filter(F.col("__dc_n") <= cap).select(*out_cols)
+
+    over = joined.filter(F.col("__dc_n") > cap)
+    threshold = F.least(
+        F.lit(hash_span - 1),
+        F.expr(f"CAST({hash_span * 4 * cap} AS BIGINT) DIV __dc_n") + F.lit(1024),
+    ).cast("bigint")
+    surv = over.filter(F.col("__dc_h") <= threshold)
+    short = (
+        surv.groupBy("domain")
+        .agg(F.count("*").alias("__dc_s"))
+        .filter(F.col("__dc_s") < cap)
+        .select("domain")
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.col("__dc_h").asc(), F.col(id_col).asc()
+    )
+    ranked_main = (
+        surv.join(F.broadcast(short), "domain", "left_anti")
         .withColumn("__dc_rn", F.row_number().over(w))
         .filter(F.col("__dc_rn") <= cap)
-        .drop("__dc_h", "__dc_rn")
+        .select(*out_cols)
     )
+    ranked_fallback = (
+        over.join(F.broadcast(short), "domain", "left_semi")
+        .withColumn("__dc_rn", F.row_number().over(w))
+        .filter(F.col("__dc_rn") <= cap)
+        .select(*out_cols)
+    )
+    return under.unionByName(ranked_main).unionByName(ranked_fallback)
+
+
+# ---------------------------------------------------------------------------
+# Full public-suffix-list path (the bounded literal excerpt above stays the
+# zero-shuffle default; this closes its documented long-tail gap)
+# ---------------------------------------------------------------------------
+
+#: parsed PSL rule: (join key, effective label count for prevailing-rule
+#: selection, public-suffix label count when this rule wins, exception?)
+PslRule = tuple
+
+
+def parse_psl(text: str) -> list:
+    """Parse public-suffix-list text (the publicsuffix.org format: one
+    rule per line, ``//`` comments, ``*.`` wildcards matching exactly
+    one label, ``!`` exceptions) into rules usable by
+    :func:`registrable_domain_psl`.
+
+    Each rule becomes ``(key, eff_labels, ps_len, is_exception)``:
+
+    - plain rule ``co.uk`` → key ``co.uk``, eff_labels 2, ps_len 2;
+    - wildcard ``*.ck``   → key ``ck``  (the literal tail — a host
+      matches when its 1-label suffix equals it AND it has a label for
+      the ``*``), eff_labels 2, ps_len 2;
+    - exception ``!www.ck`` → key ``www.ck``, ps_len 1 (the rule minus
+      its first label is the public suffix, per spec) and priority
+      over any wildcard/plain rule it overlaps.
+
+    Only leading ``*.`` wildcards are supported — the published list
+    uses no other form. Rules are lowercased; duplicate keys keep the
+    strongest (exception > most labels).
+    """
+    rules: dict = {}
+    for raw in text.splitlines():
+        line = raw.strip().lower()
+        if not line or line.startswith("//"):
+            continue
+        # the published list annotates entries with trailing comments on
+        # their own lines only, but be safe about inline whitespace
+        line = line.split()[0]
+        is_exc = line.startswith("!")
+        if is_exc:
+            line = line[1:]
+        is_wild = line.startswith("*.")
+        if is_wild:
+            line = line[2:]
+        if "*" in line or not line:
+            raise ValueError(f"unsupported PSL rule: {raw!r}")
+        labels = line.split(".")
+        if is_exc:
+            rule = (line, len(labels), len(labels) - 1, True)
+        elif is_wild:
+            rule = (line, len(labels) + 1, len(labels) + 1, False)
+        else:
+            rule = (line, len(labels), len(labels), False)
+        prev = rules.get(line)
+        if prev is None or (rule[3], rule[1]) > (prev[3], prev[1]):
+            rules[line] = rule
+    return sorted(rules.values())
+
+
+def load_psl(path: str) -> list:
+    """Read and parse a PSL file from disk (driver-side — the rule set
+    is broadcast, never scanned as data)."""
+    with open(path, encoding="utf-8") as fh:
+        return parse_psl(fh.read())
+
+
+def registrable_domain_psl(
+    df: DataFrame,
+    host_col: str,
+    rules: list,
+    out_col: str = "domain",
+    max_suffix_labels: int | None = None,
+) -> DataFrame:
+    """eTLD+1 under a FULL public suffix list: the broadcast-join twin
+    of :func:`registrable_domain` for when the ~50-suffix literal
+    excerpt's long tail matters (``gov.br`` variants, wildcard TLDs,
+    exception rules).
+
+    Algorithm (publicsuffix.org): among rules whose key equals a
+    label-suffix of the host (wildcards additionally require a label
+    for the ``*``), exceptions win, then the most labels; the winning
+    rule's public suffix plus one preceding label is the registrable
+    domain; hosts that ARE a public suffix (or unparseable) get NULL;
+    hosts matching no rule use the implicit ``*`` default (public
+    suffix = last label).
+
+    Plan shape for 100 TB: one distinct on the host (high-cardinality
+    groupBy), a ≤``max_suffix_labels``-way posexplode of label
+    suffixes on that DISTINCT set only, one BROADCAST join against the
+    ~9k-row rule table, one groupBy(host) max-struct to pick the
+    winning rule, and one equi-join back onto the input rows — the
+    corpus itself is touched by exactly that last join; everything
+    else runs on the deduplicated host set.
+    """
+    if not rules:
+        raise ValueError("empty PSL rule set")
+    spark = df.sparkSession
+    max_j = max_suffix_labels or max(r[1] for r in rules)
+    rules_df = spark.createDataFrame(
+        [(k, el, pl, 1 if exc else 0) for k, el, pl, exc in rules],
+        "key string, eff_labels int, ps_len int, is_exc int",
+    )
+    hosts = df.select(F.col(host_col).alias("__rd_host")).distinct()
+    labels = F.split(F.col("__rd_host"), r"\.")
+    n = F.size(labels)
+    with_labels = hosts.select(
+        "__rd_host", labels.alias("__rd_labels"), n.alias("__rd_n")
+    ).filter(F.col("__rd_n") >= 1)
+    cands = with_labels.select(
+        "__rd_host",
+        "__rd_labels",
+        "__rd_n",
+        F.explode(F.sequence(F.lit(1), F.least(F.col("__rd_n"), F.lit(max_j)))).alias(
+            "__rd_j"
+        ),
+    ).select(
+        "__rd_host",
+        "__rd_labels",
+        "__rd_n",
+        F.array_join(
+            F.slice(
+                F.col("__rd_labels"),
+                F.col("__rd_n") - F.col("__rd_j") + 1,
+                F.col("__rd_j"),
+            ),
+            ".",
+        ).alias("__rd_suffix"),
+    )
+    matched = cands.join(
+        F.broadcast(rules_df),
+        (F.col("__rd_suffix") == F.col("key"))
+        & (F.col("__rd_n") >= F.col("eff_labels")),
+        "left",
+    )
+    best = matched.groupBy("__rd_host").agg(
+        F.max(F.struct("is_exc", "eff_labels", "ps_len")).alias("__rd_best"),
+        F.first("__rd_labels").alias("__rd_labels"),
+        F.first("__rd_n").alias("__rd_n"),
+    )
+    ps_len = F.coalesce(F.col("__rd_best.ps_len"), F.lit(1))
+    n2 = F.col("__rd_n")
+    domain = F.when(
+        n2 >= ps_len + 1,
+        F.array_join(
+            F.slice(F.col("__rd_labels"), n2 - ps_len, ps_len + F.lit(1)), "."
+        ),
+    )
+    mapping = best.select(
+        F.col("__rd_host"), domain.alias(out_col)
+    )
+    return df.join(
+        mapping, df[host_col] == mapping["__rd_host"], "left"
+    ).drop("__rd_host")
+
+
+def registrable_domain_psl_sql(
+    host_source_sql: str, host_col: str, rules: list, out_col: str = "domain"
+) -> str:
+    """DuckDB mirror of :func:`registrable_domain_psl`: a SELECT over
+    ``host_source_sql`` (a table/CTE expression) producing
+    ``(host_col, out_col)`` per DISTINCT host, with the same rule set
+    inlined as VALUES — kept beside the Column version so the two
+    evolve together (the canonicalize_url_sql pattern)."""
+    if not rules:
+        raise ValueError("empty PSL rule set")
+    max_j = max(r[1] for r in rules)
+    values = ", ".join(
+        f"('{k}', {el}, {pl}, {1 if exc else 0})" for k, el, pl, exc in rules
+    )
+    return f"""
+WITH __psl_rules(key, eff_labels, ps_len, is_exc) AS (VALUES {values}),
+__psl_hosts AS (
+  SELECT DISTINCT {host_col} AS host FROM {host_source_sql}),
+__psl_lab AS (
+  SELECT host, string_split(host, '.') AS labels,
+         len(string_split(host, '.')) AS n FROM __psl_hosts),
+__psl_cand AS (
+  SELECT host, labels, n,
+         unnest(generate_series(1, LEAST(n, {max_j}))) AS j
+  FROM __psl_lab),
+__psl_match AS (
+  SELECT c.host, c.labels, c.n, r.eff_labels, r.ps_len, r.is_exc
+  FROM (SELECT host, labels, n,
+               array_to_string(list_slice(labels, n - j + 1, n), '.') AS suffix
+        FROM __psl_cand) c
+  LEFT JOIN __psl_rules r
+    ON c.suffix = r.key AND c.n >= r.eff_labels),
+__psl_best AS (
+  SELECT host, labels, n, ps_len,
+         ROW_NUMBER() OVER (PARTITION BY host
+           ORDER BY is_exc DESC NULLS LAST, eff_labels DESC NULLS LAST) AS rn
+  FROM __psl_match)
+SELECT host AS {host_col},
+       CASE WHEN n >= COALESCE(ps_len, 1) + 1
+            THEN array_to_string(
+                   list_slice(labels, n - COALESCE(ps_len, 1), n), '.')
+       END AS {out_col}
+FROM __psl_best WHERE rn = 1
+"""

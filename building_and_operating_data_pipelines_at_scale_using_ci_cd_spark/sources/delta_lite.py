@@ -35,6 +35,13 @@ Scale notes:
     key (found with one ``input_file_name()`` semi-join, driver traffic
     bounded by the file COUNT) — the at-scale property that makes Delta
     MERGE cheaper than the full-table overwrite the file sink does.
+  - every ``add`` action records per-file ``stats`` (numRecords +
+    min/maxValues/nullCount from the parquet footers — the public
+    protocol field), and DELETE/UPDATE/MERGE + predicate reads use them
+    for DATA SKIPPING: files whose recorded ranges (or partition
+    values) prove a predicate or the source-key range unsatisfiable are
+    never read even to look for matches, so keyed DML on an
+    unpartitioned key touches the overlapping files, not the table.
 """
 
 from __future__ import annotations
@@ -252,11 +259,24 @@ def _read_files(
 
 
 def read_delta_lite(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    predicate: str | None = None,
 ) -> DataFrame:
-    """Read a Delta table (optionally a past version) as a DataFrame."""
+    """Read a Delta table (optionally a past version) as a DataFrame.
+
+    ``predicate`` (a SQL condition string) is applied as a row filter
+    AND used for data skipping first: files whose per-file min/max
+    stats or partition values prove it unsatisfiable are never handed
+    to Spark's reader at all (delta's stats-based skipping, the layer
+    BELOW parquet row-group pushdown — whole files skip listing/open).
+    The result is identical to reading everything then filtering."""
     snap = load_snapshot(table_path, version)
-    return _read_files(spark, snap, list(snap.files))
+    if predicate is None:
+        return _read_files(spark, snap, list(snap.files))
+    cand = _candidate_files(snap, _parse_conjuncts(predicate))
+    return _read_files(spark, snap, cand).filter(F.expr(predicate))
 
 
 def _schema_string(df: DataFrame) -> str:
@@ -270,10 +290,79 @@ def _decode_hive_dir(component: str) -> tuple:
     return key, urllib.parse.unquote(raw)
 
 
-def _collect_staged_files(stage: str, pcols: list) -> list:
-    """(relative hive path, partitionValues, size, numRecords) per data file."""
+#: longest string recorded in per-file min/max stats.  Real Delta
+#: TRUNCATES long strings (with a last-char+1 trick on max); recording
+#: only short strings in full keeps the pruning logic trivially exact —
+#: a column whose value exceeds the cap simply isn't prunable.
+_STATS_MAX_STR = 64
+
+
+def _json_stat_value(v):
+    """JSON-encodable stats value, or None if the type isn't one the
+    pruner can compare exactly (bytes, nested, over-long strings)."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        return v if len(v) <= _STATS_MAX_STR else None
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return None
+
+
+def _file_stats(full: str):
+    """Per-file ``stats`` per the public protocol: numRecords +
+    min/maxValues + nullCount for top-level comparable columns,
+    aggregated across the parquet row groups' own statistics (no data
+    read — footer metadata only)."""
     import pyarrow.parquet as pq
 
+    md = pq.ParquetFile(full).metadata
+    n_rows = md.num_rows
+    mins, maxs, nulls, bad = {}, {}, {}, set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in bad:
+                continue  # nested leaves: top-level stats only
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                bad.add(name)
+                continue
+            mn, mx = _json_stat_value(st.min), _json_stat_value(st.max)
+            if mn is None or mx is None:
+                bad.add(name)
+                continue
+            if name in mins:
+                mins[name] = min(mins[name], mn)
+                maxs[name] = max(maxs[name], mx)
+            else:
+                mins[name], maxs[name] = mn, mx
+            if st.null_count is not None and name not in nulls:
+                nulls[name] = 0
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+    for name in bad:
+        mins.pop(name, None)
+        maxs.pop(name, None)
+    stats = {"numRecords": n_rows}
+    if mins:
+        stats["minValues"] = mins
+        stats["maxValues"] = maxs
+        stats["nullCount"] = {k: nulls.get(k, 0) for k in mins}
+    return n_rows, stats
+
+
+def _collect_staged_files(stage: str, pcols: list) -> list:
+    """(relative hive path, partitionValues, size, numRecords, stats)
+    per data file."""
     out = []
     for root, _dirs, names in os.walk(stage):
         for name in names:
@@ -290,11 +379,11 @@ def _collect_staged_files(stage: str, pcols: list) -> list:
                 raise ValueError(
                     f"staged layout {rel_dir!r} does not match partition columns {pcols}"
                 )
-            n_rows = pq.ParquetFile(full).metadata.num_rows
+            n_rows, stats = _file_stats(full)
             if n_rows == 0:
                 continue  # empty shuffle partitions produce 0-row parts;
                 # committing them would only bloat the log and every scan
-            out.append((full, parts, pvals, os.path.getsize(full), n_rows))
+            out.append((full, parts, pvals, os.path.getsize(full), stats))
     return out
 
 
@@ -337,7 +426,7 @@ def _stage_and_adds(df: DataFrame, table_path: str, pcols: list) -> list:
         writer.parquet(stage)
 
         adds = []
-        for full, parts, pvals, size, _n in _collect_staged_files(stage, pcols):
+        for full, parts, pvals, size, stats in _collect_staged_files(stage, pcols):
             base = f"part-{uuid.uuid4().hex}.snappy.parquet"
             rel = "/".join(parts + [base]) if parts else base
             dest = os.path.join(table_path, *parts, base)
@@ -351,7 +440,7 @@ def _stage_and_adds(df: DataFrame, table_path: str, pcols: list) -> list:
                         "size": size,
                         "modificationTime": int(os.path.getmtime(dest) * 1000),
                         "dataChange": True,
-                        "stats": json.dumps({"numRecords": _n}),
+                        "stats": json.dumps(stats),
                     }
                 }
             )
@@ -568,6 +657,114 @@ def optimize_delta_lite(
     return version
 
 
+def _parse_conjuncts(condition: str):
+    """Conservative extraction of ``col op literal`` conjuncts from a
+    SQL condition for stats-based file skipping. Returns a list of
+    ``(col, op, value)`` (value: int | float | str), or ``[]`` when the
+    condition is too complex to reason about — pruning is an
+    OPTIMIZATION, so anything unrecognized simply prunes nothing and
+    the DML stays exact. Only a top-level AND chain of simple
+    comparisons qualifies; OR / NOT / IN / parens / functions bail out.
+    """
+    import re
+
+    if re.search(r"\bOR\b|\bNOT\b|\bIN\b|[()]", condition, re.IGNORECASE):
+        return []
+    out = []
+    lit = r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
+    ident = r"`?([A-Za-z_][A-Za-z0-9_]*)`?"
+    pat = re.compile(
+        rf"^\s*(?:{ident}\s*(=|==|<=|>=|<|>)\s*{lit}"
+        rf"|{lit}\s*(=|==|<=|>=|<|>)\s*{ident})\s*$"
+    )
+    flip = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "==": "=="}
+
+    def _val(tok: str):
+        if tok.startswith("'"):
+            return tok[1:-1].replace("''", "'")
+        return float(tok) if "." in tok else int(tok)
+
+    for conjunct in re.split(r"\bAND\b", condition, flags=re.IGNORECASE):
+        m = pat.match(conjunct)
+        if not m:
+            continue  # unparsed conjunct: no pruning from it, others still apply
+        if m.group(1) is not None:
+            out.append((m.group(1), m.group(2).replace("==", "="), _val(m.group(3))))
+        else:
+            out.append((m.group(6), flip[m.group(5)].replace("==", "="), _val(m.group(4))))
+    return out
+
+
+def _file_may_match(add: dict, conjuncts: list) -> bool:
+    """False only when the file's recorded stats PROVE no row can
+    satisfy every conjunct (missing/incomparable stats keep the file —
+    conservative). Comparisons with NULL are never satisfied, so
+    min/max over non-null values is exactly the right evidence."""
+    stats = json.loads(add.get("stats") or "{}") if add.get("stats") else {}
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    pvals = add.get("partitionValues") or {}
+    for col, op, val in conjuncts:
+        if col in pvals:
+            # partition values are protocol-encoded STRINGS: only exact
+            # equality is safe to decide (lexicographic ranges lie about
+            # numbers: '10' < '9')
+            pv = pvals[col]
+            if op in ("=", "==") and pv is not None and pv != str(val):
+                return False
+            continue
+        mn, mx = mins.get(col), maxs.get(col)
+        if mn is None or mx is None:
+            continue
+        if isinstance(val, str) != isinstance(mn, str):
+            continue  # type mismatch: don't guess
+        if op in ("=", "=="):
+            if val < mn or val > mx:
+                return False
+        elif op == "<":
+            if not (mn < val):
+                return False
+        elif op == "<=":
+            if not (mn <= val):
+                return False
+        elif op == ">":
+            if not (mx > val):
+                return False
+        elif op == ">=":
+            if not (mx >= val):
+                return False
+    return True
+
+
+def _candidate_files(snap: DeltaSnapshot, conjuncts: list) -> list:
+    """Relative paths of files the conjuncts cannot rule out."""
+    if not conjuncts:
+        return sorted(snap.files)
+    return sorted(
+        rel for rel, add in snap.files.items() if _file_may_match(add, conjuncts)
+    )
+
+
+def _source_key_conjuncts(source: DataFrame, on_keys: list) -> list:
+    """MERGE pruning ranges: the 1-row min/max of each join key on the
+    source side (driver traffic = 2·len(on_keys) scalars). A target
+    file whose key range misses the whole source range can contain no
+    matched row — AND no source key, so the insert anti-join may skip
+    it too."""
+    aggs = []
+    for k in on_keys:
+        aggs += [F.min(k).alias(f"__mn_{k}"), F.max(k).alias(f"__mx_{k}")]
+    row = source.agg(*aggs).collect()[0]
+    out = []
+    for k in on_keys:
+        mn, mx = row[f"__mn_{k}"], row[f"__mx_{k}"]
+        if isinstance(mn, (int, float, str)) and not isinstance(mn, bool):
+            out.append((k, ">=", mn))
+        if isinstance(mx, (int, float, str)) and not isinstance(mx, bool):
+            out.append((k, "<=", mx))
+    return out
+
+
 def _pruned_rewrite(
     spark: SparkSession,
     table_path: str,
@@ -624,8 +821,14 @@ def _pruned_rewrite(
 def delete_delta_lite(spark: SparkSession, table_path: str, condition: str) -> int:
     """Row-level DELETE WHERE: rewrites only the files that contain a
     matching row (the others never move — pinned by test), committing
-    remove+add like delta's own DELETE."""
-    tagged = read_delta_lite(spark, table_path).withColumn(
+    remove+add like delta's own DELETE. The match-finding scan itself
+    is data-skipped first: files whose per-file min/max stats (or
+    partition values) prove the predicate unsatisfiable are never
+    read — on an unpartitioned 100-TB table a keyed DELETE touches a
+    handful of files, not all of them."""
+    snap = load_snapshot(table_path)
+    cand = _candidate_files(snap, _parse_conjuncts(condition))
+    tagged = _read_files(spark, snap, cand).withColumn(
         "__file", F.input_file_name()
     )
     return _pruned_rewrite(
@@ -634,17 +837,20 @@ def delete_delta_lite(spark: SparkSession, table_path: str, condition: str) -> i
         tagged.filter(F.expr(condition)),
         lambda rows: rows.filter(~F.expr(condition)),
         "DELETE",
-        {"predicate": condition},
+        {"predicate": condition, "candidateFiles": len(cand)},
     )
 
 
 def update_delta_lite(
     spark: SparkSession, table_path: str, condition: str, set_exprs: dict
 ) -> int:
-    """Row-level UPDATE ... SET ... WHERE: same pruned-rewrite shape;
-    ``set_exprs`` maps column → SQL expression (evaluated only on
-    matching rows)."""
-    tagged = read_delta_lite(spark, table_path).withColumn(
+    """Row-level UPDATE ... SET ... WHERE: same pruned-rewrite shape
+    (including the stats/partition data-skipping pre-pass on the
+    match-finding scan); ``set_exprs`` maps column → SQL expression
+    (evaluated only on matching rows)."""
+    snap = load_snapshot(table_path)
+    cand = _candidate_files(snap, _parse_conjuncts(condition))
+    tagged = _read_files(spark, snap, cand).withColumn(
         "__file", F.input_file_name()
     )
     cond = F.expr(condition)
@@ -667,7 +873,11 @@ def update_delta_lite(
         tagged.filter(cond),
         rewrite,
         "UPDATE",
-        {"predicate": condition, "set": sorted(set_exprs)},
+        {
+            "predicate": condition,
+            "set": sorted(set_exprs),
+            "candidateFiles": len(cand),
+        },
     )
 
 
@@ -692,9 +902,18 @@ def merge_delta_lite(
       matched rows satisfying it are dropped (evaluated before update).
     - ``when_not_matched_insert``: source rows with no target match
       insert as-is (source must carry the table's columns).
+
+    Data skipping: one 1-row min/max aggregate of the source keys
+    bounds the key range, and target files whose per-file stats prove
+    their key range disjoint are skipped for BOTH the matched-file
+    scan AND the insert anti-join (a skipped file provably contains no
+    source key, so it cannot veto an insert) — a keyed MERGE into a
+    key-clustered 100-TB table reads the overlapping files, not the
+    table.
     """
     snap = load_snapshot(table_path)
-    target = read_delta_lite(spark, table_path)
+    cand = _candidate_files(snap, _source_key_conjuncts(source, on_keys))
+    target = _read_files(spark, snap, cand)
     tagged = target.withColumn("__file", F.input_file_name())
     src_keys = source.select(*on_keys).dropDuplicates(on_keys)
     matched = tagged.join(F.broadcast(src_keys), on=on_keys, how="leftsemi")
@@ -745,7 +964,12 @@ def merge_delta_lite(
         return out.unionByName(inserts) if inserts is not None else out
 
     return _pruned_rewrite(
-        spark, table_path, matched, rewrite, "MERGE", {"on": on_keys}
+        spark,
+        table_path,
+        matched,
+        rewrite,
+        "MERGE",
+        {"on": on_keys, "candidateFiles": len(cand)},
     )
 
 
@@ -972,7 +1196,11 @@ def merge_scd2_delta_lite(
 
     snap = load_snapshot(table_path)
     pcols = snap.partition_columns
-    target = read_delta_lite(spark, table_path)
+    # stats skipping BEFORE the semi-join scan: files whose key range
+    # provably misses the incoming key range can hold no matched
+    # current row, so they are never read to find matches either
+    cand = _candidate_files(snap, _source_key_conjuncts(incoming, keys))
+    target = _read_files(spark, snap, cand)
     tagged = target.withColumn("__file", F.input_file_name())
     inc_keys = incoming.select(*keys).dropDuplicates(keys)
     matched_files = [
