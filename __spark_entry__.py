@@ -5888,7 +5888,9 @@ def _messy_url_sql(cast_ty: str) -> str:
     in BOTH engines (only the string cast type differs: Spark STRING,
     DuckDB VARCHAR).  Exercises every canonicalization rule: mixed-case
     scheme/host, www., default :80 (on the HTTP group), trailing slash,
-    tracking params, unsorted params, fragments."""
+    tracking params, unsorted params, fragments — and an identity-bearing
+    ``ref=`` param that the round-9 default must KEEP (it splits the
+    WHEN-0 group in two; stripping it would merge them back)."""
     n = lambda e: f"CAST({e} AS {cast_ty})"  # noqa: E731
     return (
         "CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'Http' END"
@@ -5898,7 +5900,9 @@ def _messy_url_sql(cast_ty: str) -> str:
         f" || '/article/' || {n('doc_id % 25')}"
         " || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END"
         " || CASE doc_id % 4"
-        f"      WHEN 0 THEN '?utm_source=feed&id=' || {n('doc_id % 25')}"
+        "      WHEN 0 THEN '?utm_source=feed&ref='"
+        "                  || CASE WHEN doc_id % 8 = 0 THEN 'main' ELSE 'dev' END"
+        f"                  || '&id=' || {n('doc_id % 25')}"
         f"      WHEN 1 THEN '?id=' || {n('doc_id % 25')} || '&utm_campaign=x#sec'"
         f"      WHEN 2 THEN '?id=' || {n('doc_id % 25')}"
         "       ELSE '#top' END"
@@ -6010,6 +6014,167 @@ SELECT k.domain, CAST(t.n_total AS BIGINT) AS n_total,
        CAST(k.n_kept AS BIGINT) AS n_kept,
        CAST(k.kept_id_sum AS BIGINT) AS kept_id_sum
 FROM k JOIN t ON k.domain = t.domain
+"""
+
+
+_PSL_HOSTS = (
+    "news.bbc.co.uk", "www.example.com", "docs.foo.gov.br",
+    "portal.camara.leg.br", "a.b.foo.ck", "www.ck", "sub.www.ck",
+    "cdn.site.unknowntld", "deep.a.b.c.example.com", "registro.br",
+    "foo.er", "localhost",
+)
+
+
+def _psl_excerpt_rules():
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.web import (
+        load_psl,
+    )
+
+    return load_psl(
+        os.path.join(
+            os.path.dirname(__file__),
+            "building_and_operating_data_pipelines_at_scale_using_ci_cd_spark",
+            "resources",
+            "public_suffix_excerpt.dat",
+        )
+    )
+
+
+def _q_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 under a FULL public-suffix-list file (operators/web.py
+    registrable_domain_psl) — the broadcast-join path that closes the
+    literal excerpt's documented long tail: gov.br/leg.br variants,
+    the *.ck wildcard (a host that IS a public suffix gets NULL), the
+    !www.ck exception, and the implicit * default for unknown TLDs.
+    Hosts are synthesized deterministically from doc_id so the oracle
+    rebuilds them; the rule set is the vendored PSL-format excerpt,
+    parsed ONCE and inlined into both engines. Plan: distinct hosts →
+    ≤5-way suffix posexplode → broadcast rule join → max-struct winner
+    → one equi-join back; the corpus itself is only scanned once."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.web import (
+        registrable_domain_psl,
+    )
+
+    hosts = F.array(*[F.lit(h) for h in _PSL_HOSTS])
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.element_at(
+            hosts, (F.col("doc_id") % len(_PSL_HOSTS) + 1).cast("int")
+        ).alias("host"),
+    )
+    out = registrable_domain_psl(docs, "host", _psl_excerpt_rules())
+    return out.groupBy("host", "domain").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+    )
+
+
+def _psl_domains_duck() -> str:
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.web import (
+        registrable_domain_psl_sql,
+    )
+
+    hosts = ", ".join(f"'{h}'" for h in _PSL_HOSTS)
+    mapping = registrable_domain_psl_sql("d", "host", _psl_excerpt_rules())
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_extract([{hosts}], CAST(doc_id % {len(_PSL_HOSTS)} + 1 AS INT)) AS host
+  FROM documents)
+SELECT d.host, m.domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(d.doc_id) AS BIGINT) AS min_doc_id
+FROM d JOIN ({mapping}) m ON d.host = m.host
+GROUP BY d.host, m.domain
+"""
+
+
+#: robots.txt fixtures keyed by REGISTRABLE domain (the filter resolves
+#: each URL's eTLD+1 before the rule join) — exercises longest-match,
+#: Allow-on-tie, * wildcards, $ anchors and the no-rules default-allow
+_ROBOTS_TXT = {
+    "example.com": (
+        "User-agent: gptbot\nDisallow: /\n\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/ok/\n"
+        "Disallow: /tmp/*.log$\n"
+        "Disallow: /search\n"
+        "Allow: /search$\n"
+    ),
+    "site.org": "User-agent: *\nDisallow: /\nAllow: /pub/\n",
+}
+
+_ROBOTS_PATHS = (
+    "/private/ok/page", "/private/secret", "/tmp/a.log", "/tmp/a.logx",
+    "/search", "/searchy", "/", "/pub/data",
+)
+
+_ROBOTS_HOSTS = ("www.example.com", "example.com", "sub.site.org", "norules.net")
+
+
+def _robots_url_sql() -> str:
+    """Deterministic URL synthesis from doc_id (DuckDB list indexing —
+    the Spark twin uses F.element_at over the same literals)."""
+    hosts = ", ".join(f"'{h}'" for h in _ROBOTS_HOSTS)
+    paths = ", ".join(f"'{p}'" for p in _ROBOTS_PATHS)
+    return (
+        f"'https://' || [{hosts}][CAST(doc_id % {len(_ROBOTS_HOSTS)} + 1 AS INT)]"
+        f" || [{paths}][CAST(doc_id % {len(_ROBOTS_PATHS)} + 1 AS INT)]"
+    )
+
+
+def _q_robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots politeness filter (operators/web.py
+    robots_filter) — the crawl-compliance gate a web corpus applies
+    before ingestion: per-URL verdicts by the LONGEST matching rule of
+    the URL's registrable domain (Allow wins length ties), with *
+    wildcards and $ anchors translated ONCE, driver-side, into SQL
+    LIKE patterns (no per-row regex), unknown domains default-allow.
+    Plan: verdicts computed on the DISTINCT (domain, path) set via one
+    broadcast rule join + max-struct, then joined back — the corpus is
+    scanned once, never fanned out. The id_sum per group pins the
+    EXACT per-row verdicts."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.web import (
+        parse_robots,
+        robots_filter,
+        robots_rules_df,
+    )
+
+    hosts = F.array(*[F.lit(h) for h in _ROBOTS_HOSTS])
+    paths = F.array(*[F.lit(p) for p in _ROBOTS_PATHS])
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.element_at(hosts, (F.col("doc_id") % len(_ROBOTS_HOSTS) + 1).cast("int")),
+            F.element_at(paths, (F.col("doc_id") % len(_ROBOTS_PATHS) + 1).cast("int")),
+        ).alias("url"),
+    )
+    rules = robots_rules_df(
+        spark, {d: parse_robots(t) for d, t in _ROBOTS_TXT.items()}
+    )
+    out = robots_filter(docs, "url", rules)
+    return out.groupBy("url", "robots_allowed").agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
+def _robots_allowed_duck() -> str:
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.web import (
+        parse_robots,
+        robots_filter_sql,
+    )
+
+    rules_by_domain = {d: parse_robots(t) for d, t in _ROBOTS_TXT.items()}
+    inner = robots_filter_sql("__rb_src", "url", rules_by_domain)
+    return f"""
+WITH __rb_src AS (
+  SELECT doc_id, {_robots_url_sql()} AS url FROM documents)
+SELECT url, robots_allowed, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM ({inner})
+GROUP BY url, robots_allowed
 """
 
 
@@ -7072,46 +7237,18 @@ def _q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
-        # entries. Round-8 rotation (counts: 38 + 9 + 3 = 50 checked;
-        # 125 r06/r07-green tail; 175 total). ``base``
-        # keeps the historical (round-7) definition order for
-        # readability — the ACTUAL round-8 checked set is the explicit
-        # ``head`` list after it (30 new entries: the 6 codec-tier adds
-        # plus delta_roundtrip, flac_decode, bm25_scores, rrf_fusion,
-        # kmv_distinct, delta_cdc, phash_fingerprints, phash_near_pairs,
-        # the 12 fourth-session adds url_canonical_dedup,
-        # domain_cap_sample, logbucket_quantiles, ohlc_bars,
-        # funnel_conversion, retention_cohorts, record_linkage,
-        # streaming_ohlc, copurchase_triangles, geo_proximity_pairs,
-        # bar_returns, join_skew_report, and the 12 fifth-session adds
-        # event_transitions, kmv_join_size, dsir_select,
-        # bfs_reachability, adpcm_decode, rle_video_frames,
-        # expectations_report, trend_slopes, ab_test_report,
-        # psi_drift, schema_table_diff, rank_sum_drift;
-        # 9 changed-code re-entries incl. scd2_price_history whose sink
-        # gained the delta-lite lanes; + the 3 oldest-evidence keys
-        # that still fit under the cap), followed by everything else in
-        # prior order. Next round's 50 should lead with the 12 keys the
-        # late adds displaced (top_orders_per_customer,
-        # running_customer_spend, window_analytics, orders_cube,
-        # q1_pricing_summary, q3_shipping_priority,
-        # q5_local_supplier_volume, q6_forecast_revenue,
-        # q7_volume_shipping, q10_returned_items — all r04 evidence)
-        # then the r06/r07-evidence block
-        # displaced this round (jdbc_roundtrip,
-        # profile_report_approx, profile_report, bloom_new_docs,
-        # knn_pagerank, weighted_pagerank, udtf_sentences,
-        # topk_neighbors, pq_topk, streaming_sessionization,
-        # salted_join_revenue, heavy_hitters, bloom_join_revenue,
-        # winnow_near_dups, the q13/q15/q22/q2/q8/q9/q11/q16/q17/q21
-        # TPC-H block, decontaminate, pii_redaction, boilerplate_ngrams,
-        # dataset_split, repetition_profile, filter_audit,
-        # nfc_normalize, url_domains, span_dedup, formats_roundtrip,
-        # multimodal_decode, pivot_event_values, udf_text_metrics,
-        # vector_stats, broadcast_hint_join, parts_heavy_semi,
-        # set_ops_segments, correlated_max_order, json_events) plus
-        # anything round 9 changes.
+        # entries. ``base`` keeps the historical definition order for
+        # readability — the ACTUAL round-9 checked set is the explicit
+        # ``head`` list after it, whose composition and arithmetic live
+        # in the comment right above ``head`` (the rotation ledger the
+        # consistency gate parses). Union evidence across rounds covers
+        # every registry entry; changed code ALWAYS re-enters the
+        # checked 50 in the round it changes.
     base = {
+        # -- (-1) round-9 additions: full-PSL registrable domains and
+        #    the RFC 9309 robots politeness filter ---------------------
+        "psl_domains": _q_psl_domains,
+        "robots_allowed": _q_robots_allowed,
         # -- (0) round-8 4th-session additions: web-curation tier,
         #    deterministic log-bucket quantile sketch, OHLCV bars ------
         "url_canonical_dedup": _q_url_canonical_dedup,
@@ -7314,46 +7451,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": _q_approx_distinct,
         "minhash_near_dups": _q_minhash_near_dups,
     }
-    # Round-8 rotation head: the driver checks the FIRST 50 keys.
-    # Composition (5 + 8 + 37 = 50):
-    #   - 5 brand-new round-8 entries (codec tier + PMI),
-    #   - 8 whose code path changed in round 8 (jpeg/png/wav decode
-    #     hardening + progressive/Adam7/16-bit/G.711 rewrites touched
-    #     shared decoders; chunk_documents null contract; the centroid
-    #     broadcast registry behind ivf/ivfpq/semantic_dedup;
-    #     parse_image dispatch behind image_decode) — changed code
-    #     ALWAYS re-enters,
-    #   - the 37 oldest-evidence keys, exactly the order the round-7
-    #     comment promised (the 5 displaced demotions, then the
-    #     r05-evidence block, then the r04 tail through
-    #     q20_excess_supplier).
-    # Everything not in the head keeps its r06/r07 evidence and follows
+    # Round-9 rotation head: the driver checks the FIRST 50 keys.
+    # Composition (counts: 2 + 10 + 24 + 7 + 7 = 50 checked; 177 total):
+    #   - 2 brand-new round-9 entries (psl_domains, robots_allowed) —
+    #     never driver-checked, lead unconditionally,
+    #   - 10 whose code path changed in round 9 — changed code ALWAYS
+    #     re-enters: ab_test_report (single-pass plan + overflow-safe
+    #     decision), rank_sum_drift (decimal tie cubes + _cross_mult_ge
+    #     + guards), trend_slopes (DECIMAL moments),
+    #     url_canonical_dedup (ref= no longer stripped by default;
+    #     url_dedup keeps native id type; messy-url fixture grew a
+    #     ref-identity lane), domain_cap_sample (skew-safe count
+    #     pre-pass + hash-threshold pre-filter rewrite), record_linkage
+    #     + fuzzy_name_match (FieldComparator unified null contract),
+    #     delta_roundtrip + delta_cdc + scd2_price_history (delta-lite
+    #     add actions now carry min/max stats and every DML path is
+    #     stats-pruned),
+    #   - the 24 displaced keys the round-8 comment promised
+    #     (token_packing ... q3_shipping_priority, r04/r05 evidence),
+    #   - the 7-key r04 tail (q5/q6/q7/q10, orders_cube,
+    #     window_analytics, q20_excess_supplier),
+    #   - the 7 oldest r06/r07-evidence keys (jdbc_roundtrip,
+    #     profile_report_approx, profile_report, bloom_new_docs,
+    #     knn_pagerank, weighted_pagerank, udtf_sentences).
+    # Everything not in the head keeps its r06-r08 evidence and follows
     # in prior order; steady-state max evidence age stays ≤ 3 rounds.
     head = [
-        # round-8 5th-session brand-new entries — never driver-checked,
-        # so they lead the 50 unconditionally
-        "event_transitions", "kmv_join_size",
-        "dsir_select", "bfs_reachability",
-        "adpcm_decode", "rle_video_frames",
-        "expectations_report", "trend_slopes", "ab_test_report",
-        "psi_drift", "schema_table_diff", "rank_sum_drift",
-        # round-8 4th-session brand-new entries
+        # brand-new round-9 entries
+        "psl_domains", "robots_allowed",
+        # round-9 changed-code re-entries
+        "ab_test_report", "rank_sum_drift", "trend_slopes",
         "url_canonical_dedup", "domain_cap_sample",
-        "logbucket_quantiles", "ohlc_bars",
-        "funnel_conversion", "retention_cohorts", "record_linkage",
-        "streaming_ohlc", "copurchase_triangles", "geo_proximity_pairs",
-        "bar_returns", "join_skew_report",
-        "delta_roundtrip", "flac_decode", "bm25_scores", "rrf_fusion",
-        "kmv_distinct", "delta_cdc", "phash_fingerprints",
-        "phash_near_pairs",
-        "gif_decode", "g711_decode", "avi_frames", "pmi_pairs",
-        "jpeg_progressive", "jl_projection",
-        "png_decode", "jpeg_decode", "wav_decode", "doc_chunks",
-        "scd2_price_history",  # re-enter: the SCD2 sink's delta branch
-        # changed in this session (writers.py delta-lite lanes)
-        "ivf_topk", "ivfpq_topk", "semantic_dedup", "image_decode",
-        "customers_no_orders_anti", "string_funcs", "case_coalesce",
-        "grouping_sets", "stratified_sample",
+        "record_linkage", "fuzzy_name_match",
+        "delta_roundtrip", "delta_cdc", "scd2_price_history",
+        # the 24 keys the round-8 rotation comment promised the lead
         "token_packing", "multimodal_frames", "streaming_hourly_events",
         "winnow_fingerprints", "simhash_near_pairs",
         "sessionization", "event_type_pivot",
@@ -7363,27 +7494,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_regex", "quality_scores", "lang_id",
         "top_orders_per_customer", "running_customer_spend",
         "q1_pricing_summary", "q3_shipping_priority",
-        # 50-cap cutoff now falls after stratified_sample: the
-        # twelve 4th-session adds plus the twelve 5th-session adds
-        # (event_transitions, kmv_join_size, dsir_select,
-        # bfs_reachability, adpcm_decode, rle_video_frames,
-        # expectations_report, trend_slopes, ab_test_report,
-        # psi_drift, schema_table_diff, rank_sum_drift) displaced
-        # token_packing, multimodal_frames, streaming_hourly_events,
-        # winnow_fingerprints, simhash_near_pairs,
-        # sessionization, event_type_pivot, text_stats,
-        # date_funcs, range_join_shipments, percentiles,
-        # hourly_events, dedup_keep_latest, asof_purchase_attribution,
-        # exact_dedup_docs, near_dup_clusters, simhash_fingerprints,
-        # tokenize_regex, quality_scores, lang_id,
-        # top_orders_per_customer, running_customer_spend,
-        # q1_pricing_summary and q3_shipping_priority past the cap.
-        # Round 9's 50 should lead with those twenty-six, then
-        # q5_local_supplier_volume,
-        # q6_forecast_revenue, q7_volume_shipping, q10_returned_items,
-        # orders_cube, window_analytics, q20_excess_supplier and the
-        # rest of the r04-evidence tail — the oldest evidence in the
-        # registry.
+        # rest of the r04-evidence tail
+        "q5_local_supplier_volume", "q6_forecast_revenue",
+        "q7_volume_shipping", "q10_returned_items",
+        "orders_cube", "window_analytics", "q20_excess_supplier",
+        # oldest r06/r07-evidence keys
+        "jdbc_roundtrip", "profile_report_approx", "profile_report",
+        "bloom_new_docs", "knn_pagerank", "weighted_pagerank",
+        "udtf_sentences",
+        # 50-cap cutoff. The round-8 head's codec/delta/stats block
+        # (event_transitions ... image_decode) all carries fresh r08
+        # driver evidence, so it rotates out en bloc this round.
+        # Round 10's 50 should lead with topk_neighbors (displaced by
+        # robots_allowed) and the r05-evidence block that
+        # fell past the cap again (customers_no_orders_anti,
+        # string_funcs, case_coalesce, grouping_sets,
+        # stratified_sample), then the remaining r06-evidence keys
+        # (ivf_topk, ivfpq_topk, semantic_dedup, image_decode,
+        # streaming_sessionization, salted_join_revenue, heavy_hitters,
+        # bloom_join_revenue, winnow_near_dups, the TPC-H
+        # q13/q15/q22/q2/q8/q9/q11/q16/q17/q21 block, decontaminate,
+        # pii_redaction, boilerplate_ngrams, dataset_split,
+        # repetition_profile, filter_audit, nfc_normalize, url_domains,
+        # span_dedup, formats_roundtrip, multimodal_decode,
+        # pivot_event_values, udf_text_metrics, vector_stats,
+        # broadcast_hint_join, parts_heavy_semi, set_ops_segments,
+        # correlated_max_order, json_events) plus anything round 10
+        # changes.
     ]
     out = {k: base[k] for k in head}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -7392,6 +7529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "psl_domains": _psl_domains_duck(),
+        "robots_allowed": _robots_allowed_duck(),
         "url_canonical_dedup": _url_canonical_dedup_duck(),
         "domain_cap_sample": _domain_cap_sample_duck(),
         "logbucket_quantiles": LOGBUCKET_QUANTILES_DUCK,

@@ -180,6 +180,10 @@ HEADLINE = [
     "psi_drift",
     "schema_table_diff",
     "rank_sum_drift",
+    # round 9: full-PSL registrable domains (broadcast rule join over
+    # distinct hosts) and the RFC 9309 robots politeness verdicts
+    "psl_domains",
+    "robots_allowed",
 ]
 
 

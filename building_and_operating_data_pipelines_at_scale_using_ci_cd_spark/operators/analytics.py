@@ -302,8 +302,16 @@ def _cross_mult_ge(a_sq: str, m: str, b: str, r1: str) -> str:
     overflow the product and NULL a decision that must be TRUE). All
     four inputs must be non-negative integer SQL expressions with
     ``m >= 1``.
+
+    The quotient is formed as ``(a_sq − a_sq % m) / m`` in decimal —
+    NOT ``DIV``, whose LongType result silently overflows past 2⁶³-1
+    (and the null then VANISHES inside LEAST/GREATEST, which skip
+    nulls, flipping a TRUE decision to FALSE — caught by the
+    randomized lemma test). The decimal division is exact while
+    ``q < 10³²`` (the (38,6) result type's integer digits); both call
+    sites bound ``q <= m <= ~4·10¹⁸``, far inside.
     """
-    q = f"({a_sq}) DIV ({m})"
+    q = f"CAST((({a_sq}) - (({a_sq}) % ({m}))) / ({m}) AS DECIMAL(38, 0))"
     r = f"({a_sq}) % ({m})"
     return (
         f"(GREATEST(LEAST(({r1}) - ({q}) * ({b}), ({b})), -1) * ({m}) "

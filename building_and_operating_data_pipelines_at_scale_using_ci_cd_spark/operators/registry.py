@@ -293,6 +293,26 @@ def _linear_fit(df: DataFrame, key_col: str, x_col: str, y_col: str,
     return linear_fit(df, key_col, x_col, y_col, scale=int(scale))
 
 
+def _robots_filter(
+    df: DataFrame, url_col: str, robots_map_json: str, **kw
+) -> DataFrame:
+    """Config shape: RFC 9309 robots politeness verdicts.
+    ``robots_map_json`` is a JSON object mapping registrable domain →
+    raw robots.txt text; optional ``user_agent`` selects the group
+    (default ``*``)."""
+    import json as _json
+
+    from .web import parse_robots, robots_filter, robots_rules_df
+
+    ua = kw.pop("user_agent", "*")
+    robots_map = _json.loads(robots_map_json)
+    rules = robots_rules_df(
+        df.sparkSession,
+        {dom: parse_robots(txt, ua) for dom, txt in robots_map.items()},
+    )
+    return robots_filter(df, url_col, rules, **kw)
+
+
 def _registrable_domain_psl(
     df: DataFrame, host_col: str, psl_path: str, **kw
 ) -> DataFrame:
@@ -876,6 +896,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "urlDedup": _url_dedup,
     "domainCap": _domain_cap,
     "registrableDomainPsl": _registrable_domain_psl,
+    "robotsFilter": _robots_filter,
     "funnel": _funnel,
     "retention": _retention,
     "transitionMatrix": _transition_matrix,

@@ -276,10 +276,16 @@ def domain_cap(
         F.expr(f"CAST({hash_span * 4 * cap} AS BIGINT) DIV __dc_n") + F.lit(1024),
     ).cast("bigint")
     surv = over.filter(F.col("__dc_h") <= threshold)
+    # shortfall detection must start from the OVER-CAP DOMAIN LIST (the
+    # count pre-pass), not from survivor groups: a domain whose
+    # survivors number ZERO has no survivor group at all, and deriving
+    # `short` from survivors alone would silently drop it (caught by
+    # the hostile-hash fallback test)
+    surv_counts = surv.groupBy("domain").agg(F.count("*").alias("__dc_s"))
     short = (
-        surv.groupBy("domain")
-        .agg(F.count("*").alias("__dc_s"))
-        .filter(F.col("__dc_s") < cap)
+        counts.filter(F.col("__dc_n") > cap)
+        .join(surv_counts, "domain", "left")
+        .filter(F.coalesce(F.col("__dc_s"), F.lit(0)) < cap)
         .select("domain")
     )
     w = Window.partitionBy("domain").orderBy(
@@ -498,4 +504,201 @@ SELECT host AS {host_col},
                    list_slice(labels, n - COALESCE(ps_len, 1), n), '.')
        END AS {out_col}
 FROM __psl_best WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# robots.txt politeness filter (REP / RFC 9309) — the crawl-compliance
+# gate a training corpus applies before any content ever enters the mix
+# ---------------------------------------------------------------------------
+
+
+def parse_robots(text: str, user_agent: str = "*") -> list:
+    """Parse robots.txt text into ``(pattern, allow, pattern_len)``
+    rules for ``user_agent``, per RFC 9309:
+
+    - groups start with one or more ``User-agent:`` lines; the group
+      that applies is the one naming the longest case-insensitive
+      prefix of ``user_agent``, else the ``*`` group, else no rules
+      (everything allowed);
+    - ``Allow``/``Disallow`` values are path patterns where ``*``
+      matches any character run and a trailing ``$`` anchors the end;
+      an empty ``Disallow:`` allows everything (contributes no rule);
+    - precedence at evaluation time (see :func:`robots_filter`) is the
+      LONGEST matching pattern, Allow winning length ties;
+    - ``#`` starts a comment; unknown directives (Crawl-delay,
+      Sitemap, ...) are ignored.
+    """
+    ua = user_agent.lower()
+    groups: list = []  # (agents, rules)
+    agents: list = []
+    rules: list = []
+    in_group_body = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_group_body:
+                groups.append((agents, rules))
+                agents, rules = [], []
+                in_group_body = False
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_group_body = True
+            if val == "":
+                continue  # empty Disallow = allow all (no rule)
+            rules.append((val, key == "allow", len(val)))
+        else:
+            in_group_body = True  # unknown directive still ends the UA run
+    if agents or rules:
+        groups.append((agents, rules))
+
+    best: list | None = None
+    best_len = -1
+    star: list | None = None
+    for grp_agents, grp_rules in groups:
+        for a in grp_agents:
+            if a == "*":
+                star = grp_rules if star is None else star + grp_rules
+            elif ua.startswith(a) and len(a) > best_len:
+                best, best_len = grp_rules, len(a)
+    chosen = best if best is not None else (star or [])
+    return sorted(set(chosen))
+
+
+def _robots_like(pattern: str, dialect_escape: str = "\\") -> tuple:
+    """Translate a robots path pattern into a SQL LIKE pattern (shared
+    by Spark and DuckDB — both use ``\\`` escapes via ESCAPE): ``*`` →
+    ``%``, literal ``%``/``_``/``\\`` escaped; a trailing ``$`` anchors
+    (no trailing ``%``), otherwise the translated pattern gets a
+    trailing ``%`` (robots rules are prefix matches). Returns
+    ``(like_pattern, anchored)``."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    out = []
+    for ch in body:
+        if ch == "*":
+            out.append("%")
+        elif ch in ("%", "_", dialect_escape):
+            out.append(dialect_escape + ch)
+        else:
+            out.append(ch)
+    like = "".join(out)
+    if not anchored:
+        like += "%"
+    return like, anchored
+
+
+def robots_rules_df(spark, rules_by_domain: dict):
+    """Build the broadcastable rule table from ``{domain: [(pattern,
+    allow, plen), ...]}`` (each value as returned by
+    :func:`parse_robots`): columns ``(domain, like_pattern, allow,
+    plen)`` with the LIKE translation precomputed driver-side."""
+    rows = []
+    for dom, rules in sorted(rules_by_domain.items()):
+        for pattern, allow, plen in rules:
+            like, _ = _robots_like(pattern)
+            rows.append((dom, like, bool(allow), int(plen)))
+    return spark.createDataFrame(
+        rows, "domain string, like_pattern string, allow boolean, plen int"
+    )
+
+
+def robots_filter(
+    df: DataFrame,
+    url_col: str,
+    rules: DataFrame,
+    out_col: str = "robots_allowed",
+) -> DataFrame:
+    """Per-URL robots verdict: adds ``out_col`` (boolean) — True when
+    the longest matching rule for the URL's registrable domain is an
+    Allow, or no rule matches, or the domain has no robots rules
+    (RFC 9309 default-allow). Length ties go to Allow (the spec's
+    tie-break: booleans order false < true inside the max-struct).
+
+    Plan shape for 100 TB: the verdict is a function of (domain, path)
+    alone, so it is computed on the DISTINCT (domain, path) set — one
+    high-cardinality groupBy — where the rule table (KBs, one row per
+    directive) BROADCAST-left-joins on the domain, fanning each
+    distinct pair out only by ITS domain's rule count; matching is a
+    single LIKE per pair (translated once, driver-side — no per-row
+    regex compilation); a max-struct per pair picks the winner, and
+    one equi-join attaches verdicts back to the corpus rows (row
+    multiplicity untouched). The corpus itself is scanned once.
+    """
+    dom = registrable_domain(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(F.col(url_col), _HOSTPORT_RE, 1)),
+            r":[0-9]+$|^www\.",
+            "",
+        )
+    )
+    path_raw = F.regexp_extract(F.col(url_col), _PATH_RE, 1)
+    path = F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
+    base = df.withColumn("__rb_dom", dom).withColumn("__rb_path", path)
+    pairs = base.select("__rb_dom", "__rb_path").distinct()
+    joined = pairs.join(
+        F.broadcast(rules),
+        (F.col("__rb_dom") == F.col("domain"))
+        & F.like(F.col("__rb_path"), F.col("like_pattern"), F.lit("\\")),
+        "left",
+    )
+    verdicts = (
+        joined.groupBy("__rb_dom", "__rb_path")
+        .agg(F.max(F.struct(F.col("plen"), F.col("allow"))).alias("__rb_best"))
+        .select(
+            "__rb_dom",
+            "__rb_path",
+            F.coalesce(F.col("__rb_best.allow"), F.lit(True)).alias(out_col),
+        )
+    )
+    return base.join(verdicts, ["__rb_dom", "__rb_path"]).select(
+        *df.columns, out_col
+    )
+
+
+def robots_filter_sql(
+    source_sql: str,
+    url_col: str,
+    rules_by_domain: dict,
+    out_col: str = "robots_allowed",
+) -> str:
+    """DuckDB mirror of :func:`robots_filter` over ``source_sql``
+    (must expose ``doc_id`` and ``url_col``); same rule literals, same
+    LIKE translation, same longest-match/Allow-ties semantics. Kept
+    beside the Column version so the two evolve together."""
+    if not rules_by_domain:
+        raise ValueError("empty robots rule set")
+    rows = []
+    for dom_name, rules in sorted(rules_by_domain.items()):
+        for pattern, allow, plen in rules:
+            like, _ = _robots_like(pattern)
+            like_sql = like.replace("\\", "\\\\").replace("'", "''")
+            rows.append(
+                f"('{dom_name}', '{like_sql}', {'TRUE' if allow else 'FALSE'}, {plen})"
+            )
+    values = ", ".join(rows)
+    hostport = f"lower(regexp_extract(url, '{_HOSTPORT_RE}', 1))"
+    host = f"regexp_replace({hostport}, ':[0-9]+$|^www\\.', '')"
+    dom = registrable_domain_sql(host)
+    raw_path = f"regexp_extract(url, '{_PATH_RE}', 1)"
+    path = f"CASE WHEN {raw_path} = '' THEN '/' ELSE {raw_path} END"
+    return f"""
+WITH __rb_rules(domain, like_pattern, allow, plen) AS (VALUES {values}),
+__rb_base AS (
+  SELECT doc_id, {url_col} AS url, {dom} AS rb_dom, {path} AS rb_path
+  FROM {source_sql}),
+__rb_join AS (
+  SELECT b.doc_id, b.url, r.allow, r.plen,
+         ROW_NUMBER() OVER (
+           PARTITION BY b.doc_id
+           ORDER BY r.plen DESC NULLS LAST, r.allow DESC NULLS LAST) AS rn
+  FROM __rb_base b LEFT JOIN __rb_rules r
+    ON b.rb_dom = r.domain AND b.rb_path LIKE r.like_pattern ESCAPE '\\')
+SELECT doc_id, url, COALESCE(allow, TRUE) AS {out_col}
+FROM __rb_join WHERE rn = 1
 """

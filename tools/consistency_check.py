@@ -68,15 +68,19 @@ def main() -> int:
     if undocumented:
         failures.append(f"registry steps not mentioned in README/COVERAGE: {undocumented}")
 
-    # 5. rotation comment arithmetic: 'a + b + c = 50 checked; ... N total'
+    # 5. rotation comment arithmetic: 'a + b + ... = 50 checked; ... N
+    #    total' (any number of + terms — round 9 has five cohorts)
     src = open(os.path.join(REPO, "__spark_entry__.py")).read()
-    mc = re.search(r"counts: (\d+) \+ (\d+) \+ (\d+) = 50 checked;.*?(\d+) total", src, re.S)
+    mc = re.search(
+        r"counts?.*?: ((?:\d+ \+ )+\d+) = 50 checked;.*?(\d+) total", src, re.S
+    )
     if not mc:
         failures.append("rotation comment arithmetic not found")
     else:
-        a, b, c, total = map(int, mc.groups())
-        if a + b + c != 50:
-            failures.append(f"rotation comment sums to {a + b + c}, not 50")
+        terms = [int(t) for t in mc.group(1).split("+")]
+        total = int(mc.group(2))
+        if sum(terms) != 50:
+            failures.append(f"rotation comment sums to {sum(terms)}, not 50")
         if total != len(q):
             failures.append(f"rotation comment says {total} total, registry has {len(q)}")
 

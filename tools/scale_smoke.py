@@ -778,6 +778,47 @@ def main() -> None:
         lambda: sample_video_frames(mrle_df, every=1).filter("frame_ok").count(),
     )
 
+    # ---- round-9 lanes ---------------------------------------------------
+    # the mega-domain adversary domain_cap exists for: 95% of the corpus
+    # in ONE registrable domain. The skew-safe plan must rank only the
+    # ~4*cap hash-prefix survivors, never window-sort the mega-domain.
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.web import (
+        domain_cap,
+        load_psl,
+        registrable_domain_psl,
+    )
+
+    mega = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 20 < 19, F.lit("www.megasite.co.uk"))
+        .otherwise(
+            F.concat(
+                F.lit("host"),
+                (F.col("doc_id") % 5000).cast("string"),
+                F.lit(".example.org"),
+            )
+        )
+        .alias("host"),
+    )
+    timed(
+        "domain_cap (95% mega-domain)",
+        lambda: domain_cap(mega, "host", 1000, "doc_id").count(),
+    )
+    psl_rules = load_psl(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "building_and_operating_data_pipelines_at_scale_using_ci_cd_spark",
+            "resources",
+            "public_suffix_excerpt.dat",
+        )
+    )
+    timed(
+        "registrable_domain_psl (x-n)",
+        lambda: registrable_domain_psl(mega, "host", psl_rules)
+        .filter(F.col("domain").isNotNull())
+        .count(),
+    )
+
 
 if __name__ == "__main__":
     main()
