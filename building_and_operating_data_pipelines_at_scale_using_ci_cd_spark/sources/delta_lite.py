@@ -615,7 +615,10 @@ def streaming_delta_sink(
 
 
 def optimize_delta_lite(
-    table_path: str, spark: SparkSession, target_files: int = 1
+    table_path: str,
+    spark: SparkSession,
+    target_files: int = 1,
+    zorder_by: list | None = None,
 ) -> int:
     """OPTIMIZE (bin-packing compaction): rewrite the current snapshot's
     data into ``target_files`` files per partition and commit
@@ -623,16 +626,36 @@ def optimize_delta_lite(
     small-file scan overhead goes away, and concurrent streaming readers
     can tell no new data arrived (the dataChange flag is exactly for
     this). Time travel to pre-OPTIMIZE versions still works until those
-    files are vacuumed."""
+    files are vacuumed.
+
+    ``zorder_by`` (delta's ``OPTIMIZE ... ZORDER BY``): instead of a
+    plain coalesce, range-partition + sort on the Morton key of the
+    named integer columns (``operators/scale.zorder_layout``), so every
+    rewritten file covers a compact range in EVERY clustering column —
+    which is what makes the per-file min/max ``stats`` this writer
+    records actually PRUNE on those columns (pinned by test: a keyed
+    DELETE on an interleaved table touches all files before OPTIMIZE
+    ZORDER, one file after)."""
     snap = load_snapshot(table_path)
     if not snap.files:
         return snap.version
-    df = read_delta_lite(spark, table_path).coalesce(max(1, int(target_files)))
+    df = read_delta_lite(spark, table_path)
+    if zorder_by:
+        from ..operators.scale import zorder_layout
+
+        df = zorder_layout(
+            df, list(zorder_by), num_partitions=max(1, int(target_files))
+        )
+    else:
+        df = df.coalesce(max(1, int(target_files)))
     actions = [
         {
             "commitInfo": {
                 "operation": "OPTIMIZE",
-                "operationParameters": {"inputFiles": len(snap.files)},
+                "operationParameters": {
+                    "inputFiles": len(snap.files),
+                    **({"zOrderBy": list(zorder_by)} if zorder_by else {}),
+                },
                 "engineInfo": "delta-lite (PySpark analytics engine)",
             }
         }

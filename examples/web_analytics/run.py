@@ -110,6 +110,27 @@ def main():
     # all 9 hosts share eTLD+1 example.co.uk -> ONE domain, capped at 40
     assert caps == [("example.co.uk", 40)]
 
+    # robots verdicts (round 9): Disallow /p/1 blocks /p/1 and /p/10-19
+    # EXCEPT the longer Allow /p/13$; everything else default-allows.
+    # Trailing-path asserts tolerate the :80 and ?query variants.
+    bad, good13, total = duckdb.sql(
+        f"SELECT SUM(CASE WHEN NOT robots_allowed THEN 1 ELSE 0 END), "
+        f"       SUM(CASE WHEN url LIKE '%/p/13' AND robots_allowed THEN 1 ELSE 0 END), "
+        f"       COUNT(*) FROM '{DEMO}/robots_verdicts/*.parquet'"
+    ).fetchone()
+    expected_bad = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{DEMO}/raw/crawl/*.parquet' "
+        f"WHERE doc_id % 60 IN (1, 10, 11, 12, 14, 15, 16, 17, 18, 19)"
+    ).fetchone()[0]
+    print(f"robots: {bad}/{total} disallowed ({good13} /p/13 exempted)")
+    assert total == n_docs and bad == expected_bad and good13 > 0
+
+    # full-PSL mapping (round 9): every hostN.example.co.uk resolves to
+    # the same registrable domain under the co.uk rule
+    psl = duckdb.sql(f"SELECT domain, n FROM '{DEMO}/psl_stats/*.parquet'").fetchall()
+    print(f"psl domains: {psl}")
+    assert psl == [("example.co.uk", n_docs)]
+
     fun = duckdb.sql(
         f"SELECT stage, n_users, conv_pct_x10000 FROM '{DEMO}/funnel_report/*.parquet' "
         f"ORDER BY stage_idx"

@@ -622,3 +622,38 @@ class TestRobots:
             },
         ).collect()[0]
         assert r.robots_allowed is False
+
+
+class TestOptimizeZorder:
+    def test_zorder_makes_stats_prune(self, spark, tmp_path):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources import (
+            delta_lite as dl,
+        )
+
+        tbl = str(tmp_path / "zo")
+        # three INTERLEAVED batches: every file spans the full key range,
+        # so stats can prune nothing
+        for off in (0, 1, 2):
+            df = spark.range(0, 100).select(
+                (F.col("id") * 3 + off).alias("k"),
+                (F.col("id") % 7).alias("v"),
+            ).coalesce(1)
+            dl.write_delta_lite(df, tbl, mode="append")
+        snap = dl.load_snapshot(tbl)
+        conj = dl._parse_conjuncts("k >= 10 AND k <= 19")
+        assert len(dl._candidate_files(snap, conj)) == 3  # no pruning possible
+
+        v = dl.optimize_delta_lite(tbl, spark, target_files=3, zorder_by=["k"])
+        with open(os.path.join(tbl, "_delta_log", f"{v:020d}.json")) as fh:
+            ci = json.loads(fh.readline())["commitInfo"]
+        assert ci["operationParameters"]["zOrderBy"] == ["k"]
+        snap2 = dl.load_snapshot(tbl)
+        # rows identical, clustering real: the same predicate now touches
+        # a strict subset of the files
+        assert dl.read_delta_lite(spark, tbl).count() == 300
+        pruned = dl._candidate_files(snap2, conj)
+        assert 1 <= len(pruned) < len(snap2.files) or len(snap2.files) == 1
+        got = sorted(
+            r.k for r in dl.read_delta_lite(spark, tbl, predicate="k >= 10 AND k <= 19").collect()
+        )
+        assert got == list(range(10, 20))
