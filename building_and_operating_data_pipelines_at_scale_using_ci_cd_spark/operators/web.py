@@ -246,14 +246,18 @@ def domain_cap(
        survivor set is a PREFIX of that order, ~4·cap + slack expected
        rows per domain, and the exact window ranks only those;
     4. the oversample makes a shortfall (< cap survivors)
-       astronomically unlikely but not impossible, so it is CHECKED:
+       astronomically unlikely but not impossible, so it is CHECKED —
+       with ONE bounded validation job at construction time (scan +
+       count-join + aggregate, collect capped at 1001 domain names):
        any short domain (adversarial ids could skew md5's low range)
-       falls back to the exact window over all its rows — the answer
-       never depends on the hash being uniform.
+       is re-ranked exactly over all its rows in a union branch, and
+       >1000 short domains raises (the id distribution is degenerate).
+       The answer never depends on the hash being uniform.
 
     The count attach is an equi-join on ``domain``; unlike a window,
-    a skewed join is AQE-splittable. Adds ``domain``; keeps input
-    columns.
+    a skewed join is AQE-splittable. The returned plan in the normal
+    (no-shortfall) case is two scans + one window over bounded groups.
+    Adds ``domain``; keeps input columns.
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
@@ -268,42 +272,71 @@ def domain_cap(
     joined = base.join(counts, "domain")
     out_cols = [*df.columns, "domain"]
 
-    under = joined.filter(F.col("__dc_n") <= cap).select(*out_cols)
-
-    over = joined.filter(F.col("__dc_n") > cap)
     threshold = F.least(
         F.lit(hash_span - 1),
         F.expr(f"CAST({hash_span * 4 * cap} AS BIGINT) DIV __dc_n") + F.lit(1024),
     ).cast("bigint")
-    surv = over.filter(F.col("__dc_h") <= threshold)
-    # shortfall detection must start from the OVER-CAP DOMAIN LIST (the
-    # count pre-pass), not from survivor groups: a domain whose
-    # survivors number ZERO has no survivor group at all, and deriving
-    # `short` from survivors alone would silently drop it (caught by
-    # the hostile-hash fallback test)
-    surv_counts = surv.groupBy("domain").agg(F.count("*").alias("__dc_s"))
-    short = (
-        counts.filter(F.col("__dc_n") > cap)
-        .join(surv_counts, "domain", "left")
-        .filter(F.coalesce(F.col("__dc_s"), F.lit(0)) < cap)
-        .select("domain")
+    # ONE window branch serves both lanes: under-cap domains keep every
+    # row (their rn <= n <= cap trivially) and never pay the hash
+    # filter; over-cap domains rank only their ~4·cap hash-prefix
+    # survivors. The window's per-domain state is therefore bounded by
+    # max(cap, survivors), never the mega-domain's row count. A second
+    # window function over the SAME partitioning (no extra shuffle or
+    # sort) counts each domain's survivors, so shortfall is a per-row
+    # predicate — no anti-join, no extra branch execution.
+    filtered = joined.filter(
+        (F.col("__dc_n") <= cap) | (F.col("__dc_h") <= threshold)
     )
     w = Window.partitionBy("domain").orderBy(
         F.col("__dc_h").asc(), F.col(id_col).asc()
     )
-    ranked_main = (
-        surv.join(F.broadcast(short), "domain", "left_anti")
-        .withColumn("__dc_rn", F.row_number().over(w))
-        .filter(F.col("__dc_rn") <= cap)
+    wd = Window.partitionBy("domain")
+    is_short = (F.col("__dc_n") > cap) & (F.col("__dc_s") < cap)
+    kept_main = (
+        filtered.withColumn("__dc_rn", F.row_number().over(w))
+        .withColumn("__dc_s", F.count("*").over(wd))
+        .filter((F.col("__dc_rn") <= cap) & ~is_short)
         .select(*out_cols)
     )
+
+    # Shortfall fallback (a domain with < cap hash-prefix survivors —
+    # only an id distribution that defeats md5 uniformity gets here):
+    # resolved with ONE bounded EAGER check at construction, derived
+    # from the OVER-CAP DOMAIN LIST (the count pre-pass) so a domain
+    # with ZERO survivors is seen too — deriving shortfall from
+    # survivor groups alone would silently drop it (caught by the
+    # hostile-hash fallback test). The common case returns the 2-scan
+    # plan above untouched; the astronomically-rare case unions an
+    # exact full re-rank of just the short domains.
+    surv_counts = (
+        joined.filter((F.col("__dc_n") > cap) & (F.col("__dc_h") <= threshold))
+        .groupBy("domain")
+        .agg(F.count("*").alias("__dc_sc"))
+    )
+    short_rows = (
+        counts.filter(F.col("__dc_n") > cap)
+        .join(surv_counts, "domain", "left")
+        .filter(F.coalesce(F.col("__dc_sc"), F.lit(0)) < cap)
+        .select("domain")
+        .limit(1001)
+        .collect()
+    )
+    if not short_rows:
+        return kept_main
+    if len(short_rows) > 1000:
+        raise ValueError(
+            "domain_cap: >1000 domains fell short of the 4x-oversampled "
+            "hash threshold — the id column's md5 distribution is "
+            "degenerate; pick a different id_col or seed"
+        )
+    short_domains = [r["domain"] for r in short_rows]
     ranked_fallback = (
-        over.join(F.broadcast(short), "domain", "left_semi")
+        base.filter(F.col("domain").isin(short_domains))
         .withColumn("__dc_rn", F.row_number().over(w))
         .filter(F.col("__dc_rn") <= cap)
         .select(*out_cols)
     )
-    return under.unionByName(ranked_main).unionByName(ranked_fallback)
+    return kept_main.unionByName(ranked_fallback)
 
 
 # ---------------------------------------------------------------------------

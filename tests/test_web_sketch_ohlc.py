@@ -41,7 +41,10 @@ URL_CASES = [
     ("http://site.com.au:8080/", "http://site.com.au:8080/"),  # non-default port kept
     ("not a url", None),
     ("  https://example.com  ", "https://example.com/"),
-    ("https://example.com/?ref=x", "https://example.com/"),
+    # round 9: bare ref carries page identity (?ref=<branch> on code
+    # hosts) and is KEPT by default; ref_src stays a tracking param
+    ("https://example.com/?ref=x", "https://example.com/?ref=x"),
+    ("https://example.com/?ref_src=tw", "https://example.com/"),
     ("https://example.com/a?z=1&y=2&x=3", "https://example.com/a?x=3&y=2&z=1"),
 ]
 
