@@ -6178,6 +6178,106 @@ GROUP BY url, robots_allowed
 """
 
 
+def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity + l-diversity privacy audit (operators/validation.py
+    k_anonymity_report) — the release gate for person-level training
+    data: quasi-identifiers (nation, market segment) must group every
+    customer with >= k-1 peers, and each group must span multiple
+    account-balance cents values (l-diversity). One groupBy on the
+    quasi key (map-side partial) + one 1-row aggregate — the corpus is
+    scanned once; all-integer outputs, strict oracle."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.validation import (
+        k_anonymity_report,
+    )
+
+    cust = _table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("bal_cents"),
+    )
+    return k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment"], k=10, sensitive_col="bal_cents"
+    )
+
+
+K_ANONYMITY_DUCK = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS l
+  FROM customer GROUP BY c_nationkey, c_mktsegment)
+SELECT CAST(10 AS INT) AS k,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(n) AS BIGINT) AS min_group_size,
+       CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS rows_below_k,
+       CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) * 10000 // SUM(n)
+            AS BIGINT) AS at_risk_bp,
+       MIN(n) >= 10 AS k_anonymous,
+       CAST(MIN(l) AS BIGINT) AS min_l_diversity
+FROM g
+"""
+
+
+#: card fixtures: four Luhn-VALID test numbers (two of them formatted)
+#: and two Luhn-invalid digit runs that a bare \\d{16} redaction would
+#: wrongly scrub — the entry pins that they survive
+_CARD_SNIPPETS = (
+    "pay 4111111111111111 today",
+    "pay 4111 1111 1111 1111 today",
+    "order 4111111111111112 shipped",
+    "amex 378282246310005 on file",
+    "ref 1234567890123456 tracking",
+    "mc 5555-5555-5555-4444 billed",
+    "acct 4012888888881881 and 4111111111111111 both",
+    "plain text with no numbers",
+)
+
+
+def _q_card_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated payment-card redaction (functions/text.py
+    redact_cards): candidates (13-19 digits, optional space/dash
+    separators) are checksum-verified with JVM higher-order functions
+    before replacement, so Luhn-invalid order/tracking numbers SURVIVE
+    — the false-positive problem a bare 16-digit regex redaction has,
+    pinned here because two fixtures are valid-looking but
+    checksum-fail. Map-only expression, one groupBy for the report."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.text import (
+        redact_cards,
+    )
+
+    snips = F.array(*[F.lit(s) for s in _CARD_SNIPPETS])
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.element_at(
+            snips, (F.col("doc_id") % len(_CARD_SNIPPETS) + 1).cast("int")
+        ).alias("text"),
+    )
+    out = docs.select("doc_id", redact_cards(F.col("text")).alias("redacted"))
+    return out.groupBy("redacted").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
+def _card_redaction_duck() -> str:
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.text import (
+        redact_cards_sql,
+    )
+
+    snips = ", ".join(f"'{s}'" for s in _CARD_SNIPPETS)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         [{snips}][CAST(doc_id % {len(_CARD_SNIPPETS)} + 1 AS INT)] AS text
+  FROM documents)
+SELECT {redact_cards_sql('text')} AS redacted,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM d GROUP BY 1
+"""
+
+
 def _q_logbucket_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DDSketch-style quantiles (functions/sketches.py
     logbucket_*): base-2-exponent + 16-way linear sub-buckets — every
@@ -7249,6 +7349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    the RFC 9309 robots politeness filter ---------------------
         "psl_domains": _q_psl_domains,
         "robots_allowed": _q_robots_allowed,
+        "k_anonymity": _q_k_anonymity,
+        "card_redaction": _q_card_redaction,
         # -- (0) round-8 4th-session additions: web-curation tier,
         #    deterministic log-bucket quantile sketch, OHLCV bars ------
         "url_canonical_dedup": _q_url_canonical_dedup,
@@ -7452,9 +7554,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
     }
     # Round-9 rotation head: the driver checks the FIRST 50 keys.
-    # Composition (counts: 2 + 10 + 24 + 7 + 7 = 50 checked; 177 total):
-    #   - 2 brand-new round-9 entries (psl_domains, robots_allowed) —
-    #     never driver-checked, lead unconditionally,
+    # Composition (counts: 4 + 10 + 24 + 7 + 5 = 50 checked; 179 total):
+    #   - 4 brand-new round-9 entries (psl_domains, robots_allowed,
+    #     k_anonymity, card_redaction) — never driver-checked, lead
+    #     unconditionally,
     #   - 10 whose code path changed in round 9 — changed code ALWAYS
     #     re-enters: ab_test_report (single-pass plan + overflow-safe
     #     decision), rank_sum_drift (decimal tie cubes + _cross_mult_ge
@@ -7471,14 +7574,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     (token_packing ... q3_shipping_priority, r04/r05 evidence),
     #   - the 7-key r04 tail (q5/q6/q7/q10, orders_cube,
     #     window_analytics, q20_excess_supplier),
-    #   - the 7 oldest r06/r07-evidence keys (jdbc_roundtrip,
+    #   - the 5 oldest r06/r07-evidence keys (jdbc_roundtrip,
     #     profile_report_approx, profile_report, bloom_new_docs,
-    #     knn_pagerank, weighted_pagerank, udtf_sentences).
+    #     knn_pagerank).
     # Everything not in the head keeps its r06-r08 evidence and follows
     # in prior order; steady-state max evidence age stays ≤ 3 rounds.
     head = [
         # brand-new round-9 entries
-        "psl_domains", "robots_allowed",
+        "psl_domains", "robots_allowed", "k_anonymity", "card_redaction",
         # round-9 changed-code re-entries
         "ab_test_report", "rank_sum_drift", "trend_slopes",
         "url_canonical_dedup", "domain_cap_sample",
@@ -7500,13 +7603,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube", "window_analytics", "q20_excess_supplier",
         # oldest r06/r07-evidence keys
         "jdbc_roundtrip", "profile_report_approx", "profile_report",
-        "bloom_new_docs", "knn_pagerank", "weighted_pagerank",
-        "udtf_sentences",
+        "bloom_new_docs", "knn_pagerank",
         # 50-cap cutoff. The round-8 head's codec/delta/stats block
         # (event_transitions ... image_decode) all carries fresh r08
         # driver evidence, so it rotates out en bloc this round.
-        # Round 10's 50 should lead with topk_neighbors (displaced by
-        # robots_allowed) and the r05-evidence block that
+        # Round 10's 50 should lead with weighted_pagerank,
+        # udtf_sentences, topk_neighbors (displaced by the round-9
+        # adds) and the r05-evidence block that
         # fell past the cap again (customers_no_orders_anti,
         # string_funcs, case_coalesce, grouping_sets,
         # stratified_sample), then the remaining r06-evidence keys
@@ -7531,6 +7634,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "psl_domains": _psl_domains_duck(),
         "robots_allowed": _robots_allowed_duck(),
+        "k_anonymity": K_ANONYMITY_DUCK,
+        "card_redaction": _card_redaction_duck(),
         "url_canonical_dedup": _url_canonical_dedup_duck(),
         "domain_cap_sample": _domain_cap_sample_duck(),
         "logbucket_quantiles": LOGBUCKET_QUANTILES_DUCK,

@@ -184,6 +184,10 @@ HEADLINE = [
     # distinct hosts) and the RFC 9309 robots politeness verdicts
     "psl_domains",
     "robots_allowed",
+    # round 9: privacy tier — one-scan k-anonymity/l-diversity audit and
+    # HOF Luhn-checked card redaction
+    "k_anonymity",
+    "card_redaction",
 ]
 
 

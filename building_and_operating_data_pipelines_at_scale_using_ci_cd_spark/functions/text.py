@@ -338,3 +338,75 @@ def bigram_cross_entropy(
         )
         .select(F.col("__id").alias(id_col), "n_bigrams", "bigram_cross_entropy")
     )
+
+
+#: candidate payment-card shapes: 13-19 digits with optional single
+#: space/dash separators, word-bounded. Valid in Java regex AND RE2 (no
+#: lookaround), so the DuckDB oracle extracts the same candidates. A
+#: 20+-digit run matches nowhere (\b can't land mid-run) — correctly
+#: not a card.
+CARD_CANDIDATE_RE = r"\b(?:\d[ -]?){12,18}\d\b"
+
+
+def luhn_valid(candidate: Column) -> Column:
+    """Luhn checksum over a candidate string's digits — pure JVM
+    higher-order functions (regexp digit extract, reverse, indexed
+    aggregate), no UDF. True iff 13-19 digits and the mod-10 check
+    passes. Mirrored 1:1 by the lambda inside
+    :func:`redact_cards_sql`."""
+    digits = F.regexp_extract_all(candidate, F.lit("[0-9]"), 0)
+    rev = F.reverse(digits)
+    n = F.size(digits)
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            i % 2 == 1, F.element_at(rev, i).cast("int")
+        ).otherwise(
+            F.when(
+                F.element_at(rev, i).cast("int") * 2 > 9,
+                F.element_at(rev, i).cast("int") * 2 - 9,
+            ).otherwise(F.element_at(rev, i).cast("int") * 2)
+        ),
+    )
+    return (n >= 13) & (n <= 19) & (total % 10 == 0)
+
+
+def redact_cards(text: Column) -> Column:
+    """Replace payment-card numbers with ``[CARD]`` — but ONLY
+    candidates whose digits pass the Luhn checksum, so a random
+    16-digit id or order number survives (the false-positive problem a
+    bare ``\\d{16}`` redaction has). Extraction, validation and
+    replacement are all JVM higher-order functions: extract distinct
+    candidates, filter by :func:`luhn_valid`, fold literal
+    ``replace``s over the text. No Python, no UDF, mirrored exactly by
+    :func:`redact_cards_sql`."""
+    cands = F.array_distinct(
+        F.regexp_extract_all(text, F.lit(CARD_CANDIDATE_RE), 0)
+    )
+    valid = F.filter(cands, luhn_valid)
+    return F.aggregate(
+        valid, text, lambda acc, c: F.replace(acc, c, F.lit("[CARD]"))
+    )
+
+
+def redact_cards_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`redact_cards` over ``expr`` — same
+    candidate regex, same Luhn lambda, same distinct+fold replacement
+    (kept beside the Column version so the two evolve together)."""
+    cands = f"list_distinct(regexp_extract_all({expr}, '{CARD_CANDIDATE_RE}'))"
+    digits = "regexp_extract_all(c, '[0-9]')"
+    luhn = (
+        f"len({digits}) BETWEEN 13 AND 19 AND "
+        f"list_sum(list_transform(range(1, len({digits}) + 1), i -> "
+        f"CASE WHEN i % 2 = 1 THEN CAST(list_reverse({digits})[i] AS INT) "
+        f"ELSE CASE WHEN CAST(list_reverse({digits})[i] AS INT) * 2 > 9 "
+        f"THEN CAST(list_reverse({digits})[i] AS INT) * 2 - 9 "
+        f"ELSE CAST(list_reverse({digits})[i] AS INT) * 2 END END)) % 10 = 0"
+    )
+    valid = f"list_filter({cands}, c -> {luhn})"
+    return (
+        f"list_reduce(list_prepend(CAST({expr} AS VARCHAR), {valid}), "
+        f"(acc, c) -> replace(acc, c, '[CARD]'))"
+    )

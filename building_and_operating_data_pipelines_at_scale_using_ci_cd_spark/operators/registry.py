@@ -293,6 +293,31 @@ def _linear_fit(df: DataFrame, key_col: str, x_col: str, y_col: str,
     return linear_fit(df, key_col, x_col, y_col, scale=int(scale))
 
 
+def _k_anonymity(df: DataFrame, quasi_cols, k, **kw) -> DataFrame:
+    """Config shape: k-anonymity (+ optional l-diversity) privacy audit.
+    ``quasi_cols`` is a comma-separated list or JSON array."""
+    import json as _json
+
+    from .validation import k_anonymity_report
+
+    if isinstance(quasi_cols, str):
+        quasi_cols = (
+            _json.loads(quasi_cols)
+            if quasi_cols.lstrip().startswith("[")
+            else [c.strip() for c in quasi_cols.split(",") if c.strip()]
+        )
+    return k_anonymity_report(df, list(quasi_cols), int(k), **kw)
+
+
+def _redact_cards(df: DataFrame, text_col: str, out_col: str | None = None) -> DataFrame:
+    """Config shape: Luhn-validated payment-card redaction of a text
+    column (in place unless ``out_col`` names a new column)."""
+    from ..functions.text import redact_cards
+
+    target = out_col or text_col
+    return df.withColumn(target, redact_cards(F.col(text_col)))
+
+
 def _robots_filter(
     df: DataFrame, url_col: str, robots_map_json: str, **kw
 ) -> DataFrame:
@@ -897,6 +922,8 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "domainCap": _domain_cap,
     "registrableDomainPsl": _registrable_domain_psl,
     "robotsFilter": _robots_filter,
+    "kAnonymity": _k_anonymity,
+    "redactCards": _redact_cards,
     "funnel": _funnel,
     "retention": _retention,
     "transitionMatrix": _transition_matrix,

@@ -402,3 +402,65 @@ def schema_diff(left: DataFrame, right: DataFrame) -> DataFrame:
         rows,
         "col_name string, status string, type_left string, type_right string",
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """k-anonymity (+ optional l-diversity) audit — the privacy gate a
+    training corpus with person-level attributes runs before release:
+    every row must share its QUASI-IDENTIFIER combination (e.g. zip +
+    age-band + segment) with at least ``k-1`` others, or that row is
+    re-identifiable by linkage.
+
+    Returns ONE row: total rows, distinct quasi-groups, the smallest
+    group, how many rows sit in groups below ``k`` (and that share in
+    basis points, integer DIV), whether the table IS k-anonymous, and —
+    when ``sensitive_col`` is given — the minimum per-group distinct
+    count of the sensitive attribute (l-diversity: a group where every
+    member shares one salary value leaks it even at k-anonymity).
+
+    Plan: one groupBy on the quasi columns (map-side partial,
+    high-cardinality key) to the group table, one 1-row aggregate over
+    it — the corpus is scanned once; no windows, no joins. Exact
+    integers throughout, so the oracle is strict."""
+    if not quasi_cols:
+        raise ValueError("k_anonymity_report needs at least one quasi column")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    aggs = [F.count("*").cast("bigint").alias("__ka_n")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(sensitive_col).cast("bigint").alias("__ka_l")
+        )
+    groups = df.groupBy(*quasi_cols).agg(*aggs)
+    out = groups.agg(
+        F.sum("__ka_n").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.min("__ka_n").cast("bigint").alias("min_group_size"),
+        F.sum(F.when(F.col("__ka_n") < k, F.col("__ka_n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("rows_below_k"),
+        *(
+            [F.min("__ka_l").cast("bigint").alias("min_l_diversity")]
+            if sensitive_col is not None
+            else []
+        ),
+    )
+    cols = [
+        F.lit(int(k)).alias("k"),
+        "n_rows",
+        "n_groups",
+        "min_group_size",
+        "rows_below_k",
+        F.expr("CAST(rows_below_k * 10000 DIV n_rows AS BIGINT)").alias(
+            "at_risk_bp"
+        ),
+        (F.col("min_group_size") >= k).alias("k_anonymous"),
+    ]
+    if sensitive_col is not None:
+        cols.append(F.col("min_l_diversity"))
+    return out.select(*cols)

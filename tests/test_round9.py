@@ -657,3 +657,102 @@ class TestOptimizeZorder:
             r.k for r in dl.read_delta_lite(spark, tbl, predicate="k >= 10 AND k <= 19").collect()
         )
         assert got == list(range(10, 20))
+
+
+class TestKAnonymity:
+    def test_report_exact(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.validation import (
+            k_anonymity_report,
+        )
+
+        rows = (
+            [("z1", "a", 100)] * 5           # group of 5, one salary value
+            + [("z1", "b", i) for i in range(3)]  # group of 3, diverse
+            + [("z2", "a", 7)]                # singleton
+        )
+        df = spark.createDataFrame(rows, ["zip", "seg", "salary"])
+        r = k_anonymity_report(df, ["zip", "seg"], k=4, sensitive_col="salary").collect()[0]
+        assert (r.n_rows, r.n_groups, r.min_group_size) == (9, 3, 1)
+        assert (r.rows_below_k, r.at_risk_bp, r.k_anonymous) == (4, 4444, False)
+        assert r.min_l_diversity == 1  # the 5-row group leaks its salary
+
+    def test_anonymous_case_and_no_sensitive(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.validation import (
+            k_anonymity_report,
+        )
+
+        df = spark.createDataFrame(
+            [("z", i % 2) for i in range(10)], ["zip", "p"]
+        )
+        r = k_anonymity_report(df, ["zip"], k=10).collect()[0]
+        assert (r.k_anonymous, r.rows_below_k) == (True, 0)
+        assert "min_l_diversity" not in r.asDict()
+
+    def test_registry_step(self, spark):
+        df = spark.createDataFrame([("z", 1), ("z", 2)], ["zip", "s"])
+        r = apply_operator(
+            "kAnonymity", df, {"quasi_cols": "zip", "k": "2", "sensitive_col": "s"}
+        ).collect()[0]
+        assert r.k_anonymous is True and r.min_l_diversity == 2
+
+
+class TestCardRedaction:
+    def test_luhn_validation_both_engines(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.text import (
+            luhn_valid,
+            redact_cards,
+            redact_cards_sql,
+        )
+
+        cases = [
+            ("pay 4111111111111111 now", "pay [CARD] now"),
+            ("pay 4111 1111 1111 1111 now", "pay [CARD] now"),
+            ("id 4111111111111112 kept", "id 4111111111111112 kept"),
+            ("amex 378282246310005 ok", "amex [CARD] ok"),
+            ("num 1234567890123456 kept", "num 1234567890123456 kept"),
+            ("mc 5555-5555-5555-4444 done", "mc [CARD] done"),
+            ("short 411111111111 kept", "short 411111111111 kept"),
+            ("long 41111111111111111111 kept", "long 41111111111111111111 kept"),
+            ("two 4012888888881881 and 4111111111111111 x", "two [CARD] and [CARD] x"),
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, (t, _) in enumerate(cases)], ["i", "t"]
+        )
+        got = {
+            r.i: r.r for r in df.select("i", redact_cards(F.col("t")).alias("r")).collect()
+        }
+        assert got == {i: want for i, (_, want) in enumerate(cases)}
+        con = duckdb.connect()
+        vals = ", ".join(f"({i}, '{t}')" for i, (t, _) in enumerate(cases))
+        con.execute(f"CREATE TABLE ct AS SELECT * FROM (VALUES {vals}) v(i, t)")
+        duck = dict(con.execute(f"SELECT i, {redact_cards_sql('t')} FROM ct").fetchall())
+        assert duck == got
+
+    def test_luhn_matches_python(self, spark):
+        import random
+
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.text import (
+            luhn_valid,
+        )
+
+        def py_luhn(s):
+            ds = [int(c) for c in s if c.isdigit()]
+            if not 13 <= len(ds) <= 19:
+                return False
+            total = 0
+            for i, d in enumerate(reversed(ds), start=1):
+                total += d if i % 2 == 1 else (d * 2 - 9 if d * 2 > 9 else d * 2)
+            return total % 10 == 0
+
+        random.seed(7)
+        cands = ["".join(random.choice("0123456789") for _ in range(random.randint(12, 20)))
+                 for _ in range(40)]
+        df = spark.createDataFrame([(c,) for c in cands], ["c"])
+        got = {r.c: r.v for r in df.select("c", luhn_valid(F.col("c")).alias("v")).collect()}
+        for c in cands:
+            assert got[c] == py_luhn(c), c
+
+    def test_registry_step(self, spark):
+        df = spark.createDataFrame([("use 4111111111111111 ok",)], ["text"])
+        r = apply_operator("redactCards", df, {"text_col": "text"}).collect()[0]
+        assert r.text == "use [CARD] ok"
