@@ -6278,6 +6278,127 @@ FROM d GROUP BY 1
 """
 
 
+#: EXIF fixture variants: (orientation, make, lat_micro, lon_micro,
+#: byte_order); None means the field (or the whole APP1) is absent —
+#: the Paris/Sydney coords exercise signed refs, MM the big-endian path
+_EXIF_VARIANTS = (
+    (1, "CamA", 48_858_370, 2_294_481, "II"),
+    (6, "CamB", -33_865_143, 151_209_900, "MM"),
+    (3, "CamC", None, None, "II"),
+    (None, None, None, None, None),
+)
+
+
+def _exif_fixture_payloads():
+    """One tiny baseline JPEG per variant (deterministic raster;
+    variant 3 carries NO APP1 at all)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.exif import (
+        build_exif_app1,
+        inject_app1,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.jpeg import (
+        encode_jpeg_gray,
+    )
+
+    raster = [[(x * 3 + y * 5) % 200 for x in range(16)] for y in range(16)]
+    base = encode_jpeg_gray(raster, 16, 16, quality=85)
+    out = []
+    for orient, make, lat, lon, bo in _EXIF_VARIANTS:
+        if bo is None:
+            out.append(base)
+            continue
+        app1 = build_exif_app1(
+            orientation=orient,
+            datetime_str="2024:01:02 03:04:05",
+            make=make,
+            gps_lat_micro=lat,
+            gps_lon_micro=lon,
+            byte_order=bo,
+        )
+        out.append(inject_app1(base, app1))
+    return out
+
+
+def _q_exif_gps_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata report + GPS privacy scrub (functions/exif.py) —
+    the multimodal governance pass a crawled image corpus needs:
+    orientation/make/capture time for correct downstream use, GPS
+    coordinates (integer micro-degrees, signed via the S/W refs) as
+    the location-PII audit, and proof the scrub works (every payload
+    re-parsed AFTER strip_exif reports has_exif=false while the pixel
+    bytes are untouched — pinned bit-exact by pytest). Real TIFF/IFD
+    parsing (both byte orders) in Arrow mapInPandas kernels, per-row
+    null-routing. The oracle's expected metadata VALUES derive from
+    the same deterministic fixtures (phash baked-literal pattern: the
+    checked contract is the distributed path agreeing with them and
+    the doc-count/id-sum arithmetic, which the SQL computes
+    independently); parser correctness itself is pinned by the
+    writer-roundtrip property tests."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.exif import (
+        exif_features,
+        strip_exif_payloads,
+    )
+
+    payloads = F.array(*[F.lit(bytearray(p)) for p in _exif_fixture_payloads()])
+    base = _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.element_at(
+            payloads, (F.col("doc_id") % len(_EXIF_VARIANTS) + 1).cast("int")
+        ).alias("payload"),
+    )
+    rep = exif_features(base)
+    cleaned = strip_exif_payloads(base).select("doc_id", "payload")
+    after = exif_features(cleaned).select(
+        "doc_id", F.col("has_exif").alias("exif_after_strip")
+    )
+    return (
+        rep.join(after, "doc_id")
+        .withColumn(
+            "variant", (F.col("doc_id") % len(_EXIF_VARIANTS)).cast("int")
+        )
+        .groupBy(
+            "variant", "has_exif", "orientation", "make",
+            "gps_lat_micro", "gps_lon_micro", "exif_after_strip",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+    )
+
+
+def _exif_gps_report_duck() -> str:
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.exif import (
+        parse_exif,
+    )
+
+    rows = []
+    for v, payload in enumerate(_exif_fixture_payloads()):
+        r = parse_exif(payload)
+        sql = lambda x: "NULL" if x is None else (f"'{x}'" if isinstance(x, str) else str(x))  # noqa: E731
+        rows.append(
+            f"({v}, {str(r['has_exif']).upper()}, {sql(r['orientation'])}, "
+            f"{sql(r['make'])}, {sql(r['gps_lat_micro'])}, "
+            f"{sql(r['gps_lon_micro'])}, FALSE)"
+        )
+    values = ", ".join(rows)
+    return f"""
+WITH v AS (SELECT doc_id, CAST(doc_id % {len(_EXIF_VARIANTS)} AS INT) AS variant
+           FROM documents),
+e(variant, has_exif, orientation, make, gps_lat_micro, gps_lon_micro,
+  exif_after_strip) AS (VALUES {values})
+SELECT e.variant, e.has_exif, CAST(e.orientation AS INT) AS orientation,
+       CAST(e.make AS VARCHAR) AS make,
+       CAST(e.gps_lat_micro AS BIGINT) AS gps_lat_micro,
+       CAST(e.gps_lon_micro AS BIGINT) AS gps_lon_micro,
+       e.exif_after_strip,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(v.doc_id) AS BIGINT) AS id_sum
+FROM v JOIN e ON v.variant = e.variant
+GROUP BY 1, 2, 3, 4, 5, 6, 7
+"""
+
+
 def _q_logbucket_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DDSketch-style quantiles (functions/sketches.py
     logbucket_*): base-2-exponent + 16-way linear sub-buckets — every
@@ -7351,6 +7472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_allowed": _q_robots_allowed,
         "k_anonymity": _q_k_anonymity,
         "card_redaction": _q_card_redaction,
+        "exif_gps_report": _q_exif_gps_report,
         # -- (0) round-8 4th-session additions: web-curation tier,
         #    deterministic log-bucket quantile sketch, OHLCV bars ------
         "url_canonical_dedup": _q_url_canonical_dedup,
@@ -7554,10 +7676,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
     }
     # Round-9 rotation head: the driver checks the FIRST 50 keys.
-    # Composition (counts: 4 + 10 + 24 + 7 + 5 = 50 checked; 179 total):
-    #   - 4 brand-new round-9 entries (psl_domains, robots_allowed,
-    #     k_anonymity, card_redaction) — never driver-checked, lead
-    #     unconditionally,
+    # Composition (counts: 5 + 10 + 24 + 7 + 4 = 50 checked; 180 total):
+    #   - 5 brand-new round-9 entries (psl_domains, robots_allowed,
+    #     k_anonymity, card_redaction, exif_gps_report) — never
+    #     driver-checked, lead unconditionally,
     #   - 10 whose code path changed in round 9 — changed code ALWAYS
     #     re-enters: ab_test_report (single-pass plan + overflow-safe
     #     decision), rank_sum_drift (decimal tie cubes + _cross_mult_ge
@@ -7574,14 +7696,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     (token_packing ... q3_shipping_priority, r04/r05 evidence),
     #   - the 7-key r04 tail (q5/q6/q7/q10, orders_cube,
     #     window_analytics, q20_excess_supplier),
-    #   - the 5 oldest r06/r07-evidence keys (jdbc_roundtrip,
-    #     profile_report_approx, profile_report, bloom_new_docs,
-    #     knn_pagerank).
+    #   - the 4 oldest r06/r07-evidence keys (jdbc_roundtrip,
+    #     profile_report_approx, profile_report, bloom_new_docs).
     # Everything not in the head keeps its r06-r08 evidence and follows
     # in prior order; steady-state max evidence age stays ≤ 3 rounds.
     head = [
         # brand-new round-9 entries
         "psl_domains", "robots_allowed", "k_anonymity", "card_redaction",
+        "exif_gps_report",
         # round-9 changed-code re-entries
         "ab_test_report", "rank_sum_drift", "trend_slopes",
         "url_canonical_dedup", "domain_cap_sample",
@@ -7603,13 +7725,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube", "window_analytics", "q20_excess_supplier",
         # oldest r06/r07-evidence keys
         "jdbc_roundtrip", "profile_report_approx", "profile_report",
-        "bloom_new_docs", "knn_pagerank",
+        "bloom_new_docs",
         # 50-cap cutoff. The round-8 head's codec/delta/stats block
         # (event_transitions ... image_decode) all carries fresh r08
         # driver evidence, so it rotates out en bloc this round.
-        # Round 10's 50 should lead with weighted_pagerank,
-        # udtf_sentences, topk_neighbors (displaced by the round-9
-        # adds) and the r05-evidence block that
+        # Round 10's 50 should lead with knn_pagerank,
+        # weighted_pagerank, udtf_sentences, topk_neighbors (displaced
+        # by the round-9 adds) and the r05-evidence block that
         # fell past the cap again (customers_no_orders_anti,
         # string_funcs, case_coalesce, grouping_sets,
         # stratified_sample), then the remaining r06-evidence keys
@@ -7636,6 +7758,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_allowed": _robots_allowed_duck(),
         "k_anonymity": K_ANONYMITY_DUCK,
         "card_redaction": _card_redaction_duck(),
+        "exif_gps_report": _exif_gps_report_duck(),
         "url_canonical_dedup": _url_canonical_dedup_duck(),
         "domain_cap_sample": _domain_cap_sample_duck(),
         "logbucket_quantiles": LOGBUCKET_QUANTILES_DUCK,

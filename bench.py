@@ -188,6 +188,9 @@ HEADLINE = [
     # HOF Luhn-checked card redaction
     "k_anonymity",
     "card_redaction",
+    # round 9: EXIF metadata report + GPS scrub (TIFF/IFD parse in
+    # Arrow kernels, strip re-verified in the same entry)
+    "exif_gps_report",
 ]
 
 

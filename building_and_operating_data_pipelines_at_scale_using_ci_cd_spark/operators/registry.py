@@ -293,6 +293,23 @@ def _linear_fit(df: DataFrame, key_col: str, x_col: str, y_col: str,
     return linear_fit(df, key_col, x_col, y_col, scale=int(scale))
 
 
+def _exif_report(df: DataFrame) -> DataFrame:
+    """Config shape: per-image EXIF metadata report over (doc_id,
+    payload) — orientation/capture time/make/GPS micro-degrees, broken
+    EXIF null-routed."""
+    from ..functions.exif import exif_features
+
+    return exif_features(df)
+
+
+def _strip_exif(df: DataFrame) -> DataFrame:
+    """Config shape: privacy scrub — APP1..APP15 metadata removed from
+    (doc_id, payload) JPEGs, pixels untouched."""
+    from ..functions.exif import strip_exif_payloads
+
+    return strip_exif_payloads(df)
+
+
 def _k_anonymity(df: DataFrame, quasi_cols, k, **kw) -> DataFrame:
     """Config shape: k-anonymity (+ optional l-diversity) privacy audit.
     ``quasi_cols`` is a comma-separated list or JSON array."""
@@ -924,6 +941,8 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "robotsFilter": _robots_filter,
     "kAnonymity": _k_anonymity,
     "redactCards": _redact_cards,
+    "exifReport": _exif_report,
+    "stripExif": _strip_exif,
     "funnel": _funnel,
     "retention": _retention,
     "transitionMatrix": _transition_matrix,

@@ -756,3 +756,127 @@ class TestCardRedaction:
         df = spark.createDataFrame([("use 4111111111111111 ok",)], ["text"])
         r = apply_operator("redactCards", df, {"text_col": "text"}).collect()[0]
         assert r.text == "use [CARD] ok"
+
+
+class TestExif:
+    @staticmethod
+    def _base_jpeg():
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.jpeg import (
+            encode_jpeg_gray,
+        )
+
+        raster = [[(x * 3 + y * 5) % 200 for x in range(16)] for y in range(16)]
+        return encode_jpeg_gray(raster, 16, 16, quality=85)
+
+    def test_roundtrip_random_coords_both_orders(self):
+        import random
+
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.exif import (
+            build_exif_app1,
+            parse_exif,
+        )
+
+        random.seed(17)
+        for _ in range(50):
+            lat = random.randrange(-90_000_000, 90_000_001)
+            lon = random.randrange(-180_000_000, 180_000_001)
+            bo = random.choice(["II", "MM"])
+            o = random.randrange(1, 9)
+            r = parse_exif(
+                build_exif_app1(
+                    orientation=o, make="M", gps_lat_micro=lat,
+                    gps_lon_micro=lon, byte_order=bo,
+                )
+            )
+            assert (r["gps_lat_micro"], r["gps_lon_micro"], r["orientation"]) == (
+                lat, lon, o,
+            ), (lat, lon, bo)
+
+    def test_strip_keeps_pixels_bit_exact(self):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.exif import (
+            build_exif_app1,
+            inject_app1,
+            parse_exif,
+            strip_exif,
+        )
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.multimodal import (
+            parse_image,
+        )
+
+        base = self._base_jpeg()
+        tagged = inject_app1(
+            base,
+            build_exif_app1(gps_lat_micro=48_858_370, gps_lon_micro=2_294_481),
+        )
+        clean = strip_exif(tagged)
+        assert parse_exif(tagged)["gps_lat_micro"] == 48_858_370
+        assert parse_exif(clean)["has_exif"] is False
+        assert parse_image(clean) == parse_image(base)
+        # idempotent, and a plain JPEG passes through unchanged
+        assert strip_exif(clean) == clean == base
+
+    def test_malformed_exif_raises_with_reason(self):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.exif import (
+            build_exif_app1,
+            inject_app1,
+            parse_exif,
+        )
+
+        base = self._base_jpeg()
+        good = inject_app1(base, build_exif_app1(orientation=1))
+        # truncate inside the APP1 TIFF: IFD entry runs off the segment
+        bad = good[:8] + good[10:]
+        for payload in (bad, b"Exif\x00\x00IIxx", b"Exif\x00\x00ZZ\x2a\x00"):
+            with pytest.raises(ValueError, match="exif|JPEG|marker"):
+                parse_exif(payload)
+
+    def test_spark_kernels_and_null_routing(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.exif import (
+            build_exif_app1,
+            exif_features,
+            inject_app1,
+            strip_exif_payloads,
+        )
+
+        base = self._base_jpeg()
+        tagged = inject_app1(
+            base,
+            build_exif_app1(
+                orientation=6, make="Cam", gps_lat_micro=-1_500_000,
+                gps_lon_micro=2_250_000, byte_order="MM",
+            ),
+        )
+        rows = [
+            (0, bytearray(tagged)),
+            (1, bytearray(base)),
+            # SOI then garbage: a CORRUPT jpeg errors; mere non-JPEG
+            # bytes (no SOI, no TIFF) would just report has_exif=False
+            (2, bytearray(b"\xff\xd8\x00\x01broken")),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r.doc_id: r for r in exif_features(df).collect()}
+        assert (got[0].orientation, got[0].gps_lat_micro, got[0].make) == (
+            6, -1_500_000, "Cam",
+        )
+        assert got[1].has_exif is False and got[1].exif_error is None
+        assert got[2].exif_error is not None and got[2].has_exif is None
+        stripped = {r.doc_id: r for r in strip_exif_payloads(df).collect()}
+        assert stripped[0].bytes_removed > 0 and bytes(stripped[0].payload) == base
+        assert stripped[1].bytes_removed == 0
+        assert stripped[2].exif_error is not None
+
+    def test_registry_steps(self, spark):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.exif import (
+            build_exif_app1,
+            inject_app1,
+        )
+
+        tagged = inject_app1(
+            self._base_jpeg(), build_exif_app1(orientation=2)
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(tagged))], "doc_id long, payload binary"
+        )
+        assert apply_operator("exifReport", df, {}).collect()[0].orientation == 2
+        out = apply_operator("stripExif", df, {}).collect()[0]
+        assert out.bytes_removed > 0
