@@ -62,6 +62,10 @@ def _build_corpus(spark):
         encode_jpeg_gray,
         encode_jpeg_gray_progressive,
     )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.exif import (
+        build_exif_app1,
+        inject_app1,
+    )
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.png import (
         encode_png_gray,
         encode_png_gray16,
@@ -76,6 +80,15 @@ def _build_corpus(spark):
         (6, bytearray(encode_gif_gray(np.array(_raster(6), dtype=np.uint8).reshape(16, 16), 16, 16, interlace=True))),
         (7, bytearray(b"\xff\xd8 corrupt jpeg")),
         (8, bytearray(b"not an image at all")),
+        # round 9: a geotagged capture — the EXIF report must surface the
+        # GPS coordinates and stripExif must scrub them without touching
+        # a pixel (the decoded stats still count it as a plain jpeg)
+        (9, bytearray(inject_app1(
+            encode_jpeg_gray(_raster(9), 16, 16),
+            build_exif_app1(orientation=6, make="DemoCam",
+                            datetime_str="2024:05:06 07:08:09",
+                            gps_lat_micro=48_858_370,
+                            gps_lon_micro=2_294_481, byte_order="MM")))),
     ]
     tone = [int(3000 * (1 if (i // 8) % 2 == 0 else -1)) for i in range(480)]
     audio = [
@@ -133,7 +146,22 @@ def main():
         ).fetchall()
     )
     print(f"image formats decoded: {img}")
-    assert img == {"jpeg": 2, "png": 3, "gif": 1}  # 2 corrupt rows routed out
+    assert img == {"jpeg": 3, "png": 3, "gif": 1}  # 2 corrupt rows routed out
+
+    exif = duckdb.sql(
+        f"SELECT doc_id, orientation, make, gps_lat_micro, gps_lon_micro "
+        f"FROM '{DEMO}/exif_report/*.parquet' WHERE has_exif ORDER BY doc_id"
+    ).fetchall()
+    print(f"exif rows: {exif}")
+    assert exif == [(9, 6, "DemoCam", 48_858_370, 2_294_481)]
+    gps_after = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{DEMO}/scrubbed_exif/*.parquet' WHERE has_exif"
+    ).fetchone()[0]
+    removed = duckdb.sql(
+        f"SELECT bytes_removed FROM '{DEMO}/scrub_report/*.parquet' WHERE doc_id = 9"
+    ).fetchone()[0]
+    print(f"after scrub: {gps_after} images still carry EXIF; doc 9 shed {removed} bytes")
+    assert gps_after == 0 and removed > 0
 
     n_audio, max_ms = duckdb.sql(
         f"SELECT COUNT(*), MAX(duration_ms) FROM '{DEMO}/audio_features/*.parquet'"
