@@ -880,3 +880,81 @@ class TestExif:
         assert apply_operator("exifReport", df, {}).collect()[0].orientation == 2
         out = apply_operator("stripExif", df, {}).collect()[0]
         assert out.bytes_removed > 0
+
+
+class TestExifFuzz:
+    def test_random_corruptions_never_crash(self):
+        """Any single-byte corruption of a tagged JPEG either parses to
+        SOME report or raises ValueError — never an unhandled exception
+        or a hang (bounds checks + entry-count caps)."""
+        import random
+
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.exif import (
+            build_exif_app1,
+            inject_app1,
+            parse_exif,
+            strip_exif,
+        )
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.jpeg import (
+            encode_jpeg_gray,
+        )
+
+        raster = [[(x * 3 + y * 5) % 200 for x in range(16)] for y in range(16)]
+        tagged = inject_app1(
+            encode_jpeg_gray(raster, 16, 16),
+            build_exif_app1(
+                orientation=6, make="Cam", datetime_str="2024:01:01 00:00:00",
+                gps_lat_micro=1_000_000, gps_lon_micro=-2_000_000,
+            ),
+        )
+        random.seed(23)
+        for _ in range(300):
+            b = bytearray(tagged)
+            pos = random.randrange(len(b))
+            b[pos] = random.randrange(256)
+            for fn in (parse_exif, strip_exif):
+                try:
+                    fn(bytes(b))
+                except ValueError:
+                    pass  # the contract: raise with a reason, never crash
+
+    def test_truncations_never_crash(self):
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.exif import (
+            build_exif_app1,
+            parse_exif,
+        )
+
+        app1 = build_exif_app1(
+            orientation=1, make="M", gps_lat_micro=5, gps_lon_micro=7
+        )
+        for cut in range(len(app1)):
+            try:
+                parse_exif(app1[:cut])
+            except ValueError:
+                pass
+
+
+class TestRobotsLikeEscapes:
+    def test_literal_percent_and_underscore_in_paths(self, spark):
+        """Robots patterns and URL paths with literal %/_ (both are SQL
+        LIKE metacharacters) must be escaped, not wildcarded."""
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.web import (
+            robots_filter,
+            robots_rules_df,
+        )
+
+        rules = robots_rules_df(
+            spark, {"example.com": [("/a%b", False, 4), ("/c_d", False, 4)]}
+        )
+        urls = [
+            (1, "https://example.com/a%b/x", False),   # literal match
+            (2, "https://example.com/aXb/x", True),    # % must NOT wildcard
+            (3, "https://example.com/c_d", False),
+            (4, "https://example.com/cXd", True),      # _ must NOT wildcard
+        ]
+        df = spark.createDataFrame([(i, u) for i, u, _ in urls], ["doc_id", "url"])
+        got = {
+            r.doc_id: r.robots_allowed
+            for r in robots_filter(df, "url", rules).collect()
+        }
+        assert got == {i: a for i, u, a in urls}
