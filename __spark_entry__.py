@@ -6221,7 +6221,10 @@ FROM g
 
 #: card fixtures: four Luhn-VALID test numbers (two of them formatted)
 #: and two Luhn-invalid digit runs that a bare \\d{16} redaction would
-#: wrongly scrub — the entry pins that they survive
+#: wrongly scrub — the entry pins that they survive. The last fixture
+#: pins the r10 boundary contract: a valid card redacted word-bounded
+#: must NOT also rewrite the same digits EMBEDDED in a longer run (the
+#: 20-digit order id survives intact).
 _CARD_SNIPPETS = (
     "pay 4111111111111111 today",
     "pay 4111 1111 1111 1111 today",
@@ -6231,6 +6234,7 @@ _CARD_SNIPPETS = (
     "mc 5555-5555-5555-4444 billed",
     "acct 4012888888881881 and 4111111111111111 both",
     "plain text with no numbers",
+    "id 99411111111111111199 vs card 4111111111111111",
 )
 
 
@@ -6275,6 +6279,203 @@ SELECT {redact_cards_sql('text')} AS redacted,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(doc_id) AS BIGINT) AS id_sum
 FROM d GROUP BY 1
+"""
+
+
+#: generalization ladder for the k_generalize entry — each level maps a
+#: quasi column to a SQL expression over the ORIGINAL columns, written
+#: ONCE and shared VERBATIM by the Spark plan and the DuckDB oracle
+#: (portable CAST/FLOOR only), pre-cast so the released schema is the
+#: same whichever level wins
+_GEN_LADDER = (
+    {
+        "c_nationkey": "CAST(c_nationkey AS BIGINT)",
+        "c_mktsegment": "CAST(c_mktsegment AS STRING)",
+        "bal_band": "CAST(bal_band AS BIGINT)",
+    },
+    {
+        "c_nationkey": "CAST(c_nationkey AS BIGINT)",
+        "c_mktsegment": "CAST(c_mktsegment AS STRING)",
+        "bal_band": "CAST(FLOOR(bal_band / 10) AS BIGINT)",
+    },
+    {
+        "c_nationkey": "CAST(FLOOR(c_nationkey / 5) AS BIGINT)",
+        "c_mktsegment": "CAST(c_mktsegment AS STRING)",
+        "bal_band": "CAST(-1 AS BIGINT)",
+    },
+    {
+        "c_nationkey": "CAST(-1 AS BIGINT)",
+        "c_mktsegment": "CAST('*' AS STRING)",
+        "bal_band": "CAST(-1 AS BIGINT)",
+    },
+)
+_GEN_QUASI = ("bal_band", "c_mktsegment", "c_nationkey")
+_GEN_K = 20
+_GEN_BP = 300  # accept up to 3% suppression before climbing a level
+_GEN_BASE = (
+    "SELECT c_custkey, c_nationkey, c_mktsegment, "
+    "CAST(FLOOR(c_acctbal / 100) AS BIGINT) AS bal_band FROM customer"
+)
+
+
+def _q_k_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity ENFORCEMENT (operators/validation.py
+    generalize_to_k) — the producer twin of the k_anonymity audit:
+    coarsen (nation, segment, balance-band) along a 4-level ladder
+    until residual below-k rows fit a 3% suppression budget, then drop
+    the still-below-k groups, so the release re-audits k_anonymous.
+    Level selection is exact integer cross-multiplication computed from
+    ONE bounded construction job over the distinct-quasi group table;
+    the released corpus is one scan + one AQE-splittable equi-join.
+    The oracle re-derives the SAME level choice in SQL from the same
+    ladder literals, so the strict hash pins both the selection and the
+    released membership."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.validation import (
+        generalize_to_k,
+    )
+
+    _views(spark, sf_dir)
+    cust = spark.sql(_GEN_BASE)
+    rel = generalize_to_k(
+        cust, k=_GEN_K, ladder=list(_GEN_LADDER), max_suppression_bp=_GEN_BP
+    )
+    return rel.groupBy(*_GEN_QUASI, "gen_level").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("c_custkey").cast("bigint").alias("id_sum"),
+    )
+
+
+def _k_generalize_duck() -> str:
+    k, bp = _GEN_K, _GEN_BP
+    ctes = [f"base AS MATERIALIZED ({_GEN_BASE})"]
+    for i, lvl in enumerate(_GEN_LADDER):
+        sel = ", ".join(f"{lvl[c]} AS {c}" for c in _GEN_QUASI)
+        ctes.append(
+            f"g{i} AS MATERIALIZED (SELECT {sel}, CAST(COUNT(*) AS BIGINT) AS gn, "
+            f"CAST(SUM(c_custkey) AS BIGINT) AS ids FROM base GROUP BY 1, 2, 3)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT COALESCE(SUM(CASE WHEN gn < {k} THEN gn END), 0) "
+            f"AS below, COALESCE(SUM(gn), 0) AS total FROM g{i})"
+        )
+    last = len(_GEN_LADDER) - 1
+    whens = " ".join(
+        f"WHEN (SELECT below * 10000 <= total * {bp} FROM s{i}) THEN {i}"
+        for i in range(last)
+    )
+    ctes.append(f"pick AS (SELECT CASE {whens} ELSE {last} END AS lvl)")
+    branches = " UNION ALL ".join(
+        f"SELECT {', '.join(_GEN_QUASI)}, CAST({i} AS INT) AS gen_level, "
+        f"gn AS n_rows, ids AS id_sum FROM g{i} "
+        f"WHERE gn >= {k} AND (SELECT lvl FROM pick) = {i}"
+        for i in range(len(_GEN_LADDER))
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + branches
+
+
+#: robots.txt BODIES for the distributed-ingestion entry, synthesized
+#: per synthetic domain: kind 0 = plain prefix rules, kind 1 = UA
+#: groups + * wildcard + $ anchor, kind 2 = comments only (zero rules →
+#: default-allow lane through the left join)
+def _rb2_bodies() -> dict:
+    out = {}
+    for i in range(6):
+        kind = i % 3
+        if kind == 0:
+            body = f"User-agent: *\nDisallow: /p{i}/\nAllow: /p{i}/ok/\n"
+        elif kind == 1:
+            body = (
+                "User-agent: gptbot\nDisallow: /\n\n"
+                f"User-agent: *\nDisallow: /logs/*.log$\nAllow: /logs/\n"
+                f"Disallow: /p{i}\n"
+            )
+        else:
+            body = "# crawl policy pending\n"
+        out[f"crawl{i}.example"] = body
+    return out
+
+
+_RB2_PATHS = (
+    "/p0/ok/a", "/p0/x", "/p1", "/logs/x.log", "/logs/y.txt",
+    "/", "/p4/ok/", "/p3/ok/b",
+)
+
+
+def _q_robots_from_bodies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-scale robots ingestion (operators/web.py
+    robots_rules_from_df + robots_filter): the rule table is parsed
+    DISTRIBUTIVELY from robots.txt bodies staged as a DataFrame column
+    (Arrow mapInPandas over the same RFC 9309 parser the driver path
+    uses), then joined under rules_hint='auto' so Catalyst/AQE picks
+    broadcast vs shuffle by the rule table's actual size — the
+    100-TB-real politeness gate where robots files are data, not
+    driver config. The oracle derives the SAME rules driver-side from
+    the same body literals, so the strict hash pins the distributed
+    parser against the reference parse."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.web import (
+        robots_filter,
+        robots_rules_from_df,
+    )
+
+    bodies = _rb2_bodies()
+    doms = sorted(bodies)
+    dom_arr = F.array(*[F.lit(d) for d in doms])
+    body_arr = F.array(*[F.lit(bodies[d]) for d in doms])
+    docs = _table(spark, sf_dir, "documents")
+    bodies_df = (
+        docs.select((F.col("doc_id") % len(doms)).cast("int").alias("i"))
+        .distinct()
+        .select(
+            F.element_at(dom_arr, F.col("i") + 1).alias("domain"),
+            F.element_at(body_arr, F.col("i") + 1).alias("body"),
+        )
+    )
+    rules = robots_rules_from_df(bodies_df, "domain", "body")
+    paths = F.array(*[F.lit(p) for p in _RB2_PATHS])
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.element_at(
+                dom_arr, (F.col("doc_id") % len(doms) + 1).cast("int")
+            ),
+            F.element_at(
+                paths, (F.col("doc_id") % len(_RB2_PATHS) + 1).cast("int")
+            ),
+        ).alias("url"),
+    )
+    out = robots_filter(urls, "url", rules)
+    return out.groupBy("url", "robots_allowed").agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
+def _robots_from_bodies_duck() -> str:
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.web import (
+        parse_robots,
+        robots_filter_sql,
+    )
+
+    bodies = _rb2_bodies()
+    doms = sorted(bodies)
+    rules_by_domain = {d: parse_robots(bodies[d]) for d in doms}
+    dom_sql = ", ".join(f"'{d}'" for d in doms)
+    path_sql = ", ".join(f"'{p}'" for p in _RB2_PATHS)
+    url = (
+        "'https://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END"
+        f" || [{dom_sql}][CAST(doc_id % {len(doms)} + 1 AS INT)]"
+        f" || [{path_sql}][CAST(doc_id % {len(_RB2_PATHS)} + 1 AS INT)]"
+    )
+    inner = robots_filter_sql("__rb_src", "url", rules_by_domain)
+    return f"""
+WITH __rb_src AS (
+  SELECT doc_id, {url} AS url FROM documents)
+SELECT url, robots_allowed, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM ({inner})
+GROUP BY url, robots_allowed
 """
 
 
@@ -7470,6 +7671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    the RFC 9309 robots politeness filter ---------------------
         "psl_domains": _q_psl_domains,
         "robots_allowed": _q_robots_allowed,
+        "k_generalize": _q_k_generalize,
+        "robots_from_bodies": _q_robots_from_bodies,
         "k_anonymity": _q_k_anonymity,
         "card_redaction": _q_card_redaction,
         "exif_gps_report": _q_exif_gps_report,
@@ -7675,76 +7878,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": _q_approx_distinct,
         "minhash_near_dups": _q_minhash_near_dups,
     }
-    # Round-9 rotation head: the driver checks the FIRST 50 keys.
-    # Composition (counts: 5 + 10 + 24 + 7 + 4 = 50 checked; 180 total):
-    #   - 5 brand-new round-9 entries (psl_domains, robots_allowed,
-    #     k_anonymity, card_redaction, exif_gps_report) — never
-    #     driver-checked, lead unconditionally,
-    #   - 10 whose code path changed in round 9 — changed code ALWAYS
-    #     re-enters: ab_test_report (single-pass plan + overflow-safe
-    #     decision), rank_sum_drift (decimal tie cubes + _cross_mult_ge
-    #     + guards), trend_slopes (DECIMAL moments),
-    #     url_canonical_dedup (ref= no longer stripped by default;
-    #     url_dedup keeps native id type; messy-url fixture grew a
-    #     ref-identity lane), domain_cap_sample (skew-safe count
-    #     pre-pass + hash-threshold pre-filter rewrite), record_linkage
-    #     + fuzzy_name_match (FieldComparator unified null contract),
-    #     delta_roundtrip + delta_cdc + scd2_price_history (delta-lite
-    #     add actions now carry min/max stats and every DML path is
-    #     stats-pruned),
-    #   - the 24 displaced keys the round-8 comment promised
-    #     (token_packing ... q3_shipping_priority, r04/r05 evidence),
-    #   - the 7-key r04 tail (q5/q6/q7/q10, orders_cube,
-    #     window_analytics, q20_excess_supplier),
-    #   - the 4 oldest r06/r07-evidence keys (jdbc_roundtrip,
-    #     profile_report_approx, profile_report, bloom_new_docs).
-    # Everything not in the head keeps its r06-r08 evidence and follows
+    # Round-10 rotation head: the driver checks the FIRST 50 keys.
+    # Composition (counts: 2 + 10 + 4 + 5 + 9 + 10 + 10 = 50 checked;
+    # 182 total):
+    #   - 2 brand-new round-10 entries (k_generalize,
+    #     robots_from_bodies) — never driver-checked, lead
+    #     unconditionally,
+    #   - 10 whose code path changed in round 10 — changed code ALWAYS
+    #     re-enters: card_redaction (\\b-anchored replacement + new
+    #     embedded-run fixture), domain_cap_sample (null-safe joins,
+    #     NULL-domain partition kept+capped), robots_allowed (null-safe
+    #     verdict attach + rules_hint auto), delta_roundtrip +
+    #     delta_cdc + scd2_price_history (DATE/TIMESTAMP literal
+    #     pruning, schema-driven literal normalization, timestamp stats
+    #     space separator, numeric partition coercion), rank_sum_drift
+    #     (guard routed through operators/guards.py), near_dup_clusters
+    #     + ngram_jaccard_dups + minhash_near_dups (collapse_exact
+    #     auto-probe routed through guards.py),
+    #   - the 4 keys the round-9 comment promised the round-10 lead
+    #     (knn_pagerank, weighted_pagerank, udtf_sentences,
+    #     topk_neighbors — displaced by the round-9 adds),
+    #   - the 5-key r05-evidence block (customers_no_orders_anti,
+    #     string_funcs, case_coalesce, grouping_sets,
+    #     stratified_sample),
+    #   - 9 remaining r06-evidence operator keys (ivf_topk, ivfpq_topk,
+    #     semantic_dedup, image_decode, streaming_sessionization,
+    #     salted_join_revenue, heavy_hitters, bloom_join_revenue,
+    #     winnow_near_dups),
+    #   - the 10-key r06-evidence TPC-H block (q13/q15/q22/q2/q8/q9/
+    #     q11/q16/q17/q21),
+    #   - 10 more r06-evidence curation keys (decontaminate,
+    #     pii_redaction, boilerplate_ngrams, dataset_split,
+    #     repetition_profile, filter_audit, nfc_normalize, url_domains,
+    #     span_dedup, formats_roundtrip).
+    # Everything not in the head keeps its r07-r09 evidence and follows
     # in prior order; steady-state max evidence age stays ≤ 3 rounds.
     head = [
-        # brand-new round-9 entries
-        "psl_domains", "robots_allowed", "k_anonymity", "card_redaction",
-        "exif_gps_report",
-        # round-9 changed-code re-entries
-        "ab_test_report", "rank_sum_drift", "trend_slopes",
-        "url_canonical_dedup", "domain_cap_sample",
-        "record_linkage", "fuzzy_name_match",
+        # brand-new round-10 entries
+        "k_generalize", "robots_from_bodies",
+        # round-10 changed-code re-entries
+        "card_redaction", "domain_cap_sample", "robots_allowed",
         "delta_roundtrip", "delta_cdc", "scd2_price_history",
-        # the 24 keys the round-8 rotation comment promised the lead
-        "token_packing", "multimodal_frames", "streaming_hourly_events",
-        "winnow_fingerprints", "simhash_near_pairs",
-        "sessionization", "event_type_pivot",
-        "text_stats", "date_funcs", "range_join_shipments", "percentiles",
-        "hourly_events", "dedup_keep_latest", "asof_purchase_attribution",
-        "exact_dedup_docs", "near_dup_clusters", "simhash_fingerprints",
-        "tokenize_regex", "quality_scores", "lang_id",
-        "top_orders_per_customer", "running_customer_spend",
-        "q1_pricing_summary", "q3_shipping_priority",
-        # rest of the r04-evidence tail
-        "q5_local_supplier_volume", "q6_forecast_revenue",
-        "q7_volume_shipping", "q10_returned_items",
-        "orders_cube", "window_analytics", "q20_excess_supplier",
-        # oldest r06/r07-evidence keys
-        "jdbc_roundtrip", "profile_report_approx", "profile_report",
-        "bloom_new_docs",
-        # 50-cap cutoff. The round-8 head's codec/delta/stats block
-        # (event_transitions ... image_decode) all carries fresh r08
-        # driver evidence, so it rotates out en bloc this round.
-        # Round 10's 50 should lead with knn_pagerank,
-        # weighted_pagerank, udtf_sentences, topk_neighbors (displaced
-        # by the round-9 adds) and the r05-evidence block that
-        # fell past the cap again (customers_no_orders_anti,
-        # string_funcs, case_coalesce, grouping_sets,
-        # stratified_sample), then the remaining r06-evidence keys
-        # (ivf_topk, ivfpq_topk, semantic_dedup, image_decode,
-        # streaming_sessionization, salted_join_revenue, heavy_hitters,
-        # bloom_join_revenue, winnow_near_dups, the TPC-H
-        # q13/q15/q22/q2/q8/q9/q11/q16/q17/q21 block, decontaminate,
-        # pii_redaction, boilerplate_ngrams, dataset_split,
-        # repetition_profile, filter_audit, nfc_normalize, url_domains,
-        # span_dedup, formats_roundtrip, multimodal_decode,
+        "rank_sum_drift", "near_dup_clusters", "ngram_jaccard_dups",
+        "minhash_near_dups",
+        # the 4 keys the round-9 rotation comment promised the lead
+        "knn_pagerank", "weighted_pagerank", "udtf_sentences",
+        "topk_neighbors",
+        # r05-evidence block
+        "customers_no_orders_anti", "string_funcs", "case_coalesce",
+        "grouping_sets", "stratified_sample",
+        # remaining r06-evidence operator keys
+        "ivf_topk", "ivfpq_topk", "semantic_dedup", "image_decode",
+        "streaming_sessionization", "salted_join_revenue",
+        "heavy_hitters", "bloom_join_revenue", "winnow_near_dups",
+        # r06-evidence TPC-H block
+        "q13_customer_distribution", "q15_top_supplier",
+        "q22_sales_opportunity", "q2_min_cost_supplier",
+        "q8_market_share", "q9_product_profit", "q11_important_parts",
+        "q16_parts_supplier_cnt", "q17_small_qty_revenue",
+        "q21_waiting_supplier",
+        # r06-evidence curation keys
+        "decontaminate", "pii_redaction", "boilerplate_ngrams",
+        "dataset_split", "repetition_profile", "filter_audit",
+        "nfc_normalize", "url_domains", "span_dedup",
+        "formats_roundtrip",
+        # 50-cap cutoff. The round-9 head (psl_domains ...
+        # bloom_new_docs) carries fresh r09 driver evidence and rotates
+        # out en bloc. Round 11's 50 should lead with the keys this
+        # round displaced just past the cap (multimodal_decode,
         # pivot_event_values, udf_text_metrics, vector_stats,
         # broadcast_hint_join, parts_heavy_semi, set_ops_segments,
-        # correlated_max_order, json_events) plus anything round 10
+        # correlated_max_order, json_events, lm_cross_entropy,
+        # bloom_new_docs — r06/r07 evidence) plus anything round 11
         # changes.
     ]
     out = {k: base[k] for k in head}
@@ -7756,6 +7961,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "psl_domains": _psl_domains_duck(),
         "robots_allowed": _robots_allowed_duck(),
+        "k_generalize": _k_generalize_duck(),
+        "robots_from_bodies": _robots_from_bodies_duck(),
         "k_anonymity": K_ANONYMITY_DUCK,
         "card_redaction": _card_redaction_duck(),
         "exif_gps_report": _exif_gps_report_duck(),

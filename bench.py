@@ -191,6 +191,11 @@ HEADLINE = [
     # round 9: EXIF metadata report + GPS scrub (TIFF/IFD parse in
     # Arrow kernels, strip re-verified in the same entry)
     "exif_gps_report",
+    # round 10: k-anonymity ENFORCEMENT (ladder generalization +
+    # suppression) and crawl-scale robots ingestion (rules parsed
+    # distributively from bodies-as-data)
+    "k_generalize",
+    "robots_from_bodies",
 ]
 
 

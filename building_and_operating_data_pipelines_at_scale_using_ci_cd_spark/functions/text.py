@@ -386,8 +386,18 @@ def redact_cards(text: Column) -> Column:
         F.regexp_extract_all(text, F.lit(CARD_CANDIDATE_RE), 0)
     )
     valid = F.filter(cands, luhn_valid)
+    # \b-anchored replace, NOT a literal substring replace: a valid card
+    # extracted word-bounded elsewhere must not also rewrite the same
+    # digits EMBEDDED inside a longer run (a 20-digit order id that
+    # happens to contain the card). Candidates consist only of
+    # [0-9 -] — no regex metacharacters — so the candidate embeds into
+    # the pattern verbatim.
     return F.aggregate(
-        valid, text, lambda acc, c: F.replace(acc, c, F.lit("[CARD]"))
+        valid,
+        text,
+        lambda acc, c: F.regexp_replace(
+            acc, F.concat(F.lit("\\b"), c, F.lit("\\b")), F.lit("[CARD]")
+        ),
     )
 
 
@@ -406,7 +416,9 @@ def redact_cards_sql(expr: str) -> str:
         f"ELSE CAST(list_reverse({digits})[i] AS INT) * 2 END END)) % 10 = 0"
     )
     valid = f"list_filter({cands}, c -> {luhn})"
+    # same \b anchoring as the Spark side (RE2 supports \b); 'g' because
+    # DuckDB's regexp_replace is first-match-only by default
     return (
         f"list_reduce(list_prepend(CAST({expr} AS VARCHAR), {valid}), "
-        f"(acc, c) -> replace(acc, c, '[CARD]'))"
+        f"(acc, c) -> regexp_replace(acc, '\\b' || c || '\\b', '[CARD]', 'g'))"
     )

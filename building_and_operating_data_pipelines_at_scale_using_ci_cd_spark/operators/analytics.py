@@ -482,9 +482,13 @@ def rank_sum_test(
         )
         vals = vals.select("__arm", signed_bucket.alias("v"))
     elif max_values is not None:
-        approx_v = vals.agg(
-            F.approx_count_distinct("v").alias("adv")
-        ).collect()[0]["adv"]
+        from .guards import construction_scalar
+
+        approx_v = construction_scalar(
+            vals.agg(F.approx_count_distinct("v").alias("adv")),
+            op_name="rank_sum_test",
+            purpose="metric-cardinality guard for the rank window",
+        )["adv"]
         # approx_count_distinct is ±~2.3%; 1.1 head-room keeps the
         # guard from false-failing right at the limit
         if approx_v > max_values * 1.1:

@@ -352,14 +352,18 @@ def near_dup_pairs(
         # xxhash64, not md5: the probe only estimates a ratio, so a fast
         # non-cryptographic hash is enough — and at 100 TB this pass is a
         # pure map-side-partial scan, no shuffle
-        ratio = (
+        from .guards import construction_scalar
+
+        ratio = construction_scalar(
             df.agg(
                 (
                     F.approx_count_distinct(F.xxhash64(F.col(text_col)))
                     / F.count(F.lit(1))
                 ).alias("r")
-            ).collect()[0]["r"]
-        )
+            ),
+            op_name="near_dup_pairs",
+            purpose="duplication-ratio probe for collapse_exact='auto'",
+        )["r"]
         collapse_exact = ratio is not None and ratio < _COLLAPSE_DISTINCT_RATIO
     if not collapse_exact:
         return _near_dup_pairs_core(
@@ -1109,14 +1113,18 @@ def ngram_jaccard_pairs(
     duplication ratio with one map-side approx_count_distinct pass,
     exactly like near_dup_pairs."""
     if collapse_exact == "auto":
-        ratio = (
+        from .guards import construction_scalar
+
+        ratio = construction_scalar(
             df.agg(
                 (
                     F.approx_count_distinct(F.xxhash64(F.col(text_col)))
                     / F.count(F.lit(1))
                 ).alias("r")
-            ).collect()[0]["r"]
-        )
+            ),
+            op_name="ngram_jaccard_dups",
+            purpose="duplication-ratio probe for collapse_exact='auto'",
+        )["r"]
         collapse_exact = ratio is not None and ratio < _COLLAPSE_DISTINCT_RATIO
     if not collapse_exact:
         return _ngram_jaccard_core(

@@ -17,6 +17,16 @@ operator, and registers the output view exactly like a SQL step — so SQL
 and operator steps chain freely in one job and Catalyst still owns the
 whole plan (operators build lazy DataFrames; nothing executes until the
 load phase).
+
+CONSTRUCTION-JOB CONTRACT: a handful of steps run ONE small, bounded
+Spark job while BUILDING their plan (not at load time), because the
+right plan depends on a scalar fact about the data — ``domainCap``
+(hash-prefix shortfall check), ``rankSumTest`` (cardinality guard, only
+when ``max_values`` is set), ``nearDupPairs`` / ``ngramJaccardDups``
+(duplication-ratio probe, only when ``collapse_exact="auto"``), and
+``generalizeToK`` (per-level suppression stats).  All of them route
+through :mod:`.guards`, which bounds each job by a design parameter;
+see that module's docstring for the full contract.
 """
 
 from __future__ import annotations
@@ -353,6 +363,42 @@ def _robots_filter(
         {dom: parse_robots(txt, ua) for dom, txt in robots_map.items()},
     )
     return robots_filter(df, url_col, rules, **kw)
+
+
+def _robots_filter_from_bodies(
+    df: DataFrame,
+    url_col: str,
+    rules_view: str,
+    domain_col: str = "domain",
+    body_col: str = "body",
+    **kw,
+) -> DataFrame:
+    """Config shape: crawl-scale robots verdicts — the rule table is
+    parsed DISTRIBUTIVELY from robots.txt bodies staged as a view
+    (``rules_view`` with ``domain_col``/``body_col``), so the rule set
+    is data, not driver config; the rule join auto-selects broadcast vs
+    shuffle by size (``rules_hint='auto'``)."""
+    from .web import robots_filter, robots_rules_from_df
+
+    ua = kw.pop("user_agent", "*")
+    bodies = df.sparkSession.table(rules_view)
+    rules = robots_rules_from_df(bodies, domain_col, body_col, user_agent=ua)
+    return robots_filter(df, url_col, rules, **kw)
+
+
+def _generalize_to_k(df: DataFrame, k, ladder_json: str, **kw) -> DataFrame:
+    """Config shape: k-anonymity enforcement — generalize quasi columns
+    along ``ladder_json`` (a JSON list of ``{col: sql_expr}`` levels,
+    least → most general) and suppress residual below-k groups.  NB:
+    runs a bounded construction-time job (see the module docstring's
+    contract note)."""
+    import json as _json
+
+    from .validation import generalize_to_k
+
+    if "max_suppression_bp" in kw:
+        kw["max_suppression_bp"] = int(kw["max_suppression_bp"])
+    return generalize_to_k(df, int(k), _json.loads(ladder_json), **kw)
 
 
 def _registrable_domain_psl(
@@ -939,7 +985,9 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "domainCap": _domain_cap,
     "registrableDomainPsl": _registrable_domain_psl,
     "robotsFilter": _robots_filter,
+    "robotsFilterFromBodies": _robots_filter_from_bodies,
     "kAnonymity": _k_anonymity,
+    "generalizeToK": _generalize_to_k,
     "redactCards": _redact_cards,
     "exifReport": _exif_report,
     "stripExif": _strip_exif,

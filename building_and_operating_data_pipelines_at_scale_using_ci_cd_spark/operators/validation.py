@@ -464,3 +464,124 @@ def k_anonymity_report(
     if sensitive_col is not None:
         cols.append(F.col("min_l_diversity"))
     return out.select(*cols)
+
+
+def generalize_to_k(
+    df: DataFrame,
+    k: int,
+    ladder: list[dict[str, str]],
+    max_suppression_bp: int = 0,
+    level_col: str = "gen_level",
+) -> DataFrame:
+    """k-anonymity ENFORCEMENT — the producer twin of
+    :func:`k_anonymity_report`: coarsen quasi-identifier columns along a
+    caller-supplied generalization ladder until the residual
+    below-``k`` share fits the suppression budget, then SUPPRESS (drop)
+    the rows still in below-``k`` groups.  The output therefore always
+    re-audits ``k_anonymous = true`` (property-tested).
+
+    ``ladder`` is an ordered list of levels, least → most general.
+    Each level maps quasi column names (must exist in ``df``) to a SQL
+    expression over the ORIGINAL columns computing that column's value
+    at that level — level 0 is typically identity.  All levels must
+    share one key set.  The chosen level is the FIRST whose below-k
+    rows satisfy ``rows_below_k * 10000 <= max_suppression_bp *
+    n_rows`` (exact integer cross-multiplication, no division), else
+    the last level; suppression is thus minimal for the given ladder.
+
+    Plan shape for 100 TB: ONE corpus scan builds the distinct
+    quasi-tuple group table (map-side-partial groupBy, checkpointed);
+    every level's suppression stats are computed from THAT table, not
+    the corpus, and collected as one bounded ``len(ladder)``-row
+    construction job (see :mod:`.guards` — this operator runs jobs at
+    construction time).  The released table is the corpus scanned once
+    more with quasi columns rewritten in place and one null-safe
+    equi-join against the (small) per-group sizes at the chosen level —
+    AQE-splittable, no windows over data-sized partitions.  Adds
+    ``level_col``; preserves the input column order.
+    """
+    from .guards import construction_rows
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not ladder:
+        raise ValueError("generalize_to_k needs at least one ladder level")
+    if max_suppression_bp < 0 or max_suppression_bp > 10000:
+        raise ValueError(
+            f"max_suppression_bp must be in [0, 10000], got {max_suppression_bp}"
+        )
+    quasi = sorted(ladder[0])
+    for i, lvl in enumerate(ladder):
+        if sorted(lvl) != quasi:
+            raise ValueError(
+                f"ladder level {i} keys {sorted(lvl)} != level 0 keys {quasi}"
+            )
+    missing = [c for c in quasi if c not in df.columns]
+    if missing:
+        raise ValueError(f"quasi columns not in the input: {missing}")
+    if level_col in df.columns:
+        raise ValueError(f"level_col {level_col!r} collides with an input column")
+
+    # ONE corpus scan: the distinct-original-quasi-tuple table. Every
+    # level's group sizes derive from it (generalization is a function
+    # of the original values), so levels never re-scan the corpus.
+    groups = (
+        df.groupBy(*quasi)
+        .agg(F.count("*").alias("__gk_n"))
+        .localCheckpoint()
+    )
+
+    def _level_groups(lvl: dict) -> DataFrame:
+        return groups.select(
+            *[F.expr(lvl[c]).alias(c) for c in quasi], F.col("__gk_n")
+        ).groupBy(*quasi).agg(F.sum("__gk_n").alias("__gk_gn"))
+
+    stats = None
+    for i, lvl in enumerate(ladder):
+        s = _level_groups(lvl).agg(
+            F.lit(i).alias("lvl"),
+            F.coalesce(F.sum("__gk_gn"), F.lit(0)).cast("bigint").alias("n_rows"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("__gk_gn") < k, F.col("__gk_gn")).otherwise(
+                        F.lit(0)
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("below"),
+        )
+        stats = s if stats is None else stats.unionByName(s)
+    rows = construction_rows(
+        stats,
+        op_name="generalize_to_k",
+        purpose="per-level suppression stats for ladder-level selection",
+        max_rows=len(ladder),
+    )
+    chosen = len(ladder) - 1
+    for r in sorted(rows, key=lambda r: r["lvl"]):
+        if r["below"] * 10000 <= max_suppression_bp * r["n_rows"]:
+            chosen = r["lvl"]
+            break
+
+    lvl = ladder[chosen]
+    gen = df.select(
+        *[
+            F.expr(lvl[c]).alias(c) if c in lvl else F.col(c)
+            for c in df.columns
+        ]
+    )
+    sizes = _level_groups(lvl).select(
+        *[F.col(c).alias(f"__gk_{c}") for c in quasi], "__gk_gn"
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [gen[c].eqNullSafe(sizes[f"__gk_{c}"]) for c in quasi],
+    )
+    return (
+        gen.join(sizes, cond)
+        .filter(F.col("__gk_gn") >= k)
+        .select(*df.columns)
+        .withColumn(level_col, F.lit(int(chosen)))
+    )

@@ -258,10 +258,17 @@ def domain_cap(
     a skewed join is AQE-splittable. The returned plan in the normal
     (no-shortfall) case is two scans + one window over bounded groups.
     Adds ``domain``; keeps input columns.
+
+    Rows whose host yields a NULL registrable domain form their OWN
+    capped partition (SQL ``PARTITION BY`` semantics — the same thing
+    the plain-window reference does), so every join here is null-safe:
+    a plain inner equi-join would silently drop the NULL-domain rows.
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     from pyspark.sql import Window
+
+    from .guards import construction_rows
 
     hash_span = 1 << 32
     dom = registrable_domain(F.col(host_col))
@@ -269,7 +276,10 @@ def domain_cap(
         "__dc_h", portable_hash(F.col(id_col), seed=seed)
     )
     counts = base.groupBy("domain").agg(F.count("*").alias("__dc_n"))
-    joined = base.join(counts, "domain")
+    joined = base.join(
+        counts.withColumnRenamed("domain", "__dc_dom"),
+        F.col("domain").eqNullSafe(F.col("__dc_dom")),
+    ).drop("__dc_dom")
     out_cols = [*df.columns, "domain"]
 
     threshold = F.least(
@@ -313,25 +323,37 @@ def domain_cap(
         .groupBy("domain")
         .agg(F.count("*").alias("__dc_sc"))
     )
-    short_rows = (
+    short_rows = construction_rows(
         counts.filter(F.col("__dc_n") > cap)
-        .join(surv_counts, "domain", "left")
+        .join(
+            surv_counts.withColumnRenamed("domain", "__dc_dom"),
+            F.col("domain").eqNullSafe(F.col("__dc_dom")),
+            "left",
+        )
         .filter(F.coalesce(F.col("__dc_sc"), F.lit(0)) < cap)
-        .select("domain")
-        .limit(1001)
-        .collect()
-    )
-    if not short_rows:
-        return kept_main
-    if len(short_rows) > 1000:
-        raise ValueError(
+        .select("domain"),
+        op_name="domain_cap",
+        purpose="hash-prefix shortfall check",
+        max_rows=1000,
+        over_msg=(
             "domain_cap: >1000 domains fell short of the 4x-oversampled "
             "hash threshold — the id column's md5 distribution is "
             "degenerate; pick a different id_col or seed"
-        )
+        ),
+    )
+    if not short_rows:
+        return kept_main
     short_domains = [r["domain"] for r in short_rows]
+    non_null = [d for d in short_domains if d is not None]
+    short_pred = (
+        F.col("domain").isin(non_null) if non_null else F.lit(False)
+    )
+    if any(d is None for d in short_domains):
+        # isin() can never match NULL — route the NULL-domain partition
+        # to the fallback explicitly when the check flagged it
+        short_pred = short_pred | F.col("domain").isNull()
     ranked_fallback = (
-        base.filter(F.col("domain").isin(short_domains))
+        base.filter(short_pred)
         .withColumn("__dc_rn", F.row_number().over(w))
         .filter(F.col("__dc_rn") <= cap)
         .select(*out_cols)
@@ -641,28 +663,97 @@ def robots_rules_df(spark, rules_by_domain: dict):
     )
 
 
+def robots_rules_from_df(
+    rules_src: DataFrame,
+    domain_col: str,
+    body_col: str,
+    user_agent: str = "*",
+) -> DataFrame:
+    """Crawl-scale rule ingestion: parse robots.txt BODIES stored as a
+    DataFrame column into the same ``(domain, like_pattern, allow,
+    plen)`` rule table :func:`robots_rules_df` builds from a driver
+    dict.  A real crawl holds millions of robots.txt files — they are
+    DATA, not config, so the parse (RFC 9309 group selection + the LIKE
+    translation, pure string logic shared with the driver path via
+    :func:`parse_robots` / :func:`_robots_like`) runs distributively in
+    an Arrow-batched ``mapInPandas`` kernel: one pass over the bodies,
+    one output row per applicable directive, no driver round-trip.
+
+    NULL domains/bodies contribute no rules (their URLs then take the
+    default-allow lane in :func:`robots_filter`); a body with no group
+    matching ``user_agent`` likewise yields nothing.  Callers should
+    deduplicate to one body per domain first — duplicate domains simply
+    union their directives."""
+    import pandas as pd
+
+    ua = user_agent
+
+    def gen(batches):
+        for pdf in batches:
+            doms: list = []
+            likes: list = []
+            allows: list = []
+            plens: list = []
+            for dom, body in zip(pdf[domain_col], pdf[body_col]):
+                if dom is None or body is None:
+                    continue
+                for pattern, allow, plen in parse_robots(body, ua):
+                    like, _ = _robots_like(pattern)
+                    doms.append(dom)
+                    likes.append(like)
+                    allows.append(bool(allow))
+                    plens.append(int(plen))
+            yield pd.DataFrame(
+                {
+                    "domain": pd.Series(doms, dtype="object"),
+                    "like_pattern": pd.Series(likes, dtype="object"),
+                    "allow": pd.Series(allows, dtype="bool"),
+                    "plen": pd.Series(plens, dtype="int32"),
+                }
+            )
+
+    return rules_src.select(domain_col, body_col).mapInPandas(
+        gen, "domain string, like_pattern string, allow boolean, plen int"
+    )
+
+
 def robots_filter(
     df: DataFrame,
     url_col: str,
     rules: DataFrame,
     out_col: str = "robots_allowed",
+    rules_hint: str = "auto",
 ) -> DataFrame:
     """Per-URL robots verdict: adds ``out_col`` (boolean) — True when
     the longest matching rule for the URL's registrable domain is an
     Allow, or no rule matches, or the domain has no robots rules
     (RFC 9309 default-allow). Length ties go to Allow (the spec's
     tie-break: booleans order false < true inside the max-struct).
+    Rows whose URL is NULL (or yields no host) keep the default-allow
+    verdict rather than vanishing — every join is null-safe, so row
+    multiplicity is ALWAYS preserved.
 
     Plan shape for 100 TB: the verdict is a function of (domain, path)
     alone, so it is computed on the DISTINCT (domain, path) set — one
-    high-cardinality groupBy — where the rule table (KBs, one row per
-    directive) BROADCAST-left-joins on the domain, fanning each
-    distinct pair out only by ITS domain's rule count; matching is a
-    single LIKE per pair (translated once, driver-side — no per-row
-    regex compilation); a max-struct per pair picks the winner, and
-    one equi-join attaches verdicts back to the corpus rows (row
-    multiplicity untouched). The corpus itself is scanned once.
+    high-cardinality groupBy — where the rule table left-joins on the
+    domain, fanning each distinct pair out only by ITS domain's rule
+    count; matching is a single LIKE per pair (translated once — no
+    per-row regex compilation); a max-struct per pair picks the winner,
+    and one equi-join attaches verdicts back to the corpus rows. The
+    corpus itself is scanned once.
+
+    ``rules_hint`` picks the rule-join strategy: ``"auto"`` (default)
+    leaves it to Catalyst/AQE — a curated driver-dict table (KBs) gets
+    broadcast by the planner's own size estimate, while a crawl-scale
+    table from :func:`robots_rules_from_df` that outgrows
+    ``spark.sql.autoBroadcastJoinThreshold`` falls back to a shuffled
+    equi-join on the domain; ``"broadcast"`` forces the broadcast for
+    rule tables the caller KNOWS are bounded.
     """
+    if rules_hint not in ("auto", "broadcast"):
+        raise ValueError(
+            f"rules_hint must be 'auto' or 'broadcast', got {rules_hint!r}"
+        )
     dom = registrable_domain(
         F.regexp_replace(
             F.lower(F.regexp_extract(F.col(url_col), _HOSTPORT_RE, 1)),
@@ -674,8 +765,9 @@ def robots_filter(
     path = F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
     base = df.withColumn("__rb_dom", dom).withColumn("__rb_path", path)
     pairs = base.select("__rb_dom", "__rb_path").distinct()
+    rules_side = F.broadcast(rules) if rules_hint == "broadcast" else rules
     joined = pairs.join(
-        F.broadcast(rules),
+        rules_side,
         (F.col("__rb_dom") == F.col("domain"))
         & F.like(F.col("__rb_path"), F.col("like_pattern"), F.lit("\\")),
         "left",
@@ -684,14 +776,19 @@ def robots_filter(
         joined.groupBy("__rb_dom", "__rb_path")
         .agg(F.max(F.struct(F.col("plen"), F.col("allow"))).alias("__rb_best"))
         .select(
-            "__rb_dom",
-            "__rb_path",
+            F.col("__rb_dom").alias("__rb_dom_v"),
+            F.col("__rb_path").alias("__rb_path_v"),
             F.coalesce(F.col("__rb_best.allow"), F.lit(True)).alias(out_col),
         )
     )
-    return base.join(verdicts, ["__rb_dom", "__rb_path"]).select(
-        *df.columns, out_col
-    )
+    # null-safe attach: a NULL URL yields NULL (domain, path) keys, which
+    # a plain equi-join would drop; eqNullSafe keeps the row with its
+    # default-allow verdict (the pairs table carries the NULL pair too)
+    return base.join(
+        verdicts,
+        F.col("__rb_dom").eqNullSafe(F.col("__rb_dom_v"))
+        & F.col("__rb_path").eqNullSafe(F.col("__rb_path_v")),
+    ).select(*df.columns, out_col)
 
 
 def robots_filter_sql(

@@ -309,7 +309,11 @@ def _json_stat_value(v):
     if isinstance(v, str):
         return v if len(v) <= _STATS_MAX_STR else None
     if isinstance(v, datetime.datetime):
-        return v.isoformat()
+        # SPACE separator, not the 'T' default: SQL timestamp literals
+        # ('2024-01-01 12:00:00') compare lexicographically against
+        # these strings in _file_may_match, and ' ' < 'T' would make a
+        # genuinely-matching file prune away
+        return v.isoformat(sep=" ")
     if isinstance(v, datetime.date):
         return v.isoformat()
     return None
@@ -688,21 +692,36 @@ def _parse_conjuncts(condition: str):
     OPTIMIZATION, so anything unrecognized simply prunes nothing and
     the DML stays exact. Only a top-level AND chain of simple
     comparisons qualifies; OR / NOT / IN / parens / functions bail out.
+
+    Typed ``DATE '...'`` / ``TIMESTAMP '...'`` literals — the single
+    most common ETL pruning predicate (effective-dated SCD2, daily
+    batch) — ARE recognized: their quoted body compares against the
+    isoformat strings :func:`_file_stats` records (timestamps
+    normalized to the space separator stats use).
     """
     import re
 
     if re.search(r"\bOR\b|\bNOT\b|\bIN\b|[()]", condition, re.IGNORECASE):
         return []
     out = []
-    lit = r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
+    lit = r"((?:DATE\s*|TIMESTAMP\s*)?'(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
     ident = r"`?([A-Za-z_][A-Za-z0-9_]*)`?"
     pat = re.compile(
         rf"^\s*(?:{ident}\s*(=|==|<=|>=|<|>)\s*{lit}"
-        rf"|{lit}\s*(=|==|<=|>=|<|>)\s*{ident})\s*$"
+        rf"|{lit}\s*(=|==|<=|>=|<|>)\s*{ident})\s*$",
+        re.IGNORECASE,
     )
     flip = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "==": "=="}
 
     def _val(tok: str):
+        typed = re.match(r"^(DATE|TIMESTAMP)\s*'", tok, re.IGNORECASE)
+        if typed:
+            body = tok[tok.index("'") :][1:-1].replace("''", "'")
+            if typed.group(1).upper() == "TIMESTAMP" and re.match(
+                r"^\d{4}-\d{2}-\d{2}T", body
+            ):
+                body = body.replace("T", " ", 1)
+            return body
         if tok.startswith("'"):
             return tok[1:-1].replace("''", "'")
         return float(tok) if "." in tok else int(tok)
@@ -715,6 +734,34 @@ def _parse_conjuncts(condition: str):
             out.append((m.group(1), m.group(2).replace("==", "="), _val(m.group(3))))
         else:
             out.append((m.group(6), flip[m.group(5)].replace("==", "="), _val(m.group(4))))
+    return out
+
+
+def _normalize_conjuncts(snap: "DeltaSnapshot", conjuncts: list) -> list:
+    """Normalize string literals by the TARGET COLUMN's type so they
+    compare against the canonical forms :func:`_file_stats` records: a
+    literal aimed at a timestamp column gets its ISO 'T' separator
+    rewritten to the space form the stats use ('2024-01-15T06:00:00' ↔
+    '2024-01-15 06:00:00' must prune identically), while a literal
+    aimed at a genuine string column is left byte-exact (its stats hold
+    the raw strings).  Unknown columns pass through untouched — the
+    pruner's type-mismatch guard keeps them conservative."""
+    try:
+        types = {f.name: f.dataType.typeName() for f in snap.schema.fields}
+    except Exception:  # malformed metadata: pruning stays conservative
+        return conjuncts
+    out = []
+    for col, op, val in conjuncts:
+        if (
+            isinstance(val, str)
+            and types.get(col, "").startswith("timestamp")
+            and len(val) > 10
+            and val[:4].isdigit()
+            and val[4] == "-"
+            and val[10] == "T"
+        ):
+            val = val[:10] + " " + val[11:]
+        out.append((col, op, val))
     return out
 
 
@@ -733,7 +780,19 @@ def _file_may_match(add: dict, conjuncts: list) -> bool:
             # equality is safe to decide (lexicographic ranges lie about
             # numbers: '10' < '9')
             pv = pvals[col]
-            if op in ("=", "==") and pv is not None and pv != str(val):
+            if op not in ("=", "==") or pv is None:
+                continue
+            if isinstance(val, (int, float)):
+                # numeric predicate vs the stored string: compare as
+                # numbers ('5' == 5.0 under SQL coercion); an unparsable
+                # representation keeps the file (conservative)
+                try:
+                    if float(pv) != float(val):
+                        return False
+                except ValueError:
+                    pass
+                continue
+            if pv != str(val):
                 return False
             continue
         mn, mx = mins.get(col), maxs.get(col)
@@ -763,6 +822,7 @@ def _candidate_files(snap: DeltaSnapshot, conjuncts: list) -> list:
     """Relative paths of files the conjuncts cannot rule out."""
     if not conjuncts:
         return sorted(snap.files)
+    conjuncts = _normalize_conjuncts(snap, conjuncts)
     return sorted(
         rel for rel, add in snap.files.items() if _file_may_match(add, conjuncts)
     )
@@ -778,9 +838,20 @@ def _source_key_conjuncts(source: DataFrame, on_keys: list) -> list:
     for k in on_keys:
         aggs += [F.min(k).alias(f"__mn_{k}"), F.max(k).alias(f"__mx_{k}")]
     row = source.agg(*aggs).collect()[0]
+    import datetime as _dt
+
+    def _norm(v):
+        # date/timestamp keys prune via the same isoformat strings
+        # _file_stats records (space-separated for timestamps)
+        if isinstance(v, _dt.datetime):
+            return v.isoformat(sep=" ")
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        return v
+
     out = []
     for k in on_keys:
-        mn, mx = row[f"__mn_{k}"], row[f"__mx_{k}"]
+        mn, mx = _norm(row[f"__mn_{k}"]), _norm(row[f"__mx_{k}"])
         if isinstance(mn, (int, float, str)) and not isinstance(mn, bool):
             out.append((k, ">=", mn))
         if isinstance(mx, (int, float, str)) and not isinstance(mx, bool):

@@ -131,6 +131,35 @@ def main():
     print(f"psl domains: {psl}")
     assert psl == [("example.co.uk", n_docs)]
 
+    # robots rules FROM BODIES (round 10): the rule table is parsed
+    # distributively from robots.txt text staged as a view — Disallow
+    # /p/2 blocks /p/2 and /p/20-29 except the anchored Allow /p/25$
+    bad2, good25, total2 = duckdb.sql(
+        f"SELECT SUM(CASE WHEN NOT robots_allowed THEN 1 ELSE 0 END), "
+        f"       SUM(CASE WHEN url LIKE '%/p/25' AND robots_allowed THEN 1 ELSE 0 END), "
+        f"       COUNT(*) FROM '{DEMO}/robots_verdicts2/*.parquet'"
+    ).fetchone()
+    expected_bad2 = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{DEMO}/raw/crawl/*.parquet' "
+        f"WHERE doc_id % 60 IN (2, 20, 21, 22, 23, 24, 26, 27, 28, 29)"
+    ).fetchone()[0]
+    print(f"robots-from-bodies: {bad2}/{total2} disallowed ({good25} /p/25 exempted)")
+    assert total2 == n_docs and bad2 == expected_bad2 and good25 > 0
+
+    # k-anonymity ENFORCEMENT (round 10, linkage task): the released
+    # customer table re-audits k-anonymous at k=20 — every generalized
+    # quasi group clears k, one ladder level for the whole release
+    min_g, n_lvls, n_rel = duckdb.sql(
+        f"SELECT MIN(n), COUNT(DISTINCT gen_level), SUM(n) FROM ("
+        f"  SELECT c_nationkey, c_mktsegment, bal_band, gen_level, COUNT(*) AS n"
+        f"  FROM '{DEMO}/privacy_release/*.parquet'"
+        f"  GROUP BY 1, 2, 3, 4)"
+    ).fetchone()
+    n_cust = duckdb.sql(f"SELECT COUNT(*) FROM '{DEMO}/raw/clean/*.parquet'").fetchone()[0]
+    print(f"privacy release: {n_rel}/{n_cust} rows, min group {min_g}, levels {n_lvls}")
+    assert min_g >= 20 and n_lvls == 1
+    assert n_rel * 10000 >= n_cust * 9700  # suppression within the 3% budget
+
     fun = duckdb.sql(
         f"SELECT stage, n_users, conv_pct_x10000 FROM '{DEMO}/funnel_report/*.parquet' "
         f"ORDER BY stage_idx"

@@ -107,6 +107,13 @@ BNLJ_ALLOWED = {
     # the 2-row arm aggregate) meet in a 1-row x 1-row broadcast
     # crossJoin — pure scalar attachment
     "ab_test_report",
+    # k_generalize: at sf0.001 the ladder selects its all-constant TOP
+    # level, so the release join's eqNullSafe keys constant-fold away
+    # and the per-group-size attach degenerates into a broadcast of the
+    # ONE surviving group row — a 1-row scalar attachment, bounded by
+    # construction. At any level with real quasi columns (sf0.01+) the
+    # same join plans as a hash join on the gen keys.
+    "k_generalize",
 }
 
 FLAGS = {

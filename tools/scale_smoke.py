@@ -819,6 +819,78 @@ def main() -> None:
         .count(),
     )
 
+    # ---- round-10 lanes --------------------------------------------------
+    # crawl-scale robots ingestion: ~1e5 domains' robots BODIES parsed
+    # distributively (no driver dict), verdicts joined under
+    # rules_hint='auto' so the planner sizes the (multi-rule-per-domain)
+    # table itself. The corpus fans its URLs across all domains.
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.web import (
+        robots_filter,
+        robots_rules_from_df,
+    )
+
+    n_dom = 100_000
+    bodies = (
+        spark.range(n_dom)
+        .select(
+            F.concat(F.lit("site"), F.col("id"), F.lit(".example")).alias(
+                "domain"
+            ),
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /priv"),
+                (F.col("id") % 7).cast("string"),
+                F.lit("/\nAllow: /priv"),
+                (F.col("id") % 7).cast("string"),
+                F.lit("/ok/\nDisallow: /logs/*.tmp$\n"),
+            ).alias("body"),
+        )
+    )
+    crawl_urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % n_dom).cast("string"),
+            F.lit(".example/priv"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/ok/a")).otherwise(
+                F.lit("/x")
+            ),
+        ).alias("url"),
+    )
+    rules_dist = robots_rules_from_df(bodies, "domain", "body")
+    timed(
+        "robots_rules_from_df + filter (1e5 domains, auto join)",
+        lambda: robots_filter(crawl_urls, "url", rules_dist)
+        .filter("NOT robots_allowed")
+        .count(),
+    )
+
+    # k-anonymity enforcement under skew: one quasi tuple holds 90% of
+    # the corpus; group stats must stay on the (small) distinct-tuple
+    # table and the release join must stay AQE-splittable.
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.validation import (
+        generalize_to_k,
+    )
+
+    skewed = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 9, F.lit(0))
+        .otherwise((F.col("doc_id") % 1000).cast("int"))
+        .alias("zip"),
+        (F.col("doc_id") % 4).cast("int").alias("seg"),
+    )
+    ladder = [
+        {"zip": "CAST(zip AS BIGINT)", "seg": "CAST(seg AS BIGINT)"},
+        {"zip": "CAST(FLOOR(zip / 100) AS BIGINT)", "seg": "CAST(seg AS BIGINT)"},
+        {"zip": "CAST(-1 AS BIGINT)", "seg": "CAST(-1 AS BIGINT)"},
+    ]
+    timed(
+        "generalize_to_k (90% one quasi tuple)",
+        lambda: generalize_to_k(
+            skewed, 50, ladder, max_suppression_bp=100
+        ).count(),
+    )
+
 
 if __name__ == "__main__":
     main()
