@@ -687,11 +687,13 @@ def optimize_delta_lite(
 def _parse_conjuncts(condition: str):
     """Conservative extraction of ``col op literal`` conjuncts from a
     SQL condition for stats-based file skipping. Returns a list of
-    ``(col, op, value)`` (value: int | float | str), or ``[]`` when the
-    condition is too complex to reason about — pruning is an
-    OPTIMIZATION, so anything unrecognized simply prunes nothing and
-    the DML stays exact. Only a top-level AND chain of simple
-    comparisons qualifies; OR / NOT / IN / parens / functions bail out.
+    ``(col, op, value)`` (value: int | float | str; op ``"in"`` carries
+    a tuple of values), or ``[]`` when the condition is too complex to
+    reason about — pruning is an OPTIMIZATION, so anything unrecognized
+    simply prunes nothing and the DML stays exact. A top-level AND
+    chain of simple comparisons, ``col IN (lit, ...)`` lists, and
+    ``col BETWEEN lit AND lit`` qualifies; OR / NOT / other parens /
+    functions bail out.
 
     Typed ``DATE '...'`` / ``TIMESTAMP '...'`` literals — the single
     most common ETL pruning predicate (effective-dated SCD2, daily
@@ -701,17 +703,11 @@ def _parse_conjuncts(condition: str):
     """
     import re
 
-    if re.search(r"\bOR\b|\bNOT\b|\bIN\b|[()]", condition, re.IGNORECASE):
+    # NOT is checked on the RAW text so `NOT IN` can never half-parse
+    if re.search(r"\bOR\b|\bNOT\b", condition, re.IGNORECASE):
         return []
-    out = []
     lit = r"((?:DATE\s*|TIMESTAMP\s*)?'(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
     ident = r"`?([A-Za-z_][A-Za-z0-9_]*)`?"
-    pat = re.compile(
-        rf"^\s*(?:{ident}\s*(=|==|<=|>=|<|>)\s*{lit}"
-        rf"|{lit}\s*(=|==|<=|>=|<|>)\s*{ident})\s*$",
-        re.IGNORECASE,
-    )
-    flip = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "==": "=="}
 
     def _val(tok: str):
         typed = re.match(r"^(DATE|TIMESTAMP)\s*'", tok, re.IGNORECASE)
@@ -726,6 +722,39 @@ def _parse_conjuncts(condition: str):
             return tok[1:-1].replace("''", "'")
         return float(tok) if "." in tok else int(tok)
 
+    # BETWEEN first: its embedded AND would break the conjunct split
+    condition = re.sub(
+        rf"{ident}\s+BETWEEN\s+{lit}\s+AND\s+{lit}",
+        r"\1 >= \2 AND \1 <= \3",
+        condition,
+        flags=re.IGNORECASE,
+    )
+
+    out: list = []
+
+    def _in_repl(m):
+        col, body = m.group(1), m.group(2)
+        vals = []
+        for e in (x.strip() for x in body.split(",")):
+            if not re.fullmatch(lit, e, re.IGNORECASE):
+                return m.group(0)  # unparsable element: leave → paren bail
+        for e in (x.strip() for x in body.split(",")):
+            vals.append(_val(e))
+        out.append((col, "in", tuple(vals)))
+        return " __IN_OK__ "
+
+    condition = re.sub(
+        rf"{ident}\s+IN\s*\(([^()]*)\)", _in_repl, condition, flags=re.IGNORECASE
+    )
+    if re.search(r"[()]", condition):
+        return []  # leftover parens: something we can't reason about
+
+    pat = re.compile(
+        rf"^\s*(?:{ident}\s*(=|==|<=|>=|<|>)\s*{lit}"
+        rf"|{lit}\s*(=|==|<=|>=|<|>)\s*{ident})\s*$",
+        re.IGNORECASE,
+    )
+    flip = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "==": "=="}
     for conjunct in re.split(r"\bAND\b", condition, flags=re.IGNORECASE):
         m = pat.match(conjunct)
         if not m:
@@ -737,7 +766,16 @@ def _parse_conjuncts(condition: str):
     return out
 
 
-def _normalize_conjuncts(snap: "DeltaSnapshot", conjuncts: list) -> list:
+def _schema_types(snap: "DeltaSnapshot") -> dict:
+    """``{column: typeName}`` from the snapshot schema; empty (→ fully
+    conservative pruning) when the metadata can't be read."""
+    try:
+        return {f.name: f.dataType.typeName() for f in snap.schema.fields}
+    except Exception:  # malformed metadata: pruning stays conservative
+        return {}
+
+
+def _normalize_conjuncts(types: dict, conjuncts: list) -> list:
     """Normalize string literals by the TARGET COLUMN's type so they
     compare against the canonical forms :func:`_file_stats` records: a
     literal aimed at a timestamp column gets its ISO 'T' separator
@@ -746,57 +784,106 @@ def _normalize_conjuncts(snap: "DeltaSnapshot", conjuncts: list) -> list:
     aimed at a genuine string column is left byte-exact (its stats hold
     the raw strings).  Unknown columns pass through untouched — the
     pruner's type-mismatch guard keeps them conservative."""
-    try:
-        types = {f.name: f.dataType.typeName() for f in snap.schema.fields}
-    except Exception:  # malformed metadata: pruning stays conservative
-        return conjuncts
+
+    def norm(col, v):
+        if (
+            isinstance(v, str)
+            and types.get(col, "").startswith("timestamp")
+            and len(v) > 10
+            and v[:4].isdigit()
+            and v[4] == "-"
+            and v[10] == "T"
+        ):
+            return v[:10] + " " + v[11:]
+        return v
+
     out = []
     for col, op, val in conjuncts:
-        if (
-            isinstance(val, str)
-            and types.get(col, "").startswith("timestamp")
-            and len(val) > 10
-            and val[:4].isdigit()
-            and val[4] == "-"
-            and val[10] == "T"
-        ):
-            val = val[:10] + " " + val[11:]
-        out.append((col, op, val))
+        if op == "in":
+            out.append((col, op, tuple(norm(col, v) for v in val)))
+        else:
+            out.append((col, op, norm(col, val)))
     return out
 
 
-def _file_may_match(add: dict, conjuncts: list) -> bool:
+def _pv_violates(pv: str, op: str, val, col_type: str) -> bool:
+    """True when a partition STRING value provably fails ``op val``.
+
+    - numeric predicate: compare as floats; floats are monotone, so a
+      STRICT float inequality proves the true values differ the same
+      way (an equal-float tie keeps the file — conservative around the
+      2^53 edge); unparsable representations keep the file.
+    - string predicate: full range comparison when the column's type
+      makes lexicographic order THE value order (string itself, or
+      date/timestamp isoformat); equality only otherwise — '10' < '9'
+      lexicographically, so ranges over numerics-as-strings lie.
+    """
+    if isinstance(val, (int, float)):
+        try:
+            pvn, valn = float(pv), float(val)
+        except ValueError:
+            return False
+        if op in ("=", "=="):
+            return pvn != valn
+        if op == "<":
+            return pvn > valn
+        if op == "<=":
+            return pvn > valn
+        if op == ">":
+            return pvn < valn
+        if op == ">=":
+            return pvn < valn
+        return False
+    sval = str(val)
+    if op in ("=", "=="):
+        return pv != sval
+    if col_type in ("string", "date") or col_type.startswith("timestamp"):
+        if op == "<":
+            return not (pv < sval)
+        if op == "<=":
+            return not (pv <= sval)
+        if op == ">":
+            return not (pv > sval)
+        if op == ">=":
+            return not (pv >= sval)
+    return False
+
+
+def _file_may_match(add: dict, conjuncts: list, col_types: dict | None = None) -> bool:
     """False only when the file's recorded stats PROVE no row can
     satisfy every conjunct (missing/incomparable stats keep the file —
     conservative). Comparisons with NULL are never satisfied, so
-    min/max over non-null values is exactly the right evidence."""
+    min/max over non-null values is exactly the right evidence — and a
+    file whose PARTITION value is NULL can satisfy no comparison on
+    that column at all."""
+    col_types = col_types or {}
     stats = json.loads(add.get("stats") or "{}") if add.get("stats") else {}
     mins = stats.get("minValues") or {}
     maxs = stats.get("maxValues") or {}
     pvals = add.get("partitionValues") or {}
     for col, op, val in conjuncts:
         if col in pvals:
-            # partition values are protocol-encoded STRINGS: only exact
-            # equality is safe to decide (lexicographic ranges lie about
-            # numbers: '10' < '9')
             pv = pvals[col]
-            if op not in ("=", "==") or pv is None:
-                continue
-            if isinstance(val, (int, float)):
-                # numeric predicate vs the stored string: compare as
-                # numbers ('5' == 5.0 under SQL coercion); an unparsable
-                # representation keeps the file (conservative)
-                try:
-                    if float(pv) != float(val):
-                        return False
-                except ValueError:
-                    pass
-                continue
-            if pv != str(val):
+            if pv is None:
+                return False  # every row's col is NULL: no comparison holds
+            t = col_types.get(col, "")
+            if op == "in":
+                if all(_pv_violates(pv, "=", v, t) for v in val):
+                    return False
+            elif _pv_violates(pv, op, val, t):
                 return False
             continue
         mn, mx = mins.get(col), maxs.get(col)
         if mn is None or mx is None:
+            continue
+        if op == "in":
+            vals = [
+                v for v in val if isinstance(v, str) == isinstance(mn, str)
+            ]
+            if len(vals) != len(val):
+                continue  # mixed/unknown element types: don't guess
+            if all(v < mn or v > mx for v in vals):
+                return False
             continue
         if isinstance(val, str) != isinstance(mn, str):
             continue  # type mismatch: don't guess
@@ -822,9 +909,12 @@ def _candidate_files(snap: DeltaSnapshot, conjuncts: list) -> list:
     """Relative paths of files the conjuncts cannot rule out."""
     if not conjuncts:
         return sorted(snap.files)
-    conjuncts = _normalize_conjuncts(snap, conjuncts)
+    types = _schema_types(snap)
+    conjuncts = _normalize_conjuncts(types, conjuncts)
     return sorted(
-        rel for rel, add in snap.files.items() if _file_may_match(add, conjuncts)
+        rel
+        for rel, add in snap.files.items()
+        if _file_may_match(add, conjuncts, types)
     )
 
 

@@ -208,36 +208,92 @@ def test_parse_conjuncts_typed_literals():
 
 
 def test_normalize_conjuncts_by_column_type():
-    class Snap:
-        metadata = {
-            "schemaString": json.dumps(
-                {
-                    "type": "struct",
-                    "fields": [
-                        {"name": "ts", "type": "timestamp", "nullable": True,
-                         "metadata": {}},
-                        {"name": "s", "type": "string", "nullable": True,
-                         "metadata": {}},
-                    ],
-                }
-            )
-        }
-
-        @property
-        def schema(self):
-            from pyspark.sql.types import StructType
-
-            return StructType.fromJson(json.loads(self.metadata["schemaString"]))
-
+    types = {"ts": "timestamp", "s": "string"}
     nc = _normalize_conjuncts(
-        Snap(),
-        [("ts", "<=", "2024-01-15T06:30:00"), ("s", "=", "2024-01-15T06:30:00")],
+        types,
+        [("ts", "<=", "2024-01-15T06:30:00"), ("s", "=", "2024-01-15T06:30:00"),
+         ("ts", "in", ("2024-01-15T06:30:00", "2024-01-16 00:00:00"))],
     )
     # timestamp literal normalized to the stats' space form; raw string kept
     assert nc == [
         ("ts", "<=", "2024-01-15 06:30:00"),
         ("s", "=", "2024-01-15T06:30:00"),
+        ("ts", "in", ("2024-01-15 06:30:00", "2024-01-16 00:00:00")),
     ]
+
+
+def test_parse_conjuncts_in_and_between():
+    assert _parse_conjuncts("ds IN (DATE '2024-01-10', DATE '2024-01-12')") == [
+        ("ds", "in", ("2024-01-10", "2024-01-12"))
+    ]
+    assert _parse_conjuncts("x IN (1, 3, 5) AND y = 2") == [
+        ("x", "in", (1, 3, 5)),
+        ("y", "=", 2),
+    ]
+    assert _parse_conjuncts("ds BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'") == [
+        ("ds", ">=", "2024-01-10"),
+        ("ds", "<=", "2024-01-12"),
+    ]
+    # NOT IN must bail entirely (no half-parsed pruning)
+    assert _parse_conjuncts("x NOT IN (1, 2)") == []
+    # unparsable IN element bails (leftover parens)
+    assert _parse_conjuncts("x IN (1, f(2))") == []
+
+
+def test_file_may_match_in_lists_and_partition_ranges():
+    add = {"stats": json.dumps({
+        "numRecords": 3,
+        "minValues": {"x": 10, "ds": "2024-01-10"},
+        "maxValues": {"x": 20, "ds": "2024-01-12"},
+        "nullCount": {"x": 0, "ds": 0},
+    })}
+    assert _file_may_match(add, [("x", "in", (1, 15))]) is True
+    assert _file_may_match(add, [("x", "in", (1, 2))]) is False
+    assert _file_may_match(add, [("ds", "in", ("2024-01-11",))]) is True
+    assert _file_may_match(add, [("ds", "in", ("2024-02-01",))]) is False
+    # partition ranges: date/string types prune lexicographically,
+    # numeric types prune numerically, unknown string types equality-only
+    padd = {"partitionValues": {"ds": "2024-01-11", "n": "10"}}
+    types = {"ds": "date", "n": "long"}
+    assert _file_may_match(padd, [("ds", "<", "2024-01-12")], types) is True
+    assert _file_may_match(padd, [("ds", "<", "2024-01-11")], types) is False
+    assert _file_may_match(padd, [("ds", ">=", "2024-01-11")], types) is True
+    assert _file_may_match(padd, [("ds", ">", "2024-01-11")], types) is False
+    assert _file_may_match(padd, [("n", "<", 9)], types) is False  # 10 < 9 is false
+    assert _file_may_match(padd, [("n", "<=", 10)], types) is True
+    assert _file_may_match(padd, [("n", "in", (10.0, 99))], types) is True
+    assert _file_may_match(padd, [("n", "in", (9, 11))], types) is False
+    # without type info a string range does NOT prune ('10' < '9' trap)
+    assert _file_may_match({"partitionValues": {"v": "10"}}, [("v", "<", "9")]) is True
+    # NULL partition value satisfies no comparison
+    assert _file_may_match({"partitionValues": {"p": None}}, [("p", "=", 1)]) is False
+
+
+def test_partitioned_date_range_delete_prunes(spark, tmp_path):
+    tbl = str(tmp_path / "pt")
+    rows = [
+        (datetime.date(2024, 1, 10 + d), d * 100 + i, i) for d in range(4)
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "ds date, id long, v int")
+    write_delta_lite(df, tbl, partition_by=["ds"])
+    total = len(load_snapshot(tbl).files)
+    assert total >= 4
+    delete_delta_lite(
+        spark, tbl, "ds BETWEEN DATE '2024-01-11' AND DATE '2024-01-12'"
+    )
+    log = os.path.join(tbl, "_delta_log")
+    last = sorted(f for f in os.listdir(log) if f.endswith(".json"))[-1]
+    ci = [
+        json.loads(line)["commitInfo"]
+        for line in open(os.path.join(log, last))
+        if '"commitInfo"' in line
+    ][0]
+    # the date-partitioned BETWEEN touches only the 2 matching partitions
+    assert ci["operationParameters"]["candidateFiles"] <= total / 2
+    out = read_delta_lite(spark, tbl)
+    assert out.count() == 10
+    assert out.filter("ds = DATE '2024-01-11'").count() == 0
 
 
 def test_file_may_match_numeric_partition_coercion():
