@@ -6104,9 +6104,13 @@ _ROBOTS_TXT = {
     "site.org": "User-agent: *\nDisallow: /\nAllow: /pub/\n",
 }
 
+#: "/search?q=x" pins RFC 9309 §2.2.2 matching against PATH+QUERY: it
+#: matches the "Disallow: /search" prefix but NOT the anchored
+#: "Allow: /search$", so it is disallowed (a path-only matcher would
+#: wrongly allow it)
 _ROBOTS_PATHS = (
     "/private/ok/page", "/private/secret", "/tmp/a.log", "/tmp/a.logx",
-    "/search", "/searchy", "/", "/pub/data",
+    "/search", "/searchy", "/", "/pub/data", "/search?q=x",
 )
 
 _ROBOTS_HOSTS = ("www.example.com", "example.com", "sub.site.org", "norules.net")
@@ -6395,9 +6399,12 @@ def _rb2_bodies() -> dict:
     return out
 
 
+#: "/logs/x.log?dl=1" pins path+query matching: the anchored
+#: "Disallow: /logs/*.log$" does NOT match once the query is part of
+#: the target, so the longer "Allow: /logs/" prevails
 _RB2_PATHS = (
     "/p0/ok/a", "/p0/x", "/p1", "/logs/x.log", "/logs/y.txt",
-    "/", "/p4/ok/", "/p3/ok/b",
+    "/", "/p4/ok/", "/p3/ok/b", "/logs/x.log?dl=1",
 )
 
 

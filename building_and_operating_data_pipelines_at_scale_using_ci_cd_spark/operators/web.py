@@ -65,6 +65,10 @@ MULTI_LABEL_SUFFIXES = (
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+#: robots matching target per RFC 9309 §2.2.2: the PATH AND QUERY (the
+#: fragment never reaches the server) — `Disallow: /p$` must NOT block
+#: `/p?x`, and query-string rules (`/search?q=`) must be matchable
+_PATHQUERY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
 _QUERY_RE = r"\?([^#]*)"
 
 
@@ -729,6 +733,9 @@ def robots_filter(
     Allow, or no rule matches, or the domain has no robots rules
     (RFC 9309 default-allow). Length ties go to Allow (the spec's
     tie-break: booleans order false < true inside the max-struct).
+    Matching targets the URL's PATH AND QUERY per RFC 9309 §2.2.2 (the
+    fragment never reaches the server): ``Disallow: /p$`` does not
+    block ``/p?x``, and query-string rules are matchable.
     Rows whose URL is NULL (or yields no host) keep the default-allow
     verdict rather than vanishing — every join is null-safe, so row
     multiplicity is ALWAYS preserved.
@@ -761,8 +768,14 @@ def robots_filter(
             "",
         )
     )
-    path_raw = F.regexp_extract(F.col(url_col), _PATH_RE, 1)
-    path = F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
+    path_raw = F.regexp_extract(F.col(url_col), _PATHQUERY_RE, 1)
+    path = (
+        F.when(path_raw == "", F.lit("/"))
+        # query with an empty path ("https://h?x"): the match target is
+        # "/?x" — the path component is normatively "/"
+        .when(path_raw.startswith("?"), F.concat(F.lit("/"), path_raw))
+        .otherwise(path_raw)
+    )
     base = df.withColumn("__rb_dom", dom).withColumn("__rb_path", path)
     pairs = base.select("__rb_dom", "__rb_path").distinct()
     rules_side = F.broadcast(rules) if rules_hint == "broadcast" else rules
@@ -815,8 +828,12 @@ def robots_filter_sql(
     hostport = f"lower(regexp_extract(url, '{_HOSTPORT_RE}', 1))"
     host = f"regexp_replace({hostport}, ':[0-9]+$|^www\\.', '')"
     dom = registrable_domain_sql(host)
-    raw_path = f"regexp_extract(url, '{_PATH_RE}', 1)"
-    path = f"CASE WHEN {raw_path} = '' THEN '/' ELSE {raw_path} END"
+    raw_path = f"regexp_extract(url, '{_PATHQUERY_RE}', 1)"
+    path = (
+        f"CASE WHEN {raw_path} = '' THEN '/' "
+        f"WHEN {raw_path} LIKE '?%' THEN '/' || {raw_path} "
+        f"ELSE {raw_path} END"
+    )
     return f"""
 WITH __rb_rules(domain, like_pattern, allow, plen) AS (VALUES {values}),
 __rb_base AS (

@@ -533,3 +533,29 @@ def test_registry_robots_from_bodies_step(spark):
         ).collect()
     }
     assert out == {1: False, 2: True}
+
+
+def test_robots_filter_matches_path_plus_query(spark):
+    # RFC 9309 2.2.2: the match target is path AND query; fragments drop
+    body = (
+        "User-agent: *\n"
+        "Disallow: /search\n"
+        "Allow: /search$\n"
+        "Disallow: /dl/*.zip$\n"
+        "Disallow: /?admin=\n"
+    )
+    rules = robots_rules_df(spark, {"example.com": parse_robots(body)})
+    docs = spark.createDataFrame(
+        [
+            (1, "https://example.com/search"),          # anchored Allow wins
+            (2, "https://example.com/search?q=x"),      # query defeats the anchor
+            (3, "https://example.com/dl/a.zip"),        # anchored Disallow
+            (4, "https://example.com/dl/a.zip?dl=1"),   # query defeats the anchor
+            (5, "https://example.com/?admin=1"),        # query-string rule matches
+            (6, "https://example.com/page#?admin=1"),   # fragment is NOT the query
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r["robots_allowed"] for r in
+           robots_filter(docs, "url", rules).collect()}
+    assert out == {1: True, 2: False, 3: False, 4: True, 5: False, 6: True}
