@@ -398,6 +398,8 @@ def _generalize_to_k(df: DataFrame, k, ladder_json: str, **kw) -> DataFrame:
 
     if "max_suppression_bp" in kw:
         kw["max_suppression_bp"] = int(kw["max_suppression_bp"])
+    if "l_diversity" in kw:
+        kw["l_diversity"] = int(kw["l_diversity"])
     return generalize_to_k(df, int(k), _json.loads(ladder_json), **kw)
 
 

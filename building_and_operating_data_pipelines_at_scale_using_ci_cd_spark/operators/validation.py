@@ -472,6 +472,8 @@ def generalize_to_k(
     ladder: list[dict[str, str]],
     max_suppression_bp: int = 0,
     level_col: str = "gen_level",
+    sensitive_col: str | None = None,
+    l_diversity: int = 1,
 ) -> DataFrame:
     """k-anonymity ENFORCEMENT — the producer twin of
     :func:`k_anonymity_report`: coarsen quasi-identifier columns along a
@@ -489,8 +491,16 @@ def generalize_to_k(
     n_rows`` (exact integer cross-multiplication, no division), else
     the last level; suppression is thus minimal for the given ladder.
 
+    ``sensitive_col``/``l_diversity`` extend the suppression rule to
+    l-diversity (the audit's second axis): a group also suppresses —
+    and counts against the budget — when its distinct sensitive-value
+    count is below ``l_diversity``, so a release can't leak a sensitive
+    attribute through a k-large but single-valued group.
+
     Plan shape for 100 TB: ONE corpus scan builds the distinct
-    quasi-tuple group table (map-side-partial groupBy, checkpointed);
+    quasi-tuple group table (map-side-partial groupBy, checkpointed —
+    with l-diversity the table is (quasi, sensitive) CELLS instead,
+    still corpus-sized-independent);
     every level's suppression stats are computed from THAT table, not
     the corpus, and collected as one bounded ``len(ladder)``-row
     construction job (see :mod:`.guards` — this operator runs jobs at
@@ -521,20 +531,37 @@ def generalize_to_k(
         raise ValueError(f"quasi columns not in the input: {missing}")
     if level_col in df.columns:
         raise ValueError(f"level_col {level_col!r} collides with an input column")
+    if l_diversity < 1:
+        raise ValueError(f"l_diversity must be >= 1, got {l_diversity}")
+    if l_diversity > 1 and sensitive_col is None:
+        raise ValueError("l_diversity > 1 needs a sensitive_col")
+    if sensitive_col is not None and sensitive_col in quasi:
+        raise ValueError("sensitive_col cannot be a quasi column")
 
-    # ONE corpus scan: the distinct-original-quasi-tuple table. Every
-    # level's group sizes derive from it (generalization is a function
+    # ONE corpus scan: the distinct-original-quasi-tuple table (or
+    # (quasi, sensitive) cells when enforcing l-diversity). Every
+    # level's group stats derive from it (generalization is a function
     # of the original values), so levels never re-scan the corpus.
+    cell_keys = [*quasi] + ([sensitive_col] if sensitive_col else [])
     groups = (
-        df.groupBy(*quasi)
+        df.groupBy(*cell_keys)
         .agg(F.count("*").alias("__gk_n"))
         .localCheckpoint()
     )
 
     def _level_groups(lvl: dict) -> DataFrame:
-        return groups.select(
-            *[F.expr(lvl[c]).alias(c) for c in quasi], F.col("__gk_n")
-        ).groupBy(*quasi).agg(F.sum("__gk_n").alias("__gk_gn"))
+        proj = [F.expr(lvl[c]).alias(c) for c in quasi] + [F.col("__gk_n")]
+        aggs = [F.sum("__gk_n").alias("__gk_gn")]
+        if sensitive_col is not None:
+            proj.append(F.col(sensitive_col))
+            aggs.append(
+                F.countDistinct(sensitive_col).cast("bigint").alias("__gk_lv")
+            )
+        else:
+            aggs.append(F.lit(1).cast("bigint").alias("__gk_lv"))
+        return groups.select(*proj).groupBy(*quasi).agg(*aggs)
+
+    bad_group = (F.col("__gk_gn") < k) | (F.col("__gk_lv") < l_diversity)
 
     stats = None
     for i, lvl in enumerate(ladder):
@@ -542,11 +569,7 @@ def generalize_to_k(
             F.lit(i).alias("lvl"),
             F.coalesce(F.sum("__gk_gn"), F.lit(0)).cast("bigint").alias("n_rows"),
             F.coalesce(
-                F.sum(
-                    F.when(F.col("__gk_gn") < k, F.col("__gk_gn")).otherwise(
-                        F.lit(0)
-                    )
-                ),
+                F.sum(F.when(bad_group, F.col("__gk_gn")).otherwise(F.lit(0))),
                 F.lit(0),
             )
             .cast("bigint")
@@ -573,7 +596,7 @@ def generalize_to_k(
         ]
     )
     sizes = _level_groups(lvl).select(
-        *[F.col(c).alias(f"__gk_{c}") for c in quasi], "__gk_gn"
+        *[F.col(c).alias(f"__gk_{c}") for c in quasi], "__gk_gn", "__gk_lv"
     )
     cond = reduce(
         lambda a, b: a & b,
@@ -581,7 +604,7 @@ def generalize_to_k(
     )
     return (
         gen.join(sizes, cond)
-        .filter(F.col("__gk_gn") >= k)
+        .filter((F.col("__gk_gn") >= k) & (F.col("__gk_lv") >= l_diversity))
         .select(*df.columns)
         .withColumn(level_col, F.lit(int(chosen)))
     )

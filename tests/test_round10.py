@@ -559,3 +559,79 @@ def test_robots_filter_matches_path_plus_query(spark):
     out = {r["doc_id"]: r["robots_allowed"] for r in
            robots_filter(docs, "url", rules).collect()}
     assert out == {1: True, 2: False, 3: False, 4: True, 5: False, 6: True}
+
+
+def _gk_brute_l(rows, k, bp, l):
+    """Brute-force reference with l-diversity: rows are (x, y, s)."""
+    import collections
+
+    def gen(level, x, y):
+        if level == 0:
+            return (x, y)
+        if level == 1:
+            return (x // 4 if x is not None else None, y)
+        return (-1, -1)
+
+    def level_stats(level):
+        gn = collections.Counter()
+        sv = collections.defaultdict(set)
+        for x, y, s in rows:
+            t = gen(level, x, y)
+            gn[t] += 1
+            sv[t].add(s)
+        bad = {t for t in gn if gn[t] < k or len(sv[t]) < l}
+        below = sum(gn[t] for t in bad)
+        return gn, bad, below
+
+    chosen = 2
+    for lvl in range(3):
+        _, _, below = level_stats(lvl)
+        if below * 10000 <= bp * len(rows):
+            chosen = lvl
+            break
+    gn, bad, _ = level_stats(chosen)
+    released = collections.Counter(
+        t for t in (gen(chosen, x, y) for x, y, _ in rows) if t not in bad
+    )
+    return chosen, released
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_generalize_to_k_l_diversity_matches_brute_force(spark, seed):
+    import collections
+
+    rnd = random.Random(seed)
+    n = rnd.choice([80, 250])
+    k, l, bp = rnd.choice([3, 8]), rnd.choice([2, 3]), rnd.choice([0, 1000])
+    rows = [
+        (rnd.randrange(16), rnd.randrange(3), rnd.randrange(4))
+        for _ in range(n)
+    ]
+    df = spark.createDataFrame(
+        [(i, x, y, s) for i, (x, y, s) in enumerate(rows)],
+        "id long, x int, y int, s int",
+    )
+    out = generalize_to_k(
+        df, k, _GK_LADDER, max_suppression_bp=bp,
+        sensitive_col="s", l_diversity=l,
+    )
+    got = out.collect()
+    want_lvl, want_released = _gk_brute_l(rows, k, bp, l)
+    assert all(r["gen_level"] == want_lvl for r in got) or not got
+    assert collections.Counter((r["x"], r["y"]) for r in got) == want_released
+    if got:
+        audit = k_anonymity_report(
+            out.drop("gen_level"), ["x", "y"], k, sensitive_col="s"
+        ).collect()[0]
+        assert audit["k_anonymous"] is True
+        assert audit["min_l_diversity"] >= l
+
+
+def test_generalize_to_k_l_diversity_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "x int, s int")
+    with pytest.raises(ValueError, match="l_diversity must be"):
+        generalize_to_k(df, 1, [{"x": "x"}], l_diversity=0)
+    with pytest.raises(ValueError, match="needs a sensitive_col"):
+        generalize_to_k(df, 1, [{"x": "x"}], l_diversity=2)
+    with pytest.raises(ValueError, match="cannot be a quasi"):
+        generalize_to_k(df, 1, [{"x": "x"}], sensitive_col="x", l_diversity=2)
