@@ -589,6 +589,11 @@ def parse_robots(text: str, user_agent: str = "*") -> list:
       Sitemap, ...) are ignored.
     """
     ua = user_agent.lower()
+    if text.startswith("﻿"):
+        # real-world robots.txt files frequently carry a UTF-8 BOM; it
+        # would otherwise glue onto the first directive's key and make
+        # the whole first group invisible
+        text = text[1:]
     groups: list = []  # (agents, rules)
     agents: list = []
     rules: list = []

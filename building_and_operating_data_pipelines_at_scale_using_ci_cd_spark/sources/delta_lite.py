@@ -703,11 +703,25 @@ def _parse_conjuncts(condition: str):
     """
     import re
 
-    # NOT is checked on the RAW text so `NOT IN` can never half-parse
-    if re.search(r"\bOR\b|\bNOT\b", condition, re.IGNORECASE):
-        return []
     lit = r"((?:DATE\s*|TIMESTAMP\s*)?'(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
     ident = r"`?([A-Za-z_][A-Za-z0-9_]*)`?"
+    out: list = []
+
+    # IS [NOT] NULL first (their NOT must survive the bail below);
+    # nullCount stats decide them (op "notnull" / "isnull", value None)
+    def _null_repl(m):
+        out.append((m.group(1), "notnull" if m.group(2) else "isnull", None))
+        return " __NULL_OK__ "
+
+    condition = re.sub(
+        rf"{ident}\s+IS\s+(NOT\s+)?NULL",
+        _null_repl,
+        condition,
+        flags=re.IGNORECASE,
+    )
+    # NOT is checked on the remaining text so `NOT IN` can never half-parse
+    if re.search(r"\bOR\b|\bNOT\b", condition, re.IGNORECASE):
+        return []
 
     def _val(tok: str):
         typed = re.match(r"^(DATE|TIMESTAMP)\s*'", tok, re.IGNORECASE)
@@ -729,8 +743,6 @@ def _parse_conjuncts(condition: str):
         condition,
         flags=re.IGNORECASE,
     )
-
-    out: list = []
 
     def _in_repl(m):
         col, body = m.group(1), m.group(2)
@@ -860,10 +872,20 @@ def _file_may_match(add: dict, conjuncts: list, col_types: dict | None = None) -
     stats = json.loads(add.get("stats") or "{}") if add.get("stats") else {}
     mins = stats.get("minValues") or {}
     maxs = stats.get("maxValues") or {}
+    nulls = stats.get("nullCount") or {}
+    n_rec = stats.get("numRecords")
     pvals = add.get("partitionValues") or {}
     for col, op, val in conjuncts:
         if col in pvals:
             pv = pvals[col]
+            if op == "isnull":
+                if pv is not None:
+                    return False
+                continue
+            if op == "notnull":
+                if pv is None:
+                    return False
+                continue
             if pv is None:
                 return False  # every row's col is NULL: no comparison holds
             t = col_types.get(col, "")
@@ -872,6 +894,15 @@ def _file_may_match(add: dict, conjuncts: list, col_types: dict | None = None) -
                     return False
             elif _pv_violates(pv, op, val, t):
                 return False
+            continue
+        if op == "isnull":
+            if nulls.get(col) == 0:
+                return False  # stats prove zero nulls in this file
+            continue
+        if op == "notnull":
+            nc = nulls.get(col)
+            if nc is not None and n_rec is not None and nc == n_rec:
+                return False  # every value in this file is NULL
             continue
         mn, mx = mins.get(col), maxs.get(col)
         if mn is None or mx is None:

@@ -635,3 +635,56 @@ def test_generalize_to_k_l_diversity_validation(spark):
         generalize_to_k(df, 1, [{"x": "x"}], l_diversity=2)
     with pytest.raises(ValueError, match="cannot be a quasi"):
         generalize_to_k(df, 1, [{"x": "x"}], sensitive_col="x", l_diversity=2)
+
+
+def test_parse_conjuncts_is_null_forms():
+    assert _parse_conjuncts("x IS NULL") == [("x", "isnull", None)]
+    assert _parse_conjuncts("x IS NOT NULL AND y = 2") == [
+        ("x", "notnull", None),
+        ("y", "=", 2),
+    ]
+    # bare NOT elsewhere still bails entirely
+    assert _parse_conjuncts("x IS NOT NULL AND NOT y = 2") == []
+
+
+def test_file_may_match_null_count_pruning():
+    add = {"stats": json.dumps({
+        "numRecords": 4,
+        "minValues": {"x": 1}, "maxValues": {"x": 9}, "nullCount": {"x": 0},
+    })}
+    assert _file_may_match(add, [("x", "isnull", None)]) is False
+    assert _file_may_match(add, [("x", "notnull", None)]) is True
+    add2 = {"stats": json.dumps({
+        "numRecords": 4,
+        "minValues": {"x": 1}, "maxValues": {"x": 9}, "nullCount": {"x": 4},
+    })}
+    assert _file_may_match(add2, [("x", "notnull", None)]) is False
+    assert _file_may_match(add2, [("x", "isnull", None)]) is True
+    # no stats: conservative keep for both forms
+    assert _file_may_match({}, [("x", "isnull", None)]) is True
+    assert _file_may_match({}, [("x", "notnull", None)]) is True
+    # partition values: NULL partition satisfies IS NULL only
+    pn = {"partitionValues": {"p": None}}
+    pv = {"partitionValues": {"p": "5"}}
+    assert _file_may_match(pn, [("p", "isnull", None)]) is True
+    assert _file_may_match(pn, [("p", "notnull", None)]) is False
+    assert _file_may_match(pv, [("p", "isnull", None)]) is False
+    assert _file_may_match(pv, [("p", "notnull", None)]) is True
+
+
+def test_null_keyed_delete_executes_exactly(spark, tmp_path):
+    tbl = str(tmp_path / "nt")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], "id long, v string"
+    )
+    write_delta_lite(df, tbl)
+    version = delete_delta_lite(spark, tbl, "v IS NULL")
+    assert version == 1  # returns the committed version
+    out = read_delta_lite(spark, tbl)
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]
+
+
+def test_parse_robots_strips_utf8_bom():
+    bom_body = "﻿User-agent: *\nDisallow: /private/\n"
+    assert parse_robots(bom_body) == parse_robots(bom_body[1:])
+    assert parse_robots(bom_body) == [("/private/", False, 9)]
