@@ -688,3 +688,89 @@ def test_parse_robots_strips_utf8_bom():
     bom_body = "﻿User-agent: *\nDisallow: /private/\n"
     assert parse_robots(bom_body) == parse_robots(bom_body[1:])
     assert parse_robots(bom_body) == [("/private/", False, 9)]
+
+
+# ---------------------------------------------------------------------------
+# property: robots matching with query strings + LIKE metacharacters,
+# rules ingested BOTH driver-side and distributively
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_R10_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# segments now include query-string characters and SQL LIKE
+# metacharacters — '?' is a LITERAL in robots patterns (unlike fnmatch,
+# which is why the reference below is regex-based), '%'/'_' exercise
+# the LIKE-escape path
+_r10_seg = st.sampled_from(["a", "b?q=1", "%", "_", "a?x", "b"])
+_r10_pattern = st.builds(
+    lambda parts, star, anchor: "/"
+    + "/".join(parts)
+    + ("*" if star else "")
+    + ("$" if anchor else ""),
+    st.lists(_r10_seg, min_size=0, max_size=2),
+    st.booleans(),
+    st.booleans(),
+)
+_r10_rules = st.lists(st.tuples(_r10_pattern, st.booleans()), min_size=1, max_size=6)
+_r10_paths = st.lists(
+    st.builds(lambda parts: "/" + "/".join(parts), st.lists(_r10_seg, max_size=3)),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _rx_match(pattern: str, target: str) -> bool:
+    """Exact RFC 9309 pattern match: '*' is the only wildcard, '$' the
+    only anchor, everything else literal (including '?')."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "^" + "".join(".*" if ch == "*" else _re.escape(ch) for ch in body)
+    if anchored:
+        rx += "$"
+    return _re.match(rx, target) is not None
+
+
+def _rx_verdict(target: str, rules: list) -> bool:
+    best = None
+    for pattern, allow in rules:
+        if _rx_match(pattern, target):
+            cand = (len(pattern), allow)
+            if best is None or cand > best:
+                best = cand
+    return True if best is None else best[1]
+
+
+@settings(**_R10_SETTINGS)
+@given(rules=_r10_rules, paths=_r10_paths)
+def test_robots_query_and_metachars_match_reference(spark, rules, paths):
+    parsed = sorted({(p, a, len(p)) for p, a in rules})
+    body = "User-agent: *\n" + "".join(
+        f"{'Allow' if a else 'Disallow'}: {p}\n" for p, a, _ in parsed
+    )
+    drv = robots_rules_df(spark, {"example.com": parsed})
+    dist = robots_rules_from_df(
+        spark.createDataFrame([("example.com", body)], "domain string, body string"),
+        "domain",
+        "body",
+    )
+    df = spark.createDataFrame(
+        [(i, f"https://example.com{p}") for i, p in enumerate(paths)],
+        ["doc_id", "url"],
+    )
+    for rules_df in (drv, dist):
+        got = {
+            r.doc_id: r.robots_allowed
+            for r in robots_filter(df, "url", rules_df).collect()
+        }
+        for i, p in enumerate(paths):
+            want = _rx_verdict(p or "/", [(p2, a) for p2, a, _ in parsed])
+            assert got[i] == want, (p, parsed)
