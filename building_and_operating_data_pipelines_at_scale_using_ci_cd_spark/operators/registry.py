@@ -386,6 +386,53 @@ def _robots_filter_from_bodies(
     return robots_filter(df, url_col, rules, **kw)
 
 
+def _delta_merge(df: DataFrame, table_path: str, on_keys, **kw) -> DataFrame:
+    """Config shape: MERGE the input view (the source) into a delta-lite
+    table by key — the config-dialect upsert for the lakehouse tier.
+    ``on_keys`` is a comma-separated list or JSON array;
+    ``when_matched_update_json`` maps column → SQL expr over the joined
+    row (source columns visible as ``src_<name>``);
+    ``when_matched_delete`` takes "true" or a SQL condition;
+    ``when_not_matched_insert`` defaults true. Returns the POST-MERGE
+    snapshot so downstream steps chain off the new table state. NB: the
+    merge executes eagerly when this step runs (it is table DML, not a
+    lazy transform)."""
+    import json as _json
+
+    from ..sources.delta_lite import merge_delta_lite, read_delta_lite
+
+    keys = (
+        [k.strip() for k in on_keys.split(",")]
+        if isinstance(on_keys, str)
+        else list(on_keys)
+    )
+    if "when_matched_update_json" in kw:
+        kw["when_matched_update"] = _json.loads(
+            kw.pop("when_matched_update_json")
+        )
+    if isinstance(kw.get("when_matched_delete"), str) and kw[
+        "when_matched_delete"
+    ].lower() in ("true", "false"):
+        kw["when_matched_delete"] = kw["when_matched_delete"].lower() == "true"
+    if isinstance(kw.get("when_not_matched_insert"), str):
+        kw["when_not_matched_insert"] = (
+            kw["when_not_matched_insert"].lower() == "true"
+        )
+    merge_delta_lite(df.sparkSession, table_path, df, keys, **kw)
+    return read_delta_lite(df.sparkSession, table_path)
+
+
+def _delta_delete(df: DataFrame, table_path: str, condition: str) -> DataFrame:
+    """Config shape: row-level DELETE WHERE on a delta-lite table (the
+    input view is only the chaining anchor — deletion is table DML and
+    executes eagerly, data-skipped by the per-file stats). Returns the
+    post-delete snapshot."""
+    from ..sources.delta_lite import delete_delta_lite, read_delta_lite
+
+    delete_delta_lite(df.sparkSession, table_path, condition)
+    return read_delta_lite(df.sparkSession, table_path)
+
+
 def _generalize_to_k(df: DataFrame, k, ladder_json: str, **kw) -> DataFrame:
     """Config shape: k-anonymity enforcement — generalize quasi columns
     along ``ladder_json`` (a JSON list of ``{col: sql_expr}`` levels,
@@ -990,6 +1037,8 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "robotsFilterFromBodies": _robots_filter_from_bodies,
     "kAnonymity": _k_anonymity,
     "generalizeToK": _generalize_to_k,
+    "deltaMerge": _delta_merge,
+    "deltaDelete": _delta_delete,
     "redactCards": _redact_cards,
     "exifReport": _exif_report,
     "stripExif": _strip_exif,

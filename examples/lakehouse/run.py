@@ -136,6 +136,62 @@ def main():
     print(f"scd2 merge: {n_cur} current / {n_closed} closed, "
           f"matchedFiles={merge_commit['commitInfo']['operationParameters']['matchedFiles']}")
 
+    # 3b. row-level DML through the config dialect (round 10): a
+    # deltaMerge step upserts a corrections feed into the orders table
+    # and a deltaDelete step applies a retention cut — both data-skipped
+    # by per-file stats, both chainable (the step output is the
+    # post-DML snapshot)
+    dml_table = f"{DEMO}/orders_dml"
+    write_delta_lite(
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .limit(1000),
+        dml_table,
+    )
+    _run_cfg(spark, "dml", {
+        "configs": {"name": "orders_dml", "phase_1": {"input_data": {
+            "dataSource": "local", "dataFrameName": "orders",
+            "path": f"{SF}/orders.parquet",
+            "fileProperties": {"fileFormat": "parquet"}}}},
+        "phase_2": {"data_transformations": [
+            {"functionName": "corrections feed",
+             "sqlQuery": "SELECT o_orderkey, o_custkey, 'CORRECTED' AS o_orderpriority "
+                         "FROM orders WHERE o_orderkey % 100 = 0 LIMIT 50",
+             "outputDFName": "corrections"},
+            {"operatorName": "deltaMerge", "inputDFName": "corrections",
+             "operatorParams": {
+                 "table_path": dml_table, "on_keys": "o_orderkey",
+                 "when_matched_update_json":
+                     "{\"o_orderpriority\": \"src_o_orderpriority\"}"},
+             "outputDFName": "merged_snap"},
+            {"operatorName": "deltaDelete", "inputDFName": "merged_snap",
+             "operatorParams": {
+                 "table_path": dml_table,
+                 "condition": "o_orderpriority = '5-LOW'"},
+             "outputDFName": "retained_snap"},
+            {"functionName": "dml summary",
+             "sqlQuery": "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+                         "CAST(SUM(CASE WHEN o_orderpriority = 'CORRECTED' THEN 1 ELSE 0 END) AS BIGINT) AS n_corrected "
+                         "FROM retained_snap",
+             "outputDFName": "dml_summary"}]},
+        "phase_3": {"target_record_insert": [{
+            "dataTarget": "local", "dataFrameName": "dml_summary",
+            "loadType": "truncateInsert", "path": f"{DEMO}/dml_summary",
+            "outputDataProperties": {"fileFormat": "parquet"}}]},
+    })
+    final = read_delta_lite(spark, dml_table)
+    assert final.filter("o_orderpriority = '5-LOW'").count() == 0
+    n_corr = final.filter("o_orderpriority = 'CORRECTED'").count()
+    assert n_corr > 0
+    import duckdb as _duck
+
+    s_rows, s_corr = _duck.sql(
+        f"SELECT n_rows, n_corrected FROM '{DEMO}/dml_summary/*.parquet'"
+    ).fetchone()
+    assert (s_rows, s_corr) == (final.count(), n_corr)
+    print(f"config DML: merge upserted (corrected={n_corr}), retention delete applied, "
+          f"summary sink matches table ({s_rows} rows)")
+
     # 4. OPTIMIZE + VACUUM + the honest end of time travel
     files_before = len(load_snapshot(table).files)
     v_opt = optimize_delta_lite(table, spark, target_files=2)

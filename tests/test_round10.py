@@ -774,3 +774,35 @@ def test_robots_query_and_metachars_match_reference(spark, rules, paths):
         for i, p in enumerate(paths):
             want = _rx_verdict(p or "/", [(p2, a) for p2, a, _ in parsed])
             assert got[i] == want, (p, parsed)
+
+
+# ---------------------------------------------------------------------------
+# config-dialect delta DML steps
+# ---------------------------------------------------------------------------
+
+
+def test_registry_delta_merge_and_delete_steps(spark, tmp_path):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.registry import (
+        OPERATORS,
+    )
+
+    tbl = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, v string, amt int"
+    )
+    write_delta_lite(base, tbl)
+    src = spark.createDataFrame(
+        [(2, "B", 99), (4, "d", 40)], "id long, v string, amt int"
+    )
+    merged = OPERATORS["deltaMerge"](
+        src, table_path=tbl, on_keys="id",
+        when_matched_update_json=json.dumps({"v": "src_v", "amt": "src_amt"}),
+    )
+    got = {r["id"]: (r["v"], r["amt"]) for r in merged.collect()}
+    assert got == {1: ("a", 10), 2: ("B", 99), 3: ("c", 30), 4: ("d", 40)}
+    left = OPERATORS["deltaDelete"](
+        merged.limit(1), table_path=tbl, condition="amt >= 40"
+    )
+    assert sorted(r["id"] for r in left.collect()) == [1, 3]
+    # the post-DML snapshot is also what a fresh read sees
+    assert read_delta_lite(spark, tbl).count() == 2
