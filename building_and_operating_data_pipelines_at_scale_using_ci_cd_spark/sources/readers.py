@@ -146,8 +146,15 @@ def _read_delta(spark: SparkSession, spec: "InputSpec") -> DataFrame:
     from .delta_lite import read_delta_lite
 
     version = spec.options.get("versionAsOf")
+    # options.predicate: stats/partition data skipping at FILE-LISTING
+    # time (the layer below parquet row-group pushdown) — a config read
+    # of one day from a date-keyed table opens that day's files only.
+    # Result is identical to reading everything then filtering.
     return read_delta_lite(
-        spark, spec.path, version=int(version) if version is not None else None
+        spark,
+        spec.path,
+        version=int(version) if version is not None else None,
+        predicate=spec.options.get("predicate"),
     )
 
 

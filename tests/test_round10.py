@@ -806,3 +806,29 @@ def test_registry_delta_merge_and_delete_steps(spark, tmp_path):
     assert sorted(r["id"] for r in left.collect()) == [1, 3]
     # the post-DML snapshot is also what a fresh read sees
     assert read_delta_lite(spark, tbl).count() == 2
+
+
+def test_config_delta_read_predicate_option(spark, tmp_path):
+    """options.predicate on a deltalake config input data-skips at file
+    listing and returns exactly the filtered rows."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.readers import (
+        read_input,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.config import InputSpec
+
+    tbl = str(tmp_path / "t")
+    rows = [
+        (datetime.date(2024, 1, 10 + d), d * 10 + i) for d in range(3)
+        for i in range(4)
+    ]
+    write_delta_lite(
+        spark.createDataFrame(rows, "ds date, id long"), tbl,
+        partition_by=["ds"],
+    )
+    spec = InputSpec(
+        data_source="local", dataframe_name="t", path=tbl,
+        file_format="deltalake",
+        options={"predicate": "ds = DATE '2024-01-11'"},
+    )
+    out = read_input(spark, spec)
+    assert sorted(r["id"] for r in out.collect()) == [10, 11, 12, 13]
