@@ -1131,7 +1131,11 @@ def merge_delta_lite(
     target = _read_files(spark, snap, cand)
     tagged = target.withColumn("__file", F.input_file_name())
     src_keys = source.select(*on_keys).dropDuplicates(on_keys)
-    matched = tagged.join(F.broadcast(src_keys), on=on_keys, how="leftsemi")
+    # no broadcast hint: Catalyst/AQE picks broadcast for a small key
+    # set and falls back to a shuffled semi-join when the MERGE source
+    # is batch-sized — an unconditional broadcast would cap the source
+    # at driver memory
+    matched = tagged.join(src_keys, on=on_keys, how="leftsemi")
 
     # source side: keys + src_-prefixed payload, tagged so the left join
     # marks matched target rows; one deterministic row per key
@@ -1421,7 +1425,7 @@ def merge_scd2_delta_lite(
     matched_files = [
         r["__file"]
         for r in tagged.filter(F.col(IS_CURRENT))
-        .join(F.broadcast(inc_keys), on=keys, how="leftsemi")
+        .join(inc_keys, on=keys, how="leftsemi")  # AQE sizes the key set
         .select("__file")
         .distinct()
         .collect()
