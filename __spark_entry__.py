@@ -2014,6 +2014,102 @@ FROM p WHERE p_partkey % 3 = 0 AND p_partkey % 5 <> 0
 """
 
 
+def _q_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-delta lifecycle executed for REAL (round 10): RESTORE TABLE +
+    timestamp time travel + DESCRIBE HISTORY over the in-repo Delta log
+    (``sources/delta_lite.py``). A 3-version table (write → overwrite
+    with changed cents → keyed DELETE) is RESTOREd to version 0 — a
+    log-only commit that re-adds v0's files verbatim (no data moves) —
+    then read back three ways: the post-restore latest (must equal v0),
+    ``versionAsOf`` the pre-restore v2 (RESTORE never erases history),
+    and ``timestampAsOf`` the v1 commit time taken from
+    ``history_delta_lite`` (the DESCRIBE HISTORY surface). The oracle
+    recomputes every lane from ``part`` alone, so log replay, restore
+    add/remove bookkeeping, and timestamp resolution are all
+    value-checked; a meta lane pins the restore commit's version
+    arithmetic (new version 3, source version 0).
+
+    Determinism: money as integer cents; v1's change set keyed on
+    p_partkey parity; v2's delete keyed on p_partkey % 7."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.delta_lite import (
+        delete_delta_lite,
+        history_delta_lite,
+        read_delta_lite,
+        restore_delta_lite,
+        write_delta_lite,
+    )
+
+    tp = os.path.join(tempfile.mkdtemp(prefix="delta_restore_"), "parts_cents")
+    base = _table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    write_delta_lite(base.repartition(4, "p_partkey"), tp)  # v0, several files
+    write_delta_lite(  # v1: overwrite, even keys +50 cents
+        base.withColumn(
+            "cents",
+            F.col("cents")
+            + F.when(F.col("p_partkey") % 2 == 0, F.lit(50)).otherwise(F.lit(0)),
+        ).repartition(4, "p_partkey"),
+        tp,
+        mode="overwrite",
+    )
+    delete_delta_lite(spark, tp, "p_partkey % 7 = 0")  # v2
+    ts_v1 = next(
+        h["timestamp"] for h in history_delta_lite(tp) if h["version"] == 1
+    )
+    metrics = restore_delta_lite(tp, version=0)  # v3, log-only
+
+    def lane(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        ).select(F.lit(name).alias("lane"), "n", "sum_cents")
+
+    meta = spark.range(1).select(
+        F.lit("restore_meta").alias("lane"),
+        F.lit(int(metrics["version"])).cast("bigint").alias("n"),
+        F.lit(int(metrics["restored_source_version"]))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )
+    return (
+        lane(read_delta_lite(spark, tp), "restored_latest")
+        .unionByName(lane(read_delta_lite(spark, tp, version=2), "pre_restore_v2"))
+        .unionByName(lane(read_delta_lite(spark, tp, timestamp=ts_v1), "ts_v1"))
+        .unionByName(meta)
+    )
+
+
+DELTA_RESTORE_DUCK = """
+WITH p AS (
+  SELECT p_partkey,
+         CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT)
+           + CASE WHEN p_partkey % 2 = 0 THEN 50 ELSE 0 END AS cents_v1
+  FROM part
+)
+SELECT 'restored_latest' AS lane,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM p
+UNION ALL
+SELECT 'pre_restore_v2',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(cents_v1) AS BIGINT)
+FROM p WHERE p_partkey % 7 <> 0
+UNION ALL
+SELECT 'ts_v1',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(cents_v1) AS BIGINT)
+FROM p
+UNION ALL
+SELECT 'restore_meta', CAST(3 AS BIGINT), CAST(0 AS BIGINT)
+"""
+
+
 def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 approx aggregation: HLL distinct + approx percentile. Sketch
     values differ per engine, so the query asserts the approximation
@@ -7719,6 +7815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    transport, sim_decimals passthrough, session-machine epoch
         #    state) — changed code ALWAYS re-enters the checked 50 ----
         "delta_roundtrip": _q_delta_roundtrip,
+        "delta_restore": _q_delta_restore,
         "flac_decode": _q_flac_decode,
         "bm25_scores": _q_bm25_scores,
         "rrf_fusion": _q_rrf_fusion,
@@ -7886,11 +7983,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
     }
     # Round-10 rotation head: the driver checks the FIRST 50 keys.
-    # Composition (counts: 2 + 10 + 4 + 5 + 9 + 10 + 10 = 50 checked;
-    # 182 total):
-    #   - 2 brand-new round-10 entries (k_generalize,
-    #     robots_from_bodies) — never driver-checked, lead
-    #     unconditionally,
+    # Composition (counts: 3 + 10 + 4 + 5 + 9 + 10 + 9 = 50 checked;
+    # 183 total):
+    #   - 3 brand-new round-10 entries (k_generalize,
+    #     robots_from_bodies, delta_restore) — never driver-checked,
+    #     lead unconditionally,
     #   - 10 whose code path changed in round 10 — changed code ALWAYS
     #     re-enters: card_redaction (\\b-anchored replacement + new
     #     embedded-run fixture), domain_cap_sample (null-safe joins,
@@ -7914,15 +8011,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     winnow_near_dups),
     #   - the 10-key r06-evidence TPC-H block (q13/q15/q22/q2/q8/q9/
     #     q11/q16/q17/q21),
-    #   - 10 more r06-evidence curation keys (decontaminate,
+    #   - 9 more r06-evidence curation keys (decontaminate,
     #     pii_redaction, boilerplate_ngrams, dataset_split,
     #     repetition_profile, filter_audit, nfc_normalize, url_domains,
-    #     span_dedup, formats_roundtrip).
+    #     span_dedup) — formats_roundtrip displaced past the cap by the
+    #     third new entry; round 11 should lead with it.
     # Everything not in the head keeps its r07-r09 evidence and follows
     # in prior order; steady-state max evidence age stays ≤ 3 rounds.
     head = [
         # brand-new round-10 entries
-        "k_generalize", "robots_from_bodies",
+        "k_generalize", "robots_from_bodies", "delta_restore",
         # round-10 changed-code re-entries
         "card_redaction", "domain_cap_sample", "robots_allowed",
         "delta_roundtrip", "delta_cdc", "scd2_price_history",
@@ -7948,16 +8046,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate", "pii_redaction", "boilerplate_ngrams",
         "dataset_split", "repetition_profile", "filter_audit",
         "nfc_normalize", "url_domains", "span_dedup",
-        "formats_roundtrip",
         # 50-cap cutoff. The round-9 head (psl_domains ...
         # bloom_new_docs) carries fresh r09 driver evidence and rotates
         # out en bloc. Round 11's 50 should lead with the keys this
-        # round displaced just past the cap (multimodal_decode,
-        # pivot_event_values, udf_text_metrics, vector_stats,
-        # broadcast_hint_join, parts_heavy_semi, set_ops_segments,
-        # correlated_max_order, json_events, lm_cross_entropy,
-        # bloom_new_docs — r06/r07 evidence) plus anything round 11
-        # changes.
+        # round displaced just past the cap (formats_roundtrip,
+        # multimodal_decode, pivot_event_values, udf_text_metrics,
+        # vector_stats, broadcast_hint_join, parts_heavy_semi,
+        # set_ops_segments, correlated_max_order, json_events,
+        # lm_cross_entropy, bloom_new_docs — r06/r07 evidence) plus
+        # anything round 11 changes.
     ]
     out = {k: base[k] for k in head}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -8008,6 +8105,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_report_approx": _profile_report_approx_duck(),
         "jdbc_roundtrip": JDBC_ROUNDTRIP_DUCK,
         "delta_roundtrip": DELTA_ROUNDTRIP_DUCK,
+        "delta_restore": DELTA_RESTORE_DUCK,
         "flac_decode": FLAC_DECODE_DUCK,
         "bm25_scores": BM25_SCORES_DUCK,
         "rrf_fusion": RRF_FUSION_DUCK,

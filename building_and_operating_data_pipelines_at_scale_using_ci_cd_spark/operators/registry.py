@@ -433,6 +433,36 @@ def _delta_delete(df: DataFrame, table_path: str, condition: str) -> DataFrame:
     return read_delta_lite(df.sparkSession, table_path)
 
 
+def _delta_restore(
+    df: DataFrame, table_path: str, version=None, timestamp=None
+) -> DataFrame:
+    """Config shape: ``RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF`` on
+    a delta-lite table (the input view is only the chaining anchor —
+    restore is table DML and executes eagerly; cost is log-size, no data
+    moves, pre-restore versions stay time-travelable). ``version`` is a
+    commit number; ``timestamp`` is epoch-ms int or ISO string. Returns
+    the post-restore snapshot."""
+    from ..sources.delta_lite import read_delta_lite, restore_delta_lite
+
+    restore_delta_lite(
+        table_path,
+        version=int(version) if version is not None else None,
+        timestamp=timestamp,
+    )
+    return read_delta_lite(df.sparkSession, table_path)
+
+
+def _delta_vacuum(df: DataFrame, table_path: str, retain_versions=0) -> DataFrame:
+    """Config shape: VACUUM a delta-lite table — physically delete data
+    files referenced only by snapshots older than the retained window
+    (current + ``retain_versions`` prior). Maintenance DML, executes
+    eagerly; returns the (unchanged) current snapshot for chaining."""
+    from ..sources.delta_lite import read_delta_lite, vacuum_delta_lite
+
+    vacuum_delta_lite(table_path, retain_versions=int(retain_versions))
+    return read_delta_lite(df.sparkSession, table_path)
+
+
 def _generalize_to_k(df: DataFrame, k, ladder_json: str, **kw) -> DataFrame:
     """Config shape: k-anonymity enforcement — generalize quasi columns
     along ``ladder_json`` (a JSON list of ``{col: sql_expr}`` levels,
@@ -1039,6 +1069,8 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "generalizeToK": _generalize_to_k,
     "deltaMerge": _delta_merge,
     "deltaDelete": _delta_delete,
+    "deltaRestore": _delta_restore,
+    "deltaVacuum": _delta_vacuum,
     "redactCards": _redact_cards,
     "exifReport": _exif_report,
     "stripExif": _strip_exif,

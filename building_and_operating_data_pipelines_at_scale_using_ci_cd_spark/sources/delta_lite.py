@@ -46,10 +46,12 @@ Scale notes:
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import shutil
 import tempfile
+import time
 import urllib.parse
 import uuid
 from dataclasses import dataclass, field
@@ -189,8 +191,122 @@ def _read_checkpoint(path: str, state: DeltaSnapshot) -> None:
         _apply_action(state, action)
 
 
-def load_snapshot(table_path: str, version: int | None = None) -> DeltaSnapshot:
-    """Replay the log up to ``version`` (time travel) or to the latest."""
+def commit_timestamps(table_path: str) -> dict:
+    """Per-version commit time in epoch ms: ``commitInfo.timestamp`` when
+    recorded (this writer always records it), else the commit file's
+    mtime — then adjusted STRICTLY MONOTONIC (``max(ts, prev + 1)``),
+    the same later-commit-never-reports-an-earlier-time repair
+    delta-spark applies to its file-mtime history, so timestamp
+    resolution is a well-defined floor search even under clock skew or
+    same-millisecond commits."""
+    log = _log_path(table_path)
+    if not os.path.isdir(log):
+        raise ValueError(f"not a delta table (no {LOG_DIR}): {table_path}")
+    out: dict = {}
+    prev = -1
+    for v in _commit_versions(log):
+        fpath = os.path.join(log, f"{v:020d}.json")
+        ts = None
+        with open(fpath, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    ts = action["commitInfo"].get("timestamp")
+                    break
+        if ts is None:
+            ts = int(os.path.getmtime(fpath) * 1000)
+        ts = max(int(ts), prev + 1)
+        out[v] = ts
+        prev = ts
+    return out
+
+
+def _timestamp_ms(ts) -> int:
+    """Normalize a caller timestamp to epoch ms: int = epoch ms, float =
+    epoch seconds, str = ISO local time (``YYYY-MM-DD HH:MM:SS[.ffffff]``),
+    datetime = as-is (naive means local, like SQL TIMESTAMP literals)."""
+    if isinstance(ts, bool):
+        raise TypeError("timestamp must be int ms, float s, str, or datetime")
+    if isinstance(ts, int):
+        return ts
+    if isinstance(ts, float):
+        return int(ts * 1000)
+    if isinstance(ts, str):
+        # config options arrive stringified: a pure-digit string is
+        # epoch ms (JSON configs can't always keep ints as ints)
+        if ts.strip().isdigit():
+            return int(ts.strip())
+        ts = _dt.datetime.fromisoformat(ts)
+    if isinstance(ts, _dt.datetime):
+        return int(ts.timestamp() * 1000)
+    raise TypeError(f"unsupported timestamp type: {type(ts).__name__}")
+
+
+def _resolve_timestamp(table_path: str, ts) -> int:
+    """``timestampAsOf`` resolution: the LATEST version committed at or
+    before ``ts``. Mirrors delta-spark's contract — a timestamp before
+    the earliest commit or after the latest raises (the error names the
+    usable range) instead of silently snapping."""
+    ms = _timestamp_ms(ts)
+    stamps = commit_timestamps(table_path)
+    if not stamps:
+        raise ValueError(f"empty delta log: {table_path}")
+    lo, hi = min(stamps.values()), max(stamps.values())
+    if ms < lo:
+        raise ValueError(
+            f"timestamp {ms} is before the earliest commit ({lo}) of {table_path}"
+        )
+    if ms > hi:
+        raise ValueError(
+            f"timestamp {ms} is after the latest commit ({hi}) of {table_path}; "
+            f"omit timestampAsOf to read the current snapshot"
+        )
+    return max(v for v, t in stamps.items() if t <= ms)
+
+
+def history_delta_lite(table_path: str) -> list:
+    """DESCRIBE HISTORY: newest-first ``[{version, timestamp, operation,
+    operationParameters}]`` from the commitInfo actions (timestamps via
+    :func:`commit_timestamps`, so they are monotonic and usable directly
+    as ``timestampAsOf`` arguments). Log-only — never touches data."""
+    stamps = commit_timestamps(table_path)
+    log = _log_path(table_path)
+    out = []
+    for v in sorted(stamps, reverse=True):
+        op, params = None, {}
+        with open(os.path.join(log, f"{v:020d}.json"), encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    op = action["commitInfo"].get("operation")
+                    params = action["commitInfo"].get("operationParameters", {})
+                    break
+        out.append(
+            {
+                "version": v,
+                "timestamp": stamps[v],
+                "operation": op,
+                "operationParameters": params,
+            }
+        )
+    return out
+
+
+def load_snapshot(
+    table_path: str, version: int | None = None, timestamp=None
+) -> DeltaSnapshot:
+    """Replay the log up to ``version`` (time travel), to the version
+    current at ``timestamp`` (``timestampAsOf``), or to the latest."""
+    if version is not None and timestamp is not None:
+        raise ValueError("pass version OR timestamp, not both")
+    if timestamp is not None:
+        version = _resolve_timestamp(table_path, timestamp)
     log = _log_path(table_path)
     if not os.path.isdir(log):
         raise ValueError(f"not a delta table (no {LOG_DIR}): {table_path}")
@@ -263,8 +379,10 @@ def read_delta_lite(
     table_path: str,
     version: int | None = None,
     predicate: str | None = None,
+    timestamp=None,
 ) -> DataFrame:
-    """Read a Delta table (optionally a past version) as a DataFrame.
+    """Read a Delta table (optionally a past version — by number or by
+    ``timestampAsOf`` timestamp) as a DataFrame.
 
     ``predicate`` (a SQL condition string) is applied as a row filter
     AND used for data skipping first: files whose per-file min/max
@@ -272,7 +390,7 @@ def read_delta_lite(
     to Spark's reader at all (delta's stats-based skipping, the layer
     BELOW parquet row-group pushdown — whole files skip listing/open).
     The result is identical to reading everything then filtering."""
-    snap = load_snapshot(table_path, version)
+    snap = load_snapshot(table_path, version, timestamp=timestamp)
     if predicate is None:
         return _read_files(spark, snap, list(snap.files))
     cand = _candidate_files(snap, _parse_conjuncts(predicate))
@@ -393,7 +511,15 @@ def _collect_staged_files(stage: str, pcols: list) -> list:
 
 def _commit(table_path: str, version: int, actions: list) -> None:
     """Atomic publish of one commit: hard-link into the version slot; an
-    existing slot means another writer won the race."""
+    existing slot means another writer won the race. Every commitInfo is
+    stamped with the protocol's ``timestamp`` field (epoch ms) here, so
+    timestamp time travel / DESCRIBE HISTORY never depend on file mtimes
+    for tables this writer produced (mtime stays as the fallback for
+    foreign logs)."""
+    for action in actions:
+        ci = action.get("commitInfo")
+        if ci is not None and "timestamp" not in ci:
+            ci["timestamp"] = int(time.time() * 1000)
     log = _log_path(table_path)
     os.makedirs(log, exist_ok=True)
     final = os.path.join(log, f"{version:020d}.json")
@@ -1267,6 +1393,74 @@ def vacuum_delta_lite(table_path: str, retain_versions: int = 0) -> list:
         if root != table_path and not os.listdir(root):
             os.rmdir(root)
     return sorted(removed)
+
+
+def restore_delta_lite(
+    table_path: str, version: int | None = None, timestamp=None
+) -> dict:
+    """``RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF``: commit a NEW
+    version whose live-file set and metaData equal the target
+    snapshot's. No data moves — the restore commit re-ADDs the target's
+    ``add`` actions verbatim (per-file stats ride along, so data
+    skipping keeps working) and removes the files the target lacks;
+    cost is log-size, not table-size, exactly like delta-spark's
+    RESTORE. Pre-restore versions stay time-travelable (RESTORE is
+    itself just a commit — a bad restore is undone by another restore).
+
+    Fails UP-FRONT (no commit) if any file the target needs was
+    vacuumed, naming one. Returns metrics: the new version, the source
+    version restored, and file add/remove counts."""
+    cur = load_snapshot(table_path)
+    target = load_snapshot(table_path, version, timestamp=timestamp)
+    missing = [
+        rel
+        for rel in sorted(target.files)
+        if not os.path.exists(os.path.join(table_path, rel))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot RESTORE {table_path} to version {target.version}: "
+            f"{len(missing)} required data file(s) no longer exist "
+            f"(vacuumed?), e.g. {missing[0]}"
+        )
+    to_add = sorted(rel for rel in target.files if rel not in cur.files)
+    to_remove = sorted(rel for rel in cur.files if rel not in target.files)
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "RESTORE",
+                "operationParameters": {"version": target.version},
+                "engineInfo": "delta-lite (PySpark analytics engine)",
+            }
+        }
+    ]
+    if cur.metadata != target.metadata:
+        actions.append({"metaData": dict(target.metadata)})
+    now_ms = int(time.time() * 1000)
+    for rel in to_remove:
+        actions.append(
+            {
+                "remove": {
+                    "path": cur.files[rel]["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    for rel in to_add:
+        add = dict(target.files[rel])
+        add["dataChange"] = True
+        actions.append({"add": add})
+    new_version = cur.version + 1
+    _commit(table_path, new_version, actions)
+    _maybe_checkpoint(table_path, new_version, CHECKPOINT_INTERVAL)
+    return {
+        "version": new_version,
+        "restored_source_version": target.version,
+        "num_restored_files": len(to_add),
+        "num_removed_files": len(to_remove),
+        "num_files_after": len(target.files),
+    }
 
 
 def checkpoint_delta_lite(table_path: str) -> int:

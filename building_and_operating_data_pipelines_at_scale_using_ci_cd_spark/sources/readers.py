@@ -150,11 +150,14 @@ def _read_delta(spark: SparkSession, spec: "InputSpec") -> DataFrame:
     # time (the layer below parquet row-group pushdown) — a config read
     # of one day from a date-keyed table opens that day's files only.
     # Result is identical to reading everything then filtering.
+    # options.timestampAsOf: time travel to the version current at that
+    # time (epoch-ms int or ISO string, same contract as delta-spark's).
     return read_delta_lite(
         spark,
         spec.path,
         version=int(version) if version is not None else None,
         predicate=spec.options.get("predicate"),
+        timestamp=spec.options.get("timestampAsOf"),
     )
 
 

@@ -192,6 +192,56 @@ def main():
     print(f"config DML: merge upserted (corrected={n_corr}), retention delete applied, "
           f"summary sink matches table ({s_rows} rows)")
 
+    # 3c. RESTORE + timestamp time travel through the config dialect
+    # (round 10 second wave): a config input reads the orders_dml table
+    # AS OF the post-merge commit's timestamp (from DESCRIBE HISTORY),
+    # and a deltaRestore step rolls the table back to its pre-DML v0 —
+    # log-only (no data moves), pre-restore versions stay readable.
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.delta_lite import (
+        history_delta_lite,
+    )
+
+    hist_dml = history_delta_lite(dml_table)
+    assert [h["operation"] for h in hist_dml] == ["DELETE", "MERGE", "WRITE"]
+    ts_merge = next(h["timestamp"] for h in hist_dml if h["version"] == 1)
+    n_v0 = read_delta_lite(spark, dml_table, version=0).count()
+    _run_cfg(spark, "restore", {
+        "configs": {"name": "orders_restore", "phase_1": {"input_data": {
+            "dataSource": "local", "dataFrameName": "as_of_merge",
+            "path": dml_table,
+            "fileProperties": {"fileFormat": "deltalake"},
+            "options": {"timestampAsOf": ts_merge}}}},
+        "phase_2": {"data_transformations": [
+            {"operatorName": "deltaRestore", "inputDFName": "as_of_merge",
+             "operatorParams": {"table_path": dml_table, "version": 0},
+             "outputDFName": "restored_snap"},
+            {"functionName": "restore summary",
+             "sqlQuery": "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM as_of_merge) AS n_as_of_merge, "
+                         "(SELECT CAST(COUNT(*) AS BIGINT) FROM restored_snap) AS n_restored",
+             "outputDFName": "restore_summary"}]},
+        "phase_3": {"target_record_insert": [{
+            "dataTarget": "local", "dataFrameName": "restore_summary",
+            "loadType": "truncateInsert", "path": f"{DEMO}/restore_summary",
+            "outputDataProperties": {"fileFormat": "parquet"}}]},
+    })
+    r_as_of, r_restored = _duck.sql(
+        f"SELECT n_as_of_merge, n_restored FROM '{DEMO}/restore_summary/*.parquet'"
+    ).fetchone()
+    # the merge updated matched rows in place AND inserted the unmatched
+    # correction keys, so the as-of-merge count is v1's exactly
+    assert r_as_of == read_delta_lite(spark, dml_table, version=1).count()
+    assert r_restored == n_v0 == 1000
+    post = read_delta_lite(spark, dml_table)
+    assert post.filter("o_orderpriority = 'CORRECTED'").count() == 0  # DML undone
+    assert post.filter("o_orderpriority = '5-LOW'").count() > 0  # deletes undone
+    # pre-restore history still time-travelable; RESTORE rides the log
+    assert read_delta_lite(spark, dml_table, version=2).filter(
+        "o_orderpriority = '5-LOW'"
+    ).count() == 0
+    assert history_delta_lite(dml_table)[0]["operation"] == "RESTORE"
+    print(f"config RESTORE: rolled back to v0 ({r_restored} rows, log-only), "
+          f"timestampAsOf read saw the post-merge snapshot ({r_as_of} rows)")
+
     # 4. OPTIMIZE + VACUUM + the honest end of time travel
     files_before = len(load_snapshot(table).files)
     v_opt = optimize_delta_lite(table, spark, target_files=2)

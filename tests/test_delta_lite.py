@@ -713,3 +713,156 @@ def test_corrupt_checkpoint_is_valueerror(spark, tmp_path):
         fh.write(b"PAR1 this is not a checkpoint")
     with pytest.raises(ValueError, match="corrupt delta checkpoint"):
         dl.load_snapshot(tp)
+
+
+def _disk_parquets(tp):
+    out = set()
+    for root, dirs, names in os.walk(tp):
+        dirs[:] = [d for d in dirs if d != dl.LOG_DIR and not d.startswith(".")]
+        out |= {
+            os.path.relpath(os.path.join(root, n), tp)
+            for n in names
+            if n.endswith(".parquet")
+        }
+    return out
+
+
+def test_history_and_commit_timestamps(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(spark.createDataFrame([(1,), (2,)], "id int"), tp)
+    dl.write_delta_lite(spark.createDataFrame([(3,)], "id int"), tp, mode="append")
+    dl.delete_delta_lite(spark, tp, "id = 2")
+    hist = dl.history_delta_lite(tp)
+    assert [h["version"] for h in hist] == [2, 1, 0]  # newest-first
+    assert [h["operation"] for h in hist] == ["DELETE", "WRITE", "WRITE"]
+    stamps = dl.commit_timestamps(tp)
+    assert sorted(stamps) == [0, 1, 2]
+    # strictly monotonic even under same-millisecond commits
+    assert stamps[0] < stamps[1] < stamps[2]
+    assert hist[0]["timestamp"] == stamps[2]
+    # protocol field actually present in the raw commit JSON
+    with open(os.path.join(tp, dl.LOG_DIR, f"{0:020d}.json")) as fh:
+        first = json.loads(fh.readline())
+    assert isinstance(first["commitInfo"]["timestamp"], int)
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(spark.createDataFrame([(1, "a")], "id int, v string"), tp)
+    dl.write_delta_lite(
+        spark.createDataFrame([(2, "b")], "id int, v string"), tp, mode="overwrite"
+    )
+    stamps = dl.commit_timestamps(tp)
+    assert _rows(dl.read_delta_lite(spark, tp, timestamp=stamps[0])) == [(1, "a")]
+    assert _rows(dl.read_delta_lite(spark, tp, timestamp=stamps[1])) == [(2, "b")]
+    # a time between the two commits resolves to the EARLIER version
+    if stamps[1] - stamps[0] > 1:
+        mid = stamps[0] + (stamps[1] - stamps[0]) // 2
+        assert _rows(dl.read_delta_lite(spark, tp, timestamp=mid)) == [(1, "a")]
+    # delta-spark's contract: out-of-range timestamps raise, both sides
+    with pytest.raises(ValueError, match="before the earliest"):
+        dl.read_delta_lite(spark, tp, timestamp=stamps[0] - 10)
+    with pytest.raises(ValueError, match="after the latest"):
+        dl.read_delta_lite(spark, tp, timestamp=stamps[1] + 10)
+    with pytest.raises(ValueError, match="not both"):
+        dl.load_snapshot(tp, version=0, timestamp=stamps[0])
+    # float = epoch seconds form accepted
+    assert _rows(
+        dl.read_delta_lite(spark, tp, timestamp=stamps[0] / 1000.0)
+    ) == [(1, "a")]
+
+
+def test_restore_to_version_is_log_only(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(
+        spark.createDataFrame([(i, i * 10) for i in range(8)], "k int, n int")
+        .repartition(4, "k"),
+        tp,
+    )
+    dl.write_delta_lite(
+        spark.createDataFrame([(99, 990)], "k int, n int"), tp, mode="overwrite"
+    )
+    dl.delete_delta_lite(spark, tp, "k = 99")
+    before_disk = _disk_parquets(tp)
+    v0_files = len(dl.load_snapshot(tp, 0).files)
+    assert v0_files > 1  # several files so data skipping is observable
+    v0_rows = _rows(dl.read_delta_lite(spark, tp, version=0))
+    metrics = dl.restore_delta_lite(tp, version=0)
+    assert metrics["version"] == 3
+    assert metrics["restored_source_version"] == 0
+    assert metrics["num_restored_files"] == v0_files
+    # RESTORE moved no data: byte-level parquet set on disk is unchanged
+    assert _disk_parquets(tp) == before_disk
+    assert _rows(dl.read_delta_lite(spark, tp)) == v0_rows
+    # pre-restore versions still time-travelable (RESTORE is just a commit)
+    assert _rows(dl.read_delta_lite(spark, tp, version=1)) == [(99, 990)]
+    assert dl.read_delta_lite(spark, tp, version=2).count() == 0
+    hist = dl.history_delta_lite(tp)
+    assert hist[0]["operation"] == "RESTORE"
+    assert hist[0]["operationParameters"]["version"] == 0
+    # stats rode along with the re-added files: a keyed DELETE after the
+    # restore still data-skips (candidateFiles < total files)
+    dl.delete_delta_lite(spark, tp, "k = 3")
+    with open(os.path.join(tp, dl.LOG_DIR, f"{4:020d}.json")) as fh:
+        ci = json.loads(fh.readline())["commitInfo"]
+    assert ci["operationParameters"]["candidateFiles"] < v0_files
+
+
+def test_restore_by_timestamp_and_schema(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(spark.createDataFrame([(1,)], "k int"), tp)
+    dl.write_delta_lite(
+        spark.createDataFrame([(2, "x")], "k int, extra string"),
+        tp,
+        mode="append",
+        merge_schema=True,
+    )
+    assert "extra" in {f.name for f in dl.load_snapshot(tp).schema.fields}
+    stamps = dl.commit_timestamps(tp)
+    dl.restore_delta_lite(tp, timestamp=stamps[0])
+    snap = dl.load_snapshot(tp)
+    # RESTORE restored the metadata too: the evolved column is gone
+    assert [f.name for f in snap.schema.fields] == ["k"]
+    assert _rows(dl.read_delta_lite(spark, tp)) == [(1,)]
+
+
+def test_restore_refuses_after_vacuum(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(spark.createDataFrame([(1,)], "k int"), tp)
+    dl.write_delta_lite(
+        spark.createDataFrame([(2,)], "k int"), tp, mode="overwrite"
+    )
+    removed = dl.vacuum_delta_lite(tp)  # v0's file physically deleted
+    assert removed
+    with pytest.raises(ValueError, match="no longer exist"):
+        dl.restore_delta_lite(tp, version=0)
+    # and nothing was committed by the failed attempt
+    assert dl.load_snapshot(tp).version == 1
+
+
+def test_timestamp_as_of_config_read_and_restore_step(spark, tmp_path):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.registry import (
+        OPERATORS,
+    )
+
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(spark.createDataFrame([(1,)], "k int"), tp)
+    dl.write_delta_lite(
+        spark.createDataFrame([(2,)], "k int"), tp, mode="overwrite"
+    )
+    stamps = dl.commit_timestamps(tp)
+    df = read_input(
+        spark,
+        InputSpec(
+            path=tp, file_format="deltalake", options={"timestampAsOf": stamps[0]}
+        ),
+    )
+    assert _rows(df) == [(1,)]
+    anchor = spark.createDataFrame([(0,)], "x int")
+    out = OPERATORS["deltaRestore"](anchor, table_path=tp, version="0")
+    assert _rows(out) == [(1,)]
+    # deltaVacuum drops the files only the pre-restore v1 referenced
+    out2 = OPERATORS["deltaVacuum"](anchor, table_path=tp, retain_versions=0)
+    assert _rows(out2) == [(1,)]
+    with pytest.raises(ValueError, match="no longer exist"):
+        dl.restore_delta_lite(tp, version=1)
