@@ -7760,6 +7760,71 @@ def _q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-streaming (round 10): the lakehouse table as a STREAMING
+    SOURCE — ``sources/delta_stream.py`` exposes delta-lite through the
+    Spark 4 Python Data Source API (version-offset microbatches, one
+    InputPartition per data file, Arrow batch reads; delta-spark's
+    streaming-source semantics: dataChange=false skipped, change
+    commits raise/skip). Here a 2-commit table built from ``lineitem``
+    is drained with availableNow into a streaming aggregate; the oracle
+    is the same aggregate over ``lineitem`` directly, so the offset
+    planning, per-file partition fan-out, and Arrow decode path are all
+    value-checked (stream == batch).
+
+    Determinism: money as integer cents; the commit split is keyed on
+    l_orderkey parity (delivery order can't affect a groupBy)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.delta_lite import (
+        write_delta_lite,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.delta_stream import (
+        read_delta_lite_stream,
+    )
+
+    tp = os.path.join(tempfile.mkdtemp(prefix="delta_src_"), "li_delta")
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    write_delta_lite(li.filter(F.col("l_orderkey") % 2 == 0).repartition(4), tp)
+    write_delta_lite(
+        li.filter(F.col("l_orderkey") % 2 != 0).repartition(4),
+        tp,
+        mode="append",
+    )
+    agg = (
+        read_delta_lite_stream(spark, tp)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    name = f"delta_src_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("l_returnflag", "n", "sum_cents")
+
+
+STREAMING_DELTA_SOURCE_DUCK = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE on ordering: the driver caps CORRECTNESS at the FIRST 50
         # entries. ``base`` keeps the historical definition order for
@@ -7816,6 +7881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    state) — changed code ALWAYS re-enters the checked 50 ----
         "delta_roundtrip": _q_delta_roundtrip,
         "delta_restore": _q_delta_restore,
+        "streaming_delta_source": _q_streaming_delta_source,
         "flac_decode": _q_flac_decode,
         "bm25_scores": _q_bm25_scores,
         "rrf_fusion": _q_rrf_fusion,
@@ -7983,11 +8049,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
     }
     # Round-10 rotation head: the driver checks the FIRST 50 keys.
-    # Composition (counts: 3 + 10 + 4 + 5 + 9 + 10 + 9 = 50 checked;
-    # 183 total):
-    #   - 3 brand-new round-10 entries (k_generalize,
-    #     robots_from_bodies, delta_restore) — never driver-checked,
-    #     lead unconditionally,
+    # Composition (counts: 4 + 10 + 4 + 5 + 9 + 10 + 8 = 50 checked;
+    # 184 total):
+    #   - 4 brand-new round-10 entries (k_generalize,
+    #     robots_from_bodies, delta_restore, streaming_delta_source) —
+    #     never driver-checked, lead unconditionally,
     #   - 10 whose code path changed in round 10 — changed code ALWAYS
     #     re-enters: card_redaction (\\b-anchored replacement + new
     #     embedded-run fixture), domain_cap_sample (null-safe joins,
@@ -8011,16 +8077,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     winnow_near_dups),
     #   - the 10-key r06-evidence TPC-H block (q13/q15/q22/q2/q8/q9/
     #     q11/q16/q17/q21),
-    #   - 9 more r06-evidence curation keys (decontaminate,
+    #   - 8 more r06-evidence curation keys (decontaminate,
     #     pii_redaction, boilerplate_ngrams, dataset_split,
-    #     repetition_profile, filter_audit, nfc_normalize, url_domains,
-    #     span_dedup) — formats_roundtrip displaced past the cap by the
-    #     third new entry; round 11 should lead with it.
+    #     repetition_profile, filter_audit, nfc_normalize, url_domains)
+    #     — span_dedup and formats_roundtrip displaced past the cap by
+    #     the 3rd/4th new entries; round 11 should lead with them.
     # Everything not in the head keeps its r07-r09 evidence and follows
     # in prior order; steady-state max evidence age stays ≤ 3 rounds.
     head = [
         # brand-new round-10 entries
         "k_generalize", "robots_from_bodies", "delta_restore",
+        "streaming_delta_source",
         # round-10 changed-code re-entries
         "card_redaction", "domain_cap_sample", "robots_allowed",
         "delta_roundtrip", "delta_cdc", "scd2_price_history",
@@ -8045,16 +8112,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r06-evidence curation keys
         "decontaminate", "pii_redaction", "boilerplate_ngrams",
         "dataset_split", "repetition_profile", "filter_audit",
-        "nfc_normalize", "url_domains", "span_dedup",
+        "nfc_normalize", "url_domains",
         # 50-cap cutoff. The round-9 head (psl_domains ...
         # bloom_new_docs) carries fresh r09 driver evidence and rotates
         # out en bloc. Round 11's 50 should lead with the keys this
-        # round displaced just past the cap (formats_roundtrip,
-        # multimodal_decode, pivot_event_values, udf_text_metrics,
-        # vector_stats, broadcast_hint_join, parts_heavy_semi,
-        # set_ops_segments, correlated_max_order, json_events,
-        # lm_cross_entropy, bloom_new_docs — r06/r07 evidence) plus
-        # anything round 11 changes.
+        # round displaced just past the cap (span_dedup,
+        # formats_roundtrip, multimodal_decode, pivot_event_values,
+        # udf_text_metrics, vector_stats, broadcast_hint_join,
+        # parts_heavy_semi, set_ops_segments, correlated_max_order,
+        # json_events, lm_cross_entropy, bloom_new_docs — r06/r07
+        # evidence) plus anything round 11 changes.
     ]
     out = {k: base[k] for k in head}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -8106,6 +8173,7 @@ def oracle_sql() -> dict[str, str]:
         "jdbc_roundtrip": JDBC_ROUNDTRIP_DUCK,
         "delta_roundtrip": DELTA_ROUNDTRIP_DUCK,
         "delta_restore": DELTA_RESTORE_DUCK,
+        "streaming_delta_source": STREAMING_DELTA_SOURCE_DUCK,
         "flac_decode": FLAC_DECODE_DUCK,
         "bm25_scores": BM25_SCORES_DUCK,
         "rrf_fusion": RRF_FUSION_DUCK,

@@ -138,6 +138,7 @@ HEADLINE = [
     # round 8 continuation: pruned snapshot-diff CDC over the delta log
     "delta_cdc",
     "delta_restore",
+    "streaming_delta_source",
     # round 8 continuation: integer-DCT perceptual hash (Arrow map stage)
     # + Hamming band self-join over the 64-bit fingerprints
     "phash_fingerprints",

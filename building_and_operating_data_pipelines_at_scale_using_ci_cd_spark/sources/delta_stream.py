@@ -1,0 +1,236 @@
+"""Streaming READS of delta-lite tables (the source half of the
+streaming→lakehouse contract; ``streaming_delta_sink`` is the write
+half). Implemented as a Spark 4 **Python Data Source** — the public
+``pyspark.sql.datasource`` API — so the table plugs into Structured
+Streaming natively::
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.delta_stream import (
+        register_delta_stream_source,
+    )
+    register_delta_stream_source(spark)
+    df = (spark.readStream.format("delta_lite_stream")
+          .option("path", table_path).load())
+
+Semantics mirror delta-spark's streaming source for append-only tables:
+
+  - **offsets are log versions** — microbatch (start, end] delivers the
+    ``add`` actions (``dataChange: true``) of commits start+1..end, so
+    restarts resume exactly where the checkpoint says and each row is
+    delivered exactly once;
+  - OPTIMIZE / ZORDER commits (``dataChange: false`` adds+removes) are
+    pure rewrites and are SKIPPED — compaction never re-delivers rows;
+  - a commit that removes data (DELETE/UPDATE/MERGE/RESTORE/overwrite)
+    breaks append-only streaming: the source RAISES by default, or
+    skips the whole commit with ``.option("skipChangeCommits", "true")``
+    (delta-spark's option of the same name);
+  - one ``InputPartition`` per data file → executor-parallel Arrow
+    reads; the driver touches only the log (KBs per commit), never
+    data — at 100 TB a microbatch plans from one JSON file and fans
+    out to the executors, the same shape delta-spark's source has.
+
+Scale note on the initial load: a stream started on an existing table
+replays version 0..latest as its first batch (the full history of adds).
+For append-only tables that equals the current snapshot; start the sink
+with ``availableNow`` and the backfill proceeds microbatch-by-version.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+from decimal import Decimal
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    BooleanType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructType,
+    TimestampType,
+)
+
+FORMAT_NAME = "delta_lite_stream"
+
+
+class DeltaFilePartition(InputPartition):
+    """One data file of one commit: everything ``read`` needs, picklable
+    (absolute path + the hive partition values to re-attach)."""
+
+    def __init__(self, path: str, partition_values: dict, version: int):
+        self.path = path
+        self.partition_values = partition_values
+        self.version = version
+
+
+def _python_partition_value(raw, dtype):
+    """Delta records partition values as strings; convert to the Python
+    value whose Arrow form matches the declared column type."""
+    if raw is None:
+        return None
+    if isinstance(dtype, (LongType, IntegerType, ShortType)):
+        return int(raw)
+    if isinstance(dtype, (DoubleType, FloatType)):
+        return float(raw)
+    if isinstance(dtype, BooleanType):
+        return str(raw).lower() == "true"
+    if isinstance(dtype, DateType):
+        return _dt.date.fromisoformat(raw)
+    if isinstance(dtype, TimestampType):
+        return _dt.datetime.fromisoformat(raw)
+    if isinstance(dtype, DecimalType):
+        return Decimal(raw)
+    if isinstance(dtype, StringType):
+        return raw
+    raise ValueError(
+        f"unsupported partition column type for streaming read: {dtype}"
+    )
+
+
+class DeltaLiteStreamReader(DataSourceStreamReader):
+    """Log-version offsets; driver work = reading commit JSONs."""
+
+    def __init__(self, schema: StructType, options: dict):
+        # Python data source option keys arrive lowercased
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("delta_lite_stream requires .option('path', ...)")
+        self._skip_change_commits = (
+            str(options.get("skipchangecommits", "false")).lower() == "true"
+        )
+        self._schema = schema
+
+    # -- offsets ---------------------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        from .delta_lite import load_snapshot
+
+        return {"version": load_snapshot(self._path).version}
+
+    # -- planning (driver) -----------------------------------------------
+    def _commit_actions(self, version: int) -> list:
+        from .delta_lite import LOG_DIR
+
+        fpath = os.path.join(self._path, LOG_DIR, f"{version:020d}.json")
+        if not os.path.exists(fpath):
+            raise ValueError(
+                f"commit {version} of {self._path} is gone (expired log?) — "
+                f"cannot stream a gap"
+            )
+        with open(fpath, encoding="utf-8") as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+
+    def _version_adds(self, version: int) -> list:
+        """The ``dataChange: true`` add actions of one commit, enforcing
+        the append-only streaming contract."""
+        actions = self._commit_actions(version)
+        data_removed = any(
+            a.get("remove", {}).get("dataChange", False) for a in actions
+        )
+        if data_removed:
+            if self._skip_change_commits:
+                return []  # delta's skipChangeCommits: drop the whole commit
+            raise ValueError(
+                f"streaming source found a data-changing commit (version "
+                f"{version}: DELETE/UPDATE/MERGE/RESTORE/overwrite) in "
+                f"{self._path}; streaming requires append-only commits — "
+                f"pass .option('skipChangeCommits', 'true') to skip them"
+            )
+        return [
+            a["add"]
+            for a in actions
+            if a.get("add") and a["add"].get("dataChange", True)
+        ]
+
+    def partitions(self, start: dict, end: dict):
+        import urllib.parse
+
+        lo, hi = int(start["version"]), int(end["version"])
+        parts = []
+        for v in range(lo + 1, hi + 1):
+            for add in self._version_adds(v):
+                rel = urllib.parse.unquote(add["path"])
+                parts.append(
+                    DeltaFilePartition(
+                        path=os.path.join(self._path, rel),
+                        partition_values=add.get("partitionValues") or {},
+                        version=v,
+                    )
+                )
+        return parts
+
+    # -- execution (executors) ---------------------------------------------
+    def read(self, partition: DeltaFilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self._schema)
+        table = pq.read_table(partition.path)
+        n = table.num_rows
+        arrays = []
+        for field, spark_field in zip(target, self._schema.fields):
+            if field.name in table.column_names:
+                col = table.column(field.name)
+                if col.type != field.type:
+                    col = col.cast(field.type)
+                arrays.append(col.combine_chunks())
+            else:  # partition column: constant per file, re-attached here
+                val = _python_partition_value(
+                    partition.partition_values.get(field.name),
+                    spark_field.dataType,
+                )
+                arrays.append(pa.array([val] * n, type=field.type))
+        for batch in pa.Table.from_arrays(arrays, schema=target).to_batches():
+            yield batch
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the stream checkpoint; the log is immutable
+
+    def stop(self) -> None:
+        pass
+
+
+class DeltaLiteStreamSource(DataSource):
+    """``spark.readStream.format("delta_lite_stream")`` entry point."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        from .delta_lite import load_snapshot
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("delta_lite_stream requires .option('path', ...)")
+        return load_snapshot(path).schema
+
+    def streamReader(self, schema: StructType) -> DeltaLiteStreamReader:
+        return DeltaLiteStreamReader(schema, dict(self.options))
+
+
+def register_delta_stream_source(spark) -> None:
+    """Idempotent registration of the format with a session."""
+    spark.dataSource.register(DeltaLiteStreamSource)
+
+
+def read_delta_lite_stream(spark, table_path: str, **options):
+    """Convenience: register + build the streaming DataFrame."""
+    register_delta_stream_source(spark)
+    reader = spark.readStream.format(FORMAT_NAME).option("path", table_path)
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load()

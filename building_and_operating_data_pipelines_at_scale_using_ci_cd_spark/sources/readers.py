@@ -252,6 +252,16 @@ def read_stream_input(spark: SparkSession, spec: "InputSpec") -> DataFrame:
     if not spec.path:
         raise ValueError(f"streaming input '{spec.dataframe_name}' has no path")
     fmt = spec.file_format
+    if fmt == "deltalake":
+        # streaming READ of a delta-lite table: version-offset
+        # microbatches via the Python Data Source in delta_stream.py
+        # (append-only contract; options.skipChangeCommits passes through)
+        from .delta_stream import read_delta_lite_stream
+
+        df = read_delta_lite_stream(spark, spec.path, **spec.options)
+        if spec.select_columns:
+            df = df.select(*spec.select_columns)
+        return df
     if fmt not in _NATIVE_FORMATS:
         raise ValueError(f"streaming not supported for fileFormat={fmt}")
     if spec.data_mapping and spec.metadata_path:

@@ -1,0 +1,208 @@
+"""Streaming reads of delta-lite tables via the Spark 4 Python Data
+Source API (``sources/delta_stream.py``): version-offset microbatches,
+exactly-once restarts off the stream checkpoint, dataChange=false
+(OPTIMIZE) commits skipped, change commits raise-or-skip per
+``skipChangeCommits``, hive partition columns re-attached per file."""
+
+import tempfile
+
+import pytest
+
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources import (
+    delta_lite as dl,
+)
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.delta_stream import (
+    read_delta_lite_stream,
+)
+
+
+def _drain(spark, df, name, checkpoint):
+    """One availableNow pass into a memory sink (fresh checkpoint only —
+    the memory sink cannot recover a checkpoint)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sorted(tuple(r) for r in spark.table(name).collect())
+
+
+def _drain_files(spark, df, out, checkpoint):
+    """One availableNow pass into a parquet sink (recoverable checkpoint)
+    and the CUMULATIVE sorted rows of the output directory."""
+    q = (
+        df.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_reads_appends_and_resumes_exactly_once(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+    dl.write_delta_lite(spark.range(5).selectExpr("id AS k"), tp)
+    dl.write_delta_lite(
+        spark.range(5, 10).selectExpr("id AS k"), tp, mode="append"
+    )
+    got = _drain_files(spark, read_delta_lite_stream(spark, tp), out, cp)
+    assert got == [(i,) for i in range(10)]
+    # no new commits -> a restart delivers NOTHING new (offset persisted)
+    got = _drain_files(spark, read_delta_lite_stream(spark, tp), out, cp)
+    assert got == [(i,) for i in range(10)]
+    # one more commit -> exactly its rows land, history NOT re-read
+    dl.write_delta_lite(
+        spark.range(10, 13).selectExpr("id AS k"), tp, mode="append"
+    )
+    got = _drain_files(spark, read_delta_lite_stream(spark, tp), out, cp)
+    assert got == [(i,) for i in range(13)]
+
+
+def test_optimize_commit_never_redelivers(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+    dl.write_delta_lite(
+        spark.range(20).selectExpr("id AS k").repartition(4), tp
+    )
+    assert len(
+        _drain_files(spark, read_delta_lite_stream(spark, tp), out, cp)
+    ) == 20
+    # OPTIMIZE rewrites every file with dataChange=false — a pure layout
+    # change; the stream must see zero new rows
+    dl.optimize_delta_lite(tp, spark, target_files=1)
+    got = _drain_files(spark, read_delta_lite_stream(spark, tp), out, cp)
+    assert len(got) == 20
+    # appends after the compaction still flow
+    dl.write_delta_lite(
+        spark.range(20, 22).selectExpr("id AS k"), tp, mode="append"
+    )
+    got = _drain_files(spark, read_delta_lite_stream(spark, tp), out, cp)
+    assert got == [(i,) for i in range(22)]
+
+
+def test_change_commit_raises_unless_skipped(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(spark.range(10).selectExpr("id AS k"), tp)
+    dl.delete_delta_lite(spark, tp, "k >= 8")
+    q = (
+        read_delta_lite_stream(spark, tp)
+        .writeStream.format("memory")
+        .queryName("ds_c1")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    from pyspark.errors.exceptions.base import PySparkException
+
+    with pytest.raises(Exception, match="skipChangeCommits") as excinfo:
+        q.awaitTermination()
+    assert isinstance(excinfo.value, PySparkException) or "data-changing" in str(
+        excinfo.value
+    )
+    # with the option: the DELETE commit is skipped wholesale — the
+    # stream delivers v0's adds only (delta's skipChangeCommits shape)
+    out = str(tmp_path / "out2")
+    got = _drain_files(
+        spark,
+        read_delta_lite_stream(spark, tp, skipChangeCommits=True),
+        out,
+        str(tmp_path / "cp2"),
+    )
+    assert got == [(i,) for i in range(10)]
+    # post-delete appends flow on the same checkpoint
+    dl.write_delta_lite(
+        spark.range(100, 102).selectExpr("id AS k"), tp, mode="append"
+    )
+    got = _drain_files(
+        spark,
+        read_delta_lite_stream(spark, tp, skipChangeCommits=True),
+        out,
+        str(tmp_path / "cp2"),
+    )
+    assert got == [(i,) for i in range(10)] + [(100,), (101,)]
+
+
+def test_partition_columns_reattached_with_types(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    src = spark.createDataFrame(
+        [(1, 10, "2024-01-01", "us"), (2, 20, "2024-01-02", "eu"), (3, 30, None, None)],
+        "k int, n int, ds string, region string",
+    ).selectExpr("k", "n", "CAST(ds AS DATE) AS ds", "region")
+    dl.write_delta_lite(src, tp, partition_by=["ds", "region"])
+    got = _drain(
+        spark,
+        read_delta_lite_stream(spark, tp),
+        "ds_p1",
+        str(tmp_path / "cp"),
+    )
+    assert got == _rows(dl.read_delta_lite(spark, tp))
+    stream_df = read_delta_lite_stream(spark, tp)
+    assert [f.simpleString() for f in stream_df.schema.fields] == [
+        f.simpleString() for f in dl.load_snapshot(tp).schema.fields
+    ]
+
+
+def test_stream_then_transform_then_sink(spark, tmp_path):
+    # the source composes with ordinary streaming transforms
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(
+        spark.range(100).selectExpr("id AS k", "id % 3 AS g"), tp
+    )
+    df = read_delta_lite_stream(spark, tp)
+    agg = df.groupBy("g").count()
+    name = "ds_t1"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ds_cp_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["g"]: r["count"] for r in spark.table(name).collect()}
+    assert got == {0: 34, 1: 33, 2: 33}
+
+
+def test_config_streaming_input_reads_delta(spark, tmp_path):
+    """The dialect's streaming flag composes with fileFormat deltalake:
+    phase_1 input {streaming: true, fileFormat: deltalake} yields the
+    version-offset stream (skipChangeCommits passed via options)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.config import (
+        InputSpec,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.readers import (
+        read_input,
+    )
+
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(spark.range(7).selectExpr("id AS k"), tp)
+    dl.delete_delta_lite(spark, tp, "k = 0")
+    df = read_input(
+        spark,
+        InputSpec(
+            path=tp,
+            file_format="deltalake",
+            streaming=True,
+            options={"skipChangeCommits": "true"},
+            select_columns=["k"],
+        ),
+    )
+    assert df.isStreaming
+    got = _drain(spark, df, "ds_cfg", str(tmp_path / "cp"))
+    assert got == [(i,) for i in range(7)]  # delete commit skipped
