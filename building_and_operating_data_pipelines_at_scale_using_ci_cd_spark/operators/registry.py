@@ -452,6 +452,30 @@ def _delta_restore(
     return read_delta_lite(df.sparkSession, table_path)
 
 
+def _delta_optimize(
+    df: DataFrame, table_path: str, target_files=1, zorder_by=None
+) -> DataFrame:
+    """Config shape: OPTIMIZE a delta-lite table (dataChange=false
+    bin-packing compaction; ``zorder_by`` — comma-separated or JSON
+    array — switches to Morton-key clustering so per-file stats prune
+    on every clustered column). Maintenance DML, executes eagerly;
+    returns the post-OPTIMIZE snapshot for chaining."""
+    from ..sources.delta_lite import optimize_delta_lite, read_delta_lite
+
+    cols = (
+        [c.strip() for c in zorder_by.split(",")]
+        if isinstance(zorder_by, str)
+        else (list(zorder_by) if zorder_by else None)
+    )
+    optimize_delta_lite(
+        table_path,
+        df.sparkSession,
+        target_files=int(target_files),
+        zorder_by=cols,
+    )
+    return read_delta_lite(df.sparkSession, table_path)
+
+
 def _delta_vacuum(df: DataFrame, table_path: str, retain_versions=0) -> DataFrame:
     """Config shape: VACUUM a delta-lite table — physically delete data
     files referenced only by snapshots older than the retained window
@@ -1070,6 +1094,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "deltaMerge": _delta_merge,
     "deltaDelete": _delta_delete,
     "deltaRestore": _delta_restore,
+    "deltaOptimize": _delta_optimize,
     "deltaVacuum": _delta_vacuum,
     "redactCards": _redact_cards,
     "exifReport": _exif_report,

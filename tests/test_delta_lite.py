@@ -866,3 +866,35 @@ def test_timestamp_as_of_config_read_and_restore_step(spark, tmp_path):
     assert _rows(out2) == [(1,)]
     with pytest.raises(ValueError, match="no longer exist"):
         dl.restore_delta_lite(tp, version=1)
+
+
+def test_delta_optimize_step_compacts_with_zorder(spark, tmp_path):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.registry import (
+        OPERATORS,
+    )
+
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(
+        spark.createDataFrame(
+            [(i, (i * 37) % 100, i % 50) for i in range(400)],
+            "k int, x int, y int",
+        ).repartition(8),
+        tp,
+    )
+    assert len(dl.load_snapshot(tp).files) == 8
+    anchor = spark.createDataFrame([(0,)], "z int")
+    out = OPERATORS["deltaOptimize"](
+        anchor, table_path=tp, target_files="2", zorder_by="x,y"
+    )
+    assert out.count() == 400
+    snap = dl.load_snapshot(tp)
+    assert len(snap.files) <= 2
+    # the OPTIMIZE commit is dataChange=false end to end
+    with open(os.path.join(tp, dl.LOG_DIR, f"{1:020d}.json")) as fh:
+        actions = [json.loads(l) for l in fh if l.strip()]
+    assert all(
+        not a["add"]["dataChange"] for a in actions if "add" in a
+    ) and all(
+        not a["remove"]["dataChange"] for a in actions if "remove" in a
+    )
+    assert actions[0]["commitInfo"]["operationParameters"]["zOrderBy"] == ["x", "y"]
