@@ -480,10 +480,13 @@ def test_optimize_compacts_without_data_change(spark, tmp_path):
 
 def test_randomized_op_sequences_match_model(spark, tmp_path):
     """Model-based check: random operation sequences (append / overwrite /
-    SCD2 merge / optimize / checkpoint / vacuum) against a plain-Python
-    model of the CURRENT-state semantics. Catches interaction bugs no
-    single-feature test covers (the checkpoint-only-log bug came from
-    exactly such an interaction)."""
+    SCD2 merge / optimize / checkpoint / vacuum / RESTORE) against a
+    plain-Python model of the CURRENT-state semantics. Catches
+    interaction bugs no single-feature test covers (the
+    checkpoint-only-log bug came from exactly such an interaction).
+    RESTORE resets the model to the state remembered for the target
+    version — or, if vacuum already reclaimed that version's files, the
+    call must REFUSE and leave both table and model untouched."""
     import random
 
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.scd2 import (
@@ -493,9 +496,6 @@ def test_randomized_op_sequences_match_model(spark, tmp_path):
     for seed in (1, 7, 23):
         rng = random.Random(seed)
         tp = str(tmp_path / f"t{seed}")
-        # model: key -> current value (SCD2 current slice); row multiset
-        # for plain appends is tracked as a list of (k, v)
-        model_rows = []
 
         def mk(rows):
             return spark.createDataFrame(rows, "k int, v string")
@@ -507,8 +507,12 @@ def test_randomized_op_sequences_match_model(spark, tmp_path):
         )
         current = {0: "init"}
         closed = 0
+        # per-version snapshot of the MODEL, for restore targets
+        state_by_version = {0: (dict(current), closed)}
         for step in range(12):
-            op = rng.choice(["merge", "merge", "optimize", "checkpoint", "vacuum"])
+            op = rng.choice(
+                ["merge", "merge", "optimize", "checkpoint", "vacuum", "restore"]
+            )
             if op == "merge":
                 inc = [
                     (rng.randrange(8), f"v{seed}.{step}.{i}")
@@ -533,8 +537,23 @@ def test_randomized_op_sequences_match_model(spark, tmp_path):
                 dl.optimize_delta_lite(tp, spark, target_files=1)
             elif op == "checkpoint":
                 dl.checkpoint_delta_lite(tp)
+            elif op == "restore":
+                target_v = rng.choice(sorted(state_by_version))
+                try:
+                    dl.restore_delta_lite(tp, version=target_v)
+                except ValueError as exc:
+                    # only the vacuumed-files refusal is acceptable, and
+                    # it must be a clean no-op
+                    assert "no longer exist" in str(exc)
+                else:
+                    current, closed = (
+                        dict(state_by_version[target_v][0]),
+                        state_by_version[target_v][1],
+                    )
             else:
                 dl.vacuum_delta_lite(tp)
+            v_now = dl.load_snapshot(tp).version
+            state_by_version[v_now] = (dict(current), closed)
             got_cur = {
                 r.k: r.v
                 for r in dl.read_delta_lite(spark, tp).filter("is_current").collect()

@@ -891,6 +891,55 @@ def main() -> None:
         ).count(),
     )
 
+    # streaming source over a LONG log: 1 wide commit + 40 small appends
+    # (a day of 15-min batches). The drain must plan from commit JSONs
+    # only (driver work = log size) and fan file reads to executors —
+    # wall time should track row volume, not commit count.
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.delta_lite import (
+        write_delta_lite,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.delta_stream import (
+        read_delta_lite_stream,
+    )
+
+    stream_tp = os.path.join(_tf.mkdtemp(prefix="scale_stream_"), "t")
+    t0 = time.time()
+    write_delta_lite(
+        spark.range(2_000_000).selectExpr("id AS k", "id % 7 AS g").repartition(16),
+        stream_tp,
+    )
+    for i in range(40):
+        write_delta_lite(
+            spark.range(i * 10_000, (i + 1) * 10_000)
+            .selectExpr("id AS k", "id % 7 AS g")
+            .coalesce(2),  # a sane micro-batch writer lands a couple files
+            stream_tp,
+            mode="append",
+            checkpoint_interval=None,
+        )
+    print(f"  [fixture: 41-commit delta table in {time.time() - t0:.1f}s]")
+
+    def _drain_stream():
+        name = f"scale_ds_{_uuid.uuid4().hex[:8]}"
+        q = (
+            read_delta_lite_stream(spark, stream_tp)
+            .groupBy("g")
+            .count()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", _tf.mkdtemp(prefix="scale_ds_cp_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).count()
+
+    timed("delta stream drain (41 commits, 2.4M rows)", _drain_stream)
+
 
 if __name__ == "__main__":
     main()
