@@ -7760,6 +7760,49 @@ def _q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-output sharding (round 10): global pseudorandom shuffle +
+    shard assignment (``operators/sampling.shuffle_shards``) — rows land
+    in md5-hash shards ordered pseudorandomly within each shard, the
+    reproducible "shuffle then shard" step before writing tokenized
+    training data. The manifest (per-shard doc/char totals plus the
+    FIRST and LAST doc in shuffle order) pins both the assignment and
+    the within-shard order; the oracle recomputes the identical hash →
+    shard → row_number chain in SQL. One window shuffle; n_shards bounds
+    every window partition (shards are sized like output files)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    s = shuffle_shards(docs, "doc_id", 16, seed=7)
+    return s.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.expr("min_by(doc_id, pos)").cast("bigint").alias("first_doc"),
+        F.expr("max_by(doc_id, pos)").cast("bigint").alias("last_doc"),
+    )
+
+
+SHUFFLE_SHARDS_DUCK = """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR), '#7')), 1, 15)) AS BIGINT) AS h
+  FROM documents
+), s AS (
+  SELECT doc_id, n_chars, CAST(h % 16 AS INT) AS shard,
+         ROW_NUMBER() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS pos
+  FROM h
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN_BY(doc_id, pos) AS BIGINT) AS first_doc,
+       CAST(MAX_BY(doc_id, pos) AS BIGINT) AS last_doc
+FROM s GROUP BY shard
+"""
+
+
 def _q_streaming_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9-streaming (round 10): the lakehouse table as a STREAMING
     SOURCE — ``sources/delta_stream.py`` exposes delta-lite through the
@@ -7882,6 +7925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_roundtrip": _q_delta_roundtrip,
         "delta_restore": _q_delta_restore,
         "streaming_delta_source": _q_streaming_delta_source,
+        "shuffle_shards": _q_shuffle_shards,
         "flac_decode": _q_flac_decode,
         "bm25_scores": _q_bm25_scores,
         "rrf_fusion": _q_rrf_fusion,
@@ -8049,11 +8093,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
     }
     # Round-10 rotation head: the driver checks the FIRST 50 keys.
-    # Composition (counts: 4 + 10 + 4 + 5 + 9 + 10 + 8 = 50 checked;
-    # 184 total):
-    #   - 4 brand-new round-10 entries (k_generalize,
-    #     robots_from_bodies, delta_restore, streaming_delta_source) —
-    #     never driver-checked, lead unconditionally,
+    # Composition (counts: 5 + 10 + 4 + 5 + 9 + 10 + 7 = 50 checked;
+    # 185 total):
+    #   - 5 brand-new round-10 entries (k_generalize,
+    #     robots_from_bodies, delta_restore, streaming_delta_source,
+    #     shuffle_shards) — never driver-checked, lead unconditionally,
     #   - 10 whose code path changed in round 10 — changed code ALWAYS
     #     re-enters: card_redaction (\\b-anchored replacement + new
     #     embedded-run fixture), domain_cap_sample (null-safe joins,
@@ -8077,17 +8121,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     winnow_near_dups),
     #   - the 10-key r06-evidence TPC-H block (q13/q15/q22/q2/q8/q9/
     #     q11/q16/q17/q21),
-    #   - 8 more r06-evidence curation keys (decontaminate,
+    #   - 7 more r06-evidence curation keys (decontaminate,
     #     pii_redaction, boilerplate_ngrams, dataset_split,
-    #     repetition_profile, filter_audit, nfc_normalize, url_domains)
-    #     — span_dedup and formats_roundtrip displaced past the cap by
-    #     the 3rd/4th new entries; round 11 should lead with them.
+    #     repetition_profile, filter_audit, nfc_normalize) —
+    #     url_domains, span_dedup and formats_roundtrip displaced past
+    #     the cap by the 3rd-5th new entries; round 11 should lead with
+    #     them.
     # Everything not in the head keeps its r07-r09 evidence and follows
     # in prior order; steady-state max evidence age stays ≤ 3 rounds.
     head = [
         # brand-new round-10 entries
         "k_generalize", "robots_from_bodies", "delta_restore",
-        "streaming_delta_source",
+        "streaming_delta_source", "shuffle_shards",
         # round-10 changed-code re-entries
         "card_redaction", "domain_cap_sample", "robots_allowed",
         "delta_roundtrip", "delta_cdc", "scd2_price_history",
@@ -8112,11 +8157,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r06-evidence curation keys
         "decontaminate", "pii_redaction", "boilerplate_ngrams",
         "dataset_split", "repetition_profile", "filter_audit",
-        "nfc_normalize", "url_domains",
+        "nfc_normalize",
         # 50-cap cutoff. The round-9 head (psl_domains ...
         # bloom_new_docs) carries fresh r09 driver evidence and rotates
         # out en bloc. Round 11's 50 should lead with the keys this
-        # round displaced just past the cap (span_dedup,
+        # round displaced just past the cap (url_domains, span_dedup,
         # formats_roundtrip, multimodal_decode, pivot_event_values,
         # udf_text_metrics, vector_stats, broadcast_hint_join,
         # parts_heavy_semi, set_ops_segments, correlated_max_order,
@@ -8174,6 +8219,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_roundtrip": DELTA_ROUNDTRIP_DUCK,
         "delta_restore": DELTA_RESTORE_DUCK,
         "streaming_delta_source": STREAMING_DELTA_SOURCE_DUCK,
+        "shuffle_shards": SHUFFLE_SHARDS_DUCK,
         "flac_decode": FLAC_DECODE_DUCK,
         "bm25_scores": BM25_SCORES_DUCK,
         "rrf_fusion": RRF_FUSION_DUCK,

@@ -49,6 +49,7 @@ HEADLINE = [
     "hourly_events",
     "corpus_curation",
     "token_packing",
+    "shuffle_shards",
     "winnow_fingerprints",
     # round 3: char-gram near-dup (winnow candidates + Jaccard verify) and
     # the two heaviest new subquery shapes

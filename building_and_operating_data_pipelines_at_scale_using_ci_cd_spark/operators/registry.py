@@ -120,6 +120,16 @@ def _pack_sequential(df: DataFrame, order_col: str, size_col: str, budget, **kw)
     return pack_sequential(df, order_col, size_col, int(budget), **kw)
 
 
+def _shuffle_shards(df: DataFrame, id_col: str, n_shards, seed=0, **kw) -> DataFrame:
+    """Config shape: global pseudorandom shuffle + shard assignment for
+    training-output writes — chain into a file sink with
+    ``partitionBy: [shard]`` to land one pseudorandomly-ordered shard
+    per directory."""
+    from .sampling import shuffle_shards
+
+    return shuffle_shards(df, id_col, int(n_shards), seed=int(seed), **kw)
+
+
 def _pii_redact(df: DataFrame, text_col: str = "text", output_col: str | None = None) -> DataFrame:
     """Scrub PII shapes in ``text_col``; in place unless ``output_col``."""
     from ..functions.text import redact_pii
@@ -1039,6 +1049,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "hashSplit": _hash_split,
     "stratifiedSample": _stratified_sample,
     "packSequential": _pack_sequential,
+    "shuffleShards": _shuffle_shards,
     "piiRedact": _pii_redact,
     "frequentNgrams": _frequent_ngrams,
     "chunkDocuments": _chunk_documents,

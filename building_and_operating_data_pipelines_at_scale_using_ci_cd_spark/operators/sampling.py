@@ -143,6 +143,48 @@ def pack_sequential(
     )
 
 
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 0,
+    pos_col: str = "pos",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Global pseudorandom shuffle + sharding — the step every training
+    pipeline runs before writing tokenized data: rows land in
+    ``n_shards`` shards by id hash, ordered pseudorandomly WITHIN each
+    shard (``pos`` = 1..shard size), so reading shards sequentially
+    yields a reproducible global shuffle. Deterministic (md5-derived,
+    engine-portable), stable per row given (id, seed, n_shards), and
+    re-shuffling is just a new seed.
+
+    Plan shape: ONE shuffle (window partitioned by shard). ``n_shards``
+    is the parallelism/state bound — each window partition holds one
+    shard, so size shards like output files (corpus/n_shards rows each;
+    at 100 TB that's ~100k shards of ~1 GB, which also matches what the
+    downstream trainer wants to read). Compose with the file sink's
+    ``partitionBy`` [shard] + a ``sortWithinPartitions`` on (shard,
+    pos) to land one ordered file per shard."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    out = df.withColumn("__h", h).withColumn(
+        shard_col, (F.col("__h") % n_shards).cast("int")
+    )
+    w = Window.partitionBy(shard_col).orderBy(F.col("__h"), F.col(id_col))
+    return (
+        out.withColumn(pos_col, F.row_number().over(w).cast("bigint"))
+        .drop("__h")
+    )
+
+
 def weighted_priority_sample(
     df: DataFrame,
     id_col: str,

@@ -186,3 +186,65 @@ class TestDSIRSelect:
              "text_col": "text", "k": "1", "n_buckets": "32"},
         ).collect()
         assert [r.doc_id for r in out] == [1]
+
+
+def test_shuffle_shards_assignment_and_order(docs, spark, tmp_path):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    out = shuffle_shards(docs, "doc_id", 8, seed=3)
+    n = docs.count()
+    # every row kept, exactly one (shard, pos) each; pos is 1..size
+    assert out.count() == n
+    per = out.groupBy("shard").agg(
+        F.count("*").alias("n"), F.min("pos").alias("lo"), F.max("pos").alias("hi")
+    ).collect()
+    assert len(per) == 8 and sum(r["n"] for r in per) == n
+    for r in per:
+        assert (r["lo"], r["hi"]) == (1, r["n"])  # dense 1..size
+    # deterministic: same seed reproduces identical (shard, pos) per doc
+    again = shuffle_shards(docs, "doc_id", 8, seed=3)
+    a = {r["doc_id"]: (r["shard"], r["pos"]) for r in out.select("doc_id", "shard", "pos").collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"]) for r in again.select("doc_id", "shard", "pos").collect()}
+    assert a == b
+    # a different seed is a genuinely different permutation
+    other = shuffle_shards(docs, "doc_id", 8, seed=4)
+    c = {r["doc_id"]: (r["shard"], r["pos"]) for r in other.select("doc_id", "shard", "pos").collect()}
+    assert a != c
+    # within-shard order is the hash order, NOT doc_id order (it's a shuffle)
+    by_shard = {}
+    for doc_id, (sh, pos) in a.items():
+        by_shard.setdefault(sh, []).append((pos, doc_id))
+    shuffled = sum(
+        1 for sh, rows in by_shard.items()
+        if [d for _, d in sorted(rows)] != sorted(d for _, d in rows)
+    )
+    assert shuffled >= 6  # nearly every shard's order differs from id order
+
+
+def test_shuffle_shards_composes_with_partitioned_sink(docs, spark, tmp_path):
+    """The training-output write path: shuffleShards -> partitionBy(shard)
+    parquet -> reading one shard directory in pos order reproduces the
+    per-shard stream, with no rows crossing shards."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    out = shuffle_shards(docs.select("doc_id", "n_chars"), "doc_id", 4, seed=9)
+    dest = str(tmp_path / "shards")
+    (
+        out.repartition(4, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.partitionBy("shard")
+        .parquet(dest)
+    )
+    expected = {
+        r["shard"]: r["n"]
+        for r in out.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    for sh, n_exp in expected.items():
+        part = spark.read.parquet(f"{dest}/shard={sh}")
+        assert part.count() == n_exp
+        pos = [r["pos"] for r in part.select("pos").collect()]
+        assert sorted(pos) == list(range(1, n_exp + 1))
