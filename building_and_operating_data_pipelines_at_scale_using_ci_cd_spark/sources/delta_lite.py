@@ -454,11 +454,20 @@ def _file_stats(full: str):
             name = col.path_in_schema
             if "." in name or name in bad:
                 continue  # nested leaves: top-level stats only
-            st = col.statistics
-            if st is None or not st.has_min_max:
+            try:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    bad.add(name)
+                    continue
+                mn, mx = _json_stat_value(st.min), _json_stat_value(st.max)
+            except Exception:
+                # pyarrow RAISES (ArrowNotImplementedError) on footer
+                # stats for types it can't decode — INT96 timestamps,
+                # Spark's DEFAULT timestamp encoding, raise from the
+                # .min/.max accessors. No stats for that column, never
+                # a failed write.
                 bad.add(name)
                 continue
-            mn, mx = _json_stat_value(st.min), _json_stat_value(st.max)
             if mn is None or mx is None:
                 bad.add(name)
                 continue

@@ -206,3 +206,26 @@ def test_config_streaming_input_reads_delta(spark, tmp_path):
     assert df.isStreaming
     got = _drain(spark, df, "ds_cfg", str(tmp_path / "cp"))
     assert got == [(i,) for i in range(7)]  # delete commit skipped
+
+
+def test_timestamp_and_decimal_columns_roundtrip(spark, tmp_path):
+    """Type-edge pin: INT96 parquet timestamps (Spark's default) come
+    back from pyarrow as naive ns; the Arrow cast to the declared
+    timestamp[us, tz=UTC] must preserve the INSTANT, and decimals their
+    scale."""
+    tp = str(tmp_path / "t")
+    src = spark.createDataFrame(
+        [(1, "2024-03-01 12:34:56.789", "12.34"), (2, "2024-03-02 00:00:00", "0.01")],
+        "k int, ts string, amt string",
+    ).selectExpr(
+        "k", "CAST(ts AS TIMESTAMP) AS ts", "CAST(amt AS DECIMAL(10,2)) AS amt"
+    )
+    dl.write_delta_lite(src, tp)
+    got = _drain(
+        spark,
+        read_delta_lite_stream(spark, tp),
+        "ds_ty1",
+        str(tmp_path / "cp"),
+    )
+    assert got == _rows(dl.read_delta_lite(spark, tp))
+    assert got == _rows(src)
