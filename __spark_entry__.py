@@ -7815,8 +7815,9 @@ def _q_streaming_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     planning, per-file partition fan-out, and Arrow decode path are all
     value-checked (stream == batch).
 
-    Determinism: money as integer cents; the commit split is keyed on
-    l_orderkey parity (delivery order can't affect a groupBy)."""
+    Determinism: money as integer cents; the corpus is the l_orderkey
+    % 4 = 1 slice and the commit split keys on l_orderkey % 8
+    (delivery order can't affect a groupBy)."""
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.delta_lite import (
         write_delta_lite,
     )
@@ -7825,16 +7826,20 @@ def _q_streaming_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tp = os.path.join(tempfile.mkdtemp(prefix="delta_src_"), "li_delta")
-    li = _table(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_returnflag",
-        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
-        .cast("bigint")
-        .alias("cents"),
+    li = (
+        _table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 1)  # 1/4 slice: the contract
+        .select(                               # is stream==batch, not volume
+            "l_orderkey",
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
     )
-    write_delta_lite(li.filter(F.col("l_orderkey") % 2 == 0).repartition(4), tp)
+    write_delta_lite(li.filter(F.col("l_orderkey") % 8 == 1).repartition(4), tp)
     write_delta_lite(
-        li.filter(F.col("l_orderkey") % 2 != 0).repartition(4),
+        li.filter(F.col("l_orderkey") % 8 == 5).repartition(4),
         tp,
         mode="append",
     )
@@ -7864,7 +7869,7 @@ SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
          AS sum_cents
-FROM lineitem GROUP BY l_returnflag
+FROM lineitem WHERE l_orderkey % 4 = 1 GROUP BY l_returnflag
 """
 
 

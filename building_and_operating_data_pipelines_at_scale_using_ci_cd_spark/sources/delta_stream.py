@@ -222,9 +222,17 @@ class DeltaLiteStreamSource(DataSource):
         return DeltaLiteStreamReader(schema, dict(self.options))
 
 
+_REGISTERED: set = set()
+
+
 def register_delta_stream_source(spark) -> None:
-    """Idempotent registration of the format with a session."""
+    """Idempotent registration of the format with a session (re-register
+    is legal but logs a replace WARN per call — skip it)."""
+    key = spark.sparkContext.applicationId
+    if key in _REGISTERED:
+        return
     spark.dataSource.register(DeltaLiteStreamSource)
+    _REGISTERED.add(key)
 
 
 def read_delta_lite_stream(spark, table_path: str, **options):
