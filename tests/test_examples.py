@@ -56,6 +56,12 @@ def test_lakehouse_example(spark):
     # pruned merge, optimize/vacuum)
 
 
+def test_medallion_example(spark):
+    mod = _load(os.path.join(_ROOT, "examples", "medallion", "run.py"))
+    mod.main()  # asserts internally (per-hop increments, exactly-once
+    # commit counts, idempotent empty re-run)
+
+
 def test_registry_docs_bench_consistency():
     """tools/consistency_check.py: registry ↔ docs ↔ bench drift guard
     (stale counts and undocumented steps were recurring advice items)."""
