@@ -551,6 +551,10 @@ def _commit(table_path: str, version: int, actions: list) -> None:
 #: log-replay length for long-lived tables
 CHECKPOINT_INTERVAL = 10
 
+#: how many version slots a losing blind-append re-aims at before
+#: surfacing the conflict (delta-spark's commit loop has the same shape)
+_APPEND_COMMIT_RETRIES = 10
+
 
 def _stage_and_adds(df: DataFrame, table_path: str, pcols: list) -> list:
     """Stage ``df`` through Spark's parquet writer, move the part files
@@ -718,7 +722,32 @@ def write_delta_lite(
             {"txn": {"appId": str(txn[0]), "version": int(txn[1])}}
         )
     actions.extend(adds)
-    _commit(table_path, version, actions)
+    for attempt in range(_APPEND_COMMIT_RETRIES + 1):
+        try:
+            _commit(table_path, version, actions)
+            break
+        except DeltaConcurrentWriteError:
+            # Blind appends COMMUTE (delta-spark auto-retries them too):
+            # our staged files are already inside the table dir and the
+            # actions reference nothing the winner touched, so losing
+            # the race just means re-aiming at the next version slot.
+            # Anything else — overwrite (its removes were computed
+            # against a stale snapshot), schema evolution, an exhausted
+            # retry budget — re-raises for the caller to reconcile.
+            if mode != "append" or new_metadata is not None or snap is None:
+                raise
+            if attempt == _APPEND_COMMIT_RETRIES:
+                raise
+            snap2 = load_snapshot(table_path)
+            if txn is not None and snap2.txns.get(str(txn[0]), -1) >= int(txn[1]):
+                # the RACING writer was our own replay: already applied.
+                # Our just-staged files stay unreferenced (vacuum-able).
+                return snap2.version
+            if {f.name for f in snap2.schema.fields} != {
+                f.name for f in snap.schema.fields
+            }:
+                raise  # a concurrent schema evolution — not commutable
+            version = snap2.version + 1
     _maybe_checkpoint(table_path, version, checkpoint_interval)
     return version
 

@@ -917,3 +917,63 @@ def test_delta_optimize_step_compacts_with_zorder(spark, tmp_path):
         not a["remove"]["dataChange"] for a in actions if "remove" in a
     )
     assert actions[0]["commitInfo"]["operationParameters"]["zOrderBy"] == ["x", "y"]
+
+
+def test_concurrent_appends_auto_retry(spark, tmp_path):
+    """Blind appends commute: racing appenders re-aim at the next
+    version slot instead of surfacing DeltaConcurrentWriteError (the
+    delta-spark commit-loop behavior). Overwrites still raise — their
+    remove set was computed against a stale snapshot."""
+    import threading
+
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(spark.createDataFrame([(0,)], "k int"), tp)
+    frames = [spark.createDataFrame([(i,)], "k int") for i in range(1, 5)]
+    barrier = threading.Barrier(4)
+    errors = []
+
+    def appender(df):
+        try:
+            barrier.wait()
+            dl.write_delta_lite(df, tp, mode="append")
+        except Exception as exc:  # noqa: BLE001 - collected for assert
+            errors.append(exc)
+
+    threads = [threading.Thread(target=appender, args=(f,)) for f in frames]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert _rows(dl.read_delta_lite(spark, tp)) == [(i,) for i in range(5)]
+    assert dl.load_snapshot(tp).version == 4  # one commit per appender
+
+
+def test_losing_overwrite_still_raises(spark, tmp_path, monkeypatch):
+    """An overwrite that loses the commit race must surface the conflict
+    (its remove set came from a stale snapshot); a losing append under
+    the same sabotage silently re-aims."""
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(spark.createDataFrame([(0,)], "k int"), tp)
+    real_commit = dl._commit
+
+    def sabotage_once():
+        done = {"d": False}
+
+        def commit(path, version, actions):
+            if not done["d"]:
+                done["d"] = True  # a rival takes the slot first
+                real_commit(path, version, [{"commitInfo": {"operation": "WRITE"}}])
+            return real_commit(path, version, actions)
+
+        return commit
+
+    monkeypatch.setattr(dl, "_commit", sabotage_once())
+    with pytest.raises(dl.DeltaConcurrentWriteError):
+        dl.write_delta_lite(
+            spark.createDataFrame([(9,)], "k int"), tp, mode="overwrite"
+        )
+    monkeypatch.setattr(dl, "_commit", sabotage_once())
+    v = dl.write_delta_lite(spark.createDataFrame([(5,)], "k int"), tp, mode="append")
+    assert v == dl.load_snapshot(tp).version
+    assert (5,) in _rows(dl.read_delta_lite(spark, tp))
