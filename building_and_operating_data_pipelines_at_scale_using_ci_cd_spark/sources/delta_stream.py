@@ -108,11 +108,29 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         self._skip_change_commits = (
             str(options.get("skipchangecommits", "false")).lower() == "true"
         )
+        #: delta-spark's startingVersion: where a FRESH query begins.
+        #: Default = replay from version 0 (full history); "latest" =
+        #: only commits after stream start (skip the backfill — the
+        #: 100-TB posture for tailing a long-lived table); an int =
+        #: start at that commit. Restarts always resume from the
+        #: checkpoint; this only shapes initialOffset.
+        #: (No maxFilesPerTrigger analogue on purpose: the Python Data
+        #: Source API has no admission control — latestOffset is called
+        #: before initialOffset and never sees the checkpointed start,
+        #: so any client-side clamp can regress offsets or re-deliver
+        #: commits after a restart. Measured, not assumed.)
+        self._starting_version = options.get("startingversion")
         self._schema = schema
 
     # -- offsets ---------------------------------------------------------
     def initialOffset(self) -> dict:
-        return {"version": -1}
+        if self._starting_version is None:
+            return {"version": -1}
+        if str(self._starting_version).lower() == "latest":
+            from .delta_lite import load_snapshot
+
+            return {"version": load_snapshot(self._path).version}
+        return {"version": int(self._starting_version) - 1}
 
     def latestOffset(self) -> dict:
         from .delta_lite import load_snapshot

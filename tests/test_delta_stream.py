@@ -4,6 +4,7 @@ exactly-once restarts off the stream checkpoint, dataChange=false
 (OPTIMIZE) commits skipped, change commits raise-or-skip per
 ``skipChangeCommits``, hive partition columns re-attached per file."""
 
+import os
 import tempfile
 
 import pytest
@@ -229,3 +230,46 @@ def test_timestamp_and_decimal_columns_roundtrip(spark, tmp_path):
     )
     assert got == _rows(dl.read_delta_lite(spark, tp))
     assert got == _rows(src)
+
+
+def test_starting_version_skips_backfill(spark, tmp_path):
+    """delta-spark's startingVersion: 'latest' tails only commits after
+    stream start (the 100-TB shape for long-lived tables — no backfill
+    batch); an integer starts at that commit. Restarts still resume
+    from the checkpoint, unaffected by the option."""
+    tp = str(tmp_path / "t")
+    for i in range(3):
+        dl.write_delta_lite(
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id AS k"),
+            tp,
+            mode="append" if i else "overwrite",
+        )
+    # startingVersion=latest: the 3 existing commits are NOT delivered
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    got = _drain_files(
+        spark,
+        read_delta_lite_stream(spark, tp, startingVersion="latest"),
+        out,
+        cp,
+    )
+    assert got == []
+    # new commits after stream start DO flow, on the same checkpoint
+    dl.write_delta_lite(
+        spark.range(100, 103).selectExpr("id AS k"), tp, mode="append"
+    )
+    got = _drain_files(
+        spark,
+        read_delta_lite_stream(spark, tp, startingVersion="latest"),
+        out,
+        cp,
+    )
+    assert got == [(100,), (101,), (102,)]
+    # integer form: start at commit 2 (versions 2..3)
+    got2 = _drain(
+        spark,
+        read_delta_lite_stream(spark, tp, startingVersion=2),
+        "ds_sv2",
+        str(tmp_path / "cp2"),
+    )
+    assert got2 == [(i,) for i in range(20, 30)] + [(100,), (101,), (102,)]
