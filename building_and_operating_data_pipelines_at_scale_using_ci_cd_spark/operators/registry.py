@@ -486,6 +486,40 @@ def _delta_optimize(
     return read_delta_lite(df.sparkSession, table_path)
 
 
+def _delta_changes(
+    df: DataFrame,
+    table_path: str,
+    from_version=None,
+    to_version=None,
+    from_timestamp=None,
+    to_timestamp=None,
+) -> DataFrame:
+    """Config shape: CDC — row-level changes of a delta-lite table
+    between two versions (or timestamps, resolved like timestampAsOf),
+    tagged ``_change_type`` insert|delete. The input view is only the
+    chaining anchor. Exactly one of from_version/from_timestamp is
+    required; the 'to' bound defaults to the latest version."""
+    from ..sources.delta_lite import _resolve_timestamp, delta_changes
+
+    if (from_version is None) == (from_timestamp is None):
+        raise ValueError("pass exactly one of from_version / from_timestamp")
+    lo = (
+        int(from_version)
+        if from_version is not None
+        else _resolve_timestamp(table_path, from_timestamp)
+    )
+    hi = (
+        int(to_version)
+        if to_version is not None
+        else (
+            _resolve_timestamp(table_path, to_timestamp)
+            if to_timestamp is not None
+            else None
+        )
+    )
+    return delta_changes(df.sparkSession, table_path, lo, hi)
+
+
 def _delta_vacuum(df: DataFrame, table_path: str, retain_versions=0) -> DataFrame:
     """Config shape: VACUUM a delta-lite table — physically delete data
     files referenced only by snapshots older than the retained window
@@ -1107,6 +1141,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "deltaRestore": _delta_restore,
     "deltaOptimize": _delta_optimize,
     "deltaVacuum": _delta_vacuum,
+    "deltaChanges": _delta_changes,
     "redactCards": _redact_cards,
     "exifReport": _exif_report,
     "stripExif": _strip_exif,

@@ -977,3 +977,29 @@ def test_losing_overwrite_still_raises(spark, tmp_path, monkeypatch):
     v = dl.write_delta_lite(spark.createDataFrame([(5,)], "k int"), tp, mode="append")
     assert v == dl.load_snapshot(tp).version
     assert (5,) in _rows(dl.read_delta_lite(spark, tp))
+
+
+def test_delta_changes_step_with_timestamp_bounds(spark, tmp_path):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.registry import (
+        OPERATORS,
+    )
+
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), tp)
+    dl.write_delta_lite(
+        spark.createDataFrame([(1, "a"), (2, "B2"), (3, "c")], "k int, v string"),
+        tp,
+        mode="overwrite",
+    )
+    anchor = spark.createDataFrame([(0,)], "x int")
+    out = OPERATORS["deltaChanges"](anchor, table_path=tp, from_version="0")
+    got = sorted((r["k"], r["v"], r["_change_type"]) for r in out.collect())
+    assert got == [(2, "B2", "insert"), (2, "b", "delete"), (3, "c", "insert")]
+    # timestamp bound resolves like timestampAsOf
+    stamps = dl.commit_timestamps(tp)
+    out2 = OPERATORS["deltaChanges"](
+        anchor, table_path=tp, from_timestamp=stamps[0]
+    )
+    assert sorted((r["k"], r["v"], r["_change_type"]) for r in out2.collect()) == got
+    with pytest.raises(ValueError, match="exactly one"):
+        OPERATORS["deltaChanges"](anchor, table_path=tp)
