@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -279,9 +280,10 @@ class JobConfig:
     error_sink: ErrorSinkSpec | None = None
 
     @classmethod
-    def from_dict(cls, raw: dict[str, Any]) -> "JobConfig":
+    def from_dict(cls, raw: dict[str, Any], params: dict[str, Any] | None = None) -> "JobConfig":
         # phase_1 nests under "configs"; phase_2/3 are top-level in the
         # reference template (spark.json:2,40,68). Accept either placement.
+        raw = substitute_params(raw, params)
         configs = raw.get("configs", {}) or {}
 
         def section(key: str) -> dict[str, Any]:
@@ -337,10 +339,58 @@ class JobConfig:
         )
 
     @classmethod
-    def from_json(cls, path_or_str: str) -> "JobConfig":
+    def from_json(
+        cls, path_or_str: str, params: dict[str, Any] | None = None
+    ) -> "JobConfig":
         if os.path.exists(path_or_str):
             with open(path_or_str) as f:
                 raw = json.load(f)
         else:
             raw = json.loads(path_or_str)
-        return cls.from_dict(raw)
+        return cls.from_dict(raw, params=params)
+
+
+_PARAM_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def substitute_params(
+    raw: dict[str, Any], params: dict[str, Any] | None = None
+) -> dict[str, Any]:
+    """Resolve ``${name}`` placeholders in every string of a raw job
+    config — the templated-config mechanism an Airflow-driven pipeline
+    uses to pass run dates (``"path": ".../ds=${ds}"``, ``"sqlQuery":
+    "... WHERE ds = '${ds}'"``).
+
+    Defaults come from the config's own ``configs.jobParams`` block;
+    caller ``params`` override them. A placeholder with no value is a
+    hard error NAMING the missing key (a typo'd template must not run
+    with the literal ``${...}`` in a path); strings without
+    placeholders pass through untouched, so un-templated configs are
+    unaffected. ``jobParams`` itself is removed from the resolved dict
+    (it is template input, not job config)."""
+    configs = raw.get("configs") or {}
+    defaults = dict(configs.get("jobParams") or raw.get("jobParams") or {})
+    merged = {**defaults, **(params or {})}
+
+    has_placeholder = [False]
+
+    def sub(obj):
+        if isinstance(obj, str):
+            def repl(m):
+                has_placeholder[0] = True
+                k = m.group(1)
+                if k not in merged:
+                    raise ValueError(
+                        f"job config references ${{{k}}} but no value was "
+                        f"given (params/jobParams keys: {sorted(merged)})"
+                    )
+                return str(merged[k])
+
+            return _PARAM_RE.sub(repl, obj)
+        if isinstance(obj, dict):
+            return {k: sub(v) for k, v in obj.items() if k != "jobParams"}
+        if isinstance(obj, list):
+            return [sub(v) for v in obj]
+        return obj
+
+    return sub(raw)

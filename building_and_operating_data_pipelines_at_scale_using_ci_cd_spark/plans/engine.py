@@ -74,11 +74,20 @@ class Orchestrator:
 
     # -- public API --------------------------------------------------------
 
-    def run(self, config: JobConfig | dict[str, Any] | str) -> JobResult:
+    def run(
+        self,
+        config: JobConfig | dict[str, Any] | str,
+        params: dict[str, Any] | None = None,
+    ) -> JobResult:
         if isinstance(config, str):
-            config = JobConfig.from_json(config)
+            config = JobConfig.from_json(config, params=params)
         elif isinstance(config, dict):
-            config = JobConfig.from_dict(config)
+            config = JobConfig.from_dict(config, params=params)
+        elif params:
+            raise ValueError(
+                "params require a raw config (dict or JSON path) — a parsed "
+                "JobConfig has already had its placeholders resolved"
+            )
 
         apply_job_confs(self.spark, config.spark_config)
         if config.temp_path:

@@ -244,3 +244,44 @@ class Scheduler:
             with open(tmp, "w", encoding="utf-8") as fh:
                 json.dump({"last_fire": self._last_fire.isoformat()}, fh)
             os.replace(tmp, self.state_path)
+
+
+def backfill(
+    orchestrator,
+    config,
+    start_date: str,
+    end_date: str,
+    param: str = "ds",
+    extra_params: dict | None = None,
+    on_error: str = "raise",
+) -> list:
+    """Airflow-style backfill: run one parameterized job per calendar
+    day in [start_date, end_date] (inclusive, ISO dates, oldest first),
+    passing the day as ``${param}`` to the templated config. ``config``
+    must be raw (dict or JSON path) so each day resolves its own
+    placeholders. ``on_error='raise'`` stops at the first failing day
+    (completed days stay landed — re-running skips duplicates if the
+    config carries duplicateRunCheck); ``'continue'`` records the
+    exception in the result list and proceeds.
+
+    Returns one entry per day: the JobResult, or the exception when
+    ``on_error='continue'``."""
+    from datetime import date, timedelta
+
+    d0, d1 = date.fromisoformat(start_date), date.fromisoformat(end_date)
+    if d1 < d0:
+        raise ValueError(f"end_date {end_date} precedes start_date {start_date}")
+    if on_error not in ("raise", "continue"):
+        raise ValueError("on_error must be 'raise' or 'continue'")
+    results = []
+    for i in range((d1 - d0).days + 1):
+        ds = (d0 + timedelta(days=i)).isoformat()
+        try:
+            results.append(
+                orchestrator.run(config, params={param: ds, **(extra_params or {})})
+            )
+        except Exception as exc:  # noqa: BLE001 - routed per on_error
+            if on_error == "raise":
+                raise
+            results.append(exc)
+    return results
