@@ -359,7 +359,12 @@ def substitute_params(
     """Resolve ``${name}`` placeholders in every string of a raw job
     config — the templated-config mechanism an Airflow-driven pipeline
     uses to pass run dates (``"path": ".../ds=${ds}"``, ``"sqlQuery":
-    "... WHERE ds = '${ds}'"``).
+    "... WHERE ds = '${ds}'"``). The reference DAG does exactly this
+    with ``#{...}``-style tokens spliced into each job submission
+    (reference ``example-shareprice.py:79-82`` replaces
+    ``#{s3_config_path}`` into the config argument); here the
+    substitution is first-class in the config parser instead of ad-hoc
+    string surgery in the DAG.
 
     Defaults come from the config's own ``configs.jobParams`` block;
     caller ``params`` override them. A placeholder with no value is a
