@@ -260,6 +260,7 @@ class JobConfig:
     threshold_limit: float | None = None
     duplicate_run_check: bool = False  # idempotency guard (spark.json:8)
     temp_path: str | None = None  # checkpoints/scratch (spark.json:9)
+    metrics_path: str | None = None  # per-run JSON metrics sidecar dir
     archive_input_file: bool = False  # (spark.json:10-12)
     archive_path: str | None = None
     delete_source_after_archival: bool = False
@@ -321,6 +322,7 @@ class JobConfig:
             ),
             duplicate_run_check=as_bool(configs.get("duplicateRunCheck", raw.get("duplicateRunCheck"))),
             temp_path=configs.get("s3TempPath") or raw.get("s3TempPath") or configs.get("tempPath"),
+            metrics_path=configs.get("metricsPath") or raw.get("metricsPath"),
             archive_input_file=as_bool(configs.get("archiveInputFile")),
             archive_path=configs.get("archiveS3Path") or configs.get("archivePath"),
             delete_source_after_archival=as_bool(configs.get("deleteSourceAfterArchival")),

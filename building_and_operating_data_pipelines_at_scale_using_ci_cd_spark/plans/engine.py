@@ -56,10 +56,29 @@ class JobResult:
     bad_count: int = 0
     write_results: list[dict] = field(default_factory=list)
     skipped_duplicate_run: bool = False
+    phase_secs: dict[str, float] = field(default_factory=dict)
+    total_secs: float = 0.0
+    error: str | None = None
 
     @property
     def output(self) -> DataFrame | None:
         return self.views.get(self.output_name) if self.output_name else None
+
+    def to_metrics(self) -> dict:
+        """JSON-able run record (the ``metricsPath`` sidecar payload —
+        what an Airflow task log / EMR step summary would show)."""
+        return {
+            "job_name": self.job_name,
+            "skipped_duplicate_run": self.skipped_duplicate_run,
+            "input_count": self.input_count,
+            "bad_count": self.bad_count,
+            "output_name": self.output_name,
+            "views": sorted(self.views),
+            "phase_secs": {k: round(v, 3) for k, v in self.phase_secs.items()},
+            "total_secs": round(self.total_secs, 3),
+            "writes": self.write_results,
+            "error": self.error,
+        }
 
 
 class Orchestrator:
@@ -98,7 +117,46 @@ class Orchestrator:
                 _os.path.join(config.temp_path, "checkpoints")
             )
         result = JobResult(job_name=config.name)
+        import time as _time
 
+        t_start = _time.monotonic()
+        try:
+            return self._run_phases(config, result, _time)
+        except BaseException as exc:
+            result.error = f"{type(exc).__name__}: {exc}"
+            raise
+        finally:
+            result.total_secs = _time.monotonic() - t_start
+            self._write_metrics(config, result)
+
+    def _write_metrics(self, config: JobConfig, result: JobResult) -> None:
+        """Run-observability sidecar: when ``configs.metricsPath`` is
+        set, every run — success, skip, or failure — leaves one JSON
+        record (phase timings, counts, per-target write records, the
+        error if any). The file is written atomically; a metrics write
+        failure never masks the job outcome."""
+        if not config.metrics_path:
+            return
+        import datetime as _dt
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        try:
+            _os.makedirs(config.metrics_path, exist_ok=True)
+            stamp = _dt.datetime.now(_dt.timezone.utc).strftime("%Y%m%dT%H%M%S")
+            path = _os.path.join(
+                config.metrics_path,
+                f"{config.name}_{stamp}_{_uuid.uuid4().hex[:8]}.json",
+            )
+            tmp = path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                _json.dump(result.to_metrics(), fh, indent=1, default=str)
+            _os.replace(tmp, path)
+        except OSError:  # metrics are best-effort observability
+            pass
+
+    def _run_phases(self, config: JobConfig, result: JobResult, _time) -> JobResult:
         # V5 duplicate-run gate
         ledger = None
         fp = None
@@ -112,15 +170,22 @@ class Orchestrator:
 
         self._run_scripts(config.pre_scripts)
 
+        t0 = _time.monotonic()
         views = self._phase1_ingest(config)
         result.views.update(views)
+        result.phase_secs["ingest"] = _time.monotonic() - t0
 
+        t0 = _time.monotonic()
         good, bad_lanes = self._phase2_validate(config, views)
         if good is not None:
             result.input_count = good.count() if config.data_validation_required else 0
+        result.phase_secs["validate"] = _time.monotonic() - t0
 
+        t0 = _time.monotonic()
         out_name = self._phase2_transform(config, result)
         result.output_name = out_name
+        result.phase_secs["transform"] = _time.monotonic() - t0
+        t0 = _time.monotonic()  # quarantine + gates + loads ("load" phase)
 
         # error lane → quarantine sink + threshold gate
         total_bad = 0
@@ -170,6 +235,8 @@ class Orchestrator:
                 self._streaming_load(config, target, df, result)
             else:
                 result.write_results.append(write_target(self.spark, df, target))
+
+        result.phase_secs["load"] = _time.monotonic() - t0
 
         # archival + ledger + post hooks
         if config.archive_input_file and config.primary_input and config.primary_input.path:

@@ -133,3 +133,36 @@ def test_backfill_on_error_continue(spark, sf_dir, tmp_path):
     assert len(res) == 2 and all(isinstance(r, ValueError) for r in res)
     with pytest.raises(ValueError):
         backfill(Orchestrator(spark), cfg, "2024-01-01", "2024-01-02")
+
+
+def test_metrics_sidecar_on_success_and_failure(spark, sf_dir, tmp_path):
+    """configs.metricsPath: every run leaves one JSON record — phase
+    timings, counts, writes — including FAILED runs (error recorded,
+    exception still raised)."""
+    import glob
+    import json as _json
+
+    mdir = str(tmp_path / "metrics")
+    cfg = _daily_config(sf_dir, str(tmp_path / "out"))
+    cfg["configs"]["metricsPath"] = mdir
+    result = Orchestrator(spark).run(cfg, params={"ds": "2024-01-02"})
+    files = glob.glob(f"{mdir}/daily_events_2024-01-02_*.json")
+    assert len(files) == 1
+    m = _json.load(open(files[0]))
+    assert m["job_name"] == "daily_events_2024-01-02"
+    assert m["error"] is None
+    assert set(m["phase_secs"]) == {"ingest", "validate", "transform", "load"}
+    assert m["total_secs"] >= sum(m["phase_secs"].values()) - 0.01
+    assert m["output_name"] == "day_slice" and "day_slice" in m["views"]
+    assert result.total_secs > 0
+    # failure: bad SQL -> metrics record carries the error, run raises
+    bad = _daily_config(sf_dir, str(tmp_path / "out2"))
+    bad["configs"]["metricsPath"] = mdir
+    bad["phase_2"]["data_transformations"][0]["sqlQuery"] = "SELECT nope FROM events"
+    with pytest.raises(Exception):
+        Orchestrator(spark).run(bad, params={"ds": "2024-01-03"})
+    ffiles = glob.glob(f"{mdir}/daily_events_2024-01-03_*.json")
+    assert len(ffiles) == 1
+    fm = _json.load(open(ffiles[0]))
+    assert fm["error"] and "nope" in fm["error"] or "AnalysisException" in fm["error"]
+    assert "ingest" in fm["phase_secs"]  # got through phase 1
