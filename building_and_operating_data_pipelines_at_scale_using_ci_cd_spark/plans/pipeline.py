@@ -55,12 +55,29 @@ class Pipeline:
     concurrent job submission; a failure skips only its downstream
     (Airflow ``all_success`` semantics), not unrelated branches."""
 
-    def __init__(self, spark: SparkSession, tasks: list[PipelineTask], concurrency: int = 4):
+    def __init__(
+        self,
+        spark: SparkSession,
+        tasks: list[PipelineTask],
+        concurrency: int = 4,
+        params: dict[str, Any] | None = None,
+    ):
         self.spark = spark
         self.tasks = {t.name: t for t in tasks}
         self.concurrency = max(1, concurrency)
         #: O9 XCom equivalent: shared context dict tasks can read/write
         self.context: dict[str, Any] = {}
+        #: DAG-level ``${...}`` values applied to every raw job config —
+        #: one run date parameterizes the whole manifest, so a DAG
+        #: backfill is ``backfill`` over a Pipeline-running closure
+        self.params = dict(params) if params else None
+        if self.params:
+            for t in tasks:
+                if isinstance(t.config, JobConfig):
+                    raise ValueError(
+                        f"task '{t.name}' carries a parsed JobConfig; "
+                        f"pipeline params need raw configs (dict or path)"
+                    )
 
     def run(self) -> dict[str, TaskOutcome]:
         from concurrent.futures import FIRST_COMPLETED, Future, ThreadPoolExecutor, wait
@@ -108,7 +125,9 @@ class Pipeline:
                     # outputDFName (e.g. the defaults 'input'/'output')
                     # would otherwise clobber each other's views, and
                     # per-job sparkConfig would leak across tasks.
-                    res = Orchestrator(self.spark.newSession()).run(task.config)
+                    res = Orchestrator(self.spark.newSession()).run(
+                        task.config, params=self.params
+                    )
                     if isinstance(res, JobResult):
                         self.context[task.name] = res
                 return TaskOutcome(name=task.name, state="success", attempts=attempts, result=res)
@@ -121,15 +140,22 @@ class Pipeline:
         )
 
 
-def from_manifest(spark: SparkSession, manifest: dict) -> Pipeline:
+def from_manifest(
+    spark: SparkSession, manifest: dict, params: dict[str, Any] | None = None
+) -> Pipeline:
     """Entry point C: a deploy.yaml-shaped manifest → Pipeline.
 
     Recognized shape (dialect of ``deploy.yaml:1-21``)::
 
         {"name": ..., "schedule": {...},          # recorded, not enforced
+         "jobParams": {...},                      # DAG-level ${...} defaults
          "tasks": [{"name": ..., "config": <path|dict>,
                     "dependsOn": [...], "retries": 3}]}
-    """
+
+    ``params`` override the manifest's ``jobParams``; the merged dict is
+    applied to every task's raw job config (each config's own
+    ``configs.jobParams`` still fills anything neither supplies)."""
+    merged = {**(manifest.get("jobParams") or {}), **(params or {})}
     tasks = [
         PipelineTask(
             name=t["name"],
@@ -141,4 +167,9 @@ def from_manifest(spark: SparkSession, manifest: dict) -> Pipeline:
         )
         for t in manifest.get("tasks", [])
     ]
-    return Pipeline(spark, tasks, concurrency=int(manifest.get("concurrency", 4)))
+    return Pipeline(
+        spark,
+        tasks,
+        concurrency=int(manifest.get("concurrency", 4)),
+        params=merged or None,
+    )

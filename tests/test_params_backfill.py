@@ -166,3 +166,53 @@ def test_metrics_sidecar_on_success_and_failure(spark, sf_dir, tmp_path):
     fm = _json.load(open(ffiles[0]))
     assert fm["error"] and "nope" in fm["error"] or "AnalysisException" in fm["error"]
     assert "ingest" in fm["phase_secs"]  # got through phase 1
+
+
+def test_pipeline_manifest_dag_level_params(spark, sf_dir, tmp_path):
+    """One ${ds} parameterizes the whole manifest: a producer job lands
+    the day slice, a dependent consumer aggregates it — both resolved
+    from DAG-level jobParams (caller override wins)."""
+    import duckdb
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.plans.pipeline import (
+        from_manifest,
+    )
+
+    out_root = str(tmp_path / "p")
+    producer = _daily_config(sf_dir, out_root)
+    consumer = {
+        "configs": {"name": "daily_counts_${ds}", "phase_1": {"input_data": {
+            "dataSource": "local", "dataFrameName": "slice",
+            "path": out_root + "/ds=${ds}",
+            "fileProperties": {"fileFormat": "parquet"}}}},
+        "phase_2": {"data_transformations": [{
+            "functionName": "count",
+            "sqlQuery": "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n "
+                        "FROM slice GROUP BY event_type",
+            "outputDFName": "counts"}]},
+        "phase_3": {"target_record_insert": [{
+            "dataTarget": "local", "dataFrameName": "counts",
+            "loadType": "truncateInsert", "path": out_root + "/counts/ds=${ds}",
+            "outputDataProperties": {"fileFormat": "parquet"}}]},
+    }
+    manifest = {
+        "name": "daily_dag",
+        "jobParams": {"ds": "1999-01-01"},  # overridden by the caller
+        "tasks": [
+            {"name": "land", "config": producer},
+            {"name": "aggregate", "config": consumer, "dependsOn": ["land"]},
+        ],
+    }
+    outcomes = from_manifest(spark, manifest, params={"ds": "2024-01-04"}).run()
+    assert {o.state for o in outcomes.values()} == {"success"}
+    n_slice = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{out_root}/ds=2024-01-04/*.parquet'"
+    ).fetchone()[0]
+    n_counts = duckdb.sql(
+        f"SELECT SUM(n) FROM '{out_root}/counts/ds=2024-01-04/*.parquet'"
+    ).fetchone()[0]
+    exp = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/events.parquet' "
+        f"WHERE CAST(ts AS DATE) = DATE'2024-01-04'"
+    ).fetchone()[0]
+    assert n_slice == n_counts == exp and exp > 0
