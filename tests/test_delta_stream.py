@@ -273,3 +273,36 @@ def test_starting_version_skips_backfill(spark, tmp_path):
         str(tmp_path / "cp2"),
     )
     assert got2 == [(i,) for i in range(20, 30)] + [(100,), (101,), (102,)]
+
+
+def test_corrupt_log_line_is_clean_error(spark, tmp_path):
+    """A garbage commit line surfaces as the module's one corrupt-input
+    class (ValueError via JSONDecodeError) at PLANNING time — never a
+    half-delivered batch."""
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(spark.range(3).selectExpr("id AS k"), tp)
+    dl.write_delta_lite(spark.range(3, 6).selectExpr("id AS k"), tp, mode="append")
+    with open(os.path.join(tp, dl.LOG_DIR, f"{1:020d}.json"), "a") as fh:
+        fh.write("{this is not json\n")
+    # the corrupt line already fails SCHEMA resolution (load_snapshot
+    # replay) — the stream never constructs, let alone half-delivers
+    with pytest.raises(Exception, match="JSONDecodeError|Expecting property name"):
+        read_delta_lite_stream(spark, tp).writeStream.format("memory").queryName(
+            "ds_corrupt"
+        ).outputMode("append").option(
+            "checkpointLocation", str(tmp_path / "cp")
+        ).trigger(availableNow=True).start()
+
+
+def test_timestamp_arg_type_contract(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(spark.range(1).selectExpr("id AS k"), tp)
+    with pytest.raises(TypeError):
+        dl.load_snapshot(tp, timestamp=True)  # bool is not a timestamp
+    with pytest.raises(TypeError):
+        dl.load_snapshot(tp, timestamp=[1, 2])
+    with pytest.raises(ValueError):  # garbage ISO string
+        dl.load_snapshot(tp, timestamp="not-a-date")
+    # restore beyond the latest version names the missing commit
+    with pytest.raises(ValueError, match="not available"):
+        dl.restore_delta_lite(tp, version=99)
