@@ -379,12 +379,9 @@ def substitute_params(
     defaults = dict(configs.get("jobParams") or raw.get("jobParams") or {})
     merged = {**defaults, **(params or {})}
 
-    has_placeholder = [False]
-
     def sub(obj):
         if isinstance(obj, str):
             def repl(m):
-                has_placeholder[0] = True
                 k = m.group(1)
                 if k not in merged:
                     raise ValueError(
@@ -395,9 +392,16 @@ def substitute_params(
 
             return _PARAM_RE.sub(repl, obj)
         if isinstance(obj, dict):
-            return {k: sub(v) for k, v in obj.items() if k != "jobParams"}
+            return {k: sub(v) for k, v in obj.items()}
         if isinstance(obj, list):
             return [sub(v) for v in obj]
         return obj
 
-    return sub(raw)
+    # drop ONLY the template-input blocks (root and configs level) —
+    # a nested payload key that happens to be named "jobParams" (e.g.
+    # inside operatorParams) is user data and must survive
+    out = sub(raw)
+    out.pop("jobParams", None)
+    if isinstance(out.get("configs"), dict):
+        out["configs"].pop("jobParams", None)
+    return out

@@ -168,6 +168,12 @@ def shuffle_shards(
     pos) to land one ordered file per shard."""
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
+    clash = [c for c in (pos_col, shard_col, "__h") if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"shuffle_shards output columns collide with input columns "
+            f"{clash}; pass pos_col/shard_col to rename"
+        )
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))), 1, 15

@@ -484,9 +484,12 @@ def generalize_to_k(
 
     ``ladder`` is an ordered list of levels, least → most general.
     Each level maps quasi column names (must exist in ``df``) to a SQL
-    expression over the ORIGINAL columns computing that column's value
-    at that level — level 0 is typically identity.  All levels must
-    share one key set.  The chosen level is the FIRST whose below-k
+    expression computing that column's value at that level — level 0 is
+    typically identity.  Expressions may reference the QUASI columns
+    only (they are evaluated over the reduced distinct-quasi group
+    table, not the corpus — that is what makes level stats
+    corpus-size-independent); referencing any other input column raises
+    at construction.  All levels must share one key set.  The chosen level is the FIRST whose below-k
     rows satisfy ``rows_below_k * 10000 <= max_suppression_bp *
     n_rows`` (exact integer cross-multiplication, no division), else
     the last level; suppression is thus minimal for the given ladder.
@@ -495,7 +498,11 @@ def generalize_to_k(
     l-diversity (the audit's second axis): a group also suppresses —
     and counts against the budget — when its distinct sensitive-value
     count is below ``l_diversity``, so a release can't leak a sensitive
-    attribute through a k-large but single-valued group.
+    attribute through a k-large but single-valued group.  The l
+    constraint only engages for ``l_diversity > 1``: with the default 1
+    a ``sensitive_col`` is inert for suppression (``countDistinct``
+    skips NULLs, so an all-NULL sensitive group would otherwise be
+    silently dropped by a constraint the caller never asked for).
 
     Plan shape for 100 TB: ONE corpus scan builds the distinct
     quasi-tuple group table (map-side-partial groupBy, checkpointed —
@@ -542,7 +549,8 @@ def generalize_to_k(
     # (quasi, sensitive) cells when enforcing l-diversity). Every
     # level's group stats derive from it (generalization is a function
     # of the original values), so levels never re-scan the corpus.
-    cell_keys = [*quasi] + ([sensitive_col] if sensitive_col else [])
+    enforce_l = sensitive_col is not None and l_diversity > 1
+    cell_keys = [*quasi] + ([sensitive_col] if enforce_l else [])
     groups = (
         df.groupBy(*cell_keys)
         .agg(F.count("*").alias("__gk_n"))
@@ -552,7 +560,7 @@ def generalize_to_k(
     def _level_groups(lvl: dict) -> DataFrame:
         proj = [F.expr(lvl[c]).alias(c) for c in quasi] + [F.col("__gk_n")]
         aggs = [F.sum("__gk_n").alias("__gk_gn")]
-        if sensitive_col is not None:
+        if enforce_l:
             proj.append(F.col(sensitive_col))
             aggs.append(
                 F.countDistinct(sensitive_col).cast("bigint").alias("__gk_lv")

@@ -153,7 +153,9 @@ class Orchestrator:
             with open(tmp, "w", encoding="utf-8") as fh:
                 _json.dump(result.to_metrics(), fh, indent=1, default=str)
             _os.replace(tmp, path)
-        except OSError:  # metrics are best-effort observability
+        except Exception:  # noqa: BLE001 — metrics are best-effort
+            # observability; ANY failure here (OSError, an unserializable
+            # write record, ...) must never mask the job's real outcome
             pass
 
     def _run_phases(self, config: JobConfig, result: JobResult, _time) -> JobResult:

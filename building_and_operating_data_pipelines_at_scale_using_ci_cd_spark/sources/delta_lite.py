@@ -191,14 +191,14 @@ def _read_checkpoint(path: str, state: DeltaSnapshot) -> None:
         _apply_action(state, action)
 
 
-def commit_timestamps(table_path: str) -> dict:
-    """Per-version commit time in epoch ms: ``commitInfo.timestamp`` when
-    recorded (this writer always records it), else the commit file's
-    mtime — then adjusted STRICTLY MONOTONIC (``max(ts, prev + 1)``),
-    the same later-commit-never-reports-an-earlier-time repair
-    delta-spark applies to its file-mtime history, so timestamp
-    resolution is a well-defined floor search even under clock skew or
-    same-millisecond commits."""
+def _commit_heads(table_path: str) -> dict:
+    """One pass over the log: per version ``(timestamp_ms, operation,
+    operationParameters)`` from the first commitInfo action (file mtime
+    fallback for foreign logs), timestamps repaired STRICTLY MONOTONIC
+    (``max(ts, prev + 1)``) — the same later-commit-never-reports-an-
+    earlier-time repair delta-spark applies to its file-mtime history,
+    so timestamp resolution is a well-defined floor search even under
+    clock skew or same-millisecond commits."""
     log = _log_path(table_path)
     if not os.path.isdir(log):
         raise ValueError(f"not a delta table (no {LOG_DIR}): {table_path}")
@@ -206,7 +206,7 @@ def commit_timestamps(table_path: str) -> dict:
     prev = -1
     for v in _commit_versions(log):
         fpath = os.path.join(log, f"{v:020d}.json")
-        ts = None
+        ts, op, params = None, None, {}
         with open(fpath, encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
@@ -214,14 +214,23 @@ def commit_timestamps(table_path: str) -> dict:
                     continue
                 action = json.loads(line)
                 if "commitInfo" in action:
-                    ts = action["commitInfo"].get("timestamp")
+                    ci = action["commitInfo"]
+                    ts = ci.get("timestamp")
+                    op = ci.get("operation")
+                    params = ci.get("operationParameters", {})
                     break
         if ts is None:
             ts = int(os.path.getmtime(fpath) * 1000)
         ts = max(int(ts), prev + 1)
-        out[v] = ts
+        out[v] = (ts, op, params)
         prev = ts
     return out
+
+
+def commit_timestamps(table_path: str) -> dict:
+    """Per-version commit time in epoch ms (see :func:`_commit_heads`
+    for the sourcing and monotonicity repair)."""
+    return {v: h[0] for v, h in _commit_heads(table_path).items()}
 
 
 def _timestamp_ms(ts) -> int:
@@ -269,33 +278,19 @@ def _resolve_timestamp(table_path: str, ts) -> int:
 
 def history_delta_lite(table_path: str) -> list:
     """DESCRIBE HISTORY: newest-first ``[{version, timestamp, operation,
-    operationParameters}]`` from the commitInfo actions (timestamps via
-    :func:`commit_timestamps`, so they are monotonic and usable directly
-    as ``timestampAsOf`` arguments). Log-only — never touches data."""
-    stamps = commit_timestamps(table_path)
-    log = _log_path(table_path)
-    out = []
-    for v in sorted(stamps, reverse=True):
-        op, params = None, {}
-        with open(os.path.join(log, f"{v:020d}.json"), encoding="utf-8") as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                action = json.loads(line)
-                if "commitInfo" in action:
-                    op = action["commitInfo"].get("operation")
-                    params = action["commitInfo"].get("operationParameters", {})
-                    break
-        out.append(
-            {
-                "version": v,
-                "timestamp": stamps[v],
-                "operation": op,
-                "operationParameters": params,
-            }
-        )
-    return out
+    operationParameters}]`` from one log pass (:func:`_commit_heads` —
+    timestamps monotonic and usable directly as ``timestampAsOf``
+    arguments). Log-only — never touches data."""
+    heads = _commit_heads(table_path)
+    return [
+        {
+            "version": v,
+            "timestamp": heads[v][0],
+            "operation": heads[v][1],
+            "operationParameters": heads[v][2],
+        }
+        for v in sorted(heads, reverse=True)
+    ]
 
 
 def load_snapshot(
@@ -867,8 +862,28 @@ def _parse_conjuncts(condition: str):
     """
     import re
 
-    lit = r"((?:DATE\s*|TIMESTAMP\s*)?'(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
-    ident = r"`?([A-Za-z_][A-Za-z0-9_]*)`?"
+    # Mask every string literal FIRST (typed DATE/TIMESTAMP forms
+    # included), so no structural regex below — IS NULL, OR/NOT bail,
+    # BETWEEN, IN, paren checks — can ever match text INSIDE a quoted
+    # value (a row whose string column contains "x IS NULL" or "a OR b"
+    # must never change what prunes).
+    masked_lits: list = []
+
+    def _mask(m):
+        masked_lits.append(m.group(0))
+        return f"__LIT{len(masked_lits) - 1}__"
+
+    condition = re.sub(
+        r"(?:\b(?:DATE|TIMESTAMP)\s*)?'(?:[^']|'')*'",
+        _mask,
+        condition,
+        flags=re.IGNORECASE,
+    )
+    if "'" in condition:
+        return []  # unbalanced quote: refuse to reason about it
+
+    lit = r"(__LIT\d+__|-?\d+(?:\.\d+)?)"
+    ident = r"`?((?!__LIT\d+__)[A-Za-z_][A-Za-z0-9_]*)`?"
     out: list = []
 
     # IS [NOT] NULL first (their NOT must survive the bail below);
@@ -888,6 +903,9 @@ def _parse_conjuncts(condition: str):
         return []
 
     def _val(tok: str):
+        m_mask = re.fullmatch(r"__LIT(\d+)__", tok)
+        if m_mask:
+            tok = masked_lits[int(m_mask.group(1))]
         typed = re.match(r"^(DATE|TIMESTAMP)\s*'", tok, re.IGNORECASE)
         if typed:
             body = tok[tok.index("'") :][1:-1].replace("''", "'")

@@ -240,23 +240,48 @@ class DeltaLiteStreamSource(DataSource):
         return DeltaLiteStreamReader(schema, dict(self.options))
 
 
-_REGISTERED: set = set()
+import uuid
+import weakref
+
+#: per-session registered format NAME. Registration must be per-session
+#: (Pipeline tasks each run in ``spark.newSession()``), but Spark 4's
+#: Python-data-source registration dedups GLOBALLY while format LOOKUP
+#: is session-local — a child session can neither re-register the name
+#: (DATA_SOURCE_ALREADY_EXISTS) nor resolve it (DATA_SOURCE_NOT_FOUND,
+#: both measured). Children therefore register the same class under a
+#: session-unique alias and use that. Weak keys: entries die with the
+#: session.
+_SESSION_FORMAT: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
-def register_delta_stream_source(spark) -> None:
-    """Idempotent registration of the format with a session (re-register
-    is legal but logs a replace WARN per call — skip it)."""
-    key = spark.sparkContext.applicationId
-    if key in _REGISTERED:
-        return
-    spark.dataSource.register(DeltaLiteStreamSource)
-    _REGISTERED.add(key)
+def register_delta_stream_source(spark) -> str:
+    """Idempotent per-session registration; returns the format NAME this
+    session must pass to ``readStream.format(...)``."""
+    name = _SESSION_FORMAT.get(spark)
+    if name is not None:
+        return name
+    try:
+        spark.dataSource.register(DeltaLiteStreamSource)
+        name = FORMAT_NAME
+    except Exception as exc:
+        if "ALREADY_EXISTS" not in str(exc):
+            raise
+        # another session owns the canonical name: alias it for this one
+        name = f"{FORMAT_NAME}_{uuid.uuid4().hex[:8]}"
+        alias = type(
+            "DeltaLiteStreamSourceAlias",
+            (DeltaLiteStreamSource,),
+            {"name": classmethod(lambda cls, _n=name: _n)},
+        )
+        spark.dataSource.register(alias)
+    _SESSION_FORMAT[spark] = name
+    return name
 
 
 def read_delta_lite_stream(spark, table_path: str, **options):
     """Convenience: register + build the streaming DataFrame."""
-    register_delta_stream_source(spark)
-    reader = spark.readStream.format(FORMAT_NAME).option("path", table_path)
+    fmt = register_delta_stream_source(spark)
+    reader = spark.readStream.format(fmt).option("path", table_path)
     for k, v in options.items():
         reader = reader.option(k, str(v))
     return reader.load()

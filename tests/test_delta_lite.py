@@ -1003,3 +1003,31 @@ def test_delta_changes_step_with_timestamp_bounds(spark, tmp_path):
     assert sorted((r["k"], r["v"], r["_change_type"]) for r in out2.collect()) == got
     with pytest.raises(ValueError, match="exactly one"):
         OPERATORS["deltaChanges"](anchor, table_path=tp)
+
+
+def test_parse_conjuncts_ignores_keywords_inside_string_literals(spark, tmp_path):
+    """Review finding: the IS NULL / OR / BETWEEN / paren structural
+    regexes must never match text INSIDE a quoted value — a row whose
+    string column contains 'col1 IS NULL' was generating a bogus
+    isnull conjunct that over-pruned (silent wrong DELETE/read)."""
+    assert dl._parse_conjuncts("note = 'col1 IS NULL'") == [
+        ("note", "=", "col1 IS NULL")
+    ]
+    assert dl._parse_conjuncts("note = 'a OR b'") == [("note", "=", "a OR b")]
+    assert dl._parse_conjuncts("'a' = 'b'") == []  # no fabricated column
+    assert dl._parse_conjuncts("a = 'oops") == []  # unbalanced quote: bail
+    # end-to-end: the row whose VALUE contains "IS NULL" survives a
+    # predicate read and is the one deleted by its own equality
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(
+        spark.createDataFrame(
+            [(1, "col1 IS NULL"), (2, "plain")], "k int, note string"
+        ).repartition(2, "k"),
+        tp,
+    )
+    got = _rows(
+        dl.read_delta_lite(spark, tp, predicate="note = 'col1 IS NULL'")
+    )
+    assert got == [(1, "col1 IS NULL")]
+    dl.delete_delta_lite(spark, tp, "note = 'col1 IS NULL'")
+    assert _rows(dl.read_delta_lite(spark, tp)) == [(2, "plain")]

@@ -306,3 +306,24 @@ def test_timestamp_arg_type_contract(spark, tmp_path):
     # restore beyond the latest version names the missing commit
     with pytest.raises(ValueError, match="not available"):
         dl.restore_delta_lite(tp, version=99)
+
+
+def test_registration_is_per_session(spark, tmp_path):
+    """Review finding: Pipeline tasks run in spark.newSession(); the
+    registration cache keyed on applicationId made the SECOND session
+    skip registration and fail with DATA_SOURCE_NOT_FOUND. Now every
+    distinct session registers (identity-weak cache)."""
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(spark.range(4).selectExpr("id AS k"), tp)
+    got1 = _drain(
+        spark, read_delta_lite_stream(spark, tp), "ds_s1", str(tmp_path / "cp1")
+    )
+    child = spark.newSession()
+    got2 = _drain(
+        child, read_delta_lite_stream(child, tp), "ds_s2", str(tmp_path / "cp2")
+    )
+    assert got1 == [(i,) for i in range(4)]
+    # memory sink registers its table in the CHILD session's catalog
+    assert sorted(
+        tuple(r) for r in child.table("ds_s2").collect()
+    ) == [(i,) for i in range(4)] or got2 == [(i,) for i in range(4)]

@@ -832,3 +832,63 @@ def test_config_delta_read_predicate_option(spark, tmp_path):
     )
     out = read_input(spark, spec)
     assert sorted(r["id"] for r in out.collect()) == [10, 11, 12, 13]
+
+
+def test_generalize_to_k_all_null_sensitive_inert_at_l1(spark):
+    """Review finding: with l_diversity=1 (the default), a sensitive_col
+    must be INERT for suppression — countDistinct skips NULLs, so a
+    k-large all-NULL group was silently dropped by a constraint the
+    caller never asked for."""
+    df = spark.createDataFrame(
+        [(i, 0, None if i < 10 else "v") for i in range(20)],
+        "id int, zip int, diag string",
+    )
+    out = generalize_to_k(
+        df, 5, [{"zip": "zip"}], max_suppression_bp=0,
+        sensitive_col="diag", l_diversity=1,
+    )
+    assert out.count() == 20  # nothing suppressed; all-NULL rows kept
+    # l_diversity=2 still enforces: the single group has 1 non-NULL
+    # distinct value, so everything suppresses (over budget -> but the
+    # LAST level is taken regardless; budget 10000 allows it)
+    out2 = generalize_to_k(
+        df, 5, [{"zip": "zip"}], max_suppression_bp=10000,
+        sensitive_col="diag", l_diversity=2,
+    )
+    assert out2.count() == 0
+
+
+def test_shuffle_shards_rejects_column_collisions(spark):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "doc_id int, pos int")
+    with pytest.raises(ValueError, match="collide"):
+        shuffle_shards(df, "doc_id", 4)
+    # renaming the outputs resolves it
+    out = shuffle_shards(df, "doc_id", 4, pos_col="shard_pos")
+    assert {"doc_id", "pos", "shard", "shard_pos"} <= set(out.columns)
+
+
+def test_substitute_params_keeps_nested_jobparams_keys():
+    """Review finding: only the root/configs-level jobParams blocks are
+    template input; a nested payload key literally named 'jobParams'
+    (e.g. inside operatorParams) is user data and must survive."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.config import (
+        substitute_params,
+    )
+
+    raw = {
+        "configs": {"jobParams": {"ds": "2024-01-01"}, "phase_1": {}},
+        "phase_2": {
+            "data_transformations": [
+                {"operatorParams": {"jobParams": "keep-me", "d": "${ds}"}}
+            ]
+        },
+    }
+    out = substitute_params(raw, None)
+    step = out["phase_2"]["data_transformations"][0]["operatorParams"]
+    assert step["jobParams"] == "keep-me"
+    assert step["d"] == "2024-01-01"
+    assert "jobParams" not in out["configs"]
