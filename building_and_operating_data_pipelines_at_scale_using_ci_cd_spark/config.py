@@ -352,7 +352,9 @@ class JobConfig:
         return cls.from_dict(raw, params=params)
 
 
-_PARAM_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
+#: group 1 = optional escape "$" (``$${name}`` → literal ``${name}``),
+#: group 2 = the parameter name
+_PARAM_RE = re.compile(r"(\$?)\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
 
 
 def substitute_params(
@@ -373,8 +375,11 @@ def substitute_params(
     hard error NAMING the missing key (a typo'd template must not run
     with the literal ``${...}`` in a path); strings without
     placeholders pass through untouched, so un-templated configs are
-    unaffected. ``jobParams`` itself is removed from the resolved dict
-    (it is template input, not job config)."""
+    unaffected. A config that needs a LITERAL ``${...}`` in its text
+    (a regex operatorParam, a shell-style string in a sqlQuery) writes
+    ``$${name}`` — the escape resolves to ``${name}`` and is never
+    treated as a parameter. ``jobParams`` itself is removed from the
+    resolved dict (it is template input, not job config)."""
     configs = raw.get("configs") or {}
     defaults = dict(configs.get("jobParams") or raw.get("jobParams") or {})
     merged = {**defaults, **(params or {})}
@@ -382,11 +387,14 @@ def substitute_params(
     def sub(obj):
         if isinstance(obj, str):
             def repl(m):
-                k = m.group(1)
+                if m.group(1):  # $${name}: escaped — emit the literal
+                    return "${" + m.group(2) + "}"
+                k = m.group(2)
                 if k not in merged:
                     raise ValueError(
                         f"job config references ${{{k}}} but no value was "
-                        f"given (params/jobParams keys: {sorted(merged)})"
+                        f"given (params/jobParams keys: {sorted(merged)}); "
+                        f"write $${{{k}}} for a literal ${{{k}}}"
                     )
                 return str(merged[k])
 

@@ -738,10 +738,13 @@ def write_delta_lite(
                 # the RACING writer was our own replay: already applied.
                 # Our just-staged files stay unreferenced (vacuum-able).
                 return snap2.version
-            if {f.name for f in snap2.schema.fields} != {
-                f.name for f in snap.schema.fields
-            }:
-                raise  # a concurrent schema evolution — not commutable
+            if snap2.schema != snap.schema:
+                # a concurrent schema CHANGE — not commutable. Full
+                # StructType equality, not just field names: a racing
+                # type/nullability evolution (same columns, new types)
+                # would otherwise land parquet files whose physical
+                # types no longer match the table metadata.
+                raise
             version = snap2.version + 1
     _maybe_checkpoint(table_path, version, checkpoint_interval)
     return version

@@ -28,10 +28,15 @@ Semantics mirror delta-spark's streaming source for append-only tables:
     data — at 100 TB a microbatch plans from one JSON file and fans
     out to the executors, the same shape delta-spark's source has.
 
-Scale note on the initial load: a stream started on an existing table
-replays version 0..latest as its first batch (the full history of adds).
-For append-only tables that equals the current snapshot; start the sink
-with ``availableNow`` and the backfill proceeds microbatch-by-version.
+Initial load: a FRESH stream's first batch is the current RECONCILED
+snapshot (the live file set, exactly what ``read_delta_lite`` would
+read), and only commits after it are tailed — delta-spark's default.
+Full-history replay is reserved for an explicit ``startingVersion``:
+on a table whose lifecycle includes OPTIMIZE + VACUUM the v0 adds
+reference vacuumed pre-compaction files, and with ``skipChangeCommits``
+a v0 replay would resurrect rows an overwrite/delete removed. Start
+the sink with ``availableNow`` and the snapshot backfill proceeds as
+one microbatch, file-parallel across executors.
 """
 
 from __future__ import annotations
@@ -109,11 +114,12 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
             str(options.get("skipchangecommits", "false")).lower() == "true"
         )
         #: delta-spark's startingVersion: where a FRESH query begins.
-        #: Default = replay from version 0 (full history); "latest" =
+        #: Default = the current reconciled SNAPSHOT as the first batch
+        #: (never a history replay — see initialOffset); "latest" =
         #: only commits after stream start (skip the backfill — the
         #: 100-TB posture for tailing a long-lived table); an int =
-        #: start at that commit. Restarts always resume from the
-        #: checkpoint; this only shapes initialOffset.
+        #: start replaying adds at that commit. Restarts always resume
+        #: from the checkpoint; this only shapes initialOffset.
         #: (No maxFilesPerTrigger analogue on purpose: the Python Data
         #: Source API has no admission control — latestOffset is called
         #: before initialOffset and never sees the checkpointed start,
@@ -125,7 +131,17 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
     # -- offsets ---------------------------------------------------------
     def initialOffset(self) -> dict:
         if self._starting_version is None:
-            return {"version": -1}
+            # Default = the current reconciled snapshot, delivered as the
+            # first batch (the ``snapshot`` marker tells ``partitions`` to
+            # plan from the live file set of that version), then tail
+            # commits after it. NOT a v0 history replay: on a table that
+            # was OPTIMIZEd then VACUUMed the v0 adds reference vacuumed
+            # files, and with skipChangeCommits a replay would deliver
+            # rows an overwrite/delete removed and never the replacement.
+            from .delta_lite import load_snapshot
+
+            v = load_snapshot(self._path).version
+            return {"version": v, "snapshot": v}
         if str(self._starting_version).lower() == "latest":
             from .delta_lite import load_snapshot
 
@@ -154,8 +170,14 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         """The ``dataChange: true`` add actions of one commit, enforcing
         the append-only streaming contract."""
         actions = self._commit_actions(version)
+        # the protocol tells readers to ASSUME dataChange=true when the
+        # flag is absent — a foreign/minimal log whose DELETE removes
+        # omit it must fail safe into the raise/skipChangeCommits path,
+        # never silently ignore the deletion (adds default true too)
         data_removed = any(
-            a.get("remove", {}).get("dataChange", False) for a in actions
+            a.get("remove", {}).get("dataChange", True)
+            for a in actions
+            if a.get("remove")
         )
         if data_removed:
             if self._skip_change_commits:
@@ -177,6 +199,22 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
 
         lo, hi = int(start["version"]), int(end["version"])
         parts = []
+        if start.get("snapshot") is not None:
+            # fresh-stream first batch: the reconciled live file set of
+            # the snapshot version (restart-safe — the marker rides the
+            # checkpointed offset and load_snapshot is deterministic)
+            from .delta_lite import load_snapshot
+
+            snap = load_snapshot(self._path, int(start["snapshot"]))
+            for rel in sorted(snap.files):
+                add = snap.files[rel]
+                parts.append(
+                    DeltaFilePartition(
+                        path=os.path.join(self._path, rel),
+                        partition_values=add.get("partitionValues") or {},
+                        version=int(start["snapshot"]),
+                    )
+                )
         for v in range(lo + 1, hi + 1):
             for add in self._version_adds(v):
                 rel = urllib.parse.unquote(add["path"])
@@ -187,6 +225,17 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
                         version=v,
                     )
                 )
+        # planning-time existence check (driver, log-sized): a replayed
+        # add whose file was vacuumed must fail with the remedy, not a
+        # mid-batch executor FileNotFoundError
+        missing = [p.path for p in parts if not os.path.exists(p.path)]
+        if missing:
+            raise ValueError(
+                f"{len(missing)} data file(s) this batch replays no longer "
+                f"exist (vacuumed?), e.g. {missing[0]}; start the stream "
+                f"with the default snapshot start (no startingVersion) or "
+                f"startingVersion='latest' instead of replaying history"
+            )
         return parts
 
     # -- execution (executors) ---------------------------------------------

@@ -99,8 +99,20 @@ def test_change_commit_raises_unless_skipped(spark, tmp_path):
     tp = str(tmp_path / "t")
     dl.write_delta_lite(spark.range(10).selectExpr("id AS k"), tp)
     dl.delete_delta_lite(spark, tp, "k >= 8")
+    # DEFAULT start: the first batch is the reconciled current snapshot
+    # (deleted rows already gone) — no change commit is ever replayed,
+    # so nothing raises and no stale row is delivered
+    got = _drain(
+        spark,
+        read_delta_lite_stream(spark, tp),
+        "ds_c0",
+        str(tmp_path / "cp0"),
+    )
+    assert got == [(i,) for i in range(8)]
+    # explicit history replay (startingVersion=0) DOES cross the DELETE
+    # commit: append-only streaming breaks and the source raises
     q = (
-        read_delta_lite_stream(spark, tp)
+        read_delta_lite_stream(spark, tp, startingVersion=0)
         .writeStream.format("memory")
         .queryName("ds_c1")
         .outputMode("append")
@@ -115,12 +127,14 @@ def test_change_commit_raises_unless_skipped(spark, tmp_path):
     assert isinstance(excinfo.value, PySparkException) or "data-changing" in str(
         excinfo.value
     )
-    # with the option: the DELETE commit is skipped wholesale — the
+    # replay + the option: the DELETE commit is skipped wholesale — the
     # stream delivers v0's adds only (delta's skipChangeCommits shape)
     out = str(tmp_path / "out2")
     got = _drain_files(
         spark,
-        read_delta_lite_stream(spark, tp, skipChangeCommits=True),
+        read_delta_lite_stream(
+            spark, tp, skipChangeCommits=True, startingVersion=0
+        ),
         out,
         str(tmp_path / "cp2"),
     )
@@ -131,7 +145,9 @@ def test_change_commit_raises_unless_skipped(spark, tmp_path):
     )
     got = _drain_files(
         spark,
-        read_delta_lite_stream(spark, tp, skipChangeCommits=True),
+        read_delta_lite_stream(
+            spark, tp, skipChangeCommits=True, startingVersion=0
+        ),
         out,
         str(tmp_path / "cp2"),
     )
@@ -206,7 +222,9 @@ def test_config_streaming_input_reads_delta(spark, tmp_path):
     )
     assert df.isStreaming
     got = _drain(spark, df, "ds_cfg", str(tmp_path / "cp"))
-    assert got == [(i,) for i in range(7)]  # delete commit skipped
+    # default snapshot start: the reconciled table (k=0 already deleted),
+    # NOT a stale v0 replay — skipChangeCommits only governs later commits
+    assert got == [(i,) for i in range(1, 7)]
 
 
 def test_timestamp_and_decimal_columns_roundtrip(spark, tmp_path):
