@@ -2110,6 +2110,185 @@ SELECT 'restore_meta', CAST(3 AS BIGINT), CAST(0 AS BIGINT)
 """
 
 
+def _q_delta_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5-evolution (round 11): MERGE schema auto-evolution —
+    delta-spark's ``schema.autoMerge`` semantics on the in-repo Delta
+    log (``sources/delta_lite.merge_delta_lite(merge_schema=True)``).
+    The target (the ``p_partkey % 4 = 1`` slice of ``part``) is upserted
+    with a WIDENED source carrying a brand-new ``qty`` column: matched
+    keys (``% 8 = 5``) take the updated cents AND the new column, new
+    keys (``% 8 = 3``) insert with it, and every untouched row reads
+    back NULL for it — rows in unrewritten files via parquet
+    missing-column semantics (no rewrite happens), rows in rewritten
+    files NULL-filled explicitly. Upsert + metaData evolution land as
+    ONE atomic commit. Returned as the full post-merge table, so the
+    evolved schema, the NULL fill, the update lane, and the insert lane
+    are all value-checked row-by-row against the oracle's relational
+    restatement.
+
+    Determinism: p_partkey is unique in ``part``; money as integer
+    cents."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.delta_lite import (
+        merge_delta_lite,
+        read_delta_lite,
+        write_delta_lite,
+    )
+
+    tp = os.path.join(tempfile.mkdtemp(prefix="delta_evolve_"), "parts_wide")
+    base = _table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.floor(F.col("p_retailprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.col("p_size").cast("int").alias("p_size"),
+    )
+    write_delta_lite(
+        base.filter(F.col("p_partkey") % 4 == 1).drop("p_size").repartition(
+            4, "p_partkey"
+        ),
+        tp,
+    )
+    source = base.filter(
+        (F.col("p_partkey") % 8 == 5) | (F.col("p_partkey") % 8 == 3)
+    ).select(
+        "p_partkey",
+        "p_brand",
+        (F.col("cents") + F.lit(50)).alias("cents"),
+        F.col("p_size").alias("qty"),
+    )
+    merge_delta_lite(
+        spark,
+        tp,
+        source,
+        ["p_partkey"],
+        when_matched_update={"cents": "src_cents", "qty": "src_qty"},
+        when_not_matched_insert=True,
+        merge_schema=True,
+    )
+    return read_delta_lite(spark, tp).select(
+        "p_partkey", "p_brand", "cents", F.col("qty").cast("int").alias("qty")
+    )
+
+
+DELTA_MERGE_EVOLVE_DUCK = """
+WITH p AS (
+  SELECT p_partkey, p_brand,
+         CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         p_size
+  FROM part
+)
+SELECT p_partkey, p_brand, cents, CAST(NULL AS INTEGER) AS qty
+FROM p WHERE p_partkey % 8 = 1
+UNION ALL
+SELECT p_partkey, p_brand, cents + 50, CAST(p_size AS INTEGER)
+FROM p WHERE p_partkey % 8 IN (3, 5)
+"""
+
+
+def _q_streaming_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-streaming-CDF (round 11): the delta-lite STREAMING CHANGE
+    FEED — ``readStream.format(delta_lite_stream).option
+    ("readChangeFeed", "true")`` delivers CDC rows (``_change_type``
+    insert|delete, ``_commit_version``) whose per-commit multiset-diff
+    semantics equal the batch ``delta_changes`` feed, with no persisted
+    ``_change_data`` files. A 4-version lineitem table (write → append
+    → keyed DELETE → keyed UPDATE) is streamed from ``startingVersion
+    1`` with availableNow and aggregated per (commit, change type); the
+    oracle restates each commit's exact change set relationally —
+    insert rows = the appended slice, delete rows = the deleted slice,
+    an update = delete(old)+insert(new) with unchanged rewritten rows
+    CANCELLED by the diff. Append commits fan out file-parallel; each
+    change commit diffs only its churned files (one task per commit —
+    a day's CDC streams the day's churn, never the table).
+
+    Determinism: money as integer cents; slices keyed on l_orderkey
+    modulus chains (%10/%20/%40) so every commit's change set is a
+    closed-form predicate; duplicate (l_orderkey, l_linenumber) pairs
+    in the synthetic lineitem exercise true MULTISET semantics."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.delta_lite import (
+        delete_delta_lite,
+        update_delta_lite,
+        write_delta_lite,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.delta_stream import (
+        read_delta_lite_stream,
+    )
+
+    tp = os.path.join(tempfile.mkdtemp(prefix="delta_cdf_"), "li_cdf")
+    corpus = (
+        _table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 3)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    write_delta_lite(  # v0 (before the stream's startingVersion)
+        corpus.filter(F.col("l_orderkey") % 20 == 3).repartition(4), tp
+    )
+    write_delta_lite(  # v1: pure append → file-parallel insert rows
+        corpus.filter(F.col("l_orderkey") % 20 == 13).repartition(4),
+        tp,
+        mode="append",
+    )
+    delete_delta_lite(spark, tp, "l_orderkey % 40 = 3")  # v2: delete rows
+    update_delta_lite(  # v3: update → delete(old) + insert(new)
+        spark, tp, "l_orderkey % 40 = 13", {"cents": "cents + 1000"}
+    )
+    cdc = read_delta_lite_stream(
+        spark, tp, readChangeFeed=True, startingVersion=1
+    )
+    agg = cdc.groupBy("_commit_version", "_change_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.sum("l_orderkey").cast("bigint").alias("sum_keys"),
+    )
+    name = f"delta_cdf_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "_commit_version", "_change_type", "n", "sum_cents", "sum_keys"
+    )
+
+
+STREAMING_CDF_DUCK = """
+WITH corpus AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM lineitem WHERE l_orderkey % 10 = 3
+), ch AS (
+  SELECT CAST(1 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+         cents, l_orderkey
+  FROM corpus WHERE l_orderkey % 20 = 13
+  UNION ALL
+  SELECT 2, 'delete', cents, l_orderkey
+  FROM corpus WHERE l_orderkey % 40 = 3
+  UNION ALL
+  SELECT 3, 'delete', cents, l_orderkey
+  FROM corpus WHERE l_orderkey % 40 = 13
+  UNION ALL
+  SELECT 3, 'insert', cents + 1000, l_orderkey
+  FROM corpus WHERE l_orderkey % 40 = 13
+)
+SELECT _commit_version, _change_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+FROM ch GROUP BY _commit_version, _change_type
+"""
+
+
 def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 approx aggregation: HLL distinct + approx percentile. Sketch
     values differ per engine, so the query asserts the approximation
@@ -7883,6 +8062,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every registry entry; changed code ALWAYS re-enters the
         # checked 50 in the round it changes.
     base = {
+        # -- (-2) round-11 additions: MERGE schema auto-evolution and
+        #    the streaming change feed -------------------------------
+        "delta_merge_evolve": _q_delta_merge_evolve,
+        "streaming_cdf": _q_streaming_cdf,
         # -- (-1) round-9 additions: full-PSL registrable domains and
         #    the RFC 9309 robots politeness filter ---------------------
         "psl_domains": _q_psl_domains,
@@ -8097,81 +8280,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": _q_approx_distinct,
         "minhash_near_dups": _q_minhash_near_dups,
     }
-    # Round-10 rotation head: the driver checks the FIRST 50 keys.
-    # Composition (counts: 5 + 10 + 4 + 5 + 9 + 10 + 7 = 50 checked;
-    # 185 total):
-    #   - 5 brand-new round-10 entries (k_generalize,
-    #     robots_from_bodies, delta_restore, streaming_delta_source,
-    #     shuffle_shards) — never driver-checked, lead unconditionally,
-    #   - 10 whose code path changed in round 10 — changed code ALWAYS
-    #     re-enters: card_redaction (\\b-anchored replacement + new
-    #     embedded-run fixture), domain_cap_sample (null-safe joins,
-    #     NULL-domain partition kept+capped), robots_allowed (null-safe
-    #     verdict attach + rules_hint auto), delta_roundtrip +
-    #     delta_cdc + scd2_price_history (DATE/TIMESTAMP literal
-    #     pruning, schema-driven literal normalization, timestamp stats
-    #     space separator, numeric partition coercion), rank_sum_drift
-    #     (guard routed through operators/guards.py), near_dup_clusters
-    #     + ngram_jaccard_dups + minhash_near_dups (collapse_exact
-    #     auto-probe routed through guards.py),
-    #   - the 4 keys the round-9 comment promised the round-10 lead
-    #     (knn_pagerank, weighted_pagerank, udtf_sentences,
-    #     topk_neighbors — displaced by the round-9 adds),
-    #   - the 5-key r05-evidence block (customers_no_orders_anti,
-    #     string_funcs, case_coalesce, grouping_sets,
-    #     stratified_sample),
-    #   - 9 remaining r06-evidence operator keys (ivf_topk, ivfpq_topk,
-    #     semantic_dedup, image_decode, streaming_sessionization,
-    #     salted_join_revenue, heavy_hitters, bloom_join_revenue,
-    #     winnow_near_dups),
-    #   - the 10-key r06-evidence TPC-H block (q13/q15/q22/q2/q8/q9/
-    #     q11/q16/q17/q21),
-    #   - 7 more r06-evidence curation keys (decontaminate,
-    #     pii_redaction, boilerplate_ngrams, dataset_split,
-    #     repetition_profile, filter_audit, nfc_normalize) —
-    #     url_domains, span_dedup and formats_roundtrip displaced past
-    #     the cap by the 3rd-5th new entries; round 11 should lead with
-    #     them.
-    # Everything not in the head keeps its r07-r09 evidence and follows
-    # in prior order; steady-state max evidence age stays ≤ 3 rounds.
+    # Round-11 rotation head: the driver checks the FIRST 50 keys.
+    # Composition (counts: 2 + 5 + 14 + 7 + 22 = 50 checked;
+    # 187 total):
+    #   - 2 brand-new round-11 entries (delta_merge_evolve,
+    #     streaming_cdf) — never driver-checked, lead unconditionally,
+    #   - 5 whose code path changed in round 11 — changed code ALWAYS
+    #     re-enters: delta_roundtrip + delta_cdc + delta_restore +
+    #     scd2_price_history (MERGE schema auto-evolution threaded
+    #     through _pruned_rewrite; disjoint-transaction commit retry on
+    #     DELETE/UPDATE/MERGE/SCD2-merge; full-schema compare in the
+    #     blind-append retry), streaming_delta_source (fresh-stream
+    #     default now plans the FIRST batch from the reconciled
+    #     snapshot instead of a v0 history replay; remove.dataChange
+    #     defaults true; planning-time vacuumed-file check),
+    #   - the 14 keys the round-10 comment promised this round's lead
+    #     (displaced just past the cap there): url_domains, span_dedup,
+    #     formats_roundtrip, multimodal_decode, pivot_event_values,
+    #     udf_text_metrics, vector_stats, broadcast_hint_join,
+    #     parts_heavy_semi, set_ops_segments, correlated_max_order,
+    #     json_events, lm_cross_entropy, bloom_new_docs,
+    #   - the 7-key r05-evidence block — the oldest driver evidence
+    #     left anywhere (domain_mix, bigram_lm, streaming_enrich,
+    #     hll_rollup, streaming_running_totals, streaming_dedup,
+    #     streaming_interval_join),
+    #   - 22 r06-evidence keys in base order (orders_rollup,
+    #     cte_nation_revenue, q4/q12/q14/q18/q19, ann_lsh_topk,
+    #     embedding_near_dups, bpe_merges, bpe_tokenize,
+    #     classifier_distill, classifier_score, tfidf_top_terms,
+    #     inverted_index, weighted_sample, kmeans_clusters,
+    #     quality_quantile_filter, snapshot_diff, zscore_outliers,
+    #     embedding_quantize, cms_user_counts).
+    # Everything not in the head keeps its r06-r10 evidence and follows
+    # in prior order. Round 12 should lead with the remaining 16
+    # r06-evidence keys (zorder_cluster, time_resample, variant_extract,
+    # mad_outliers, incremental_agg, streaming_outer_join,
+    # streaming_sliding_counts, source_entropy, time_interpolate,
+    # corpus_curation, doc_fingerprints, distinct_counts,
+    # dup_groups_report, null_pk_lanes, embedding_resize,
+    # approx_distinct) plus anything round 12 changes.
     head = [
-        # brand-new round-10 entries
-        "k_generalize", "robots_from_bodies", "delta_restore",
-        "streaming_delta_source", "shuffle_shards",
-        # round-10 changed-code re-entries
-        "card_redaction", "domain_cap_sample", "robots_allowed",
-        "delta_roundtrip", "delta_cdc", "scd2_price_history",
-        "rank_sum_drift", "near_dup_clusters", "ngram_jaccard_dups",
-        "minhash_near_dups",
-        # the 4 keys the round-9 rotation comment promised the lead
-        "knn_pagerank", "weighted_pagerank", "udtf_sentences",
-        "topk_neighbors",
-        # r05-evidence block
-        "customers_no_orders_anti", "string_funcs", "case_coalesce",
-        "grouping_sets", "stratified_sample",
-        # remaining r06-evidence operator keys
-        "ivf_topk", "ivfpq_topk", "semantic_dedup", "image_decode",
-        "streaming_sessionization", "salted_join_revenue",
-        "heavy_hitters", "bloom_join_revenue", "winnow_near_dups",
-        # r06-evidence TPC-H block
-        "q13_customer_distribution", "q15_top_supplier",
-        "q22_sales_opportunity", "q2_min_cost_supplier",
-        "q8_market_share", "q9_product_profit", "q11_important_parts",
-        "q16_parts_supplier_cnt", "q17_small_qty_revenue",
-        "q21_waiting_supplier",
-        # r06-evidence curation keys
-        "decontaminate", "pii_redaction", "boilerplate_ngrams",
-        "dataset_split", "repetition_profile", "filter_audit",
-        "nfc_normalize",
-        # 50-cap cutoff. The round-9 head (psl_domains ...
-        # bloom_new_docs) carries fresh r09 driver evidence and rotates
-        # out en bloc. Round 11's 50 should lead with the keys this
-        # round displaced just past the cap (url_domains, span_dedup,
-        # formats_roundtrip, multimodal_decode, pivot_event_values,
-        # udf_text_metrics, vector_stats, broadcast_hint_join,
-        # parts_heavy_semi, set_ops_segments, correlated_max_order,
-        # json_events, lm_cross_entropy, bloom_new_docs — r06/r07
-        # evidence) plus anything round 11 changes.
+        # brand-new round-11 entries
+        "delta_merge_evolve", "streaming_cdf",
+        # round-11 changed-code re-entries (delta write/DML/stream)
+        "delta_roundtrip", "delta_cdc", "delta_restore",
+        "scd2_price_history", "streaming_delta_source",
+        # the 14 keys the round-10 rotation comment promised the lead
+        "url_domains", "span_dedup", "formats_roundtrip",
+        "multimodal_decode", "pivot_event_values", "udf_text_metrics",
+        "vector_stats", "broadcast_hint_join", "parts_heavy_semi",
+        "set_ops_segments", "correlated_max_order", "json_events",
+        "lm_cross_entropy", "bloom_new_docs",
+        # r05-evidence block (oldest driver evidence anywhere)
+        "domain_mix", "bigram_lm", "streaming_enrich", "hll_rollup",
+        "streaming_running_totals", "streaming_dedup",
+        "streaming_interval_join",
+        # r06-evidence keys, base order
+        "orders_rollup", "cte_nation_revenue", "q4_order_priority",
+        "q12_priority_classes", "q14_promo_revenue",
+        "q18_large_volume_customer", "q19_discounted_revenue",
+        "ann_lsh_topk", "embedding_near_dups", "bpe_merges",
+        "bpe_tokenize", "classifier_distill", "classifier_score",
+        "tfidf_top_terms", "inverted_index", "weighted_sample",
+        "kmeans_clusters", "quality_quantile_filter", "snapshot_diff",
+        "zscore_outliers", "embedding_quantize", "cms_user_counts",
+        # 50-cap cutoff. The round-10 head (k_generalize ...
+        # nfc_normalize) carries fresh r10 driver evidence and rotates
+        # out en bloc.
     ]
     out = {k: base[k] for k in head}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -8223,7 +8398,9 @@ def oracle_sql() -> dict[str, str]:
         "jdbc_roundtrip": JDBC_ROUNDTRIP_DUCK,
         "delta_roundtrip": DELTA_ROUNDTRIP_DUCK,
         "delta_restore": DELTA_RESTORE_DUCK,
+        "delta_merge_evolve": DELTA_MERGE_EVOLVE_DUCK,
         "streaming_delta_source": STREAMING_DELTA_SOURCE_DUCK,
+        "streaming_cdf": STREAMING_CDF_DUCK,
         "shuffle_shards": SHUFFLE_SHARDS_DUCK,
         "flac_decode": FLAC_DECODE_DUCK,
         "bm25_scores": BM25_SCORES_DUCK,

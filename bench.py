@@ -199,6 +199,11 @@ HEADLINE = [
     # distributively from bodies-as-data)
     "k_generalize",
     "robots_from_bodies",
+    # round 11: MERGE schema auto-evolution (one atomic upsert+metaData
+    # commit) and the streaming change feed (per-commit multiset-diff
+    # CDC == the batch delta_changes semantics)
+    "delta_merge_evolve",
+    "streaming_cdf",
 ]
 
 

@@ -403,7 +403,9 @@ def _delta_merge(df: DataFrame, table_path: str, on_keys, **kw) -> DataFrame:
     ``when_matched_update_json`` maps column → SQL expr over the joined
     row (source columns visible as ``src_<name>``);
     ``when_matched_delete`` takes "true" or a SQL condition;
-    ``when_not_matched_insert`` defaults true. Returns the POST-MERGE
+    ``when_not_matched_insert`` defaults true; ``mergeSchema`` "true"
+    lets a source with NEW columns evolve the table additively
+    (delta-spark's schema.autoMerge). Returns the POST-MERGE
     snapshot so downstream steps chain off the new table state. NB: the
     merge executes eagerly when this step runs (it is table DML, not a
     lazy transform)."""
@@ -428,6 +430,10 @@ def _delta_merge(df: DataFrame, table_path: str, on_keys, **kw) -> DataFrame:
         kw["when_not_matched_insert"] = (
             kw["when_not_matched_insert"].lower() == "true"
         )
+    if "mergeSchema" in kw:  # config spelling → python kwarg
+        kw["merge_schema"] = str(kw.pop("mergeSchema")).lower() == "true"
+    if isinstance(kw.get("merge_schema"), str):
+        kw["merge_schema"] = kw["merge_schema"].lower() == "true"
     merge_delta_lite(df.sparkSession, table_path, df, keys, **kw)
     return read_delta_lite(df.sparkSession, table_path)
 
@@ -460,6 +466,33 @@ def _delta_restore(
         timestamp=timestamp,
     )
     return read_delta_lite(df.sparkSession, table_path)
+
+
+def _delta_history(df: DataFrame, table_path: str) -> DataFrame:
+    """Config shape: DESCRIBE HISTORY on a delta-lite table — one row
+    per commit, newest first (version, timestamp epoch-ms, operation,
+    operationParameters as a JSON string). Log-only: never touches
+    data, so it is safe on any table size. The input view is only the
+    chaining anchor; downstream steps can gate on the history (e.g.
+    pick a ``timestampAsOf`` for a later read, audit operations)."""
+    import json as _json
+
+    from ..sources.delta_lite import history_delta_lite
+
+    rows = [
+        (
+            int(h["version"]),
+            int(h["timestamp"]),
+            h["operation"],
+            _json.dumps(h["operationParameters"], sort_keys=True, default=str),
+        )
+        for h in history_delta_lite(table_path)
+    ]
+    return df.sparkSession.createDataFrame(
+        rows,
+        "version bigint, timestamp bigint, operation string, "
+        "operationParameters string",
+    )
 
 
 def _delta_optimize(
@@ -1139,6 +1172,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "deltaMerge": _delta_merge,
     "deltaDelete": _delta_delete,
     "deltaRestore": _delta_restore,
+    "deltaHistory": _delta_history,
     "deltaOptimize": _delta_optimize,
     "deltaVacuum": _delta_vacuum,
     "deltaChanges": _delta_changes,

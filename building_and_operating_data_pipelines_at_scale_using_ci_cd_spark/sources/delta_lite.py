@@ -542,6 +542,98 @@ def _commit(table_path: str, version: int, actions: list) -> None:
         os.unlink(tmp)
 
 
+def _assert_commutes(
+    table_path: str,
+    from_version: int,
+    to_version: int,
+    read_set: set,
+    conjuncts: list,
+    types: dict,
+) -> None:
+    """Raise :class:`DeltaConcurrentWriteError` unless every winner
+    commit in ``(from_version, to_version]`` provably commutes with a
+    DML transaction that scanned the files in ``read_set`` and whose
+    row predicate is bounded by ``conjuncts`` (pre-normalized). The
+    winner commutes only when it
+
+      - carries no ``metaData``/``protocol`` action (a racing schema or
+        protocol change invalidates our staged parquet), AND
+      - removed no file we read (our matched rows / planned removes all
+        live inside the read set — a removed read file means our
+        rewrite was computed against rows that no longer exist), AND
+      - added no file whose stats/partition values might satisfy our
+        predicate (delta-spark's ConcurrentAppendException: rows landing
+        in our key/predicate range would be missed by our match scan
+        and anti-join).
+
+    ``_file_may_match`` is stats-conservative, so anything unprovable
+    conflicts — partition-disjoint DML (the common real case) commutes,
+    everything doubtful raises exactly as before."""
+    log = _log_path(table_path)
+    for v in range(from_version + 1, to_version + 1):
+        fpath = os.path.join(log, f"{v:020d}.json")
+        if not os.path.exists(fpath):
+            raise DeltaConcurrentWriteError(
+                f"concurrent commit {v} of {table_path} is unreadable"
+            )
+        with open(fpath, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if action.get("metaData") or action.get("protocol"):
+                    raise DeltaConcurrentWriteError(
+                        f"concurrent metadata/protocol change in commit {v} "
+                        f"of {table_path}"
+                    )
+                rm = action.get("remove")
+                if rm and urllib.parse.unquote(rm["path"]) in read_set:
+                    raise DeltaConcurrentWriteError(
+                        f"concurrent commit {v} removed a file this "
+                        f"transaction read: {rm['path']}"
+                    )
+                add = action.get("add")
+                if add and _file_may_match(add, conjuncts, types):
+                    raise DeltaConcurrentWriteError(
+                        f"concurrent commit {v} added a file that may "
+                        f"match this transaction's predicate: {add['path']}"
+                    )
+
+
+def _commit_dml(
+    table_path: str,
+    snap: "DeltaSnapshot",
+    actions: list,
+    read_set: set,
+    conjuncts: list,
+) -> int:
+    """Commit a DML rewrite with disjoint-transaction retry: a lost
+    commit race re-aims at the next version slot IF every winner commit
+    commutes (:func:`_assert_commutes`) — partition-/range-disjoint
+    MERGEs from independent pipelines both land, one commit each, while
+    overlapping or schema-changing winners still raise. Winner commits
+    are checked once each across retries."""
+    types = _schema_types(snap)
+    conjuncts = _normalize_conjuncts(types, conjuncts) if conjuncts else []
+    version = snap.version + 1
+    checked_to = snap.version
+    for attempt in range(_APPEND_COMMIT_RETRIES + 1):
+        try:
+            _commit(table_path, version, actions)
+            return version
+        except DeltaConcurrentWriteError:
+            if attempt == _APPEND_COMMIT_RETRIES:
+                raise
+            latest = load_snapshot(table_path).version
+            _assert_commutes(
+                table_path, checked_to, latest, read_set, conjuncts, types
+            )
+            checked_to = latest
+            version = latest + 1
+    raise AssertionError("unreachable")  # loop always returns or raises
+
+
 #: like delta-spark's default: a parquet checkpoint every N commits bounds
 #: log-replay length for long-lived tables
 CHECKPOINT_INTERVAL = 10
@@ -1172,13 +1264,29 @@ def _pruned_rewrite(
     rewrite_fn,
     operation: str,
     op_params: dict,
+    snap: DeltaSnapshot | None = None,
+    out_schema: StructType | None = None,
+    new_metadata: dict | None = None,
+    read_set: list | None = None,
+    conjuncts: list | None = None,
 ) -> int:
     """Shared DML skeleton: find the files holding rows matched by
     ``match_files_df`` (a DataFrame of rows from the tagged table that
     the operation touches), run ``rewrite_fn(pruned_rows)`` over ONLY
     those files' rows, and commit remove(matched)+add(rewritten).
-    Untouched files never move. Driver traffic = file paths."""
-    snap = load_snapshot(table_path)
+    Untouched files never move. Driver traffic = file paths.
+
+    ``out_schema`` / ``new_metadata`` carry an ADDITIVE schema
+    evolution (MERGE ``merge_schema=True``): the rewritten rows cast to
+    the evolved schema and the metaData action rides the same commit,
+    so the upsert + evolution are one atomic version.
+
+    ``read_set`` (the candidate files this DML scanned) + ``conjuncts``
+    (its predicate bound) enable the disjoint-transaction commit retry
+    (:func:`_commit_dml`); without them a lost commit race raises."""
+    if snap is None:
+        snap = load_snapshot(table_path)
+    out_schema = out_schema or snap.schema
     matched_files = [
         r["__file"] for r in match_files_df.select("__file").distinct().collect()
     ]
@@ -1190,7 +1298,7 @@ def _pruned_rewrite(
     )
     pruned = _read_files(spark, snap, rel_matched)
     rewritten = rewrite_fn(pruned).select(
-        *[F.col(f.name).cast(f.dataType) for f in snap.schema.fields]
+        *[F.col(f.name).cast(f.dataType) for f in out_schema.fields]
     )
     actions = [
         {
@@ -1201,6 +1309,8 @@ def _pruned_rewrite(
             }
         }
     ]
+    if new_metadata is not None:
+        actions.append({"metaData": new_metadata})
     now_ms = int(os.path.getmtime(table_path) * 1000)
     for rel in rel_matched:
         actions.append(
@@ -1213,6 +1323,8 @@ def _pruned_rewrite(
             }
         )
     actions.extend(_stage_and_adds(rewritten, table_path, snap.partition_columns))
+    if read_set is not None:
+        return _commit_dml(table_path, snap, actions, set(read_set), conjuncts or [])
     version = snap.version + 1
     _commit(table_path, version, actions)
     return version
@@ -1227,7 +1339,8 @@ def delete_delta_lite(spark: SparkSession, table_path: str, condition: str) -> i
     read — on an unpartitioned 100-TB table a keyed DELETE touches a
     handful of files, not all of them."""
     snap = load_snapshot(table_path)
-    cand = _candidate_files(snap, _parse_conjuncts(condition))
+    conj = _parse_conjuncts(condition)
+    cand = _candidate_files(snap, conj)
     tagged = _read_files(spark, snap, cand).withColumn(
         "__file", F.input_file_name()
     )
@@ -1238,6 +1351,9 @@ def delete_delta_lite(spark: SparkSession, table_path: str, condition: str) -> i
         lambda rows: rows.filter(~F.expr(condition)),
         "DELETE",
         {"predicate": condition, "candidateFiles": len(cand)},
+        snap=snap,
+        read_set=cand,
+        conjuncts=conj,
     )
 
 
@@ -1249,7 +1365,8 @@ def update_delta_lite(
     match-finding scan); ``set_exprs`` maps column → SQL expression
     (evaluated only on matching rows)."""
     snap = load_snapshot(table_path)
-    cand = _candidate_files(snap, _parse_conjuncts(condition))
+    conj = _parse_conjuncts(condition)
+    cand = _candidate_files(snap, conj)
     tagged = _read_files(spark, snap, cand).withColumn(
         "__file", F.input_file_name()
     )
@@ -1278,6 +1395,9 @@ def update_delta_lite(
             "set": sorted(set_exprs),
             "candidateFiles": len(cand),
         },
+        snap=snap,
+        read_set=cand,
+        conjuncts=conj,
     )
 
 
@@ -1290,6 +1410,7 @@ def merge_delta_lite(
     when_matched_delete: str | bool = False,
     when_not_matched_insert: bool = True,
     matched_condition: str | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """General MERGE INTO (the DeltaTable.merge surface, generalized
     from the SCD2-specific merge): upsert/delete by key with optional
@@ -1302,6 +1423,16 @@ def merge_delta_lite(
       matched rows satisfying it are dropped (evaluated before update).
     - ``when_not_matched_insert``: source rows with no target match
       insert as-is (source must carry the table's columns).
+    - ``merge_schema``: delta-spark's ``schema.autoMerge`` for MERGE —
+      a source carrying NEW columns evolves the table ADDITIVELY in the
+      same atomic commit: inserts carry the new columns, matched
+      updates may SET them (``src_<name>`` is visible), and every
+      pre-existing row reads back NULL for them (rows in untouched
+      files via parquet missing-column semantics — no rewrite; rows in
+      rewritten files NULL-filled explicitly). Without the flag a
+      widened source is a hard error, never a silent column drop.
+      Dropping or retyping columns still refuses — that is a rewrite,
+      not an evolution.
 
     Data skipping: one 1-row min/max aggregate of the source keys
     bounds the key range, and target files whose per-file stats prove
@@ -1312,7 +1443,25 @@ def merge_delta_lite(
     table.
     """
     snap = load_snapshot(table_path)
-    cand = _candidate_files(snap, _source_key_conjuncts(source, on_keys))
+    declared = snap.schema
+    declared_names = {f.name for f in declared.fields}
+    extra = [c for c in source.columns if c not in declared_names]
+    out_schema, new_metadata = declared, None
+    if extra:
+        if not merge_schema:
+            raise ValueError(
+                f"MERGE source carries columns not in the table schema: "
+                f"{extra} (table has {sorted(declared_names)}); pass "
+                f"merge_schema=True to evolve the table additively"
+            )
+        out_schema = StructType(
+            list(declared.fields)
+            + [source.schema[c] for c in source.columns if c in extra]
+        )
+        new_metadata = dict(snap.metadata)
+        new_metadata["schemaString"] = json.dumps(out_schema.jsonValue())
+    key_conj = _source_key_conjuncts(source, on_keys)
+    cand = _candidate_files(snap, key_conj)
     target = _read_files(spark, snap, cand)
     tagged = target.withColumn("__file", F.input_file_name())
     src_keys = source.select(*on_keys).dropDuplicates(on_keys)
@@ -1334,13 +1483,22 @@ def merge_delta_lite(
     inserts = (
         source.join(target.select(*on_keys).dropDuplicates(on_keys), on=on_keys, how="leftanti")
         .dropDuplicates(on_keys)
-        .select(*[F.col(f.name) for f in snap.schema.fields])
+        .select(*[F.col(f.name) for f in out_schema.fields])
         if when_not_matched_insert
         else None
     )
 
     def rewrite(rows: DataFrame) -> DataFrame:
         out = rows.join(marker, on=on_keys, how="left")
+        # pre-evolution rows lack the new columns: their non-updated
+        # value is NULL of the declared type, not a column reference
+        have = set(rows.columns)
+        base = {
+            f.name: (
+                F.col(f.name) if f.name in have else F.lit(None).cast(f.dataType)
+            )
+            for f in out_schema.fields
+        }
         if when_matched_delete:
             cond = (
                 F.col("__src_hit")
@@ -1355,16 +1513,17 @@ def merge_delta_lite(
             # SET expressions see the PRE-update row: computed in one
             # select, not chained withColumns
             sets = {
-                c: F.when(upd, F.expr(e)).otherwise(F.col(c)).alias(c)
+                c: F.when(upd, F.expr(e)).otherwise(base[c]).alias(c)
                 for c, e in when_matched_update.items()
             }
-            out = out.select(
-                *[
-                    sets.get(f.name, F.col(f.name)).alias(f.name)
-                    for f in snap.schema.fields
-                ]
-            )
-        out = out.select(*[f.name for f in snap.schema.fields])
+        else:
+            sets = {}
+        out = out.select(
+            *[
+                sets.get(f.name, base[f.name]).alias(f.name)
+                for f in out_schema.fields
+            ]
+        )
         return out.unionByName(inserts) if inserts is not None else out
 
     return _pruned_rewrite(
@@ -1374,6 +1533,11 @@ def merge_delta_lite(
         rewrite,
         "MERGE",
         {"on": on_keys, "candidateFiles": len(cand)},
+        snap=snap,
+        out_schema=out_schema,
+        new_metadata=new_metadata,
+        read_set=cand,
+        conjuncts=key_conj,
     )
 
 
@@ -1671,7 +1835,8 @@ def merge_scd2_delta_lite(
     # stats skipping BEFORE the semi-join scan: files whose key range
     # provably misses the incoming key range can hold no matched
     # current row, so they are never read to find matches either
-    cand = _candidate_files(snap, _source_key_conjuncts(incoming, keys))
+    key_conj = _source_key_conjuncts(incoming, keys)
+    cand = _candidate_files(snap, key_conj)
     target = _read_files(spark, snap, cand)
     tagged = target.withColumn("__file", F.input_file_name())
     inc_keys = incoming.select(*keys).dropDuplicates(keys)
@@ -1722,7 +1887,8 @@ def merge_scd2_delta_lite(
             }
         )
     actions.extend(_stage_and_adds(merged, table_path, pcols))
-    version = snap.version + 1
-    _commit(table_path, version, actions)
+    # disjoint-transaction retry: a racing SCD2 MERGE into other
+    # partitions/key ranges commutes; overlap or schema change raises
+    version = _commit_dml(table_path, snap, actions, set(cand), key_conj)
     _maybe_checkpoint(table_path, version, checkpoint_interval)
     return version

@@ -23,6 +23,18 @@ Semantics mirror delta-spark's streaming source for append-only tables:
     breaks append-only streaming: the source RAISES by default, or
     skips the whole commit with ``.option("skipChangeCommits", "true")``
     (delta-spark's option of the same name);
+  - ``.option("readChangeFeed", "true")`` streams CDC rows instead
+    (``_change_type`` insert|delete + ``_commit_version``): append
+    commits fan out file-parallel as inserts; a change commit is
+    multiset-diffed (removed vs added rows) in one task so
+    rewritten-but-unchanged rows cancel — the stream delivers exactly
+    what the batch ``delta_changes`` feed computes for that commit,
+    without requiring persisted ``_change_data`` files. Default start =
+    changes after stream start; ``startingVersion`` rewinds. The
+    change-commit diff's unit of parallelism is the commit, and its
+    row volume is the commit's churned files (pruned DML rewrites only
+    matched files) — a day's CDC streams the day's churn, never the
+    table;
   - one ``InputPartition`` per data file → executor-parallel Arrow
     reads; the driver touches only the log (KBs per commit), never
     data — at 100 TB a microbatch plans from one JSON file and fans
@@ -78,6 +90,30 @@ class DeltaFilePartition(InputPartition):
         self.version = version
 
 
+class DeltaCdfFilePartition(InputPartition):
+    """readChangeFeed, append commit: one ADDED file, delivered as
+    ``_change_type='insert'`` rows (file-parallel, the common path)."""
+
+    def __init__(self, path: str, partition_values: dict, version: int):
+        self.path = path
+        self.partition_values = partition_values
+        self.version = version
+
+
+class DeltaCdfDiffPartition(InputPartition):
+    """readChangeFeed, change commit (DELETE/UPDATE/MERGE/RESTORE/
+    overwrite): the commit's removed and added files together, so the
+    executor can cancel rewritten-but-unchanged rows with a multiset
+    diff — the same semantics the batch ``delta_changes`` feed has.
+    One task per change commit; its row volume is the commit's churned
+    files (pruned DML rewrites only matched files), not the table."""
+
+    def __init__(self, old_files: list, new_files: list, version: int):
+        self.old_files = old_files  # [(abs path, partitionValues)]
+        self.new_files = new_files
+        self.version = version
+
+
 def _python_partition_value(raw, dtype):
     """Delta records partition values as strings; convert to the Python
     value whose Arrow form matches the declared column type."""
@@ -126,10 +162,40 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         #: so any client-side clamp can regress offsets or re-deliver
         #: commits after a restart. Measured, not assumed.)
         self._starting_version = options.get("startingversion")
+        #: delta's readChangeFeed: deliver CDC rows (_change_type /
+        #: _commit_version) instead of requiring append-only commits.
+        #: Change commits are CONSUMED (multiset-diff semantics matching
+        #: the batch ``delta_changes`` feed), so skipChangeCommits is
+        #: contradictory alongside it.
+        self._cdf = str(options.get("readchangefeed", "false")).lower() == "true"
+        if self._cdf and self._skip_change_commits:
+            raise ValueError(
+                "readChangeFeed and skipChangeCommits are mutually "
+                "exclusive: the change feed DELIVERS change commits"
+            )
         self._schema = schema
+
+    def _base_fields(self) -> list:
+        """The table's own fields (CDF metadata columns excluded)."""
+        return [
+            f
+            for f in self._schema.fields
+            if f.name not in ("_change_type", "_commit_version")
+        ]
 
     # -- offsets ---------------------------------------------------------
     def initialOffset(self) -> dict:
+        if self._cdf:
+            # change feed: stream CHANGES, never a snapshot — default =
+            # commits after stream start (delta's CDF posture); an int
+            # startingVersion rewinds into history explicitly
+            from .delta_lite import load_snapshot
+
+            if self._starting_version is None or str(
+                self._starting_version
+            ).lower() == "latest":
+                return {"version": load_snapshot(self._path).version}
+            return {"version": int(self._starting_version) - 1}
         if self._starting_version is None:
             # Default = the current reconciled snapshot, delivered as the
             # first batch (the ``snapshot`` marker tells ``partitions`` to
@@ -194,10 +260,94 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
             if a.get("add") and a["add"].get("dataChange", True)
         ]
 
+    def _cdf_partitions(self, lo: int, hi: int) -> list:
+        """Change-feed planning: per commit, adds-only commits fan out
+        file-parallel as inserts; commits that remove data become diff
+        partitions holding both sides (the executor multiset-diffs them
+        so rewritten-but-unchanged rows cancel — stream CDC equals the
+        batch ``delta_changes`` over the same version range). The diff
+        is grouped by HIVE PARTITION VALUE: rows with different
+        partition values differ as tuples (the partition column is part
+        of the row) and can never cancel, so per-(commit, partition)
+        diffing is EXACT — a change commit touching 100 partitions fans
+        out 100 diff tasks, not one; a key that MOVES partitions
+        surfaces as delete(old partition) + insert(new partition) from
+        the two groups, exactly the global diff's answer. Remove
+        actions carry no partitionValues, so the removed files' values
+        come from the pre-commit snapshot (driver, log-sized)."""
+        import urllib.parse
+
+        from .delta_lite import load_snapshot
+
+        parts = []
+        for v in range(lo + 1, hi + 1):
+            actions = self._commit_actions(v)
+            adds = [
+                a["add"]
+                for a in actions
+                if a.get("add") and a["add"].get("dataChange", True)
+            ]
+            removes = [
+                a["remove"]
+                for a in actions
+                if a.get("remove") and a["remove"].get("dataChange", True)
+            ]
+            if not adds and not removes:
+                continue  # OPTIMIZE / metadata-only: no row changed
+            new_files = [
+                (
+                    os.path.join(self._path, urllib.parse.unquote(a["path"])),
+                    a.get("partitionValues") or {},
+                )
+                for a in adds
+            ]
+            if not removes:
+                parts.extend(
+                    DeltaCdfFilePartition(path=p, partition_values=pv, version=v)
+                    for p, pv in new_files
+                )
+                continue
+            prev = load_snapshot(self._path, v - 1)
+            old_files = []
+            for r in removes:
+                rel = urllib.parse.unquote(r["path"])
+                prev_add = prev.files.get(rel)
+                old_files.append(
+                    (
+                        os.path.join(self._path, rel),
+                        (prev_add or {}).get("partitionValues") or {},
+                    )
+                )
+            groups: dict = {}
+            for side, files in (("old", old_files), ("new", new_files)):
+                for path, pv in files:
+                    # NULL partition values must not collide with the
+                    # string "None": key on (name, is_null, value)
+                    key = tuple(
+                        sorted(
+                            (k, val is None, "" if val is None else str(val))
+                            for k, val in pv.items()
+                        )
+                    )
+                    groups.setdefault(key, ([], []))[0 if side == "old" else 1].append(
+                        (path, pv)
+                    )
+            for _key, (olds, news) in sorted(groups.items()):
+                parts.append(
+                    DeltaCdfDiffPartition(
+                        old_files=olds, new_files=news, version=v
+                    )
+                )
+        return parts
+
     def partitions(self, start: dict, end: dict):
         import urllib.parse
 
         lo, hi = int(start["version"]), int(end["version"])
+        if self._cdf:
+            parts = self._cdf_partitions(lo, hi)
+            self._check_exists(parts)
+            return parts
         parts = []
         if start.get("snapshot") is not None:
             # fresh-stream first batch: the reconciled live file set of
@@ -225,10 +375,21 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
                         version=v,
                     )
                 )
-        # planning-time existence check (driver, log-sized): a replayed
-        # add whose file was vacuumed must fail with the remedy, not a
-        # mid-batch executor FileNotFoundError
-        missing = [p.path for p in parts if not os.path.exists(p.path)]
+        self._check_exists(parts)
+        return parts
+
+    @staticmethod
+    def _check_exists(parts: list) -> None:
+        """Planning-time existence check (driver, log-sized): a replayed
+        add/remove whose file was vacuumed must fail with the remedy,
+        not a mid-batch executor FileNotFoundError."""
+        paths = []
+        for p in parts:
+            if isinstance(p, DeltaCdfDiffPartition):
+                paths.extend(f for f, _pv in p.old_files + p.new_files)
+            else:
+                paths.append(p.path)
+        missing = [f for f in paths if not os.path.exists(f)]
         if missing:
             raise ValueError(
                 f"{len(missing)} data file(s) this batch replays no longer "
@@ -236,31 +397,122 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
                 f"with the default snapshot start (no startingVersion) or "
                 f"startingVersion='latest' instead of replaying history"
             )
-        return parts
 
     # -- execution (executors) ---------------------------------------------
-    def read(self, partition: DeltaFilePartition):
+    def _aligned_table(self, path: str, partition_values: dict, fields, target):
+        """One parquet file as an Arrow table aligned to ``target`` (the
+        Arrow form of ``fields``): partition columns re-attached as
+        constants, pre-evolution missing columns as NULL, physical types
+        cast to the declared ones."""
         import pyarrow as pa
         import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
 
-        target = to_arrow_schema(self._schema)
-        table = pq.read_table(partition.path)
+        table = pq.read_table(path)
         n = table.num_rows
         arrays = []
-        for field, spark_field in zip(target, self._schema.fields):
+        for field, spark_field in zip(target, fields):
             if field.name in table.column_names:
                 col = table.column(field.name)
                 if col.type != field.type:
                     col = col.cast(field.type)
                 arrays.append(col.combine_chunks())
-            else:  # partition column: constant per file, re-attached here
+            else:  # partition column (constant per file) or a column
+                # added by schema evolution after this file was written
+                # (reads NULL, parquet missing-column semantics)
                 val = _python_partition_value(
-                    partition.partition_values.get(field.name),
+                    partition_values.get(field.name),
                     spark_field.dataType,
                 )
                 arrays.append(pa.array([val] * n, type=field.type))
-        for batch in pa.Table.from_arrays(arrays, schema=target).to_batches():
+        return pa.Table.from_arrays(arrays, schema=target)
+
+    @staticmethod
+    def _hashable(v):
+        """Multiset-diff key for one value (lists/dicts → tuples)."""
+        if isinstance(v, list):
+            return tuple(DeltaLiteStreamReader._hashable(x) for x in v)
+        if isinstance(v, dict):
+            return tuple(
+                sorted(
+                    (k, DeltaLiteStreamReader._hashable(x)) for k, x in v.items()
+                )
+            )
+        if isinstance(v, bytearray):
+            return bytes(v)
+        return v
+
+    def _read_cdf_diff(self, partition: DeltaCdfDiffPartition):
+        """Change-commit CDC: multiset diff of the commit's removed vs
+        added rows — rewritten-but-unchanged rows cancel, surviving
+        surpluses surface as delete/insert rows (exactly the batch
+        ``delta_changes`` semantics, computed per commit)."""
+        from collections import Counter
+
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        fields = self._base_fields()
+        names = [f.name for f in fields]
+        base_target = to_arrow_schema(
+            StructType(fields)
+        )
+        cnt: Counter = Counter()
+        rep: dict = {}
+
+        def fold(files, sign):
+            for path, pvals in files:
+                rows = self._aligned_table(path, pvals, fields, base_target).to_pylist()
+                for row in rows:
+                    key = tuple(self._hashable(row[c]) for c in names)
+                    cnt[key] += sign
+                    if key not in rep:
+                        rep[key] = row
+
+        fold(partition.new_files, +1)
+        fold(partition.old_files, -1)
+        out = []
+        for key, c in cnt.items():
+            if c == 0:
+                continue
+            row = dict(rep[key])
+            row["_change_type"] = "insert" if c > 0 else "delete"
+            row["_commit_version"] = partition.version
+            out.extend([row] * abs(c))
+        if not out:
+            return
+        cdf_target = to_arrow_schema(self._schema)
+        for batch in pa.Table.from_pylist(out, schema=cdf_target).to_batches():
+            yield batch
+
+    def read(self, partition):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        if isinstance(partition, DeltaCdfDiffPartition):
+            yield from self._read_cdf_diff(partition)
+            return
+        if isinstance(partition, DeltaCdfFilePartition):
+            fields = self._base_fields()
+            base_target = to_arrow_schema(StructType(fields))
+            table = self._aligned_table(
+                partition.path, partition.partition_values, fields, base_target
+            )
+            n = table.num_rows
+            cdf_target = to_arrow_schema(self._schema)
+            table = table.append_column(
+                "_change_type", pa.array(["insert"] * n, type=pa.string())
+            ).append_column(
+                "_commit_version",
+                pa.array([partition.version] * n, type=pa.int64()),
+            )
+            for batch in table.cast(cdf_target).to_batches():
+                yield batch
+            return
+        target = to_arrow_schema(self._schema)
+        table = self._aligned_table(
+            partition.path, partition.partition_values, self._schema.fields, target
+        )
+        for batch in table.to_batches():
             yield batch
 
     def commit(self, end: dict) -> None:
@@ -278,12 +530,25 @@ class DeltaLiteStreamSource(DataSource):
         return FORMAT_NAME
 
     def schema(self):
+        from pyspark.sql.types import LongType as _Long
+        from pyspark.sql.types import StringType as _Str
+        from pyspark.sql.types import StructField
+
         from .delta_lite import load_snapshot
 
         path = self.options.get("path")
         if not path:
             raise ValueError("delta_lite_stream requires .option('path', ...)")
-        return load_snapshot(path).schema
+        base = load_snapshot(path).schema
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            return StructType(
+                list(base.fields)
+                + [
+                    StructField("_change_type", _Str(), False),
+                    StructField("_commit_version", _Long(), False),
+                ]
+            )
+        return base
 
     def streamReader(self, schema: StructType) -> DeltaLiteStreamReader:
         return DeltaLiteStreamReader(schema, dict(self.options))

@@ -242,6 +242,49 @@ def main():
     print(f"config RESTORE: rolled back to v0 ({r_restored} rows, log-only), "
           f"timestampAsOf read saw the post-merge snapshot ({r_as_of} rows)")
 
+    # 3d. DESCRIBE HISTORY as a config step + MERGE schema auto-evolution
+    # (round 11): deltaHistory emits one row per commit (log-only, any
+    # table size), and a deltaMerge with mergeSchema=true widens the
+    # table additively in the SAME atomic commit — inserts carry the new
+    # column, matched updates SET it, pre-existing rows read NULL.
+    _run_cfg(spark, "evolve", {
+        "configs": {"name": "orders_evolve", "phase_1": {"input_data": {
+            "dataSource": "local", "dataFrameName": "orders",
+            "path": f"{SF}/orders.parquet",
+            "fileProperties": {"fileFormat": "parquet"}}}},
+        "phase_2": {"data_transformations": [
+            {"functionName": "widened corrections feed",
+             "sqlQuery": "SELECT o_orderkey, o_custkey, 'AUDITED' AS o_orderpriority, "
+                         "'r11' AS audit_tag FROM orders WHERE o_orderkey % 100 = 1 LIMIT 20",
+             "outputDFName": "widened"},
+            {"operatorName": "deltaMerge", "inputDFName": "widened",
+             "operatorParams": {
+                 "table_path": dml_table, "on_keys": "o_orderkey",
+                 "when_matched_update_json":
+                     "{\"o_orderpriority\": \"src_o_orderpriority\", "
+                     "\"audit_tag\": \"src_audit_tag\"}",
+                 "mergeSchema": "true"},
+             "outputDFName": "evolved_snap"},
+            {"operatorName": "deltaHistory", "inputDFName": "evolved_snap",
+             "operatorParams": {"table_path": dml_table},
+             "outputDFName": "history"}]},
+        "phase_3": {"target_record_insert": [{
+            "dataTarget": "local", "dataFrameName": "history",
+            "loadType": "truncateInsert", "path": f"{DEMO}/history",
+            "outputDataProperties": {"fileFormat": "parquet"}}]},
+    })
+    evolved = read_delta_lite(spark, dml_table)
+    assert "audit_tag" in evolved.columns
+    n_tagged = evolved.filter("audit_tag = 'r11'").count()
+    assert n_tagged > 0
+    assert evolved.filter("audit_tag IS NULL").count() == evolved.count() - n_tagged
+    ops = [r[0] for r in _duck.sql(
+        f"SELECT operation FROM '{DEMO}/history/*.parquet' ORDER BY version DESC"
+    ).fetchall()]
+    assert ops == ["MERGE", "RESTORE", "DELETE", "MERGE", "WRITE"]
+    print(f"config evolution: audit_tag evolved in one MERGE commit "
+          f"({n_tagged} tagged, rest NULL); deltaHistory sink lists {ops}")
+
     # 4. OPTIMIZE + VACUUM + the honest end of time travel
     files_before = len(load_snapshot(table).files)
     v_opt = optimize_delta_lite(table, spark, target_files=2)
