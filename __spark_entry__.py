@@ -2186,6 +2186,86 @@ FROM p WHERE p_partkey % 8 IN (3, 5)
 """
 
 
+def _q_delta_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2-replaceWhere (round 11): ``overwrite`` + ``replaceWhere`` —
+    delta-spark's targeted reload (``sources/delta_lite.write_delta_lite
+    (replace_where=...)``; config surface: ``loadType: truncateInsert``
+    + ``options.replaceWhere``). An ``orders`` table hive-partitioned by
+    priority has its ``1-URGENT`` partition atomically replaced by a
+    corrected feed (a third of the keys dropped, cents bumped) in ONE
+    commit: matching rows deleted, feed inserted, every other partition
+    untouched — the daily-partition-reload shape. Partition-value
+    pruning bounds the rewrite to the urgent partition's files; the
+    meta lane pins that the untouched partitions' files SURVIVED the
+    commit (no table-wide overwrite) and that exactly one version was
+    committed. The oracle restates the reload relationally.
+
+    Determinism: aggregates per priority (integer cents), so file
+    counts and row order never matter."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.delta_lite import (
+        load_snapshot,
+        read_delta_lite,
+        write_delta_lite,
+    )
+
+    tp = os.path.join(tempfile.mkdtemp(prefix="delta_rw_"), "orders_by_prio")
+    base = _table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    write_delta_lite(
+        base.repartition(2, "o_orderkey"), tp, partition_by=["o_orderpriority"]
+    )
+    feed = base.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") % 3 != 0)
+    ).withColumn("cents", F.col("cents") + F.lit(7))
+    v = write_delta_lite(
+        feed,
+        tp,
+        mode="overwrite",
+        replace_where="o_orderpriority = '1-URGENT'",
+    )
+    shared = set(load_snapshot(tp, 0).files) & set(load_snapshot(tp).files)
+    agg = (
+        read_delta_lite(spark, tp)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    meta = spark.range(1).select(
+        F.lit("_meta").alias("o_orderpriority"),
+        F.lit(1 if shared else 0).cast("bigint").alias("n"),
+        F.lit(int(v)).cast("bigint").alias("sum_cents"),
+    )
+    return agg.unionByName(meta)
+
+
+DELTA_REPLACE_WHERE_DUCK = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), after AS (
+  SELECT o_orderkey, o_orderpriority, cents
+  FROM o WHERE o_orderpriority <> '1-URGENT'
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, cents + 7
+  FROM o WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 3 <> 0
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM after GROUP BY o_orderpriority
+UNION ALL
+SELECT '_meta', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+"""
+
+
 def _q_streaming_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9-streaming-CDF (round 11): the delta-lite STREAMING CHANGE
     FEED — ``readStream.format(delta_lite_stream).option
@@ -8066,6 +8146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    the streaming change feed -------------------------------
         "delta_merge_evolve": _q_delta_merge_evolve,
         "streaming_cdf": _q_streaming_cdf,
+        "delta_replace_where": _q_delta_replace_where,
         # -- (-1) round-9 additions: full-PSL registrable domains and
         #    the RFC 9309 robots politeness filter ---------------------
         "psl_domains": _q_psl_domains,
@@ -8281,10 +8362,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
     }
     # Round-11 rotation head: the driver checks the FIRST 50 keys.
-    # Composition (counts: 2 + 5 + 14 + 7 + 22 = 50 checked;
-    # 187 total):
-    #   - 2 brand-new round-11 entries (delta_merge_evolve,
-    #     streaming_cdf) — never driver-checked, lead unconditionally,
+    # Composition (counts: 3 + 5 + 14 + 7 + 21 = 50 checked;
+    # 188 total):
+    #   - 3 brand-new round-11 entries (delta_merge_evolve,
+    #     streaming_cdf, delta_replace_where) — never driver-checked,
+    #     lead unconditionally,
     #   - 5 whose code path changed in round 11 — changed code ALWAYS
     #     re-enters: delta_roundtrip + delta_cdc + delta_restore +
     #     scd2_price_history (MERGE schema auto-evolution threaded
@@ -8304,24 +8386,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     left anywhere (domain_mix, bigram_lm, streaming_enrich,
     #     hll_rollup, streaming_running_totals, streaming_dedup,
     #     streaming_interval_join),
-    #   - 22 r06-evidence keys in base order (orders_rollup,
+    #   - 21 r06-evidence keys in base order (orders_rollup,
     #     cte_nation_revenue, q4/q12/q14/q18/q19, ann_lsh_topk,
     #     embedding_near_dups, bpe_merges, bpe_tokenize,
     #     classifier_distill, classifier_score, tfidf_top_terms,
     #     inverted_index, weighted_sample, kmeans_clusters,
     #     quality_quantile_filter, snapshot_diff, zscore_outliers,
-    #     embedding_quantize, cms_user_counts).
+    #     embedding_quantize).
     # Everything not in the head keeps its r06-r10 evidence and follows
-    # in prior order. Round 12 should lead with the remaining 16
-    # r06-evidence keys (zorder_cluster, time_resample, variant_extract,
-    # mad_outliers, incremental_agg, streaming_outer_join,
-    # streaming_sliding_counts, source_entropy, time_interpolate,
-    # corpus_curation, doc_fingerprints, distinct_counts,
-    # dup_groups_report, null_pk_lanes, embedding_resize,
-    # approx_distinct) plus anything round 12 changes.
+    # in prior order. Round 12 should lead with the remaining 17
+    # r06-evidence keys (cms_user_counts, zorder_cluster, time_resample,
+    # variant_extract, mad_outliers, incremental_agg,
+    # streaming_outer_join, streaming_sliding_counts, source_entropy,
+    # time_interpolate, corpus_curation, doc_fingerprints,
+    # distinct_counts, dup_groups_report, null_pk_lanes,
+    # embedding_resize, approx_distinct) plus anything round 12 changes.
     head = [
         # brand-new round-11 entries
-        "delta_merge_evolve", "streaming_cdf",
+        "delta_merge_evolve", "streaming_cdf", "delta_replace_where",
         # round-11 changed-code re-entries (delta write/DML/stream)
         "delta_roundtrip", "delta_cdc", "delta_restore",
         "scd2_price_history", "streaming_delta_source",
@@ -8343,7 +8425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize", "classifier_distill", "classifier_score",
         "tfidf_top_terms", "inverted_index", "weighted_sample",
         "kmeans_clusters", "quality_quantile_filter", "snapshot_diff",
-        "zscore_outliers", "embedding_quantize", "cms_user_counts",
+        "zscore_outliers", "embedding_quantize",
         # 50-cap cutoff. The round-10 head (k_generalize ...
         # nfc_normalize) carries fresh r10 driver evidence and rotates
         # out en bloc.
@@ -8399,6 +8481,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_roundtrip": DELTA_ROUNDTRIP_DUCK,
         "delta_restore": DELTA_RESTORE_DUCK,
         "delta_merge_evolve": DELTA_MERGE_EVOLVE_DUCK,
+        "delta_replace_where": DELTA_REPLACE_WHERE_DUCK,
         "streaming_delta_source": STREAMING_DELTA_SOURCE_DUCK,
         "streaming_cdf": STREAMING_CDF_DUCK,
         "shuffle_shards": SHUFFLE_SHARDS_DUCK,

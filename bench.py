@@ -204,6 +204,7 @@ HEADLINE = [
     # CDC == the batch delta_changes semantics)
     "delta_merge_evolve",
     "streaming_cdf",
+    "delta_replace_where",
 ]
 
 

@@ -148,9 +148,17 @@ def _write_file(df: DataFrame, spec: "TargetSpec", mode: str) -> None:
         # S9/W2 executed for real without delta-spark: the in-repo
         # transaction-log implementation (sources/delta_lite.py). Stages
         # through Spark's parquet writer, then records one atomic commit.
+        # options.replaceWhere (with an overwrite load) reloads ONLY the
+        # rows matching the predicate — the daily-partition-reload shape.
         from ..sources.delta_lite import write_delta_lite
 
-        write_delta_lite(out, spec.path, mode=mode, partition_by=spec.partition_by)
+        write_delta_lite(
+            out,
+            spec.path,
+            mode=mode,
+            partition_by=spec.partition_by,
+            replace_where=spec.options.get("replaceWhere"),
+        )
         return
     writer.format(fmt).save(spec.path)
     if spec.single_file:

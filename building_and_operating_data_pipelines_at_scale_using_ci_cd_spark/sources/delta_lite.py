@@ -692,8 +692,19 @@ def write_delta_lite(
     checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
     txn: tuple | None = None,
     merge_schema: bool = False,
+    replace_where: str | None = None,
 ) -> int:
     """Write ``df`` as a Delta commit; returns the committed version.
+
+    ``replace_where`` (delta-spark's ``option("replaceWhere", ...)``,
+    only with ``mode='overwrite'``): atomically replace ONLY the rows
+    matching the predicate with ``df`` — the daily partition/range
+    reload. Incoming rows must all satisfy the predicate (checked with
+    one bounded job, delta's constraint); files whose stats prove the
+    predicate unsatisfiable are never read OR rewritten, and the
+    delete+insert lands as one commit through the same pruned-rewrite
+    skeleton as DML, so two reloads of provably disjoint ranges from
+    independent pipelines commute instead of raising.
 
     ``merge_schema=True`` allows ADDITIVE evolution on append/overwrite:
     new columns join the table schema (a new ``metaData`` action rides
@@ -717,12 +728,31 @@ def write_delta_lite(
     survive checkpoints.
     """
     spark = df.sparkSession
+    if replace_where is not None and mode != "overwrite":
+        raise ValueError("replace_where requires mode='overwrite'")
+    if replace_where is not None and txn is not None:
+        raise ValueError("replace_where does not compose with txn watermarks")
     exists = is_delta_table(table_path)
     snap = load_snapshot(table_path) if exists else None
     if exists and mode == "ignore":
         return snap.version
     if exists and mode in ("error", "errorifexists"):
         raise ValueError(f"delta table already exists: {table_path}")
+    if replace_where is not None and snap is not None:
+        return _replace_where(
+            spark, df, table_path, snap, replace_where, checkpoint_interval
+        )
+    # replace_where on a fresh table degenerates to a plain create (there
+    # is nothing to replace) — fall through, predicate still validated
+    # (NULL counts as a violation: such a row would not be replace-able)
+    if replace_where is not None:
+        if df.filter(
+            ~F.coalesce(F.expr(replace_where), F.lit(False))
+        ).limit(1).count():
+            raise ValueError(
+                f"replaceWhere violation: input rows do not all satisfy "
+                f"{replace_where!r}"
+            )
     if txn is not None and snap is not None:
         app_id, app_version = txn
         if snap.txns.get(str(app_id), -1) >= int(app_version):
@@ -1344,11 +1374,15 @@ def delete_delta_lite(spark: SparkSession, table_path: str, condition: str) -> i
     tagged = _read_files(spark, snap, cand).withColumn(
         "__file", F.input_file_name()
     )
+    # SQL DELETE semantics: only rows where the predicate is TRUE are
+    # deleted — a NULL predicate row in a rewritten file must SURVIVE
+    # (plain ~cond would drop it: NOT(NULL) filters as not-true)
+    keep = ~F.coalesce(F.expr(condition), F.lit(False))
     return _pruned_rewrite(
         spark,
         table_path,
         tagged.filter(F.expr(condition)),
-        lambda rows: rows.filter(~F.expr(condition)),
+        lambda rows: rows.filter(keep),
         "DELETE",
         {"predicate": condition, "candidateFiles": len(cand)},
         snap=snap,
@@ -1539,6 +1573,65 @@ def merge_delta_lite(
         read_set=cand,
         conjuncts=key_conj,
     )
+
+
+def _replace_where(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    snap: DeltaSnapshot,
+    condition: str,
+    checkpoint_interval: int | None,
+) -> int:
+    """``overwrite`` + ``replaceWhere``: one atomic commit that deletes
+    every existing row matching ``condition`` and inserts ``df`` (whose
+    rows must ALL match it — delta's constraint, checked with one
+    bounded job). Stats/partition pruning bounds the rewrite to files
+    that can hold a matching row; a mixed file is rewritten keeping its
+    non-matching rows. Runs through :func:`_pruned_rewrite`, so two
+    reloads of provably disjoint ranges commute on a commit race."""
+    declared = snap.schema
+    declared_names = {f.name for f in declared.fields}
+    if set(df.columns) != declared_names:
+        raise ValueError(
+            f"replaceWhere write must match the table schema "
+            f"{sorted(declared_names)}; got {sorted(df.columns)}"
+        )
+    aligned = df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
+    )
+    cond = F.expr(condition)
+    # NULL counts as a violation on the way IN (the row would not be
+    # replace-able) and as a KEEPER on the way out (only rows where the
+    # predicate is TRUE are replaced — SQL DELETE semantics)
+    if aligned.filter(~F.coalesce(cond, F.lit(False))).limit(1).count():
+        raise ValueError(
+            f"replaceWhere violation: input rows do not all satisfy "
+            f"{condition!r}"
+        )
+    conj = _parse_conjuncts(condition)
+    cand = _candidate_files(snap, conj)
+    tagged = _read_files(spark, snap, cand).withColumn(
+        "__file", F.input_file_name()
+    )
+    keep = ~F.coalesce(cond, F.lit(False))
+    version = _pruned_rewrite(
+        spark,
+        table_path,
+        tagged.filter(cond),
+        lambda rows: rows.filter(keep).unionByName(aligned),
+        "WRITE",
+        {
+            "mode": "OVERWRITE",
+            "replaceWhere": condition,
+            "candidateFiles": len(cand),
+        },
+        snap=snap,
+        read_set=cand,
+        conjuncts=conj,
+    )
+    _maybe_checkpoint(table_path, version, checkpoint_interval)
+    return version
 
 
 def delta_changes(

@@ -34,7 +34,9 @@ Semantics mirror delta-spark's streaming source for append-only tables:
     change-commit diff's unit of parallelism is the commit, and its
     row volume is the commit's churned files (pruned DML rewrites only
     matched files) — a day's CDC streams the day's churn, never the
-    table;
+    table. Change rows are delivered in the STREAM-START schema (a
+    Structured Streaming query's schema is fixed at start); restart the
+    stream after a schema evolution to see the new columns;
   - one ``InputPartition`` per data file → executor-parallel Arrow
     reads; the driver touches only the log (KBs per commit), never
     data — at 100 TB a microbatch plans from one JSON file and fans

@@ -575,6 +575,179 @@ def test_cdf_per_partition_diff_is_exact(spark, tmp_path):
     assert ("a", 2, 20, "delete", 2) in got and ("c", 2, 20, "insert", 2) in got
 
 
+# -- 8. overwrite + replaceWhere -------------------------------------------
+
+
+def test_replace_where_reloads_only_matching_rows(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(
+        spark.createDataFrame(
+            [("a", 1, 10), ("a", 2, 20), ("b", 3, 30), ("b", 4, 40)],
+            "p string, k int, n int",
+        ).coalesce(1),  # one file per partition → deterministic candidateFiles
+        tp,
+        partition_by=["p"],
+    )
+    feed = spark.createDataFrame(
+        [("a", 1, 111), ("a", 9, 999)], "p string, k int, n int"
+    )
+    v = dl.write_delta_lite(
+        feed, tp, mode="overwrite", replace_where="p = 'a'"
+    )
+    assert v == 1  # one atomic commit
+    got = sorted(tuple(r) for r in dl.read_delta_lite(spark, tp).collect())
+    # partition a fully replaced by the feed (row 2 dropped, 9 added),
+    # partition b untouched
+    assert got == [("a", 1, 111), ("a", 9, 999), ("b", 3, 30), ("b", 4, 40)]
+    # partition b's files were never rewritten
+    cinfo = dl.history_delta_lite(tp)[0]["operationParameters"]
+    assert cinfo["replaceWhere"] == "p = 'a'" and cinfo["candidateFiles"] == 1
+    # pre-reload still time-travelable
+    assert dl.read_delta_lite(spark, tp, version=0).count() == 4
+
+
+def test_replace_where_constraint_and_mode(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(
+        spark.createDataFrame([("a", 1)], "p string, k int"), tp
+    )
+    bad = spark.createDataFrame([("b", 2)], "p string, k int")
+    with pytest.raises(ValueError, match="replaceWhere violation"):
+        dl.write_delta_lite(bad, tp, mode="overwrite", replace_where="p = 'a'")
+    with pytest.raises(ValueError, match="mode='overwrite'"):
+        dl.write_delta_lite(bad, tp, mode="append", replace_where="p = 'b'")
+    # mixed file: non-matching rows in a rewritten file survive
+    tp2 = str(tmp_path / "t2")
+    dl.write_delta_lite(
+        spark.createDataFrame(
+            [("a", 1), ("b", 2)], "p string, k int"
+        ).coalesce(1),
+        tp2,
+    )
+    dl.write_delta_lite(
+        spark.createDataFrame([("a", 7)], "p string, k int"),
+        tp2,
+        mode="overwrite",
+        replace_where="p = 'a'",
+    )
+    assert sorted(
+        tuple(r) for r in dl.read_delta_lite(spark, tp2).collect()
+    ) == [("a", 7), ("b", 2)]
+
+
+def test_null_predicate_rows_survive_delete_and_replace(spark, tmp_path):
+    """SQL DELETE semantics: a row where the predicate evaluates NULL is
+    NOT deleted — and must survive even when it shares a rewritten file
+    with matching rows (plain ~cond would silently drop it)."""
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(
+        spark.createDataFrame(
+            [("a", 1), (None, 2), ("b", 3)], "p string, k int"
+        ).coalesce(1),  # ONE file: the NULL row shares it with matches
+        tp,
+    )
+    dl.delete_delta_lite(spark, tp, "p = 'a'")
+    assert {
+        tuple(r) for r in dl.read_delta_lite(spark, tp).collect()
+    } == {("b", 3), (None, 2)}
+    tp2 = str(tmp_path / "t2")
+    dl.write_delta_lite(
+        spark.createDataFrame(
+            [("a", 1), (None, 2), ("b", 3)], "p string, k int"
+        ).coalesce(1),
+        tp2,
+    )
+    dl.write_delta_lite(
+        spark.createDataFrame([("a", 9)], "p string, k int"),
+        tp2,
+        mode="overwrite",
+        replace_where="p = 'a'",
+    )
+    assert {
+        tuple(r) for r in dl.read_delta_lite(spark, tp2).collect()
+    } == {("a", 9), ("b", 3), (None, 2)}
+    # and a NULL-predicate INCOMING row is a constraint violation
+    with pytest.raises(ValueError, match="replaceWhere violation"):
+        dl.write_delta_lite(
+            spark.createDataFrame([(None, 5)], "p string, k int"),
+            tp2,
+            mode="overwrite",
+            replace_where="p = 'a'",
+        )
+
+
+def test_replace_where_disjoint_reloads_commute(spark, tmp_path, monkeypatch):
+    """Two daily reloads of DIFFERENT partitions racing: both land."""
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(
+        spark.createDataFrame(
+            [("a", 1, 10), ("b", 2, 20)], "p string, k int, n int"
+        ),
+        tp,
+        partition_by=["p"],
+    )
+    _inject_before_first_commit(
+        monkeypatch,
+        lambda: dl.write_delta_lite(
+            spark.createDataFrame([("b", 2, 222)], "p string, k int, n int"),
+            tp,
+            mode="overwrite",
+            replace_where="p = 'b'",
+        ),
+    )
+    v = dl.write_delta_lite(
+        spark.createDataFrame([("a", 1, 111)], "p string, k int, n int"),
+        tp,
+        mode="overwrite",
+        replace_where="p = 'a'",
+    )
+    assert v == 2
+    got = sorted(tuple(r) for r in dl.read_delta_lite(spark, tp).collect())
+    assert got == [("a", 1, 111), ("b", 2, 222)]
+
+
+def test_replace_where_through_config_sink(spark, tmp_path):
+    """Config surface: truncateInsert + options.replaceWhere on a
+    deltalake target reloads only the matching rows."""
+    import json as _json
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.plans.engine import (
+        Orchestrator,
+    )
+
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(
+        spark.createDataFrame(
+            [("east", 1, 10), ("west", 2, 20)], "region string, k int, n int"
+        ),
+        tp,
+        partition_by=["region"],
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("east", 1, 100), ("east", 3, 300)], "region string, k int, n int"
+    ).write.parquet(src)
+    cfg = {
+        "configs": {"name": "reload_east", "phase_1": {"input_data": {
+            "dataSource": "local", "dataFrameName": "feed", "path": src,
+            "fileProperties": {"fileFormat": "parquet"}}}},
+        "phase_2": {"data_transformations": [{
+            "functionName": "pass", "outputDFName": "out",
+            "sqlQuery": "SELECT region, k, n FROM feed"}]},
+        "phase_3": {"target_record_insert": [{
+            "dataTarget": "local", "dataFrameName": "out",
+            "loadType": "truncateInsert", "path": tp,
+            "fileFormat": "deltalake",
+            "options": {"replaceWhere": "region = 'east'"}}]},
+    }
+    p = str(tmp_path / "cfg.json")
+    with open(p, "w") as fh:
+        _json.dump(cfg, fh)
+    Orchestrator(spark).run(p)
+    got = sorted(tuple(r) for r in dl.read_delta_lite(spark, tp).collect())
+    assert got == [("east", 1, 100), ("east", 3, 300), ("west", 2, 20)]
+
+
 # -- 4. $${name} literal escape in substitute_params ----------------------
 
 
