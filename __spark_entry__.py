@@ -2266,6 +2266,100 @@ SELECT '_meta', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
 """
 
 
+def _q_delta_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-convert (round 11): ``CONVERT TO DELTA`` — an existing
+    hive-partitioned parquet directory (``customer`` written by
+    ``c_mktsegment``) becomes a delta-lite table IN PLACE
+    (``sources/delta_lite.convert_to_delta``; config step
+    ``deltaConvert``): commit 0 references the files where they sit,
+    with typed partition discovery and per-file footer stats, so no
+    byte of data moves and data skipping works from the first read.
+    The converted table is then proven LIVE: a slice re-appends through
+    the normal delta writer (v1), the full table aggregates per
+    segment, one lane re-reads with a partition predicate through the
+    stats/partition pruner, and the meta lane pins that conversion was
+    version 0 AND every pre-existing data file is still on disk at its
+    original relative path (files-in-place, the whole point of
+    CONVERT). The oracle restates all lanes from ``customer``.
+
+    Determinism: integer cents; the appended slice is the
+    ``c_custkey % 10 = 3`` subset (those customers count twice)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.delta_lite import (
+        convert_to_delta,
+        load_snapshot,
+        read_delta_lite,
+        write_delta_lite,
+    )
+
+    tp = os.path.join(tempfile.mkdtemp(prefix="delta_conv_"), "cust_by_seg")
+    base = _table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    base.write.partitionBy("c_mktsegment").parquet(tp)  # plain parquet dir
+    n_disk = sum(
+        1
+        for root, dirs, names in os.walk(tp)
+        for f in names
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    v = convert_to_delta(spark, tp)
+    converted = load_snapshot(tp)
+    in_place = len(converted.files) <= n_disk and all(
+        os.path.exists(os.path.join(tp, rel)) for rel in converted.files
+    )
+    write_delta_lite(  # the converted table is a LIVE delta table
+        base.filter(F.col("c_custkey") % 10 == 3), tp, mode="append"
+    )
+    full = (
+        read_delta_lite(spark, tp)
+        .groupBy(F.col("c_mktsegment").alias("lane"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    pruned = (
+        read_delta_lite(spark, tp, predicate="c_mktsegment = 'BUILDING'")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(F.lit("pruned:BUILDING").alias("lane"), "n", "sum_cents")
+    )
+    meta = spark.range(1).select(
+        F.lit("_meta").alias("lane"),
+        F.lit(1 if in_place else 0).cast("bigint").alias("n"),
+        F.lit(int(v)).cast("bigint").alias("sum_cents"),
+    )
+    return full.unionByName(pruned).unionByName(meta)
+
+
+DELTA_CONVERT_DUCK = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM customer
+), t AS (
+  SELECT * FROM c
+  UNION ALL
+  SELECT * FROM c WHERE c_custkey % 10 = 3
+)
+SELECT c_mktsegment AS lane,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM t GROUP BY c_mktsegment
+UNION ALL
+SELECT 'pruned:BUILDING', CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+FROM t WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT '_meta', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+"""
+
+
 def _q_streaming_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9-streaming-CDF (round 11): the delta-lite STREAMING CHANGE
     FEED — ``readStream.format(delta_lite_stream).option
@@ -8147,6 +8241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_merge_evolve": _q_delta_merge_evolve,
         "streaming_cdf": _q_streaming_cdf,
         "delta_replace_where": _q_delta_replace_where,
+        "delta_convert": _q_delta_convert,
         # -- (-1) round-9 additions: full-PSL registrable domains and
         #    the RFC 9309 robots politeness filter ---------------------
         "psl_domains": _q_psl_domains,
@@ -8362,11 +8457,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
     }
     # Round-11 rotation head: the driver checks the FIRST 50 keys.
-    # Composition (counts: 3 + 5 + 14 + 7 + 21 = 50 checked;
-    # 188 total):
-    #   - 3 brand-new round-11 entries (delta_merge_evolve,
-    #     streaming_cdf, delta_replace_where) — never driver-checked,
-    #     lead unconditionally,
+    # Composition (counts: 4 + 5 + 14 + 7 + 20 = 50 checked;
+    # 189 total):
+    #   - 4 brand-new round-11 entries (delta_merge_evolve,
+    #     streaming_cdf, delta_replace_where, delta_convert) — never
+    #     driver-checked, lead unconditionally,
     #   - 5 whose code path changed in round 11 — changed code ALWAYS
     #     re-enters: delta_roundtrip + delta_cdc + delta_restore +
     #     scd2_price_history (MERGE schema auto-evolution threaded
@@ -8386,24 +8481,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     left anywhere (domain_mix, bigram_lm, streaming_enrich,
     #     hll_rollup, streaming_running_totals, streaming_dedup,
     #     streaming_interval_join),
-    #   - 21 r06-evidence keys in base order (orders_rollup,
+    #   - 20 r06-evidence keys in base order (orders_rollup,
     #     cte_nation_revenue, q4/q12/q14/q18/q19, ann_lsh_topk,
     #     embedding_near_dups, bpe_merges, bpe_tokenize,
     #     classifier_distill, classifier_score, tfidf_top_terms,
     #     inverted_index, weighted_sample, kmeans_clusters,
-    #     quality_quantile_filter, snapshot_diff, zscore_outliers,
-    #     embedding_quantize).
+    #     quality_quantile_filter, snapshot_diff, zscore_outliers).
     # Everything not in the head keeps its r06-r10 evidence and follows
-    # in prior order. Round 12 should lead with the remaining 17
-    # r06-evidence keys (cms_user_counts, zorder_cluster, time_resample,
-    # variant_extract, mad_outliers, incremental_agg,
-    # streaming_outer_join, streaming_sliding_counts, source_entropy,
-    # time_interpolate, corpus_curation, doc_fingerprints,
-    # distinct_counts, dup_groups_report, null_pk_lanes,
-    # embedding_resize, approx_distinct) plus anything round 12 changes.
+    # in prior order. Round 12 should lead with the remaining 18
+    # r06-evidence keys (embedding_quantize, cms_user_counts,
+    # zorder_cluster, time_resample, variant_extract, mad_outliers,
+    # incremental_agg, streaming_outer_join, streaming_sliding_counts,
+    # source_entropy, time_interpolate, corpus_curation,
+    # doc_fingerprints, distinct_counts, dup_groups_report,
+    # null_pk_lanes, embedding_resize, approx_distinct) plus anything
+    # round 12 changes.
     head = [
         # brand-new round-11 entries
         "delta_merge_evolve", "streaming_cdf", "delta_replace_where",
+        "delta_convert",
         # round-11 changed-code re-entries (delta write/DML/stream)
         "delta_roundtrip", "delta_cdc", "delta_restore",
         "scd2_price_history", "streaming_delta_source",
@@ -8425,7 +8521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize", "classifier_distill", "classifier_score",
         "tfidf_top_terms", "inverted_index", "weighted_sample",
         "kmeans_clusters", "quality_quantile_filter", "snapshot_diff",
-        "zscore_outliers", "embedding_quantize",
+        "zscore_outliers",
         # 50-cap cutoff. The round-10 head (k_generalize ...
         # nfc_normalize) carries fresh r10 driver evidence and rotates
         # out en bloc.
@@ -8482,6 +8578,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_restore": DELTA_RESTORE_DUCK,
         "delta_merge_evolve": DELTA_MERGE_EVOLVE_DUCK,
         "delta_replace_where": DELTA_REPLACE_WHERE_DUCK,
+        "delta_convert": DELTA_CONVERT_DUCK,
         "streaming_delta_source": STREAMING_DELTA_SOURCE_DUCK,
         "streaming_cdf": STREAMING_CDF_DUCK,
         "shuffle_shards": SHUFFLE_SHARDS_DUCK,

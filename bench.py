@@ -205,6 +205,7 @@ HEADLINE = [
     "delta_merge_evolve",
     "streaming_cdf",
     "delta_replace_where",
+    "delta_convert",
 ]
 
 

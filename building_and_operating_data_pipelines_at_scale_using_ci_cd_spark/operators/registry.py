@@ -468,6 +468,18 @@ def _delta_restore(
     return read_delta_lite(df.sparkSession, table_path)
 
 
+def _delta_convert(df: DataFrame, table_path: str) -> DataFrame:
+    """Config shape: CONVERT TO DELTA — turn an existing parquet
+    directory (flat or hive-partitioned) into a delta-lite table IN
+    PLACE (no data moves; commit 0 references the files with footer
+    stats, so data skipping works from the first read). Idempotent on
+    an already-delta path. Returns the post-convert snapshot."""
+    from ..sources.delta_lite import convert_to_delta, read_delta_lite
+
+    convert_to_delta(df.sparkSession, table_path)
+    return read_delta_lite(df.sparkSession, table_path)
+
+
 def _delta_history(df: DataFrame, table_path: str) -> DataFrame:
     """Config shape: DESCRIBE HISTORY on a delta-lite table — one row
     per commit, newest first (version, timestamp epoch-ms, operation,
@@ -1173,6 +1185,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "deltaDelete": _delta_delete,
     "deltaRestore": _delta_restore,
     "deltaHistory": _delta_history,
+    "deltaConvert": _delta_convert,
     "deltaOptimize": _delta_optimize,
     "deltaVacuum": _delta_vacuum,
     "deltaChanges": _delta_changes,

@@ -872,6 +872,92 @@ def write_delta_lite(
     return version
 
 
+def convert_to_delta(
+    spark: SparkSession, dir_path: str, checkpoint: bool = False
+) -> int:
+    """``CONVERT TO DELTA``: turn an existing parquet directory (flat or
+    hive-partitioned) into a delta-lite table IN PLACE — no data moves
+    or copies; commit 0 references the files where they already are,
+    with per-file stats gathered from the parquet footers so data
+    skipping works from the first read. Partition columns and their
+    types come from Spark's own partition discovery over the layout
+    (schema inference reads footers, never data). Idempotent: an
+    already-delta directory returns its current version untouched.
+
+    At 100 TB this is the migration path: the conversion cost is one
+    footer pass over the files (executor-free, driver walks the
+    listing) plus one commit — not a table rewrite."""
+    if is_delta_table(dir_path):
+        return load_snapshot(dir_path).version
+    data_files = []
+    for root, dirs, names in os.walk(dir_path):
+        dirs[:] = [d for d in dirs if d != LOG_DIR and not d.startswith(".")]
+        for name in names:
+            if name.endswith(".parquet") and not name.startswith((".", "_")):
+                data_files.append(os.path.join(root, name))
+    if not data_files:
+        raise ValueError(f"CONVERT TO DELTA: no parquet files under {dir_path}")
+    # full schema INCLUDING typed partition columns via Spark's discovery
+    full = spark.read.option("basePath", dir_path).parquet(dir_path)
+    schema = full.schema
+    sample_rel = os.path.relpath(data_files[0], dir_path)
+    pcols = [
+        comp.partition("=")[0]
+        for comp in sample_rel.split(os.sep)[:-1]
+        if "=" in comp
+    ]
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "CONVERT",
+                "operationParameters": {"numFiles": len(data_files)},
+                "engineInfo": "delta-lite (PySpark analytics engine)",
+            }
+        },
+        {"protocol": dict(_PROTOCOL)},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema.jsonValue()),
+                "partitionColumns": pcols,
+                "configuration": {},
+                "createdTime": int(time.time() * 1000),
+            }
+        },
+    ]
+    for full_path in sorted(data_files):
+        rel = os.path.relpath(full_path, dir_path).replace(os.sep, "/")
+        pvals = {}
+        for comp in rel.split("/")[:-1]:
+            k, v = _decode_hive_dir(comp)
+            pvals[k] = v
+        if sorted(pvals) != sorted(pcols):
+            raise ValueError(
+                f"CONVERT TO DELTA: inconsistent hive layout — {rel!r} does "
+                f"not match partition columns {pcols}"
+            )
+        n_rows, stats = _file_stats(full_path)
+        if n_rows == 0:
+            continue
+        actions.append(
+            {
+                "add": {
+                    "path": urllib.parse.quote(rel),
+                    "partitionValues": pvals,
+                    "size": os.path.getsize(full_path),
+                    "modificationTime": int(os.path.getmtime(full_path) * 1000),
+                    "dataChange": True,
+                    "stats": json.dumps(stats),
+                }
+            }
+        )
+    _commit(dir_path, 0, actions)
+    if checkpoint:
+        checkpoint_delta_lite(dir_path)
+    return 0
+
+
 def streaming_delta_sink(
     stream_df: DataFrame,
     table_path: str,

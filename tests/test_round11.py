@@ -748,6 +748,63 @@ def test_replace_where_through_config_sink(spark, tmp_path):
     assert got == [("east", 1, 100), ("east", 3, 300), ("west", 2, 20)]
 
 
+# -- 9. CONVERT TO DELTA -----------------------------------------------------
+
+
+def test_convert_to_delta_in_place(spark, tmp_path):
+    tp = str(tmp_path / "plain")
+    spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 3, 30)], "p string, k int, n int"
+    ).write.partitionBy("p").parquet(tp)
+    before = {
+        os.path.join(r, f)
+        for r, _d, names in os.walk(tp)
+        for f in names
+        if f.endswith(".parquet")
+    }
+    v = dl.convert_to_delta(spark, tp)
+    assert v == 0
+    # files referenced IN PLACE — nothing moved or copied
+    snap = dl.load_snapshot(tp)
+    assert {os.path.join(tp, rel) for rel in snap.files} <= before
+    got = sorted(tuple(r) for r in dl.read_delta_lite(spark, tp).collect())
+    # partition discovery appends the partition column LAST in the schema
+    assert got == [(1, 10, "a"), (2, 20, "a"), (3, 30, "b")]
+    # typed partition column + discovery
+    assert dict(snap.schema["p"].jsonValue(), )["type"] == "string"
+    assert snap.partition_columns == ["p"]
+    # idempotent
+    assert dl.convert_to_delta(spark, tp) == 0
+    # the converted table is LIVE: DML with partition pruning works
+    dl.delete_delta_lite(spark, tp, "p = 'a'")
+    assert [tuple(r) for r in dl.read_delta_lite(spark, tp).collect()] == [
+        (3, 30, "b")
+    ]
+    hist = dl.history_delta_lite(tp)
+    assert [h["operation"] for h in hist] == ["DELETE", "CONVERT"]
+    # footer stats were recorded at convert time (data skipping ready)
+    assert all(
+        "minValues" in json.loads(a["stats"]) for a in snap.files.values()
+    )
+
+
+def test_convert_to_delta_errors(spark, tmp_path):
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(ValueError, match="no parquet files"):
+        dl.convert_to_delta(spark, empty)
+    # inconsistent hive layout: one file partitioned, one flat
+    mixed = str(tmp_path / "mixed")
+    spark.createDataFrame([("a", 1)], "p string, k int").write.partitionBy(
+        "p"
+    ).parquet(mixed)
+    spark.createDataFrame([(2,)], "k int").coalesce(1).write.mode(
+        "append"
+    ).parquet(mixed)
+    with pytest.raises(Exception, match="inconsistent hive layout|Unable to infer|partition"):
+        dl.convert_to_delta(spark, mixed)
+
+
 # -- 4. $${name} literal escape in substitute_params ----------------------
 
 
