@@ -19,9 +19,13 @@ delta read/write/MERGE paths execute and are testable here:
     link IS the optimistic-concurrency conflict signal (the same mutual
     exclusion delta-spark gets from its LogStore on HDFS/local).
 
-Honest scope gate (checked, not assumed): reader/writer protocol ≤ (1,2) —
-no deletion vectors, no column mapping, no generated columns. Tables using
-newer features raise ValueError instead of returning wrong rows.
+Honest scope gate (checked, not assumed): reader protocol ≤ 1, writer
+protocol ≤ 3 — CHECK constraints (``delta.constraints.*``), column
+invariants (``delta.invariants`` schema metadata), and
+``delta.appendOnly`` are ENFORCED on every mutating path; deletion
+vectors, column mapping, and generated columns are not implemented, and
+tables requiring them raise ValueError (reads at replay, writes via
+``_check_writable``) instead of returning or corrupting rows.
 
 Scale notes:
   - the log replay touches only ``_delta_log`` (KBs per commit) and the
@@ -77,6 +81,7 @@ class DeltaSnapshot:
     metadata: dict
     files: dict = field(default_factory=dict)  # rel path -> add action
     txns: dict = field(default_factory=dict)  # appId -> highest version
+    protocol: dict = field(default_factory=lambda: dict(_PROTOCOL))
 
     @property
     def schema(self) -> StructType:
@@ -85,6 +90,10 @@ class DeltaSnapshot:
     @property
     def partition_columns(self) -> list:
         return list(self.metadata.get("partitionColumns") or [])
+
+    @property
+    def configuration(self) -> dict:
+        return dict(self.metadata.get("configuration") or {})
 
 
 def _log_path(table_path: str) -> str:
@@ -134,9 +143,52 @@ def _check_metadata(meta: dict) -> None:
         raise ValueError(f"delta_lite does not support columnMapping mode {mode!r}")
 
 
+#: writer features this engine actually implements — the gate for foreign
+#: tables declaring the table-features protocol (3, 7)
+_SUPPORTED_WRITER_FEATURES = {"appendOnly", "invariants", "checkConstraints"}
+
+
+def _check_writable(snap: "DeltaSnapshot") -> None:
+    """Refuse to WRITE to a table whose protocol demands writer features
+    this engine does not implement (reading such tables may still be
+    fine — the reader gate is separate and checked at replay). Writer
+    version 3 = CHECK constraints, which :func:`_enforce_row_rules` now
+    enforces on every row-adding path; anything newer (generated
+    columns, CDF files, column mapping, deletion vectors) would be
+    silently violated by a blind write, so it raises instead."""
+    proto = snap.protocol or _PROTOCOL
+    w = int(proto.get("minWriterVersion", 2))
+    if w <= 3:
+        return
+    feats = set(proto.get("writerFeatures") or [])
+    if w == 7 and feats <= _SUPPORTED_WRITER_FEATURES:
+        return
+    unsupported = sorted(feats - _SUPPORTED_WRITER_FEATURES) or f"version {w}"
+    raise ValueError(
+        f"delta_lite cannot write to {snap.path}: table requires writer "
+        f"protocol features it does not implement ({unsupported}); "
+        f"supported: minWriterVersion <= 3 or table features "
+        f"{sorted(_SUPPORTED_WRITER_FEATURES)}"
+    )
+
+
+def _check_append_only(snap: "DeltaSnapshot", operation: str) -> None:
+    """``delta.appendOnly=true`` (a writer-version-2 table property this
+    engine already claims): any transaction that would REMOVE live data
+    (dataChange=true removes — DELETE/UPDATE/MERGE rewrites, overwrite,
+    replaceWhere, RESTORE) refuses. OPTIMIZE stays allowed — its
+    removes carry dataChange=false, same as delta-spark."""
+    if snap.configuration.get("delta.appendOnly", "").lower() == "true":
+        raise ValueError(
+            f"table {snap.path} is delta.appendOnly=true: {operation} "
+            f"would remove existing rows (unset the property to allow it)"
+        )
+
+
 def _apply_action(state: "DeltaSnapshot", action: dict) -> None:
     if "protocol" in action and action["protocol"]:
         _check_protocol(action["protocol"])
+        state.protocol = dict(action["protocol"])
     if "metaData" in action and action["metaData"]:
         _check_metadata(action["metaData"])
         state.metadata = action["metaData"]
@@ -338,34 +390,165 @@ def load_snapshot(
     return state
 
 
+def _hive_anchor(path: str, n_pcols: int) -> str:
+    """The directory ``n_pcols + 1`` components above a hive-laid-out data
+    file — the ``basePath`` Spark's partition discovery needs. For a
+    shallow-cloned file this recovers the SOURCE table root, so
+    discovery re-attaches partition columns exactly as it does for the
+    table's own files."""
+    anchor = path
+    for _ in range(n_pcols + 1):
+        anchor = os.path.dirname(anchor)
+    return anchor
+
+
+def _read_data_files(
+    spark: SparkSession,
+    base_path: str,
+    schema: StructType,
+    pcols: list,
+    files: list,
+) -> DataFrame:
+    """Read delta data files with the declared schema. ``files`` are the
+    snapshot's add-action paths: table-relative for files this table
+    owns, ABSOLUTE for files referenced across tables (shallow CLONE).
+    Partition columns are recovered from the hive layout (delta data
+    files do not contain them); absolute files group by their own hive
+    anchor so discovery works across table roots; casts pin the declared
+    types over the discovery's inference."""
+    paths = [os.path.join(base_path, p) for p in sorted(files)]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    if not pcols:
+        return spark.read.schema(schema).parquet(*paths)
+    data_schema = StructType([f for f in schema.fields if f.name not in pcols])
+    by_type = {f.name: f.dataType for f in schema.fields}
+    groups: dict = {}
+    for p in paths:
+        anchor = base_path if _is_under(p, base_path) else _hive_anchor(
+            p, len(pcols)
+        )
+        groups.setdefault(anchor, []).append(p)
+    out = None
+    for anchor in sorted(groups):
+        df = (
+            spark.read.schema(data_schema)
+            .option("basePath", anchor)
+            .parquet(*groups[anchor])
+        ).select(
+            *[
+                F.col(f.name).cast(by_type[f.name]).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def _is_under(path: str, base: str) -> bool:
+    return os.path.commonpath(
+        [os.path.abspath(path), os.path.abspath(base)]
+    ) == os.path.abspath(base)
+
+
 def _read_files(
     spark: SparkSession, snap: DeltaSnapshot, rel_files: list
 ) -> DataFrame:
     """Read a subset of a snapshot's data files with the declared schema
     (partition columns recovered from the hive layout and cast)."""
-    schema = snap.schema
-    pcols = snap.partition_columns
-    paths = [os.path.join(snap.path, p) for p in sorted(rel_files)]
-    if not paths:
-        return spark.createDataFrame([], schema)
-    if not pcols:
-        return spark.read.schema(schema).parquet(*paths)
-    # partitioned: delta data files do NOT contain the partition columns;
-    # the hive-style layout lets Spark's partition discovery re-attach them
-    # (basePath pins the anchor); casts pin the declared types over the
-    # discovery's inference.
-    data_schema = StructType([f for f in schema.fields if f.name not in pcols])
-    by_type = {f.name: f.dataType for f in schema.fields}
-    df = (
-        spark.read.schema(data_schema)
-        .option("basePath", snap.path)
-        .parquet(*paths)
+    return _read_data_files(
+        spark, snap.path, snap.schema, snap.partition_columns, rel_files
     )
-    return df.select(
-        *[
-            F.col(f.name).cast(by_type[f.name]).alias(f.name)
-            for f in schema.fields
-        ]
+
+
+_CONSTRAINT_PREFIX = "delta.constraints."
+
+
+def _row_rules(metadata: dict) -> list:
+    """Every row-level rule the table's metadata declares, as
+    ``(label, sql_expr)`` pairs:
+
+      - CHECK constraints — ``delta.constraints.<name>`` configuration
+        keys (writer protocol 3);
+      - column invariants — ``delta.invariants`` entries in the schema
+        fields' metadata (writer protocol 2, the protocol's JSON shape
+        ``{"expression": {"expression": "<sql>"}}``).
+
+    Both are enforced identically: a row violates when the expression
+    is not TRUE (false or NULL — delta-spark's CheckDeltaInvariant)."""
+    rules = []
+    schema = json.loads(metadata["schemaString"])
+    for fld in schema.get("fields", []):
+        inv = (fld.get("metadata") or {}).get("delta.invariants")
+        if not inv:
+            continue
+        expr = json.loads(inv)["expression"]["expression"]
+        rules.append((f"invariant({fld['name']})", expr))
+    conf = metadata.get("configuration") or {}
+    for key in sorted(conf):
+        if key.startswith(_CONSTRAINT_PREFIX):
+            rules.append((key[len(_CONSTRAINT_PREFIX):], conf[key]))
+    return rules
+
+
+def _enforce_row_rules(
+    spark: SparkSession,
+    table_path: str,
+    metadata: dict,
+    adds: list,
+    operation: str,
+) -> None:
+    """Validate the STAGED files of a pending commit against the table's
+    CHECK constraints / invariants, BEFORE the commit publishes them.
+
+    Checking the staged parquet (not the incoming plan) costs one cheap
+    re-read of just-written files instead of recomputing the whole
+    rewrite plan a second time, and it validates exactly the bytes that
+    would land. On violation the staged files are unlinked and a
+    ValueError names the violated rule(s) and a sample row — the table
+    is untouched (the commit never happened). Rows already in the table
+    hold by induction: ADD CONSTRAINT scans existing rows first."""
+    rules = _row_rules(metadata)
+    if not rules:
+        return
+    files = [a["add"]["path"] for a in adds if a.get("add")]
+    if not files:
+        return
+    schema = StructType.fromJson(json.loads(metadata["schemaString"]))
+    pcols = list(metadata.get("partitionColumns") or [])
+    staged = _read_data_files(
+        spark, table_path, schema, pcols,
+        [urllib.parse.unquote(p) for p in files],
+    )
+    flags = [
+        (~F.coalesce(F.expr(expr), F.lit(False))).alias(f"__viol_{i}")
+        for i, (_label, expr) in enumerate(rules)
+    ]
+    bad = (
+        staged.select("*", *flags)
+        .filter(F.greatest(*[F.col(f"__viol_{i}") for i in range(len(rules))])
+                if len(rules) > 1 else F.col("__viol_0"))
+        .limit(1)
+        .collect()
+    )
+    if not bad:
+        return
+    row = bad[0].asDict()
+    violated = [
+        f"{label} CHECK ({expr})"
+        for i, (label, expr) in enumerate(rules)
+        if row.pop(f"__viol_{i}")
+    ]
+    for i in range(len(rules)):
+        row.pop(f"__viol_{i}", None)
+    for p in files:
+        try:
+            os.unlink(os.path.join(table_path, urllib.parse.unquote(p)))
+        except OSError:
+            pass
+    raise ValueError(
+        f"{operation} to {table_path} violates {'; '.join(violated)} — "
+        f"sample row {row!r}; no commit was made"
     )
 
 
@@ -738,6 +921,10 @@ def write_delta_lite(
         return snap.version
     if exists and mode in ("error", "errorifexists"):
         raise ValueError(f"delta table already exists: {table_path}")
+    if snap is not None:
+        _check_writable(snap)
+        if mode == "overwrite" and replace_where is None and snap.files:
+            _check_append_only(snap, "overwrite WRITE")
     if replace_where is not None and snap is not None:
         return _replace_where(
             spark, df, table_path, snap, replace_where, checkpoint_interval
@@ -792,6 +979,11 @@ def write_delta_lite(
             )
 
     adds = _stage_and_adds(df, table_path, pcols)
+    if snap is not None:
+        _enforce_row_rules(
+            spark, table_path, new_metadata or snap.metadata, adds,
+            f"WRITE ({mode})",
+        )
 
     actions = [
         {
@@ -958,6 +1150,251 @@ def convert_to_delta(
     return 0
 
 
+def set_table_properties(
+    table_path: str, properties: dict | None = None, unset: list | None = None
+) -> int:
+    """``ALTER TABLE ... SET/UNSET TBLPROPERTIES``: commit a metaData
+    action whose ``configuration`` merges ``properties`` in and drops
+    the ``unset`` keys. Log-only — no data moves, cost is one commit.
+
+    Guard rails: ``delta.constraints.*`` must go through
+    :func:`add_check_constraint` (which validates EXISTING rows first
+    and bumps the writer protocol — setting the raw key here would skip
+    both, exactly the hole delta-spark closes the same way);
+    ``delta.appendOnly`` must be ``true``/``false``. A concurrent
+    metadata race raises — property changes never auto-retry."""
+    snap = load_snapshot(table_path)
+    _check_writable(snap)
+    conf = snap.configuration
+    for k, v in (properties or {}).items():
+        if k.startswith(_CONSTRAINT_PREFIX):
+            raise ValueError(
+                f"set {k!r} via add_check_constraint (it validates existing "
+                f"rows and upgrades the writer protocol)"
+            )
+        if k == "delta.appendOnly" and str(v).lower() not in ("true", "false"):
+            raise ValueError(f"delta.appendOnly must be true/false, got {v!r}")
+        conf[k] = str(v)
+    for k in unset or []:
+        if k.startswith(_CONSTRAINT_PREFIX):
+            raise ValueError(f"unset {k!r} via drop_check_constraint")
+        conf.pop(k, None)
+    meta = dict(snap.metadata)
+    meta["configuration"] = conf
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {
+                    "properties": sorted((properties or {}).keys()),
+                    "unset": sorted(unset or []),
+                },
+                "engineInfo": "delta-lite (PySpark analytics engine)",
+            }
+        },
+        {"metaData": meta},
+    ]
+    version = snap.version + 1
+    _commit(table_path, version, actions)
+    _maybe_checkpoint(table_path, version, CHECKPOINT_INTERVAL)
+    return version
+
+
+def add_check_constraint(
+    spark: SparkSession, table_path: str, name: str, expr: str
+) -> int:
+    """``ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)`` (delta's
+    writer-protocol-3 feature): from this commit on, EVERY row-adding
+    transaction (append, overwrite, MERGE, UPDATE, replaceWhere, the
+    streaming sink) validates its staged rows against ``expr`` and
+    refuses to commit a violation (:func:`_enforce_row_rules`).
+
+    Like delta-spark, the EXISTING rows are validated first (one
+    bounded job — ``LIMIT 1`` over the violating filter); a table that
+    already breaks the rule refuses the constraint, naming a sample
+    row. The commit carries the constraint in ``configuration``
+    (``delta.constraints.<name>``) plus a protocol upgrade to
+    ``minWriterVersion 3`` when the table is still at 2 — old readers
+    keep reading (reader stays 1), old WRITERS that don't know
+    constraints are fenced out, which is the protocol's whole point."""
+    snap = load_snapshot(table_path)
+    _check_writable(snap)
+    name = name.strip()
+    if not name or not name.replace("_", "").isalnum():
+        raise ValueError(f"constraint name must be alphanumeric: {name!r}")
+    key = _CONSTRAINT_PREFIX + name
+    conf = snap.configuration
+    if any(k.lower() == key.lower() for k in conf):
+        raise ValueError(f"constraint {name!r} already exists on {table_path}")
+    # one bounded validation job over the CURRENT rows (stats cannot
+    # prune an arbitrary expression, so this is an honest full scan —
+    # the same scan delta-spark's ALTER TABLE ADD CONSTRAINT runs)
+    current = _read_files(spark, snap, list(snap.files))
+    bad = current.filter(~F.coalesce(F.expr(expr), F.lit(False))).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"cannot add constraint {name!r}: {len(bad)} existing row(s) "
+            f"violate CHECK ({expr}), e.g. {bad[0].asDict()!r}"
+        )
+    conf[key] = expr
+    meta = dict(snap.metadata)
+    meta["configuration"] = conf
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "ADD CONSTRAINT",
+                "operationParameters": {"name": name, "expr": expr},
+                "engineInfo": "delta-lite (PySpark analytics engine)",
+            }
+        }
+    ]
+    proto = snap.protocol or _PROTOCOL
+    if int(proto.get("minWriterVersion", 2)) < 3:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+                    "minWriterVersion": 3,
+                }
+            }
+        )
+    actions.append({"metaData": meta})
+    version = snap.version + 1
+    _commit(table_path, version, actions)
+    _maybe_checkpoint(table_path, version, CHECKPOINT_INTERVAL)
+    return version
+
+
+def drop_check_constraint(
+    table_path: str, name: str, if_exists: bool = False
+) -> int:
+    """``ALTER TABLE ... DROP CONSTRAINT [IF EXISTS] name``: log-only
+    metaData commit; the writer protocol stays at 3 (delta-spark keeps
+    it too — downgrades are never safe against concurrent readers of
+    old versions)."""
+    snap = load_snapshot(table_path)
+    _check_writable(snap)
+    key = _CONSTRAINT_PREFIX + name.strip()
+    conf = snap.configuration
+    if key not in conf:
+        if if_exists:
+            return snap.version
+        raise ValueError(f"no such constraint {name!r} on {table_path}")
+    conf.pop(key)
+    meta = dict(snap.metadata)
+    meta["configuration"] = conf
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "DROP CONSTRAINT",
+                "operationParameters": {"name": name},
+                "engineInfo": "delta-lite (PySpark analytics engine)",
+            }
+        },
+        {"metaData": meta},
+    ]
+    version = snap.version + 1
+    _commit(table_path, version, actions)
+    _maybe_checkpoint(table_path, version, CHECKPOINT_INTERVAL)
+    return version
+
+
+def table_constraints(table_path: str) -> dict:
+    """The table's CHECK constraints, name → SQL expression (the
+    ``delta.constraints.*`` configuration entries)."""
+    snap = load_snapshot(table_path)
+    return {
+        k[len(_CONSTRAINT_PREFIX):]: v
+        for k, v in snap.configuration.items()
+        if k.startswith(_CONSTRAINT_PREFIX)
+    }
+
+
+def clone_delta_lite(
+    src_path: str,
+    dst_path: str,
+    version: int | None = None,
+    timestamp=None,
+) -> int:
+    """``CREATE TABLE ... SHALLOW CLONE src [VERSION/TIMESTAMP AS OF]``:
+    a zero-copy fork. The clone's commit 0 references the source
+    snapshot's data files IN PLACE (absolute-path ``add`` actions — the
+    protocol explicitly allows them), copying their per-file stats, so
+    the clone costs one log write no matter how big the table is and
+    data skipping works from the first read.
+
+    The fork is REAL from the first write: appends land inside the
+    clone's own directory; DML rewrites matched source files into the
+    clone (removing only the clone's REFERENCE — the source table and
+    its files are never touched); OPTIMIZE materializes the clone
+    fully. The clone's VACUUM walks only the clone's directory, so it
+    can never delete source data. Table properties (constraints,
+    appendOnly) and the writer protocol carry over.
+
+    The one delta-documented hazard carries over too: VACUUM on the
+    SOURCE can delete files a shallow clone still references — run
+    OPTIMIZE on the clone first to materialize it if the source's
+    retention is shorter than the clone's life."""
+    if is_delta_table(dst_path):
+        raise ValueError(f"clone destination is already a delta table: {dst_path}")
+    src_snap = load_snapshot(src_path, version, timestamp=timestamp)
+    src_root = os.path.abspath(src_path)
+    pcols = src_snap.partition_columns
+    adds = []
+    for rel in sorted(src_snap.files):
+        src_add = src_snap.files[rel]
+        full = (
+            rel if os.path.isabs(rel) else os.path.join(src_root, rel)
+        )
+        if not os.path.exists(full):
+            raise ValueError(
+                f"cannot CLONE {src_path}@v{src_snap.version}: referenced "
+                f"data file no longer exists (vacuumed?): {rel}"
+            )
+        if pcols:
+            # partition recovery on the clone's reads uses the hive
+            # layout, so it must actually be present (our writer and
+            # delta-spark both produce it; refuse honestly otherwise)
+            comps = full.split(os.sep)[-(len(pcols) + 1):-1]
+            keys = [c.partition("=")[0] for c in comps]
+            if sorted(keys) != sorted(pcols):
+                raise ValueError(
+                    f"SHALLOW CLONE of a partitioned table requires "
+                    f"hive-layout data files; {rel!r} does not encode "
+                    f"partition columns {pcols}"
+                )
+        adds.append(
+            {
+                "add": {
+                    **src_add,
+                    "path": urllib.parse.quote(full),
+                    "dataChange": True,
+                }
+            }
+        )
+    meta = dict(src_snap.metadata)
+    meta["id"] = str(uuid.uuid4())
+    os.makedirs(dst_path, exist_ok=True)
+    meta["createdTime"] = int(time.time() * 1000)
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": src_root,
+                    "sourceVersion": src_snap.version,
+                },
+                "engineInfo": "delta-lite (PySpark analytics engine)",
+            }
+        },
+        {"protocol": dict(src_snap.protocol or _PROTOCOL)},
+        {"metaData": meta},
+    ]
+    actions.extend(adds)
+    _commit(dst_path, 0, actions)
+    return 0
+
+
 def streaming_delta_sink(
     stream_df: DataFrame,
     table_path: str,
@@ -1011,6 +1448,7 @@ def optimize_delta_lite(
     DELETE on an interleaved table touches all files before OPTIMIZE
     ZORDER, one file after)."""
     snap = load_snapshot(table_path)
+    _check_writable(snap)
     if not snap.files:
         return snap.version
     df = read_delta_lite(spark, table_path)
@@ -1406,12 +1844,21 @@ def _pruned_rewrite(
     matched_files = [
         r["__file"] for r in match_files_df.select("__file").distinct().collect()
     ]
-    rel_matched = sorted(
-        os.path.relpath(
-            urllib.parse.unquote(urllib.parse.urlparse(f).path), table_path
-        ).replace(os.sep, "/")
-        for f in matched_files
-    )
+
+    def _snapshot_key(f: str) -> str:
+        # input_file_name() gives the physical URI; the snapshot keys
+        # files by their add-action path — table-relative for owned
+        # files, absolute for files referenced across tables (CLONE)
+        phys = urllib.parse.unquote(urllib.parse.urlparse(f).path)
+        if _is_under(phys, table_path):
+            return os.path.relpath(phys, table_path).replace(os.sep, "/")
+        return phys
+
+    rel_matched = sorted(_snapshot_key(f) for f in matched_files)
+    if rel_matched:
+        # the protocol's exact appendOnly rule: a commit may not carry
+        # dataChange=true removes — a DML that matched nothing is legal
+        _check_append_only(snap, operation)
     pruned = _read_files(spark, snap, rel_matched)
     rewritten = rewrite_fn(pruned).select(
         *[F.col(f.name).cast(f.dataType) for f in out_schema.fields]
@@ -1438,7 +1885,11 @@ def _pruned_rewrite(
                 }
             }
         )
-    actions.extend(_stage_and_adds(rewritten, table_path, snap.partition_columns))
+    new_adds = _stage_and_adds(rewritten, table_path, snap.partition_columns)
+    _enforce_row_rules(
+        spark, table_path, new_metadata or snap.metadata, new_adds, operation
+    )
+    actions.extend(new_adds)
     if read_set is not None:
         return _commit_dml(table_path, snap, actions, set(read_set), conjuncts or [])
     version = snap.version + 1
@@ -1455,6 +1906,7 @@ def delete_delta_lite(spark: SparkSession, table_path: str, condition: str) -> i
     read — on an unpartitioned 100-TB table a keyed DELETE touches a
     handful of files, not all of them."""
     snap = load_snapshot(table_path)
+    _check_writable(snap)
     conj = _parse_conjuncts(condition)
     cand = _candidate_files(snap, conj)
     tagged = _read_files(spark, snap, cand).withColumn(
@@ -1485,6 +1937,7 @@ def update_delta_lite(
     match-finding scan); ``set_exprs`` maps column → SQL expression
     (evaluated only on matching rows)."""
     snap = load_snapshot(table_path)
+    _check_writable(snap)
     conj = _parse_conjuncts(condition)
     cand = _candidate_files(snap, conj)
     tagged = _read_files(spark, snap, cand).withColumn(
@@ -1563,6 +2016,7 @@ def merge_delta_lite(
     table.
     """
     snap = load_snapshot(table_path)
+    _check_writable(snap)
     declared = snap.schema
     declared_names = {f.name for f in declared.fields}
     extra = [c for c in source.columns if c not in declared_names]
@@ -1813,6 +2267,7 @@ def restore_delta_lite(
     vacuumed, naming one. Returns metrics: the new version, the source
     version restored, and file add/remove counts."""
     cur = load_snapshot(table_path)
+    _check_writable(cur)
     target = load_snapshot(table_path, version, timestamp=timestamp)
     missing = [
         rel
@@ -1827,6 +2282,8 @@ def restore_delta_lite(
         )
     to_add = sorted(rel for rel in target.files if rel not in cur.files)
     to_remove = sorted(rel for rel in cur.files if rel not in target.files)
+    if to_remove:
+        _check_append_only(cur, "RESTORE")
     actions = [
         {
             "commitInfo": {
@@ -1926,8 +2383,19 @@ def checkpoint_delta_lite(table_path: str) -> int:
         ]
     )
     meta = snap.metadata
+    # the SNAPSHOT's protocol, never the engine default: checkpointing a
+    # writer-v3 (constraints) table must not downgrade what the log
+    # declares once pre-checkpoint commits are vacuumed
+    proto = {
+        "minReaderVersion": int(
+            (snap.protocol or _PROTOCOL).get("minReaderVersion", 1)
+        ),
+        "minWriterVersion": int(
+            (snap.protocol or _PROTOCOL).get("minWriterVersion", 2)
+        ),
+    }
     rows = [
-        {"protocol": dict(_PROTOCOL), "metaData": None, "add": None, "txn": None},
+        {"protocol": proto, "metaData": None, "add": None, "txn": None},
         {
             "protocol": None,
             "metaData": {
@@ -2010,6 +2478,7 @@ def merge_scd2_delta_lite(
     from ..operators.scd2 import IS_CURRENT, scd2_merge
 
     snap = load_snapshot(table_path)
+    _check_writable(snap)
     pcols = snap.partition_columns
     # stats skipping BEFORE the semi-join scan: files whose key range
     # provably misses the incoming key range can hold no matched
