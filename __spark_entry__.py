@@ -2360,6 +2360,231 @@ SELECT '_meta', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
 """
 
 
+def _q_delta_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-constraints (round 11): CHECK constraints + appendOnly
+    (``sources/delta_lite.add_check_constraint`` / ``set_table_
+    properties``; config steps ``deltaConstraint`` / ``deltaProperties``
+    — delta writer protocol 3). A ``part``-derived table declares
+    ``CHECK (cents >= 0)``; then every enforcement lane runs for real:
+    a violating append REFUSES (staged files unlinked, version
+    unchanged), the valid append lands, a violating UPDATE refuses, the
+    valid UPDATE lands, ``delta.appendOnly=true`` blocks a DELETE until
+    unset, and DROP CONSTRAINT re-admits rows the rule would have
+    rejected. The final table is aggregated per lane and the meta lane
+    pins that all three refusals fired AND the final version count —
+    i.e. exactly the intended commits happened, none of the refused
+    ones. The oracle restates the surviving-row algebra relationally
+    (refused transactions contribute NOTHING, the whole point).
+
+    Determinism: integer cents; all slices are p_partkey modulus
+    classes (part's PK), so every lane is a closed-form predicate."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.delta_lite import (
+        add_check_constraint,
+        delete_delta_lite,
+        drop_check_constraint,
+        load_snapshot,
+        read_delta_lite,
+        set_table_properties,
+        update_delta_lite,
+        write_delta_lite,
+    )
+
+    tp = os.path.join(tempfile.mkdtemp(prefix="delta_ck_"), "parts_ck")
+    base = _table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    write_delta_lite(base.filter(F.col("p_partkey") % 3 == 0), tp)  # v0
+    add_check_constraint(spark, tp, "cents_pos", "cents >= 0")  # v1
+    flags = []
+    slice_b = base.filter(F.col("p_partkey") % 3 == 1)
+    try:  # violating append: refused, no commit
+        write_delta_lite(
+            slice_b.withColumn("cents", -F.col("cents") - 1), tp, mode="append"
+        )
+        flags.append(False)
+    except ValueError:
+        flags.append(load_snapshot(tp).version == 1)
+    write_delta_lite(slice_b, tp, mode="append")  # v2: valid append
+    try:  # violating UPDATE: refused
+        update_delta_lite(spark, tp, "p_partkey % 5 = 0", {"cents": "-1"})
+        flags.append(False)
+    except ValueError:
+        flags.append(load_snapshot(tp).version == 2)
+    update_delta_lite(  # v3: valid UPDATE
+        spark, tp, "p_partkey % 5 = 0", {"cents": "cents + 11"}
+    )
+    set_table_properties(tp, {"delta.appendOnly": "true"})  # v4
+    try:  # appendOnly blocks the delete
+        delete_delta_lite(spark, tp, "p_partkey % 7 = 0")
+        flags.append(False)
+    except ValueError:
+        flags.append(load_snapshot(tp).version == 4)
+    set_table_properties(tp, unset=["delta.appendOnly"])  # v5
+    delete_delta_lite(spark, tp, "p_partkey % 7 = 0")  # v6: now legal
+    drop_check_constraint(tp, "cents_pos")  # v7
+    write_delta_lite(  # v8: would have violated; rule is gone
+        base.filter(F.col("p_partkey") % 3 == 2).withColumn(
+            "cents", F.col("cents") - F.lit(100_000_000)
+        ),
+        tp,
+        mode="append",
+    )
+    final_version = load_snapshot(tp).version
+    agg = (
+        read_delta_lite(spark, tp)
+        .groupBy((F.col("p_partkey") % 4).cast("bigint").alias("lane"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    meta = spark.range(1).select(
+        F.lit(-1).cast("bigint").alias("lane"),
+        F.lit(1 if all(flags) and len(flags) == 3 else 0)
+        .cast("bigint")
+        .alias("n"),
+        F.lit(int(final_version)).cast("bigint").alias("sum_cents"),
+    )
+    return agg.unionByName(meta)
+
+
+DELTA_CONSTRAINTS_DUCK = """
+WITH p AS (
+  SELECT p_partkey,
+         CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM part
+), after_updates AS (
+  -- v0 slice + v2 valid append, with the one VALID update applied;
+  -- the refused append/update/delete contribute nothing
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 5 = 0 THEN cents + 11 ELSE cents END AS cents
+  FROM p WHERE p_partkey % 3 IN (0, 1)
+), after_delete AS (
+  SELECT * FROM after_updates WHERE p_partkey % 7 <> 0
+), final AS (
+  SELECT * FROM after_delete
+  UNION ALL
+  SELECT p_partkey, cents - 100000000 FROM p WHERE p_partkey % 3 = 2
+)
+SELECT CAST(p_partkey % 4 AS BIGINT) AS lane,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM final GROUP BY p_partkey % 4
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT), CAST(8 AS BIGINT)
+"""
+
+
+def _q_delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-clone (round 11): SHALLOW CLONE (``sources/delta_lite.
+    clone_delta_lite``; config step ``deltaClone``) — the zero-copy
+    fork. An ``orders``-derived table takes two commits; one clone
+    forks it AS OF VERSION 0 and another forks the live head, then the
+    live clone diverges (a keyed DELETE rewrites matched source files
+    INTO the clone; an append lands clone-local). Lanes aggregate the
+    v0 clone, the diverged clone, and the SOURCE (pinning fork
+    isolation: the source still aggregates to its pre-clone state);
+    the meta lane pins the zero-copy property itself — the clone
+    commit placed NOT ONE data file under the clone directory — plus
+    source-file survival after the clone's DML and vacuum. At 100 TB a
+    clone is one log write; dev/test forks of production tables cost
+    nothing until they diverge, and then only the diverged files.
+
+    Determinism: integer cents; slices are o_orderkey modulus classes
+    (duplicate o_orderkey rows in the synthetic orders don't matter —
+    every lane is a multiset aggregate)."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.delta_lite import (
+        clone_delta_lite,
+        delete_delta_lite,
+        read_delta_lite,
+        vacuum_delta_lite,
+        write_delta_lite,
+    )
+
+    root = tempfile.mkdtemp(prefix="delta_clone_")
+    src = os.path.join(root, "orders_src")
+    base = _table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    write_delta_lite(base.filter(F.col("o_orderkey") % 5 == 0), src)  # v0
+    write_delta_lite(  # v1
+        base.filter(F.col("o_orderkey") % 5 == 1), src, mode="append"
+    )
+    c0 = os.path.join(root, "clone_v0")
+    clone_delta_lite(src, c0, version=0)
+    live = os.path.join(root, "clone_live")
+    clone_delta_lite(src, live)
+    zero_copy = not any(
+        f.endswith(".parquet")
+        for c in (c0, live)
+        for _root, dirs, names in os.walk(c)
+        if "_delta_log" not in _root
+        for f in names
+    )
+    delete_delta_lite(spark, live, "o_orderkey % 3 = 0")  # diverge: DML
+    write_delta_lite(  # diverge: clone-local append
+        base.filter(F.col("o_orderkey") % 5 == 2).withColumn(
+            "cents", F.col("cents") + F.lit(5)
+        ),
+        live,
+        mode="append",
+    )
+    vacuum_delta_lite(live)  # must not reach outside the clone dir
+    src_intact = read_delta_lite(spark, src).count() == base.filter(
+        (F.col("o_orderkey") % 5).isin(0, 1)
+    ).count()
+
+    def lane(name, df):
+        return df.agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        ).select(F.lit(name).alias("lane"), "n", "sum_cents")
+
+    meta = spark.range(1).select(
+        F.lit("_meta").alias("lane"),
+        F.lit(1 if zero_copy else 0).cast("bigint").alias("n"),
+        F.lit(1 if src_intact else 0).cast("bigint").alias("sum_cents"),
+    )
+    return (
+        lane("clone_v0", read_delta_lite(spark, c0))
+        .unionByName(lane("clone_live", read_delta_lite(spark, live)))
+        .unionByName(lane("source", read_delta_lite(spark, src)))
+        .unionByName(meta)
+    )
+
+
+DELTA_CLONE_DUCK = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), v0 AS (
+  SELECT * FROM o WHERE o_orderkey % 5 = 0
+), v1 AS (
+  SELECT * FROM o WHERE o_orderkey % 5 IN (0, 1)
+), live AS (
+  SELECT * FROM v1 WHERE o_orderkey % 3 <> 0
+  UNION ALL
+  SELECT o_orderkey, cents + 5 FROM o WHERE o_orderkey % 5 = 2
+)
+SELECT 'clone_v0' AS lane, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents FROM v0
+UNION ALL
+SELECT 'clone_live', CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+FROM live
+UNION ALL
+SELECT 'source', CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT) FROM v1
+UNION ALL
+SELECT '_meta', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+"""
+
+
 def _q_streaming_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9-streaming-CDF (round 11): the delta-lite STREAMING CHANGE
     FEED — ``readStream.format(delta_lite_stream).option
@@ -8241,6 +8466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_merge_evolve": _q_delta_merge_evolve,
         "streaming_cdf": _q_streaming_cdf,
         "delta_replace_where": _q_delta_replace_where,
+        "delta_constraints": _q_delta_constraints,
+        "delta_clone": _q_delta_clone,
         "delta_convert": _q_delta_convert,
         # -- (-1) round-9 additions: full-PSL registrable domains and
         #    the RFC 9309 robots politeness filter ---------------------
@@ -8457,11 +8684,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
     }
     # Round-11 rotation head: the driver checks the FIRST 50 keys.
-    # Composition (counts: 4 + 5 + 14 + 7 + 20 = 50 checked;
-    # 189 total):
-    #   - 4 brand-new round-11 entries (delta_merge_evolve,
-    #     streaming_cdf, delta_replace_where, delta_convert) — never
-    #     driver-checked, lead unconditionally,
+    # Composition (counts: 6 + 5 + 14 + 7 + 18 = 50 checked;
+    # 191 total):
+    #   - 6 brand-new round-11 entries (delta_merge_evolve,
+    #     streaming_cdf, delta_replace_where, delta_convert,
+    #     delta_constraints, delta_clone) — never driver-checked,
+    #     lead unconditionally,
     #   - 5 whose code path changed in round 11 — changed code ALWAYS
     #     re-enters: delta_roundtrip + delta_cdc + delta_restore +
     #     scd2_price_history (MERGE schema auto-evolution threaded
@@ -8481,15 +8709,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     left anywhere (domain_mix, bigram_lm, streaming_enrich,
     #     hll_rollup, streaming_running_totals, streaming_dedup,
     #     streaming_interval_join),
-    #   - 20 r06-evidence keys in base order (orders_rollup,
+    #   - 18 r06-evidence keys in base order (orders_rollup,
     #     cte_nation_revenue, q4/q12/q14/q18/q19, ann_lsh_topk,
     #     embedding_near_dups, bpe_merges, bpe_tokenize,
     #     classifier_distill, classifier_score, tfidf_top_terms,
     #     inverted_index, weighted_sample, kmeans_clusters,
-    #     quality_quantile_filter, snapshot_diff, zscore_outliers).
+    #     quality_quantile_filter).
     # Everything not in the head keeps its r06-r10 evidence and follows
-    # in prior order. Round 12 should lead with the remaining 18
-    # r06-evidence keys (embedding_quantize, cms_user_counts,
+    # in prior order. Round 12 should lead with the remaining 20
+    # r06-evidence keys (snapshot_diff, zscore_outliers,
+    # embedding_quantize, cms_user_counts,
     # zorder_cluster, time_resample, variant_extract, mad_outliers,
     # incremental_agg, streaming_outer_join, streaming_sliding_counts,
     # source_entropy, time_interpolate, corpus_curation,
@@ -8499,7 +8728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     head = [
         # brand-new round-11 entries
         "delta_merge_evolve", "streaming_cdf", "delta_replace_where",
-        "delta_convert",
+        "delta_convert", "delta_constraints", "delta_clone",
         # round-11 changed-code re-entries (delta write/DML/stream)
         "delta_roundtrip", "delta_cdc", "delta_restore",
         "scd2_price_history", "streaming_delta_source",
@@ -8520,11 +8749,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk", "embedding_near_dups", "bpe_merges",
         "bpe_tokenize", "classifier_distill", "classifier_score",
         "tfidf_top_terms", "inverted_index", "weighted_sample",
-        "kmeans_clusters", "quality_quantile_filter", "snapshot_diff",
-        "zscore_outliers",
+        "kmeans_clusters", "quality_quantile_filter",
         # 50-cap cutoff. The round-10 head (k_generalize ...
         # nfc_normalize) carries fresh r10 driver evidence and rotates
-        # out en bloc.
+        # out en bloc; snapshot_diff/zscore_outliers slid to round 12's
+        # promised lead to make room for the two new entries.
     ]
     out = {k: base[k] for k in head}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -8578,6 +8807,8 @@ def oracle_sql() -> dict[str, str]:
         "delta_restore": DELTA_RESTORE_DUCK,
         "delta_merge_evolve": DELTA_MERGE_EVOLVE_DUCK,
         "delta_replace_where": DELTA_REPLACE_WHERE_DUCK,
+        "delta_constraints": DELTA_CONSTRAINTS_DUCK,
+        "delta_clone": DELTA_CLONE_DUCK,
         "delta_convert": DELTA_CONVERT_DUCK,
         "streaming_delta_source": STREAMING_DELTA_SOURCE_DUCK,
         "streaming_cdf": STREAMING_CDF_DUCK,

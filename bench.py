@@ -206,6 +206,11 @@ HEADLINE = [
     "streaming_cdf",
     "delta_replace_where",
     "delta_convert",
+    # round 11 second wave: CHECK-constraint enforcement lanes (three
+    # refused transactions + the commits that do land) and the
+    # zero-copy SHALLOW CLONE fork (clone + diverge + isolation lanes)
+    "delta_constraints",
+    "delta_clone",
 ]
 
 

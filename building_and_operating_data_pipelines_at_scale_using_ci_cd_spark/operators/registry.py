@@ -507,6 +507,84 @@ def _delta_history(df: DataFrame, table_path: str) -> DataFrame:
     )
 
 
+def _delta_constraint(
+    df: DataFrame,
+    table_path: str,
+    name: str,
+    expr: str | None = None,
+    action: str = "add",
+) -> DataFrame:
+    """Config shape: ``ALTER TABLE ... ADD/DROP CONSTRAINT`` on a
+    delta-lite table. ``action: add`` validates EXISTING rows first
+    (one bounded job) and upgrades the writer protocol to 3; from then
+    on every row-adding step (simpleInsert, deltaMerge, deltaDelete
+    rewrites, scdType2Insert, replaceWhere) refuses rows violating
+    ``expr``. ``action: drop`` removes the rule (log-only). The input
+    view is only the chaining anchor; returns the table snapshot."""
+    from ..sources.delta_lite import (
+        add_check_constraint,
+        drop_check_constraint,
+        read_delta_lite,
+    )
+
+    if action == "add":
+        if not expr:
+            raise ValueError("deltaConstraint action=add requires expr")
+        add_check_constraint(df.sparkSession, table_path, name, expr)
+    elif action == "drop":
+        drop_check_constraint(table_path, name)
+    else:
+        raise ValueError(f"deltaConstraint action must be add|drop, got {action!r}")
+    return read_delta_lite(df.sparkSession, table_path)
+
+
+def _delta_properties(
+    df: DataFrame,
+    table_path: str,
+    properties_json: str | None = None,
+    unset: str | None = None,
+) -> DataFrame:
+    """Config shape: ``ALTER TABLE ... SET/UNSET TBLPROPERTIES`` —
+    ``properties_json`` is a JSON object of key → value;``unset`` a
+    comma-separated key list. ``delta.appendOnly: true`` makes every
+    later data-removing step refuse (the protocol's writer-v2 rule);
+    constraints must go through deltaConstraint. Log-only commit."""
+    import json as _json
+
+    from ..sources.delta_lite import read_delta_lite, set_table_properties
+
+    set_table_properties(
+        table_path,
+        properties=_json.loads(properties_json) if properties_json else None,
+        unset=[k.strip() for k in unset.split(",")] if unset else None,
+    )
+    return read_delta_lite(df.sparkSession, table_path)
+
+
+def _delta_clone(
+    df: DataFrame,
+    source_path: str,
+    table_path: str,
+    version=None,
+    timestamp=None,
+) -> DataFrame:
+    """Config shape: ``CREATE TABLE ... SHALLOW CLONE`` — zero-copy
+    fork of ``source_path`` (optionally at a version/timestamp) into
+    ``table_path``: one log write referencing the source files in
+    place, stats carried so data skipping works from the first read.
+    Appends/DML on the clone land in the clone's own directory and
+    never touch the source. Returns the clone's snapshot."""
+    from ..sources.delta_lite import clone_delta_lite, read_delta_lite
+
+    clone_delta_lite(
+        source_path,
+        table_path,
+        version=int(version) if version is not None else None,
+        timestamp=timestamp,
+    )
+    return read_delta_lite(df.sparkSession, table_path)
+
+
 def _delta_optimize(
     df: DataFrame, table_path: str, target_files=1, zorder_by=None
 ) -> DataFrame:
@@ -565,14 +643,22 @@ def _delta_changes(
     return delta_changes(df.sparkSession, table_path, lo, hi)
 
 
-def _delta_vacuum(df: DataFrame, table_path: str, retain_versions=0) -> DataFrame:
+def _delta_vacuum(
+    df: DataFrame, table_path: str, retain_versions=0, retention_hours=None
+) -> DataFrame:
     """Config shape: VACUUM a delta-lite table — physically delete data
     files referenced only by snapshots older than the retained window
-    (current + ``retain_versions`` prior). Maintenance DML, executes
-    eagerly; returns the (unchanged) current snapshot for chaining."""
+    (current + ``retain_versions`` prior + everything committed within
+    ``retention_hours``, delta-spark's RETAIN n HOURS; the knobs
+    compose). Maintenance DML, executes eagerly; returns the
+    (unchanged) current snapshot for chaining."""
     from ..sources.delta_lite import read_delta_lite, vacuum_delta_lite
 
-    vacuum_delta_lite(table_path, retain_versions=int(retain_versions))
+    vacuum_delta_lite(
+        table_path,
+        retain_versions=int(retain_versions),
+        retention_hours=float(retention_hours) if retention_hours is not None else None,
+    )
     return read_delta_lite(df.sparkSession, table_path)
 
 
@@ -1187,6 +1273,9 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "deltaHistory": _delta_history,
     "deltaConvert": _delta_convert,
     "deltaOptimize": _delta_optimize,
+    "deltaConstraint": _delta_constraint,
+    "deltaProperties": _delta_properties,
+    "deltaClone": _delta_clone,
     "deltaVacuum": _delta_vacuum,
     "deltaChanges": _delta_changes,
     "redactCards": _redact_cards,

@@ -2216,18 +2216,32 @@ def delta_changes(
     return inserts.unionByName(deletes)
 
 
-def vacuum_delta_lite(table_path: str, retain_versions: int = 0) -> list:
+def vacuum_delta_lite(
+    table_path: str,
+    retain_versions: int = 0,
+    retention_hours: float | None = None,
+) -> list:
     """Delete data files no longer referenced by the retained snapshots
     (current and, with ``retain_versions`` > 0, that many prior versions
     — time travel to them keeps working; older versions become
     unreadable, which is the honest Delta VACUUM trade). Returns the
     relative paths removed. The log itself is never touched, so history
-    metadata stays auditable."""
+    metadata stays auditable.
+
+    ``retention_hours`` (delta-spark's ``RETAIN n HOURS``): ALSO retain
+    every snapshot whose commit timestamp is within the window, so time
+    travel across the retention period keeps working — the two knobs
+    compose (a version is kept if EITHER rule retains it)."""
     snap = load_snapshot(table_path)
     referenced = set(snap.files)
     log = _log_path(table_path)
     versions = [v for v in _commit_versions(log) if v < snap.version]
-    for v in sorted(versions, reverse=True)[:retain_versions]:
+    keep = set(sorted(versions, reverse=True)[:retain_versions])
+    if retention_hours is not None:
+        cutoff = time.time() * 1000 - float(retention_hours) * 3_600_000
+        stamps = commit_timestamps(table_path)
+        keep |= {v for v in versions if stamps.get(v, 0) >= cutoff}
+    for v in sorted(keep, reverse=True):
         try:
             referenced |= set(load_snapshot(table_path, v).files)
         except ValueError:

@@ -51,6 +51,9 @@ reference vacuumed pre-compaction files, and with ``skipChangeCommits``
 a v0 replay would resurrect rows an overwrite/delete removed. Start
 the sink with ``availableNow`` and the snapshot backfill proceeds as
 one microbatch, file-parallel across executors.
+``.option("startingTimestamp", ...)`` starts at the first commit
+AT-OR-AFTER the timestamp instead (past the last commit = tail-only);
+it is mutually exclusive with ``startingVersion``, delta's contract.
 """
 
 from __future__ import annotations
@@ -164,6 +167,15 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         #: so any client-side clamp can regress offsets or re-deliver
         #: commits after a restart. Measured, not assumed.)
         self._starting_version = options.get("startingversion")
+        #: delta-spark's startingTimestamp: start from the first commit
+        #: AT OR AFTER the timestamp (all later table changes are read;
+        #: a timestamp past the last commit = tail only future commits).
+        #: Mutually exclusive with startingVersion, same as delta-spark.
+        self._starting_timestamp = options.get("startingtimestamp")
+        if self._starting_version is not None and self._starting_timestamp is not None:
+            raise ValueError(
+                "startingVersion and startingTimestamp are mutually exclusive"
+            )
         #: delta's readChangeFeed: deliver CDC rows (_change_type /
         #: _commit_version) instead of requiring append-only commits.
         #: Change commits are CONSUMED (multiset-diff semantics matching
@@ -185,6 +197,20 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
             if f.name not in ("_change_type", "_commit_version")
         ]
 
+    def _timestamp_start_version(self):
+        """The version BEFORE the first commit at-or-after
+        ``startingTimestamp`` (offsets are exclusive on the left), or
+        the latest version when the timestamp is past every commit —
+        the stream then tails only future commits, delta's contract."""
+        from .delta_lite import _timestamp_ms, commit_timestamps, load_snapshot
+
+        want = _timestamp_ms(self._starting_timestamp)
+        stamps = commit_timestamps(self._path)
+        at_or_after = [v for v, ts in stamps.items() if ts >= want]
+        if at_or_after:
+            return min(at_or_after) - 1
+        return load_snapshot(self._path).version
+
     # -- offsets ---------------------------------------------------------
     def initialOffset(self) -> dict:
         if self._cdf:
@@ -193,11 +219,15 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
             # startingVersion rewinds into history explicitly
             from .delta_lite import load_snapshot
 
+            if self._starting_timestamp is not None:
+                return {"version": self._timestamp_start_version()}
             if self._starting_version is None or str(
                 self._starting_version
             ).lower() == "latest":
                 return {"version": load_snapshot(self._path).version}
             return {"version": int(self._starting_version) - 1}
+        if self._starting_timestamp is not None:
+            return {"version": self._timestamp_start_version()}
         if self._starting_version is None:
             # Default = the current reconciled snapshot, delivered as the
             # first batch (the ``snapshot`` marker tells ``partitions`` to

@@ -285,6 +285,47 @@ def main():
     print(f"config evolution: audit_tag evolved in one MERGE commit "
           f"({n_tagged} tagged, rest NULL); deltaHistory sink lists {ops}")
 
+    # 3e. constraints + clone as config steps (round 11 second wave):
+    # deltaConstraint guards every later write; deltaClone forks the
+    # guarded table zero-copy and the fork diverges independently.
+    clone_path = f"{DEMO}/orders_fork"
+    _run_cfg(spark, "guard_fork", {
+        "configs": {"name": "guard_fork", "phase_1": {"input_data": {
+            "dataSource": "local", "dataFrameName": "orders",
+            "path": f"{SF}/orders.parquet",
+            "fileProperties": {"fileFormat": "parquet"}}}},
+        "phase_2": {"data_transformations": [
+            {"operatorName": "deltaConstraint", "inputDFName": "orders",
+             "operatorParams": {"table_path": dml_table,
+                                "name": "key_pos", "expr": "o_orderkey >= 0"},
+             "outputDFName": "guarded"},
+            {"operatorName": "deltaClone", "inputDFName": "guarded",
+             "operatorParams": {"source_path": dml_table,
+                                "table_path": clone_path},
+             "outputDFName": "fork"}]},
+    })
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.delta_lite import (
+        delete_delta_lite,
+        table_constraints,
+        write_delta_lite as _wd,
+    )
+
+    assert table_constraints(dml_table) == {"key_pos": "o_orderkey >= 0"}
+    assert table_constraints(clone_path) == {"key_pos": "o_orderkey >= 0"}
+    n_src = read_delta_lite(spark, dml_table).count()
+    try:  # the constraint holds on the CLONE too (it carried over)
+        _wd(spark.sql("SELECT CAST(-1 AS BIGINT) AS o_orderkey, "
+                      "CAST(1 AS BIGINT) AS o_custkey, 'X' AS o_orderpriority, "
+                      "CAST(NULL AS STRING) AS audit_tag"),
+            clone_path, mode="append")
+        raise AssertionError("constraint did not carry to the clone")
+    except ValueError:
+        pass
+    delete_delta_lite(spark, clone_path, "o_orderkey % 2 = 0")
+    assert read_delta_lite(spark, dml_table).count() == n_src  # fork isolated
+    print(f"config constraint+clone: key_pos guards source AND fork; "
+          f"fork diverged, source still {n_src} rows")
+
     # 4. OPTIMIZE + VACUUM + the honest end of time travel
     files_before = len(load_snapshot(table).files)
     v_opt = optimize_delta_lite(table, spark, target_files=2)

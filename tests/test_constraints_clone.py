@@ -435,3 +435,134 @@ def test_streaming_source_reads_clone(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.table("clone_stream").collect())
     want = sorted(tuple(r) for r in dl.read_delta_lite(spark, dst).collect())
     assert got == want
+
+
+# -- config steps -----------------------------------------------------------
+
+
+def test_registry_delta_constraint_and_properties_steps(spark, tmp_path):
+    """Config steps deltaConstraint (add/drop) and deltaProperties:
+    the constraint blocks a later simpleInsert-shaped append; drop
+    re-admits it; appendOnly set/unset round-trips."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.registry import (
+        OPERATORS,
+    )
+
+    tp = str(tmp_path / "t")
+    anchor = spark.createDataFrame([(0,)], "x int")
+    dl.write_delta_lite(spark.createDataFrame([(1, 10)], "k int, v int"), tp)
+    out = OPERATORS["deltaConstraint"](
+        anchor, table_path=tp, name="v_pos", expr="v > 0"
+    )
+    assert out.count() == 1
+    assert dl.table_constraints(tp) == {"v_pos": "v > 0"}
+    with pytest.raises(ValueError, match="v_pos"):
+        dl.write_delta_lite(
+            spark.createDataFrame([(2, -1)], "k int, v int"), tp, mode="append"
+        )
+    OPERATORS["deltaConstraint"](anchor, table_path=tp, name="v_pos", action="drop")
+    dl.write_delta_lite(
+        spark.createDataFrame([(2, -1)], "k int, v int"), tp, mode="append"
+    )
+    OPERATORS["deltaProperties"](
+        anchor, table_path=tp, properties_json='{"delta.appendOnly": "true"}'
+    )
+    with pytest.raises(ValueError, match="appendOnly"):
+        dl.delete_delta_lite(spark, tp, "k = 1")
+    OPERATORS["deltaProperties"](anchor, table_path=tp, unset="delta.appendOnly")
+    dl.delete_delta_lite(spark, tp, "k = 1")
+    assert dl.read_delta_lite(spark, tp).count() == 1
+
+
+def test_registry_delta_clone_step(spark, tmp_path):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.registry import (
+        OPERATORS,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    dl.write_delta_lite(spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"), src)
+    dl.write_delta_lite(
+        spark.createDataFrame([(3, 30)], "k int, v int"), src, mode="append"
+    )
+    anchor = spark.createDataFrame([(0,)], "x int")
+    out = OPERATORS["deltaClone"](anchor, source_path=src, table_path=dst, version=0)
+    assert sorted(tuple(r) for r in out.collect()) == [(1, 10), (2, 20)]
+    out2 = OPERATORS["deltaClone"](
+        anchor, source_path=src, table_path=str(tmp_path / "dst2")
+    )
+    assert out2.count() == 3
+
+
+# -- round-11 parity extras --------------------------------------------------
+
+
+def test_vacuum_retention_hours(spark, tmp_path):
+    """RETAIN n HOURS: versions committed inside the window keep their
+    files (time travel works); a 0-hour window degenerates to the
+    versions-only rule. The knobs compose (either rule retains)."""
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(_mk(spark, 10), tp)
+    dl.write_delta_lite(_mk(spark, 5), tp, mode="overwrite")
+    dl.write_delta_lite(_mk(spark, 3), tp, mode="overwrite")
+    # everything was committed seconds ago: a 1-hour window keeps all
+    assert dl.vacuum_delta_lite(tp, retention_hours=1.0) == []
+    assert dl.read_delta_lite(spark, tp, version=0).count() == 10
+    assert dl.read_delta_lite(spark, tp, version=1).count() == 5
+    # 0-hour window: only the current snapshot survives
+    removed = dl.vacuum_delta_lite(tp, retention_hours=0.0)
+    assert removed
+    assert dl.read_delta_lite(spark, tp).count() == 3
+
+
+def test_stream_starting_timestamp(spark, tmp_path):
+    """startingTimestamp: the stream reads every commit AT OR AFTER the
+    timestamp; a timestamp past the last commit tails only the future.
+    Mutually exclusive with startingVersion."""
+    import json as _json
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.delta_stream import (
+        read_delta_lite_stream,
+    )
+
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(spark.createDataFrame([(1,)], "k int"), tp)  # v0
+    dl.write_delta_lite(spark.createDataFrame([(2,)], "k int"), tp, mode="append")
+    dl.write_delta_lite(spark.createDataFrame([(3,)], "k int"), tp, mode="append")
+    # rewrite commit timestamps so versions are an hour apart
+    base_ms = 1_600_000_000_000
+    for v in range(3):
+        f = os.path.join(tp, dl.LOG_DIR, f"{v:020d}.json")
+        actions = [_json.loads(l) for l in open(f) if l.strip()]
+        for a in actions:
+            if a.get("commitInfo"):
+                a["commitInfo"]["timestamp"] = base_ms + v * 3_600_000
+        with open(f, "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+    def drain(name, **opts):
+        q = (
+            read_delta_lite_stream(spark, tp, **opts)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ("cp_" + name)))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r.k for r in spark.table(name).collect())
+
+    # timestamp exactly at v1's commit -> commits v1, v2 (at-or-after)
+    import datetime as _dt
+
+    t_v1 = _dt.datetime.utcfromtimestamp((base_ms + 3_600_000) / 1000).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    assert drain("st_mid", startingTimestamp=t_v1) == [2, 3]
+    # timestamp past every commit -> nothing (tail-only)
+    t_future = _dt.datetime.utcfromtimestamp(
+        (base_ms + 10 * 3_600_000) / 1000
+    ).strftime("%Y-%m-%d %H:%M:%S")
+    assert drain("st_future", startingTimestamp=t_future) == []
+    with pytest.raises(Exception, match="mutually exclusive"):
+        drain("st_both", startingTimestamp=t_v1, startingVersion=0)
