@@ -25,3 +25,4 @@ __version__ = "0.1.0"
 from .session import get_session  # noqa: F401
 from .config import JobConfig  # noqa: F401
 from .plans.engine import Orchestrator  # noqa: F401
+from .plans.validate import validate_config, validate_manifest  # noqa: F401

@@ -93,6 +93,21 @@ class Orchestrator:
 
     # -- public API --------------------------------------------------------
 
+    def validate(
+        self,
+        config: JobConfig | dict[str, Any] | str,
+        params: dict[str, Any] | None = None,
+        connect: bool = False,
+    ):
+        """CI-time dry run: lint the config and push every SQL step
+        through Catalyst's ANALYZER against the real input schemas —
+        no job runs, nothing is written, operator steps are never
+        invoked. Returns a ``ValidationReport`` (``.ok``, ``.findings``,
+        ``.raise_on_error()``). See ``plans/validate.py``."""
+        from .validate import validate_config
+
+        return validate_config(self.spark, config, params=params, connect=connect)
+
     def run(
         self,
         config: JobConfig | dict[str, Any] | str,

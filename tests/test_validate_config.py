@@ -1,0 +1,214 @@
+"""CI-time config validation (plans/validate.py): lint + Catalyst
+analysis dry run. The reference repo's whole point is configs deployed
+through CI/CD (reference README/buildspec) — this is the pre-merge gate
+that answers "will this config run?" without running it."""
+
+import json
+import os
+
+import pytest
+
+from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.plans.validate import (
+    validate_config,
+    validate_manifest,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _base_cfg(tmp_path, sql="SELECT o_orderkey, o_custkey FROM orders", **over):
+    cfg = {
+        "configs": {"name": "j", "phase_1": {"input_data": {
+            "dataSource": "local", "dataFrameName": "orders",
+            "path": f"{SF}/orders.parquet",
+            "fileProperties": {"fileFormat": "parquet"}}}},
+        "phase_2": {"data_transformations": [{
+            "functionName": "t", "sqlQuery": sql, "outputDFName": "out"}]},
+        "phase_3": {"target_record_insert": [{
+            "dataTarget": "local", "dataFrameName": "out",
+            "loadType": "simpleInsert", "path": str(tmp_path / "out"),
+            "fileFormat": "parquet"}]},
+    }
+    cfg.update(over)
+    return cfg
+
+
+def test_valid_config_passes_and_reports_schemas(spark, tmp_path):
+    rep = validate_config(spark, _base_cfg(tmp_path))
+    assert rep.ok, [str(f) for f in rep.findings]
+    assert rep.schemas["out"] == ["o_orderkey", "o_custkey"]
+    # dry run left no temp views behind
+    assert not any(
+        v.name in ("orders", "out") for v in spark.catalog.listTables()
+    )
+    # and wrote nothing
+    assert not os.path.exists(str(tmp_path / "out"))
+
+
+def test_analysis_catches_bad_column_and_bad_view(spark, tmp_path):
+    rep = validate_config(
+        spark, _base_cfg(tmp_path, sql="SELECT no_such_col FROM orders")
+    )
+    assert not rep.ok
+    assert any("no_such_col" in str(f) for f in rep.errors)
+    rep2 = validate_config(
+        spark, _base_cfg(tmp_path, sql="SELECT 1 AS x FROM no_such_view")
+    )
+    assert not rep2.ok
+
+
+def test_structural_lint(spark, tmp_path):
+    cfg = _base_cfg(tmp_path)
+    cfg["phase_3"]["target_record_insert"][0]["loadType"] = "simpleinsert"
+    rep = validate_config(spark, cfg)
+    assert any("did you mean 'simpleInsert'" in str(f) for f in rep.errors)
+    cfg = _base_cfg(tmp_path)
+    del cfg["configs"]["phase_1"]["input_data"]["path"]
+    rep = validate_config(spark, cfg)
+    assert any("no path" in str(f) for f in rep.errors)
+    cfg = _base_cfg(tmp_path)
+    cfg["phase_3"]["target_record_insert"][0]["dataFrameName"] = "nope"
+    rep = validate_config(spark, cfg)
+    assert any("which no step defines" in str(f) for f in rep.errors)
+    # scd2 without keys
+    cfg = _base_cfg(tmp_path)
+    cfg["phase_3"]["target_record_insert"][0]["loadType"] = "scdType2Insert"
+    rep = validate_config(spark, cfg)
+    assert any("scd2Keys" in str(f) for f in rep.errors)
+
+
+def test_operator_step_lint_without_execution(spark, tmp_path):
+    """Operator steps are linted (name + signature) but NEVER run: a
+    deltaMerge against a nonexistent table must not fail the dry run on
+    execution grounds, and a typo'd operator/param is an error."""
+    cfg = _base_cfg(tmp_path)
+    cfg["phase_2"]["data_transformations"].append({
+        "operatorName": "deltaMerge", "inputDFName": "out",
+        "operatorParams": {"table_path": "/nonexistent/delta", "on_keys": "o_orderkey"},
+        "outputDFName": "merged"})
+    cfg["phase_3"]["target_record_insert"][0]["dataFrameName"] = "merged"
+    rep = validate_config(spark, cfg)
+    assert rep.ok, [str(f) for f in rep.findings]  # no execution = no failure
+    assert "merged" in rep.placeholders
+    # typo'd operator name
+    cfg["phase_2"]["data_transformations"][1]["operatorName"] = "deltamerge"
+    rep = validate_config(spark, cfg)
+    assert any("did you mean 'deltaMerge'" in str(f) for f in rep.errors)
+    # unknown parameter (deltaDelete has an explicit signature —
+    # deltaMerge takes **kw, so its extras are forwarded, not linted)
+    cfg["phase_2"]["data_transformations"][1]["operatorName"] = "deltaDelete"
+    cfg["phase_2"]["data_transformations"][1]["operatorParams"] = {
+        "table_path": "/x", "condition": "1=1", "nonsense_param": 1}
+    rep = validate_config(spark, cfg)
+    assert any("nonsense_param" in str(f) for f in rep.errors)
+    # missing required parameter
+    cfg["phase_2"]["data_transformations"][1]["operatorParams"] = {"table_path": "/x"}
+    rep = validate_config(spark, cfg)
+    assert any("condition" in str(f) and "required" in str(f) for f in rep.errors)
+
+
+def test_sql_over_placeholder_degrades_to_syntax_check(spark, tmp_path):
+    cfg = _base_cfg(tmp_path)
+    cfg["phase_2"]["data_transformations"] += [
+        {"operatorName": "deltaMerge", "inputDFName": "out",
+         "operatorParams": {"table_path": "/x", "on_keys": "k"},
+         "outputDFName": "merged"},
+        {"functionName": "s", "sqlQuery": "SELECT COUNT(*) AS n FROM merged",
+         "outputDFName": "summary"},
+    ]
+    cfg["phase_3"]["target_record_insert"][0]["dataFrameName"] = "summary"
+    rep = validate_config(spark, cfg)
+    assert rep.ok
+    assert any("syntax check" in str(f) for f in rep.warnings)
+    # an actual syntax error in the degraded statement is still caught
+    cfg["phase_2"]["data_transformations"][2]["sqlQuery"] = "SELEC broken FROM merged"
+    rep = validate_config(spark, cfg)
+    assert not rep.ok
+
+
+def test_validation_keys_and_target_columns_checked(spark, tmp_path):
+    cfg = _base_cfg(tmp_path)
+    cfg["phase_2"]["data_validation_required"] = "true"
+    cfg["phase_2"]["data_validations"] = {
+        "nullValueValidation": "true",
+        "nullValueCheck": {"primaryKeys": ["no_such_key"]},
+    }
+    rep = validate_config(spark, cfg)
+    assert any("no_such_key" in str(f) for f in rep.errors)
+    cfg = _base_cfg(tmp_path)
+    cfg["phase_3"]["target_record_insert"][0]["partitionBy"] = ["ghost_col"]
+    rep = validate_config(spark, cfg)
+    assert any("ghost_col" in str(f) for f in rep.errors)
+
+
+def test_database_input_skipped_unless_connect(spark, tmp_path):
+    cfg = _base_cfg(tmp_path, sql="SELECT 1 AS one")
+    cfg["configs"]["phase_1"]["input_data"] = {
+        "dataSource": "database", "dataFrameName": "db_in",
+        "jdbcUrl": "jdbc:derby:memory:nope", "tableName": "t"}
+    rep = validate_config(spark, cfg)
+    assert rep.ok
+    assert any("connect=True" in str(f) for f in rep.warnings)
+    assert "db_in" in rep.placeholders
+
+
+def test_params_and_raise_on_error(spark, tmp_path):
+    cfg = _base_cfg(tmp_path, sql="SELECT o_orderkey FROM orders WHERE o_orderkey < ${cap}")
+    rep = validate_config(spark, cfg, params={"cap": "100"})
+    assert rep.ok
+    rep = validate_config(spark, cfg)  # missing param -> parse error
+    assert not rep.ok
+    with pytest.raises(ValueError, match="validation failed"):
+        rep.raise_on_error()
+
+
+def test_orchestrator_validate_facade(spark, tmp_path):
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark import (
+        Orchestrator,
+    )
+
+    assert Orchestrator(spark).validate(_base_cfg(tmp_path)).ok
+
+
+def test_validate_manifest(spark, tmp_path):
+    c1 = _base_cfg(tmp_path)
+    p1 = tmp_path / "j1.json"
+    p1.write_text(json.dumps(c1))
+    manifest = {
+        "name": "pipe",
+        "tasks": [
+            {"name": "a", "config": str(p1)},
+            {"name": "b", "config": str(p1), "dependsOn": ["a"]},
+        ],
+    }
+    rep = validate_manifest(spark, manifest)
+    assert rep.ok, [str(f) for f in rep.findings]
+    # unknown dependency + cycle
+    manifest["tasks"][0]["dependsOn"] = ["b"]
+    rep = validate_manifest(spark, manifest)
+    assert any("cycle" in str(f) for f in rep.errors)
+    manifest["tasks"][0]["dependsOn"] = ["ghost"]
+    rep = validate_manifest(spark, manifest)
+    assert any("unknown task" in str(f) for f in rep.errors)
+    # a broken job config surfaces under its task name
+    bad = _base_cfg(tmp_path, sql="SELECT ghost FROM orders")
+    p2 = tmp_path / "j2.json"
+    p2.write_text(json.dumps(bad))
+    rep = validate_manifest(
+        spark, {"name": "p", "tasks": [{"name": "z", "config": str(p2)}]}
+    )
+    assert any(str(f).startswith("ERROR") and "task[z]" in str(f) for f in rep.errors)
+
+
+def test_cli_main(spark, tmp_path):
+    """The CI shape: exit 0 on a valid config, 1 on a broken one."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.plans import (
+        validate as vmod,
+    )
+
+    good = tmp_path / "good.json"
+    good.write_text(json.dumps(_base_cfg(tmp_path)))
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps(_base_cfg(tmp_path, sql="SELECT ghost FROM orders")))
+    assert vmod.main([str(good)]) == 0
+    assert vmod.main([str(good), str(bad)]) == 1
