@@ -1059,6 +1059,15 @@ def write_delta_lite(
                 # would otherwise land parquet files whose physical
                 # types no longer match the table metadata.
                 raise
+            if (
+                snap2.configuration != snap.configuration
+                or snap2.protocol != snap.protocol
+            ):
+                # a racing ADD CONSTRAINT / property / protocol change:
+                # our staged rows were validated against the OLD rules,
+                # so re-aiming would land rows the new rule never saw
+                # (delta's MetadataChangedException shape)
+                raise
             version = snap2.version + 1
     _maybe_checkpoint(table_path, version, checkpoint_interval)
     return version
@@ -1233,8 +1242,8 @@ def add_check_constraint(
     bad = current.filter(~F.coalesce(F.expr(expr), F.lit(False))).limit(1).collect()
     if bad:
         raise ValueError(
-            f"cannot add constraint {name!r}: {len(bad)} existing row(s) "
-            f"violate CHECK ({expr}), e.g. {bad[0].asDict()!r}"
+            f"cannot add constraint {name!r}: existing row(s) violate "
+            f"CHECK ({expr}), e.g. {bad[0].asDict()!r}"
         )
     conf[key] = expr
     meta = dict(snap.metadata)

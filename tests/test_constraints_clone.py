@@ -566,3 +566,58 @@ def test_stream_starting_timestamp(spark, tmp_path):
     assert drain("st_future", startingTimestamp=t_future) == []
     with pytest.raises(Exception, match="mutually exclusive"):
         drain("st_both", startingTimestamp=t_v1, startingVersion=0)
+
+
+def test_restore_reverts_constraints_with_metadata(spark, tmp_path):
+    """RESTORE re-commits the target version's metaData (delta's
+    behavior: schema AND configuration travel with the restore), so
+    restoring past an ADD CONSTRAINT drops the rule — and the protocol
+    stays at writer 3 (protocol actions are never restored)."""
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(_mk(spark), tp)  # v0
+    dl.add_check_constraint(spark, tp, "v_ok", "v >= 0")  # v1
+    with pytest.raises(ValueError, match="v_ok"):
+        dl.write_delta_lite(
+            spark.createDataFrame([(1, -1)], "id bigint, v bigint"), tp, mode="append"
+        )
+    dl.restore_delta_lite(tp, 0)  # v2: pre-constraint state
+    assert dl.table_constraints(tp) == {}
+    assert dl.load_snapshot(tp).protocol["minWriterVersion"] == 3
+    dl.write_delta_lite(  # the rule is gone with the metadata
+        spark.createDataFrame([(1, -1)], "id bigint, v bigint"), tp, mode="append"
+    )
+    dl.restore_delta_lite(tp, 1)  # forward again: rule comes back...
+    assert dl.table_constraints(tp) == {"v_ok": "v >= 0"}
+    # ...but RESTORE is data+metadata, not a validator: the negative row
+    # from the lawless interval is NOT resurrected (v1's file set wins)
+    assert dl.read_delta_lite(spark, tp).filter("v < 0").count() == 0
+    with pytest.raises(ValueError, match="v_ok"):
+        dl.write_delta_lite(
+            spark.createDataFrame([(2, -2)], "id bigint, v bigint"), tp, mode="append"
+        )
+
+
+def test_blind_append_racing_constraint_add_raises(spark, tmp_path, monkeypatch):
+    """A blind append that loses its commit race to an ADD CONSTRAINT
+    must NOT re-aim: its staged rows were validated against the OLD
+    rules (none), so retrying would land rows the new rule never saw —
+    delta's MetadataChangedException shape. (The schema is unchanged by
+    a constraint, so a schema-only compare would wrongly commute.)"""
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(_mk(spark), tp)
+    orig = dl._commit
+    state = {"fired": False}
+
+    def hooked(table_path, version, actions):
+        if not state["fired"]:
+            state["fired"] = True
+            dl.add_check_constraint(spark, tp, "late", "v >= 0")
+        return orig(table_path, version, actions)
+
+    monkeypatch.setattr(dl, "_commit", hooked)
+    with pytest.raises(dl.DeltaConcurrentWriteError):
+        dl.write_delta_lite(
+            spark.createDataFrame([(99, 9)], "id bigint, v bigint"), tp, mode="append"
+        )
+    # nothing landed past the new rule
+    assert dl.read_delta_lite(spark, tp).count() == 20
