@@ -106,6 +106,21 @@ class ValidationReport:
         }
 
 
+#: statement heads that are pure QUERIES — the only SQL the dry run may
+#: hand to spark.sql(), because Spark executes everything else (INSERT,
+#: CREATE, DROP, SET, CACHE ...) EAGERLY, and a validator must not
+_QUERY_HEADS = ("select", "with", "values", "table", "from", "(")
+
+
+def _is_query(sql: str) -> bool:
+    import re
+
+    head = re.sub(
+        r"^(\s+|--[^\n]*(\n|$)|/\*.*?\*/)+", "", sql, flags=re.S
+    ).lstrip().lower()
+    return head.startswith(_QUERY_HEADS)
+
+
 def _parse_only(spark: SparkSession, sql: str):
     """Syntax-check ``sql`` without analysis (for statements that read a
     placeholder view whose schema the dry run cannot know). Returns an
@@ -122,8 +137,11 @@ def _parse_only(spark: SparkSession, sql: str):
         java_exc = getattr(exc, "java_exception", None)
         name = java_exc.getClass().getName() if java_exc is not None else type(exc).__name__
         if "ParseException" in name:
-            first = str(java_exc.getMessage() if java_exc is not None else exc)
-            return first.splitlines()[0] if first else "syntax error"
+            msg = str(java_exc.getMessage() if java_exc is not None else exc)
+            # the message often STARTS with newlines/banner lines — take
+            # the first non-empty line, never return a falsy "error"
+            first = next((l for l in msg.splitlines() if l.strip()), "")
+            return first or "syntax error"
         return None
 
 
@@ -286,6 +304,14 @@ def validate_config(
     from ..sources.readers import read_input
 
     created: list = []
+
+    def _register(df, name):
+        # replacing a pre-existing session view mirrors run()'s behavior,
+        # but the cleanup must not DROP a view the user had before us
+        if not spark.catalog.tableExists(name):
+            created.append(name)
+        df.createOrReplaceTempView(name)
+
     try:
         for spec in specs:
             where = f"phase_1.input_data[{spec.dataframe_name}]"
@@ -295,8 +321,7 @@ def validate_config(
                 continue
             try:
                 df = read_input(spark, replace(spec, streaming=False))
-                df.createOrReplaceTempView(spec.dataframe_name)
-                created.append(spec.dataframe_name)
+                _register(df, spec.dataframe_name)
                 rep.schemas[spec.dataframe_name] = list(df.columns)
             except Exception as exc:
                 rep.error(where, f"cannot open: {str(exc).splitlines()[0]}")
@@ -330,10 +355,25 @@ def validate_config(
                 rep.placeholders.add(t.output_df_name)
             else:
                 sql = t.resolve_sql()
+                if not _is_query(sql):
+                    # INSERT / CREATE / DROP / SET / CACHE ... — Spark
+                    # executes these EAGERLY inside spark.sql(), and a
+                    # validator must not run them. Syntax-check only.
+                    syntax = _parse_only(spark, sql)
+                    if syntax:
+                        rep.error(where, f"syntax error: {syntax}")
+                    else:
+                        rep.warn(
+                            where,
+                            "statement is not a query (it executes at run "
+                            "time) — analysis degraded to a syntax check",
+                        )
+                    rep.placeholders.add(t.output_df_name)
+                    prev_out = t.output_df_name
+                    continue
                 try:
                     df = spark.sql(sql)
-                    df.createOrReplaceTempView(t.output_df_name)
-                    created.append(t.output_df_name)
+                    _register(df, t.output_df_name)
                     rep.schemas[t.output_df_name] = list(df.columns)
                 except Exception as exc:
                     msg = str(exc)

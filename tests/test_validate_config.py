@@ -212,3 +212,43 @@ def test_cli_main(spark, tmp_path):
     bad.write_text(json.dumps(_base_cfg(tmp_path, sql="SELECT ghost FROM orders")))
     assert vmod.main([str(good)]) == 0
     assert vmod.main([str(good), str(bad)]) == 1
+
+
+def test_non_query_sql_is_never_executed(spark, tmp_path):
+    """spark.sql() runs INSERT/CREATE/DROP EAGERLY — the dry run must
+    syntax-check them only, never execute. A config whose step would
+    write into a parquet path leaves that path untouched after
+    validation; a syntax error inside the non-query is still caught."""
+    victim = str(tmp_path / "victim")
+    spark.range(3).write.parquet(victim)
+    cfg = _base_cfg(tmp_path)
+    cfg["phase_2"]["data_transformations"].append({
+        "functionName": "danger",
+        "sqlQuery": f"INSERT OVERWRITE DIRECTORY '{victim}' USING parquet SELECT * FROM out",
+        "outputDFName": "inserted"})
+    rep = validate_config(spark, cfg)
+    assert rep.ok
+    assert any("not a query" in str(f) for f in rep.warnings)
+    assert "inserted" in rep.placeholders
+    assert spark.read.parquet(victim).count() == 3  # untouched
+    # leading comments don't fool the detector in either direction
+    cfg["phase_2"]["data_transformations"][1]["sqlQuery"] = (
+        "-- a comment\n/* block */ SELECT o_orderkey FROM out")
+    rep = validate_config(spark, cfg)
+    assert rep.ok and "inserted" in rep.schemas
+    # a broken non-query is still a syntax error
+    cfg["phase_2"]["data_transformations"][1]["sqlQuery"] = "INSERT INTOO broken"
+    rep = validate_config(spark, cfg)
+    assert not rep.ok
+
+
+def test_dry_run_never_drops_preexisting_session_views(spark, tmp_path):
+    spark.range(7).createOrReplaceTempView("orders")  # user's own view
+    try:
+        rep = validate_config(spark, _base_cfg(tmp_path))
+        assert rep.ok
+        # the name is still registered afterwards (replaced, not dropped —
+        # the same clobbering contract run() has)
+        assert spark.catalog.tableExists("orders")
+    finally:
+        spark.catalog.dropTempView("orders")
