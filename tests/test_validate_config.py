@@ -34,13 +34,13 @@ def _base_cfg(tmp_path, sql="SELECT o_orderkey, o_custkey FROM orders", **over):
 
 
 def test_valid_config_passes_and_reports_schemas(spark, tmp_path):
+    before = {v.name for v in spark.catalog.listTables()}
     rep = validate_config(spark, _base_cfg(tmp_path))
     assert rep.ok, [str(f) for f in rep.findings]
     assert rep.schemas["out"] == ["o_orderkey", "o_custkey"]
-    # dry run left no temp views behind
-    assert not any(
-        v.name in ("orders", "out") for v in spark.catalog.listTables()
-    )
+    # dry run left no NEW temp views behind (views other suite tests
+    # registered earlier under the same names are preserved by design)
+    assert {v.name for v in spark.catalog.listTables()} == before
     # and wrote nothing
     assert not os.path.exists(str(tmp_path / "out"))
 
