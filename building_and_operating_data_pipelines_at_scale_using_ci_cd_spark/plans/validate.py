@@ -106,19 +106,74 @@ class ValidationReport:
         }
 
 
-#: statement heads that are pure QUERIES — the only SQL the dry run may
-#: hand to spark.sql(), because Spark executes everything else (INSERT,
-#: CREATE, DROP, SET, CACHE ...) EAGERLY, and a validator must not
+#: statement heads that LOOK like pure queries — the textual fallback
+#: used only when the JVM parser is unreachable (e.g. Spark Connect).
+#: The real decision is made from the PARSED PLAN in :func:`_classify`,
+#: because a head check alone is unsound: Spark accepts
+#: ``WITH cte AS (...) INSERT INTO t ...`` and the multi-insert
+#: ``FROM src INSERT INTO t1 ... INSERT INTO t2 ...``, both of which
+#: start like queries but execute DML eagerly inside ``spark.sql()``.
 _QUERY_HEADS = ("select", "with", "values", "table", "from", "(")
 
 
-def _is_query(sql: str) -> bool:
+def _looks_like_query(sql: str) -> bool:
+    """Textual fallback for :func:`_classify`: head must be query-like,
+    and heads that can prefix DML (``with``/``from``/``(``) only count
+    when no INSERT token appears anywhere (conservative — a false
+    "command" merely degrades analysis to a syntax check)."""
     import re
 
     head = re.sub(
         r"^(\s+|--[^\n]*(\n|$)|/\*.*?\*/)+", "", sql, flags=re.S
     ).lstrip().lower()
-    return head.startswith(_QUERY_HEADS)
+    if not head.startswith(_QUERY_HEADS):
+        return False
+    if head.startswith(("select", "values", "table")):
+        return True
+    return re.search(r"\binsert\b", head) is None
+
+
+def _classify(spark: SparkSession, sql: str):
+    """Decide query-vs-command from the PARSED PLAN, not the first
+    keyword. Walks every node of the parsed tree and flags ``Command``
+    subclasses (CreateTable, DropTable, SetCommand, CacheTable,
+    MergeIntoTable, ExplainCommand, ...) and parsed-statement DML that
+    is *not* a Command subclass (InsertIntoStatement, InsertIntoDir) —
+    so a CTE-wrapped INSERT (root ``UnresolvedWith``) and a
+    multi-insert (root ``Union``) are still caught. Returns one of
+    ``("query", None)``, ``("command", None)``, or
+    ``("syntax", first-error-line)``."""
+    try:
+        parser = spark._jsparkSession.sessionState().sqlParser()
+        command_cls = spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.catalyst.plans.logical.Command"
+        )
+    except Exception:
+        return ("query", None) if _looks_like_query(sql) else ("command", None)
+    try:
+        plan = parser.parsePlan(sql)
+    except Exception as exc:  # Py4JJavaError wrapping ParseException
+        java_exc = getattr(exc, "java_exception", None)
+        name = java_exc.getClass().getName() if java_exc is not None else type(exc).__name__
+        if "ParseException" in name:
+            msg = str(java_exc.getMessage() if java_exc is not None else exc)
+            first = next((l for l in msg.splitlines() if l.strip()), "")
+            return ("syntax", first or "syntax error")
+        return ("query", None) if _looks_like_query(sql) else ("command", None)
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        if (
+            command_cls.isInstance(node)
+            or name.endswith("Statement")
+            or name.startswith("InsertInto")
+        ):
+            return ("command", None)
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return ("query", None)
 
 
 def _parse_only(spark: SparkSession, sql: str):
@@ -303,13 +358,39 @@ def validate_config(
     # -- semantic dry run (analysis only) ----------------------------------
     from ..sources.readers import read_input
 
-    created: list = []
+    created: list = []  # temp views the dry run created — drop on exit
+    replaced: dict = {}  # pre-existing temp views we replaced — restore raw defs
+
+    def _jcatalog():
+        try:
+            return spark._jsparkSession.sessionState().catalog()
+        except Exception:  # Spark Connect — no JVM session state
+            return None
 
     def _register(df, name):
-        # replacing a pre-existing session view mirrors run()'s behavior,
-        # but the cleanup must not DROP a view the user had before us
-        if not spark.catalog.tableExists(name):
-            created.append(name)
+        # run() would createOrReplaceTempView too, but a validator must
+        # leave the session EXACTLY as it found it: snapshot a
+        # pre-existing temp view's raw definition (TemporaryViewRelation)
+        # so the finally block can restore it, and remember to drop any
+        # view the dry run creates — including one that SHADOWS a
+        # catalog table (tableExists is true there, but the temp view is
+        # still new and must not outlive validate()).
+        cat = _jcatalog()
+        if cat is None:  # degraded bookkeeping without JVM catalog access
+            if not spark.catalog.tableExists(name):
+                created.append(name)
+            df.createOrReplaceTempView(name)
+            return
+        if name not in created and name not in replaced:
+            try:
+                opt = cat.getRawTempView(name)
+                prior = opt.get() if opt.isDefined() else None
+            except Exception:
+                prior = None
+            if prior is not None:
+                replaced[name] = prior
+            else:
+                created.append(name)
         df.createOrReplaceTempView(name)
 
     try:
@@ -355,19 +436,23 @@ def validate_config(
                 rep.placeholders.add(t.output_df_name)
             else:
                 sql = t.resolve_sql()
-                if not _is_query(sql):
-                    # INSERT / CREATE / DROP / SET / CACHE ... — Spark
-                    # executes these EAGERLY inside spark.sql(), and a
-                    # validator must not run them. Syntax-check only.
-                    syntax = _parse_only(spark, sql)
-                    if syntax:
-                        rep.error(where, f"syntax error: {syntax}")
-                    else:
-                        rep.warn(
-                            where,
-                            "statement is not a query (it executes at run "
-                            "time) — analysis degraded to a syntax check",
-                        )
+                kind, syntax = _classify(spark, sql)
+                if kind == "syntax":
+                    rep.error(where, f"syntax error: {syntax}")
+                    rep.placeholders.add(t.output_df_name)
+                    prev_out = t.output_df_name
+                    continue
+                if kind == "command":
+                    # INSERT (even CTE-wrapped / multi-insert) / CREATE /
+                    # DROP / SET / CACHE ... — Spark executes these
+                    # EAGERLY inside spark.sql(), and a validator must
+                    # not run them. Syntax was already checked by the
+                    # parse in _classify.
+                    rep.warn(
+                        where,
+                        "statement is not a query (it executes at run "
+                        "time) — analysis degraded to a syntax check",
+                    )
                     rep.placeholders.add(t.output_df_name)
                     prev_out = t.output_df_name
                     continue
@@ -422,6 +507,13 @@ def validate_config(
                 spark.catalog.dropTempView(name)
             except Exception:
                 pass
+        if replaced:
+            cat = _jcatalog()
+            for name, prior in replaced.items():
+                try:
+                    cat.createTempView(name, prior, True)
+                except Exception:
+                    pass
     return rep
 
 

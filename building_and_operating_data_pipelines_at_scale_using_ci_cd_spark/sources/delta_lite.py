@@ -227,7 +227,12 @@ def _read_checkpoint(path: str, state: DeltaSnapshot) -> None:
     for row in rows:
         action = {}
         if row.get("protocol"):
-            action["protocol"] = row["protocol"]
+            # drop null-valued struct fields (absent feature lists read
+            # back as None) so the snapshot protocol matches the shape a
+            # json commit would have produced
+            action["protocol"] = {
+                k: v for k, v in dict(row["protocol"]).items() if v is not None
+            }
         if row.get("metaData"):
             md = dict(row["metaData"])
             md["configuration"] = _normalize_map(md.get("configuration"))
@@ -2362,6 +2367,12 @@ def checkpoint_delta_lite(table_path: str) -> int:
                     [
                         pa.field("minReaderVersion", pa.int32()),
                         pa.field("minWriterVersion", pa.int32()),
+                        # table-features lists (protocol (3,7)): a
+                        # checkpoint that declares minWriterVersion 7
+                        # WITHOUT its writerFeatures is invalid per the
+                        # delta protocol — carry them verbatim
+                        pa.field("readerFeatures", pa.list_(pa.string())),
+                        pa.field("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
@@ -2409,12 +2420,21 @@ def checkpoint_delta_lite(table_path: str) -> int:
     # the SNAPSHOT's protocol, never the engine default: checkpointing a
     # writer-v3 (constraints) table must not downgrade what the log
     # declares once pre-checkpoint commits are vacuumed
+    snap_proto = snap.protocol or _PROTOCOL
     proto = {
-        "minReaderVersion": int(
-            (snap.protocol or _PROTOCOL).get("minReaderVersion", 1)
+        "minReaderVersion": int(snap_proto.get("minReaderVersion", 1)),
+        "minWriterVersion": int(snap_proto.get("minWriterVersion", 2)),
+        # feature lists must survive the checkpoint or a (3,7) table's
+        # checkpoint-bounded replay sees an invalid featureless protocol
+        "readerFeatures": (
+            sorted(snap_proto["readerFeatures"])
+            if snap_proto.get("readerFeatures") is not None
+            else None
         ),
-        "minWriterVersion": int(
-            (snap.protocol or _PROTOCOL).get("minWriterVersion", 2)
+        "writerFeatures": (
+            sorted(snap_proto["writerFeatures"])
+            if snap_proto.get("writerFeatures") is not None
+            else None
         ),
     }
     rows = [

@@ -621,3 +621,45 @@ def test_blind_append_racing_constraint_add_raises(spark, tmp_path, monkeypatch)
         )
     # nothing landed past the new rule
     assert dl.read_delta_lite(spark, tp).count() == 20
+
+
+def test_checkpoint_preserves_feature_lists(spark, tmp_path):
+    """A checkpoint of a table-features table (protocol (x,7)) must carry
+    readerFeatures/writerFeatures: a protocol action declaring
+    minWriterVersion 7 with no writerFeatures list is invalid per the
+    delta protocol, and once replay is checkpoint-bounded the feature
+    lists would otherwise be lost forever."""
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(_mk(spark), tp)
+    log0 = os.path.join(tp, dl.LOG_DIR, f"{0:020d}.json")
+    actions = [json.loads(l) for l in open(log0) if l.strip()]
+    feats = {
+        "minReaderVersion": 1,
+        "minWriterVersion": 7,
+        "writerFeatures": ["appendOnly", "checkConstraints", "invariants"],
+    }
+    for a in actions:
+        if a.get("protocol"):
+            a["protocol"] = feats
+    with open(log0, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    dl.write_delta_lite(_mk(spark, 3), tp, mode="append")
+    cp_version = dl.checkpoint_delta_lite(tp)
+    # the checkpoint parquet itself declares the features
+    import pyarrow.parquet as pq
+
+    cp = os.path.join(tp, dl.LOG_DIR, f"{cp_version:020d}.checkpoint.parquet")
+    protos = [r["protocol"] for r in pq.read_table(cp).to_pylist() if r.get("protocol")]
+    assert protos and protos[0]["minWriterVersion"] == 7
+    assert sorted(protos[0]["writerFeatures"]) == sorted(feats["writerFeatures"])
+    assert protos[0]["readerFeatures"] is None  # absent stays absent
+    # checkpoint-bounded replay (pre-checkpoint commits deleted) still
+    # sees the full protocol and still enforces the feature gate
+    for v in range(cp_version):
+        os.remove(os.path.join(tp, dl.LOG_DIR, f"{v:020d}.json"))
+    snap = dl.load_snapshot(tp)
+    assert snap.protocol["minWriterVersion"] == 7
+    assert sorted(snap.protocol["writerFeatures"]) == sorted(feats["writerFeatures"])
+    assert "readerFeatures" not in snap.protocol  # null field dropped on read
+    dl.write_delta_lite(_mk(spark, 2), tp, mode="append")  # still writable
+    assert dl.read_delta_lite(spark, tp).count() == 25

@@ -246,9 +246,69 @@ def test_dry_run_never_drops_preexisting_session_views(spark, tmp_path):
     spark.range(7).createOrReplaceTempView("orders")  # user's own view
     try:
         rep = validate_config(spark, _base_cfg(tmp_path))
-        assert rep.ok
-        # the name is still registered afterwards (replaced, not dropped —
-        # the same clobbering contract run() has)
+        # NB: the user's view shadows the input name, so analysis may
+        # error on missing columns — irrelevant here; what matters is
+        # the session is left exactly as it was found.
         assert spark.catalog.tableExists("orders")
+        # ... and RESTORED to its original definition, not left pointing
+        # at the validator's parquet read (no side effects on later sql())
+        assert spark.table("orders").count() == 7
     finally:
         spark.catalog.dropTempView("orders")
+
+
+def test_cte_wrapped_and_multi_insert_dml_never_executed(spark, tmp_path):
+    """'WITH cte AS (...) INSERT INTO ...' and 'FROM src INSERT INTO ...'
+    start like queries but are DML — the parsed-plan classifier must
+    degrade them to a syntax check, never hand them to spark.sql()."""
+    victim = str(tmp_path / "victim_tbl")
+    spark.range(5).write.parquet(victim)
+    for dml in (
+        f"WITH c AS (SELECT * FROM out) INSERT OVERWRITE DIRECTORY '{victim}' USING parquet SELECT * FROM c",
+        f"FROM out INSERT OVERWRITE DIRECTORY '{victim}' USING parquet SELECT o_orderkey",
+    ):
+        cfg = _base_cfg(tmp_path)
+        cfg["phase_2"]["data_transformations"].append(
+            {"functionName": "d", "sqlQuery": dml, "outputDFName": "dml_out"})
+        rep = validate_config(spark, cfg)
+        assert rep.ok, [str(f) for f in rep.findings]
+        assert any("not a query" in str(f) for f in rep.warnings)
+        assert "dml_out" in rep.placeholders
+        assert spark.read.parquet(victim).count() == 5  # untouched
+    # plain FROM-first and CTE SELECTs are still fully analyzed queries
+    for q, cols in (
+        ("FROM out SELECT o_orderkey AS k", ["k"]),
+        ("WITH c AS (SELECT o_orderkey AS k FROM out) SELECT * FROM c", ["k"]),
+    ):
+        cfg = _base_cfg(tmp_path)
+        cfg["phase_2"]["data_transformations"].append(
+            {"functionName": "q", "sqlQuery": q, "outputDFName": "q_out"})
+        rep = validate_config(spark, cfg)
+        assert rep.ok and rep.schemas["q_out"] == cols
+
+
+def test_dry_run_restores_replaced_view_and_drops_table_shadow(spark, tmp_path):
+    """Two session-hygiene contracts: (1) a pre-existing temp view whose
+    name a config reuses for a TRANSFORM output is restored to its
+    original definition; (2) a temp view the dry run creates over a name
+    that matches a CATALOG TABLE is dropped, not left shadowing it."""
+    spark.range(4).selectExpr("id AS k").createOrReplaceTempView("out")
+    try:
+        rep = validate_config(spark, _base_cfg(tmp_path))
+        assert rep.ok, [str(f) for f in rep.findings]
+        assert [f.name for f in spark.table("out").schema.fields] == ["k"]
+        assert spark.table("out").count() == 4
+    finally:
+        spark.catalog.dropTempView("out")
+    # catalog-table shadow: create a real table named like the transform
+    # output; validate() must not leave a temp view shadowing it
+    spark.sql("DROP TABLE IF EXISTS out")
+    spark.range(2).selectExpr("id AS tbl_col").write.saveAsTable("out")
+    try:
+        rep = validate_config(spark, _base_cfg(tmp_path))
+        assert rep.ok, [str(f) for f in rep.findings]
+        cat = spark._jsparkSession.sessionState().catalog()
+        assert not cat.getRawTempView("out").isDefined()
+        assert spark.table("out").columns == ["tbl_col"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS out")
