@@ -36,6 +36,17 @@ class PipelineTask:
     retries: int = 0  # reference default 3 (deploy.yaml:19)
     retry_delay_sec: float = 0.0  # reference 1 min (example-shareprice.py:64)
     always_run: bool = False  # trigger_rule="all_done" semantics
+    #: per-attempt wall-clock limit (reference ``execution_timeout=
+    #: timedelta(minutes=30)``, example-shareprice.py:132). A hung attempt
+    #: is failed with TimeoutError — which consumes a retry like any other
+    #: failure — and its Spark jobs are cancelled so the slot frees.
+    execution_timeout_sec: float | None = None
+    #: alerting hook (reference ``email_on_failure=True``,
+    #: example-shareprice.py:60-62): called ONCE per TERMINAL failure
+    #: (after retries are exhausted, never per retried attempt) with
+    #: ``{"task", "error", "attempts", "context"}``. Overrides the
+    #: pipeline-level default when both are set.
+    on_failure: Callable[[dict], Any] | None = None
 
 
 @dataclass
@@ -61,10 +72,14 @@ class Pipeline:
         tasks: list[PipelineTask],
         concurrency: int = 4,
         params: dict[str, Any] | None = None,
+        on_failure: Callable[[dict], Any] | None = None,
     ):
         self.spark = spark
         self.tasks = {t.name: t for t in tasks}
         self.concurrency = max(1, concurrency)
+        #: pipeline-level default failure callback (Airflow default_args
+        #: ``on_failure_callback`` shape); a task's own hook overrides it
+        self.on_failure = on_failure
         #: O9 XCom equivalent: shared context dict tasks can read/write
         self.context: dict[str, Any] = {}
         #: DAG-level ``${...}`` values applied to every raw job config —
@@ -114,34 +129,103 @@ class Pipeline:
         while attempts <= task.retries:
             attempts += 1
             try:
-                if task.fn is not None:
-                    res: Any = task.fn(self.context)
-                elif task.config is None:
-                    res = None  # marker/cleanup task with no job: no-op success
-                else:
-                    # Each job gets its own child session (shared
-                    # SparkContext, isolated temp-view catalog + SQLConf):
-                    # concurrent jobs that use the same dataFrameName /
-                    # outputDFName (e.g. the defaults 'input'/'output')
-                    # would otherwise clobber each other's views, and
-                    # per-job sparkConfig would leak across tasks.
-                    res = Orchestrator(self.spark.newSession()).run(
-                        task.config, params=self.params
-                    )
-                    if isinstance(res, JobResult):
-                        self.context[task.name] = res
+                res = self._attempt_with_timeout(task)
                 return TaskOutcome(name=task.name, state="success", attempts=attempts, result=res)
             except Exception as e:  # noqa: BLE001 - retry loop
                 last_err = e
                 if attempts <= task.retries and task.retry_delay_sec:
                     time.sleep(task.retry_delay_sec)
-        return TaskOutcome(
+        outcome = TaskOutcome(
             name=task.name, state="failed", attempts=attempts, error=str(last_err)
         )
+        self._fire_on_failure(task, outcome)
+        return outcome
+
+    def _attempt(self, task: PipelineTask) -> Any:
+        if task.fn is not None:
+            return task.fn(self.context)
+        if task.config is None:
+            return None  # marker/cleanup task with no job: no-op success
+        # Each job gets its own child session (shared SparkContext,
+        # isolated temp-view catalog + SQLConf): concurrent jobs that use
+        # the same dataFrameName / outputDFName (e.g. the defaults
+        # 'input'/'output') would otherwise clobber each other's views,
+        # and per-job sparkConfig would leak across tasks.
+        res = Orchestrator(self.spark.newSession()).run(task.config, params=self.params)
+        if isinstance(res, JobResult):
+            self.context[task.name] = res
+        return res
+
+    def _attempt_with_timeout(self, task: PipelineTask) -> Any:
+        """One attempt, bounded by ``execution_timeout_sec`` when set. The
+        attempt runs in a daemon thread under its own Spark job group; on
+        timeout the group is cancelled (interrupt-on-cancel), so hung
+        SPARK work is actually stopped — a pure-Python hang inside a
+        ``fn`` task cannot be killed, but the daemon thread no longer
+        holds a pool slot or blocks interpreter exit."""
+        if not task.execution_timeout_sec:
+            return self._attempt(task)
+        import threading
+
+        group = f"pipeline-task-{task.name}-{threading.get_ident()}-{time.monotonic_ns()}"
+        box: dict[str, Any] = {}
+
+        def target():
+            try:
+                self.spark.sparkContext.setJobGroup(
+                    group, f"pipeline task {task.name}", interruptOnCancel=True
+                )
+                box["res"] = self._attempt(task)
+            except BaseException as e:  # noqa: BLE001 - ferried to caller
+                box["err"] = e
+
+        th = threading.Thread(target=target, daemon=True, name=f"pipeline-{task.name}")
+        th.start()
+        th.join(task.execution_timeout_sec)
+        if th.is_alive():
+            try:
+                self.spark.sparkContext.cancelJobGroup(group)
+            except Exception:
+                pass
+            raise TimeoutError(
+                f"task '{task.name}' exceeded execution timeout of "
+                f"{task.execution_timeout_sec}s"
+            )
+        if "err" in box:
+            raise box["err"]
+        return box.get("res")
+
+    def _fire_on_failure(self, task: PipelineTask, outcome: TaskOutcome) -> None:
+        """Alerting hook: the task's callback, else the pipeline default.
+        A callback exception must never take the DAG down with it — the
+        failure is already recorded; the alert is best-effort (the same
+        contract Airflow's on_failure_callback has)."""
+        cb = task.on_failure or self.on_failure
+        if cb is None:
+            return
+        try:
+            cb(
+                {
+                    "task": task.name,
+                    "error": outcome.error,
+                    "attempts": outcome.attempts,
+                    "context": self.context,
+                }
+            )
+        except Exception as e:  # noqa: BLE001 - alert must not kill the DAG
+            import sys
+
+            print(
+                f"WARNING: on_failure callback for task '{task.name}' raised: {e}",
+                file=sys.stderr,
+            )
 
 
 def from_manifest(
-    spark: SparkSession, manifest: dict, params: dict[str, Any] | None = None
+    spark: SparkSession,
+    manifest: dict,
+    params: dict[str, Any] | None = None,
+    on_failure: Callable[[dict], Any] | None = None,
 ) -> Pipeline:
     """Entry point C: a deploy.yaml-shaped manifest → Pipeline.
 
@@ -149,8 +233,10 @@ def from_manifest(
 
         {"name": ..., "schedule": {...},          # recorded, not enforced
          "jobParams": {...},                      # DAG-level ${...} defaults
+         "executionTimeoutSec": 1800,             # default per-attempt cap
          "tasks": [{"name": ..., "config": <path|dict>,
-                    "dependsOn": [...], "retries": 3}]}
+                    "dependsOn": [...], "retries": 3,
+                    "executionTimeoutSec": 600}]}
 
     ``params`` override the manifest's ``jobParams``; the merged dict is
     applied to every task's raw job config (each config's own
@@ -164,6 +250,15 @@ def from_manifest(
             retries=int(t.get("retries", manifest.get("retries", 0))),
             retry_delay_sec=float(t.get("retryDelaySec", 0)),
             always_run=bool(t.get("alwaysRun", False)),
+            execution_timeout_sec=(
+                float(t["executionTimeoutSec"])
+                if t.get("executionTimeoutSec") is not None
+                else (
+                    float(manifest["executionTimeoutSec"])
+                    if manifest.get("executionTimeoutSec") is not None
+                    else None
+                )
+            ),
         )
         for t in manifest.get("tasks", [])
     ]
@@ -172,4 +267,5 @@ def from_manifest(
         tasks,
         concurrency=int(manifest.get("concurrency", 4)),
         params=merged or None,
+        on_failure=on_failure,
     )
