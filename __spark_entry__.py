@@ -2360,6 +2360,190 @@ SELECT '_meta', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
 """
 
 
+def _q_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-columnMapping (round 12): 'name'-mode column mapping READ
+    (``sources/delta_lite.read_delta_lite`` over a hand-committed mapped
+    log — public delta PROTOCOL.md "Column Mapping": protocol (2,5),
+    ``delta.columnMapping.physicalName`` per schema field, stats and
+    ``partitionValues`` keyed by PHYSICAL names, and NO reliance on hive
+    directory layout — partition values come from the add actions).
+
+    The staged table stores ``customer``-derived rows in one parquet
+    file per market segment under physical names (``col-k1``/``col-c2``,
+    partition ``col-s3``); commit v1 then RENAMES ``c_custkey`` →
+    ``cust_id`` with zero data rewrites (the whole point of mapping).
+    Lanes: per-segment aggregates read through the RENAMED logical
+    schema (sum_cust proves values flow under the new name), the
+    file-skipped BUILDING-only read, and a meta lane pinning that (a)
+    a write to the mapped table REFUSED (writer feature gate: rename
+    must never be silently corrupted) and (b) the pruner translated the
+    logical predicate to the physical partition key and kept exactly
+    the BUILDING file. Oracle restates the algebra from ``customer``.
+
+    Determinism: integer cents (same formula as delta_convert); TPC-H's
+    fixed market-segment domain."""
+    import json
+    import shutil
+
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources import (
+        delta_lite as dl,
+    )
+
+    root = tempfile.mkdtemp(prefix="delta_cm_")
+    tp = os.path.join(root, "cust_mapped")
+    os.makedirs(os.path.join(tp, dl.LOG_DIR))
+    base = _table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("col-k1"),
+        F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("col-c2"),
+        "c_mktsegment",
+    )
+    segments = sorted(
+        r["c_mktsegment"] for r in base.select("c_mktsegment").distinct().collect()
+    )  # bounded: TPC-H's 5 fixed segments
+    adds = []
+    for i, seg in enumerate(segments):
+        stage = os.path.join(root, f"stage_{i}")
+        (
+            base.filter(F.col("c_mktsegment") == seg)
+            .drop("c_mktsegment")
+            .coalesce(1)
+            .write.parquet(stage)
+        )
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        fname = f"seg-{i}.parquet"
+        shutil.move(os.path.join(stage, part), os.path.join(tp, fname))
+        full = os.path.join(tp, fname)
+        _n, stats = dl._file_stats(full)  # keyed by the files' PHYSICAL names
+        adds.append(
+            {
+                "add": {
+                    "path": fname,
+                    "partitionValues": {"col-s3": seg},
+                    "size": os.path.getsize(full),
+                    "modificationTime": 1700000000000,
+                    "dataChange": True,
+                    "stats": json.dumps(stats),
+                }
+            }
+        )
+
+    def _schema_string(key_name):
+        def fld(name, typ, phys, fid):
+            return {
+                "name": name,
+                "type": typ,
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": fid,
+                    "delta.columnMapping.physicalName": phys,
+                },
+            }
+
+        return json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    fld(key_name, "long", "col-k1", 1),
+                    fld("cents", "long", "col-c2", 2),
+                    fld("c_mktsegment", "string", "col-s3", 3),
+                ],
+            }
+        )
+
+    meta = {
+        "id": "entry-delta-cm",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _schema_string("c_custkey"),
+        "partitionColumns": ["c_mktsegment"],
+        "configuration": {
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": "3",
+        },
+        "createdTime": 1700000000000,
+    }
+    with open(os.path.join(tp, dl.LOG_DIR, f"{0:020d}.json"), "w") as fh:
+        fh.write(
+            "\n".join(
+                json.dumps(a)
+                for a in [
+                    {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+                    {"metaData": meta},
+                ]
+                + adds
+            )
+            + "\n"
+        )
+    # v1: RENAME c_custkey -> cust_id (metadata-only; physical name stable)
+    meta_renamed = dict(meta)
+    meta_renamed["schemaString"] = _schema_string("cust_id")
+    with open(os.path.join(tp, dl.LOG_DIR, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"metaData": meta_renamed}) + "\n")
+
+    refused = 0
+    try:
+        dl.write_delta_lite(
+            spark.createDataFrame(
+                [(0, 0, "BUILDING")], "cust_id long, cents long, c_mktsegment string"
+            ),
+            tp,
+            mode="append",
+        )
+    except ValueError:
+        refused = 1
+    snap = dl.load_snapshot(tp)
+    n_building_files = len(
+        dl._candidate_files(snap, dl._parse_conjuncts("c_mktsegment = 'BUILDING'"))
+    )
+    full_read = dl.read_delta_lite(spark, tp)
+    per_seg = full_read.groupBy(F.col("c_mktsegment").alias("lane")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.sum("cust_id").cast("bigint").alias("sum_cust"),
+    )
+    pruned = (
+        dl.read_delta_lite(spark, tp, predicate="c_mktsegment = 'BUILDING'")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.sum("cust_id").cast("bigint").alias("sum_cust"),
+        )
+        .select(F.lit("pruned:BUILDING").alias("lane"), "n", "sum_cents", "sum_cust")
+    )
+    meta_lane = spark.range(1).select(
+        F.lit("_meta").alias("lane"),
+        F.lit(refused).cast("bigint").alias("n"),
+        F.lit(n_building_files).cast("bigint").alias("sum_cents"),
+        F.lit(0).cast("bigint").alias("sum_cust"),
+    )
+    return per_seg.unionByName(pruned).unionByName(meta_lane)
+
+
+DELTA_COLUMN_MAPPING_DUCK = """
+WITH c AS (
+  SELECT c_custkey,
+         CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents,
+         c_mktsegment
+  FROM customer
+)
+SELECT c_mktsegment AS lane,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(c_custkey) AS BIGINT) AS sum_cust
+FROM c GROUP BY c_mktsegment
+UNION ALL
+SELECT 'pruned:BUILDING', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(cents) AS BIGINT), CAST(SUM(c_custkey) AS BIGINT)
+FROM c WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT '_meta', CAST(1 AS BIGINT),
+       CAST((SELECT COUNT(DISTINCT c_mktsegment) FROM c
+             WHERE c_mktsegment = 'BUILDING') AS BIGINT),
+       CAST(0 AS BIGINT)
+"""
+
+
 def _q_delta_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9-constraints (round 11): CHECK constraints + appendOnly
     (``sources/delta_lite.add_check_constraint`` / ``set_table_
@@ -8469,6 +8653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_constraints": _q_delta_constraints,
         "delta_clone": _q_delta_clone,
         "delta_convert": _q_delta_convert,
+        # -- (-2b) round-12 addition: name-mode column-mapping reads ----
+        "delta_column_mapping": _q_delta_column_mapping,
         # -- (-1) round-9 additions: full-PSL registrable domains and
         #    the RFC 9309 robots politeness filter ---------------------
         "psl_domains": _q_psl_domains,
@@ -8683,77 +8869,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": _q_approx_distinct,
         "minhash_near_dups": _q_minhash_near_dups,
     }
-    # Round-11 rotation head: the driver checks the FIRST 50 keys.
-    # Composition (counts: 6 + 5 + 14 + 7 + 18 = 50 checked;
-    # 191 total):
-    #   - 6 brand-new round-11 entries (delta_merge_evolve,
+    # Round-12 rotation head: the driver checks the FIRST 50 keys.
+    # Composition (counts: 1 + 11 + 20 + 18 = 50 checked;
+    # 192 total):
+    #   - 1 brand-new round-12 entry (delta_column_mapping — name-mode
+    #     column-mapping reads) — never driver-checked, leads
+    #     unconditionally,
+    #   - 11 whose code path changed in round 12 — changed code ALWAYS
+    #     re-enters: every delta-lane entry (delta_merge_evolve,
     #     streaming_cdf, delta_replace_where, delta_convert,
-    #     delta_constraints, delta_clone) — never driver-checked,
-    #     lead unconditionally,
-    #   - 5 whose code path changed in round 11 — changed code ALWAYS
-    #     re-enters: delta_roundtrip + delta_cdc + delta_restore +
-    #     scd2_price_history (MERGE schema auto-evolution threaded
-    #     through _pruned_rewrite; disjoint-transaction commit retry on
-    #     DELETE/UPDATE/MERGE/SCD2-merge; full-schema compare in the
-    #     blind-append retry), streaming_delta_source (fresh-stream
-    #     default now plans the FIRST batch from the reconciled
-    #     snapshot instead of a v0 history replay; remove.dataChange
-    #     defaults true; planning-time vacuumed-file check),
-    #   - the 14 keys the round-10 comment promised this round's lead
-    #     (displaced just past the cap there): url_domains, span_dedup,
-    #     formats_roundtrip, multimodal_decode, pivot_event_values,
-    #     udf_text_metrics, vector_stats, broadcast_hint_join,
-    #     parts_heavy_semi, set_ops_segments, correlated_max_order,
-    #     json_events, lm_cross_entropy, bloom_new_docs,
-    #   - the 7-key r05-evidence block — the oldest driver evidence
-    #     left anywhere (domain_mix, bigram_lm, streaming_enrich,
-    #     hll_rollup, streaming_running_totals, streaming_dedup,
-    #     streaming_interval_join),
-    #   - 18 r06-evidence keys in base order (orders_rollup,
-    #     cte_nation_revenue, q4/q12/q14/q18/q19, ann_lsh_topk,
-    #     embedding_near_dups, bpe_merges, bpe_tokenize,
-    #     classifier_distill, classifier_score, tfidf_top_terms,
-    #     inverted_index, weighted_sample, kmeans_clusters,
-    #     quality_quantile_filter).
-    # Everything not in the head keeps its r06-r10 evidence and follows
-    # in prior order. Round 12 should lead with the remaining 20
-    # r06-evidence keys (snapshot_diff, zscore_outliers,
-    # embedding_quantize, cms_user_counts,
-    # zorder_cluster, time_resample, variant_extract, mad_outliers,
-    # incremental_agg, streaming_outer_join, streaming_sliding_counts,
-    # source_entropy, time_interpolate, corpus_curation,
-    # doc_fingerprints, distinct_counts, dup_groups_report,
-    # null_pk_lanes, embedding_resize, approx_distinct) plus anything
-    # round 12 changes.
+    #     delta_constraints, delta_clone, delta_roundtrip, delta_cdc,
+    #     delta_restore, scd2_price_history, streaming_delta_source):
+    #     round 12 touched the log-replay gates every snapshot load
+    #     passes through (_check_protocol reader-features gate,
+    #     _check_metadata columnMapping admission), the _read_files
+    #     dispatch, _candidate_files pruning, and the checkpoint
+    #     protocol struct (readerFeatures/writerFeatures carried),
+    #   - the 20 keys the round-11 comment promised this round's lead —
+    #     the last of the r06-evidence block (snapshot_diff,
+    #     zscore_outliers, embedding_quantize, cms_user_counts,
+    #     zorder_cluster, time_resample, variant_extract, mad_outliers,
+    #     incremental_agg, streaming_outer_join,
+    #     streaming_sliding_counts, source_entropy, time_interpolate,
+    #     corpus_curation, doc_fingerprints, distinct_counts,
+    #     dup_groups_report, null_pk_lanes, embedding_resize,
+    #     approx_distinct),
+    #   - 18 oldest-evidence keys left anywhere: pq_topk (r07) + 17
+    #     r08-evidence keys in name order (adpcm_decode, avi_frames,
+    #     bar_returns, bfs_reachability, bm25_scores,
+    #     copurchase_triangles, doc_chunks, dsir_select,
+    #     event_transitions, expectations_report, flac_decode,
+    #     funnel_conversion, g711_decode, geo_proximity_pairs,
+    #     gif_decode, jl_projection, join_skew_report).
+    # Everything not in the head keeps its r07-r11 evidence and follows
+    # in prior order. Round 13 should lead with the remaining
+    # r08-evidence keys (jpeg_decode, jpeg_progressive, kmv_distinct,
+    # kmv_join_size, logbucket_quantiles, ohlc_bars, and the rest of
+    # the r08 block in name order) plus anything round 13 changes.
     head = [
-        # brand-new round-11 entries
+        # brand-new round-12 entry
+        "delta_column_mapping",
+        # round-12 changed-code re-entries (delta replay gates / read
+        # dispatch / pruning / checkpoint protocol)
         "delta_merge_evolve", "streaming_cdf", "delta_replace_where",
         "delta_convert", "delta_constraints", "delta_clone",
-        # round-11 changed-code re-entries (delta write/DML/stream)
         "delta_roundtrip", "delta_cdc", "delta_restore",
         "scd2_price_history", "streaming_delta_source",
-        # the 14 keys the round-10 rotation comment promised the lead
-        "url_domains", "span_dedup", "formats_roundtrip",
-        "multimodal_decode", "pivot_event_values", "udf_text_metrics",
-        "vector_stats", "broadcast_hint_join", "parts_heavy_semi",
-        "set_ops_segments", "correlated_max_order", "json_events",
-        "lm_cross_entropy", "bloom_new_docs",
-        # r05-evidence block (oldest driver evidence anywhere)
-        "domain_mix", "bigram_lm", "streaming_enrich", "hll_rollup",
-        "streaming_running_totals", "streaming_dedup",
-        "streaming_interval_join",
-        # r06-evidence keys, base order
-        "orders_rollup", "cte_nation_revenue", "q4_order_priority",
-        "q12_priority_classes", "q14_promo_revenue",
-        "q18_large_volume_customer", "q19_discounted_revenue",
-        "ann_lsh_topk", "embedding_near_dups", "bpe_merges",
-        "bpe_tokenize", "classifier_distill", "classifier_score",
-        "tfidf_top_terms", "inverted_index", "weighted_sample",
-        "kmeans_clusters", "quality_quantile_filter",
-        # 50-cap cutoff. The round-10 head (k_generalize ...
-        # nfc_normalize) carries fresh r10 driver evidence and rotates
-        # out en bloc; snapshot_diff/zscore_outliers slid to round 12's
-        # promised lead to make room for the two new entries.
+        # the 20 keys the round-11 rotation comment promised the lead
+        "snapshot_diff", "zscore_outliers", "embedding_quantize",
+        "cms_user_counts", "zorder_cluster", "time_resample",
+        "variant_extract", "mad_outliers", "incremental_agg",
+        "streaming_outer_join", "streaming_sliding_counts",
+        "source_entropy", "time_interpolate", "corpus_curation",
+        "doc_fingerprints", "distinct_counts", "dup_groups_report",
+        "null_pk_lanes", "embedding_resize", "approx_distinct",
+        # oldest evidence left: pq_topk (r07) + r08 keys, name order
+        "pq_topk", "adpcm_decode", "avi_frames", "bar_returns",
+        "bfs_reachability", "bm25_scores", "copurchase_triangles",
+        "doc_chunks", "dsir_select", "event_transitions",
+        "expectations_report", "flac_decode", "funnel_conversion",
+        "g711_decode", "geo_proximity_pairs", "gif_decode",
+        "jl_projection", "join_skew_report",
+        # 50-cap cutoff. jpeg_decode onward (r08 block, name order)
+        # rotates to round 13's promised lead.
     ]
     out = {k: base[k] for k in head}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -8810,6 +8988,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_constraints": DELTA_CONSTRAINTS_DUCK,
         "delta_clone": DELTA_CLONE_DUCK,
         "delta_convert": DELTA_CONVERT_DUCK,
+        "delta_column_mapping": DELTA_COLUMN_MAPPING_DUCK,
         "streaming_delta_source": STREAMING_DELTA_SOURCE_DUCK,
         "streaming_cdf": STREAMING_CDF_DUCK,
         "shuffle_shards": SHUFFLE_SHARDS_DUCK,

@@ -243,6 +243,20 @@ def _has_delta_spark() -> bool:
         return False
 
 
+def _read_back(spark: SparkSession, spec: "TargetSpec") -> DataFrame:
+    """Read a file target back for reconciliation / pre-count. Format-
+    aware: a delta target is a transaction log, not a parquet glob —
+    ``spark.read.format('delta')`` needs delta-spark, so without it the
+    read-back routes through delta_lite (same routing as the S9 reader;
+    a raw glob would double-count removed-but-unvacuumed files)."""
+    fmt = _fmt(spec.file_format)
+    if fmt == "delta" and not _has_delta_spark():
+        from ..sources.delta_lite import read_delta_lite
+
+        return read_delta_lite(spark, spec.path)
+    return spark.read.format(fmt).load(spec.path)
+
+
 def _delta_table(spark: SparkSession, path: str):
     """Gated Delta handle: returns the DeltaTable at ``path`` or None when
     delta-spark is absent / the path is not a Delta table."""
@@ -495,7 +509,7 @@ def write_target(spark: SparkSession, df: DataFrame, spec: "TargetSpec") -> dict
                 pre_existing = spark.table(spec.table_name).count()
         elif spec.path and _fs_exists(spark, spec.path):
             try:
-                pre_existing = spark.read.format(_fmt(spec.file_format)).load(spec.path).count()
+                pre_existing = _read_back(spark, spec).count()
             except Exception:
                 pre_existing = 0  # unreadable/empty dir: treat as fresh target
 
@@ -521,11 +535,11 @@ def write_target(spark: SparkSession, df: DataFrame, spec: "TargetSpec") -> dict
         elif not spec.path:
             result["reconciliation"] = {"mode": "count", "ok": True, "expected": None}
         elif spec.reconciliation_mode == "hash" and load != "scdType2Insert" and mode != "append":
-            written_df = spark.read.format(_fmt(spec.file_format)).load(spec.path)
+            written_df = _read_back(spark, spec)
             result["reconciliation"] = reconcile_hash(df, written_df)
         else:
             expected = df.count()
-            written = spark.read.format(_fmt(spec.file_format)).load(spec.path).count()
+            written = _read_back(spark, spec).count()
             if load == "scdType2Insert":
                 # merge output ≥ snapshot (history rows carried through)
                 result["reconciliation"] = {

@@ -128,19 +128,48 @@ def _checkpoint_versions(log: str) -> list:
     return sorted(out)
 
 
+#: reader features this engine implements — the gate for foreign tables
+#: declaring the table-features reader protocol (3, 7)
+_SUPPORTED_READER_FEATURES = {"columnMapping"}
+
+
 def _check_protocol(action: dict) -> None:
-    if action.get("minReaderVersion", 1) > _PROTOCOL["minReaderVersion"]:
-        raise ValueError(
-            "delta_lite supports reader protocol <= 1 (no deletion vectors / "
-            f"column mapping); table requires {action.get('minReaderVersion')}"
-        )
+    r = int(action.get("minReaderVersion", 1))
+    if r <= 2:
+        # 2 = column mapping; 'name'-mode reads are implemented (physical
+        # parquet names + partitionValues from the add actions), 'id'
+        # mode is refused at the metadata gate below
+        return
+    feats = action.get("readerFeatures")
+    if r == 3 and feats is not None and set(feats) <= _SUPPORTED_READER_FEATURES:
+        return
+    # NB: version 3 REQUIRES a readerFeatures list per the protocol — a
+    # featureless v3 table is malformed and refused, never guessed at
+    unsupported = sorted(set(feats or []) - _SUPPORTED_READER_FEATURES) or (
+        f"version {r} with no readerFeatures list"
+    )
+    raise ValueError(
+        "delta_lite cannot read this table: it requires reader protocol "
+        f"features it does not implement ({unsupported}); supported: "
+        f"minReaderVersion <= 2 or reader features "
+        f"{sorted(_SUPPORTED_READER_FEATURES)}"
+    )
 
 
 def _check_metadata(meta: dict) -> None:
     conf = meta.get("configuration") or {}
     mode = conf.get("delta.columnMapping.mode", "none")
-    if mode not in ("", "none"):
-        raise ValueError(f"delta_lite does not support columnMapping mode {mode!r}")
+    if mode in ("", "none", "name"):
+        # 'name' mode reads are implemented; WRITES to mapped tables are
+        # refused by _check_writable (they require writer version 5 / the
+        # columnMapping writer feature, neither of which this engine
+        # claims), so a rename can never be silently corrupted
+        return
+    raise ValueError(
+        f"delta_lite does not support columnMapping mode {mode!r} "
+        "(only 'name'-mode reads; 'id' mode needs parquet field-id "
+        "resolution)"
+    )
 
 
 #: writer features this engine actually implements — the gate for foreign
@@ -456,11 +485,117 @@ def _is_under(path: str, base: str) -> bool:
     ) == os.path.abspath(base)
 
 
+#: schema-field metadata key carrying a column's physical parquet name
+#: (delta column mapping, delta-io/delta PROTOCOL.md "Column Mapping")
+_CM_PHYSICAL = "delta.columnMapping.physicalName"
+
+
+def _column_mapping_mode(metadata: dict) -> str:
+    return (
+        (metadata.get("configuration") or {}).get("delta.columnMapping.mode")
+        or "none"
+    )
+
+
+def _rename_physical(t):
+    """Schema-JSON node with every struct field renamed to its
+    ``delta.columnMapping.physicalName`` (recursively — nested structs,
+    array elements, and map values carry their own physical names).
+    Field metadata is blanked: the physical schema exists only to read
+    parquet by the on-disk names."""
+    if isinstance(t, dict):
+        if t.get("type") == "struct":
+            return {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": (f.get("metadata") or {}).get(_CM_PHYSICAL, f["name"]),
+                        "type": _rename_physical(f["type"]),
+                        "nullable": f.get("nullable", True),
+                        "metadata": {},
+                    }
+                    for f in t.get("fields", [])
+                ],
+            }
+        if t.get("type") == "array":
+            return {**t, "elementType": _rename_physical(t["elementType"])}
+        if t.get("type") == "map":
+            return {
+                **t,
+                "keyType": _rename_physical(t["keyType"]),
+                "valueType": _rename_physical(t["valueType"]),
+            }
+    return t
+
+
+def _physical_schema(metadata: dict) -> StructType:
+    return StructType.fromJson(
+        _rename_physical(json.loads(metadata["schemaString"]))
+    )
+
+
+def _column_mapping(metadata: dict) -> dict:
+    """Top-level ``{logical name: physical name}``, or ``{}`` when the
+    table is unmapped. Stats and partitionValues in mapped tables are
+    keyed by PHYSICAL names — pruning translates through this."""
+    if _column_mapping_mode(metadata) in ("", "none"):
+        return {}
+    out = {}
+    for f in json.loads(metadata["schemaString"]).get("fields", []):
+        out[f["name"]] = (f.get("metadata") or {}).get(_CM_PHYSICAL, f["name"])
+    return out
+
+
+def _read_files_mapped(
+    spark: SparkSession, snap: DeltaSnapshot, rel_files: list
+) -> DataFrame:
+    """Column-mapping ('name' mode) read: parquet columns live under
+    physical names, and mapped tables make NO guarantee about hive
+    directory layout — the protocol requires partition values to come
+    from the add actions' ``partitionValues`` (keyed by physical name).
+    Files group by their partition tuple; each group reads the physical
+    non-partition schema and attaches its partition values as typed
+    literals; the final select renames/casts back to the LOGICAL schema
+    (struct casts rename nested physical fields positionally). A rename
+    (logical name change, physical name stable) therefore costs zero
+    data rewrites and still reads correctly."""
+    logical = snap.schema
+    pcols = set(snap.partition_columns)
+    if not rel_files:
+        return spark.createDataFrame([], logical)
+    phys_full = _physical_schema(snap.metadata)
+    l2p = {lf.name: pf.name for lf, pf in zip(logical.fields, phys_full.fields)}
+    phys_data = StructType(
+        [pf for lf, pf in zip(logical.fields, phys_full.fields) if lf.name not in pcols]
+    )
+    groups: dict = {}
+    for rel in sorted(rel_files):
+        add = snap.files.get(rel) or {}
+        pv = _normalize_map(add.get("partitionValues"))
+        key = tuple(sorted(pv.items()))
+        groups.setdefault(key, []).append(os.path.join(snap.path, rel))
+    out = None
+    for key in sorted(groups):
+        pv = dict(key)
+        df = spark.read.schema(phys_data).parquet(*groups[key])
+        cols = []
+        for lf in logical.fields:
+            if lf.name in pcols:
+                cols.append(F.lit(pv.get(l2p[lf.name])).cast(lf.dataType).alias(lf.name))
+            else:
+                cols.append(F.col(l2p[lf.name]).cast(lf.dataType).alias(lf.name))
+        df = df.select(*cols)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
 def _read_files(
     spark: SparkSession, snap: DeltaSnapshot, rel_files: list
 ) -> DataFrame:
     """Read a subset of a snapshot's data files with the declared schema
     (partition columns recovered from the hive layout and cast)."""
+    if _column_mapping_mode(snap.metadata) not in ("", "none"):
+        return _read_files_mapped(spark, snap, rel_files)
     return _read_data_files(
         spark, snap.path, snap.schema, snap.partition_columns, rel_files
     )
@@ -701,9 +836,78 @@ def _collect_staged_files(stage: str, pcols: list) -> list:
     return out
 
 
+class LogStore:
+    """The two storage primitives every delta commit reduces to,
+    extracted so object stores can swap in their own implementations
+    (delta-spark's ``LogStore`` plays the same role).
+
+    The contract an implementation must honor:
+
+      - :meth:`write_commit` is **put-if-absent**: the commit file for
+        ``version`` becomes visible atomically, and a second writer
+        targeting the same version MUST get
+        :class:`DeltaConcurrentWriteError`, never a partial or
+        overwritten file. On POSIX/HDFS an atomic rename/link gives
+        this for free; **S3 has no atomic rename or putIfAbsent**, so
+        an S3 store needs an external arbiter (conditional PUT
+        If-None-Match where available, else a DynamoDB-style
+        lock table keyed by ``(log_dir, version)`` — exactly what
+        delta's S3SingleDriverLogStore/S3DynamoDBLogStore do).
+      - :meth:`publish_data_file` moves a staged parquet into the
+        table. Data files are uuid-named so visibility-before-commit is
+        harmless (uncommitted files are invisible to replay and
+        vacuumable); it only needs completed-object visibility, which
+        plain S3 PUT provides.
+    """
+
+    def write_commit(self, log_dir: str, version: int, payload: str) -> None:
+        raise NotImplementedError
+
+    def publish_data_file(self, src: str, dest: str) -> None:
+        raise NotImplementedError
+
+
+class LocalLogStore(LogStore):
+    """POSIX/HDFS-semantics implementation: stage + hard-link for the
+    put-if-absent commit (link fails with EEXIST when another writer
+    won), plain rename for data-file publish."""
+
+    def write_commit(self, log_dir: str, version: int, payload: str) -> None:
+        os.makedirs(log_dir, exist_ok=True)
+        final = os.path.join(log_dir, f"{version:020d}.json")
+        fd, tmp = tempfile.mkstemp(dir=log_dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w", encoding="utf-8") as fh:
+                fh.write(payload)
+            try:
+                os.link(tmp, final)
+            except FileExistsError:
+                raise DeltaConcurrentWriteError(
+                    f"version {version} already committed at "
+                    f"{os.path.dirname(log_dir)}"
+                ) from None
+        finally:
+            os.unlink(tmp)
+
+    def publish_data_file(self, src: str, dest: str) -> None:
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.move(src, dest)
+
+
+_LOG_STORE: LogStore = LocalLogStore()
+
+
+def set_log_store(store: LogStore) -> LogStore:
+    """Install a LogStore (returns the previous one, for restore)."""
+    global _LOG_STORE
+    prev = _LOG_STORE
+    _LOG_STORE = store
+    return prev
+
+
 def _commit(table_path: str, version: int, actions: list) -> None:
-    """Atomic publish of one commit: hard-link into the version slot; an
-    existing slot means another writer won the race. Every commitInfo is
+    """Atomic publish of one commit through the LogStore seam; a taken
+    version slot means another writer won the race. Every commitInfo is
     stamped with the protocol's ``timestamp`` field (epoch ms) here, so
     timestamp time travel / DESCRIBE HISTORY never depend on file mtimes
     for tables this writer produced (mtime stays as the fallback for
@@ -712,22 +916,10 @@ def _commit(table_path: str, version: int, actions: list) -> None:
         ci = action.get("commitInfo")
         if ci is not None and "timestamp" not in ci:
             ci["timestamp"] = int(time.time() * 1000)
-    log = _log_path(table_path)
-    os.makedirs(log, exist_ok=True)
-    final = os.path.join(log, f"{version:020d}.json")
-    fd, tmp = tempfile.mkstemp(dir=log, suffix=".tmp")
-    try:
-        with os.fdopen(fd, "w", encoding="utf-8") as fh:
-            for action in actions:
-                fh.write(json.dumps(action, separators=(",", ":")) + "\n")
-        try:
-            os.link(tmp, final)
-        except FileExistsError:
-            raise DeltaConcurrentWriteError(
-                f"version {version} already committed at {table_path}"
-            ) from None
-    finally:
-        os.unlink(tmp)
+    payload = "".join(
+        json.dumps(action, separators=(",", ":")) + "\n" for action in actions
+    )
+    _LOG_STORE.write_commit(_log_path(table_path), version, payload)
 
 
 def _assert_commutes(
@@ -848,8 +1040,7 @@ def _stage_and_adds(df: DataFrame, table_path: str, pcols: list) -> list:
             base = f"part-{uuid.uuid4().hex}.snappy.parquet"
             rel = "/".join(parts + [base]) if parts else base
             dest = os.path.join(table_path, *parts, base)
-            os.makedirs(os.path.dirname(dest), exist_ok=True)
-            shutil.move(full, dest)
+            _LOG_STORE.publish_data_file(full, dest)
             adds.append(
                 {
                     "add": {
@@ -1787,6 +1978,12 @@ def _candidate_files(snap: DeltaSnapshot, conjuncts: list) -> list:
         return sorted(snap.files)
     types = _schema_types(snap)
     conjuncts = _normalize_conjuncts(types, conjuncts)
+    l2p = _column_mapping(snap.metadata)
+    if l2p:
+        # mapped tables key stats and partitionValues by PHYSICAL name;
+        # the predicate (and the types dict) speak logical — translate
+        conjuncts = [(l2p.get(c, c), op, v) for (c, op, v) in conjuncts]
+        types = {l2p.get(k, k): t for k, t in types.items()}
     return sorted(
         rel
         for rel, add in snap.files.items()

@@ -171,14 +171,19 @@ def test_unsupported_features_gate(spark, tmp_path):
     dl._commit(tp, 1, [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}])
     with pytest.raises(ValueError, match="reader protocol"):
         dl.load_snapshot(tp)
-    # column-mapped table likewise
+    # column mapping: 'name'-mode READS are supported since round 12
+    # (tests/test_column_mapping.py); 'id' mode still refuses by name
     tp2 = str(tmp_path / "t2")
     dl.write_delta_lite(spark.createDataFrame([(1,)], "id int"), tp2)
     snap = dl.load_snapshot(tp2)
     md = dict(snap.metadata)
     md["configuration"] = {"delta.columnMapping.mode": "name"}
     dl._commit(tp2, 1, [{"metaData": md}])
-    with pytest.raises(ValueError, match="columnMapping"):
+    assert dl.read_delta_lite(spark, tp2).count() == 1  # physical==logical fallback
+    md2 = dict(md)
+    md2["configuration"] = {"delta.columnMapping.mode": "id"}
+    dl._commit(tp2, 2, [{"metaData": md2}])
+    with pytest.raises(ValueError, match="columnMapping mode 'id'"):
         dl.load_snapshot(tp2)
 
 
@@ -308,6 +313,45 @@ def test_config_dialect_delta_lanes(spark, tmp_path):
         (2, "y2", True),
         (3, "z", True),
     }
+
+
+def test_delta_target_reconciliation_reads_the_log_not_a_glob(spark, tmp_path):
+    """V6 read-back on a deltalake target must route through the
+    transaction log: ``spark.read.format('delta')`` needs delta-spark
+    (absent here), and a raw parquet glob would double-count removed
+    files. Covers the overwrite read-back AND the append pre-count
+    (which reconciles the count DELTA against a non-empty target)."""
+    tp = str(tmp_path / "t")
+
+    def _spec():
+        return TargetSpec.from_dict(
+            {
+                "dataTarget": "local",
+                "dataFrameName": "t",
+                "path": tp,
+                "fileFormat": "deltalake",
+                "loadType": "simpleInsert",
+                "reconciliation": "true",
+            }
+        )
+
+    r1 = write_target(
+        spark, spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"), _spec()
+    )
+    assert r1["reconciliation"]["ok"] is True
+    # second append: pre-count 2 must come from the DELTA read-back, so
+    # the delta (expected=1, written=3-2) reconciles
+    r2 = write_target(
+        spark, spark.createDataFrame([(3, "c")], "id int, v string"), _spec()
+    )
+    assert r2["reconciliation"]["ok"] is True, r2["reconciliation"]
+    # overwrite rewrites the table; removed files stay on disk — only a
+    # log-aware read-back counts 1 here
+    spec = _spec()
+    spec.load_type = "truncateInsert"
+    r3 = write_target(spark, spark.createDataFrame([(9, "z")], "id int, v string"), spec)
+    assert r3["reconciliation"]["ok"] is True, r3["reconciliation"]
+    assert r3["reconciliation"]["written"] == 1
 
 
 def test_scd2_refuses_non_scd2_delta_table(spark, tmp_path):
@@ -1031,3 +1075,57 @@ def test_parse_conjuncts_ignores_keywords_inside_string_literals(spark, tmp_path
     assert got == [(1, "col1 IS NULL")]
     dl.delete_delta_lite(spark, tp, "note = 'col1 IS NULL'")
     assert _rows(dl.read_delta_lite(spark, tp)) == [(2, "plain")]
+
+
+def test_log_store_seam_racing_writer(spark, tmp_path):
+    """The commit primitive is a pluggable LogStore (put-if-absent
+    contract; S3 stores swap in an arbiter). A store that injects a
+    RACING writer's commit just before ours must surface as a lost
+    race; disjoint DML then retries into the next slot and BOTH commits
+    land."""
+    tp = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "x" if i < 5 else "y", i * 10) for i in range(10)],
+        "id int, pt string, v int",
+    )
+    dl.write_delta_lite(df, tp, partition_by=["pt"])
+
+    class RacingStore(dl.LocalLogStore):
+        """First write_commit: commit a competing pt='y'-only DELETE
+        under the target version first (another writer winning), then
+        delegate — which must raise DeltaConcurrentWriteError."""
+
+        def __init__(self):
+            self.raced = False
+
+        def write_commit(self, log_dir, version, payload):
+            if not self.raced:
+                self.raced = True
+                snap = dl.load_snapshot(tp)
+                removes = [
+                    {"remove": {"path": rel, "deletionTimestamp": 1700000000000,
+                                "dataChange": True,
+                                "partitionValues": add.get("partitionValues")}}
+                    for rel, add in snap.files.items()
+                    if (add.get("partitionValues") or {}).get("pt") == "y"
+                ]
+                assert removes
+                super().write_commit(
+                    log_dir, version,
+                    "".join(__import__("json").dumps(a) + "\n" for a in removes),
+                )
+            super().write_commit(log_dir, version, payload)
+
+    store = RacingStore()
+    prev = dl.set_log_store(store)
+    try:
+        # our DELETE touches only pt='x' — disjoint from the racer's
+        # pt='y' wipe, so the commute check must let the retry land
+        dl.delete_delta_lite(spark, tp, "pt = 'x' AND id = 1")
+    finally:
+        dl.set_log_store(prev)
+    assert store.raced
+    snap = dl.load_snapshot(tp)
+    assert snap.version == 2  # racer at v1, our retry at v2
+    rows = {(r["id"], r["pt"]) for r in dl.read_delta_lite(spark, tp).collect()}
+    assert rows == {(i, "x") for i in range(5) if i != 1}  # y gone, id=1 gone
