@@ -16,12 +16,19 @@ module is that gate:
     ``sqlQuery`` step is built through ``spark.sql`` so Catalyst's
     analyzer resolves views, columns, and types against the REAL
     upstream schemas, and target/validation column lists are checked
-    against the DataFrames they will see. Nothing is written, no
-    action is triggered, and operator steps are NEVER invoked (many
-    are eager by design — delta DML, constraint changes — and a
-    validator must not mutate state): their outputs become
-    *placeholders*, and downstream SQL that reads a placeholder
-    degrades to a syntax-only parse check, reported as such.
+    against the DataFrames they will see. Nothing is written and no
+    external state is touched. Operator steps are handled by *schema
+    synthesis*: a pure df→df operator is invoked on an EMPTY DataFrame
+    carrying the upstream schema — that builds only a plan (or cheap
+    empty-input driver work), never reads table data — so downstream
+    SQL still gets full Catalyst analysis against the operator's real
+    output columns. Operators that mutate or read EXTERNAL state
+    (the delta DML family) or resolve OTHER session views (``*_view``
+    params — invoking them would scan real inputs at CI time) are
+    never invoked: their outputs become *placeholders*, and downstream
+    SQL that reads a placeholder degrades to a syntax-only parse
+    check, reported as such. Synthesis failures degrade the same way
+    (warned, never fatal).
 
 At 100 TB this is the cheap half of the contract: analysis cost is
 metadata-sized (footers + the catalog), so the same validation that
@@ -257,6 +264,27 @@ def _check_target_structural(t: TargetSpec, where: str, rep: ValidationReport) -
             rep.error(where, f"scdType2Insert writes parquet/deltalake, not {t.file_format!r}")
 
 
+def _dry_run_synthesizable(name: str) -> bool:
+    """True when an operator's output schema can be synthesized by
+    invoking it on an EMPTY input: pure df→df transformations only.
+    Excluded — and kept placeholders — are operators that touch
+    external state (the ``delta*`` DML/maintenance family writes or
+    reads table paths; a validator must never vacuum a production
+    table) and operators that resolve OTHER session views by name
+    (``*_view`` params): those views are REAL registered inputs at
+    validation time, and an eager operator would scan production data
+    at CI cost."""
+    import inspect as _inspect
+
+    from ..operators.registry import OPERATORS
+
+    if name.startswith("delta") or name not in OPERATORS:
+        return False
+    return not any(
+        p.endswith("_view") for p in _inspect.signature(OPERATORS[name]).parameters
+    )
+
+
 def _check_operator_step(t: TransformSpec, where: str, rep: ValidationReport) -> None:
     from ..operators.registry import OPERATORS
 
@@ -431,9 +459,37 @@ def validate_config(
                     in_name not in rep.schemas and in_name not in rep.placeholders
                 ):
                     rep.error(where, f"operator input view {in_name!r} is not defined by any earlier step")
-                # operators are never executed in a dry run (they may be
-                # eager / stateful); downstream degrades to parse-only
-                rep.placeholders.add(t.output_df_name)
+                    rep.placeholders.add(t.output_df_name)
+                    prev_out = t.output_df_name
+                    continue
+                # schema synthesis: pure df→df operators run on an EMPTY
+                # clone of the upstream schema — plan-building (or cheap
+                # empty-input driver work) only, zero data scanned — so
+                # downstream SQL keeps full Catalyst analysis. External-
+                # state / other-view operators stay placeholders.
+                synthesized = False
+                if in_name in rep.schemas and _dry_run_synthesizable(t.operator_name):
+                    from ..operators.registry import apply_operator
+
+                    try:
+                        empty = spark.createDataFrame([], spark.table(in_name).schema)
+                        out = apply_operator(
+                            t.operator_name, empty, dict(t.operator_params)
+                        )
+                        if not out.isStreaming:
+                            _register(out, t.output_df_name)
+                            rep.schemas[t.output_df_name] = list(out.columns)
+                            synthesized = True
+                    except Exception as exc:
+                        rep.warn(
+                            where,
+                            f"operator {t.operator_name!r} output schema could "
+                            f"not be synthesized on an empty input "
+                            f"({str(exc).splitlines()[0]}) — downstream "
+                            "analysis degraded",
+                        )
+                if not synthesized:
+                    rep.placeholders.add(t.output_df_name)
             else:
                 sql = t.resolve_sql()
                 kind, syntax = _classify(spark, sql)

@@ -242,6 +242,53 @@ def test_non_query_sql_is_never_executed(spark, tmp_path):
     assert not rep.ok
 
 
+def test_pure_operator_schema_synthesis_keeps_downstream_analysis(spark, tmp_path):
+    """A pure df→df operator step (hashSplit) no longer degrades the
+    chain: its output schema is synthesized on an EMPTY input, so a
+    downstream sqlQuery column typo is a full ANALYSIS ERROR, nothing
+    is executed against data, and the session stays clean."""
+    before = {v.name for v in spark.catalog.listTables()}
+
+    def _cfg(sql):
+        cfg = _base_cfg(tmp_path)
+        cfg["phase_2"]["data_transformations"] += [
+            {"operatorName": "hashSplit", "inputDFName": "out",
+             "operatorParams": {"id_col": "o_orderkey",
+                                "weights": {"train": 9, "holdout": 1}},
+             "outputDFName": "splits"},
+            {"functionName": "s", "sqlQuery": sql, "outputDFName": "summary"},
+        ]
+        cfg["phase_3"]["target_record_insert"][0]["dataFrameName"] = "summary"
+        return cfg
+
+    rep = validate_config(
+        spark, _cfg("SELECT split, COUNT(*) AS n FROM splits GROUP BY split")
+    )
+    assert rep.ok, [str(f) for f in rep.findings]
+    assert rep.schemas["splits"] == ["o_orderkey", "o_custkey", "split"]
+    assert "splits" not in rep.placeholders
+    assert not any("syntax check" in str(f) for f in rep.warnings)
+    # the whole point: a typo'd column in SQL over the OPERATOR OUTPUT
+    # is a hard analysis error, not a degraded parse-only pass
+    rep2 = validate_config(
+        spark, _cfg("SELECT splitz, COUNT(*) AS n FROM splits GROUP BY splitz")
+    )
+    assert not rep2.ok
+    assert any("splitz" in str(f) for f in rep2.errors)
+    # hygiene: no temp views left behind, nothing written
+    assert {v.name for v in spark.catalog.listTables()} == before
+    assert not os.path.exists(str(tmp_path / "out"))
+    # a synthesis failure (bad operator params at plan time) degrades
+    # with a warning instead of failing the validation outright
+    cfg3 = _cfg("SELECT 1 AS x FROM splits")
+    cfg3["phase_2"]["data_transformations"][1]["operatorParams"] = {
+        "id_col": "no_such_column", "weights": {"a": 1, "b": 1}}
+    rep3 = validate_config(spark, cfg3)
+    assert rep3.ok
+    assert any("could not be synthesized" in str(f) for f in rep3.warnings)
+    assert "splits" in rep3.placeholders
+
+
 def test_dry_run_never_drops_preexisting_session_views(spark, tmp_path):
     spark.range(7).createOrReplaceTempView("orders")  # user's own view
     try:
