@@ -130,7 +130,7 @@ def _checkpoint_versions(log: str) -> list:
 
 #: reader features this engine implements — the gate for foreign tables
 #: declaring the table-features reader protocol (3, 7)
-_SUPPORTED_READER_FEATURES = {"columnMapping"}
+_SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors", "timestampNtz"}
 
 
 def _check_protocol(action: dict) -> None:
@@ -174,7 +174,97 @@ def _check_metadata(meta: dict) -> None:
 
 #: writer features this engine actually implements — the gate for foreign
 #: tables declaring the table-features protocol (3, 7)
-_SUPPORTED_WRITER_FEATURES = {"appendOnly", "invariants", "checkConstraints"}
+_SUPPORTED_WRITER_FEATURES = {
+    "appendOnly",
+    "invariants",
+    "checkConstraints",
+    "timestampNtz",
+}
+
+#: legacy writer versions imply these features when a table upgrades to
+#: the table-features protocol (delta PROTOCOL.md "Table Features")
+_LEGACY_WRITER_FEATURES = {
+    2: {"appendOnly", "invariants"},
+    3: {"appendOnly", "invariants", "checkConstraints"},
+}
+
+
+def _ensure_writer_feature(proto: dict, feature: str, legacy_version: int):
+    """The protocol action needed so the table DECLARES ``feature``
+    (None when already declared). Legacy-versioned tables bump to
+    ``legacy_version`` (which implies the feature); tables already on
+    the table-features protocol (writer 7) must LIST it explicitly —
+    skipping that would commit a feature the protocol does not claim,
+    which delta-spark is entitled to reject."""
+    w = int(proto.get("minWriterVersion", 2))
+    if w == 7:
+        feats = set(proto.get("writerFeatures") or [])
+        if feature in feats:
+            return None
+        return {**proto, "writerFeatures": sorted(feats | {feature})}
+    if w >= legacy_version:
+        return None
+    return {
+        "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+        "minWriterVersion": legacy_version,
+    }
+
+
+def _schema_has_ntz(node) -> bool:
+    """True when a schema-JSON node contains TIMESTAMP_NTZ anywhere
+    (nested structs/arrays/maps included) — the type whose presence the
+    timestampNtz table feature must declare."""
+    if isinstance(node, str):
+        return node == "timestamp_ntz"
+    if isinstance(node, dict):
+        t = node.get("type")
+        if t == "struct":
+            return any(_schema_has_ntz(f["type"]) for f in node.get("fields", []))
+        if t == "array":
+            return _schema_has_ntz(node["elementType"])
+        if t == "map":
+            return _schema_has_ntz(node["keyType"]) or _schema_has_ntz(
+                node["valueType"]
+            )
+    return False
+
+
+def _protocol_for_schema(schema_string: str) -> dict:
+    """The protocol a NEW table with this schema must declare: the
+    legacy (1,2) default, or — when the schema uses TIMESTAMP_NTZ — the
+    table-features form with timestampNtz in BOTH feature lists (it is
+    a reader+writer feature; delta-spark refuses ntz tables that do not
+    declare it)."""
+    if not _schema_has_ntz(json.loads(schema_string)):
+        return dict(_PROTOCOL)
+    return {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["timestampNtz"],
+        "writerFeatures": sorted(_LEGACY_WRITER_FEATURES[2] | {"timestampNtz"}),
+    }
+
+
+def _ntz_protocol_upgrade(proto: dict, schema_string: str):
+    """Protocol action needed when SCHEMA EVOLUTION introduces a
+    TIMESTAMP_NTZ column into a table whose protocol does not yet
+    declare timestampNtz; None when already declared or not needed."""
+    if not _schema_has_ntz(json.loads(schema_string)):
+        return None
+    r = int(proto.get("minReaderVersion", 1))
+    w = int(proto.get("minWriterVersion", 2))
+    rfeats = set(proto.get("readerFeatures") or [])
+    wfeats = set(proto.get("writerFeatures") or [])
+    if r == 3 and w == 7 and "timestampNtz" in rfeats and "timestampNtz" in wfeats:
+        return None
+    if w != 7:
+        wfeats = set(_LEGACY_WRITER_FEATURES.get(w, _LEGACY_WRITER_FEATURES[3]))
+    return {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(rfeats | {"timestampNtz"}),
+        "writerFeatures": sorted(wfeats | {"timestampNtz"}),
+    }
 
 
 def _check_writable(snap: "DeltaSnapshot") -> None:
@@ -223,11 +313,24 @@ def _apply_action(state: "DeltaSnapshot", action: dict) -> None:
         state.metadata = action["metaData"]
     if "add" in action and action["add"]:
         add = action["add"]
-        if add.get("deletionVector"):
-            raise ValueError("delta_lite does not support deletion vectors")
         state.files[urllib.parse.unquote(add["path"])] = add
     if "remove" in action and action["remove"]:
-        state.files.pop(urllib.parse.unquote(action["remove"]["path"]), None)
+        # action reconciliation keys on (path, deletionVector uniqueId)
+        # per the protocol: a DV update commits remove(path, dv_old) +
+        # add(path, dv_new) in UNSPECIFIED order, so a remove must only
+        # drop the entry whose DV identity it names — a blind pop would
+        # delete the freshly-added (path, dv_new) when the add sorts
+        # first. Paths are unique per live snapshot, so the dict stays
+        # path-keyed and the remove checks the DV id.
+        from .dv import dv_unique_id
+
+        rm = action["remove"]
+        rel = urllib.parse.unquote(rm["path"])
+        cur = state.files.get(rel)
+        if cur is not None and dv_unique_id(cur.get("deletionVector")) == dv_unique_id(
+            rm.get("deletionVector")
+        ):
+            state.files.pop(rel, None)
     if "txn" in action and action["txn"]:
         txn = action["txn"]
         app = txn.get("appId")
@@ -269,6 +372,11 @@ def _read_checkpoint(path: str, state: DeltaSnapshot) -> None:
         if row.get("add"):
             add = dict(row["add"])
             add["partitionValues"] = _normalize_map(add.get("partitionValues"))
+            dv = add.get("deletionVector")
+            if not dv or (isinstance(dv, dict) and dv.get("storageType") is None):
+                add.pop("deletionVector", None)  # absent column / null struct
+            else:
+                add["deletionVector"] = dict(dv)
             action["add"] = add
         if row.get("remove"):
             action["remove"] = dict(row["remove"])
@@ -436,12 +544,27 @@ def _hive_anchor(path: str, n_pcols: int) -> str:
     return anchor
 
 
+#: hidden helper columns carrying file identity + row position for DV
+#: filtering (projected from Spark's ``_metadata`` file source column)
+_DL_FILE, _DL_POS = "__dl_file", "__dl_pos"
+
+
+def _meta_cols(with_meta: bool) -> list:
+    if not with_meta:
+        return []
+    return [
+        F.col("_metadata.file_path").alias(_DL_FILE),
+        F.col("_metadata.row_index").alias(_DL_POS),
+    ]
+
+
 def _read_data_files(
     spark: SparkSession,
     base_path: str,
     schema: StructType,
     pcols: list,
     files: list,
+    with_meta: bool = False,
 ) -> DataFrame:
     """Read delta data files with the declared schema. ``files`` are the
     snapshot's add-action paths: table-relative for files this table
@@ -449,12 +572,17 @@ def _read_data_files(
     Partition columns are recovered from the hive layout (delta data
     files do not contain them); absolute files group by their own hive
     anchor so discovery works across table roots; casts pin the declared
-    types over the discovery's inference."""
+    types over the discovery's inference. ``with_meta`` appends the
+    file-identity/row-position columns deletion-vector filtering joins
+    against."""
     paths = [os.path.join(base_path, p) for p in sorted(files)]
     if not paths:
         return spark.createDataFrame([], schema)
     if not pcols:
-        return spark.read.schema(schema).parquet(*paths)
+        df = spark.read.schema(schema).parquet(*paths)
+        if not with_meta:
+            return df
+        return df.select("*", *_meta_cols(True))
     data_schema = StructType([f for f in schema.fields if f.name not in pcols])
     by_type = {f.name: f.dataType for f in schema.fields}
     groups: dict = {}
@@ -473,7 +601,8 @@ def _read_data_files(
             *[
                 F.col(f.name).cast(by_type[f.name]).alias(f.name)
                 for f in schema.fields
-            ]
+            ],
+            *_meta_cols(with_meta),
         )
         out = df if out is None else out.unionByName(df)
     return out
@@ -547,7 +676,10 @@ def _column_mapping(metadata: dict) -> dict:
 
 
 def _read_files_mapped(
-    spark: SparkSession, snap: DeltaSnapshot, rel_files: list
+    spark: SparkSession,
+    snap: DeltaSnapshot,
+    rel_files: list,
+    with_meta: bool = False,
 ) -> DataFrame:
     """Column-mapping ('name' mode) read: parquet columns live under
     physical names, and mapped tables make NO guarantee about hive
@@ -584,21 +716,93 @@ def _read_files_mapped(
                 cols.append(F.lit(pv.get(l2p[lf.name])).cast(lf.dataType).alias(lf.name))
             else:
                 cols.append(F.col(l2p[lf.name]).cast(lf.dataType).alias(lf.name))
-        df = df.select(*cols)
+        df = df.select(*cols, *_meta_cols(with_meta))
         out = df if out is None else out.unionByName(df)
     return out
+
+
+def _dv_file_key(base_path: str, rel: str) -> str:
+    """The string ``_metadata.file_path`` reports for a data file —
+    descriptor rows join against scan rows on exactly this key."""
+    full = os.path.abspath(os.path.join(base_path, rel))
+    return f"file:{full}" if full.startswith("/") else full
+
+
+def _strip_dv_rows(
+    spark: SparkSession, snap: DeltaSnapshot, df: DataFrame, dv_rels: list
+) -> DataFrame:
+    """Drop the row positions each file's deletion vector marks deleted.
+
+    Descriptors (tiny — one row per DV file, straight from the log
+    replay) fan out to executors, where an Arrow ``mapInPandas`` kernel
+    decodes each bitmap (``dv.dv_positions`` — CRC/size/cardinality
+    checked) into ``(file, position)`` rows; the scan side carries
+    Spark's ``_metadata`` file identity + row index, and a LEFT ANTI
+    join removes the deleted positions. The positions side is bounded
+    by the DVs' total cardinality — typically a sliver of the table —
+    so AQE broadcasts it; the table side never collects or re-shuffles
+    beyond that join."""
+    table_path = snap.path
+    rows = [
+        (_dv_file_key(table_path, rel), json.dumps(snap.files[rel]["deletionVector"]))
+        for rel in sorted(dv_rels)
+    ]
+    desc = spark.createDataFrame(rows, f"{_DL_FILE} string, __dv_json string")
+
+    def _explode(batches):
+        import pandas as pd
+
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.dv import (
+            dv_positions,
+        )
+
+        for pdf in batches:
+            files: list = []
+            poss: list = []
+            for file_key, dv_json in zip(pdf[_DL_FILE], pdf["__dv_json"]):
+                for p in dv_positions(table_path, json.loads(dv_json)):
+                    files.append(file_key)
+                    poss.append(p)
+            yield pd.DataFrame({_DL_FILE: files, _DL_POS: poss})
+
+    pos = desc.repartition(min(len(rows), 64), _DL_FILE).mapInPandas(
+        _explode, f"{_DL_FILE} string, {_DL_POS} long"
+    )
+    return df.join(pos, [_DL_FILE, _DL_POS], "left_anti").drop(_DL_FILE, _DL_POS)
 
 
 def _read_files(
     spark: SparkSession, snap: DeltaSnapshot, rel_files: list
 ) -> DataFrame:
     """Read a subset of a snapshot's data files with the declared schema
-    (partition columns recovered from the hive layout and cast)."""
-    if _column_mapping_mode(snap.metadata) not in ("", "none"):
-        return _read_files_mapped(spark, snap, rel_files)
-    return _read_data_files(
-        spark, snap.path, snap.schema, snap.partition_columns, rel_files
-    )
+    (partition columns recovered from the hive layout and cast).
+    Files whose add action carries a deletion vector are read with row
+    positions attached and anti-joined against the decoded DV positions
+    (:func:`_strip_dv_rows`); DV-free files take the plain path."""
+    mapped = _column_mapping_mode(snap.metadata) not in ("", "none")
+
+    def _reader(rels: list, with_meta: bool) -> DataFrame:
+        if mapped:
+            return _read_files_mapped(spark, snap, rels, with_meta=with_meta)
+        return _read_data_files(
+            spark,
+            snap.path,
+            snap.schema,
+            snap.partition_columns,
+            rels,
+            with_meta=with_meta,
+        )
+
+    dv_rels = [
+        r for r in rel_files if (snap.files.get(r) or {}).get("deletionVector")
+    ]
+    if not dv_rels:
+        return _reader(rel_files, False)
+    live = _strip_dv_rows(spark, snap, _reader(dv_rels, True), dv_rels)
+    plain_rels = [r for r in rel_files if r not in set(dv_rels)]
+    if not plain_rels:
+        return live
+    return _reader(plain_rels, False).unionByName(live)
 
 
 _CONSTRAINT_PREFIX = "delta.constraints."
@@ -1191,13 +1395,14 @@ def write_delta_lite(
         }
     ]
     if snap is None:
-        actions.append({"protocol": dict(_PROTOCOL)})
+        ss = _schema_string(df)
+        actions.append({"protocol": _protocol_for_schema(ss)})
         actions.append(
             {
                 "metaData": {
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": _schema_string(df),
+                    "schemaString": ss,
                     "partitionColumns": pcols,
                     "configuration": {},
                     "createdTime": int(os.path.getmtime(table_path) * 1000),
@@ -1208,6 +1413,13 @@ def write_delta_lite(
     else:
         version = snap.version + 1
         if new_metadata is not None:
+            # schema evolution that introduces TIMESTAMP_NTZ must declare
+            # the timestampNtz feature in the SAME commit
+            up = _ntz_protocol_upgrade(
+                snap.protocol or _PROTOCOL, new_metadata["schemaString"]
+            )
+            if up is not None:
+                actions.append({"protocol": up})
             actions.append({"metaData": new_metadata})
         if mode == "overwrite":
             for rel, add in sorted(snap.files.items()):
@@ -1311,7 +1523,7 @@ def convert_to_delta(
                 "engineInfo": "delta-lite (PySpark analytics engine)",
             }
         },
-        {"protocol": dict(_PROTOCOL)},
+        {"protocol": _protocol_for_schema(json.dumps(schema.jsonValue()))},
         {
             "metaData": {
                 "id": str(uuid.uuid4()),
@@ -1397,8 +1609,16 @@ def set_table_properties(
                 "engineInfo": "delta-lite (PySpark analytics engine)",
             }
         },
-        {"metaData": meta},
     ]
+    if str(conf.get("delta.appendOnly", "")).lower() == "true":
+        # legacy writer 2 implies appendOnly; a table-features table
+        # must LIST it or the property is set under an undeclared feature
+        up = _ensure_writer_feature(
+            snap.protocol or _PROTOCOL, "appendOnly", legacy_version=2
+        )
+        if up is not None:
+            actions.append({"protocol": up})
+    actions.append({"metaData": meta})
     version = snap.version + 1
     _commit(table_path, version, actions)
     _maybe_checkpoint(table_path, version, CHECKPOINT_INTERVAL)
@@ -1453,16 +1673,11 @@ def add_check_constraint(
             }
         }
     ]
-    proto = snap.protocol or _PROTOCOL
-    if int(proto.get("minWriterVersion", 2)) < 3:
-        actions.append(
-            {
-                "protocol": {
-                    "minReaderVersion": int(proto.get("minReaderVersion", 1)),
-                    "minWriterVersion": 3,
-                }
-            }
-        )
+    up = _ensure_writer_feature(
+        snap.protocol or _PROTOCOL, "checkConstraints", legacy_version=3
+    )
+    if up is not None:
+        actions.append({"protocol": up})
     actions.append({"metaData": meta})
     version = snap.version + 1
     _commit(table_path, version, actions)
@@ -1568,15 +1783,25 @@ def clone_delta_lite(
                     f"hive-layout data files; {rel!r} does not encode "
                     f"partition columns {pcols}"
                 )
-        adds.append(
-            {
-                "add": {
-                    **src_add,
-                    "path": urllib.parse.quote(full),
-                    "dataChange": True,
-                }
+        clone_add = {
+            **src_add,
+            "path": urllib.parse.quote(full),
+            "dataChange": True,
+        }
+        dv = src_add.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            # relative-UUID DV storage resolves against the TABLE ROOT,
+            # which changes under a clone — pin it to the source file's
+            # absolute path ('p' storage), exactly what delta-spark's
+            # shallow clone does
+            from .dv import resolve_dv_path
+
+            clone_add["deletionVector"] = {
+                **dv,
+                "storageType": "p",
+                "pathOrInlineDv": resolve_dv_path(src_root, dv),
             }
-        )
+        adds.append({"add": clone_add})
     meta = dict(src_snap.metadata)
     meta["id"] = str(uuid.uuid4())
     os.makedirs(dst_path, exist_ok=True)
@@ -2407,9 +2632,20 @@ def delta_changes(
     Schema evolution between the versions is handled by aligning the
     older side to the newer schema (added columns read as NULL, same as
     the snapshot read itself)."""
+    from .dv import dv_unique_id
+
     s_old = load_snapshot(table_path, from_version)
     s_new = load_snapshot(table_path, to_version)
-    shared = set(s_old.files) & set(s_new.files)
+    # a file cancels only when BOTH its path and its deletion-vector
+    # identity match: a DV update keeps the path but changes the row
+    # set, so path-only sharing would silently cancel the deletion
+    shared = {
+        f
+        for f in s_old.files
+        if f in s_new.files
+        and dv_unique_id(s_old.files[f].get("deletionVector"))
+        == dv_unique_id(s_new.files[f].get("deletionVector"))
+    }
     old = _read_files(spark, s_old, [f for f in s_old.files if f not in shared])
     new = _read_files(spark, s_new, [f for f in s_new.files if f not in shared])
     target = s_new.schema
@@ -2442,8 +2678,15 @@ def vacuum_delta_lite(
     ``retention_hours`` (delta-spark's ``RETAIN n HOURS``): ALSO retain
     every snapshot whose commit timestamp is within the window, so time
     travel across the retention period keeps working — the two knobs
-    compose (a version is kept if EITHER rule retains it)."""
+    compose (a version is kept if EITHER rule retains it).
+
+    VACUUM is a maintenance WRITE (it destroys other writers'
+    recoverability — the ``vacuumProtocolCheck`` table feature exists
+    exactly to police it), so a foreign table whose writer protocol
+    this engine does not implement refuses here like every other
+    mutation."""
     snap = load_snapshot(table_path)
+    _check_writable(snap)
     referenced = set(snap.files)
     log = _log_path(table_path)
     versions = [v for v in _commit_versions(log) if v < snap.version]
@@ -2599,6 +2842,21 @@ def checkpoint_delta_lite(table_path: str) -> int:
                         pa.field("modificationTime", pa.int64()),
                         pa.field("dataChange", pa.bool_()),
                         pa.field("stats", pa.string()),
+                        # deletion vector descriptors must survive the
+                        # checkpoint or checkpoint-bounded replay would
+                        # RESURRECT the deleted rows of every DV file
+                        pa.field(
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    pa.field("storageType", pa.string()),
+                                    pa.field("pathOrInlineDv", pa.string()),
+                                    pa.field("offset", pa.int32()),
+                                    pa.field("sizeInBytes", pa.int32()),
+                                    pa.field("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -2674,6 +2932,7 @@ def checkpoint_delta_lite(table_path: str) -> int:
                     "modificationTime": add.get("modificationTime"),
                     "dataChange": False,
                     "stats": add.get("stats"),
+                    "deletionVector": add.get("deletionVector") or None,
                 },
                 "txn": None,
             }

@@ -276,6 +276,14 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
             a.get("remove", {}).get("dataChange", True)
             for a in actions
             if a.get("remove")
+        ) or any(
+            # an add CARRYING a deletion vector is never a pure append —
+            # its rows are a file minus deleted positions, i.e. the
+            # commit changed data (DV writers also emit the matching
+            # remove, but fail safe even on an add-only commit)
+            a["add"].get("deletionVector")
+            for a in actions
+            if a.get("add")
         )
         if data_removed:
             if self._skip_change_commits:
@@ -314,6 +322,23 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         parts = []
         for v in range(lo + 1, hi + 1):
             actions = self._commit_actions(v)
+            if any(
+                (a.get("add") or {}).get("deletionVector")
+                or (a.get("remove") or {}).get("deletionVector")
+                for a in actions
+            ):
+                # the diff partitions align files POSITIONALLY by path;
+                # deletion vectors change a file's row set without
+                # changing its path, which this machinery cannot express
+                # — refuse with the workaround rather than emit a wrong
+                # change set
+                raise ValueError(
+                    f"readChangeFeed: commit {v} of {self._path} uses "
+                    "deletion vectors, which this change-feed reader does "
+                    "not diff; read the table in batch (DV reads are "
+                    "supported) or compute changes with delta_changes "
+                    "between explicit versions"
+                )
             adds = [
                 a["add"]
                 for a in actions
@@ -388,6 +413,21 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
             from .delta_lite import load_snapshot
 
             snap = load_snapshot(self._path, int(start["snapshot"]))
+            dvd = sorted(
+                rel for rel, a in snap.files.items() if a.get("deletionVector")
+            )
+            if dvd:
+                # a file partition reads the WHOLE parquet file; a DV'd
+                # file's live rows are file minus deleted positions,
+                # which this per-file plan cannot express — refuse
+                # rather than resurrect deleted rows into the backfill
+                raise ValueError(
+                    f"cannot stream the initial snapshot of {self._path}: "
+                    f"{len(dvd)} file(s) carry deletion vectors (e.g. "
+                    f"{dvd[0]}); read the table in batch (DV reads are "
+                    "supported) or start the stream from a version after "
+                    "the DV commits with startingVersion"
+                )
             for rel in sorted(snap.files):
                 add = snap.files[rel]
                 parts.append(

@@ -177,13 +177,13 @@ def test_reader_feature_gate(spark, tmp_path):
     # an unimplemented reader feature: refused, named
     tp2 = _mk_mapped_table(
         spark,
-        tmp_path / "dv",
+        tmp_path / "tw",
         protocol={
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": ["columnMapping", "deletionVectors"],
-            "writerFeatures": ["columnMapping", "deletionVectors"],
+            "readerFeatures": ["columnMapping", "typeWidening"],
+            "writerFeatures": ["columnMapping", "typeWidening"],
         },
     )
-    with pytest.raises(ValueError, match="deletionVectors"):
+    with pytest.raises(ValueError, match="typeWidening"):
         dl.read_delta_lite(spark, tp2)

@@ -1077,6 +1077,66 @@ def test_parse_conjuncts_ignores_keywords_inside_string_literals(spark, tmp_path
     assert _rows(dl.read_delta_lite(spark, tp)) == [(2, "plain")]
 
 
+def test_timestamp_ntz_feature_roundtrip(spark, tmp_path):
+    """TIMESTAMP_NTZ columns: a new table declares the timestampNtz
+    READER+WRITER feature (protocol (3,7) — delta-spark refuses ntz
+    tables that do not), values round-trip as timestamp_ntz, appends
+    stay allowed, and LATER feature needs (constraints, appendOnly) are
+    LISTED on the v7 protocol instead of version-bumped."""
+    tp = str(tmp_path / "t")
+    df = spark.sql(
+        "SELECT id AS k, TIMESTAMP_NTZ '2024-03-01 10:30:00' + "
+        "make_interval(0, 0, 0, 0, 0, 0, id) AS ts FROM range(5)"
+    )
+    dl.write_delta_lite(df, tp)
+    proto = dl.load_snapshot(tp).protocol
+    assert (proto["minReaderVersion"], proto["minWriterVersion"]) == (3, 7)
+    assert "timestampNtz" in proto["readerFeatures"]
+    assert "timestampNtz" in proto["writerFeatures"]
+    back = dl.read_delta_lite(spark, tp)
+    assert dict(back.dtypes)["ts"] == "timestamp_ntz"
+    assert back.count() == 5
+    dl.write_delta_lite(df, tp, mode="append")
+    assert dl.read_delta_lite(spark, tp).count() == 10
+    # constraint on a v7 table: feature listed, not a version change
+    dl.add_check_constraint(spark, tp, "k_pos", "k >= 0")
+    p2 = dl.load_snapshot(tp).protocol
+    assert p2["minWriterVersion"] == 7
+    assert "checkConstraints" in p2["writerFeatures"]
+    # appendOnly on a v7 table: ditto
+    dl.set_table_properties(tp, {"delta.appendOnly": "true"})
+    p3 = dl.load_snapshot(tp).protocol
+    assert "appendOnly" in p3["writerFeatures"]
+    with pytest.raises(ValueError, match="appendOnly"):
+        dl.delete_delta_lite(spark, tp, "k = 1")
+
+
+def test_ntz_schema_evolution_upgrades_protocol(spark, tmp_path):
+    """Evolving a TIMESTAMP_NTZ column into a legacy (1,2) table must
+    declare timestampNtz in the SAME commit (plus the legacy-implied
+    writer features, per the table-features upgrade rule)."""
+    tp = str(tmp_path / "t")
+    dl.write_delta_lite(spark.createDataFrame([(1,)], "k long"), tp)
+    assert dl.load_snapshot(tp).protocol == {
+        "minReaderVersion": 1,
+        "minWriterVersion": 2,
+    }
+    evolved = spark.sql(
+        "SELECT CAST(2 AS LONG) AS k, TIMESTAMP_NTZ '2024-01-01 00:00:00' AS ts"
+    )
+    dl.write_delta_lite(evolved, tp, mode="append", merge_schema=True)
+    proto = dl.load_snapshot(tp).protocol
+    assert (proto["minReaderVersion"], proto["minWriterVersion"]) == (3, 7)
+    assert proto["readerFeatures"] == ["timestampNtz"]
+    assert set(proto["writerFeatures"]) == {
+        "appendOnly",
+        "invariants",
+        "timestampNtz",
+    }
+    got = {(r["k"], r["ts"] is None) for r in dl.read_delta_lite(spark, tp).collect()}
+    assert got == {(1, True), (2, False)}  # old rows read NULL ntz
+
+
 def test_log_store_seam_racing_writer(spark, tmp_path):
     """The commit primitive is a pluggable LogStore (put-if-absent
     contract; S3 stores swap in an arbiter). A store that injects a
