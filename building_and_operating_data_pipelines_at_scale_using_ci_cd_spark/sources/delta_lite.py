@@ -130,7 +130,12 @@ def _checkpoint_versions(log: str) -> list:
 
 #: reader features this engine implements — the gate for foreign tables
 #: declaring the table-features reader protocol (3, 7)
-_SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors", "timestampNtz"}
+_SUPPORTED_READER_FEATURES = {
+    "columnMapping",
+    "deletionVectors",
+    "timestampNtz",
+    "variantType",
+}
 
 
 def _check_protocol(action: dict) -> None:
@@ -179,6 +184,7 @@ _SUPPORTED_WRITER_FEATURES = {
     "invariants",
     "checkConstraints",
     "timestampNtz",
+    "variantType",
 }
 
 #: legacy writer versions imply these features when a table upgrades to
@@ -210,60 +216,73 @@ def _ensure_writer_feature(proto: dict, feature: str, legacy_version: int):
     }
 
 
-def _schema_has_ntz(node) -> bool:
-    """True when a schema-JSON node contains TIMESTAMP_NTZ anywhere
-    (nested structs/arrays/maps included) — the type whose presence the
-    timestampNtz table feature must declare."""
+#: data types whose mere presence in the schema requires a declared
+#: reader+writer table feature (delta PROTOCOL.md: readers/writers that
+#: do not understand the type must refuse the table)
+_TYPE_FEATURES = {"timestamp_ntz": "timestampNtz", "variant": "variantType"}
+
+
+def _schema_type_features(node) -> set:
+    """Table features the schema-JSON node's TYPES require (nested
+    structs/arrays/maps included) — e.g. timestampNtz for TIMESTAMP_NTZ
+    columns, variantType for VARIANT columns."""
     if isinstance(node, str):
-        return node == "timestamp_ntz"
+        f = _TYPE_FEATURES.get(node)
+        return {f} if f else set()
     if isinstance(node, dict):
         t = node.get("type")
         if t == "struct":
-            return any(_schema_has_ntz(f["type"]) for f in node.get("fields", []))
+            out: set = set()
+            for fld in node.get("fields", []):
+                out |= _schema_type_features(fld["type"])
+            return out
         if t == "array":
-            return _schema_has_ntz(node["elementType"])
+            return _schema_type_features(node["elementType"])
         if t == "map":
-            return _schema_has_ntz(node["keyType"]) or _schema_has_ntz(
+            return _schema_type_features(node["keyType"]) | _schema_type_features(
                 node["valueType"]
             )
-    return False
+    return set()
 
 
 def _protocol_for_schema(schema_string: str) -> dict:
     """The protocol a NEW table with this schema must declare: the
-    legacy (1,2) default, or — when the schema uses TIMESTAMP_NTZ — the
-    table-features form with timestampNtz in BOTH feature lists (it is
-    a reader+writer feature; delta-spark refuses ntz tables that do not
-    declare it)."""
-    if not _schema_has_ntz(json.loads(schema_string)):
+    legacy (1,2) default, or — when the schema uses a feature-gated
+    type (TIMESTAMP_NTZ, VARIANT) — the table-features form with that
+    feature in BOTH lists (they are reader+writer features; delta-spark
+    refuses such tables when undeclared)."""
+    need = _schema_type_features(json.loads(schema_string))
+    if not need:
         return dict(_PROTOCOL)
     return {
         "minReaderVersion": 3,
         "minWriterVersion": 7,
-        "readerFeatures": ["timestampNtz"],
-        "writerFeatures": sorted(_LEGACY_WRITER_FEATURES[2] | {"timestampNtz"}),
+        "readerFeatures": sorted(need),
+        "writerFeatures": sorted(_LEGACY_WRITER_FEATURES[2] | need),
     }
 
 
 def _ntz_protocol_upgrade(proto: dict, schema_string: str):
     """Protocol action needed when SCHEMA EVOLUTION introduces a
-    TIMESTAMP_NTZ column into a table whose protocol does not yet
-    declare timestampNtz; None when already declared or not needed."""
-    if not _schema_has_ntz(json.loads(schema_string)):
+    feature-gated type (TIMESTAMP_NTZ / VARIANT) into a table whose
+    protocol does not yet declare it; None when already declared or not
+    needed."""
+    need = _schema_type_features(json.loads(schema_string))
+    if not need:
         return None
     r = int(proto.get("minReaderVersion", 1))
     w = int(proto.get("minWriterVersion", 2))
     rfeats = set(proto.get("readerFeatures") or [])
     wfeats = set(proto.get("writerFeatures") or [])
-    if r == 3 and w == 7 and "timestampNtz" in rfeats and "timestampNtz" in wfeats:
+    if r == 3 and w == 7 and need <= rfeats and need <= wfeats:
         return None
     if w != 7:
         wfeats = set(_LEGACY_WRITER_FEATURES.get(w, _LEGACY_WRITER_FEATURES[3]))
     return {
         "minReaderVersion": 3,
         "minWriterVersion": 7,
-        "readerFeatures": sorted(rfeats | {"timestampNtz"}),
-        "writerFeatures": sorted(wfeats | {"timestampNtz"}),
+        "readerFeatures": sorted(rfeats | need),
+        "writerFeatures": sorted(wfeats | need),
     }
 
 
@@ -966,7 +985,14 @@ def _file_stats(full: str):
     read — footer metadata only)."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(full).metadata
+    try:
+        md = pq.ParquetFile(full).metadata
+    except Exception:
+        # logical types newer than this pyarrow (e.g. parquet VARIANT)
+        # fail the whole footer parse — commit the file WITHOUT stats
+        # (optional per the protocol; -1 = row count unknown, so the
+        # empty-file skip does not apply) rather than fail the write
+        return -1, {}
     n_rows = md.num_rows
     mins, maxs, nulls, bad = {}, {}, {}, set()
     for rg in range(md.num_row_groups):

@@ -1137,6 +1137,36 @@ def test_ntz_schema_evolution_upgrades_protocol(spark, tmp_path):
     assert got == {(1, True), (2, False)}  # old rows read NULL ntz
 
 
+def test_variant_feature_roundtrip(spark, tmp_path):
+    """VARIANT columns: the variantType reader+writer feature is
+    declared on new tables, values round-trip through the parquet
+    binary encoding, and VARIANT_GET works on the read-back."""
+    tp = str(tmp_path / "t")
+    df = spark.sql(
+        "SELECT id AS k, PARSE_JSON(CONCAT('{\"a\":', id, ',\"s\":\"x\"}')) AS v "
+        "FROM range(4)"
+    )
+    dl.write_delta_lite(df, tp)
+    proto = dl.load_snapshot(tp).protocol
+    assert (proto["minReaderVersion"], proto["minWriterVersion"]) == (3, 7)
+    assert "variantType" in proto["readerFeatures"]
+    assert "variantType" in proto["writerFeatures"]
+    back = dl.read_delta_lite(spark, tp)
+    assert dict(back.dtypes)["v"] == "variant"
+    back.createOrReplaceTempView("vt_back")
+    got = sorted(
+        (r["k"], r["a"])
+        for r in spark.sql(
+            "SELECT k, CAST(VARIANT_GET(v, '$.a') AS LONG) AS a FROM vt_back"
+        ).collect()
+    )
+    assert got == [(0, 0), (1, 1), (2, 2), (3, 3)]
+    spark.catalog.dropTempView("vt_back")
+    # appends allowed; a (3,7) variant table refuses nothing it supports
+    dl.write_delta_lite(df, tp, mode="append")
+    assert dl.read_delta_lite(spark, tp).count() == 8
+
+
 def test_log_store_seam_racing_writer(spark, tmp_path):
     """The commit primitive is a pluggable LogStore (put-if-absent
     contract; S3 stores swap in an arbiter). A store that injects a
