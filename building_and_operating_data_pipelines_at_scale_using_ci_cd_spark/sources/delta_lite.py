@@ -106,7 +106,7 @@ def is_delta_table(table_path: str) -> bool:
     # and a subsequent "create" would shadow the checkpointed state
     log = _log_path(table_path)
     return os.path.isdir(log) and any(
-        (f.endswith(".json") or f.endswith(".checkpoint.parquet"))
+        (f.endswith(".json") or (".checkpoint." in f and f.endswith(".parquet")))
         and f[:20].isdigit()
         for f in os.listdir(log)
     )
@@ -120,12 +120,48 @@ def _commit_versions(log: str) -> list:
     return sorted(out)
 
 
-def _checkpoint_versions(log: str) -> list:
-    out = []
+def _checkpoint_files(log: str, version: int | None = None) -> dict:
+    """Classic checkpoints on disk, single-file AND multi-part
+    (``V.checkpoint.parquet`` / ``V.checkpoint.NNNNNNNNNN.MMMMMMMMMM.
+    parquet`` — big foreign tables shard theirs): ``{version: [paths in
+    part order]}``, INCOMPLETE multi-part sets excluded (a checkpoint
+    missing a shard must not be replayed — half its adds would silently
+    vanish). ``version`` filters to one version."""
+    singles: dict = {}
+    parts: dict = {}
     for f in os.listdir(log):
-        if f.endswith(".checkpoint.parquet") and f[:20].isdigit():
-            out.append(int(f[:20]))
-    return sorted(out)
+        if not f.endswith(".parquet") or not f[:20].isdigit():
+            continue
+        v = int(f[:20])
+        if version is not None and v != version:
+            continue
+        rest = f[20:]
+        if rest == ".checkpoint.parquet":
+            singles[v] = [os.path.join(log, f)]
+            continue
+        seg = rest.split(".")
+        # ['', 'checkpoint', NNNNNNNNNN, MMMMMMMMMM, 'parquet']
+        if (
+            len(seg) == 5
+            and seg[1] == "checkpoint"
+            and seg[2].isdigit()
+            and seg[3].isdigit()
+            and seg[4] == "parquet"
+        ):
+            parts.setdefault((v, int(seg[3])), {})[int(seg[2])] = os.path.join(
+                log, f
+            )
+    out = dict(singles)
+    for (v, n), got in parts.items():
+        if v in out:
+            continue  # a complete single-file checkpoint wins
+        if sorted(got) == list(range(1, n + 1)):
+            out[v] = [got[i] for i in range(1, n + 1)]
+    return out
+
+
+def _checkpoint_versions(log: str) -> list:
+    return sorted(_checkpoint_files(log))
 
 
 #: reader features this engine implements — the gate for foreign tables
@@ -530,7 +566,8 @@ def load_snapshot(
     cps = [v for v in all_cps if v <= target]
     if cps:
         cp = cps[-1]
-        _read_checkpoint(os.path.join(log, f"{cp:020d}.checkpoint.parquet"), state)
+        for part in _checkpoint_files(log, cp)[cp]:
+            _read_checkpoint(part, state)
         start = cp + 1
     for v in range(start, target + 1):
         fpath = os.path.join(log, f"{v:020d}.json")

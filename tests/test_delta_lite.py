@@ -1137,6 +1137,45 @@ def test_ntz_schema_evolution_upgrades_protocol(spark, tmp_path):
     assert got == {(1, True), (2, False)}  # old rows read NULL ntz
 
 
+def test_multipart_checkpoint_read(spark, tmp_path):
+    """Big foreign tables shard classic checkpoints into
+    ``V.checkpoint.NNNNNNNNNN.MMMMMMMMMM.parquet`` parts; replay must
+    union all parts, prefer a complete single file, and IGNORE an
+    incomplete part set (reading half a checkpoint would silently drop
+    adds)."""
+    import pyarrow.parquet as pq
+
+    tp = str(tmp_path / "t")
+    for batch in range(3):
+        dl.write_delta_lite(
+            spark.createDataFrame([(batch * 10 + i,) for i in range(5)], "v long"),
+            tp,
+            mode="append",
+        )
+    v = dl.checkpoint_delta_lite(tp)
+    log = os.path.join(tp, dl.LOG_DIR)
+    single = os.path.join(log, f"{v:020d}.checkpoint.parquet")
+    table = pq.read_table(single)
+    # shard row-wise into 3 parts with the same schema
+    n = table.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        pq.write_table(
+            table.slice(cuts[i], cuts[i + 1] - cuts[i]),
+            os.path.join(log, f"{v:020d}.checkpoint.{i + 1:010d}.{3:010d}.parquet"),
+        )
+    os.unlink(single)
+    for j in range(v + 1):  # checkpoint-bounded replay only
+        os.unlink(os.path.join(log, f"{j:020d}.json"))
+    assert dl.is_delta_table(tp)
+    got = sorted(r["v"] for r in dl.read_delta_lite(spark, tp).collect())
+    assert got == sorted(b * 10 + i for b in range(3) for i in range(5))
+    # an INCOMPLETE part set must not be treated as a checkpoint
+    os.unlink(os.path.join(log, f"{v:020d}.checkpoint.{2:010d}.{3:010d}.parquet"))
+    with pytest.raises(ValueError, match="empty delta log|missing commit"):
+        dl.load_snapshot(tp)
+
+
 def test_variant_feature_roundtrip(spark, tmp_path):
     """VARIANT columns: the variantType reader+writer feature is
     declared on new tables, values round-trip through the parquet
