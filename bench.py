@@ -211,6 +211,12 @@ HEADLINE = [
     # zero-copy SHALLOW CLONE fork (clone + diverge + isolation lanes)
     "delta_constraints",
     "delta_clone",
+    # round 12: name-mode column-mapping reads (physical-schema
+    # resolution + pruning translation) and deletion-vector reads
+    # (executor-side roaring decode + anti-join, all three storage
+    # types, DV-aware CDC lane)
+    "delta_column_mapping",
+    "delta_deletion_vectors",
 ]
 
 

@@ -824,6 +824,15 @@ def _strip_dv_rows(
     pos = desc.repartition(min(len(rows), 64), _DL_FILE).mapInPandas(
         _explode, f"{_DL_FILE} string, {_DL_POS} long"
     )
+    # the descriptors DECLARE the positions side's exact size
+    # (cardinality) — when it is broadcast-sized, say so up front
+    # instead of waiting for AQE to discover it post-shuffle
+    total_card = sum(
+        int((snap.files[rel]["deletionVector"]).get("cardinality") or 0)
+        for rel in dv_rels
+    )
+    if 0 < total_card <= 2_000_000:
+        pos = F.broadcast(pos)
     return df.join(pos, [_DL_FILE, _DL_POS], "left_anti").drop(_DL_FILE, _DL_POS)
 
 

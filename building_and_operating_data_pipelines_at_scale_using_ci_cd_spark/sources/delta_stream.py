@@ -87,22 +87,30 @@ FORMAT_NAME = "delta_lite_stream"
 
 class DeltaFilePartition(InputPartition):
     """One data file of one commit: everything ``read`` needs, picklable
-    (absolute path + the hive partition values to re-attach)."""
+    (absolute path + the hive partition values to re-attach + the file's
+    deletion-vector descriptor, whose marked positions the executor
+    masks out before delivering rows)."""
 
-    def __init__(self, path: str, partition_values: dict, version: int):
+    def __init__(
+        self, path: str, partition_values: dict, version: int, dv: dict | None = None
+    ):
         self.path = path
         self.partition_values = partition_values
         self.version = version
+        self.dv = dv
 
 
 class DeltaCdfFilePartition(InputPartition):
     """readChangeFeed, append commit: one ADDED file, delivered as
     ``_change_type='insert'`` rows (file-parallel, the common path)."""
 
-    def __init__(self, path: str, partition_values: dict, version: int):
+    def __init__(
+        self, path: str, partition_values: dict, version: int, dv: dict | None = None
+    ):
         self.path = path
         self.partition_values = partition_values
         self.version = version
+        self.dv = dv
 
 
 class DeltaCdfDiffPartition(InputPartition):
@@ -111,10 +119,13 @@ class DeltaCdfDiffPartition(InputPartition):
     executor can cancel rewritten-but-unchanged rows with a multiset
     diff — the same semantics the batch ``delta_changes`` feed has.
     One task per change commit; its row volume is the commit's churned
-    files (pruned DML rewrites only matched files), not the table."""
+    files (pruned DML rewrites only matched files), not the table.
+    Each side's files carry their deletion-vector descriptor: a DV
+    UPDATE lists the same path on both sides with different DVs, and
+    the masked multiset diff is then exactly the newly-deleted rows."""
 
     def __init__(self, old_files: list, new_files: list, version: int):
-        self.old_files = old_files  # [(abs path, partitionValues)]
+        self.old_files = old_files  # [(abs path, partitionValues, dv|None)]
         self.new_files = new_files
         self.version = version
 
@@ -322,23 +333,6 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         parts = []
         for v in range(lo + 1, hi + 1):
             actions = self._commit_actions(v)
-            if any(
-                (a.get("add") or {}).get("deletionVector")
-                or (a.get("remove") or {}).get("deletionVector")
-                for a in actions
-            ):
-                # the diff partitions align files POSITIONALLY by path;
-                # deletion vectors change a file's row set without
-                # changing its path, which this machinery cannot express
-                # — refuse with the workaround rather than emit a wrong
-                # change set
-                raise ValueError(
-                    f"readChangeFeed: commit {v} of {self._path} uses "
-                    "deletion vectors, which this change-feed reader does "
-                    "not diff; read the table in batch (DV reads are "
-                    "supported) or compute changes with delta_changes "
-                    "between explicit versions"
-                )
             adds = [
                 a["add"]
                 for a in actions
@@ -355,13 +349,16 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
                 (
                     os.path.join(self._path, urllib.parse.unquote(a["path"])),
                     a.get("partitionValues") or {},
+                    a.get("deletionVector"),
                 )
                 for a in adds
             ]
             if not removes:
                 parts.extend(
-                    DeltaCdfFilePartition(path=p, partition_values=pv, version=v)
-                    for p, pv in new_files
+                    DeltaCdfFilePartition(
+                        path=p, partition_values=pv, version=v, dv=dv
+                    )
+                    for p, pv, dv in new_files
                 )
                 continue
             prev = load_snapshot(self._path, v - 1)
@@ -373,11 +370,17 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
                     (
                         os.path.join(self._path, rel),
                         (prev_add or {}).get("partitionValues") or {},
+                        # the removed logical file's OWN deletion vector
+                        # (pre-commit state; the remove action repeats
+                        # it, but the snapshot is authoritative) — a DV
+                        # UPDATE then diffs new-DV vs old-DV live rows,
+                        # i.e. exactly the newly-deleted rows
+                        (prev_add or r or {}).get("deletionVector"),
                     )
                 )
             groups: dict = {}
             for side, files in (("old", old_files), ("new", new_files)):
-                for path, pv in files:
+                for path, pv, dv in files:
                     # NULL partition values must not collide with the
                     # string "None": key on (name, is_null, value)
                     key = tuple(
@@ -387,7 +390,7 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
                         )
                     )
                     groups.setdefault(key, ([], []))[0 if side == "old" else 1].append(
-                        (path, pv)
+                        (path, pv, dv)
                     )
             for _key, (olds, news) in sorted(groups.items()):
                 parts.append(
@@ -413,21 +416,6 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
             from .delta_lite import load_snapshot
 
             snap = load_snapshot(self._path, int(start["snapshot"]))
-            dvd = sorted(
-                rel for rel, a in snap.files.items() if a.get("deletionVector")
-            )
-            if dvd:
-                # a file partition reads the WHOLE parquet file; a DV'd
-                # file's live rows are file minus deleted positions,
-                # which this per-file plan cannot express — refuse
-                # rather than resurrect deleted rows into the backfill
-                raise ValueError(
-                    f"cannot stream the initial snapshot of {self._path}: "
-                    f"{len(dvd)} file(s) carry deletion vectors (e.g. "
-                    f"{dvd[0]}); read the table in batch (DV reads are "
-                    "supported) or start the stream from a version after "
-                    "the DV commits with startingVersion"
-                )
             for rel in sorted(snap.files):
                 add = snap.files[rel]
                 parts.append(
@@ -435,6 +423,9 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
                         path=os.path.join(self._path, rel),
                         partition_values=add.get("partitionValues") or {},
                         version=int(start["snapshot"]),
+                        # DV'd files deliver only their live rows — the
+                        # executor masks the vector's positions out
+                        dv=add.get("deletionVector"),
                     )
                 )
         for v in range(lo + 1, hi + 1):
@@ -458,7 +449,7 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         paths = []
         for p in parts:
             if isinstance(p, DeltaCdfDiffPartition):
-                paths.extend(f for f, _pv in p.old_files + p.new_files)
+                paths.extend(f for f, _pv, _dv in p.old_files + p.new_files)
             else:
                 paths.append(p.path)
         missing = [f for f in paths if not os.path.exists(f)]
@@ -471,15 +462,28 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
             )
 
     # -- execution (executors) ---------------------------------------------
-    def _aligned_table(self, path: str, partition_values: dict, fields, target):
+    def _aligned_table(
+        self, path: str, partition_values: dict, fields, target, dv: dict | None = None
+    ):
         """One parquet file as an Arrow table aligned to ``target`` (the
         Arrow form of ``fields``): partition columns re-attached as
         constants, pre-evolution missing columns as NULL, physical types
-        cast to the declared ones."""
+        cast to the declared ones. ``dv`` masks out the deletion
+        vector's row positions FIRST (executor-side roaring decode, the
+        same ``dv_positions`` kernel the batch reader uses), so every
+        downstream consumer sees only the file's live rows."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         table = pq.read_table(path)
+        if dv:
+            from .dv import dv_positions
+
+            mask = [True] * table.num_rows
+            for pos in dv_positions(self._path, dv):
+                if pos < len(mask):
+                    mask[pos] = False
+            table = table.filter(pa.array(mask, type=pa.bool_()))
         n = table.num_rows
         arrays = []
         for field, spark_field in zip(target, fields):
@@ -532,8 +536,10 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         rep: dict = {}
 
         def fold(files, sign):
-            for path, pvals in files:
-                rows = self._aligned_table(path, pvals, fields, base_target).to_pylist()
+            for path, pvals, dv in files:
+                rows = self._aligned_table(
+                    path, pvals, fields, base_target, dv=dv
+                ).to_pylist()
                 for row in rows:
                     key = tuple(self._hashable(row[c]) for c in names)
                     cnt[key] += sign
@@ -567,7 +573,11 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
             fields = self._base_fields()
             base_target = to_arrow_schema(StructType(fields))
             table = self._aligned_table(
-                partition.path, partition.partition_values, fields, base_target
+                partition.path,
+                partition.partition_values,
+                fields,
+                base_target,
+                dv=partition.dv,
             )
             n = table.num_rows
             cdf_target = to_arrow_schema(self._schema)
@@ -582,7 +592,11 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
             return
         target = to_arrow_schema(self._schema)
         table = self._aligned_table(
-            partition.path, partition.partition_values, self._schema.fields, target
+            partition.path,
+            partition.partition_values,
+            self._schema.fields,
+            target,
+            dv=partition.dv,
         )
         for batch in table.to_batches():
             yield batch

@@ -342,12 +342,17 @@ def test_cdc_sees_dv_deletes(spark, tmp_path):
     assert dl.delta_changes(spark, tp, 1, 1).count() == 0
 
 
-def test_streaming_gates_on_dv_commits(spark, tmp_path):
+def test_streaming_append_gate_and_dv_cdf(spark, tmp_path):
+    """An append stream still refuses the DV commit (it is
+    data-changing), but the CHANGE FEED now diffs it: the stream
+    delivers exactly the DV's newly-deleted rows, equal to the batch
+    delta_changes feed."""
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.delta_stream import (
         read_delta_lite_stream,
     )
 
-    tp, _ = _mk_dv_table(spark, tmp_path, [5])
+    deleted = [7, 8, 42]
+    tp, _ = _mk_dv_table(spark, tmp_path, deleted)
     # append stream over the DV commit: data-changing -> named refusal
     s = read_delta_lite_stream(spark, tp, startingVersion=0)
     q = (
@@ -359,40 +364,55 @@ def test_streaming_gates_on_dv_commits(spark, tmp_path):
     )
     with pytest.raises(Exception, match="data-changing|skipChangeCommits"):
         q.awaitTermination()
-    # change feed over the DV commit: named refusal with the workaround
+    # change feed over the DV commit: the masked multiset diff IS the
+    # deleted row set
     c = read_delta_lite_stream(
         spark, tp, readChangeFeed=True, startingVersion=1
     )
+    name = f"dvcdf_{uuid.uuid4().hex[:8]}"
     q2 = (
         c.writeStream.format("memory")
-        .queryName(f"dvcdf_{uuid.uuid4().hex[:8]}")
+        .queryName(name)
         .option("checkpointLocation", str(tmp_path / "ck2"))
         .trigger(availableNow=True)
         .start()
     )
-    with pytest.raises(Exception, match="deletion vectors"):
-        q2.awaitTermination()
+    q2.awaitTermination()
+    rows = {
+        (r["v"], r["_change_type"], r["_commit_version"])
+        for r in spark.table(name).collect()
+    }
+    assert rows == {(v, "delete", 1) for v in deleted}
 
 
-def test_streaming_initial_snapshot_refuses_dv_files(spark, tmp_path):
-    """A fresh stream's first batch plans per-FILE partitions; a DV'd
-    file cannot be expressed that way and must refuse by name (never
-    resurrect deleted rows into the backfill)."""
+def test_streaming_initial_snapshot_masks_dv_files(spark, tmp_path):
+    """A fresh stream's first batch delivers the RECONCILED snapshot —
+    DV'd files contribute only their live rows (positions masked
+    executor-side), never the deleted ones."""
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.delta_stream import (
         read_delta_lite_stream,
     )
 
-    tp, _ = _mk_dv_table(spark, tmp_path, [5])
+    deleted = [5, 6, 99]
+    tp, _ = _mk_dv_table(spark, tmp_path, deleted)
     s = read_delta_lite_stream(spark, tp)  # default: snapshot-first
+    name = f"dvsnap_{uuid.uuid4().hex[:8]}"
     q = (
         s.writeStream.format("memory")
-        .queryName(f"dvsnap_{uuid.uuid4().hex[:8]}")
+        .queryName(name)
         .option("checkpointLocation", str(tmp_path / "ck"))
         .trigger(availableNow=True)
         .start()
     )
-    with pytest.raises(Exception, match="deletion vectors"):
-        q.awaitTermination()
+    q.awaitTermination()
+    got = [r["v"] for r in spark.table(name).collect()]
+    assert len(got) == 200 - len(deleted)
+    # deleted positions gone from f1; f2's copies of the values remain
+    from collections import Counter
+
+    c = Counter(got)
+    assert all(c[v] == 1 for v in deleted)
+    assert c[0] == 2  # undeleted value present from both files
 
 
 def test_codec_property_roundtrip():
