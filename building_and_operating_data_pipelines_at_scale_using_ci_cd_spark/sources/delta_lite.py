@@ -806,6 +806,7 @@ def _strip_dv_rows(
     desc = spark.createDataFrame(rows, f"{_DL_FILE} string, __dv_json string")
 
     def _explode(batches):
+        import numpy as np
         import pandas as pd
 
         from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.dv import (
@@ -813,13 +814,13 @@ def _strip_dv_rows(
         )
 
         for pdf in batches:
-            files: list = []
-            poss: list = []
             for file_key, dv_json in zip(pdf[_DL_FILE], pdf["__dv_json"]):
-                for p in dv_positions(table_path, json.loads(dv_json)):
-                    files.append(file_key)
-                    poss.append(p)
-            yield pd.DataFrame({_DL_FILE: files, _DL_POS: poss})
+                poss = np.asarray(
+                    dv_positions(table_path, json.loads(dv_json)), dtype=np.int64
+                )
+                yield pd.DataFrame(
+                    {_DL_FILE: np.repeat(file_key, len(poss)), _DL_POS: poss}
+                )
 
     pos = desc.repartition(min(len(rows), 64), _DL_FILE).mapInPandas(
         _explode, f"{_DL_FILE} string, {_DL_POS} long"

@@ -477,13 +477,14 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
 
         table = pq.read_table(path)
         if dv:
+            import numpy as np
+
             from .dv import dv_positions
 
-            mask = [True] * table.num_rows
-            for pos in dv_positions(self._path, dv):
-                if pos < len(mask):
-                    mask[pos] = False
-            table = table.filter(pa.array(mask, type=pa.bool_()))
+            pos_arr = np.asarray(dv_positions(self._path, dv), dtype=np.int64)
+            mask = np.ones(table.num_rows, dtype=bool)
+            mask[pos_arr[pos_arr < table.num_rows]] = False
+            table = table.filter(pa.array(mask))
         n = table.num_rows
         arrays = []
         for field, spark_field in zip(target, fields):

@@ -61,7 +61,8 @@ _DV_FILE_VERSION = 1
 
 def _decode_rb32(buf: bytes, pos: int):
     """Decode one standard-format 32-bit roaring bitmap starting at
-    ``pos``; returns ``(values, new_pos)`` with values sorted ascending."""
+    ``pos``; returns ``(int64 ndarray, new_pos)`` with values sorted
+    ascending (vectorized — the decode is the DV read hot path)."""
     (cookie32,) = struct.unpack_from("<i", buf, pos)
     cookie = cookie32 & 0xFFFF
     if cookie == _COOKIE_RUN:
@@ -79,6 +80,8 @@ def _decode_rb32(buf: bytes, pos: int):
         has_offsets = True
     else:
         raise ValueError(f"not a roaring bitmap (cookie {cookie})")
+    import numpy as np
+
     keys_cards = [
         struct.unpack_from("<HH", buf, pos + 4 * i) for i in range(n)
     ]
@@ -92,23 +95,28 @@ def _decode_rb32(buf: bytes, pos: int):
         if is_run[i]:
             (n_runs,) = struct.unpack_from("<H", buf, pos)
             pos += 2
-            for _ in range(n_runs):
-                start, length = struct.unpack_from("<HH", buf, pos)
-                pos += 4
-                out.extend(range(base + start, base + start + length + 1))
+            runs_arr = np.frombuffer(
+                buf, dtype="<u2", count=2 * n_runs, offset=pos
+            ).reshape(-1, 2)
+            pos += 4 * n_runs
+            vals = np.concatenate(
+                [np.arange(s, s + l + 1, dtype=np.int64) for s, l in runs_arr]
+            ) if n_runs else np.empty(0, dtype=np.int64)
         elif card <= 4096:
-            vals = struct.unpack_from(f"<{card}H", buf, pos)
+            vals = np.frombuffer(buf, dtype="<u2", count=card, offset=pos).astype(
+                np.int64
+            )
             pos += 2 * card
-            out.extend(base + v for v in vals)
         else:
-            words = struct.unpack_from("<1024Q", buf, pos)
+            bits = np.unpackbits(
+                np.frombuffer(buf, dtype=np.uint8, count=8192, offset=pos),
+                bitorder="little",
+            )
             pos += 8192
-            for w_i, w in enumerate(words):
-                while w:
-                    low = w & -w
-                    out.append(base + (w_i << 6) + low.bit_length() - 1)
-                    w ^= low
-    return out, pos
+            vals = np.nonzero(bits)[0].astype(np.int64)
+        out.append(vals + base)
+    merged = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+    return merged, pos
 
 
 def _encode_rb32(values: list, runs: bool = False) -> bytes:
@@ -182,6 +190,8 @@ def decode_bitmap_array(data: bytes) -> list:
         raise ValueError(
             f"bad deletion vector magic {magic} (expected {MAGIC})"
         )
+    import numpy as np
+
     (count,) = struct.unpack_from("<q", data, 4)
     pos = 12
     out: list = []
@@ -189,9 +199,9 @@ def decode_bitmap_array(data: bytes) -> list:
         (high,) = struct.unpack_from("<i", data, pos)
         pos += 4
         vals, pos = _decode_rb32(data, pos)
-        base = high << 32
-        out.extend(base + v for v in vals)
-    return out
+        out.append(vals + (high << 32))
+    merged = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+    return merged.tolist()
 
 
 def encode_bitmap_array(positions: list, runs: bool = False) -> bytes:

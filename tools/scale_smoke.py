@@ -986,6 +986,113 @@ def main() -> None:
 
     timed("shallow clone (log write only)", _clone_lane)
 
+    # round 12: deletion-vector read at volume — a 1.8M-row table whose
+    # files carry DVs marking ~25% of rows deleted (roaring decode is
+    # executor-side; the anti-join's positions side is broadcast by
+    # declared cardinality). The lane asserts the exact survivor count.
+    def _dv_lane():
+        import json as _json
+        import os as _os
+        import shutil as _shutil
+        import uuid as _uuid
+
+        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources import (
+            delta_lite as _dl,
+            dv as _dv,
+        )
+
+        tp = _tf.mkdtemp(prefix="scale_dv_") + "/t"
+        _os.makedirs(_os.path.join(tp, _dl.LOG_DIR))
+        n_files, rows_per = 6, 300_000
+        adds = []
+        for i in range(n_files):
+            stage = _tf.mkdtemp(prefix="scale_dv_stage_") + "/p"
+            (
+                spark.range(i * rows_per, (i + 1) * rows_per)
+                .selectExpr("id AS k", "id % 97 AS g")
+                .coalesce(1)
+                .write.parquet(stage)
+            )
+            part = next(
+                f for f in _os.listdir(stage) if f.endswith(".parquet")
+            )
+            fname = f"f{i}.parquet"
+            _shutil.move(_os.path.join(stage, part), _os.path.join(tp, fname))
+            adds.append(
+                {
+                    "add": {
+                        "path": fname,
+                        "partitionValues": {},
+                        "size": _os.path.getsize(_os.path.join(tp, fname)),
+                        "modificationTime": 1700000000000,
+                        "dataChange": True,
+                    }
+                }
+            )
+        proto = {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+        meta = {
+            "id": "scale-dv",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {"name": "k", "type": "long", "nullable": True,
+                         "metadata": {}},
+                        {"name": "g", "type": "long", "nullable": True,
+                         "metadata": {}},
+                    ],
+                }
+            ),
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": 1700000000000,
+        }
+        with open(_os.path.join(tp, _dl.LOG_DIR, f"{0:020d}.json"), "w") as fh:
+            fh.write(
+                "\n".join(
+                    _json.dumps(a)
+                    for a in [{"protocol": proto}, {"metaData": meta}] + adds
+                )
+                + "\n"
+            )
+        # DV per file: every 4th position deleted (range-free roaring mix)
+        dv_actions = []
+        for i, a in enumerate(adds):
+            positions = list(range(0, rows_per, 4))
+            u = _uuid.uuid4()
+            payload = _dv.encode_bitmap_array(positions, runs=(i % 2 == 0))
+            [(off, size)] = _dv.write_dv_file(
+                _os.path.join(tp, _dv.dv_file_name(u)), [payload]
+            )
+            desc = {
+                "storageType": "u",
+                "pathOrInlineDv": _dv.encode_dv_uuid_path(u),
+                "offset": off,
+                "sizeInBytes": size,
+                "cardinality": len(positions),
+            }
+            dv_actions.append(
+                {"remove": {"path": a["add"]["path"], "dataChange": True}}
+            )
+            dv_actions.append(
+                {"add": {**a["add"], "deletionVector": desc,
+                         "dataChange": True}}
+            )
+        with open(_os.path.join(tp, _dl.LOG_DIR, f"{1:020d}.json"), "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in dv_actions) + "\n")
+        got = _dl.read_delta_lite(spark, tp).count()
+        want = n_files * (rows_per - len(range(0, rows_per, 4)))
+        assert got == want, (got, want)
+        return got
+
+    timed("DV read (1.8M rows, 450k deleted)", _dv_lane)
+
 
 if __name__ == "__main__":
     main()
