@@ -279,9 +279,23 @@ def _previous_round_timings() -> dict[str, float]:
                 rec = json.load(fh)
             parsed = rec.get("parsed", rec)
             # prefer the noise-robust min map (round 12+) over medians
-            queries = parsed.get("per_query_min") or parsed.get("queries")
+            queries = (parsed or {}).get("per_query_min") or (parsed or {}).get(
+                "queries"
+            )
             if isinstance(queries, dict) and queries:
                 return {k: float(v) for k, v in queries.items()}
+            # driver-stamped artifacts can truncate the JSON line into a
+            # raw "tail" fragment (parsed: null) — without this fallback
+            # the warning silently baselines against a MUCH older round
+            # and cries wolf on every query
+            tail = rec.get("tail") or ""
+            pairs = {
+                k: float(v)
+                for k, v in re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', tail)
+                if k not in ("value", "sf", "value_min")
+            }
+            if len(pairs) >= 20:  # a usable fragment, partial is fine
+                return pairs
         except (OSError, ValueError, AttributeError):
             continue
     return {}
