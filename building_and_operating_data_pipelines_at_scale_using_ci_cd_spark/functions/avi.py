@@ -361,6 +361,11 @@ def sample_video_frames(df_with_payload: DataFrame, every: int = 1) -> DataFrame
         from .gif import gif_frame_lumas
         from .multimodal import parse_image
 
+        # decode-once-per-distinct-payload (round 12): identical
+        # containers decode identically — a per-task memo keyed on the
+        # bytes collapses duplicate clips to one demux+decode each.
+        seen: dict = {}
+
         for pdf in batches:
             out = {f.name: [] for f in VIDEO_FRAME_SCHEMA.fields}
 
@@ -373,22 +378,20 @@ def sample_video_frames(df_with_payload: DataFrame, every: int = 1) -> DataFrame
                 out["sum_luma"].append(s)
                 out["frame_ok"].append(ok)
 
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(payload)
+            def decode_rows(raw):
+                rows = []
                 if raw[:6] in (b"GIF87a", b"GIF89a"):
                     try:
                         w, h, lumas = gif_frame_lumas(raw)
                     except ValueError:
-                        emit(doc_id, -1, None, None, None, None, False)
-                        continue
+                        return [(-1, None, None, None, None, False)]
                     for idx in range(0, len(lumas), every):
-                        emit(doc_id, idx, len(lumas), w, h, sum(lumas[idx]), True)
-                    continue
+                        rows.append((idx, len(lumas), w, h, sum(lumas[idx]), True))
+                    return rows
                 try:
                     w, h, _rate, _scale, frames, codec, palette = demux_avi_info(raw)
                 except ValueError:
-                    emit(doc_id, -1, None, None, None, None, False)
-                    continue
+                    return [(-1, None, None, None, None, False)]
                 if codec in (b"MRLE", b"mrle", b"RLE8"):
                     # inter-frame codec: delta frames composite over the
                     # persistent canvas, so decode the whole stream then
@@ -396,17 +399,26 @@ def sample_video_frames(df_with_payload: DataFrame, every: int = 1) -> DataFrame
                     try:
                         lumas = decode_mrle_frames(w, h, frames, palette)
                     except ValueError:
-                        emit(doc_id, -1, None, None, None, None, False)
-                        continue
+                        return [(-1, None, None, None, None, False)]
                     for idx in range(0, len(lumas), every):
-                        emit(doc_id, idx, len(lumas), w, h, sum(lumas[idx]), True)
-                    continue
+                        rows.append((idx, len(lumas), w, h, sum(lumas[idx]), True))
+                    return rows
                 for idx in range(0, len(frames), every):
                     try:
                         _fmt, fw, fh, gray = parse_image(frames[idx])
-                        emit(doc_id, idx, len(frames), fw, fh, sum(gray), True)
+                        rows.append((idx, len(frames), fw, fh, sum(gray), True))
                     except ValueError:
-                        emit(doc_id, idx, len(frames), None, None, None, False)
+                        rows.append((idx, len(frames), None, None, None, False))
+                return rows
+
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                rows = seen.get(raw)
+                if rows is None:
+                    rows = decode_rows(raw)
+                    seen[raw] = rows
+                for r in rows:
+                    emit(doc_id, *r)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(out["doc_id"], dtype="int64"),

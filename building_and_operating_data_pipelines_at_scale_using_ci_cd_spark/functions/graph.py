@@ -264,6 +264,13 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # NOT materialized, deliberately (round-12 measurement): e is
+        # inlined ~8× in the plan (90 Exchanges, zero ReusedExchange),
+        # but checkpointing it strips Catalyst's size stats — every
+        # downstream join over the RDD-backed table loses its broadcast
+        # plan and degrades to SortMergeJoin. Measured at sf0.1:
+        # baseline 3.49s, lazy checkpoint 3.51s, eager checkpoint 6.0s.
+        # The recompute is the cheaper evil while joins auto-broadcast.
     )
     deg = (
         e.select(F.col("a").alias("v"))
@@ -285,6 +292,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             .alias("o")
         )
         .select(F.col("o.lo").alias("u"), F.col("o.hi").alias("w"))
+        # not materialized — same stats-loss trade as `e` above
     )
     wedges = (
         ed.alias("e1")
@@ -346,7 +354,13 @@ def bfs_levels(
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     if not directed:
         e = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    e = e.filter(F.col("s") != F.col("d")).distinct()
+    # materialize the normalized edge table ONCE: every hop's expand join
+    # references e, and only the frontiers were checkpointed — so each of
+    # the max_hops rounds re-derived the caller's edge expression (for
+    # bfs_reachability a lineitem self-join + distinct) from scratch.
+    # One localCheckpoint makes all hops share a single computation
+    # (guide §2.4; the same lesson the frontiers already applied).
+    e = e.filter(F.col("s") != F.col("d")).distinct().localCheckpoint(eager=True)
     visited = (
         sources.select(F.col(node_col).alias("node"))
         .distinct()

@@ -60,7 +60,7 @@ def tfidf_top_terms(
     # persisted: tf feeds BOTH the df aggregation and the scoring join —
     # without it the whole explode subtree runs once per consumer (see
     # module docstring)
-    tf = toks.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = toks.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=False)
     # tf rows are (doc, term)-distinct, so a count per term IS the
     # document frequency — map-side partial agg, vocabulary-sized output
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -109,7 +109,7 @@ def inverted_index(
             F.explode(word_tokens(F.col(text_col))).alias("term"),
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     dfc = (
         doc_terms.groupBy("term")
@@ -166,7 +166,7 @@ def bm25_scores(
     dl = df.select(
         F.col(id_col).alias("__id"),
         F.size(word_tokens(F.col(text_col))).alias("__dl"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     stats = dl.agg(
         F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
     )

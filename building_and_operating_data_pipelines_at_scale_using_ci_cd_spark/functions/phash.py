@@ -200,7 +200,7 @@ def phash_near_pairs(fps: DataFrame, radius: int = 8, n_bands: int = 4) -> DataF
             ),
         )
         .filter(F.col("__h64").isNotNull())
-        .persist()
+        .localCheckpoint(eager=False)
     )
     bands = full.select(
         "doc_id",

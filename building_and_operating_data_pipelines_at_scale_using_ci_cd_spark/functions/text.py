@@ -249,14 +249,14 @@ def unigram_cross_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFram
     few hot tokens, but the join's build side is the VOCABULARY, which
     broadcasts at any corpus scale where it fits (AQE picks the shuffle
     fallback when it doesn't). Returns (id, n_tokens, cross_entropy)."""
-    # persisted: the token stream feeds the model groupBy AND the scoring
+    # materialized once: the token stream feeds the model groupBy AND the scoring
     # join probe (and the model feeds the total) — un-persisted, Catalyst
     # re-runs the explode subtree per consumer (measured 3 explodes)
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.explode(word_tokens(F.col(text_col))).alias("__tok"),
-    ).persist()
-    counts = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c")).persist()
+    ).localCheckpoint(eager=False)
+    counts = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c")).localCheckpoint(eager=False)
     total = counts.groupBy().agg(F.sum("__c").alias("__n"))
     return (
         toks.join(counts, "__tok")
@@ -297,7 +297,7 @@ def bigram_cross_entropy(
     toks = df.select(
         F.col(id_col).alias("__id"), word_tokens(F.col(text_col)).alias("__a")
     ).filter(F.size("__a") >= 2)
-    # persisted: the bigram stream feeds the model groupBy AND the scoring
+    # materialized once: the bigram stream feeds the model groupBy AND the scoring
     # join; the bigram-count and unigram-count tables each feed two
     # consumers as well (ctx/model, total/model) — un-persisted, every
     # consumer re-ran its explode subtree (measured 5 explodes; 2 after)
@@ -312,16 +312,16 @@ def bigram_cross_entropy(
         ).alias("__b"),
     ).select(
         "__id", F.col("__b.prev").alias("__prev"), F.col("__b.tok").alias("__tok")
-    ).persist()
+    ).localCheckpoint(eager=False)
     bi_counts = (
-        bigrams.groupBy("__prev", "__tok").agg(F.count(F.lit(1)).alias("__cbi")).persist()
+        bigrams.groupBy("__prev", "__tok").agg(F.count(F.lit(1)).alias("__cbi")).localCheckpoint(eager=False)
     )
     ctx_counts = bi_counts.groupBy("__prev").agg(F.sum("__cbi").alias("__cctx"))
     uni_counts = (
         df.select(F.explode(word_tokens(F.col(text_col))).alias("__tok"))
         .groupBy("__tok")
         .agg(F.count(F.lit(1)).alias("__cuni"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     total = uni_counts.groupBy().agg(F.sum("__cuni").alias("__n"))
     p = F.lit(lam) * F.col("__cbi").cast("double") / F.col("__cctx") + F.lit(

@@ -218,8 +218,12 @@ def _candidates_from_shingles(
     signature per band (bands× that stage's work). Both stages stay
     narrow map-only plans.
 
-    ``banded`` is persisted: it is both sides of the self-join, and
-    without the persist Spark recomputes the signature once per side."""
+    ``banded`` is materialized once (localCheckpoint): it is both sides
+    of the self-join, and without it Spark recomputes the signature once
+    per side (persist was replaced round 12 — a persisted deterministic
+    plan is CACHE-REUSED by identical later invocations in the same
+    session, which silently turned repeat benchmark runs into cache
+    reads; localCheckpoint shares within one invocation only)."""
     sig = sh.select(
         "__id",
         minhash_from_hashes(F.col("__sh"), num_hashes).alias("__sig"),
@@ -230,7 +234,7 @@ def _candidates_from_shingles(
         F.posexplode(lsh_band_keys(F.col("__sig"), num_hashes, bands)).alias(
             "band_idx", "band_key"
         ),
-    ).persist()
+    ).localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -288,7 +292,7 @@ def _near_dup_pairs_core(
     Jaccard runs over HASHED shingle sets (bigint arrays): same value as
     string-shingle Jaccard (md5 collisions aside), much cheaper to
     shuffle and intersect."""
-    sh = _hashed_shingle_df(df, id_col, text_col, shingle_n).persist()
+    sh = _hashed_shingle_df(df, id_col, text_col, shingle_n).localCheckpoint(eager=False)
     cands = _candidates_from_shingles(sh, num_hashes, bands)
     # merge hint: the candidate set's size is unknown to Catalyst (it sits
     # behind a distinct), and on a duplicate-heavy corpus it can be huge —
@@ -374,7 +378,7 @@ def near_dup_pairs(
         F.col(id_col).alias("__mid"), F.md5(F.col(text_col)).alias("__chash")
     )
     reps = members.groupBy("__chash").agg(F.min("__mid").alias("__rep"))
-    members = members.join(reps, "__chash").persist()
+    members = members.join(reps, "__chash").localCheckpoint(eager=False)
     rep_ids = members.filter(F.col("__mid") == F.col("__rep")).select(
         F.col("__mid").alias(id_col)
     )
@@ -429,7 +433,7 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") 
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -457,7 +461,6 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") 
         labels = new_labels.drop("__changed")
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep"))
 
 
@@ -474,7 +477,11 @@ def winnow_fingerprint_sets(
     without adding a shuffle — still a narrow map-only plan at any scale."""
     from ..functions.text import gram_hashes, winnow_select
 
-    staged = df.select(
+    # _spread (round 12): the gram-md5 pass is CPU-bound per row and a
+    # small parquet input arrives as 1-2 partitions — every sibling
+    # dedup path already spreads before hashing; this one was missing
+    # it (measured 3.5s single-task vs ~0.5s spread at sf0.1/local[32])
+    staged = _spread(df).select(
         F.col(id_col),
         gram_hashes(F.col(text_col), k).alias("__hs"),
         F.rand().alias("__barrier"),
@@ -528,7 +535,7 @@ def winnow_near_dup_pairs(
         "__id",
         F.array_distinct(F.col("__gh")).alias("__gset"),
         winnow_select(F.col("__gh"), w).alias("__fp"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     ex = gd.select("__id", F.explode("__fp").alias("__f"))
     rare = (
         ex.groupBy("__f")
@@ -602,10 +609,10 @@ def simhash_near_pairs(
     Columns: id_a, id_b, hamming_dist."""
     if radius < 0 or radius >= bits:
         raise ValueError("radius must be in [0, bits)")
-    # persisted: the fingerprint table feeds BOTH sides of the band
-    # self-join — un-persisted, the whole explode+groupBy fingerprint
+    # materialized once: the fingerprint table feeds BOTH sides of the band
+    # self-join — unshared, the whole explode+groupBy fingerprint
     # computation runs once per side (measured 4 explodes, now 2)
-    fps = simhash_fingerprints(df, id_col, text_col, bits=bits, shingle_n=shingle_n).persist()
+    fps = simhash_fingerprints(df, id_col, text_col, bits=bits, shingle_n=shingle_n).localCheckpoint(eager=False)
     n_bands = radius + 1
     width = bits // n_bands
     bands = fps.select(
@@ -1006,7 +1013,7 @@ def _ngram_jaccard_core(
         raise ValueError("threshold must be a fraction in (0, 1]")
     if prefix_order not in ("df", "hash"):
         raise ValueError("prefix_order must be 'df' or 'hash'")
-    sh = _hashed_shingle_df(df, id_col, text_col, n).persist()
+    sh = _hashed_shingle_df(df, id_col, text_col, n).localCheckpoint(eager=False)
     gram_sets = sh.select("__id", F.col("__sh").alias("__gs"))
     grams = sh.select(
         "__id", F.size("__sh").alias("__sz"), F.explode("__sh").alias("__g")
@@ -1134,7 +1141,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("__mid"), F.md5(F.col(text_col)).alias("__chash")
     )
     reps = members.groupBy("__chash").agg(F.min("__mid").alias("__rep"))
-    members = members.join(reps, "__chash").persist()
+    members = members.join(reps, "__chash").localCheckpoint(eager=False)
     rep_ids = members.filter(F.col("__mid") == F.col("__rep")).select(
         F.col("__mid").alias(id_col)
     )

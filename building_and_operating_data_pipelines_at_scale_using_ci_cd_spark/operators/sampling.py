@@ -368,13 +368,19 @@ def dsir_bucket_scores(
     smoothed floor score) — bounded build side for the weight join."""
     if n_buckets < 2 or n_buckets > 1_000_000:
         raise ValueError("n_buckets must be in [2, 1e6] (the broadcast bound)")
-    spark = raw.sparkSession
     qc = _bucket_rows(raw, id_col, text_col, n_buckets).groupBy("bucket").agg(
         F.count("*").alias("qc")
     )
     pc = _bucket_rows(target, id_col, text_col, n_buckets).groupBy("bucket").agg(
         F.count("*").alias("pc")
     )
+    return _bucket_scores(raw.sparkSession, qc, pc, n_buckets, scale, alpha)
+
+
+def _bucket_scores(spark, qc, pc, n_buckets: int, scale: int, alpha: int) -> DataFrame:
+    """Score grid from already-aggregated per-bucket q/p counts (split
+    out of :func:`dsir_bucket_scores` so :func:`dsir_select` can feed a
+    materialized gram table instead of re-tokenizing the corpus)."""
     grid = spark.range(n_buckets).select(F.col("id").alias("bucket"))
     tot = (
         qc.agg(F.sum("qc").alias("qt"))
@@ -422,12 +428,23 @@ def dsir_select(
     ``(id_col, n_grams, weight)``."""
     if k <= 0:
         raise ValueError("k must be positive")
-    scores = dsir_bucket_scores(
-        raw, target, id_col, text_col,
-        n_buckets=n_buckets, scale=scale, alpha=alpha,
+    # Tokenize + hash the raw corpus ONCE (round-12 optimization, guide
+    # §8 "decide with small rows"): the (id, bucket) gram table feeds
+    # BOTH the q-count aggregate and the final weight join — without
+    # materialization the tokenize/explode/md5 subtree ran twice (the
+    # plan carried 20 parquet scans). The checkpointed proxy is two
+    # narrow integers + an id per gram occurrence — far cheaper to hold
+    # than to recompute at any scale.
+    raw_b = _bucket_rows(raw, id_col, text_col, n_buckets).localCheckpoint(
+        eager=False
     )
+    qc = raw_b.groupBy("bucket").agg(F.count("*").alias("qc"))
+    pc = _bucket_rows(target, id_col, text_col, n_buckets).groupBy("bucket").agg(
+        F.count("*").alias("pc")
+    )
+    scores = _bucket_scores(raw.sparkSession, qc, pc, n_buckets, scale, alpha)
     return (
-        _bucket_rows(raw, id_col, text_col, n_buckets)
+        raw_b
         .join(F.broadcast(scores), "bucket")
         .groupBy("__id")
         .agg(

@@ -30,7 +30,7 @@ fingerprint, then a union of (history, closed, carried, inserted). At scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 EFF_START = "eff_start_ts"
@@ -116,8 +116,7 @@ def scd2_merge(
     # all renamed (not aliased) so repeated merges over shared lineage never
     # hit Spark's self-join attribute ambiguity — and because the incoming
     # data columns ride along through the join, the insert lane needs no
-    # second join back to `incoming`. All three lanes filter the same
-    # joined plan, so Catalyst reuses its exchanges across the union.
+    # second join back to `incoming`.
     history = target.filter(~F.col(IS_CURRENT))
     current = target.filter(F.col(IS_CURRENT)).withColumn("__t_fp", fp)
     inc_side = incoming.select(
@@ -129,39 +128,64 @@ def scd2_merge(
     cond = reduce(and_, [current[k].eqNullSafe(inc_side[f"__i_{k}"]) for k in keys])
     joined = current.join(inc_side, cond, "full_outer")
 
-    # 1. current rows whose attrs changed in the incoming snapshot → close
-    closed = (
-        joined.filter(
-            F.col("__t_fp").isNotNull()
-            & F.col("__i_fp").isNotNull()
-            & (F.col("__t_fp") != F.col("__i_fp"))
-        )
-        .select(*data_cols, EFF_START, IS_CURRENT)
-        .withColumn(EFF_END, eff)
-        .withColumn(IS_CURRENT, F.lit(False))
-    )
-    # 2. current rows with identical attrs (or keys absent from incoming,
-    #    which SCD2 treats as "no news": carry, don't delete) → unchanged
-    carried = joined.filter(
+    # ONE pass over the joined rows (round-12 optimization): the previous
+    # form filtered the same join three times and unioned the lanes, but
+    # per-lane filter pushdown makes the three exchange subtrees
+    # non-identical, so Catalyst's exchange reuse never fired and the
+    # full-outer join (and both its inputs) executed 3× (measured: zero
+    # ReusedExchange in the plan). Instead, each joined row emits its
+    # lane rows from one array-of-structs explode — a "changed" key
+    # yields closed+insert (2 rows), "no news"/identical yields the
+    # carried row, a new key yields its insert — exactly delta-spark's
+    # single-pass MERGE output shape. Insert-lane columns cast to the
+    # TARGET's types (the unionByName in the old form coerced them the
+    # same way).
+    t_types = {f.name: f.dataType for f in target.schema.fields}
+    changed = (
         F.col("__t_fp").isNotNull()
-        & (F.col("__i_fp").isNull() | (F.col("__t_fp") == F.col("__i_fp")))
-    ).select(*data_cols, EFF_START, EFF_END, IS_CURRENT)
-    # 3. incoming rows that are new keys or changed versions → insert current
-    to_insert = (
-        joined.filter(
-            F.col("__i_fp").isNotNull()
-            & (F.col("__t_fp").isNull() | (F.col("__t_fp") != F.col("__i_fp")))
-        )
-        .select(*[F.col(f"__i_{c}").alias(c) for c in data_cols])
-        .withColumn(EFF_START, eff)
-        .withColumn(EFF_END, F.lit(_HIGH_TS).cast("timestamp"))
-        .withColumn(IS_CURRENT, F.lit(True))
+        & F.col("__i_fp").isNotNull()
+        & (F.col("__t_fp") != F.col("__i_fp"))
+    )
+    kept = F.col("__t_fp").isNotNull() & (
+        F.col("__i_fp").isNull() | (F.col("__t_fp") == F.col("__i_fp"))
+    )
+    inserted = F.col("__i_fp").isNotNull() & (
+        F.col("__t_fp").isNull() | (F.col("__t_fp") != F.col("__i_fp"))
     )
 
-    out_cols = data_cols + SCD2_META_COLS
-    return (
-        history.select(*out_cols)
-        .unionByName(closed.select(*out_cols))
-        .unionByName(carried.select(*out_cols))
-        .unionByName(to_insert.select(*out_cols))
+    def _lane(cols_map: dict) -> Column:
+        return F.struct(
+            *[cols_map[c].alias(c) for c in data_cols + SCD2_META_COLS]
+        )
+
+    closed_s = _lane(
+        {
+            **{c: F.col(c) for c in data_cols},
+            EFF_START: F.col(EFF_START),
+            EFF_END: eff,
+            IS_CURRENT: F.lit(False),
+        }
     )
+    carried_s = _lane({c: F.col(c) for c in data_cols + SCD2_META_COLS})
+    insert_s = _lane(
+        {
+            **{
+                c: F.col(f"__i_{c}").cast(t_types[c])
+                for c in data_cols
+            },
+            EFF_START: eff,
+            EFF_END: F.lit(_HIGH_TS).cast("timestamp"),
+            IS_CURRENT: F.lit(True),
+        }
+    )
+    lanes = F.array_compact(
+        F.array(
+            F.when(changed, closed_s),
+            F.when(kept, carried_s),
+            F.when(inserted, insert_s),
+        )
+    )
+    merged_rows = joined.select(F.explode(lanes).alias("__r")).select("__r.*")
+
+    out_cols = data_cols + SCD2_META_COLS
+    return history.select(*out_cols).unionByName(merged_rows.select(*out_cols))

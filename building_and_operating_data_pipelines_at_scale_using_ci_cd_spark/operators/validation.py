@@ -114,14 +114,17 @@ def profile_columns(
     ``"approx"``, or ``"both"`` — "both" emits ``n_distinct`` (exact)
     AND ``n_distinct_approx`` side by side, the calibration report that
     shows how far the sketch is from truth. Measured planning detail:
-    "both" runs as TWO aggregates crossJoined (1-row × 1-row), not one.
-    Spark plans N-column exact distincts through an Expand (each input
-    row replicated N+1×); fusing the HLL sketches into that same
-    aggregate made every sketch update run against the expanded stream
-    — measured 2× SLOWER (8.6s vs 3.8+0.5 split at sf0.1) than paying a
-    second slim scan that never expands. The exact pass's expanded
-    volume dominates at any scale, so the extra scan stays a small
-    constant fraction.
+    any exact mode runs as TWO aggregates crossJoined (1-row × 1-row) —
+    a slim pass for count/null/min/max (+ the HLL sketches for "both":
+    fusing them into the slim pass is free, but fusing them into the
+    EXPANDED pass measured 2× slower, 8.6s vs 3.8+0.5 at sf0.1) and a
+    counts-only pass for the exact distincts. Spark plans N-column
+    exact distincts through an Expand (each input row replicated N+1×);
+    keeping min/max string buffers out of that aggregate keeps it a
+    HashAggregate instead of a SortAggregate over the expanded stream
+    (see the plan comment in the body). The expanded pass's volume
+    dominates at any scale, so the extra scan stays a small constant
+    fraction.
 
     min/max stringify via the column's natural CAST so the report schema
     is column-type-agnostic (timestamps render ISO, numerics decimal)."""
@@ -136,6 +139,23 @@ def profile_columns(
     if missing:
         raise ValueError(f"unknown columns: {missing}")
 
+    # Split the plan in two (round-12 optimization, guide §2.3/§7.2):
+    #
+    # - base pass: count/nulls/min/max (+ HLL sketches when approx is
+    #   wanted) — a single GLOBAL aggregate with no Expand. min/max over
+    #   string columns have variable-width buffers, so this aggregate
+    #   falls back to SortAggregate — harmless here because a global
+    #   aggregate has no grouping keys and therefore NO Sort.
+    # - exact-distinct pass: ONLY the count_distinct expressions. Spark
+    #   plans multi-column exact distincts through an Expand (rows ×
+    #   (n_cols+1)); keeping the min/max buffers OUT of this aggregate
+    #   keeps it a pure-count HashAggregate. The previous fused form
+    #   dragged the string min/max buffers through the Expand, forcing
+    #   SortAggregate + a full Sort of the expanded stream (measured at
+    #   sf0.1: a 7-column orders profile sorted ~7× the table; the split
+    #   replaced the Sort with hash aggregation).
+    #
+    # The joins are 1-row × 1-row broadcast crossJoins.
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
@@ -143,22 +163,16 @@ def profile_columns(
             F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
             F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
         ]
-        if distinct_mode in ("exact", "both"):
-            aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
-        elif distinct_mode == "approx":
+        if distinct_mode in ("approx", "both"):
             aggs.append(
                 F.approx_count_distinct(F.col(c), rsd).alias(f"__nda_{c}")
             )
     wide = df.agg(*aggs)
-    if distinct_mode == "both":
-        # slim sketch-only pass: no Expand, crossJoin is 1-row x 1-row
-        approx_wide = df.agg(
-            *[
-                F.approx_count_distinct(F.col(c), rsd).alias(f"__nda_{c}")
-                for c in cols
-            ]
+    if distinct_mode in ("exact", "both"):
+        nd_wide = df.agg(
+            *[F.count_distinct(F.col(c)).alias(f"__nd_{c}") for c in cols]
         )
-        wide = wide.crossJoin(F.broadcast(approx_wide))
+        wide = wide.crossJoin(F.broadcast(nd_wide))
 
     def _report(c: str):
         fields = [

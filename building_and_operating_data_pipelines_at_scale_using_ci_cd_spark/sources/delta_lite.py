@@ -2543,6 +2543,14 @@ def merge_delta_lite(
         )
         new_metadata = dict(snap.metadata)
         new_metadata["schemaString"] = json.dumps(out_schema.jsonValue())
+    # Materialize the MERGE source once (round-12 optimization; also
+    # delta-spark's own posture — its MERGE materializes the source):
+    # the plan below consumes it for the key-range bound, the matched-
+    # file semi-join, the matched-row marker join, AND the not-matched
+    # insert anti-join — without this an expensive source expression
+    # (a groupBy'd snapshot, a join) re-executes up to 4×, and a
+    # nondeterministic source could diverge between the passes.
+    source = source.localCheckpoint(eager=False)
     key_conj = _source_key_conjuncts(source, on_keys)
     cand = _candidate_files(snap, key_conj)
     target = _read_files(spark, snap, cand)
@@ -3052,6 +3060,12 @@ def merge_scd2_delta_lite(
     snap = load_snapshot(table_path)
     _check_writable(snap)
     pcols = snap.partition_columns
+    # Materialize the incoming snapshot once (round-12 optimization;
+    # delta-spark's MERGE materializes its source the same way): it is
+    # consumed by the key-range bound, the matched-file semi-join, and
+    # the rewrite's scd2_merge — an aggregated snapshot would otherwise
+    # re-execute its shuffle 3×.
+    incoming = incoming.localCheckpoint(eager=False)
     # stats skipping BEFORE the semi-join scan: files whose key range
     # provably misses the incoming key range can hold no matched
     # current row, so they are never read to find matches either
