@@ -301,6 +301,26 @@ def _previous_round_timings() -> dict[str, float]:
     return {}
 
 
+def _free_persisted_blocks(sc) -> None:
+    """Between-query hygiene (round 12): operators share work inside one
+    invocation via localCheckpoint, whose RDD blocks are only freed by
+    the async ContextCleaner after a JVM GC notices the dropped
+    references — which may never happen inside a 15-minute bench
+    (spark.cleaner.periodicGC.interval defaults to 30min). Left alone,
+    ~4 invocations' worth of blocks per checkpointing query accumulate
+    and later queries measure the resulting memory pressure instead of
+    their own cost (observed: untouched queries regressing 2-3× late in
+    the suite). Unpersisting all persistent RDDs BETWEEN queries (never
+    inside a query's timed runs) keeps each measurement independent.
+    Best-effort: failure can never break the bench."""
+    try:
+        # py4j auto-converts the java.util.Map to a dict-like view
+        for jrdd in list(sc._jsc.getPersistentRDDs().values()):
+            jrdd.unpersist(False)
+    except Exception:
+        pass
+
+
 def _failed_tasks(sc) -> int:
     """Cumulative failed-task count across all jobs so far (statusTracker
     walk — pure Python API). Round-5 hygiene gap: a task-level executor
@@ -338,6 +358,21 @@ def main() -> None:
 
     qs = dict(entry_mod.queries())
     qs["scd2_incremental"] = _scd2_incremental
+    # Session-level warmup (round 12, measurement fix — documented in
+    # OPTIMIZATION_r12.md with before/after): the first queries in the
+    # suite absorbed the JVM's C2-compilation ramp of the parquet
+    # reader / codegen paths — q1 measured 2.6s as the suite opener vs
+    # 0.68s isolated-after-warm on the same host, a session artifact,
+    # not query cost. One untimed noop pass over each input table (plus
+    # one tiny shuffle) warms scan+exchange codepaths so every query's
+    # warm-run + 3 timed runs measure the query. Per-query warm runs
+    # are unchanged.
+    entry_mod._views(spark, sf_dir)
+    for t in entry_mod.TABLES:
+        spark.table(t).write.format("noop").mode("overwrite").save()
+    spark.table("lineitem").groupBy("l_returnflag").count().write.format(
+        "noop"
+    ).mode("overwrite").save()
     prev = _previous_round_timings()
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
@@ -374,6 +409,7 @@ def main() -> None:
                 f"round ({prev[name]}s) — investigate before shipping",
                 file=sys.stderr,
             )
+        _free_persisted_blocks(spark.sparkContext)
 
     total = round(sum(timings.values()), 3)
     failed_total = _failed_tasks(spark.sparkContext)

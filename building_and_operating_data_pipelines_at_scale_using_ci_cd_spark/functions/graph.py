@@ -327,6 +327,7 @@ def bfs_levels(
     node_col: str = "node",
     max_hops: int = 4,
     directed: bool = False,
+    frontier_broadcast: bool = False,
 ) -> DataFrame:
     """Multi-source BFS: the minimum hop distance from ANY source node,
     for every node reachable within ``max_hops``. Returns
@@ -348,6 +349,15 @@ def bfs_levels(
         round h re-derives rounds 1..h-1).
 
     ``directed=False`` (default) mirrors every edge first.
+
+    ``frontier_broadcast=True`` hints each hop's frontier as the
+    broadcast side of the expand join — without it the checkpointed
+    frontier (an RDD scan with no size stats) plans as a sort-merge
+    join that re-shuffles the EDGE table every hop (measured at sf0.1:
+    2.82s → 2.23s with the hint). Opt-in because a frontier is bounded
+    only by the node set: callers who know their graph (a keyed seed
+    set, small-world hop counts) opt in; a forced broadcast of a
+    100M-node frontier would OOM the driver.
     """
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
@@ -369,8 +379,9 @@ def bfs_levels(
     )
     frontier = visited.select("node")
     for h in range(1, max_hops + 1):
+        probe = F.broadcast(frontier) if frontier_broadcast else frontier
         nxt = (
-            frontier.join(e, frontier["node"] == e["s"])
+            probe.join(e, probe["node"] == e["s"])
             .select(F.col("d").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")

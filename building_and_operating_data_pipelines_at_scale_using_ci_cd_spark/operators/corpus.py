@@ -21,6 +21,19 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..functions.text import shingles_from_tokens, tokens
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round 12 (same helper as operators/dedup.py): the tokenize/gram
+    HOF passes below are CPU-bound per row and a small parquet input
+    arrives as 1-2 partitions — spread rows across the cluster first.
+    CONDITIONAL: a no-op whenever the scan is already at least as wide
+    as the cluster (the 100 TB case), so it never adds a shuffle at
+    scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, gram) rows: one row per DISTINCT token n-gram per document.
 
@@ -29,6 +42,7 @@ def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     loop-invariant expressions out of higher-order-function lambdas, so
     an inline split() would re-tokenize the document once per gram (the
     O(n²) trap documented in functions.text.shingles_from_tokens)."""
+    df = _spread(df)
     tk = df.select(
         F.col(id_col).alias("__id"),
         tokens(F.lower(F.col(text_col))).alias("__tk"),
@@ -151,7 +165,7 @@ def remove_duplicate_spans(
     reassembly. ``concat_ws`` over ``array_sort(collect_list(...))`` per
     doc is bounded by document length.
     """
-    tk = df.select(
+    tk = _spread(df).select(
         F.col(id_col).alias("__id"),
         tokens(F.col(text_col)).alias("__tk"),
         F.rand().alias("__b0"),  # barrier: stop CollapseProject merging

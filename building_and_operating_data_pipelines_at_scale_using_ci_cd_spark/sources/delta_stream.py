@@ -100,6 +100,20 @@ class DeltaFilePartition(InputPartition):
         self.dv = dv
 
 
+class DeltaFileGroupPartition(InputPartition):
+    """Several SMALL data files bin-packed into one task (round 12,
+    guide §6 input-split sizing): one InputPartition per file is right
+    for well-sized files but makes a table of tiny files pay one Python
+    task round-trip EACH — the planner packs files into
+    ``maxBytesPerPartition`` bins (option, default 32 MB), so small
+    files share a task while any file past the target keeps its own.
+    Rows delivered are the concatenation of the members' rows —
+    identical multiset to the unpacked form."""
+
+    def __init__(self, files: list):
+        self.files = files  # [DeltaFilePartition, ...]
+
+
 class DeltaCdfFilePartition(InputPartition):
     """readChangeFeed, append commit: one ADDED file, delivered as
     ``_change_type='insert'`` rows (file-parallel, the common path)."""
@@ -192,6 +206,11 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         #: Change commits are CONSUMED (multiset-diff semantics matching
         #: the batch ``delta_changes`` feed), so skipChangeCommits is
         #: contradictory alongside it.
+        #: input-split sizing (guide §6): small files bin-pack into one
+        #: task up to this many bytes; 0 disables packing
+        self._max_bytes_per_partition = int(
+            options.get("maxbytesperpartition", 32 * 1024 * 1024)
+        )
         self._cdf = str(options.get("readchangefeed", "false")).lower() == "true"
         if self._cdf and self._skip_change_commits:
             raise ValueError(
@@ -409,6 +428,7 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
             self._check_exists(parts)
             return parts
         parts = []
+        sizes = []
         if start.get("snapshot") is not None:
             # fresh-stream first batch: the reconciled live file set of
             # the snapshot version (restart-safe — the marker rides the
@@ -428,6 +448,7 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
                         dv=add.get("deletionVector"),
                     )
                 )
+                sizes.append(int(add.get("size") or 0))
         for v in range(lo + 1, hi + 1):
             for add in self._version_adds(v):
                 rel = urllib.parse.unquote(add["path"])
@@ -438,8 +459,42 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
                         version=v,
                     )
                 )
+                sizes.append(int(add.get("size") or 0))
+        parts = self._pack_small_files(parts, sizes)
         self._check_exists(parts)
         return parts
+
+    def _pack_small_files(self, parts: list, sizes: list) -> list:
+        """Greedy size-binning of per-file partitions (see
+        DeltaFileGroupPartition): files accumulate into one task until
+        the bin passes ``maxBytesPerPartition``; a file at/over the
+        target always gets its own task, so well-sized tables keep full
+        file parallelism and tiny-file tables stop paying one Python
+        task round-trip per file."""
+        target = self._max_bytes_per_partition
+        if target <= 0 or len(parts) <= 1:
+            return parts
+        out, bin_files, bin_bytes = [], [], 0
+        for p, size in zip(parts, sizes):
+            if size >= target:
+                out.append(p)
+                continue
+            if bin_files and bin_bytes + size > target:
+                out.append(
+                    bin_files[0]
+                    if len(bin_files) == 1
+                    else DeltaFileGroupPartition(bin_files)
+                )
+                bin_files, bin_bytes = [], 0
+            bin_files.append(p)
+            bin_bytes += size
+        if bin_files:
+            out.append(
+                bin_files[0]
+                if len(bin_files) == 1
+                else DeltaFileGroupPartition(bin_files)
+            )
+        return out
 
     @staticmethod
     def _check_exists(parts: list) -> None:
@@ -450,6 +505,8 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         for p in parts:
             if isinstance(p, DeltaCdfDiffPartition):
                 paths.extend(f for f, _pv, _dv in p.old_files + p.new_files)
+            elif isinstance(p, DeltaFileGroupPartition):
+                paths.extend(m.path for m in p.files)
             else:
                 paths.append(p.path)
         missing = [f for f in paths if not os.path.exists(f)]
@@ -592,15 +649,21 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
                 yield batch
             return
         target = to_arrow_schema(self._schema)
-        table = self._aligned_table(
-            partition.path,
-            partition.partition_values,
-            self._schema.fields,
-            target,
-            dv=partition.dv,
+        members = (
+            partition.files
+            if isinstance(partition, DeltaFileGroupPartition)
+            else [partition]
         )
-        for batch in table.to_batches():
-            yield batch
+        for m in members:
+            table = self._aligned_table(
+                m.path,
+                m.partition_values,
+                self._schema.fields,
+                target,
+                dv=m.dv,
+            )
+            for batch in table.to_batches():
+                yield batch
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the stream checkpoint; the log is immutable

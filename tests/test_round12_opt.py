@@ -87,6 +87,55 @@ def test_no_cross_invocation_cache_reuse(spark, docs):
     )
 
 
+def test_stream_small_file_packing(spark, tmp_path):
+    """Round 12: the delta stream planner bin-packs SMALL files into one
+    InputPartition (32 MB default target) — same delivered multiset,
+    fewer Python task round-trips; maxBytesPerPartition=0 disables."""
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.delta_lite import (
+        write_delta_lite,
+    )
+    from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources.delta_stream import (
+        DeltaFileGroupPartition,
+        DeltaFilePartition,
+        DeltaLiteStreamReader,
+        read_delta_lite_stream,
+    )
+    from pyspark.sql.types import StructType
+
+    tp = str(tmp_path / "packed")
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    write_delta_lite(df.repartition(6), tp)  # 6 tiny files
+
+    def plan(opts):
+        reader = DeltaLiteStreamReader(
+            StructType.fromJson(df.schema.jsonValue()), {"path": tp, **opts}
+        )
+        start = reader.initialOffset()
+        return reader.partitions(start, {"version": start["version"]})
+
+    packed = plan({})
+    assert len(packed) == 1 and isinstance(packed[0], DeltaFileGroupPartition)
+    assert len(packed[0].files) == 6
+    unpacked = plan({"maxbytesperpartition": "0"})
+    assert len(unpacked) == 6
+    assert all(isinstance(p, DeltaFilePartition) for p in unpacked)
+    # end-to-end: delivered rows identical to the table
+    import tempfile, uuid
+
+    agg = read_delta_lite_stream(spark, tp).agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    )
+    name = f"pk_{uuid.uuid4().hex[:6]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="pk_"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    row = spark.table(name).collect()[0]
+    assert (row["n"], row["s"]) == (100, 9900)
+
+
 def test_mad_outliers_dataframe_form_equals_sql(spark, tables, sf_dir):
     import __spark_entry__ as entry
 

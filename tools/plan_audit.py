@@ -64,6 +64,12 @@ BNLJ_ALLOWED = {
     # wide agg to the slim sketch agg 1-row x 1-row — scalar attachment,
     # deliberately NOT fused (the Expand lesson in profile_columns)
     "profile_report_approx",
+    # profile_report (round 12): exact mode now splits the same way —
+    # the counts-only exact-distinct aggregate (HashAggregate over the
+    # Expand) crossJoins the slim count/min/max aggregate 1-row × 1-row;
+    # fusing them forced SortAggregate + a full Sort of the expanded
+    # stream (min/max string buffers are not hash-aggregable)
+    "profile_report",
     # pmi_pairs: term_cooccurrence attaches the 1-row n_docs total via
     # broadcast crossJoin — the domain_mix scalar-attachment shape; the
     # pair generator itself is a hash equi-join on doc id
