@@ -428,6 +428,8 @@ def dsir_select(
     ``(id_col, n_grams, weight)``."""
     if k <= 0:
         raise ValueError("k must be positive")
+    if n_buckets < 2 or n_buckets > 1_000_000:
+        raise ValueError("n_buckets must be in [2, 1e6] (the broadcast bound)")
     # Tokenize + hash the raw corpus ONCE (round-12 optimization, guide
     # §8 "decide with small rows"): the (id, bucket) gram table feeds
     # BOTH the q-count aggregate and the final weight join — without

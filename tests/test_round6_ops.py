@@ -243,10 +243,17 @@ class TestProfileColumns:
         assert rows["id"]["n_nulls"] == 1 and rows["id"]["n_distinct"] == 3
         assert rows["name"]["n_nulls"] == 1 and rows["name"]["n_distinct"] == 2
         assert rows["score"]["min_value"] == "1.5" and rows["score"]["max_value"] == "2.5"
-        # the whole report must come from ONE aggregate job — a single
-        # wide agg then an unpivot; no per-column scan
+        # round-12 contract: exactly TWO aggregate passes — a slim
+        # count/min/max pass and a counts-only exact-distinct pass
+        # (splitting keeps the Expand a HashAggregate; fused min/max
+        # string buffers forced SortAggregate + a Sort of the expanded
+        # stream — see profile_columns). Never a per-column scan: the
+        # pass count stays 2 regardless of column count.
         plan = profile_columns(df)._jdf.queryExecution().optimizedPlan().toString()
-        assert plan.count("LogicalRDD") == 1
+        assert plan.count("LogicalRDD") == 2
+        wide = df.withColumn("extra", df["id"] + 1)
+        plan4 = profile_columns(wide)._jdf.queryExecution().optimizedPlan().toString()
+        assert plan4.count("LogicalRDD") == 2
 
     def test_subset_and_unknown_column(self, spark):
         from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.operators.validation import (
