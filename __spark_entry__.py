@@ -9247,72 +9247,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": _q_approx_distinct,
         "minhash_near_dups": _q_minhash_near_dups,
     }
-    # Round-12 rotation head: the driver checks the FIRST 50 keys.
-    # Composition (counts: 2 + 11 + 20 + 17 = 50 checked;
+    # Round-12 (OPTIMIZATION 1) rotation head: the driver checks the
+    # FIRST 50 keys. The round-12 BUILD was interrupted before its
+    # driver CORRECTNESS stamp, so its two brand-new entries and its
+    # delta-gate re-entries are STILL never-driver-checked and keep the
+    # lead; this optimization round then changed 38 entries' code paths
+    # (cache-leak removal, plan-shape fixes, codec memos, scd2 one-pass,
+    # merge source materialization, corpus spread, stream packing) —
+    # changed code ALWAYS re-enters.
+    # Composition (counts: 2 + 6 + 38 + 4 = 50 checked;
     # 193 total):
-    #   - 2 brand-new round-12 entries (delta_column_mapping — name-mode
-    #     column-mapping reads; delta_deletion_vectors — roaring-bitmap
-    #     DV reads across all three storage types + DV-aware CDC) —
-    #     never driver-checked, lead unconditionally,
-    #   - 11 whose code path changed in round 12 — changed code ALWAYS
-    #     re-enters: every delta-lane entry (delta_merge_evolve,
-    #     streaming_cdf, delta_replace_where, delta_convert,
-    #     delta_constraints, delta_clone, delta_roundtrip, delta_cdc,
-    #     delta_restore, scd2_price_history, streaming_delta_source):
-    #     round 12 touched the log-replay gates every snapshot load
-    #     passes through (_check_protocol reader-features gate,
-    #     _check_metadata columnMapping admission), the _read_files
-    #     dispatch, _candidate_files pruning, and the checkpoint
-    #     protocol struct (readerFeatures/writerFeatures carried),
-    #   - the 20 keys the round-11 comment promised this round's lead —
-    #     the last of the r06-evidence block (snapshot_diff,
-    #     zscore_outliers, embedding_quantize, cms_user_counts,
-    #     zorder_cluster, time_resample, variant_extract, mad_outliers,
-    #     incremental_agg, streaming_outer_join,
-    #     streaming_sliding_counts, source_entropy, time_interpolate,
-    #     corpus_curation, doc_fingerprints, distinct_counts,
-    #     dup_groups_report, null_pk_lanes, embedding_resize,
-    #     approx_distinct),
-    #   - 17 oldest-evidence keys left anywhere: pq_topk (r07) + 16
-    #     r08-evidence keys in name order (adpcm_decode, avi_frames,
-    #     bar_returns, bfs_reachability, bm25_scores,
-    #     copurchase_triangles, doc_chunks, dsir_select,
-    #     event_transitions, expectations_report, flac_decode,
-    #     funnel_conversion, g711_decode, geo_proximity_pairs,
-    #     gif_decode, jl_projection).
-    # Everything not in the head keeps its r07-r11 evidence and follows
-    # in prior order. Round 13 should lead with the remaining
-    # r08-evidence keys (join_skew_report, jpeg_decode,
-    # jpeg_progressive, kmv_distinct, kmv_join_size,
-    # logbucket_quantiles, ohlc_bars, and the rest of the r08 block in
-    # name order) plus anything round 13 changes.
+    #   - 2 brand-new round-12 entries (delta_column_mapping,
+    #     delta_deletion_vectors) — never driver-checked, lead
+    #     unconditionally,
+    #   - 6 delta-lane round-12-build re-entries whose replay-gate
+    #     changes also never got a driver stamp (delta_cdc, delta_clone,
+    #     delta_constraints, delta_convert, delta_replace_where,
+    #     delta_restore),
+    #   - 38 whose code path changed in THIS optimization round:
+    #     adpcm_decode, avi_frames, bfs_reachability, bigram_lm,
+    #     bm25_scores, boilerplate_ngrams, decontaminate,
+    #     delta_merge_evolve, delta_roundtrip, dsir_select, flac_decode,
+    #     funnel_conversion, g711_decode, gif_decode, inverted_index,
+    #     jpeg_decode, jpeg_progressive, lm_cross_entropy,
+    #     minhash_near_dups, near_dup_clusters, ngram_jaccard_dups,
+    #     phash_fingerprints, phash_near_pairs, pmi_pairs, png_decode,
+    #     profile_report, profile_report_approx, rle_video_frames,
+    #     rrf_fusion, scd2_price_history, simhash_near_pairs,
+    #     span_dedup, streaming_cdf, streaming_delta_source,
+    #     tfidf_top_terms, wav_decode, winnow_fingerprints,
+    #     winnow_near_dups,
+    #   - 4 of the 20 r06-evidence keys round 11 promised this round
+    #     (snapshot_diff, zscore_outliers, embedding_quantize,
+    #     cms_user_counts) — the changed-code invariant displaced the
+    #     other 16; they are RE-PROMISED below.
+    # Everything not in the head keeps its prior evidence and follows
+    # in prior order. Round 13 must lead with the 16 still-promised
+    # r06-evidence keys (zorder_cluster, time_resample, variant_extract,
+    # mad_outliers, incremental_agg, streaming_outer_join,
+    # streaming_sliding_counts, source_entropy, time_interpolate,
+    # corpus_curation, doc_fingerprints, distinct_counts,
+    # dup_groups_report, null_pk_lanes, embedding_resize,
+    # approx_distinct), then the r08-evidence block in name order
+    # (join_skew_report, kmv_distinct, kmv_join_size,
+    # logbucket_quantiles, ohlc_bars, record_linkage, retention_cohorts,
+    # salted_join_revenue, ...), plus anything round 13 changes.
     head = [
-        # brand-new round-12 entries
+        # brand-new round-12 entries — never driver-checked
         "delta_column_mapping",
         "delta_deletion_vectors",
-        # round-12 changed-code re-entries (delta replay gates / read
-        # dispatch / pruning / checkpoint protocol)
-        "delta_merge_evolve", "streaming_cdf", "delta_replace_where",
-        "delta_convert", "delta_constraints", "delta_clone",
-        "delta_roundtrip", "delta_cdc", "delta_restore",
-        "scd2_price_history", "streaming_delta_source",
-        # the 20 keys the round-11 rotation comment promised the lead
+        # round-12-build delta re-entries without a driver stamp
+        "delta_cdc", "delta_clone", "delta_constraints",
+        "delta_convert", "delta_replace_where", "delta_restore",
+        # round-12-optimization changed code (name order)
+        "adpcm_decode", "avi_frames", "bfs_reachability", "bigram_lm",
+        "bm25_scores", "boilerplate_ngrams", "decontaminate",
+        "delta_merge_evolve", "delta_roundtrip", "dsir_select",
+        "flac_decode", "funnel_conversion", "g711_decode", "gif_decode",
+        "inverted_index", "jpeg_decode", "jpeg_progressive",
+        "lm_cross_entropy", "minhash_near_dups", "near_dup_clusters",
+        "ngram_jaccard_dups", "phash_fingerprints", "phash_near_pairs",
+        "pmi_pairs", "png_decode", "profile_report",
+        "profile_report_approx", "rle_video_frames", "rrf_fusion",
+        "scd2_price_history", "simhash_near_pairs", "span_dedup",
+        "streaming_cdf", "streaming_delta_source", "tfidf_top_terms",
+        "wav_decode", "winnow_fingerprints", "winnow_near_dups",
+        # 4 of the r11-promised r06-evidence keys (rest re-promised)
         "snapshot_diff", "zscore_outliers", "embedding_quantize",
-        "cms_user_counts", "zorder_cluster", "time_resample",
-        "variant_extract", "mad_outliers", "incremental_agg",
-        "streaming_outer_join", "streaming_sliding_counts",
-        "source_entropy", "time_interpolate", "corpus_curation",
-        "doc_fingerprints", "distinct_counts", "dup_groups_report",
-        "null_pk_lanes", "embedding_resize", "approx_distinct",
-        # oldest evidence left: pq_topk (r07) + r08 keys, name order
-        "pq_topk", "adpcm_decode", "avi_frames", "bar_returns",
-        "bfs_reachability", "bm25_scores", "copurchase_triangles",
-        "doc_chunks", "dsir_select", "event_transitions",
-        "expectations_report", "flac_decode", "funnel_conversion",
-        "g711_decode", "geo_proximity_pairs", "gif_decode",
-        "jl_projection",
-        # 50-cap cutoff. join_skew_report / jpeg_decode onward (r08
-        # block, name order) rotates to round 13's promised lead.
+        "cms_user_counts",
+        # 50-cap cutoff.
     ]
     out = {k: base[k] for k in head}
     out.update((k, v) for k, v in base.items() if k not in out)
