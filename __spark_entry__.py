@@ -16,6 +16,7 @@ Determinism discipline (so value-hashes match):
 
 from __future__ import annotations
 
+import contextlib
 import os
 import re
 import tempfile
@@ -80,6 +81,37 @@ def _sql(sql: str) -> Callable[[SparkSession, str], DataFrame]:
         return spark.sql(sql)
 
     return fn
+
+
+@contextlib.contextmanager
+def _stream_state_partitions(spark: SparkSession, n_groups: int):
+    """Pin a streaming aggregate's STATE partition count to its bounded
+    group-key cardinality for one availableNow drain (round 13, guide
+    §2: partition by the data, not the core count).
+
+    A stateful streaming aggregation creates one state-store instance
+    per shuffle partition at first-batch planning, and every microbatch
+    pays provider init + a checkpoint delta commit PER PARTITION. With
+    ``shuffle_partitions = cpus`` (the bench session default) a 3-group
+    aggregate ran 32 state tasks of 0.8-3.2s each — pure state-store
+    machinery, measured as the dominant term of the ~2.4s/stream floor.
+    Partial (map-side) aggregation means the reduce stage receives only
+    #map_tasks x #groups rows at ANY input scale, so for a bounded
+    group-key space the honest state partition count scales with the
+    KEY CARDINALITY, never with input bytes or cluster width. Callers
+    pass that bound; an env override (SPARK_GRAFT_STREAM_STATE_PARTS)
+    exists for operators whose key space is genuinely wide. The session
+    conf is restored even on failure; only the stream started inside
+    the ``with`` block is affected (state partitioning is pinned into
+    its checkpoint at first batch)."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    n = int(env) if env else max(1, int(n_groups))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 # ---------------------------------------------------------------------------
@@ -3058,15 +3090,18 @@ def _q_streaming_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_orderkey").cast("bigint").alias("sum_keys"),
     )
     name = f"delta_cdf_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # 3 commits x insert|delete bounds the group keyspace at 6: 8 state
+    # partitions, not 32
+    with _stream_state_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "_commit_version", "_change_type", "n", "sum_cents", "sum_keys"
     )
@@ -8507,11 +8542,25 @@ def _q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT DISTINCT l_partkey AS node FROM lineitem WHERE l_partkey % 100 = 0"
     )
     # frontier_broadcast: this entry's frontier is bounded by the part
-    # keyspace (~20k nodes at sf0.1) — well inside broadcast capacity;
-    # the hint stops each hop re-shuffling the edge table (see
-    # bfs_levels docstring; measured 2.82s -> 2.23s isolated)
+    # keyspace — the hint stops each hop re-shuffling the edge table
+    # (see bfs_levels docstring; measured 2.82s -> 2.23s isolated). The
+    # bound SCALES with sf_dir (~200k parts per SF), so the hint is
+    # gated on the actual keyspace size instead of hard-coded True (a
+    # forced broadcast of a 100M-node frontier would OOM the driver);
+    # the part-table row count is read from the parquet footer on the
+    # driver — no Spark job.
+    import pyarrow.parquet as _pq
+
+    n_parts = _pq.ParquetFile(
+        os.path.join(sf_dir, "part.parquet")
+    ).metadata.num_rows
     return bfs_levels(
-        edges, sources, max_hops=_BFS_HOPS, frontier_broadcast=True
+        edges,
+        sources,
+        max_hops=_BFS_HOPS,
+        # ~4M longs ≈ 32 MB framed — comfortably inside driver/executor
+        # broadcast capacity; beyond that each hop plans the shuffle join
+        frontier_broadcast=n_parts <= 4_000_000,
     )
 
 
@@ -8991,15 +9040,17 @@ def _q_streaming_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"delta_src_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # l_returnflag has 3 values (A/N/R): 4 state partitions, not 32
+    with _stream_state_partitions(spark, 4):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select("l_returnflag", "n", "sum_cents")
 
 

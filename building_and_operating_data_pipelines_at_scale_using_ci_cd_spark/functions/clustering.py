@@ -88,20 +88,21 @@ def lloyd_centroids(
     (``similarity.pq_topk``) shares with :func:`kmeans_fit_predict`."""
     if k <= 0 or iters < 0:
         raise ValueError("need k > 0 and iters >= 0")
-    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if dim_row is None:
-        raise ValueError("empty input")
     seed_rows = (
         df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
         .orderBy("i")
         .limit(k)
         .collect()
     )
+    if not seed_rows:
+        raise ValueError("empty input")
     # relabel seeds 0..k-1 (ascending id) so cluster ids are dense
     cents = [
         (rank, [float(x) for x in r["v"]]) for rank, r in enumerate(seed_rows)
     ]
-    dim = dim_row["d"]
+    # the seeds carry the vectors, so the dimensionality comes for free —
+    # a separate size() probe job (the former first()) was pure overhead
+    dim = len(seed_rows[0]["v"])
     for _ in range(iters):
         assigned = _assign_clusters(df, cents, id_col, vec_col)
         means = (

@@ -31,10 +31,30 @@ and the emitted unit values are exact.
 
 from __future__ import annotations
 
+import os
+import tempfile
 from fractions import Fraction
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _materialize_parquet(df: DataFrame, prefix: str) -> DataFrame:
+    """Write ``df`` to a fresh temp parquet dir and read it back.
+
+    Truncates lineage like ``localCheckpoint`` but KEEPS size statistics:
+    a parquet scan carries sizeInBytes, so downstream joins still plan a
+    broadcast when the materialized table is genuinely small and degrade
+    to sort-merge only when it is not — exactly the scale-adaptive
+    behavior an RDD-backed checkpoint (no stats) loses. Round-12
+    measurement on triangle_count: an eager localCheckpoint of the edge
+    table degraded every downstream join to SortMergeJoin (3.49s → 6.0s
+    at sf0.1), so the shared subtree stayed inlined ~8x; this form
+    computes it once and keeps the broadcasts. A fresh directory per
+    call — nothing persists across invocations."""
+    path = os.path.join(tempfile.mkdtemp(prefix=prefix), "t")
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 #: one unit of rank mass = 1/SCALE (integer accounting, see module doc)
 SCALE = 10**12
@@ -257,20 +277,21 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     Three hash equi-joins + two groupBys, all map-side-partial, no
     window, no driver state. Returns one row:
     ``(n_nodes, n_edges, n_triangles)`` — all exact integers."""
-    e = (
+    e = _materialize_parquet(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
-        .distinct()
-        # NOT materialized, deliberately (round-12 measurement): e is
-        # inlined ~8× in the plan (90 Exchanges, zero ReusedExchange),
-        # but checkpointing it strips Catalyst's size stats — every
-        # downstream join over the RDD-backed table loses its broadcast
-        # plan and degrades to SortMergeJoin. Measured at sf0.1:
-        # baseline 3.49s, lazy checkpoint 3.51s, eager checkpoint 6.0s.
-        # The recompute is the cheaper evil while joins auto-broadcast.
+        .distinct(),
+        # Materialized via temp parquet, NOT localCheckpoint (round-12
+        # measurement): e is otherwise inlined ~8x in the plan (90
+        # Exchanges, 56 scans), but a checkpoint strips Catalyst's size
+        # stats — every downstream join over the RDD-backed table lost
+        # its broadcast plan and degraded to SortMergeJoin (baseline
+        # 3.49s, lazy checkpoint 3.51s, eager checkpoint 6.0s at sf0.1).
+        # The parquet round-trip computes e once AND keeps the stats.
+        prefix="triangle_e_",
     )
     deg = (
         e.select(F.col("a").alias("v"))

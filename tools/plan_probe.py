@@ -6,7 +6,7 @@ Usage:
     python tools/plan_probe.py --time [names...]            # min-of-3 noop timings
     python tools/plan_probe.py --time --runs 5 q1_pricing_summary
 
-Plans go to plans/r12/<name>_<suffix>.txt. With no names, captures every
+Plans go to plans/<round>/<name>_<suffix>.txt (--round, default r13). With no names, captures every
 bench HEADLINE query. Timing uses the same methodology as bench.py (warm
 run, then N timed noop-sink runs, report median+min) but for a hand-picked
 subset, so an optimization can be measured in isolation without paying a
@@ -37,7 +37,8 @@ def formatted_plan(df) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
-    ap.add_argument("--suffix", default=None, help="write plans/r12/<name>_<suffix>.txt")
+    ap.add_argument("--suffix", default=None, help="write plans/<round>/<name>_<suffix>.txt")
+    ap.add_argument("--round", default="r13", help="plans subdir (r12, r13, ...)")
     ap.add_argument("--time", action="store_true")
     ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
@@ -55,7 +56,7 @@ def main() -> None:
     qs["scd2_incremental"] = bench_mod._scd2_incremental
     names = args.names or list(bench_mod.HEADLINE)
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    outdir = os.path.join(here, "plans", "r12")
+    outdir = os.path.join(here, "plans", args.round)
     os.makedirs(outdir, exist_ok=True)
 
     for name in names:
