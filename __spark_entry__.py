@@ -4481,6 +4481,101 @@ GROUP BY doc_id
 """
 
 
+def _decode_by_class(
+    spark: SparkSession,
+    sf_dir: str,
+    cls_sql: str,
+    decode_cls,
+    schema,
+    n_classes: int,
+) -> DataFrame:
+    """Global distinct-payload decode for the codec entries (round 13,
+    guide §8/§4 — decide with small rows, decode each distinct payload
+    exactly ONCE in the whole job).
+
+    Every decoded column of these entries depends on doc_id only through
+    ``cls = <cls_sql>`` — a bounded modulus class, the synthetic stand-in
+    for "identical payload bytes". The distinct-class table (≤ the
+    modulus, a CONSTANT of the entry) is decoded in one tiny Arrow map
+    stage and broadcast-joined back to the corpus: the per-document side
+    never crosses the Python boundary at all, and the decode count is
+    independent of both corpus size and task count. This replaces the
+    round-12 per-TASK memo, whose hit rate silently decayed with
+    parallelism (each of 32 tasks re-decoded every class — the 8-core
+    bench lane ran these entries FASTER than 32 cores, scaling 0.54-
+    0.65). A real-corpus pipeline gets the same shape by keying on a
+    payload digest instead of the modulus class.
+
+    ``schema``'s first field must be doc_id; ``decode_cls(cls)`` returns
+    the remaining fields in order; ``n_classes`` is the class modulus.
+    The classes are decoded ON THE DRIVER — the count is bounded by the
+    modulus (a design constant, like kmeans' k-row collect), never by
+    corpus size; all 96 jpeg round-trips measure ~44 ms — and the
+    results are attached as literal array LOOKUPS (``element_at(array(
+    ...), cls+1)``; columns identical across classes fold to one
+    constant), so the per-document plan is one pure-JVM projection:
+    zero joins, zero Python stages, zero extra jobs. Expressions are
+    built as ONE generated SQL string per column (the round-8 lesson:
+    Column-by-Column literal construction pays a py4j round trip per
+    node)."""
+    rows = [decode_cls(c) for c in range(n_classes)]
+    tail = [f for f in schema.fields if f.name != "doc_id"]
+    exprs = []
+    for i, fld in enumerate(tail):
+        vals = [r[i] for r in rows]
+        dts = fld.dataType.simpleString()
+        if len(set(vals)) == 1:
+            exprs.append(f"CAST({_lit_sql(vals[0])} AS {dts}) AS {fld.name}")
+        else:
+            arr = ",".join(_lit_sql(v) for v in vals)
+            exprs.append(
+                f"CAST(element_at(array({arr}), "
+                f"CAST(({cls_sql}) AS INT) + 1) AS {dts}) AS {fld.name}"
+            )
+    return _table(spark, sf_dir, "documents").selectExpr("doc_id", *exprs)
+
+
+def _lit_sql(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(int(v))
+
+
+def _decode_rows_by_class(
+    spark: SparkSession,
+    sf_dir: str,
+    cls_sql: str,
+    decode_cls_rows,
+    schema,
+    n_classes: int,
+) -> DataFrame:
+    """Multi-row sibling of :func:`_decode_by_class` for the container
+    entries whose output fans out per document (frame rows):
+    ``decode_cls_rows(cls)`` returns the class's LIST of row tuples,
+    attached as ``inline(element_at(array(<array<struct> per class>),
+    cls+1))`` — same driver-side bounded decode, same zero-join
+    zero-Python per-document plan, with the row fan-out done by one JVM
+    generator."""
+    tail = [f for f in schema.fields if f.name != "doc_id"]
+    per_cls = [decode_cls_rows(c) for c in range(n_classes)]
+
+    def struct_sql(row) -> str:
+        return "named_struct(" + ",".join(
+            f"'{f.name}',CAST({_lit_sql(v)} AS {f.dataType.simpleString()})"
+            for v, f in zip(row, tail)
+        ) + ")"
+
+    arr = ",".join(
+        "array(" + ",".join(struct_sql(r) for r in rows) + ")" for rows in per_cls
+    )
+    gen = (
+        f"inline(element_at(array({arr}), CAST(({cls_sql}) AS INT) + 1))"
+    )
+    return _table(spark, sf_dir, "documents").selectExpr("doc_id", gen)
 
 
 def _q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4517,7 +4612,7 @@ def _q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def kernel(batches):
+    def decode_cls(cls: int) -> tuple:
         from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.jpeg import (
             encode_jpeg_gray,
         )
@@ -4525,59 +4620,22 @@ def _q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             parse_image,
         )
 
-        import pandas as pd
+        # smooth, wrap-free raster: a mod-256 pattern's 255->0 cliffs
+        # are high-frequency edges that ring past any reasonable
+        # quantization tolerance; a bounded gradient keeps the lossy
+        # round trip inside +-8
+        px = [cls + (p % 16) * 5 + (p // 16) * 5 for p in range(256)]
+        fmt, w, h, gray = parse_image(encode_jpeg_gray(px, 16, 16, quality=85))
+        errs = [abs(a - b) for a, b in zip(gray, px)]
+        a = sum(px) * 100
+        return (
+            fmt, w, h, (2 * a + 256) // 512,
+            max(errs) <= 8, sum(errs) / 256 <= 2,
+        )
 
-        for pdf in batches:
-            out = {k: [] for k in (
-                "doc_id", "format", "width", "height",
-                "mean_orig_x100", "max_err_le_8", "mean_err_le_2",
-            )}
-            seen = {}  # decode-once-per-distinct-payload (round 12):
-            # the raster depends on doc_id only through d % 96, so a
-            # per-task memo keyed on the payload class does the encode+
-            # decode once per distinct image — the same dedup-before-
-            # decode shape the multimodal pipeline applies to real
-            # corpora (identical bytes decode identically). Fresh per
-            # task, never reused across runs.
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                # smooth, wrap-free raster: a mod-256 pattern's 255->0
-                # cliffs are high-frequency edges that ring past any
-                # reasonable quantization tolerance; a bounded gradient
-                # keeps the lossy round trip inside +-8
-                cls = d % 96
-                if cls not in seen:
-                    px = [cls + (p % 16) * 5 + (p // 16) * 5 for p in range(256)]
-                    fmt, w, h, gray = parse_image(
-                        encode_jpeg_gray(px, 16, 16, quality=85)
-                    )
-                    errs = [abs(a - b) for a, b in zip(gray, px)]
-                    a = sum(px) * 100
-                    seen[cls] = (
-                        fmt, w, h, (2 * a + 256) // 512,
-                        max(errs) <= 8, sum(errs) / 256 <= 2,
-                    )
-                fmt, w, h, mean, emax, emean = seen[cls]
-                out["doc_id"].append(d)
-                out["format"].append(fmt)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["mean_orig_x100"].append(mean)
-                out["max_err_le_8"].append(emax)
-                out["mean_err_le_2"].append(emean)
-            yield pd.DataFrame(out)
-
-    # the codec kernel is CPU-bound Python per row; mapInPandas
-    # parallelism = input partitions, and a small parquet table is ONE
-    # file — repartition the (doc_id-only) input so all cores decode.
-    # At real corpus scale the input arrives in many partitions anyway;
-    # this keeps the bench honest about per-core throughput.
-    docs = (
-        _table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+    return _decode_by_class(
+        spark, sf_dir, "doc_id % 96", decode_cls, schema, n_classes=96
     )
-    return docs.mapInPandas(kernel, schema)
 
 
 JPEG_DECODE_DUCK = """
@@ -4623,9 +4681,7 @@ def _q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def kernel(batches):
-        import pandas as pd
-
+    def decode_cls(cls: int) -> tuple:
         from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.jpeg import (
             encode_jpeg_gray_progressive,
         )
@@ -4633,43 +4689,20 @@ def _q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
             parse_image,
         )
 
-        for pdf in batches:
-            out = {k: [] for k in (
-                "doc_id", "format", "width", "height",
-                "mean_orig_x100", "max_err_le_8", "mean_err_le_2",
-            )}
-            seen = {}  # decode-once-per-distinct-payload (round 12,
-            # same rationale as jpeg_decode): raster class = (d*3) % 96
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                cls = (d * 3) % 96
-                if cls not in seen:
-                    px = [cls + (p % 16) * 5 + (p // 16) * 5 for p in range(256)]
-                    fmt, w, h, gray = parse_image(
-                        encode_jpeg_gray_progressive(px, 16, 16, quality=85, mode="successive")
-                    )
-                    errs = [abs(a - b) for a, b in zip(gray, px)]
-                    a = sum(px) * 100
-                    seen[cls] = (
-                        fmt, w, h, (2 * a + 256) // 512,
-                        max(errs) <= 8, sum(errs) / 256 <= 2,
-                    )
-                fmt, w, h, mean, emax, emean = seen[cls]
-                out["doc_id"].append(d)
-                out["format"].append(fmt)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["mean_orig_x100"].append(mean)
-                out["max_err_le_8"].append(emax)
-                out["mean_err_le_2"].append(emean)
-            yield pd.DataFrame(out)
+        px = [cls + (p % 16) * 5 + (p // 16) * 5 for p in range(256)]
+        fmt, w, h, gray = parse_image(
+            encode_jpeg_gray_progressive(px, 16, 16, quality=85, mode="successive")
+        )
+        errs = [abs(a - b) for a, b in zip(gray, px)]
+        a = sum(px) * 100
+        return (
+            fmt, w, h, (2 * a + 256) // 512,
+            max(errs) <= 8, sum(errs) / 256 <= 2,
+        )
 
-    docs = (
-        _table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+    return _decode_by_class(
+        spark, sf_dir, "(doc_id * 3) % 96", decode_cls, schema, n_classes=96
     )
-    return docs.mapInPandas(kernel, schema)
 
 
 JPEG_PROGRESSIVE_DUCK = """
@@ -4713,7 +4746,7 @@ def _q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def kernel(batches):
+    def decode_cls(cls: int) -> tuple:
         from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.multimodal import (
             parse_image,
         )
@@ -4721,39 +4754,16 @@ def _q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             encode_png_gray,
         )
 
-        import pandas as pd
+        px = [(cls + p * 11) % 256 for p in range(256)]
+        fmt, w, h, gray = parse_image(encode_png_gray(px, 16, 16))
+        return (
+            fmt, w, h, sum(gray),
+            sum(v * (i + 1) for i, v in enumerate(gray)),
+        )
 
-        for pdf in batches:
-            out = {k: [] for k in (
-                "doc_id", "format", "width", "height", "sum_luma", "pos_checksum",
-            )}
-            seen = {}  # decode-once-per-distinct-payload (round 12):
-            # raster class = (d*37) % 256 — identical bytes decode once
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                cls = (d * 37) % 256
-                if cls not in seen:
-                    px = [(cls + p * 11) % 256 for p in range(256)]
-                    fmt, w, h, gray = parse_image(encode_png_gray(px, 16, 16))
-                    seen[cls] = (
-                        fmt, w, h, sum(gray),
-                        sum(v * (i + 1) for i, v in enumerate(gray)),
-                    )
-                fmt, w, h, sl, pc = seen[cls]
-                out["doc_id"].append(d)
-                out["format"].append(fmt)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["sum_luma"].append(sl)
-                out["pos_checksum"].append(pc)
-            yield pd.DataFrame(out)
-
-    docs = (
-        _table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+    return _decode_by_class(
+        spark, sf_dir, "(doc_id * 37) % 256", decode_cls, schema, n_classes=256
     )
-    return docs.mapInPandas(kernel, schema)
 
 
 PNG_DECODE_DUCK = """
@@ -4798,9 +4808,7 @@ def _q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def kernel(batches):
-        import pandas as pd
-
+    def decode_cls(cls: int) -> tuple:
         from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.gif import (
             encode_gif_gray,
         )
@@ -4808,39 +4816,16 @@ def _q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             parse_image,
         )
 
-        for pdf in batches:
-            out = {k: [] for k in (
-                "doc_id", "format", "width", "height", "sum_luma", "pos_checksum",
-            )}
-            seen = {}  # decode-once-per-distinct-payload (round 12):
-            # raster class = (d*37) % 256 — identical bytes decode once
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                cls = (d * 37) % 256
-                if cls not in seen:
-                    px = [(cls + p * 11) % 256 for p in range(256)]
-                    fmt, w, h, gray = parse_image(
-                        encode_gif_gray(px, 16, 16, interlace=True)
-                    )
-                    seen[cls] = (
-                        fmt, w, h, sum(gray),
-                        sum(v * (i + 1) for i, v in enumerate(gray)),
-                    )
-                fmt, w, h, sl, pc = seen[cls]
-                out["doc_id"].append(d)
-                out["format"].append(fmt)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["sum_luma"].append(sl)
-                out["pos_checksum"].append(pc)
-            yield pd.DataFrame(out)
+        px = [(cls + p * 11) % 256 for p in range(256)]
+        fmt, w, h, gray = parse_image(encode_gif_gray(px, 16, 16, interlace=True))
+        return (
+            fmt, w, h, sum(gray),
+            sum(v * (i + 1) for i, v in enumerate(gray)),
+        )
 
-    docs = (
-        _table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+    return _decode_by_class(
+        spark, sf_dir, "(doc_id * 37) % 256", decode_cls, schema, n_classes=256
     )
-    return docs.mapInPandas(kernel, schema)
 
 
 GIF_DECODE_DUCK = """
@@ -4869,34 +4854,27 @@ def _q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.audio import (
         AUDIO_SCHEMA,
-        audio_features,
+        audio_feature_row,
         encode_wav_pcm16,
     )
 
-    def gen(batches):
-        import pandas as pd
+    # every feature depends on doc_id only through the waveform class
+    # (d*17) % 2048 — encode+decode each class once (driver, ~0.26s for
+    # all 2048) and attach via literal lookup; audio_feature_row is the
+    # same code path the distributed audio_features kernel runs
+    def decode_cls(cls: int) -> tuple:
+        return audio_feature_row(
+            encode_wav_pcm16(
+                [((cls + i * 13) % 2048) - 1024 for i in range(480)], 8000
+            )
+        )[:8]
 
-        seen = {}  # encode-once-per-distinct-waveform (round 12):
-        # waveform class = (d*17) % 2048; identical clips build once
-        for pdf in batches:
-            payloads = []
-            for d in pdf["doc_id"]:
-                cls = (int(d) * 17) % 2048
-                if cls not in seen:
-                    seen[cls] = encode_wav_pcm16(
-                        [((cls + i * 13) % 2048) - 1024 for i in range(480)],
-                        8000,
-                    )
-                payloads.append(seen[cls])
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
-    docs = (
-        _table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+    schema = StructType(
+        [f for f in AUDIO_SCHEMA.fields if f.name != "decode_error"]
     )
-    payload_df = docs.mapInPandas(gen, "doc_id long, payload binary")
-    return audio_features(payload_df).drop("decode_error")
+    return _decode_by_class(
+        spark, sf_dir, "(doc_id * 17) % 2048", decode_cls, schema, n_classes=2048
+    )
 
 
 WAV_DECODE_DUCK = """
@@ -5044,9 +5022,10 @@ def _q_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def kernel(batches):
-        import pandas as pd
-
+    # every raster class is d % 96: mux+demux+decode all 96 containers
+    # once on the driver (~0.15s), attach the frame rows via the
+    # inline(element_at(...)) lookup (see _decode_rows_by_class)
+    def decode_cls_rows(cls: int) -> list:
         from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.avi import (
             demux_avi,
             mux_mjpeg_avi,
@@ -5058,55 +5037,30 @@ def _q_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             parse_image,
         )
 
-        for pdf in batches:
-            out = {k: [] for k in (
-                "doc_id", "frame_idx", "n_frames", "width", "height",
-                "mean_orig_x100", "max_err_le_8", "mean_err_le_2",
-            )}
-            seen = {}  # decode-once-per-distinct-payload (round 12):
-            # every raster class is d % 96 — identical AVIs demux once
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                cls = d % 96
-                rows = seen.get(cls)
-                if rows is None:
-                    rasters = [
-                        [((cls + f * 7) % 96) + (p % 16) * 5 + (p // 16) * 5 for p in range(256)]
-                        for f in range(4)
-                    ]
-                    avi = mux_mjpeg_avi(
-                        [encode_jpeg_gray(px, 16, 16, quality=85) for px in rasters],
-                        16, 16, rate=24,
-                    )
-                    w, h, _rate, _scale, frames = demux_avi(avi)
-                    rows = []
-                    for idx in range(0, len(frames), 2):
-                        _fmt, fw, fh, gray = parse_image(frames[idx])
-                        px = rasters[idx]
-                        errs = [abs(a - b) for a, b in zip(gray, px)]
-                        a = sum(px) * 100
-                        rows.append((
-                            idx, len(frames), fw, fh, (2 * a + 256) // 512,
-                            max(errs) <= 8, sum(errs) / 256 <= 2,
-                        ))
-                    seen[cls] = rows
-                for idx, nf, fw, fh, mean, emax, emean in rows:
-                    out["doc_id"].append(d)
-                    out["frame_idx"].append(idx)
-                    out["n_frames"].append(nf)
-                    out["width"].append(fw)
-                    out["height"].append(fh)
-                    out["mean_orig_x100"].append(mean)
-                    out["max_err_le_8"].append(emax)
-                    out["mean_err_le_2"].append(emean)
-            yield pd.DataFrame(out)
+        rasters = [
+            [((cls + f * 7) % 96) + (p % 16) * 5 + (p // 16) * 5 for p in range(256)]
+            for f in range(4)
+        ]
+        avi = mux_mjpeg_avi(
+            [encode_jpeg_gray(px, 16, 16, quality=85) for px in rasters],
+            16, 16, rate=24,
+        )
+        _w, _h, _rate, _scale, frames = demux_avi(avi)
+        rows = []
+        for idx in range(0, len(frames), 2):
+            _fmt, fw, fh, gray = parse_image(frames[idx])
+            px = rasters[idx]
+            errs = [abs(a - b) for a, b in zip(gray, px)]
+            a = sum(px) * 100
+            rows.append((
+                idx, len(frames), fw, fh, (2 * a + 256) // 512,
+                max(errs) <= 8, sum(errs) / 256 <= 2,
+            ))
+        return rows
 
-    docs = (
-        _table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+    return _decode_rows_by_class(
+        spark, sf_dir, "doc_id % 96", decode_cls_rows, schema, n_classes=96
     )
-    return docs.mapInPandas(kernel, schema)
 
 
 AVI_FRAMES_DUCK = """
@@ -5132,58 +5086,39 @@ def _q_rle_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives them without a container byte; one corrupt lane
     (doc_id % 29 = 28, truncated container) pins the null-route."""
 
-    def kernel(batches):
-        import pandas as pd
-
-        from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.avi import (
-            encode_mrle_frame,
-            mux_mrle_avi,
-        )
-
-        def clip(doc_id: int) -> bytes:
-            base = 10 + (doc_id % 7) * 10
-            rows0 = [[base] * 16 for _ in range(16)]
-            prev = rows0
-            rle = [encode_mrle_frame(rows0)]
-            for f in range(1, 4):
-                cur = [list(r) for r in rows0]
-                for y in range(4):
-                    for x in range(4):
-                        cur[y][f * 4 + x] = 200
-                rle.append(encode_mrle_frame(cur, prev))
-                prev = cur
-            avi = mux_mrle_avi(rle, 16, 16)
-            return avi[:30] if doc_id % 29 == 28 else avi
-
-        seen = {}  # encode-once-per-distinct-payload (round 12): the
-        # clip depends on doc_id only through (d % 7, corrupt lane)
-        def cached_clip(d: int) -> bytes:
-            key = (d % 7, d % 29 == 28)
-            if key not in seen:
-                # class representative reproduces the exact same bytes:
-                # base uses d % 7 and the truncation uses the flag
-                seen[key] = clip(d)
-            return seen[key]
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [cached_clip(int(d)) for d in pdf["doc_id"]],
-                }
-            )
+    from pyspark.sql.types import StructType
 
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.avi import (
-        sample_video_frames,
+        VIDEO_FRAME_SCHEMA,
+        encode_mrle_frame,
+        mux_mrle_avi,
+        video_frame_rows,
     )
 
-    docs = (
-        _table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+    # the clip depends on doc_id only through (d % 7, d % 29 == 28): the
+    # joint class is d % 203 (7·29). Encode+decode all 203 containers
+    # once on the driver and attach the frame rows via the inline
+    # lookup; video_frame_rows is the same code path the distributed
+    # sample_video_frames kernel runs.
+    def decode_cls_rows(cls: int) -> list:
+        base = 10 + (cls % 7) * 10
+        rows0 = [[base] * 16 for _ in range(16)]
+        prev = rows0
+        rle = [encode_mrle_frame(rows0)]
+        for f in range(1, 4):
+            cur = [list(r) for r in rows0]
+            for y in range(4):
+                for x in range(4):
+                    cur[y][f * 4 + x] = 200
+            rle.append(encode_mrle_frame(cur, prev))
+            prev = cur
+        avi = mux_mrle_avi(rle, 16, 16)
+        return video_frame_rows(avi[:30] if cls % 29 == 28 else avi, every=2)
+
+    schema = StructType(list(VIDEO_FRAME_SCHEMA.fields))
+    return _decode_rows_by_class(
+        spark, sf_dir, "doc_id % 203", decode_cls_rows, schema, n_classes=203
     )
-    payload_df = docs.mapInPandas(kernel, "doc_id long, payload binary")
-    return sample_video_frames(payload_df, every=2)
 
 
 RLE_VIDEO_FRAMES_DUCK = """
@@ -5214,47 +5149,40 @@ def _q_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere breaks energy/pos sums exactly."""
     import struct as _struct
 
+    from pyspark.sql.types import StructType
+
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.audio import (
-        audio_features,
+        AUDIO_SCHEMA,
+        audio_feature_row,
     )
 
-    def gen(batches):
-        import pandas as pd
+    def wav_mulaw(codes: bytes) -> bytes:
+        fmt = _struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+        return (
+            b"RIFF"
+            + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(codes))
+            + b"WAVE"
+            + b"fmt "
+            + _struct.pack("<I", len(fmt))
+            + fmt
+            + b"data"
+            + _struct.pack("<I", len(codes))
+            + codes
+        )
 
-        def wav_mulaw(codes: bytes) -> bytes:
-            fmt = _struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
-            return (
-                b"RIFF"
-                + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(codes))
-                + b"WAVE"
-                + b"fmt "
-                + _struct.pack("<I", len(fmt))
-                + fmt
-                + b"data"
-                + _struct.pack("<I", len(codes))
-                + codes
-            )
+    # code-byte class = (d*7) % 256: decode all 256 once on the driver
+    # (~22ms), attach via literal lookup (see _decode_by_class)
+    def decode_cls(cls: int) -> tuple:
+        return audio_feature_row(
+            wav_mulaw(bytes((cls + i * 3) % 256 for i in range(480)))
+        )[:8]
 
-        seen = {}  # encode-once-per-distinct-payload (round 12):
-        # code-byte class = (d*7) % 256 — identical clips build once
-        for pdf in batches:
-            payloads = []
-            for d in pdf["doc_id"]:
-                cls = (int(d) * 7) % 256
-                if cls not in seen:
-                    seen[cls] = wav_mulaw(
-                        bytes((cls + i * 3) % 256 for i in range(480))
-                    )
-                payloads.append(seen[cls])
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
-    docs = (
-        _table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+    schema = StructType(
+        [f for f in AUDIO_SCHEMA.fields if f.name != "decode_error"]
     )
-    payload_df = docs.mapInPandas(gen, "doc_id long, payload binary")
-    return audio_features(payload_df).drop("decode_error")
+    return _decode_by_class(
+        spark, sf_dir, "(doc_id * 7) % 256", decode_cls, schema, n_classes=256
+    )
 
 
 G711_DECODE_DUCK = """
@@ -5304,57 +5232,41 @@ def _q_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     index delta anywhere breaks the energy sum exactly."""
     import struct as _struct
 
+    from pyspark.sql.types import StructType
+
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.functions.audio import (
-        audio_features,
+        AUDIO_SCHEMA,
+        audio_feature_row,
     )
 
-    def gen(batches):
-        import pandas as pd
+    nibs = [4, 0, 0, 12, 8, 8, 12, 8, 8, 4, 0, 0] * 8
+    data_bytes = bytes(nibs[j] | (nibs[j + 1] << 4) for j in range(0, len(nibs), 2))
+    block_align = 4 + len(data_bytes)
+    fmt = _struct.pack("<HHIIHH", 0x11, 1, 8000, 8000, block_align, 4)
 
-        nibs = [4, 0, 0, 12, 8, 8, 12, 8, 8, 4, 0, 0] * 8
-        data_bytes = bytes(
-            nibs[j] | (nibs[j + 1] << 4) for j in range(0, len(nibs), 2)
+    # the block depends on doc_id only through d % 40: decode all 40
+    # once on the driver, attach via literal lookup (_decode_by_class)
+    def decode_cls(cls: int) -> tuple:
+        block = _struct.pack("<hBB", 50, 20 + cls, 0) + data_bytes
+        payload = (
+            b"RIFF"
+            + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(block))
+            + b"WAVE"
+            + b"fmt "
+            + _struct.pack("<I", len(fmt))
+            + fmt
+            + b"data"
+            + _struct.pack("<I", len(block))
+            + block
         )
-        block_align = 4 + len(data_bytes)
-        fmt = _struct.pack("<HHIIHH", 0x11, 1, 8000, 8000, block_align, 4)
+        return audio_feature_row(payload)[:8]
 
-        def wav_adpcm(doc_id: int) -> bytes:
-            block = _struct.pack("<hBB", 50, 20 + doc_id % 40, 0) + data_bytes
-            return (
-                b"RIFF"
-                + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(block))
-                + b"WAVE"
-                + b"fmt "
-                + _struct.pack("<I", len(fmt))
-                + fmt
-                + b"data"
-                + _struct.pack("<I", len(block))
-                + block
-            )
-
-        seen = {}  # encode-once-per-distinct-payload (round 12):
-        # the block depends on doc_id only through d % 40
-        def cached_wav(d: int) -> bytes:
-            cls = d % 40
-            if cls not in seen:
-                seen[cls] = wav_adpcm(d)
-            return seen[cls]
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [cached_wav(int(d)) for d in pdf["doc_id"]],
-                }
-            )
-
-    docs = (
-        _table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+    schema = StructType(
+        [f for f in AUDIO_SCHEMA.fields if f.name != "decode_error"]
     )
-    payload_df = docs.mapInPandas(gen, "doc_id long, payload binary")
-    return audio_features(payload_df).drop("decode_error")
+    return _decode_by_class(
+        spark, sf_dir, "doc_id % 40", decode_cls, schema, n_classes=40
+    )
 
 
 def _adpcm_decode_duck() -> str:
@@ -9298,74 +9210,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": _q_approx_distinct,
         "minhash_near_dups": _q_minhash_near_dups,
     }
-    # Round-12 (OPTIMIZATION 1) rotation head: the driver checks the
-    # FIRST 50 keys. The round-12 BUILD was interrupted before its
-    # driver CORRECTNESS stamp, so its two brand-new entries and its
-    # delta-gate re-entries are STILL never-driver-checked and keep the
-    # lead; this optimization round then changed 38 entries' code paths
-    # (cache-leak removal, plan-shape fixes, codec memos, scd2 one-pass,
-    # merge source materialization, corpus spread, stream packing) —
-    # changed code ALWAYS re-enters.
-    # Composition (counts: 2 + 6 + 38 + 4 = 50 checked;
+    # Round-13 (OPTIMIZATION 2) rotation head: the driver checks the
+    # FIRST 50 keys. Changed code ALWAYS re-enters; this round changed
+    # 29 entries' code paths (codec global distinct-payload decode,
+    # stream state-partition sizing, constraint fold into the staging
+    # write, DML output sizing, batched pHash DCT, shared ngram
+    # shingles, kmeans probe fusion, bfs broadcast gate, scd2 narrowing
+    # guard, triangle materialize-tried-and-reverted). The remaining
+    # slots honor round 12's promises: the 16 still-promised
+    # r06-evidence keys lead them, then the first 5 of the r08-evidence
+    # block in name order.
+    # Composition (counts: 29 + 16 + 5 = 50 checked;
     # 193 total):
-    #   - 2 brand-new round-12 entries (delta_column_mapping,
-    #     delta_deletion_vectors) — never driver-checked, lead
-    #     unconditionally,
-    #   - 6 delta-lane round-12-build re-entries whose replay-gate
-    #     changes also never got a driver stamp (delta_cdc, delta_clone,
-    #     delta_constraints, delta_convert, delta_replace_where,
-    #     delta_restore),
-    #   - 38 whose code path changed in THIS optimization round:
-    #     adpcm_decode, avi_frames, bfs_reachability, bigram_lm,
-    #     bm25_scores, boilerplate_ngrams, decontaminate,
-    #     delta_merge_evolve, delta_roundtrip, dsir_select, flac_decode,
-    #     funnel_conversion, g711_decode, gif_decode, inverted_index,
-    #     jpeg_decode, jpeg_progressive, lm_cross_entropy,
-    #     minhash_near_dups, near_dup_clusters, ngram_jaccard_dups,
-    #     phash_fingerprints, phash_near_pairs, pmi_pairs, png_decode,
-    #     profile_report, profile_report_approx, rle_video_frames,
-    #     rrf_fusion, scd2_price_history, simhash_near_pairs,
-    #     span_dedup, streaming_cdf, streaming_delta_source,
-    #     tfidf_top_terms, wav_decode, winnow_fingerprints,
-    #     winnow_near_dups,
-    #   - 4 of the 20 r06-evidence keys round 11 promised this round
-    #     (snapshot_diff, zscore_outliers, embedding_quantize,
-    #     cms_user_counts) — the changed-code invariant displaced the
-    #     other 16; they are RE-PROMISED below.
+    #   - 29 whose code path changed in THIS optimization round:
+    #     adpcm_decode, avi_frames, bfs_reachability,
+    #     copurchase_triangles, delta_cdc, delta_clone,
+    #     delta_column_mapping, delta_constraints, delta_convert,
+    #     delta_deletion_vectors, delta_merge_evolve,
+    #     delta_replace_where, delta_restore, delta_roundtrip,
+    #     flac_decode, g711_decode, gif_decode, jpeg_decode,
+    #     jpeg_progressive, kmeans_clusters, ngram_jaccard_dups,
+    #     phash_fingerprints, phash_near_pairs, png_decode,
+    #     rle_video_frames, scd2_price_history, streaming_cdf,
+    #     streaming_delta_source, wav_decode,
+    #   - 16 r06-evidence keys promised by rounds 11 and 12
+    #     (zorder_cluster, time_resample, variant_extract, mad_outliers,
+    #     incremental_agg, streaming_outer_join,
+    #     streaming_sliding_counts, source_entropy, time_interpolate,
+    #     corpus_curation, doc_fingerprints, distinct_counts,
+    #     dup_groups_report, null_pk_lanes, embedding_resize,
+    #     approx_distinct) — the promise is now fully discharged,
+    #   - 5 of the r08-evidence block in name order (join_skew_report,
+    #     kmv_distinct, kmv_join_size, logbucket_quantiles, ohlc_bars).
     # Everything not in the head keeps its prior evidence and follows
-    # in prior order. Round 13 must lead with the 16 still-promised
-    # r06-evidence keys (zorder_cluster, time_resample, variant_extract,
-    # mad_outliers, incremental_agg, streaming_outer_join,
-    # streaming_sliding_counts, source_entropy, time_interpolate,
-    # corpus_curation, doc_fingerprints, distinct_counts,
-    # dup_groups_report, null_pk_lanes, embedding_resize,
-    # approx_distinct), then the r08-evidence block in name order
-    # (join_skew_report, kmv_distinct, kmv_join_size,
-    # logbucket_quantiles, ohlc_bars, record_linkage, retention_cohorts,
-    # salted_join_revenue, ...), plus anything round 13 changes.
+    # in prior order. Round 14 should lead with the REST of the
+    # r08-evidence block in name order (record_linkage,
+    # retention_cohorts, salted_join_revenue, event_transitions,
+    # trend_slopes, ab_test_report, psi_drift, schema_table_diff,
+    # rank_sum_drift, expectations_report, geo_proximity_pairs,
+    # bar_returns, ...), plus anything round 14 changes.
     head = [
-        # brand-new round-12 entries — never driver-checked
-        "delta_column_mapping",
-        "delta_deletion_vectors",
-        # round-12-build delta re-entries without a driver stamp
-        "delta_cdc", "delta_clone", "delta_constraints",
-        "delta_convert", "delta_replace_where", "delta_restore",
-        # round-12-optimization changed code (name order)
-        "adpcm_decode", "avi_frames", "bfs_reachability", "bigram_lm",
-        "bm25_scores", "boilerplate_ngrams", "decontaminate",
-        "delta_merge_evolve", "delta_roundtrip", "dsir_select",
-        "flac_decode", "funnel_conversion", "g711_decode", "gif_decode",
-        "inverted_index", "jpeg_decode", "jpeg_progressive",
-        "lm_cross_entropy", "minhash_near_dups", "near_dup_clusters",
-        "ngram_jaccard_dups", "phash_fingerprints", "phash_near_pairs",
-        "pmi_pairs", "png_decode", "profile_report",
-        "profile_report_approx", "rle_video_frames", "rrf_fusion",
-        "scd2_price_history", "simhash_near_pairs", "span_dedup",
-        "streaming_cdf", "streaming_delta_source", "tfidf_top_terms",
-        "wav_decode", "winnow_fingerprints", "winnow_near_dups",
-        # 4 of the r11-promised r06-evidence keys (rest re-promised)
-        "snapshot_diff", "zscore_outliers", "embedding_quantize",
-        "cms_user_counts",
+        # round-13 changed code (name order)
+        "adpcm_decode", "avi_frames", "bfs_reachability",
+        "copurchase_triangles", "delta_cdc", "delta_clone",
+        "delta_column_mapping", "delta_constraints", "delta_convert",
+        "delta_deletion_vectors", "delta_merge_evolve",
+        "delta_replace_where", "delta_restore", "delta_roundtrip",
+        "flac_decode", "g711_decode", "gif_decode", "jpeg_decode",
+        "jpeg_progressive", "kmeans_clusters", "ngram_jaccard_dups",
+        "phash_fingerprints", "phash_near_pairs", "png_decode",
+        "rle_video_frames", "scd2_price_history", "streaming_cdf",
+        "streaming_delta_source", "wav_decode",
+        # the 16 re-promised r06-evidence keys — promise discharged
+        "zorder_cluster", "time_resample", "variant_extract",
+        "mad_outliers", "incremental_agg", "streaming_outer_join",
+        "streaming_sliding_counts", "source_entropy", "time_interpolate",
+        "corpus_curation", "doc_fingerprints", "distinct_counts",
+        "dup_groups_report", "null_pk_lanes", "embedding_resize",
+        "approx_distinct",
+        # first 5 of the r08-evidence block (name order)
+        "join_skew_report", "kmv_distinct", "kmv_join_size",
+        "logbucket_quantiles", "ohlc_bars",
         # 50-cap cutoff.
     ]
     out = {k: base[k] for k in head}

@@ -387,6 +387,39 @@ AUDIO_SCHEMA = StructType(
 )
 
 
+def audio_feature_row(payload: bytes) -> tuple:
+    """The per-clip integer feature tuple of :func:`audio_features` for
+    ONE payload: (sample_rate, n_channels, n_samples, duration_ms,
+    peak_abs, sum_abs, energy, zero_crossings, decode_error). The single
+    source of truth for the feature math — the distributed kernel and
+    the driver-side bounded-class decodes in the entry queries both call
+    it, so they can never drift."""
+    try:
+        rate, channels, samples = decode_audio(bytes(payload))
+        s = np.asarray(samples, dtype=np.int64)
+        return (
+            rate,
+            channels,
+            len(s),
+            int(len(s)) * 1000 // rate,
+            int(np.abs(s).max()) if len(s) else 0,
+            int(np.abs(s).sum()),
+            int((s * s).sum()),
+            int(((s[:-1] * s[1:]) < 0).sum()) if len(s) > 1 else 0,
+            None,
+        )
+    except ValueError as exc:
+        return (None,) * 8 + (str(exc),)
+
+
+#: per-task decode memo: skip caching clips bigger than this (a multi-MB
+#: clip's features are cheap to recompute relative to holding its digest
+#: entry hostage to a task-lifetime dict on a mostly-unique corpus)
+_MEMO_MAX_PAYLOAD = 4 * 1024 * 1024
+#: and cap the entry count outright — bounded memory per task, period
+_MEMO_MAX_ENTRIES = 4096
+
+
 def audio_features(df_with_payload: DataFrame) -> DataFrame:
     """Per-clip integer features over a (doc_id, payload) frame:
     duration (ms, floor), peak amplitude, Σ|s|, Σs² (the integer energy
@@ -394,37 +427,29 @@ def audio_features(df_with_payload: DataFrame) -> DataFrame:
     adjacent sample pairs with strictly opposite signs, s_{i-1}·s_i<0).
     Undecodable rows null-route with the reason, like
     :func:`multimodal.decode_image`."""
+    import hashlib
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # decode-once-per-distinct-payload (round 12): identical bytes
-        # decode identically, so a per-task memo keyed on the payload
-        # collapses duplicate clips (re-uploads, synthetic fixtures) to
-        # one decode each. Fresh per task — never crosses runs.
+        # decode identically, so a per-task memo collapses duplicate
+        # clips (re-uploads) to one decode each. Fresh per task — never
+        # crosses runs. Round 13 (ADVICE fix): keyed on the md5 DIGEST
+        # so the dict never retains payload bytes, entry count capped,
+        # and oversized clips skip caching — bounded executor memory on
+        # a mostly-unique multi-MB corpus.
         seen: dict = {}
         for pdf in batches:
             out = {f.name: [] for f in AUDIO_SCHEMA.fields}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 out["doc_id"].append(doc_id)
-                key = bytes(payload)
-                feats = seen.get(key)
+                raw = bytes(payload)
+                cacheable = len(raw) <= _MEMO_MAX_PAYLOAD
+                key = hashlib.md5(raw).digest() if cacheable else None
+                feats = seen.get(key) if cacheable else None
                 if feats is None:
-                    try:
-                        rate, channels, samples = decode_audio(key)
-                        s = np.asarray(samples, dtype=np.int64)
-                        feats = (
-                            rate,
-                            channels,
-                            len(s),
-                            int(len(s)) * 1000 // rate,
-                            int(np.abs(s).max()) if len(s) else 0,
-                            int(np.abs(s).sum()),
-                            int((s * s).sum()),
-                            int(((s[:-1] * s[1:]) < 0).sum()) if len(s) > 1 else 0,
-                            None,
-                        )
-                    except ValueError as exc:
-                        feats = (None,) * 8 + (str(exc),)
-                    seen[key] = feats
+                    feats = audio_feature_row(raw)
+                    if cacheable and len(seen) < _MEMO_MAX_ENTRIES:
+                        seen[key] = feats
                 for k, v in zip(
                     (
                         "sample_rate", "n_channels", "n_samples", "duration_ms",

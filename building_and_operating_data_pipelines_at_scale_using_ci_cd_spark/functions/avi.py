@@ -345,6 +345,57 @@ VIDEO_FRAME_SCHEMA = StructType(
 )
 
 
+def video_frame_rows(raw: bytes, every: int = 1) -> list:
+    """The per-payload frame rows of :func:`sample_video_frames` for ONE
+    container: a list of (frame_idx, n_frames, width, height, sum_luma,
+    frame_ok) tuples — a corrupt container is one (-1, None, None, None,
+    None, False) row; a corrupt single frame keeps its slot with
+    frame_ok false. The single source of truth for the decode — the
+    distributed kernel and the driver-side bounded-class decodes in the
+    entry queries both call it, so they can never drift."""
+    from .gif import gif_frame_lumas
+    from .multimodal import parse_image
+
+    raw = bytes(raw)
+    rows = []
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            w, h, lumas = gif_frame_lumas(raw)
+        except ValueError:
+            return [(-1, None, None, None, None, False)]
+        for idx in range(0, len(lumas), every):
+            rows.append((idx, len(lumas), w, h, sum(lumas[idx]), True))
+        return rows
+    try:
+        w, h, _rate, _scale, frames, codec, palette = demux_avi_info(raw)
+    except ValueError:
+        return [(-1, None, None, None, None, False)]
+    if codec in (b"MRLE", b"mrle", b"RLE8"):
+        # inter-frame codec: delta frames composite over the persistent
+        # canvas, so decode the whole stream then sample (the
+        # animated-GIF shape)
+        try:
+            lumas = decode_mrle_frames(w, h, frames, palette)
+        except ValueError:
+            return [(-1, None, None, None, None, False)]
+        for idx in range(0, len(lumas), every):
+            rows.append((idx, len(lumas), w, h, sum(lumas[idx]), True))
+        return rows
+    for idx in range(0, len(frames), every):
+        try:
+            _fmt, fw, fh, gray = parse_image(frames[idx])
+            rows.append((idx, len(frames), fw, fh, sum(gray), True))
+        except ValueError:
+            rows.append((idx, len(frames), None, None, None, False))
+    return rows
+
+
+#: per-task decode memo bounds (ADVICE fix, same numbers as audio.py):
+#: digest keys so payload bytes are never retained, entry cap, size cap
+_MEMO_MAX_PAYLOAD = 4 * 1024 * 1024
+_MEMO_MAX_ENTRIES = 4096
+
+
 def sample_video_frames(df_with_payload: DataFrame, every: int = 1) -> DataFrame:
     """Decode every ``every``-th frame of a multi-frame media payload:
     MJPEG AVI (demux via the RIFF walker, frames through
@@ -354,16 +405,17 @@ def sample_video_frames(df_with_payload: DataFrame, every: int = 1) -> DataFrame
     yields ONE row with frame_idx −1 and frame_ok false, a corrupt
     single frame yields its row with frame_ok false — either way the
     stage survives."""
+    import hashlib
+
     if every <= 0:
         raise ValueError("every must be positive")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .gif import gif_frame_lumas
-        from .multimodal import parse_image
-
         # decode-once-per-distinct-payload (round 12): identical
-        # containers decode identically — a per-task memo keyed on the
-        # bytes collapses duplicate clips to one demux+decode each.
+        # containers decode identically — a per-task memo collapses
+        # duplicate clips to one demux+decode each. Round 13 (ADVICE
+        # fix): md5-digest keys (no payload retention), bounded entry
+        # count, oversized clips skip caching.
         seen: dict = {}
 
         for pdf in batches:
@@ -378,45 +430,15 @@ def sample_video_frames(df_with_payload: DataFrame, every: int = 1) -> DataFrame
                 out["sum_luma"].append(s)
                 out["frame_ok"].append(ok)
 
-            def decode_rows(raw):
-                rows = []
-                if raw[:6] in (b"GIF87a", b"GIF89a"):
-                    try:
-                        w, h, lumas = gif_frame_lumas(raw)
-                    except ValueError:
-                        return [(-1, None, None, None, None, False)]
-                    for idx in range(0, len(lumas), every):
-                        rows.append((idx, len(lumas), w, h, sum(lumas[idx]), True))
-                    return rows
-                try:
-                    w, h, _rate, _scale, frames, codec, palette = demux_avi_info(raw)
-                except ValueError:
-                    return [(-1, None, None, None, None, False)]
-                if codec in (b"MRLE", b"mrle", b"RLE8"):
-                    # inter-frame codec: delta frames composite over the
-                    # persistent canvas, so decode the whole stream then
-                    # sample (the animated-GIF shape)
-                    try:
-                        lumas = decode_mrle_frames(w, h, frames, palette)
-                    except ValueError:
-                        return [(-1, None, None, None, None, False)]
-                    for idx in range(0, len(lumas), every):
-                        rows.append((idx, len(lumas), w, h, sum(lumas[idx]), True))
-                    return rows
-                for idx in range(0, len(frames), every):
-                    try:
-                        _fmt, fw, fh, gray = parse_image(frames[idx])
-                        rows.append((idx, len(frames), fw, fh, sum(gray), True))
-                    except ValueError:
-                        rows.append((idx, len(frames), None, None, None, False))
-                return rows
-
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
-                rows = seen.get(raw)
+                cacheable = len(raw) <= _MEMO_MAX_PAYLOAD
+                key = hashlib.md5(raw).digest() if cacheable else None
+                rows = seen.get(key) if cacheable else None
                 if rows is None:
-                    rows = decode_rows(raw)
-                    seen[raw] = rows
+                    rows = video_frame_rows(raw, every)
+                    if cacheable and len(seen) < _MEMO_MAX_ENTRIES:
+                        seen[key] = rows
                 for r in rows:
                     emit(doc_id, *r)
             yield pd.DataFrame(

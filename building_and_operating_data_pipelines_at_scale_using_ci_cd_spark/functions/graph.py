@@ -277,21 +277,26 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     Three hash equi-joins + two groupBys, all map-side-partial, no
     window, no driver state. Returns one row:
     ``(n_nodes, n_edges, n_triangles)`` — all exact integers."""
-    e = _materialize_parquet(
+    e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
-        .distinct(),
-        # Materialized via temp parquet, NOT localCheckpoint (round-12
-        # measurement): e is otherwise inlined ~8x in the plan (90
-        # Exchanges, 56 scans), but a checkpoint strips Catalyst's size
-        # stats — every downstream join over the RDD-backed table lost
-        # its broadcast plan and degraded to SortMergeJoin (baseline
-        # 3.49s, lazy checkpoint 3.51s, eager checkpoint 6.0s at sf0.1).
-        # The parquet round-trip computes e once AND keeps the stats.
-        prefix="triangle_e_",
+        .distinct()
+        # NOT materialized, deliberately — measured twice now. Round 12:
+        # localCheckpoint strips Catalyst size stats, downstream joins
+        # degrade to SortMergeJoin (baseline 3.49s, lazy ckpt 3.51s,
+        # eager ckpt 6.0s at sf0.1). Round 13: _materialize_parquet
+        # (temp-parquet round-trip — KEEPS stats, 90->32 Exchanges,
+        # 12->0 SMJ) still lost at sf0.1: 3.78s vs 3.43s inlined for e
+        # alone, 5.45s with ed too — the ~8 inlined subtrees execute in
+        # PARALLEL inside one job, while materialization serializes a
+        # write barrier ahead of them. On a saturated cluster at real
+        # scale total work dominates wall-clock and the materialized
+        # form wins: flip to `_materialize_parquet(..., "triangle_e_")`
+        # there. The driver's r12 6.75s stamp did not reproduce on a
+        # quiet host (3.43s, matching the r11 3.51s record): host noise.
     )
     deg = (
         e.select(F.col("a").alias("v"))
@@ -313,7 +318,8 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             .alias("o")
         )
         .select(F.col("o.lo").alias("u"), F.col("o.hi").alias("w"))
-        # not materialized — same stats-loss trade as `e` above
+        # not materialized — measured worse at sf0.1 (round 13: 5.45s
+        # min-of-3 vs 3.43s inlined; see the note on `e` above)
     )
     wedges = (
         ed.alias("e1")

@@ -98,6 +98,25 @@ def phash64(gray: np.ndarray) -> tuple:
     return int(bits[:32], 2), int(bits[32:], 2), bits
 
 
+_POW32 = 1 << np.arange(31, -1, -1, dtype=np.int64)
+
+
+def _phash64_batch(rasters: np.ndarray) -> tuple:
+    """Vectorized :func:`phash64` over an (n, 32, 32) int64 raster stack
+    → ``(hi, lo, n_ones)`` int64 arrays. One batched einsum replaces n
+    per-row matmul calls and the per-row Python bit-string build (round
+    13, guide §4.2 — hand whole batches to vectorized native code).
+    Same integer arithmetic, bit-identical to the per-row form (pinned
+    by test_phash batch-vs-scalar equality)."""
+    t = np.einsum("jx,nxy,ky->njk", _C, rasters, _C)  # (n, 8, 8), int64 exact
+    flat = t.reshape(len(rasters), _LOW * _LOW)
+    med = np.sort(flat, axis=1)[:, (_LOW * _LOW) // 2 - 1]  # lower median
+    bits = flat > med[:, None]
+    hi = (bits[:, :32] * _POW32).sum(axis=1)
+    lo = (bits[:, 32:] * _POW32).sum(axis=1)
+    return hi, lo, bits.sum(axis=1)
+
+
 PHASH_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -120,30 +139,38 @@ def phash_fingerprints(df_with_payload: DataFrame) -> DataFrame:
 
     def kernel(batches):
         for pdf in batches:
-            out = {f.name: [] for f in PHASH_SCHEMA.fields}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                out["doc_id"].append(doc_id)
+            n = len(pdf)
+            # phase 1 (per row, codec-bound): decode + reduce to 32x32
+            rasters, valid, errors = [], [], [None] * n
+            for i, payload in enumerate(pdf["payload"]):
                 try:
                     _fmt, w, h, luma = parse_image(bytes(payload))
-                    hi, lo, bits = phash64(
-                        np.asarray(luma, dtype=np.int64).reshape(h, w)
+                    rasters.append(
+                        _to_raster32(
+                            np.asarray(luma, dtype=np.int64).reshape(h, w)
+                        )
                     )
-                    out["phash_hi"].append(hi)
-                    out["phash_lo"].append(lo)
-                    out["n_ones"].append(bits.count("1"))
-                    out["decode_error"].append(None)
+                    valid.append(i)
                 except ValueError as exc:
-                    out["phash_hi"].append(None)
-                    out["phash_lo"].append(None)
-                    out["n_ones"].append(None)
-                    out["decode_error"].append(str(exc))
+                    errors[i] = str(exc)
+            # phase 2 (whole batch, vectorized): one batched integer DCT
+            hi = np.zeros(n, dtype=np.int64)
+            lo = np.zeros(n, dtype=np.int64)
+            ones = np.zeros(n, dtype=np.int64)
+            if valid:
+                vh, vl, vo = _phash64_batch(np.stack(rasters))
+                idx = np.asarray(valid)
+                hi[idx], lo[idx], ones[idx] = vh, vl, vo
+            ok = np.array([e is None for e in errors])
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
-                    "phash_hi": pd.Series(out["phash_hi"], dtype="Int64"),
-                    "phash_lo": pd.Series(out["phash_lo"], dtype="Int64"),
-                    "n_ones": pd.Series(out["n_ones"], dtype="Int32"),
-                    "decode_error": out["decode_error"],
+                    "doc_id": pd.Series(
+                        np.asarray(pdf["doc_id"]), dtype="int64"
+                    ),
+                    "phash_hi": pd.Series(hi, dtype="Int64").where(ok),
+                    "phash_lo": pd.Series(lo, dtype="Int64").where(ok),
+                    "n_ones": pd.Series(ones, dtype="Int32").where(ok),
+                    "decode_error": errors,
                 }
             )
 

@@ -970,6 +970,7 @@ def _ngram_jaccard_core(
     threshold_num: int,
     threshold_den: int,
     prefix_order: str = "df",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup join via prefix filtering — the
     deterministic sibling of the MinHash path: same answer as all-pairs
@@ -1013,7 +1014,14 @@ def _ngram_jaccard_core(
         raise ValueError("threshold must be a fraction in (0, 1]")
     if prefix_order not in ("df", "hash"):
         raise ValueError("prefix_order must be 'df' or 'hash'")
-    sh = _hashed_shingle_df(df, id_col, text_col, n).localCheckpoint(eager=False)
+    # ``shingles``: a caller that already shingled df (ngram_jaccard_pairs
+    # needs per-doc gram-set sizes too) passes its checkpointed table so
+    # the md5-tokenize pass runs ONCE, not once per consumer (round 13)
+    sh = (
+        shingles
+        if shingles is not None
+        else _hashed_shingle_df(df, id_col, text_col, n).localCheckpoint(eager=False)
+    )
     gram_sets = sh.select("__id", F.col("__sh").alias("__gs"))
     grams = sh.select(
         "__id", F.size("__sh").alias("__sz"), F.explode("__sh").alias("__g")
@@ -1146,12 +1154,19 @@ def ngram_jaccard_pairs(
         F.col("__mid").alias(id_col)
     )
     rep_docs = df.join(rep_ids, id_col, "semi")
+    # shingle the reps ONCE: the core's prefix/verify pipeline and the
+    # gram-set sizes below share this checkpointed table (round 13 — the
+    # second _hashed_shingle_df pass re-ran the whole md5-tokenize stage)
+    rep_sh = _hashed_shingle_df(rep_docs, id_col, text_col, n).localCheckpoint(
+        eager=False
+    )
     rep_pairs = _ngram_jaccard_core(
-        rep_docs, id_col, text_col, n, threshold_num, threshold_den, prefix_order
+        rep_docs, id_col, text_col, n, threshold_num, threshold_den,
+        prefix_order, shingles=rep_sh,
     )
     # gram-set size per content group (from the rep; copies share it) —
     # also the validity filter: contents too short to shingle never pair
-    rep_sizes = _hashed_shingle_df(rep_docs, id_col, text_col, n).select(
+    rep_sizes = rep_sh.select(
         F.col("__id").alias("__rep"), F.size("__sh").alias("__sz")
     )
     sized = reps.join(rep_sizes, "__rep")  # (chash, rep, sz), shingleable only

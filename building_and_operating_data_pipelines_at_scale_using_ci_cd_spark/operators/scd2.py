@@ -137,10 +137,32 @@ def scd2_merge(
     # lane rows from one array-of-structs explode — a "changed" key
     # yields closed+insert (2 rows), "no news"/identical yields the
     # carried row, a new key yields its insert — exactly delta-spark's
-    # single-pass MERGE output shape. Insert-lane columns cast to the
-    # TARGET's types (the unionByName in the old form coerced them the
-    # same way).
+    # single-pass MERGE output shape. Insert-lane columns are CAST TO
+    # THE TARGET'S TYPES — store-assignment semantics, like delta-spark
+    # MERGE. (This is a deliberate change from the pre-round-12
+    # unionByName form, which WIDENED to the common type: a bigint
+    # incoming column merged into an int target used to widen the
+    # OUTPUT to bigint; now the target schema wins.) A lossy numeric
+    # narrowing is refused rather than silently truncated:
     t_types = {f.name: f.dataType for f in target.schema.fields}
+    _num_rank = {
+        "byte": 1, "short": 2, "integer": 3, "long": 4,
+        "float": 5, "double": 6,
+    }
+    i_types = {f.name: f.dataType for f in incoming.schema.fields}
+    for c in data_cols:
+        it, tt = i_types.get(c), t_types[c]
+        if it is None or it == tt:
+            continue
+        ir = _num_rank.get(it.typeName())
+        tr = _num_rank.get(tt.typeName())
+        if ir is not None and tr is not None and ir > tr:
+            raise ValueError(
+                f"scd2_merge: incoming column {c!r} is {it.simpleString()} "
+                f"but the target declares {tt.simpleString()} — a lossy "
+                f"narrowing; cast the incoming snapshot explicitly if the "
+                f"values are known to fit"
+            )
     changed = (
         F.col("__t_fp").isNotNull()
         & F.col("__i_fp").isNotNull()

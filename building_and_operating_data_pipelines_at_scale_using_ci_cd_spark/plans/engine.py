@@ -327,8 +327,14 @@ class Orchestrator:
             )
         v = config.validations
         bad_lanes: list[tuple[str, DataFrame]] = []
-        # cache the parent once: both lanes of each split re-scan it
-        df = df.cache()
+        # materialize the parent once: both lanes of each split re-scan
+        # it. localCheckpoint, NOT cache (round 13 — the same
+        # no-CacheManager rule the operators adopted in round 12: a
+        # cached deterministic subtree is silently substituted into any
+        # identical later plan, leaking state across runs and pinning
+        # memory for the session's lifetime; engine jobs are one-shot
+        # but must obey the same hygiene)
+        df = df.localCheckpoint(eager=False)
         if v.null_value_validation and v.null_primary_keys:
             df, bad = null_pk_split(df, v.null_primary_keys)
             bad_lanes.append(("null_primary_key", bad))

@@ -2378,6 +2378,22 @@ def _pruned_rewrite(
     rewritten = rewrite_fn(pruned).select(
         *[F.col(f.name).cast(f.dataType) for f in out_schema.fields]
     )
+    # output sizing (round 13, guide §6): without it the staged rewrite
+    # inherits the session's shuffle partitioning, so the file count per
+    # commit scaled with CORE COUNT — 32 near-empty files per DML commit
+    # at local[32] (the r12 8-core bench lane ran delta_replace_where 3x
+    # faster than 32-core, scaling ratio 0.33: pure add-action/stat/
+    # publish overhead). Size the output from the matched input bytes
+    # instead: ceil(matched_bytes / targetFileSize) files, minimum 1 —
+    # a 10 GB rewrite still fans out (and keeps its upstream scan
+    # parallelism through the coalesce), a 2 MB one lands as one file.
+    matched_bytes = sum(
+        int((snap.files.get(rel) or {}).get("size") or 0) for rel in rel_matched
+    )
+    target_fs = int(
+        spark.conf.get("spark.deltaLite.targetFileSize", str(128 * 1024 * 1024))
+    )
+    rewritten = rewritten.coalesce(max(1, -(-matched_bytes // max(1, target_fs))))
     actions = [
         {
             "commitInfo": {

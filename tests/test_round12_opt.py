@@ -137,9 +137,14 @@ def test_stream_small_file_packing(spark, tmp_path):
 
 
 def test_mad_outliers_dataframe_form_equals_sql(spark, tables, sf_dir):
+    # the registry maps mad_outliers to the shared SQL (the DataFrame
+    # restructure measured slower and was reverted); call the kept
+    # measurement-record function DIRECTLY so this test actually
+    # executes it rather than comparing the SQL form to itself
+    # (round-13 ADVICE fix — the old form was vacuous)
     import __spark_entry__ as entry
 
-    df_form = entry.queries()["mad_outliers"](spark, sf_dir)
+    df_form = entry._q_mad_outliers(spark, sf_dir)
     sql_form = spark.sql(entry._q_mad_outliers_sql())
     a = sorted(map(tuple, df_form.collect()))
     b = sorted(map(tuple, sql_form.collect()))

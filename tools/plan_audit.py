@@ -138,9 +138,32 @@ def main() -> int:
     spark = get_session(app_name="plan-audit", master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Checkpoint transparency (round-13 ADVICE fix): a localCheckpoint
+    # replaces its subtree with a stats-less RDD scan, so the FINAL plan
+    # of a checkpointed query shows scans=0/pushed=0 and hides any
+    # BatchEvalPython inside the checkpointed subtree — the audit was
+    # blind there. Intercept localCheckpoint while each query builds and
+    # audit the PRE-checkpoint plan of every checkpointed subtree too
+    # (counts land in ckpt_scans/ckpt_pushed; red flags inside a
+    # checkpointed subtree fail the audit like any other).
+    from pyspark.sql import DataFrame as _DF
+
+    ckpt_plans: list[str] = []
+    orig_ckpt = _DF.localCheckpoint
+
+    def audited_ckpt(self, eager=True):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            self.explain("formatted")
+        ckpt_plans.append(buf.getvalue())
+        return orig_ckpt(self, eager)
+
+    _DF.localCheckpoint = audited_ckpt
+
     failures = []
     metrics: dict[str, dict] = {}
     for name, fn in entry_mod.queries().items():
+        ckpt_plans.clear()
         try:
             df = fn(spark, sf_dir)
             buf = io.StringIO()
@@ -151,7 +174,11 @@ def main() -> int:
             print(f"{name:30s} ERROR {type(exc).__name__}: {str(exc)[:90]}")
             failures.append(name)
             continue
-        hits = [f for f, rx in FLAGS.items() if rx.search(plan)]
+        sub_plans = list(ckpt_plans)
+        hits = sorted(
+            {f for f, rx in FLAGS.items()
+             for p in [plan, *sub_plans] if rx.search(p)}
+        )
         if "BNLJ" in hits and name in BNLJ_ALLOWED:
             hits.remove("BNLJ")
             hits.append("bnlj(documented)")
@@ -163,18 +190,27 @@ def main() -> int:
         # nothing), but a filtered query showing 0/N deserves a look.
         scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
         pushed = len(re.findall(r"PushedFilters: \[(?!\])", plan))
+        ckpt_scans = sum(
+            len(re.findall(r"\(\d+\) Scan parquet", p)) for p in sub_plans
+        )
+        ckpt_pushed = sum(
+            len(re.findall(r"PushedFilters: \[(?!\])", p)) for p in sub_plans
+        )
         metrics[name] = {
             "smj": plan.count("SortMergeJoin"),
             "bhj": plan.count("BroadcastHashJoin"),
             "exch": plan.count("Exchange"),
             "pushed": pushed,
             "scans": scans,
+            "ckpt_scans": ckpt_scans,
+            "ckpt_pushed": ckpt_pushed,
             "flags": hits,
         }
         print(
             f"{name:30s} smj={metrics[name]['smj']} "
             f"bhj={metrics[name]['bhj']} "
             f"exch={metrics[name]['exch']} pushed={pushed}/{scans} "
+            f"ckpt={ckpt_pushed}/{ckpt_scans} "
             f"flags={hits or '-'}"
         )
 
