@@ -60,7 +60,7 @@ import urllib.parse
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -326,7 +326,7 @@ def _check_writable(snap: "DeltaSnapshot") -> None:
     """Refuse to WRITE to a table whose protocol demands writer features
     this engine does not implement (reading such tables may still be
     fine — the reader gate is separate and checked at replay). Writer
-    version 3 = CHECK constraints, which :func:`_rule_assert` now
+    version 3 = CHECK constraints, which :func:`_rule_observe` now
     enforces on every row-adding path (inside the staging write); anything newer (generated
     columns, CDF files, column mapping, deletion vectors) would be
     silently violated by a blind write, so it raises instead."""
@@ -1239,22 +1239,23 @@ CHECKPOINT_INTERVAL = 10
 _APPEND_COMMIT_RETRIES = 10
 
 
-#: marks an assert_true row-rule failure inside a staging write so the
-#: driver can tell it from any other task failure (see _rule_assert)
-_RULE_VIOLATION_MARKER = "DELTA_LITE_RULE_VIOLATION:"
-
-
-def _rule_assert(df: DataFrame, rules: list) -> DataFrame:
+def _rule_observe(df: DataFrame, rules: list):
     """Wrap ``df`` so the table's CHECK constraints / invariants are
     evaluated per row INSIDE the staging write job itself (round 13,
-    guide §1.2 — one pass, not two): ``assert_true`` fails the write on
-    the first violating row, carrying the violated rule name(s) and the
-    row as JSON in the task error, which :func:`_stage_and_adds` turns
-    back into the user-facing ValueError. This replaces the former
-    post-write probe that re-read every staged file as a SECOND Spark
-    job per constrained commit. A violation now aborts while the files
-    are still in the hidden stage dir — the table directory is never
-    touched, strictly earlier than the old unlink-after-publish path."""
+    guide §1.2 — one pass, not two): a ``CollectMetrics`` node
+    (``df.observe``) counts violating rows and keeps one sample row's
+    violated rule name(s) + JSON, which :func:`_stage_and_adds` reads
+    AFTER the write action and turns into the user-facing ValueError.
+    This replaces the former post-write probe that re-read every staged
+    file as a SECOND Spark job per constrained commit. A violation
+    aborts while the files are still in the hidden stage dir — the
+    table directory is never touched, strictly earlier than the old
+    unlink-after-publish path. Observation is used instead of a per-row
+    ``assert_true`` on purpose: an assert fails the task, and on a
+    cluster with ``spark.task.maxFailures=4`` every violating partition
+    would be rewritten and re-failed four times (and pollute task
+    failure metrics) before the job aborts; the metrics node costs one
+    row-level projection and no failures."""
     viols = [
         (~F.coalesce(F.expr(expr), F.lit(False))).alias(f"__v{i}")
         for i, (_label, expr) in enumerate(rules)
@@ -1266,26 +1267,23 @@ def _rule_assert(df: DataFrame, rules: list) -> DataFrame:
         F.when(v, F.lit(f"{label} CHECK ({expr})"))
         for v, (label, expr) in zip(viols, rules)
     ]
-    msg = F.concat(
-        F.lit(_RULE_VIOLATION_MARKER),
-        F.concat_ws("; ", *labels),
-        F.lit(" — sample row "),
-        F.to_json(F.struct(*[F.col(c) for c in df.columns])),
+    detail = F.when(
+        any_viol,
+        F.concat(
+            F.concat_ws("; ", *labels),
+            F.lit(" — sample row "),
+            F.to_json(F.struct(*[F.col(c) for c in df.columns])),
+        ),
     )
-    # assert_true is NULL for every passing row (the filter keeps all of
-    # them) and raises with ``msg`` on the first violating one
-    return df.filter(F.assert_true(~any_viol, msg).isNull())
-
-
-def _rule_violation_detail(exc: Exception) -> str | None:
-    """The rule-violation payload of a failed staging write, or None if
-    the failure was anything else (then the original error re-raises)."""
-    s = str(exc)
-    i = s.find(_RULE_VIOLATION_MARKER)
-    if i < 0:
-        return None
-    detail = s[i + len(_RULE_VIOLATION_MARKER):]
-    return detail.split("\n", 1)[0].rsplit(" SQLSTATE:", 1)[0]
+    obs = Observation()
+    return (
+        df.observe(
+            obs,
+            F.sum(any_viol.cast("long")).alias("n_bad"),
+            F.min(detail).alias("detail"),
+        ),
+        obs,
+    )
 
 
 def _stage_and_adds(
@@ -1299,25 +1297,24 @@ def _stage_and_adds(
     into the table (hive dirs preserved for partitioned layouts) and
     return their ``add`` actions. ``rules`` (the table's row-level
     CHECK constraints / invariants from :func:`_row_rules`) are
-    enforced inside the staging write itself — see :func:`_rule_assert`."""
+    enforced inside the staging write itself — see :func:`_rule_observe`."""
     os.makedirs(table_path, exist_ok=True)
     stage = tempfile.mkdtemp(prefix=".delta_stage_", dir=table_path)
+    obs = None
     if rules:
-        df = _rule_assert(df, rules)
+        df, obs = _rule_observe(df, rules)
     try:
         writer = df.write.mode("overwrite")
         if pcols:
             writer = writer.partitionBy(*pcols)
-        try:
-            writer.parquet(stage)
-        except Exception as exc:
-            detail = _rule_violation_detail(exc)
-            if detail is None:
-                raise
-            raise ValueError(
-                f"{operation} to {table_path} violates {detail}; "
-                f"no commit was made"
-            ) from None
+        writer.parquet(stage)
+        if obs is not None:
+            metrics = obs.get
+            if metrics["n_bad"]:
+                raise ValueError(
+                    f"{operation} to {table_path} violates "
+                    f"{metrics['detail']}; no commit was made"
+                )
 
         adds = []
         for full, parts, pvals, size, stats in _collect_staged_files(stage, pcols):
@@ -1711,7 +1708,7 @@ def add_check_constraint(
     writer-protocol-3 feature): from this commit on, EVERY row-adding
     transaction (append, overwrite, MERGE, UPDATE, replaceWhere, the
     streaming sink) validates its staged rows against ``expr`` and
-    refuses to commit a violation (:func:`_rule_assert`).
+    refuses to commit a violation (:func:`_rule_observe`).
 
     Like delta-spark, the EXISTING rows are validated first (one
     bounded job — ``LIMIT 1`` over the violating filter); a table that

@@ -12,11 +12,13 @@ bit-identical to the forms they replaced):
 3. `_stream_state_partitions` must pin the conf inside the block and
    restore it afterwards, including on failure.
 4. delta-lite CHECK constraints are now enforced INSIDE the staging
-   write (assert_true) instead of a post-write re-read job: a violating
-   write must still raise the same user-facing ValueError and leave the
-   table directory untouched (no stray part files) — behavior pinned
-   here at the _stage_and_adds level (test_constraints_clone pins the
-   end-to-end surface).
+   write (an Observation metrics node, not a per-row assert — task
+   failures would retry-rewrite violating partitions maxFailures times
+   on a real cluster) instead of a post-write re-read job: a violating
+   write must still raise the same user-facing ValueError, leave the
+   table directory untouched (no stray part files), and fail ZERO Spark
+   tasks — behavior pinned here at the _stage_and_adds level
+   (test_constraints_clone pins the end-to-end surface).
 """
 
 from __future__ import annotations
@@ -96,7 +98,7 @@ def test_package_has_no_cachemanager_sharing():
     assert not offenders, offenders
 
 
-def test_rule_assert_fold_refuses_and_stage_is_clean(spark, tmp_path):
+def test_rule_fold_refuses_stage_clean_no_failed_tasks(spark, tmp_path):
     from building_and_operating_data_pipelines_at_scale_using_ci_cd_spark.sources import (
         delta_lite as dl,
     )
@@ -107,8 +109,16 @@ def test_rule_assert_fold_refuses_and_stage_is_clean(spark, tmp_path):
     )
     dl.add_check_constraint(spark, tp, "v_ok", "v >= 0")
     bad = spark.createDataFrame([(9, -1)], "id bigint, v bigint")
+    import bench
+
+    failed_before = bench._failed_tasks(spark.sparkContext)
     with pytest.raises(ValueError, match="violates v_ok CHECK"):
         dl.write_delta_lite(bad, tp, mode="append")
+    failed_after = bench._failed_tasks(spark.sparkContext)
+    # the violation must be detected by the observe metrics, not by
+    # failing tasks (a task failure would retry-rewrite the partition
+    # spark.task.maxFailures times on a real cluster)
+    assert failed_after == failed_before
     # the violation aborted inside the hidden stage dir: the table holds
     # exactly the referenced file set and no stage leftovers
     snap = dl.load_snapshot(tp)
